@@ -1,0 +1,382 @@
+"""Relational operator sweep — the engine surface from SURVEY.md §2.3.
+
+The reference implements only scan → flatMap → partial/final SUM → text sink
+(reference WordCount.java; inventory SURVEY.md §2.1). This module is the full
+relational surface a user of a general engine needs, each operator expressed
+so Catalyst picks the right physical strategy:
+
+* filters/projections reach the parquet scan (PushedFilters / ReadSchema);
+* small dims join with an explicit ``F.broadcast`` hint (no shuffle of the
+  big side);
+* fact-fact joins shuffle once on the join key (sort-merge; AQE converts to
+  broadcast when a side turns out small and splits skewed partitions);
+* aggregations are partial-before-exchange (map-side combine — the
+  reference's combiner, reference WordCount.java:95-114, for free);
+* top-k compiles to TakeOrderedAndProject (per-partition heaps, no global
+  sort).
+
+Determinism discipline (for the DuckDB oracle value-hash): money arithmetic
+is cast to DECIMAL before aggregation — decimal sums are exact and
+order-independent, so Spark's partial-agg order vs DuckDB's scan order can't
+produce ULP drift — then cast to DOUBLE at the end for a uniform output
+type. Averages are computed as exact-decimal-sum / count in both engines.
+Transcendentals (pow/ln) are rounded to 6 dp because JVM Math and libm may
+legally differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Scans, filters, projections
+# ---------------------------------------------------------------------------
+
+def filter_project(part: DataFrame) -> DataFrame:
+    """Filtered, pruned scan: both the predicate and the 4-column projection
+    reach the parquet reader (verify via .explain: PushedFilters=[GreaterThan
+    (p_size,30), ...], ReadSchema with 4 fields)."""
+    return (
+        part.where((F.col("p_size") > 30) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def join_broadcast(nation: DataFrame, region: DataFrame, customer: DataFrame) -> DataFrame:
+    """Customer count + balance per region via two broadcast joins.
+
+    region (5 rows) and nation (25 rows) stay tiny at any SF — broadcasting
+    them means the customer table never shuffles for the join; the only
+    exchange is the final groupBy on r_name (5 groups).
+    """
+    dim = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        customer.join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def join_sortmerge(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fact-fact equi-join: one shuffle per side on the join key, then
+    sort-merge. At 100 TB this is the shape to bucket both tables on
+    orderkey so the exchange disappears entirely; AQE handles skew here.
+    """
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("num_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def join_semi(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with >=1 order. left_semi never materializes the right side
+    into the output — half the shuffle width of join+distinct."""
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def join_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with no orders — the NOT EXISTS shape."""
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def join_range(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Equi + range predicate: lineitems shipped within 90 days of their
+    order date. The equi key keeps this a sort-merge join with a residual
+    range filter — NOT a cross product — so it scales like join_sortmerge.
+    """
+    joined = lineitem.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("num_shipped_90d"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation battery
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape — the canonical multi-aggregate scan. Partial
+    HashAggregate before the exchange keeps shuffle rows == group count,
+    not input count (the reference's combiner, as Catalyst gives it)."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def agg_multi(lineitem: DataFrame) -> DataFrame:
+    """min/max/sum/count/exact-distinct in one pass per group."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.min(_dec("l_quantity")).cast("double").alias("min_qty"),
+        F.max(_dec("l_quantity")).cast("double").alias("max_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+def distinct_count(lineitem: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-phase aggregate on
+    (group, value) then (group); exact but double-shuffle. See
+    approx_distinct for the 100 TB path."""
+    return lineitem.groupBy("l_linestatus").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+def approx_distinct(lineitem: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct: single-pass, fixed-size sketch per group —
+    the scale path for distinct over 100 TB. No oracle (DuckDB's HLL is a
+    different sketch); accuracy asserted in unit tests vs exact counts."""
+    return lineitem.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )
+
+
+def rollup_agg(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): hierarchy subtotals + grand total."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def cube_agg(orders: DataFrame) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping combinations."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+def grouping_sets(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (no DataFrame API for arbitrary sets)."""
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def window_rank(orders: DataFrame) -> DataFrame:
+    """Top-3 orders per customer by price: row_number/rank/dense_rank over a
+    partitioned window. One shuffle on the partition key; the per-partition
+    sort is local. Ties broken by orderkey for determinism."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+def window_running(orders: DataFrame) -> DataFrame:
+    """Running total per customer over order date — the frame-spec shape
+    (rowsBetween unboundedPreceding → currentRow). Decimal keeps the
+    running sum exact and engine-order-independent."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+def window_lag_lead(events: DataFrame) -> DataFrame:
+    """Per-user event sequence: lag/lead + inter-event gap in seconds."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - prev_ts.cast("timestamp").cast("long")
+        ).alias("gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+def topk_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, not a full sort."""
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def set_union(customer: DataFrame) -> DataFrame:
+    """UNION (distinct) of two predicate-defined key sets."""
+    a = customer.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+def set_intersect(customer: DataFrame) -> DataFrame:
+    a = customer.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.intersect(b)
+
+
+def set_except(customer: DataFrame) -> DataFrame:
+    a = customer.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries (all JVM-side, inside whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def string_funcs(part: DataFrame) -> DataFrame:
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_pfx"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ")).alias("name_words"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_up"),
+    )
+
+
+def date_funcs(orders: DataFrame) -> DataFrame:
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_y2k"),
+    )
+
+
+def math_funcs(lineitem: DataFrame) -> DataFrame:
+    """Per-row double math is IEEE-deterministic; pow/ln are rounded to 6 dp
+    (JVM Math vs libm may differ in the last ulp)."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        # exact decimal product, not round(double*double): Spark rounds the
+        # shortest decimal repr while DuckDB rounds the binary value, so
+        # half-way cases (x.xx5) would disagree between engines
+        (_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("discount_amt"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_partkey").bitwiseXOR(F.col("l_suppkey"))).alias("xor_keys"),
+    )
+
+
+def array_funcs(embeddings: DataFrame) -> DataFrame:
+    """Array battery over the embedding column — all built-in higher-order
+    functions, no Python. Float accumulation is done in DOUBLE left-to-right
+    (F.aggregate), matching DuckDB's list_sum fold order."""
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.round(
+            F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("elem_sum"),
+        F.round(
+            F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+        F.array_max("embedding").cast("double").alias("elem_max"),
+        F.array_min("embedding").cast("double").alias("elem_min"),
+    )
+
+
+def json_funcs(events: DataFrame) -> DataFrame:
+    """JSON extraction over events.props (the reference has no JSON at all;
+    this is the semi-structured surface)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod10"),
+    )

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources.catalog import load_table
+from .operators import relational as rel
 from .operators import wordcount as wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -113,3 +114,378 @@ def q_wordcount_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.topk_words(load_table(spark, sf_dir, "documents"), k=100)
+
+
+# ---------------------------------------------------------------------------
+# Relational sweep (SURVEY.md §2.3) — each query has a DuckDB oracle twin.
+# Decimal-then-double discipline keeps float aggregates bit-identical across
+# engines; see operators/relational.py module docstring.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    """
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part WHERE p_size > 30 AND p_type = 'ECONOMY'
+    """,
+)
+def q_filter_project(spark, sf_dir):
+    return rel.filter_project(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "join_broadcast",
+    """
+    SELECT r_name, COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    return rel.join_broadcast(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "join_sortmerge",
+    """
+    SELECT o_orderpriority, COUNT(*) AS num_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_sortmerge(spark, sf_dir):
+    return rel.join_sortmerge(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    return rel.join_semi(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    return rel.join_anti(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT o_orderstatus, COUNT(*) AS num_shipped_90d,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_range(spark, sf_dir):
+    return rel.join_range(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark, sf_dir):
+    return rel.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "agg_multi",
+    """
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+           CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_multi(spark, sf_dir):
+    return rel.agg_multi(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "distinct_count",
+    """
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_distinct_count(spark, sf_dir):
+    return rel.distinct_count(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("approx_distinct")  # HLL sketch != DuckDB's sketch → rows-only check
+def q_approx_distinct(spark, sf_dir):
+    return rel.approx_distinct(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark, sf_dir):
+    return rel.rollup_agg(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    return rel.cube_agg(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    return rel.grouping_sets(spark, load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    return rel.window_rank(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+           COUNT(*) OVER w AS running_cnt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_running(spark, sf_dir):
+    return rel.window_running(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark, sf_dir):
+    return rel.window_lag_lead(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    return rel.topk_orders(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "set_union",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_union(spark, sf_dir):
+    return rel.set_union(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    return rel.set_intersect(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_except(spark, sf_dir):
+    return rel.set_except(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           SUBSTRING(p_name, 1, 3) AS name_pfx,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(LEN(string_split(p_name, ' ')) AS INTEGER) AS name_words,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_up
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    return rel.string_funcs(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
+             AS days_to_y2k
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    return rel.date_funcs(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discount_amt,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           xor(l_partkey, l_suppkey) AS xor_keys
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    return rel.math_funcs(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             (acc, x) -> acc + x), 4) AS elem_sum,
+           round(sqrt(list_reduce(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, x) -> acc + x)), 4) AS l2_norm,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS elem_max,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS elem_min
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    return rel.array_funcs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "json_funcs",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    return rel.json_funcs(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,53 @@
+"""Relational sweep vs DuckDB oracle at sf0.01 (the driver's gate, locally)."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF001
+from oracle_harness import compare
+
+from hadoop_coded_wordcount_spark.operators.relational import approx_distinct
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+RELATIONAL = [
+    "filter_project",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "q1_pricing_summary",
+    "agg_multi",
+    "distinct_count",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets",
+    "window_rank",
+    "window_running",
+    "window_lag_lead",
+    "topk_orders",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_vs_oracle(spark, name):
+    res = compare(name, spark, SF001, verbose=True)
+    assert res["rows"] and res["schema"] and res["exact"], (name, res)
+
+
+def test_approx_distinct_within_rsd(spark):
+    rows = approx_distinct(load_table(spark, SF001, "lineitem")).collect()
+    assert rows
+    for r in rows:
+        # rsd=0.02 → generous 10% tolerance for small-cardinality wobble
+        assert abs(r.approx_suppliers - r.exact_suppliers) <= max(
+            3, 0.10 * r.exact_suppliers
+        )
