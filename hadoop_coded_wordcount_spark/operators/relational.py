@@ -195,16 +195,15 @@ def cube_agg(orders: DataFrame) -> DataFrame:
 
 
 def grouping_sets(spark: SparkSession, orders: DataFrame) -> DataFrame:
-    """Explicit GROUPING SETS via SQL (no DataFrame API for arbitrary sets)."""
-    orders.createOrReplaceTempView("gs_orders")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
-        FROM gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    """Explicit GROUPING SETS via the DataFrame API (Spark >= 4.0) — no temp
+    view, no session-global name to collide when queries run concurrently."""
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
     )
 
 
@@ -373,10 +372,17 @@ def array_funcs(embeddings: DataFrame) -> DataFrame:
 
 def json_funcs(events: DataFrame) -> DataFrame:
     """JSON extraction over events.props (the reference has no JSON at all;
-    this is the semi-structured surface)."""
+    this is the semi-structured surface).
+
+    The document is parsed once: ``from_json`` with an explicit schema
+    yields a struct, and the three output columns are derived from its
+    field. (A per-column ``get_json_object`` would re-parse the string per
+    output — schema-driven ``from_json`` is also the 100 TB shape, since a
+    typed struct column prunes/pushes like any other.)"""
+    k = F.from_json("props", "k STRING").getField("k")
     return events.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
-        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod10"),
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        (k.cast("bigint") % 10).alias("k_mod10"),
     )

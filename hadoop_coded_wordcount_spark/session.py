@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Start with many small shuffle partitions so AQE can only coalesce
+        # downward, never starve a stage; on a real cluster this number
+        # scales with executor count, not data size.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(shuffle_partitions * 8),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ so

@@ -35,23 +35,41 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Runtime SQL confs every scan depends on. Set here — not only in the
+#: session factory — because the driver contract hands us an arbitrary
+#: SparkSession; queries must be correct under any session.
+_SCAN_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+    # rejects outright; read it as raw int64 nanos instead.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ so
+    # Spark and the DuckDB oracle agree on wall-clock values.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Pin the tz so LTZ<->NTZ casts and date extraction are deterministic
+    # regardless of the host session's default zone.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar parquet scan → Catalyst prunes columns and
     pushes predicates down to the reader (visible as PushedFilters/ReadSchema
     in ``.explain``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    for k, v in _SCAN_CONFS.items():
+        spark.conf.set(k, v)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as raw
-        # int64 nanos (spark.sql.legacy.parquet.nanosAsLong). Convert to a
-        # naive (NTZ) microsecond timestamp so values line up with DuckDB's
-        # TIMESTAMP semantics. Session tz is UTC, so the cast is lossless.
+        # int64 nanos → NTZ microsecond timestamp, in pure integer math.
+        # Floor division must NOT route through a double: epoch nanos
+        # (~1.7e18) exceed 2^53, so `ts / 1000` in floating point loses up
+        # to ~128 ns — enough to flip a microsecond vs DuckDB's exact
+        # integer conversion. `ts - pmod(ts, 1000)` is exactly divisible,
+        # so DIV is an exact floor for any sign.
+        micros = F.expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
         )
     return df
 

@@ -59,7 +59,9 @@ def compare(name: str, spark, sf_dir: str = SF001, verbose: bool = True) -> dict
     )
     if name not in ORACLES:
         out = {
-            "rows": len(spark_pd) >= 0,
+            # no oracle → at least demand the query produces rows (the
+            # driver's smoke expectation); a broken empty result must fail
+            "rows": len(spark_pd) > 0,
             "schema": True,
             "exact": None,
             "close": None,
