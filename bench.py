@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: wall-clock every registry query at a given scale factor.
+
+Run: ``python bench.py``. Env knobs:
+
+* ``SPARK_GRAFT_SF_DIR`` — parquet dir (default ``/root/testdata/sf0.1``)
+* ``SPARK_GRAFT_CPUS``   — local[] core count (default 32)
+
+Each query is materialized through the ``noop`` sink — full execution of
+every operator and row on the executors, zero driver-side collection — so
+the number measures the plan, not the network to the driver. One JSON line
+goes to stdout (everything else to stderr):
+
+``{"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+The reference publishes no throughput numbers (SURVEY.md §6); the operative
+baseline is the driver's recorded BENCH per round, so keeping this harness
+stable across rounds is what makes numbers comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from hadoop_coded_wordcount_spark.registry import QUERIES
+from hadoop_coded_wordcount_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def materialize(df) -> None:
+    """Execute the full plan with no driver-side result transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    spark = get_spark(app_name="hcw-spark-bench")
+    # JVM/codegen warmup so the first measured query doesn't pay session
+    # startup; touches a tiny table only.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # keep benching the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name}: ERROR {errors[name]}", file=sys.stderr)
+
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
