@@ -1,0 +1,342 @@
+"""Deduplication operators — the LLM-training-pipeline extension surface.
+
+The reference engine has no dedup (its one query is word count,
+reference WordCount.java); these operators are the brief's beyond-reference
+extension, designed 100 TB-first:
+
+* **exact dedup** — one shuffle on a 256-bit content hash, never on the
+  full text;
+* **fingerprint dedup** — normalize → hash → group; the canonical
+  "cluster by content" shape;
+* **MinHash-LSH fuzzy dedup** — the scale path: signatures are fixed-size
+  per doc, candidate generation is a *band-bucket equi-join* (shuffle on
+  16-byte band keys), and the quadratic exact-Jaccard verify runs only
+  inside tiny candidate buckets. Never all-pairs.
+* **n-gram Jaccard pairs** — the exact (verify-stage) computation, exposed
+  as its own blocked query so the DuckDB oracle can check the arithmetic
+  end-to-end at small SF.
+* **SimHash** — 64-bit near-dup fingerprint; Hamming-ball candidates via
+  pigeonhole banding on 16-bit chunks.
+
+Everything is built-in Spark SQL expressions (whole-stage codegen,
+Arrow-free, no Python in the hot path). Hashes are ``xxhash64`` — a fixed,
+documented Spark built-in, so signatures are stable across sessions,
+clusters, and versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "tokens_col",
+    "shingled",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+]
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens with empties dropped (same semantics as the
+    word-count tokenizer, operators/wordcount.py)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+
+
+def shingled(documents: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id, lang, grams: distinct word n-gram shingles per document.
+
+    Docs with fewer than ``n`` tokens are dropped (they have no n-gram and
+    near-dup semantics degenerate); the DuckDB oracle applies the same
+    filter.
+    """
+    toks = tokens_col()
+    with_toks = documents.select("doc_id", "lang", toks.alias("toks")).where(
+        F.size("toks") >= n
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + k + 1) for k in range(n)]
+            ),
+        )
+    )
+    return with_toks.select("doc_id", "lang", grams.alias("grams"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact text value.
+
+    Deterministic by construction (``dropDuplicates`` keeps an *arbitrary*
+    row — unusable under an oracle). The window partitions on the 256-bit
+    content hash, so the shuffle key is 32 bytes regardless of document
+    size; at 100 TB the text column itself never routes a shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        documents.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def dedup_fingerprint(documents: DataFrame) -> DataFrame:
+    """Near-exact dedup clusters by normalized content fingerprint.
+
+    Normalization (lower + trim + collapse whitespace) catches the
+    formatting-only duplicates exact hashing misses; sha256 gives a
+    collision-safe 32-byte group key. Output: one row per distinct
+    fingerprint with its copy count and canonical (min) doc id — the
+    groupBy is partial-aggregated map-side, so shuffle rows ==
+    distinct-fingerprint count, not document count.
+    """
+    fp = F.sha2(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256)
+    return (
+        documents.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup — exact blocked Jaccard (verify stage) and MinHash-LSH (scale)
+# ---------------------------------------------------------------------------
+
+def _jaccard(a_grams: Column, b_grams: Column) -> Column:
+    """Exact set Jaccard from two distinct-element arrays, in integer
+    arithmetic until the final division (bit-identical across engines)."""
+    isect = F.size(F.array_intersect(a_grams, b_grams))
+    union = F.size(a_grams) + F.size(b_grams) - isect
+    return isect.cast("double") / union
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_on: str | None = "lang",
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard, blocked on a key.
+
+    This is the *verify* computation: quadratic within a block, so it is
+    only viable where blocks are bounded. At 100 TB the candidate pairs
+    must come from :func:`minhash_lsh_pairs` (band-bucket join) and this
+    exact Jaccard runs per-candidate — the oracle checks its arithmetic
+    here at small SF where the lang-block is affordable. ``block_on=None``
+    disables blocking (all pairs — test/fixture scale only).
+    """
+    g = shingled(documents, n)
+    a, b = g.alias("a"), g.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if block_on is not None:
+        cond = (F.col(f"a.{block_on}") == F.col(f"b.{block_on}")) & cond
+    j = _jaccard(F.col("a.grams"), F.col("b.grams"))
+    return (
+        a.join(b, cond)
+        .where(j >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Each of the k hash functions is ``xxhash64(seed_i, shingle)`` —
+    seeding by a literal first argument gives k independent, deterministic
+    permutation surrogates with one pass over the shingle array
+    (``array_min`` of a ``transform``; no explode, no shuffle). Signature
+    size is k longs per doc regardless of document length — the property
+    that makes fuzzy dedup linear at 100 TB.
+    """
+    g = shingled(documents, n)
+
+    def seeded_hash(seed: int):
+        # NB: the returned lambda must be single-arg — F.transform treats a
+        # two-arg callable as (element, index) and would silently replace
+        # the seed with the array index.
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(
+        *[F.array_min(F.transform("grams", seeded_hash(i))) for i in range(k)]
+    )
+    return g.select(
+        "doc_id", "lang", sig.alias("signature"), F.size("grams").alias("n_grams")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy-dedup pairs via banded LSH over MinHash signatures.
+
+    The 100 TB shape, end to end:
+
+    1. signatures: linear scan, no shuffle;
+    2. banding: k/bands rows per band hashed to one 8-byte bucket key;
+       explode to (band, bucket, doc) — bands× row multiplier, tiny rows;
+    3. candidates: *equi-join on (band, bucket)* — only docs agreeing on
+       an entire band ever meet;
+    4. verify: exact Jaccard on the candidate set only.
+
+    Band geometry targets the detection threshold: a pair at Jaccard j
+    becomes a candidate with prob 1-(1-j^r)^b; the S-curve midpoint is
+    ≈(1/b)^(1/r). Defaults (k=32, b=16, r=2) put the midpoint at 0.25 so
+    recall at the verify threshold 0.5 is ≈99% and ≈1-1e-11 at j=0.9 —
+    tuned for *dedup* (recall-critical above threshold, false candidates
+    are cheap because verify prunes them). For a higher-threshold use case
+    (e.g. 0.8), raise r to sharpen the curve and cut candidate volume.
+
+    Returns (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
+    """
+    r = k // bands
+    sigs = minhash_signatures(documents, n=n, k=k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    g = shingled(documents, n)
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    j = _jaccard(F.col("grams_a"), F.col("grams_b"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .where(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+#: 64-dim bit-count accumulation, then majority vote per bit, as one SQL
+#: expression pipeline (aggregate over the token-hash array; no explode).
+_SIMHASH_EXPR = """
+aggregate(
+  transform(sequence(0, 63), i ->
+    IF(bit_counts[i] > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+  CAST(0 AS BIGINT),
+  (acc, x) -> acc | x
+)
+"""
+
+_BIT_COUNTS_EXPR = """
+aggregate(
+  transform(toks, t -> xxhash64(t)),
+  array_repeat(0, 64),
+  (acc, h) -> zip_with(
+     acc,
+     transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
+     (a, b) -> a + b)
+)
+"""
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document (Charikar fingerprint).
+
+    Each token's xxhash64 votes ±1 on every bit; the fingerprint takes the
+    majority sign. Near-duplicate documents land at small Hamming
+    distance. Entirely built-in expressions over the token array — one
+    narrow scan, no shuffle, no Python.
+    """
+    return (
+        documents.select(
+            "doc_id", "lang", tokens_col().alias("toks")
+        )
+        .where(F.size("toks") > 0)
+        .withColumn("bit_counts", F.expr(_BIT_COUNTS_EXPR))
+        .select("doc_id", "lang", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance, via banding.
+
+    Pigeonhole: two 64-bit hashes within Hamming distance 3 agree exactly
+    on at least one of four 16-bit chunks — so candidates come from an
+    equi-join on (chunk_idx, chunk_value), never an all-pairs scan. The
+    exact Hamming distance (``bit_count(a XOR b)``) then filters the
+    candidates.
+    """
+    s = simhash64(documents)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    b = s.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
+        "doc_id", "simhash", "cc.chunk", "cc.val"
+    )
+    ham = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

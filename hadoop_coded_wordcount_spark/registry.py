@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources.catalog import load_table
+from .operators import dedup as dd
 from .operators import relational as rel
 from .operators import wordcount as wc
 
@@ -489,3 +490,81 @@ def q_array_funcs(spark, sf_dir):
 )
 def q_json_funcs(spark, sf_dir):
     return rel.json_funcs(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication — LLM-pipeline extension (no reference analog; SURVEY.md §2.3
+# north-star row). Exact/fingerprint/blocked-Jaccard are DuckDB-oracled;
+# MinHash/SimHash have no DuckDB twin (xxhash64) → rows-only + unit fixtures.
+# ---------------------------------------------------------------------------
+
+#: Distinct word-3-gram shingles per doc, DuckDB side. Shared by the fuzzy
+#: dedup oracles. DuckDB list indexing is 1-based; range() is stop-exclusive.
+_DUCK_SHINGLES = """
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    return dd.dedup_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH g AS ({_DUCK_SHINGLES})
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("minhash_signatures")  # xxhash64 has no DuckDB twin → rows-only
+def q_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register("minhash_lsh_pairs")  # rows-only; recall unit-tested vs exact pairs
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("simhash64")  # rows-only; hamming behavior unit-tested
+def q_simhash64(spark, sf_dir):
+    return dd.simhash64(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,127 @@
+"""Dedup operator tests — fixture-driven (FIXTURES.md §3.1) plus a
+recall check of MinHash-LSH against the exact blocked-Jaccard pairs on the
+real sf0.01 documents (the driver table has planted near-duplicates).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_coded_wordcount_spark.operators import dedup as dd
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the tall green trees"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 1-token edit → high Jaccard
+UNRELATED = (
+    "completely different content about distributed query engines and "
+    "columnar execution with vectorized readers and adaptive planning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "srcA", len(BASE)),
+        (1, BASE, "en", "srcB", len(BASE)),  # exact duplicate of 0
+        (2, NEAR, "en", "srcC", len(NEAR)),  # near-duplicate of 0
+        (3, UNRELATED, "en", "srcD", len(UNRELATED)),
+        (4, "tiny", "en", "srcE", 4),  # <3 tokens: excluded from shingling
+        (5, "  " + BASE + "  ", "en", "srcF", len(BASE) + 4),  # ws-only diff
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_dedup_exact_keeps_min_doc_id(docs):
+    kept = {r.doc_id for r in dd.dedup_exact(docs).collect()}
+    # doc 1 is an exact copy of doc 0 -> dropped; doc 5 differs by leading
+    # whitespace -> exact dedup keeps it
+    assert kept == {0, 2, 3, 4, 5}
+
+
+def test_dedup_fingerprint_collapses_whitespace_variants(docs):
+    out = {
+        r.canonical_id: r.n_copies for r in dd.dedup_fingerprint(docs).collect()
+    }
+    # normalization folds 0, 1, and 5 into one cluster of 3 copies
+    assert out[0] == 3
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_and_exact_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact copy
+    assert pairs[(0, 5)] == 1.0  # whitespace-only variant, same shingles
+    assert 0.5 <= pairs[(0, 2)] < 1.0  # near-dup
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated
+    # doc 4 has <3 tokens: excluded entirely
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sigs = dd.minhash_signatures(docs, k=16).collect()
+    by_id = {r.doc_id: tuple(r.signature) for r in sigs}
+    assert all(len(s) == 16 for s in by_id.values())
+    assert by_id[0] == by_id[1]  # identical text -> identical signature
+    assert by_id[0] == by_id[5]  # whitespace variant -> same shingle set
+    # near-dup shares most hash mins
+    agree = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    assert agree >= 10
+    # unrelated shares (almost) none
+    agree_unrel = sum(a == b for a, b in zip(by_id[0], by_id[3]))
+    assert agree_unrel <= 2
+
+
+def test_minhash_lsh_recovers_planted_clusters(docs):
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    assert {(0, 1), (0, 2), (0, 5), (1, 5), (1, 2), (2, 5)} == pairs
+
+
+def test_minhash_lsh_recall_vs_exact_on_driver_table(spark):
+    """On the real documents table the planted near-dups (Jaccard ≥ 0.95)
+    must all survive the band filter: LSH output == exact blocked output."""
+    documents = load_table(spark, SF001, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(
+            documents, threshold=0.5, block_on=None
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(documents, threshold=0.5).collect()
+    }
+    assert exact, "driver table should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_hamming_separation(docs):
+    sh = {r.doc_id: r.simhash for r in dd.simhash64(docs).collect()}
+    assert sh[0] == sh[1]  # identical text
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(sh[0], sh[2]) <= 6  # near-dup: few bits differ
+    assert hamming(sh[0], sh[3]) > 10  # unrelated: far apart
+
+
+def test_simhash_pairs_bands_find_close_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
