@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .sources.catalog import load_table
 from .operators import dedup as dd
 from .operators import relational as rel
+from .operators import similarity as sim
 from .operators import wordcount as wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -568,3 +569,64 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 @register("simhash64")  # rows-only; hamming behavior unit-tested
 def q_simhash64(spark, sf_dir):
     return dd.simhash64(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — LLM-pipeline extension. Cosine folds are left-to-right
+# in DOUBLE on both engines (F.aggregate 0.0-init == list_reduce first-elem
+# init for +), so scores and therefore rankings are bit-identical.
+# ---------------------------------------------------------------------------
+
+#: Double-cast embeddings + the deterministic query subset, DuckDB side.
+_DUCK_VECS = """
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+"""
+
+_DUCK_COS = """
+    list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
+                (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x)))
+"""
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    return sim.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_ivf_topk")  # approximate by design → rows-only + units
+def q_similarity_ivf_topk(spark, sf_dir):
+    return sim.cosine_ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH v AS ({_DUCK_VECS})
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DUCK_COS.format(a="a.emb", b="b.emb")} AS cos
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.3
+    """,
+)
+def q_embedding_neardup_pairs(spark, sf_dir):
+    return sim.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))

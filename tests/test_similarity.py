@@ -1,0 +1,99 @@
+"""Similarity-search tests — planted-cluster fixture (FIXTURES.md §3.2)
+plus recall/structure checks against the real embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_coded_wordcount_spark.operators import similarity as sim
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # Three planted clusters along coordinate axes plus scaled copies:
+    # cosine(identical)=1, cosine(scaled copy)=1, cosine(orthogonal)=0.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [2.0, 0.0, 0.0, 0.0], 0),  # scaled copy of 0
+        (2, [0.9, 0.1, 0.0, 0.0], 0),  # near 0
+        (10, [0.0, 1.0, 0.0, 0.0], 1),
+        (11, [0.0, 3.0, 0.0, 0.0], 1),  # scaled copy of 10
+        (12, [0.0, 0.8, 0.2, 0.0], 1),  # near 10
+        (20, [0.0, 0.0, 0.0, 1.0], 2),
+        (21, [0.0, 0.0, 0.1, 0.9], 2),  # near 20
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_bruteforce_topk_planted(vectors):
+    out = sim.cosine_topk(vectors, query_mod=10, k=2).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    # query 0: rank-1 neighbor is its scaled copy at cosine exactly 1
+    assert sorted(by_query[0])[0] == (1, 1, 1.0)
+    assert sorted(by_query[10])[0] == (1, 11, 1.0)
+    # orthogonal cluster never outranks in-cluster neighbors
+    assert by_query[20][0][1] in (21,)
+
+
+def test_bruteforce_excludes_self(vectors):
+    out = sim.cosine_topk(vectors, query_mod=10, k=5).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_ivf_recovers_planted_clusters(vectors):
+    # centroid_mod=10 -> centroids {0,10,20}: one per planted cluster.
+    out = sim.cosine_ivf_topk(
+        vectors, centroid_mod=10, nprobe=1, query_mod=10, k=2
+    ).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    # with one probe per query, every query still finds its in-cell copy
+    assert sorted(by_query[0])[0] == (1, 1, 1.0)
+    assert sorted(by_query[10])[0] == (1, 11, 1.0)
+    # all results come from the probed (own) cell: labels match the query's
+    assert {n for _, n, _ in by_query[0]} <= {1, 2}
+    assert {n for _, n, _ in by_query[10]} <= {11, 12}
+
+
+def test_ivf_structure_and_recall_on_driver_table(spark):
+    """On near-random embeddings IVF recall is modest by design; assert the
+    structural contract (rank bounds, no self-pairs, cosine agrees with the
+    brute-force score for the same pair) and a recall floor."""
+    emb = load_table(spark, SF001, "embeddings")
+    exact = sim.cosine_topk(emb, k=10).collect()
+    approx = sim.cosine_ivf_topk(emb, k=10).collect()
+
+    assert approx, "ivf must return candidates"
+    assert all(1 <= r.rank <= 10 and r.neighbor_id != r.query_id for r in approx)
+
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:  # same pair -> identical score
+            assert r.cosine == exact_scores[key]
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set())
+    )
+    recall = hits / max(1, len(exact))
+    assert recall >= 0.1, f"recall@10 {recall:.2f} below sanity floor"
+
+
+def test_neardup_pairs_symmetric_threshold(vectors):
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.embedding_neardup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (10, 11) in pairs
+    # orthogonal same-label pairs excluded
+    assert all(a < b for a, b in pairs)
