@@ -21,6 +21,7 @@ from .sources.catalog import load_table
 from .operators import dedup as dd
 from .operators import relational as rel
 from .operators import similarity as sim
+from .operators import textstats as ts
 from .operators import wordcount as wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -630,3 +631,117 @@ def q_similarity_ivf_topk(spark, sf_dir):
 )
 def q_embedding_neardup_pairs(spark, sf_dir):
     return sim.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — LLM-pipeline curation surface. Oracle SQL is generated
+# from the SAME constants the Spark operators use (stopword lists, weights,
+# regex) — one source of truth, two engines, all value-hashed.
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = (
+    "SELECT doc_id, text,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks"
+    " FROM documents"
+)
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS text_chars,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS nonspace_chars,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max') AS INTEGER)
+             AS max_token_len,
+           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / len(toks), 6) AS avg_token_len,
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio
+    FROM ({_DUCK_TOKS}) WHERE len(toks) > 0
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    return ts.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql() -> str:
+    unions = []
+    for lang, ws in sorted(ts.LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        unions.append(
+            f"SELECT doc_id, '{lang}' AS cand,"
+            f" CAST(len(list_intersect(w, [{lst}])) AS INTEGER) AS score FROM words"
+        )
+    return " UNION ALL ".join(unions)
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS w
+      FROM documents
+    ), scores AS ({_lang_score_sql()})
+    SELECT doc_id, cand AS pred_lang, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand ASC) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    return ts.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round({ts.QUALITY_WEIGHTS["len"]} * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+               + {ts.QUALITY_WEIGHTS["distinct"]}
+                 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + {ts.QUALITY_WEIGHTS["clean"]}
+                 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE)), 6) AS quality
+    FROM ({_DUCK_TOKS}) WHERE len(toks) > 0
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    return ts.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{ts.BPE_ISH_PATTERN}')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{ts.BPE_ISH_PATTERN}')))
+                AS INTEGER) AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    return ts.token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnowing_fingerprint",
+    """
+    SELECT doc_id,
+           list_aggregate(list_transform(range(1, length(text) - 6),
+                                         i -> md5(substr(text, i, 8))), 'min')
+             AS fingerprint,
+           CAST(length(text) - 7 AS INTEGER) AS n_grams
+    FROM documents WHERE length(text) >= 8
+    """,
+)
+def q_winnowing_fingerprint(spark, sf_dir):
+    return ts.winnowing_fingerprint(load_table(spark, sf_dir, "documents"))

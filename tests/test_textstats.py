@@ -1,0 +1,58 @@
+"""Text-analysis operator edge semantics (the oracle sweep covers the
+bulk arithmetic; these pin tie-breaks and degenerate inputs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog is in the house", "en", "s", 35),
+        (1, "el perro y la casa es un lugar en la ciudad", "es", "s", 43),
+        (2, "xyzzy plugh", "zz", "s", 11),  # no stopword hits anywhere
+        (3, "a!b?c.", "en", "s", 6),  # punctuation-heavy
+        (4, "short", "en", "s", 5),  # shorter than fingerprint k-gram
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_lang_id_votes_and_tiebreak(docs):
+    out = {r.doc_id: (r.pred_lang, r.score) for r in ts.lang_id(docs).collect()}
+    assert out[0] == ("en", 4)  # the, and, is, in
+    assert out[1][0] == "es"
+    # zero hits everywhere -> deterministic tie-break to first lang code
+    assert out[2] == ("de", 0)
+
+
+def test_text_stats_values(docs):
+    r = {x.doc_id: x for x in ts.text_stats(docs).collect()}
+    assert r[0].n_tokens == 9
+    assert r[0].punct_ratio == 0.0
+    assert r[3].n_tokens == 1 and r[3].max_token_len == 6
+    assert r[3].punct_ratio == pytest.approx(3 / 6)
+
+
+def test_quality_score_bounds(docs):
+    for r in ts.quality_score(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+
+
+def test_token_count_bpe_splits_punct(docs):
+    r = {x.doc_id: x for x in ts.token_count(docs).collect()}
+    # "a!b?c." -> a ! b ? c .  = 6 BPE-ish tokens from 1 ws token
+    assert r[3].n_ws_tokens == 1
+    assert r[3].n_bpe_tokens == 6
+
+
+def test_winnowing_excludes_short_docs(docs):
+    ids = {r.doc_id for r in ts.winnowing_fingerprint(docs, k=8).collect()}
+    assert 4 not in ids  # 5 chars < k
+    assert 0 in ids
+    fp = {r.doc_id: r.fingerprint for r in ts.winnowing_fingerprint(docs).collect()}
+    assert all(len(v) == 32 for v in fp.values())  # md5 hex
