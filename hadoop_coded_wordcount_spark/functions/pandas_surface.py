@@ -1,0 +1,142 @@
+"""Pandas-UDF surface — the engine's Python extension points.
+
+The reference's only "UDF" mechanism is its hard-coded Mapper/Combiner/
+Reducer classes (reference WordCount.java:26,76,226). Spark's equivalents,
+demonstrated here with one production-shaped example each:
+
+* **scalar pandas_udf** — Arrow-batched column transform (the Map);
+* **applyInPandas grouped map** — per-group pandas computation (the
+  Combiner's moral equivalent: reference WordCount.java:95-114 receives a
+  sorted group and emits aggregated records);
+* **pandas_udf grouped agg** — per-group scalar reduction (the Reducer,
+  reference WordCount.java:226-261).
+
+UDFs are the slow path by design (serialize → Python → deserialize, per
+batch): everything expressible in built-in functions elsewhere in this
+repo stays JVM-side. These exist for the semantics Spark can't express —
+and they are Arrow-vectorized (pandas ops on whole batches), never
+row-at-a-time Python.
+
+Determinism discipline for the oracle: string ops and integer sums only —
+no float accumulation in Python (numpy's pairwise summation does not match
+a SQL engine's sequential fold ulp-for-ulp).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "normalize_text",
+    "wordcount_combiner_pandas",
+    "grouped_k_stats",
+]
+
+
+@F.pandas_udf(StringType())
+def _normalize_udf(s: pd.Series) -> pd.Series:
+    """lower + trim + collapse whitespace, vectorized over the Arrow batch."""
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Scalar pandas UDF demo: text normalization.
+
+    (The same expression exists JVM-side in ``dedup.dedup_fingerprint``;
+    here it is the Arrow-batch reference implementation — the shape any
+    custom Python normalization, e.g. unicode NFC or HTML stripping,
+    plugs into.)"""
+    return documents.select(
+        "doc_id", _normalize_udf(F.col("text")).alias("normalized")
+    )
+
+
+_WC_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("word", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def wordcount_combiner_pandas(documents: DataFrame) -> DataFrame:
+    """Grouped-map ``applyInPandas``: the reference combiner re-expressed.
+
+    Each ``source`` group arrives as one pandas DataFrame; the function
+    tokenizes and emits (source, word, cnt) partial counts — exactly what
+    the reference combiner does per map task (reference
+    WordCount.java:95-114), except the group key is the provenance column
+    rather than HDFS block locations.
+
+    Scale note: one shuffle on source, then per-group pandas. Groups must
+    fit in executor memory — fine for bounded provenance cardinality; for
+    unbounded keys use the built-in ``wordcount_by_source`` (partial
+    hash-agg, no such limit). That trade is exactly why UDFs are the
+    fallback, not the default.
+    """
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            pdf["text"]
+            .str.split(r"\s+", regex=True)
+            .explode()
+        )
+        words = words[words != ""]
+        counts = words.value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "word": counts.index,
+                "cnt": counts.values,
+            }
+        )
+
+    return documents.select("source", "text").groupBy("source").applyInPandas(
+        combine, schema=_WC_SCHEMA
+    )
+
+
+@F.pandas_udf(LongType())
+def _k_sum_udf(k: pd.Series) -> int:
+    """Grouped-agg pandas UDF: exact integer sum (order-independent, so
+    safe under any partitioning — float sums would not be)."""
+    return int(k.sum())
+
+
+@F.pandas_udf(LongType())
+def _k_count_udf(k: pd.Series) -> int:
+    """Row count as a pandas UDF — Spark disallows mixing group-agg pandas
+    UDFs with built-in aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT),
+    so the count crosses the same Arrow boundary."""
+    return len(k)
+
+
+def grouped_k_stats(events: DataFrame) -> DataFrame:
+    """Grouped aggregation with a pandas UDF: sum of the JSON ``k``
+    property per event type. The JSON parse stays JVM-side (``from_json``
+    — cheap, codegen'd); only the numeric reduction crosses into Python,
+    keeping the Arrow payload to one int64 column."""
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            _k_sum_udf("k").alias("k_sum"),
+            _k_count_udf("k").alias("n"),
+        )
+        .select(
+            "event_type",
+            "k_sum",
+            "n",
+            F.round(F.col("k_sum").cast("double") / F.col("n"), 6).alias("k_mean"),
+        )
+    )

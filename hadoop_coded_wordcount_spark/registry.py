@@ -18,7 +18,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources.catalog import load_table
+from .functions import pandas_surface as pu
 from .operators import dedup as dd
+from .operators import multimodal as mm
 from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import textstats as ts
@@ -745,3 +747,59 @@ def q_token_count(spark, sf_dir):
 )
 def q_winnowing_fingerprint(spark, sf_dir):
     return ts.winnowing_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF surface (SURVEY.md §2.3 UDF row) — each oracled against plain
+# SQL, proving the Python path computes exactly what the declarative form
+# would. Multimodal features are rows-only (bytes math has no SQL twin).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_normalize_text",
+    """
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS normalized
+    FROM documents
+    """,
+)
+def q_udf_normalize_text(spark, sf_dir):
+    return pu.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "udf_wordcount_combiner",
+    """
+    SELECT source, word, COUNT(*) AS cnt
+    FROM (
+      SELECT source, unnest(string_split_regex(text, '\\s+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY source, word
+    """,
+)
+def q_udf_wordcount_combiner(spark, sf_dir):
+    return pu.wordcount_combiner_pandas(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "udf_grouped_k_stats",
+    """
+    SELECT event_type, SUM(k) AS k_sum, COUNT(*) AS n,
+           round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS k_mean
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_udf_grouped_k_stats(spark, sf_dir):
+    return pu.grouped_k_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("multimodal_features")  # bytes math has no SQL twin → rows-only
+def q_multimodal_features(spark, sf_dir):
+    return mm.media_features(
+        mm.to_multimodal(load_table(spark, sf_dir, "documents"))
+    )
