@@ -19,8 +19,22 @@ from hadoop_coded_wordcount_spark import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (word count, the reference's whole surface) on sf0.001."""
-    return registry.QUERIES["wordcount"](spark, "/root/testdata/sf0.001")
+    """Flagship query (word count, the reference's whole surface) on sf0.001.
+
+    Emits the communication-load profile (the reference's PACKETS_SENT
+    counter surface, reference WordCountDriver.java:17-20) to stderr
+    before returning the DataFrame for the driver to collect.
+    """
+    import json
+    import sys
+
+    from hadoop_coded_wordcount_spark.plans.metrics import run_with_metrics
+
+    df = registry.QUERIES["wordcount"](spark, "/root/testdata/sf0.001")
+    print(
+        "entry metrics: " + json.dumps(run_with_metrics(df)), file=sys.stderr
+    )
+    return df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

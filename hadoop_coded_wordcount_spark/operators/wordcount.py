@@ -21,8 +21,10 @@ Reference semantics (SURVEY.md §2.1, reference WordCount.java):
 
 The coded-shuffle XOR path (reference WordCount.java:125-209) is a wire-level
 optimization that Spark's sort-based compressed shuffle already owns — see
-``plans/coded_demo.py`` for the didactic analog and ``plans/metrics.py`` for
-the PACKETS_SENT counter surface (reference WordCountDriver.java:17-20).
+``plans/coded_demo.py`` (working XOR pairing + decode over mapPartitions,
+accumulator-counted) for the didactic analog and ``plans/metrics.py``
+(executed-plan SQLMetrics) for the PACKETS_SENT counter surface (reference
+WordCountDriver.java:17-20).
 
 Scale notes: tokenize+count is embarrassingly parallel; the single shuffle is
 on ``word`` (high cardinality, low skew after map-side partial agg). At

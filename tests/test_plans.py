@@ -1,0 +1,52 @@
+"""Metrics surface (O12) and coded-shuffle demo (O7) tests."""
+
+from __future__ import annotations
+
+from hadoop_coded_wordcount_spark.operators import wordcount as wc
+from hadoop_coded_wordcount_spark.plans.coded_demo import coded_shuffle_demo
+from hadoop_coded_wordcount_spark.plans.metrics import run_with_metrics
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_wordcount_metrics_show_mapside_combine(spark):
+    """The combiner effect the reference measures: shuffle records ==
+    group count (31 words), orders of magnitude below the token count."""
+    df = wc.wordcount(load_table(spark, SF0001, "documents"))
+    m = run_with_metrics(df)
+    n_groups = df.count()
+    assert m["shuffle_records_written"] > 0
+    assert m["shuffle_bytes_written"] > 0
+    # partial aggregation means the exchange carries one record per
+    # (partition, group), bounded far below the exploded token count
+    assert m["shuffle_records_written"] <= n_groups * 8
+    assert m["rows_output_total"] > n_groups  # upstream operators counted
+
+
+def test_metrics_on_join_plan(spark):
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    df = rel.join_sortmerge(
+        load_table(spark, SF0001, "orders"),
+        load_table(spark, SF0001, "lineitem"),
+    )
+    m = run_with_metrics(df)
+    assert m["shuffle_records_written"] > 0
+
+
+def test_coded_demo_roundtrip_and_saving(spark):
+    rows = [
+        ("srcA", "alpha beta alpha"),
+        ("srcB", "beta gamma delta"),
+        ("srcC", "alpha delta delta epsilon"),
+        ("srcD", "gamma gamma alpha"),
+        ("srcE", "epsilon beta"),
+        ("srcF", "zeta eta theta"),
+    ] * 4
+    out = coded_shuffle_demo(spark, rows)
+    # decode already asserted inside; check the counter surface
+    assert out["word_counts"]["alpha"] == 16
+    assert out["packets_sent"] == out["naive_packets"] - out["encoded_packets_sent"]
+    assert out["encoded_packets_sent"] > 0
+    assert out["saving_ratio"] < 1.0  # coding must beat naive unicast
