@@ -25,6 +25,7 @@ from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import textstats as ts
 from .operators import wordcount as wc
+from .streaming import windows as sw
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -803,3 +804,72 @@ def q_multimodal_features(spark, sf_dir):
     return mm.media_features(
         mm.to_multimodal(load_table(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (batch mode of the streaming surface; the streaming
+# variants with watermarks are pinned by tests/test_streaming.py). Window
+# boundaries are compared as formatted strings — representation-proof.
+# ---------------------------------------------------------------------------
+
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_tumbling",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                    '{_TS_FMT_DUCK}') AS window_end,
+           event_type, COUNT(*) AS cnt,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    return sw.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding",
+    f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - off AS s
+      FROM events
+      CROSS JOIN (SELECT unnest([INTERVAL '0' MINUTE, INTERVAL '30' MINUTE]) AS off) o
+    )
+    SELECT strftime(s, '{_TS_FMT_DUCK}') AS window_start,
+           strftime(s + INTERVAL '1 hour', '{_TS_FMT_DUCK}') AS window_end,
+           COUNT(*) AS cnt
+    FROM expanded GROUP BY s
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    return sw.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30' MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id, strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30' MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_session(spark, sf_dir):
+    return sw.session_counts(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,154 @@
+"""Event-time windowing — batch and Structured Streaming (SURVEY.md step 5).
+
+The reference is batch MapReduce with no streaming story; this is the
+engine's event-time surface. The same windowed aggregations run in two
+modes:
+
+* **batch** (the oracled registry entries): ``F.window`` / ``F.session_window``
+  over the events table — DuckDB-checkable via ``time_bucket`` and
+  lag/cumsum session reconstruction;
+* **streaming**: identical expressions over a ``readStream`` source with
+  ``withWatermark`` bounding state and dropping late data. Streaming
+  correctness (batch-equivalence, late-drop) is pinned by
+  ``tests/test_streaming.py`` with deterministic file-source fixtures
+  (FIXTURES.md §3.3).
+
+Scale notes: windowed aggregation shuffles once on (window, key) with
+partial aggregation before the exchange, like any groupBy. For streaming,
+the watermark is the state-size knob — state holds only windows newer than
+watermark − lateness; session windows additionally merge on update, which
+is why the gap (not the data) bounds their state.
+
+Window starts are emitted as formatted strings (not raw timestamps) so the
+cross-engine value hash is representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "watermarked_tumbling",
+    "watermarked_session",
+]
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _win_str(field: str) -> F.Column:
+    return F.date_format(F.col(field), _FMT)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Non-overlapping event-time buckets: count + integer value stats per
+    (window, event_type)."""
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            _win_str("w.start").alias("window_start"),
+            _win_str("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "min_event_id",
+            "max_event_id",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows. Spark
+    replicates rows into their windows before aggregating — the oracle
+    reproduces this with an explicit offset unnest."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            _win_str("w.start").alias("window_start"),
+            _win_str("w.end").alias("window_end"),
+            "cnt",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: a session extends while consecutive events
+    arrive within ``gap``; window end = last event + gap. A new session
+    starts when the inter-event gap is >= the timeout (the oracle's
+    lag/cumsum reconstruction uses the same strict boundary)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _win_str("w.start").alias("session_start"),
+            _win_str("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming variants — same aggregations + watermark. Callers own the
+# readStream source and the writeStream sink; these shape the middle.
+# ---------------------------------------------------------------------------
+
+
+def _as_event_time(stream: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ) event time; the catalog serves
+    NTZ. The session tz is pinned to UTC (sources/catalog.py), so the cast
+    is value-preserving."""
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def watermarked_tumbling(
+    stream: DataFrame, width: str = "10 minutes", lateness: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling counts over a stream. The watermark declares how late data
+    may arrive: a window finalizes (append mode emits it, state drops it)
+    once the watermark passes its end, and later rows for it are dropped —
+    the late-data-drop test pins exactly that behavior."""
+    return (
+        _as_event_time(stream)
+        .withWatermark("ts", lateness)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            _win_str("w.start").alias("window_start"),
+            _win_str("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def watermarked_session(
+    stream: DataFrame, gap: str = "30 minutes", lateness: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session windows over a stream; sessions merge as events
+    arrive and finalize when the watermark passes session end + gap."""
+    return (
+        _as_event_time(stream)
+        .withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            _win_str("w.start").alias("session_start"),
+            _win_str("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

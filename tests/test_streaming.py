@@ -1,0 +1,180 @@
+"""Structured Streaming tests — deterministic file-source fixtures
+(FIXTURES.md §3.3): batch-equivalence under AvailableNow, late-data drop
+past the watermark, and session merging across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+from hadoop_coded_wordcount_spark.streaming import windows as sw
+
+SF0001 = "/root/testdata/sf0.001"
+
+_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def _mk_events(spark, rows):
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0) for i, (ts, uid, et) in enumerate(rows)],
+        ["event_id", "ts_str", "user_id", "event_type", "value"],
+    )
+    return df.select(
+        "event_id",
+        F.col("ts_str").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def test_streaming_equals_batch_available_now(spark, tmp_path):
+    """AvailableNow over a file source must reproduce the batch windowed
+    counts exactly on the driver events table."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        sw.watermarked_tumbling(stream, width="1 hour", lateness="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_stream_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.window_start), r.event_type): r.cnt
+        for r in spark.sql("SELECT * FROM t_stream_eq").collect()
+    }
+    batch = sw.tumbling_counts(events, width="1 hour")
+    want = {}
+    for r in batch.collect():
+        want[(r.window_start, r.event_type)] = r.cnt
+    # append mode only emits windows the final watermark passed; everything
+    # emitted must match batch, and coverage must be near-total
+    assert got, "stream produced no windows"
+    for key, cnt in got.items():
+        assert want[key] == cnt
+    assert len(got) >= len(want) - 10  # tail windows may still be open
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """A row older than (max event time - lateness) must not change its
+    already-finalized window."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _mk_events(
+        spark,
+        [
+            ("2024-01-01 09:00:01", 1, "click"),
+            ("2024-01-01 09:04:59", 1, "click"),
+            ("2024-01-01 09:15:00", 2, "click"),
+            ("2024-01-01 09:40:00", 1, "click"),  # watermark -> 09:30
+        ],
+    )
+    batch1.write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    q = (
+        sw.watermarked_tumbling(stream, width="10 minutes", lateness="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row for the [09:00, 09:10) window, far behind the 09:30
+        # watermark -> must be dropped; plus a fresh row advancing time
+        batch2 = _mk_events(
+            spark,
+            [
+                ("2024-01-01 09:01:00", 1, "click"),  # LATE -> dropped
+                ("2024-01-01 10:00:00", 1, "click"),  # watermark -> 09:50
+            ],
+        )
+        batch2.write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        # push the watermark past every window of interest so append emits
+        batch3 = _mk_events(spark, [("2024-01-01 10:30:00", 1, "click")])
+        batch3.write.parquet(str(src / "b3"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        str(r.window_start): r.cnt
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    # [09:00,09:10): 2 on-time rows; the late third row did NOT count
+    assert rows["2024-01-01 09:00:00"] == 2
+    assert rows["2024-01-01 09:10:00"] == 1
+    assert rows["2024-01-01 09:40:00"] == 1
+
+
+def test_session_window_merges_across_batches(spark, tmp_path):
+    """Events within the gap but in different micro-batches must merge
+    into one session."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    _mk_events(
+        spark,
+        [
+            ("2024-01-01 09:00:00", 1, "click"),
+            ("2024-01-01 09:10:00", 1, "click"),
+        ],
+    ).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    q = (
+        sw.watermarked_session(stream, gap="30 minutes", lateness="5 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _mk_events(
+            spark,
+            [
+                ("2024-01-01 09:20:00", 1, "click"),  # merges (gap 10min)
+                ("2024-01-01 13:00:00", 1, "click"),  # new session + wm push
+            ],
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        _mk_events(spark, [("2024-01-01 18:00:00", 1, "click")]).write.parquet(
+            str(src / "b3")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [
+        (str(r.session_start), r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM t_sess WHERE user_id = 1 ORDER BY session_start"
+        ).collect()
+    ]
+    assert rows[0] == ("2024-01-01 09:00:00", 3)  # merged across batches
+    assert rows[1] == ("2024-01-01 13:00:00", 1)
