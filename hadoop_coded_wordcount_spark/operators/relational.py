@@ -119,6 +119,82 @@ def join_range(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def join_cross_theta(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Cross join with a theta (non-equi) predicate. Only sane when at
+    least one side is tiny — here both are bounded dims, so the product is
+    25×5 and Spark broadcasts it (BroadcastNestedLoopJoin). A fact-fact
+    theta join must be rewritten around an equi or range key instead
+    (see join_range) — never shipped as a cartesian product. The predicate
+    (nation not in region — a pure inequality) admits no equi-key, which
+    is what makes this the theta shape."""
+    return (
+        nation.crossJoin(region)
+        .where(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("n_name", "r_name")
+    )
+
+
+def join_asof(events: DataFrame) -> DataFrame:
+    """As-of join: for every click, the most recent view at-or-before it
+    per user (the trades/quotes shape).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is
+    union-then-window: tag both streams, sort per user by (ts, tag) —
+    views before clicks at equal ts, making the match inclusive — and
+    carry the last non-null view forward. ONE shuffle on user_id, linear
+    scan, bounded state: this is the 100 TB shape (a range join would
+    explode; a per-click subquery would be quadratic).
+
+    Views are pre-deduped to one row per (user, ts) so "most recent" is
+    well-defined under timestamp ties. Clicks with no prior view drop
+    (inner-asof semantics, matching DuckDB's ASOF JOIN oracle).
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("click_id"),
+            "view_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "tag",
+        "click_id",
+        F.last("view_id", ignorenulls=True).over(w).alias("matched_view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("matched_view_ts"),
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return (
+        merged.where((F.col("tag") == 1) & F.col("matched_view_id").isNotNull())
+        .select(
+            F.col("click_id"),
+            "user_id",
+            F.col("matched_view_id").alias("view_id"),
+            (epoch("ts") - epoch("matched_view_ts")).alias("gap_sec"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation battery
 # ---------------------------------------------------------------------------

@@ -218,6 +218,37 @@ def q_join_range(spark, sf_dir):
 
 
 @register(
+    "join_cross_theta",
+    """
+    SELECT n_name, r_name FROM nation, region WHERE n_regionkey <> r_regionkey
+    """,
+)
+def q_join_cross_theta(spark, sf_dir):
+    return rel.join_cross_theta(
+        load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    )
+
+
+@register(
+    "join_asof",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS click_id, c.user_id AS user_id, v.view_id AS view_id,
+           CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(v.ts)) AS BIGINT)
+             AS gap_sec
+    FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    return rel.join_asof(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

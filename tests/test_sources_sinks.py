@@ -1,0 +1,87 @@
+"""Source/sink round-trips (reference O1/O11) and the new join shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_coded_wordcount_spark.operators import relational as rel
+from hadoop_coded_wordcount_spark.operators import wordcount as wc
+from hadoop_coded_wordcount_spark.sources import io as sio
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_csv_sink_roundtrip_wordcount(spark, tmp_path):
+    """The reference's sink: word TAB count lines. Write, read back with an
+    explicit schema, compare exactly."""
+    out = str(tmp_path / "wc_csv")
+    counts = wc.wordcount(load_table(spark, SF0001, "documents"))
+    sio.write_csv(counts, out)
+    back = sio.read_csv(spark, out, schema="word string, cnt bigint", sep="\t")
+    assert {(r.word, r.cnt) for r in back.collect()} == {
+        (r.word, r.cnt) for r in counts.collect()
+    }
+
+
+def test_parquet_sink_partitioned_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "orders_pq")
+    orders = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    sio.write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: a filter on the partition column must prune files
+    pruned = back.where(F.col("o_orderstatus") == "F")
+    expected = orders.where(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == expected
+    plan = pruned.explain if False else pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "nation_json")
+    nation = load_table(spark, SF0001, "nation")
+    sio.write_json(nation, out)
+    back = sio.read_json(
+        spark, out, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert {tuple(r) for r in back.select(*nation.columns).collect()} == {
+        tuple(r) for r in nation.collect()
+    }
+
+
+def test_text_source_wordcount_equivalence(spark, tmp_path):
+    """Reading the corpus as raw text lines (the reference's actual input
+    format) must produce the same word counts as the parquet path."""
+    out = str(tmp_path / "lines")
+    docs = load_table(spark, SF0001, "documents")
+    docs.select("text").write.mode("overwrite").text(out)
+    lines = sio.read_text(spark, out).withColumnRenamed("value", "text")
+    from_text = {(r.word, r.cnt) for r in wc.wordcount(lines).collect()}
+    from_parquet = {(r.word, r.cnt) for r in wc.wordcount(docs).collect()}
+    assert from_text == from_parquet
+
+
+def test_join_asof_semantics(spark):
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "view"),
+        (2, "2024-01-01 09:05:00", 1, "click"),  # matches view 1
+        (3, "2024-01-01 09:10:00", 1, "view"),
+        (4, "2024-01-01 09:10:00", 1, "click"),  # tie -> matches view 3
+        (5, "2024-01-01 08:00:00", 2, "click"),  # no prior view -> dropped
+        (6, "2024-01-01 10:00:00", 2, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts_str", "user_id", "event_type"]
+    ).select(
+        "event_id",
+        F.col("ts_str").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = {r.click_id: (r.view_id, r.gap_sec) for r in rel.join_asof(events).collect()}
+    assert out == {2: (1, 300), 4: (3, 0)}
