@@ -818,7 +818,7 @@ def q_udf_wordcount_combiner(spark, sf_dir):
 @register(
     "udf_grouped_k_stats",
     """
-    SELECT event_type, SUM(k) AS k_sum, COUNT(*) AS n,
+    SELECT event_type, CAST(SUM(k) AS BIGINT) AS k_sum, COUNT(*) AS n,
            round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS k_mean
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
