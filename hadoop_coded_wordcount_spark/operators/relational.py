@@ -145,41 +145,39 @@ def join_asof(events: DataFrame) -> DataFrame:
     scan, bounded state: this is the 100 TB shape (a range join would
     explode; a per-click subquery would be quadratic).
 
-    Views are pre-deduped to one row per (user, ts) so "most recent" is
-    well-defined under timestamp ties. Clicks with no prior view drop
-    (inner-asof semantics, matching DuckDB's ASOF JOIN oracle).
+    "Most recent" under timestamp ties resolves to the max view event_id:
+    the window orders by (ts, tag, event_id), so among equal-ts views the
+    last one carried forward is the max id — no pre-dedup aggregation, no
+    second shuffle; the whole operator is exactly ONE exchange on user_id.
+    Clicks with no prior view drop (inner-asof semantics, matching
+    DuckDB's ASOF JOIN oracle).
     """
-    views = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("tag"),
-            F.lit(None).cast("long").alias("click_id"),
-            "view_id",
-            F.col("ts").alias("view_ts"),
-        )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
     )
     clicks = events.where(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         F.lit(1).alias("tag"),
-        F.col("event_id").alias("click_id"),
+        F.col("event_id"),
         F.lit(None).cast("long").alias("view_id"),
         F.lit(None).cast("timestamp_ntz").alias("view_ts"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "click_id")
+        .orderBy("ts", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = views.unionByName(clicks).select(
         "user_id",
         "ts",
         "tag",
-        "click_id",
+        "event_id",
         F.last("view_id", ignorenulls=True).over(w).alias("matched_view_id"),
         F.last("view_ts", ignorenulls=True).over(w).alias("matched_view_ts"),
     )
@@ -187,7 +185,7 @@ def join_asof(events: DataFrame) -> DataFrame:
     return (
         merged.where((F.col("tag") == 1) & F.col("matched_view_id").isNotNull())
         .select(
-            F.col("click_id"),
+            F.col("event_id").alias("click_id"),
             "user_id",
             F.col("matched_view_id").alias("view_id"),
             (epoch("ts") - epoch("matched_view_ts")).alias("gap_sec"),
@@ -280,6 +278,128 @@ def grouping_sets(spark: SparkSession, orders: DataFrame) -> DataFrame:
     ).agg(
         F.count("*").alias("cnt"),
         F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+def q5_region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: five-way join, dims broadcast, facts sort-merged.
+
+    The join tree Catalyst should (and does) pick: region→nation filters
+    to a handful of keys and broadcasts; customer and supplier broadcast
+    after their nation filter; the only real shuffles are
+    lineitem⋈orders on orderkey. Filter pushdown puts r_name at the
+    region scan. At 100 TB, bucketing orders+lineitem on orderkey removes
+    the last exchange (proven in tests/test_bucketing.py).
+    """
+    dim = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    supp = supplier.join(
+        F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def pivot_status(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts per priority × status. Explicit pivot values
+    keep the plan single-pass (no distinct-scan to discover columns) and
+    the output schema stable — which is also the 100 TB rule: never let
+    pivot infer unbounded columns."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+def percentile_agg(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group. Exact
+    percentile sorts per group — fine here; at 100 TB switch to
+    approx_percentile (t-digest sketch, single pass, mergeable) the same
+    way distinct_count pairs with approx_distinct."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+    )
+
+
+def string_agg_sorted(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Ordered string aggregation per group (list-collect + sort + join —
+    deterministic regardless of shuffle arrival order; an unsorted
+    collect_list would be nondeterministic by partitioning)."""
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+def case_null_battery(customer: DataFrame) -> DataFrame:
+    """Conditional/null scalar surface: CASE tiers, nullif, coalesce,
+    least/greatest — all codegen'd row expressions."""
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+    )
+    return customer.select(
+        "c_custkey",
+        tier.alias("tier"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nonbuilding"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(masked)")
+        ).alias("seg_masked"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+    )
+
+
+def correlated_above_nation_avg(customer: DataFrame) -> DataFrame:
+    """Customers above their nation's average balance — the correlated-
+    subquery shape, decorrelated by hand into groupBy + broadcast join
+    (exactly what Catalyst's RewriteCorrelatedScalarSubquery does; doing
+    it explicitly keeps the decimal-exact average the oracle needs).
+    One aggregate over 25 groups, broadcast back: no second fact shuffle.
+    """
+    avgs = customer.groupBy("c_nationkey").agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count("*")
+        ).alias("nation_avg")
+    )
+    return (
+        customer.join(F.broadcast(avgs), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     )
 
 

@@ -274,6 +274,108 @@ def q_q1(spark, sf_dir):
 
 
 @register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_q5_region_revenue(spark, sf_dir):
+    return rel.q5_region_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark, sf_dir):
+    return rel.pivot_status(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "percentile_agg",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_agg(spark, sf_dir):
+    return rel.percentile_agg(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "string_agg_sorted",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg_sorted(spark, sf_dir):
+    return rel.string_agg_sorted(
+        load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    )
+
+
+@register(
+    "case_null_battery",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nonbuilding,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '(masked)') AS seg_masked,
+           least(c_acctbal, 1000.0) AS bal_capped,
+           greatest(c_acctbal, 0.0) AS bal_floor
+    FROM customer
+    """,
+)
+def q_case_null_battery(spark, sf_dir):
+    return rel.case_null_battery(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "correlated_above_nation_avg",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q_correlated_above_nation_avg(spark, sf_dir):
+    return rel.correlated_above_nation_avg(load_table(spark, sf_dir, "customer"))
+
+
+@register(
     "agg_multi",
     """
     SELECT l_returnflag, COUNT(*) AS cnt,
