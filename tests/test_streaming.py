@@ -178,3 +178,57 @@ def test_session_window_merges_across_batches(spark, tmp_path):
     ]
     assert rows[0] == ("2024-01-01 09:00:00", 3)  # merged across batches
     assert rows[1] == ("2024-01-01 13:00:00", 1)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-user state across
+    micro-batches: totals after batch 2 include batch 1."""
+    from hadoop_coded_wordcount_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_events(
+        spark,
+        [
+            ("2024-01-01 09:00:00", 1, "click"),
+            ("2024-01-01 09:01:00", 1, "click"),
+            ("2024-01-01 09:02:00", 2, "click"),
+        ],
+    ).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _mk_events(
+            spark,
+            [
+                ("2024-01-01 09:10:00", 1, "click"),
+                ("2024-01-01 09:11:00", 3, "click"),
+            ],
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends every emission; the latest row
+    # per user carries the cumulative state
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_state").collect():
+        prev = latest.get(r.user_id)
+        if prev is None or r.batches_seen > prev.batches_seen:
+            latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].batches_seen == 2
+    assert latest[2].n_events == 1
+    assert latest[3].n_events == 1
+    assert latest[1].value_sum == 3.0  # value fixed at 1.0 per event
