@@ -161,18 +161,45 @@ def embedding_neardup_pairs(
     all pairs *within a block* (here the label column — in a real corpus a
     shard/cluster key). Quadratic within the block by design; the
     unblocked scale path generates candidates with a bit-sketch LSH first.
+
+    Two of the jaccard join's optimizations transfer: (1) vectors are
+    unit-normalized once per row, so the per-pair work is a single dot
+    product instead of dot + two norms (the oracle uses the identical
+    normalize-first formula — FP determinism holds); (2) the block key
+    alone has |labels| join keys, so the join is salted and explicitly
+    repartitioned to spread the quadratic work over every core.
     """
-    vecs = embeddings.select(
-        "vec_id",
-        F.col(block_on).alias("blk") if block_on else F.lit(0).alias("blk"),
-        _as_double("embedding").alias("emb"),
+    norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
+    salts = 16
+    vecs = (
+        embeddings.select(
+            "vec_id",
+            F.col(block_on).alias("blk") if block_on else F.lit(0).alias("blk"),
+            _as_double("embedding").alias("emb"),
+        )
+        .withColumn("nrm", norm)
+        .select(
+            "vec_id",
+            "blk",
+            F.transform("emb", lambda x: x / F.col("nrm")).alias("ne"),
+        )
     )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    a = (
+        vecs.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(salts)))
+        .repartition(64, "blk", "salt")
+        .alias("a")
+    )
+    b = (
+        vecs.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        .repartition(64, "blk", "salt")
+        .alias("b")
+    )
+    cos = _fold_sum(F.zip_with(F.col("a.ne"), F.col("b.ne"), lambda x, y: x * y))
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(cos >= threshold)

@@ -757,11 +757,23 @@ def q_similarity_ivf_topk(spark, sf_dir):
 @register(
     "embedding_neardup_pairs",
     f"""
-    WITH v AS ({_DUCK_VECS})
+    WITH v AS ({_DUCK_VECS}),
+    withnorm AS (
+      SELECT vec_id, label, emb,
+             sqrt(list_reduce(list_transform(emb, y -> y * y),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ),
+    n AS (
+      SELECT vec_id, label, list_transform(emb, x -> x / nrm) AS ne
+      FROM withnorm
+    )
     SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_DUCK_COS.format(a="a.emb", b="b.emb")} AS cos
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+             list_reduce(list_transform(range(1, len(a.ne) + 1),
+                                        i -> a.ne[i] * b.ne[i]),
+                         (acc, x) -> acc + x) AS cos
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cos >= 0.3
     """,
 )
