@@ -336,6 +336,46 @@ def pivot_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
+    """Unpivot (melt): three numeric columns → (metric, value) long form,
+    then aggregate per metric. The inverse of pivot_status; rows triple
+    but stay narrow, and the aggregation is partial-before-exchange as
+    ever."""
+    long = lineitem.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("val")).cast("double").alias("total"),
+    )
+
+
+def sql_api_priority_counts(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """The spark.sql() path: register a uniquely-named temp view, query it
+    with SQL, drop the view (the analyzed plan keeps the relation — the
+    name is only needed at analysis time). Demonstrates that every
+    DataFrame query here is equally reachable through the SQL front end.
+    """
+    import uuid
+
+    view = f"orders_{uuid.uuid4().hex[:12]}"
+    orders.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
+            FROM {view}
+            GROUP BY o_orderpriority, o_orderstatus
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def percentile_agg(lineitem: DataFrame) -> DataFrame:
     """Exact percentiles (continuous interpolation) per group. Exact
     percentile sorts per group — fine here; at 100 TB switch to

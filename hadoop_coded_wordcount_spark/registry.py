@@ -314,6 +314,34 @@ def q_pivot_status(spark, sf_dir):
 
 
 @register(
+    "unpivot_metrics",
+    """
+    SELECT metric, COUNT(*) AS cnt,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    ) GROUP BY metric
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    return rel.unpivot_metrics(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "sql_api_priority_counts",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_sql_api_priority_counts(spark, sf_dir):
+    return rel.sql_api_priority_counts(spark, load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "percentile_agg",
     """
     SELECT l_returnflag,

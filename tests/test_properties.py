@@ -1,0 +1,99 @@
+"""Randomized cross-checks. The reference's only property-style test is a
+probabilistically-unsound hash-uniqueness check (SURVEY.md §5); these test
+actual invariants: Spark aggregation vs an independent Python model, and
+dedup metric properties, over seeded random inputs.
+
+Hypothesis drives the input generation; examples are capped low because
+every example is a Spark job (seconds, not micros).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from hadoop_coded_wordcount_spark.operators import dedup as dd
+from hadoop_coded_wordcount_spark.operators import wordcount as wc
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "Y_2", "ω"]),
+    min_size=0,
+    max_size=30,
+)
+_DOCS = st.lists(_WORDS, min_size=1, max_size=12)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(docs=_DOCS)
+@_SETTINGS
+def test_wordcount_matches_python_counter(spark, docs):
+    texts = [" ".join(ws) for ws in docs]
+    expected = Counter(w for ws in docs for w in ws)
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {r.word: r.cnt for r in wc.wordcount(sdf).collect()}
+    assert got == dict(expected)
+
+
+@given(docs=_DOCS)
+@_SETTINGS
+def test_jaccard_pairs_are_bounded_and_ordered(spark, docs):
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    pairs = dd.ngram_jaccard_pairs(sdf, threshold=0.0, block_on=None).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.jaccard <= 1.0
+    # identical docs must appear with jaccard 1 when both have >=3 tokens
+    texts = {}
+    for i, ws in enumerate(docs):
+        if len(ws) >= 3:
+            texts.setdefault(" ".join(ws), []).append(i)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    for ids in texts.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert got[(a, b)] == 1.0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Single-job statistical property: |minhash agreement − jaccard| is
+    small on average over many random near-dup pairs (seeded)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(40)]
+        edited = list(base)
+        for _ in range(rng.randint(0, 10)):
+            edited[rng.randrange(len(edited))] = rng.choice(vocab)
+        rows.append((2 * i, " ".join(base), "en", "s", 0))
+        rows.append((2 * i + 1, " ".join(edited), "en", "s", 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.0, block_on=None).collect()
+    }
+    sigs = {r.doc_id: r.signature for r in dd.minhash_signatures(docs, k=32).collect()}
+    errs = []
+    for i in range(30):
+        a, b = 2 * i, 2 * i + 1
+        if (a, b) not in exact:
+            continue
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 32
+        errs.append(abs(agree - exact[(a, b)]))
+    assert errs and sum(errs) / len(errs) < 0.15
