@@ -782,6 +782,11 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return sim.cosine_ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_lsh_pairs")  # probabilistic recall → rows-only + units
+def q_embedding_lsh_pairs(spark, sf_dir):
+    return sim.embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "embedding_neardup_pairs",
     f"""

@@ -97,3 +97,38 @@ def test_neardup_pairs_symmetric_threshold(vectors):
     assert (10, 11) in pairs
     # orthogonal same-label pairs excluded
     assert all(a < b for a, b in pairs)
+
+
+def test_embedding_lsh_finds_planted_copies(vectors):
+    """Scale-copy pairs (cosine exactly 1) agree on every sketch bit, so
+    sign-LSH must recover them with certainty; orthogonal pairs must not
+    pass the verify threshold."""
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.embedding_lsh_pairs(
+            vectors, bits=32, bands=4, threshold=0.9, dim=4
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(10, 11)] == 1.0
+    assert all(c >= 0.9 for c in pairs.values())
+
+
+def test_embedding_lsh_subset_of_blocked_exact(spark):
+    """Every LSH-verified pair on the driver table must carry the same
+    cosine the blocked exact query computes (identical arithmetic), and be
+    nonempty."""
+    emb = load_table(spark, SF001, "embeddings")
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.embedding_lsh_pairs(emb, threshold=0.3).collect()
+    }
+    assert lsh, "sign-LSH should surface some cos>=0.3 pairs"
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.embedding_neardup_pairs(
+            emb, threshold=0.3, block_on=None
+        ).collect()
+    }
+    for pair, c in lsh.items():
+        assert exact[pair] == c
