@@ -87,3 +87,43 @@ def test_bucketed_results_match_unbucketed(spark, bucketed):
         }
 
     assert agg(b_orders, b_lineitem) == agg(orders, lineitem)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling: a hot key that dwarfs every other partition gets
+    split at runtime (skew=true on the sort-merge join) instead of pinning
+    one straggler task. Thresholds are lowered to make toy data 'skewed';
+    at 100 TB the defaults fire the same mechanism."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))  # 90% of rows on key 1
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.createDataFrame(
+            [(i, f"dim{i}") for i in range(1, 50)], ["k", "name"]
+        )
+        joined = left.join(right, "k").select("k", "payload", "name")
+        # execute THIS DataFrame's QueryExecution (a .count() would plan a
+        # separate one and leave this plan non-final)
+        joined._jdf.queryExecution().toRdd().count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed side:\n{plan}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
