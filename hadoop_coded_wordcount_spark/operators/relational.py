@@ -323,6 +323,67 @@ def q5_region_revenue(
     )
 
 
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
+    date predicates on both fact scans, top-10 orders by revenue.
+
+    The segment filter reaches the customer scan, both date filters push
+    to their parquet scans, the filtered customer side broadcasts, and the
+    final top-10 is TakeOrderedAndProject over the aggregated (not raw)
+    rows — the order of operations that keeps every stage minimal."""
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    cutoff = F.lit("1997-06-01").cast("timestamp_ntz")
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q18_large_volume(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING on an aggregate. The having
+    predicate is a post-aggregation filter — it cannot push below the agg,
+    but the aggregation itself is still partial-before-exchange, so the
+    filter sees one row per order, not per lineitem."""
+    qty = F.sum(_dec("l_quantity"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(qty.cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 180.0)
+    )
+
+
+def approx_percentile_agg(lineitem: DataFrame) -> DataFrame:
+    """Sketch-based percentiles: single-pass, mergeable, fixed memory —
+    the 100 TB counterpart of percentile_agg the same way approx_distinct
+    pairs with distinct_count. No oracle (sketch internals differ across
+    engines); accuracy is bounded against the exact values in unit tests."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "median_qty_approx"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.75), F.lit(10000)).alias(
+            "p75_price_approx"
+        ),
+    )
+
+
 def pivot_status(orders: DataFrame) -> DataFrame:
     """Pivot: order counts per priority × status. Explicit pivot values
     keep the plan single-pass (no distinct-scan to discover columns) and

@@ -300,6 +300,52 @@ def q_q5_region_revenue(spark, sf_dir):
 
 
 @register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_q3_shipping_priority(spark, sf_dir):
+    return rel.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180.0
+    """,
+)
+def q_q18_large_volume(spark, sf_dir):
+    return rel.q18_large_volume(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register("approx_percentile_agg")  # sketch != DuckDB's sketch → rows-only
+def q_approx_percentile_agg(spark, sf_dir):
+    return rel.approx_percentile_agg(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "pivot_status",
     """
     SELECT o_orderpriority,

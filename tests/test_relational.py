@@ -51,3 +51,19 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(r.approx_suppliers - r.exact_suppliers) <= max(
             3, 0.10 * r.exact_suppliers
         )
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """Sketch percentiles must land within a tight relative band of the
+    exact values at this accuracy setting."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = {r.l_returnflag: r for r in rel.percentile_agg(li).collect()}
+    approx = {r.l_returnflag: r for r in rel.approx_percentile_agg(li).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.median_qty_approx - e.median_qty) <= max(1.0, 0.05 * e.median_qty)
+        assert abs(a.p75_price_approx - e.p75_price) <= 0.05 * e.p75_price
