@@ -1,0 +1,75 @@
+"""Plan-shape regression tests — the manual `.explain` audit, codified.
+
+Each assertion pins a physical-plan property the scale design depends on;
+a regression here means a future change silently broke pushdown, a
+broadcast, or top-k short-circuiting even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_coded_wordcount_spark.registry import QUERIES
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = _plan(spark, "filter_project")
+    assert "GreaterThan(p_size,30)" in plan  # predicate pushdown
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    # column pruning: only the 4 projected columns in ReadSchema
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_retailprice" not in read
+
+
+def test_date_filter_pushed_in_q1(spark):
+    assert "IsNotNull(l_shipdate)" in _plan(spark, "q1_pricing_summary")
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # customer never shuffles for a dim
+
+
+def test_topk_uses_take_ordered(spark):
+    for q in ("topk_orders", "topk_words", "q3_shipping_priority"):
+        plan = _plan(spark, q)
+        assert "TakeOrderedAndProject" in plan, q
+        assert "Exchange rangepartitioning" not in plan, q  # no global sort
+
+
+def test_no_python_in_builtin_query_paths(spark):
+    """Python evaluation belongs only to the explicitly-pandas queries."""
+    for name in QUERIES:
+        if name.startswith("udf_") or name == "multimodal_features":
+            continue
+        assert "Python" not in _plan(spark, name), name
+
+
+def test_no_unintended_cartesian_products(spark):
+    for name in QUERIES:
+        plan = _plan(spark, name)
+        if name == "join_cross_theta":
+            continue  # the one deliberate (bounded-dim) product
+        assert "CartesianProduct" not in plan, name
+
+
+def test_partial_aggregation_before_exchange(spark):
+    """The reference-combiner property: wordcount's plan aggregates before
+    its exchange (partial HashAggregate below, final above)."""
+    plan = _plan(spark, "wordcount")
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "HashAggregate" in post
+
+
+def test_asof_join_is_single_exchange(spark):
+    plan = _plan(spark, "join_asof")
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -232,3 +232,38 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[2].n_events == 1
     assert latest[3].n_events == 1
     assert latest[1].value_sum == 3.0  # value fixed at 1.0 per event
+
+
+def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
+    """foreachBatch bridges streaming to the batch write surface: every
+    micro-batch lands in its own batch_id partition, and the union of
+    partitions equals the streamed input."""
+    from hadoop_coded_wordcount_spark.streaming.sinks import (
+        append_batches_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+
+    _mk_events(
+        spark,
+        [("2024-01-01 09:00:00", 1, "click"), ("2024-01-01 09:01:00", 2, "view")],
+    ).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    q = append_batches_to_parquet(stream, out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        _mk_events(spark, [("2024-01-01 09:05:00", 3, "click")]).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r.user_id for r in back.collect()} == {1, 2, 3}
+    # at least two distinct batch partitions were written
+    assert back.select("batch_id").distinct().count() >= 2
