@@ -384,6 +384,59 @@ def approx_percentile_agg(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q7_nation_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: revenue flows between two nations, either
+    direction. The disjunction ((a,b) OR (b,a)) can't be an equi-join key;
+    the scalable form keeps all joins equi on the surrogate keys, filters
+    both nation dims to the two names *before* broadcasting, and leaves
+    the disjunction as a residual filter over the two broadcast-joined
+    name columns — so the OR never turns a join into a product."""
+    nations = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    n1 = nations.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+                ).select("s_suppkey", "supp_nation")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.join(
+                    F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+                ).select("c_custkey", "cust_nation")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
 def pivot_status(orders: DataFrame) -> DataFrame:
     """Pivot: order counts per priority × status. Explicit pivot values
     keep the plan single-pass (no distinct-scan to discover columns) and
@@ -664,6 +717,25 @@ def array_funcs(embeddings: DataFrame) -> DataFrame:
         ).alias("l2_norm"),
         F.array_max("embedding").cast("double").alias("elem_max"),
         F.array_min("embedding").cast("double").alias("elem_min"),
+    )
+
+
+def map_funcs(events: DataFrame) -> DataFrame:
+    """Map-type scalar battery: construct, size, access, key listing — the
+    map counterpart of array_funcs, all codegen'd."""
+    m = F.create_map(
+        F.lit("t"),
+        F.col("event_type"),
+        F.lit("u"),
+        F.col("user_id").cast("string"),
+    )
+    return events.select(
+        "event_id",
+        F.size(m).alias("map_size"),
+        F.element_at(m, "t").alias("m_type"),
+        F.element_at(m, "u").alias("m_user"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_str"),
+        F.concat_ws(",", F.array_sort(F.map_values(m))).alias("values_str"),
     )
 
 

@@ -325,6 +325,38 @@ def q_q3_shipping_priority(spark, sf_dir):
 
 
 @register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation
+    """,
+)
+def q_q7_nation_volume(spark, sf_dir):
+    return rel.q7_nation_volume(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
     "q18_large_volume",
     """
     SELECT o_orderkey, o_custkey,
@@ -688,6 +720,26 @@ def q_math_funcs(spark, sf_dir):
 )
 def q_array_funcs(spark, sf_dir):
     return rel.array_funcs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "map_funcs",
+    """
+    SELECT event_id,
+           CAST(cardinality(m) AS INTEGER) AS map_size,
+           m['t'][1] AS m_type,
+           m['u'][1] AS m_user,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_str,
+           array_to_string(list_sort(map_values(m)), ',') AS values_str
+    FROM (
+      SELECT event_id,
+             map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events
+    )
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    return rel.map_funcs(load_table(spark, sf_dir, "events"))
 
 
 @register(
