@@ -720,6 +720,18 @@ def array_funcs(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def provenance_scan(documents: DataFrame) -> DataFrame:
+    """Row provenance: which file each row came from — the engine-level
+    analog of the reference's byte-offset input key (reference
+    WordCount.java:53) and split locations. ``input_file_name()`` is
+    populated by the scan itself, costs nothing, and survives projection;
+    normalized to a basename so the value is layout-independent."""
+    return documents.select(
+        "doc_id",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("src_file"),
+    )
+
+
 def map_funcs(events: DataFrame) -> DataFrame:
     """Map-type scalar battery: construct, size, access, key listing — the
     map counterpart of array_funcs, all codegen'd."""

@@ -723,6 +723,19 @@ def q_array_funcs(spark, sf_dir):
 
 
 @register(
+    "provenance_scan",
+    # the oracle sees pre-registered views, not paths; with the one-file-
+    # per-table testdata layout the basename is the constant below, which
+    # is exactly what Spark's input_file_name-derived column must yield
+    """
+    SELECT doc_id, 'documents.parquet' AS src_file FROM documents
+    """,
+)
+def q_provenance_scan(spark, sf_dir):
+    return rel.provenance_scan(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "map_funcs",
     """
     SELECT event_id,

@@ -67,3 +67,31 @@ def test_approx_percentile_tracks_exact(spark):
         a = approx[flag]
         assert abs(a.median_qty_approx - e.median_qty) <= max(1.0, 0.05 * e.median_qty)
         assert abs(a.p75_price_approx - e.p75_price) <= 0.05 * e.p75_price
+
+
+def test_concurrent_registry_queries_are_isolated(spark):
+    """Registry queries must be safe to run concurrently on one session —
+    no shared temp-view names, no conf races (the round-1 grouping_sets
+    global view would have failed this)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hadoop_coded_wordcount_spark.registry import QUERIES
+
+    names = [
+        "grouping_sets",
+        "sql_api_priority_counts",
+        "wordcount",
+        "join_broadcast",
+        "sql_api_priority_counts",
+        "grouping_sets",
+    ]
+
+    def run(name):
+        return name, QUERIES[name](spark, "/root/testdata/sf0.001").count()
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(run, names))
+    by_name = {}
+    for name, cnt in results:
+        assert cnt > 0
+        assert by_name.setdefault(name, cnt) == cnt  # same query, same count
