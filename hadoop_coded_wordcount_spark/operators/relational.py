@@ -619,6 +619,17 @@ def window_lag_lead(events: DataFrame) -> DataFrame:
 # Sort / limit / set ops
 # ---------------------------------------------------------------------------
 
+def global_sort(customer: DataFrame) -> DataFrame:
+    """Total ordering of a full table — the one shape that genuinely needs
+    a range-partitioned exchange (sampled split points, then per-partition
+    sort; partitions concatenate into the total order). Use only when the
+    *output* must be totally ordered, e.g. writing a sorted export; for
+    top-k use topk_orders (TakeOrderedAndProject, no range exchange)."""
+    return customer.select("c_custkey", "c_name", "c_acctbal").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+
+
 def topk_orders(orders: DataFrame, k: int = 10) -> DataFrame:
     """Global top-k: TakeOrderedAndProject, not a full sort."""
     return (

@@ -143,12 +143,33 @@ def winnowing_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
 
     Documents shorter than k characters are excluded (no k-gram exists).
     """
+    # explode positions → built-in md5 → min-aggregate: stays inside
+    # whole-stage codegen (an array_min over a transform() of md5 calls
+    # evaluates interpreted — the same trap simhash64 documents)
+    # repartition on doc_id BEFORE exploding: spreads the md5 work across
+    # cores even when the input is one small file (a single-task scan would
+    # otherwise serialize the whole k-gram expansion), and pre-aligns the
+    # partitioning so the downstream groupBy(doc_id) needs no new exchange.
+    # Cut the k-grams inside an array expression, then explode only the
+    # k-char grams (never the full text — exploding before slicing would
+    # replicate the whole document per position), md5 with the codegen'd
+    # builtin, and min-aggregate. repartition on doc_id first spreads the
+    # work across cores despite a single-file scan and pre-aligns the
+    # groupBy so no second exchange is needed.
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - (k - 1)),
-        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+        lambda i: F.col("text").substr(i, F.lit(k)),
     )
-    return documents.where(F.length("text") >= k).select(
-        "doc_id",
-        F.array_min(grams).alias("fingerprint"),
-        (F.length("text") - (k - 1)).alias("n_grams"),
+    return (
+        documents.where(F.length("text") >= k)
+        .repartition(64, "doc_id")
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("gram")).alias("fingerprint"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id", "fingerprint", F.col("n_grams").cast("int").alias("n_grams")
+        )
     )

@@ -611,6 +611,17 @@ def q_topk_orders(spark, sf_dir):
 
 
 @register(
+    "global_sort",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    """,
+)
+def q_global_sort(spark, sf_dir):
+    return rel.global_sort(load_table(spark, sf_dir, "customer"))
+
+
+@register(
     "set_union",
     """
     SELECT c_custkey FROM customer WHERE c_acctbal > 9000

@@ -70,6 +70,12 @@ def test_partial_aggregation_before_exchange(spark):
     assert "HashAggregate" in pre and "HashAggregate" in post
 
 
+def test_global_sort_uses_range_partitioning(spark):
+    plan = _plan(spark, "global_sort")
+    assert "rangepartitioning" in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
 def test_asof_join_is_single_exchange(spark):
     plan = _plan(spark, "join_asof")
     assert plan.count("Exchange hashpartitioning") == 1
