@@ -71,6 +71,30 @@ def collect_plan_metrics(df: DataFrame) -> dict[str, int]:
     return totals
 
 
+def observe_rows(df: DataFrame, name: str = "obs"):
+    """First-class row-level metrics via ``DataFrame.observe`` — the
+    declarative counter surface (vs. the physical SQLMetrics walk below):
+    named aggregates are computed inline with the query at zero extra
+    passes, the closest Spark analog to incrementing a Hadoop counter per
+    record (reference WordCount.java:207-208).
+
+    Returns (instrumented_df, observation); read ``observation.get`` after
+    an action on the instrumented frame.
+    """
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation(name)
+    first = df.columns[0]
+    instrumented = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        # exact DISTINCT is disallowed in observed metrics (they must be
+        # mergeable streaming-style aggregates); the HLL sketch is
+        F.approx_count_distinct(F.col(first)).alias(f"approx_distinct_{first}"),
+    )
+    return instrumented, obs
+
+
 def run_with_metrics(df: DataFrame) -> dict[str, int]:
     """Materialize ``df`` and return its communication profile.
 

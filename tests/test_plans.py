@@ -50,3 +50,14 @@ def test_coded_demo_roundtrip_and_saving(spark):
     assert out["packets_sent"] == out["naive_packets"] - out["encoded_packets_sent"]
     assert out["encoded_packets_sent"] > 0
     assert out["saving_ratio"] < 1.0  # coding must beat naive unicast
+
+
+def test_observe_counts_rows_inline(spark):
+    from hadoop_coded_wordcount_spark.plans.metrics import observe_rows
+
+    df = wc.wordcount(load_table(spark, SF0001, "documents"))
+    instrumented, obs = observe_rows(df)
+    n = instrumented.count()
+    got = obs.get
+    assert got["rows_out"] == n == 31
+    assert abs(got["approx_distinct_word"] - 31) <= 2  # HLL at default rsd
