@@ -858,6 +858,11 @@ def q_simhash64(spark, sf_dir):
     return dd.simhash64(load_table(spark, sf_dir, "documents"))
 
 
+@register("simhash_pairs")  # rows-only; pigeonhole banding unit-tested
+def q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search — LLM-pipeline extension. Cosine folds are left-to-right
 # in DOUBLE on both engines (F.aggregate 0.0-init == list_reduce first-elem
