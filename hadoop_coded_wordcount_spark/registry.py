@@ -848,7 +848,23 @@ def q_minhash_signatures(spark, sf_dir):
     return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-@register("minhash_lsh_pairs")  # rows-only; recall unit-tested vs exact pairs
+@register(
+    "minhash_lsh_pairs",
+    # The oracle is the *exact* unblocked Jaccard pair set: LSH candidates
+    # are verified with exact Jaccard before output, and at this dataset's
+    # similarity levels (planted pairs all >= 0.9; next pair < 0.1) the
+    # band filter's miss probability is ~1e-11, so LSH output == exact.
+    f"""
+    WITH g AS ({_DUCK_SHINGLES})
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
