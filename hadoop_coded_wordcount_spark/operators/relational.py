@@ -193,6 +193,61 @@ def join_asof(events: DataFrame) -> DataFrame:
     )
 
 
+def join_left_outer(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT OUTER orders with an ON-clause filter
+    (non-'F' orders), per-customer order count — non-buyers kept at 0 —
+    then the count-of-counts distribution.
+
+    The ON-clause filter is applied to the *right* side before the join
+    (equivalent for LEFT OUTER, and it shrinks the shuffled build side).
+    Two aggregations: the first shuffles on c_custkey; the second groups
+    ~50 distinct counts — AQE coalesces it to a near-free exchange.
+    At 100 TB the left-outer shuffle on custkey is the cost driver;
+    bucketing both tables on custkey removes it entirely.
+    """
+    per_cust = (
+        customer.join(
+            orders.where(F.col("o_orderstatus") != "F"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # nulls don't count
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def join_full_outer(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """FULL OUTER join: per-nation distressed-customer vs distressed-
+    supplier counts. The sides genuinely mismatch (every nation has a
+    negative-balance customer; only a few have such a supplier), so the
+    null-padding + COALESCE path is exercised on both sides.
+
+    Both inputs are pre-aggregated to ≤25 rows before the join — the
+    full-outer exchange moves group counts, never fact rows. That
+    aggregate-then-outer-join order is the scale rule: outer joins can't
+    broadcast the null-producing side, so shrink both sides first."""
+    c = (
+        customer.where(F.col("c_acctbal") < 0)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("neg_customers"))
+    )
+    s = (
+        supplier.where(F.col("s_acctbal") < 0)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("neg_suppliers"))
+    )
+    return c.join(
+        s, F.col("c_nationkey") == F.col("s_nationkey"), "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("neg_customers", F.lit(0)).alias("neg_customers"),
+        F.coalesce("neg_suppliers", F.lit(0)).alias("neg_suppliers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation battery
 # ---------------------------------------------------------------------------
@@ -366,6 +421,149 @@ def q18_large_volume(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey")
         .agg(qty.cast("double").alias("total_qty"))
         .where(F.col("total_qty") > 180.0)
+    )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a *correlated non-equi* condition —
+    orders having at least one lineitem shipped >90 days after the order
+    date (the late-shipment flavor; this dataset has no commit/receipt
+    dates). EXISTS compiles to a left-semi join: the equi part
+    (l_orderkey = o_orderkey) drives a sort-merge semi join, the date
+    comparison rides along as a residual — never a per-order subquery.
+    Semi-join output carries only the left side, so the shuffle width is
+    orders' 3 columns, and each order short-circuits on first match."""
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(
+            lineitem.select("l_orderkey", "l_shipdate"), cond, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: the pure-pushdown query — one scan, zero joins, zero
+    shuffles (partial sums merge at the single-row result). All four
+    predicates reach the parquet reader as PushedFilters, and only the
+    four referenced columns are read; at 100 TB with date-partitioned
+    layout the year predicate prunes whole partitions before any I/O."""
+    year = F.col("l_shipdate").between(
+        F.lit("1996-01-01").cast("timestamp_ntz"),
+        F.lit("1996-12-31 23:59:59").cast("timestamp_ntz"),
+    )
+    return (
+        lineitem.where(
+            year
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (promo share of revenue)
+    over a part⋈lineitem join. No broadcast hint: part grows with SF, so
+    the plan is left to AQE — at bench scale it broadcasts part's 2-column
+    projection; at 100 TB it becomes a shuffle join that bucketing on
+    partkey would erase. Both sums are exact decimal; the single final
+    division is the only double op, rounded to 6dp for cross-engine
+    determinism."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    month = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        month.join(
+            part.select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q19_disjunctive_brackets(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunct brackets over both join
+    sides. The trap: a naive planner sees no single conjunctive equi-pred
+    and falls back to a nested-loop join. Catalyst factors the common
+    l_partkey = p_partkey out of every bracket, keeps the join hash-based,
+    and pushes each side's OR-residue (brand/size, quantity) to its own
+    scan. The plan to verify: a broadcast/sort-merge hash join with the
+    disjunction as post-join filter — never BroadcastNestedLoopJoin."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_dormant_accounts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + NOT EXISTS. The global
+    positive-balance average is computed once (a 1-row aggregate,
+    broadcast to every partition — the uncorrelated-scalar-subquery
+    plan), rich customers filter against it, and NOT EXISTS(recent
+    orders) compiles to a left-anti join on custkey — the date predicate
+    pushes into the anti side's scan before the join. Per-nation rollup
+    of the dormant rich accounts. Threshold compare is decimal-exact on
+    the subquery side; the fact side stays a plain column compare."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")) / F.count(F.lit(1))).alias("avg_pos_bal")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_pos_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
 
 
@@ -612,6 +810,36 @@ def window_lag_lead(events: DataFrame) -> DataFrame:
             F.col("ts").cast("timestamp").cast("long")
             - prev_ts.cast("timestamp").cast("long")
         ).alias("gap_sec"),
+    )
+
+
+def window_distribution(orders: DataFrame) -> DataFrame:
+    """Distribution window tier: ntile / percent_rank / cume_dist plus
+    first/last/nth value — per order-status, ordered by price with the
+    orderkey tiebreak that makes every function deterministic.
+
+    first_value uses the default running frame; last/nth need the
+    whole-partition frame (unboundedPreceding→unboundedFollowing) or
+    they'd just echo the current row. All six functions share ONE window
+    sort — a single exchange on o_orderstatus + local sort serves the
+    entire select list. Low-cardinality partition keys (3 statuses) cap
+    parallelism at 3 tasks at any scale — fine for a report; for a hot
+    path, re-key the window (e.g. per customer) or pre-aggregate."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest_key"),
     )
 
 

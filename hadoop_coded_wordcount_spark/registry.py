@@ -249,6 +249,43 @@ def q_join_asof(spark, sf_dir):
 
 
 @register(
+    "join_left_outer",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_join_left_outer(spark, sf_dir):
+    return rel.join_left_outer(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           COALESCE(neg_customers, 0) AS neg_customers,
+           COALESCE(neg_suppliers, 0) AS neg_suppliers
+    FROM (SELECT c_nationkey, COUNT(*) AS neg_customers
+          FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, COUNT(*) AS neg_suppliers
+          FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey) s
+    ON c_nationkey = s_nationkey
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    return rel.join_full_outer(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
@@ -369,6 +406,103 @@ def q_q7_nation_volume(spark, sf_dir):
 def q_q18_large_volume(spark, sf_dir):
     return rel.q18_large_volume(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark, sf_dir):
+    return rel.q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 23:59:59'
+      AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
+    """,
+)
+def q_q6_forecast_revenue(spark, sf_dir):
+    return rel.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+        100.0
+        * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    return rel.q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "q19_disjunctive_brackets",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_disjunctive_brackets(spark, sf_dir):
+    return rel.q19_disjunctive_brackets(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_q22_dormant_accounts(spark, sf_dir):
+    return rel.q22_dormant_accounts(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
     )
 
 
@@ -597,6 +731,26 @@ def q_window_running(spark, sf_dir):
 )
 def q_window_lag_lead(spark, sf_dir):
     return rel.window_lag_lead(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER wf AS priciest_key,
+           nth_value(o_orderkey, 2) OVER wf AS second_cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    return rel.window_distribution(load_table(spark, sf_dir, "orders"))
 
 
 @register(

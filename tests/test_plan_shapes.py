@@ -81,6 +81,35 @@ def test_asof_join_is_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q19_disjunction_stays_hash_joined(spark):
+    """Catalyst must factor the common equi-key out of the OR brackets;
+    a regression to a nested-loop join would be quadratic at scale."""
+    plan = _plan(spark, "q19_disjunctive_brackets")
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q6_filters_reach_the_scan(spark):
+    # the default 100-char metadata truncation hides the tail of the
+    # PushedFilters list — widen it for this assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, "q6_forecast_revenue")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_tax" not in read  # only 4 referenced columns read
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """EXISTS must compile to a semi join (left side only in output),
+    with the non-equi date condition as residual, never a subquery."""
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
 def test_cache_reuse_appears_in_plan(spark):
     """persist() swaps downstream scans to InMemoryTableScan — the lever
     for iterative reuse (e.g. the shingle table feeding both the LSH and
