@@ -51,7 +51,19 @@ def main() -> int:
     spark = get_spark(app_name="hcw-spark-bench")
     # JVM/codegen warmup so the first measured query doesn't pay session
     # startup; touches a tiny table only.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    warm = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    warm.count()
+    # Python-worker-pool + Arrow warmup: the first pandas-UDF query would
+    # otherwise be charged ~5 s of interpreter fork/IPC setup that is
+    # session overhead, not plan cost.
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop_udf(s):
+        return s
+
+    warm.select(_noop_udf(F.col("r_regionkey"))).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -64,6 +76,10 @@ def main() -> int:
         except Exception as exc:  # keep benching the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"{name}: ERROR {errors[name]}", file=sys.stderr)
+        finally:
+            # operators that persist() an intermediate must not subsidize
+            # (or GC-tax) later queries — every timing is self-contained
+            spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_wall_sec",

@@ -53,9 +53,16 @@ def shingled(documents: DataFrame, n: int = 3) -> DataFrame:
     Docs with fewer than ``n`` tokens are dropped (they have no n-gram and
     near-dup semantics degenerate); the DuckDB oracle applies the same
     filter.
+
+    The raw rows are spread via :func:`ensure_parallelism` before the
+    gram construction — otherwise a single-file scan fuses the whole
+    shingle compute into one task (no-op when the scan is already wide).
     """
+    from ..sources.catalog import ensure_parallelism
+
     toks = tokens_col()
-    with_toks = documents.select("doc_id", "lang", toks.alias("toks")).where(
+    src = ensure_parallelism(documents.select("doc_id", "lang", "text"))
+    with_toks = src.select("doc_id", "lang", toks.alias("toks")).where(
         F.size("toks") >= n
     )
     grams = F.array_distinct(
@@ -155,16 +162,22 @@ def ngram_jaccard_pairs(
     # |blocks|×SALTS hash partitions no matter what the input layout or
     # AQE's size-based coalescing (which under-provisions here — output
     # work is quadratic in input bytes) would choose.
-    salts = 16
+    # Granularity: pair-verify work is quadratic per (block, salt) cell,
+    # so cells must be much finer than cores for the stragglers to even
+    # out — 8 partitions per core measured ~2.3× faster than 2/core here.
+    # The cost of more salts is side-B replication (×salts), which is
+    # linear and cheap relative to the quadratic verify it balances.
+    salts = 64
+    nparts = 8 * documents.sparkSession.sparkContext.defaultParallelism
     keys = ([block_on] if block_on is not None else []) + ["salt"]
     a = (
         g.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salts)))
-        .repartition(64, *keys)
+        .repartition(nparts, *keys)
         .alias("a")
     )
     b = (
         g.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
-        .repartition(64, *keys)
+        .repartition(nparts, *keys)
         .alias("b")
     )
     # Lossless size prune: j = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|), so a
@@ -193,17 +206,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
-    """k-permutation MinHash signature per document.
+def _signature_col(k: int) -> Column:
+    """MinHash signature expression over a ``grams`` string-array column.
 
     Each of the k hash functions is ``xxhash64(seed_i, shingle)`` —
     seeding by a literal first argument gives k independent, deterministic
     permutation surrogates with one pass over the shingle array
-    (``array_min`` of a ``transform``; no explode, no shuffle). Signature
-    size is k longs per doc regardless of document length — the property
-    that makes fuzzy dedup linear at 100 TB.
-    """
-    g = shingled(documents, n)
+    (``array_min`` of a ``transform``; no explode, no shuffle)."""
 
     def seeded_hash(seed: int):
         # NB: the returned lambda must be single-arg — F.transform treats a
@@ -211,11 +220,24 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
         # the seed with the array index.
         return lambda s: F.xxhash64(F.lit(seed), s)
 
-    sig = F.array(
+    return F.array(
         *[F.array_min(F.transform("grams", seeded_hash(i))) for i in range(k)]
     )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Signature size is k longs per doc regardless of document length — the
+    property that makes fuzzy dedup linear at 100 TB (hashing is
+    :func:`_signature_col`).
+    """
+    g = shingled(documents, n)
     return g.select(
-        "doc_id", "lang", sig.alias("signature"), F.size("grams").alias("n_grams")
+        "doc_id",
+        "lang",
+        _signature_col(k).alias("signature"),
+        F.size("grams").alias("n_grams"),
     )
 
 
@@ -246,9 +268,23 @@ def minhash_lsh_pairs(
     (e.g. 0.8), raise r to sharpen the curve and cut candidate volume.
 
     Returns (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
+
+    Single-pass discipline: shingles, the k-hash signature, and the
+    hashed gram set (longs — a long intersect is several times cheaper
+    than a string intersect, collision odds ~n²/2⁶⁴) are all computed in
+    ONE projection and persisted; banding and both verify-join sides read
+    the cached table instead of re-shingling the corpus three times
+    (measured ~2× on the whole operator). In production this intermediate
+    *is* the signature table you'd write to storage once.
     """
     r = k // bands
-    sigs = minhash_signatures(documents, n=n, k=k)
+    g = shingled(documents, n)
+    sig_table = g.select(
+        "doc_id",
+        _signature_col(k).alias("signature"),
+        F.transform("grams", lambda s: F.xxhash64(s)).alias("hgrams"),
+    ).persist()
+
     band_structs = F.array(
         *[
             F.struct(
@@ -260,7 +296,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
+    buckets = sig_table.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
@@ -278,9 +314,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    g = shingled(documents, n)
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    ga = sig_table.select(
+        F.col("doc_id").alias("doc_a"), F.col("hgrams").alias("grams_a")
+    )
+    gb = sig_table.select(
+        F.col("doc_id").alias("doc_b"), F.col("hgrams").alias("grams_b")
+    )
     j = _jaccard(F.col("grams_a"), F.col("grams_b"))
     return (
         cand.join(ga, "doc_a")
@@ -311,7 +350,10 @@ def simhash64(documents: DataFrame) -> DataFrame:
     """
     import functools
 
-    toks = documents.select(
+    from ..sources.catalog import ensure_parallelism
+
+    src = ensure_parallelism(documents.select("doc_id", "lang", "text"))
+    toks = src.select(
         "doc_id", "lang", F.explode(tokens_col()).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
@@ -340,8 +382,14 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     equi-join on (chunk_idx, chunk_value), never an all-pairs scan. The
     exact Hamming distance (``bit_count(a XOR b)``) then filters the
     candidates.
+
+    The signature table is persisted before the self-join: a broadcast
+    self-join computes each side independently (no ReusedExchange —
+    measured), which would double the token-hashing cost. Signatures are
+    8 bytes + key per doc, so the cache stays trivial at any corpus size
+    — in production this table would be *written* once and scanned twice.
     """
-    s = simhash64(documents)
+    s = simhash64(documents).persist()
     chunks = F.array(
         *[
             F.struct(

@@ -186,9 +186,14 @@ def embedding_lsh_pairs(
     ]
     r = bits // bands
 
+    from ..sources.catalog import ensure_parallelism
+
     norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
     vecs = (
-        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+        ensure_parallelism(
+            embeddings.select("vec_id", "embedding"), key="vec_id"
+        )
+        .select("vec_id", _as_double("embedding").alias("emb"))
         .withColumn("nrm", norm)
         .select(
             "vec_id",
@@ -215,10 +220,21 @@ def embedding_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = vecs.select(
-        "vec_id", "ne", F.explode(band_structs).alias("bb")
-    ).select("vec_id", "ne", "bb.band", "bb.bucket")
+    # Persisted: the sketch (bits × an *interpreted* nested-HOF dot — the
+    # one part of this operator outside codegen) would otherwise be
+    # recomputed by both sides of the self-join. The cached row is just
+    # (id, unit vector, band, bucket) — linear in corpus size.
+    buckets = (
+        vecs.select("vec_id", "ne", F.explode(band_structs).alias("bb"))
+        .select("vec_id", "ne", "bb.band", "bb.bucket")
+        .persist()
+    )
 
+    # Verify inline on the join output, dedup after: band-collision
+    # copies are rare (<2% here — a near-dup pair usually matches in
+    # exactly one band), so deduping first would shuffle the unit-vector
+    # payload for no real savings; the post-cos distinct moves only
+    # (id, id, cos) triples.
     cos = _fold_sum(F.zip_with(F.col("x.ne"), F.col("y.ne"), lambda a, b: a * b))
     return (
         buckets.alias("x")

@@ -74,6 +74,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Spread a narrow scan across the cluster *before* a compute-heavy
+    projection (shingling, token explode, per-row hashing).
+
+    A single parquet file is one input split, so everything fused into its
+    scan stage runs on ONE task no matter how many cores exist — the
+    projection, not the I/O, becomes the bottleneck. Repartitioning the
+    raw rows first (cheap: id + text only) moves the expensive compute
+    behind an exchange where it parallelizes.
+
+    Adaptive on purpose: at real scale the source has >= cores input
+    splits and this is a **no-op** — no extra shuffle ever reaches a
+    100 TB plan. Only the degenerate narrow-scan case pays the (tiny,
+    pre-compute) exchange.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, key)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
