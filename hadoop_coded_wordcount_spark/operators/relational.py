@@ -446,6 +446,40 @@ def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The scale-critical ordering: aggregate lineitem⋈orders down
+    to one row per customer FIRST, then join the customer/nation dims
+    onto the (small) aggregate, then TakeOrderedAndProject the top 20 —
+    dims never touch the fact-sized stream, and the final sort sees
+    |customers| rows, not |lineitems|."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    quarter = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    per_cust = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(quarter, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6: the pure-pushdown query — one scan, zero joins, zero
     shuffles (partial sums merge at the single-row result). All four
@@ -793,6 +827,28 @@ def window_running(orders: DataFrame) -> DataFrame:
         "o_orderkey",
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
         F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+def window_range_frame(orders: DataFrame) -> DataFrame:
+    """Trailing-30-day spend per customer — the RANGE frame (value-based
+    window, vs window_running's ROWS frame). The frame key must be
+    numeric for rangeBetween, so the timestamp becomes epoch seconds;
+    date ties are *peers* and always aggregate together, making the
+    result deterministic even for same-day orders. Same shuffle shape as
+    any window: one exchange on the partition key, local sort, single
+    pass with a sliding frame."""
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+        F.count("*").over(w).alias("orders_30d"),
     )
 
 

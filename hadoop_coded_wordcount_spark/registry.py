@@ -427,6 +427,34 @@ def q_q4_order_priority(spark, sf_dir):
 
 
 @register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name, revenue FROM (
+      SELECT o_custkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_q10_returned_items(spark, sf_dir):
+    return rel.q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -731,6 +759,23 @@ def q_window_running(spark, sf_dir):
 )
 def q_window_lag_lead(spark, sf_dir):
     return rel.window_lag_lead(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trailing_30d,
+           COUNT(*) OVER w AS orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    return rel.window_range_frame(load_table(spark, sf_dir, "orders"))
 
 
 @register(
