@@ -36,6 +36,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_ivf_topk",
+    "cosine_topk_pandas",
     "embedding_lsh_pairs",
     "embedding_neardup_pairs",
 ]
@@ -150,6 +151,85 @@ def cosine_ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def cosine_topk_pandas(
+    embeddings: DataFrame, query_mod: int = 100, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k as an Arrow-vectorized ``mapInPandas``.
+
+    The numpy counterpart of :func:`cosine_topk`: each Arrow batch of the
+    corpus becomes an (n×d) matrix, one BLAS matmul scores it against the
+    whole (q×d) query matrix, and a per-batch partial top-k keeps the
+    rows that can still matter — the global top-k window then reduces
+    |batches|·k·q rows instead of n·q. This is the shape to reach for
+    when d is large enough that per-element SQL expressions lose to BLAS.
+
+    The query matrix is a *broadcast variable* (collected once on the
+    driver): a query set is bounded operator input — the corpus, which
+    scales, streams through mapInPandas and is never collected.
+
+    Not value-hash-oracled: numpy's pairwise summation legally differs
+    from a SQL engine's sequential fold in the last ulp; the unit test
+    instead pins rank-exact agreement with the JVM-side
+    :func:`cosine_topk` at 1e-9 cosine tolerance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.catalog import ensure_parallelism
+
+    spark = embeddings.sparkSession
+    vecs = ensure_parallelism(
+        embeddings.select("vec_id", "embedding"), key="vec_id"
+    )
+    q_rows = (
+        vecs.where(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def score(batches):
+        ids, qm = bq.value
+        for pdf in batches:
+            n_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n_mat /= np.linalg.norm(n_mat, axis=1, keepdims=True)
+            cos = n_mat @ qm.T  # (batch × queries), one BLAS call
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            parts = []
+            for j, qid in enumerate(ids):
+                col = cos[:, j]
+                keep = np.argsort(-col, kind="stable")[: k + 1]  # self may rank
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid[keep],
+                            "cos": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = vecs.mapInPandas(score, schema=out_schema).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine")
+        )
     )
 
 

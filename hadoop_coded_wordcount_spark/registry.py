@@ -1068,6 +1068,42 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_clusters",
+    # Oracle: transitive closure by recursive CTE over the *exact* Jaccard
+    # pair set (== the LSH pair set at this data's similarity margins, as
+    # established by the minhash_lsh_pairs oracle). Each node's reachable
+    # set is accumulated and min-reduced — fine at oracle SF, while the
+    # Spark side runs the scale path (label propagation).
+    f"""
+    WITH RECURSIVE
+    g AS ({_DUCK_SHINGLES}),
+    e AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM e
+      UNION ALL
+      SELECT doc_b, doc_a FROM e
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    return dd.dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
 @register("simhash64")  # rows-only; hamming behavior unit-tested
 def q_simhash64(spark, sf_dir):
     return dd.simhash64(load_table(spark, sf_dir, "documents"))
@@ -1117,6 +1153,11 @@ _DUCK_COS = """
 )
 def q_similarity_topk(spark, sf_dir):
     return sim.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_topk_pandas")  # numpy FP order ≠ SQL fold → rows-only
+def q_similarity_topk_pandas(spark, sf_dir):
+    return sim.cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("similarity_ivf_topk")  # approximate by design → rows-only + units

@@ -125,3 +125,25 @@ def test_simhash_pairs_bands_find_close_pairs(docs):
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs
     assert (0, 3) not in pairs
+
+
+def test_connected_components_on_hand_built_graph(spark):
+    """Chain, triangle, isolated pair → three components labeled by min id;
+    convergence within the iteration budget regardless of edge direction."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),   # chain 1-2-3-4
+            (10, 11), (11, 12), (12, 10),  # triangle
+            (20, 21),                 # isolated pair
+        ],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }

@@ -132,3 +132,23 @@ def test_embedding_lsh_subset_of_blocked_exact(spark):
     }
     for pair, c in lsh.items():
         assert exact[pair] == c
+
+
+def test_pandas_topk_matches_builtin(spark):
+    """The Arrow/BLAS variant must agree with the JVM-side exact top-k:
+    identical (query, neighbor, rank) triples, cosines within 1e-9 (numpy
+    pairwise summation vs SQL fold may differ in the last ulp)."""
+    emb = load_table(spark, SF001, "embeddings")
+    jvm = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine)
+        for r in sim.cosine_topk(emb).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine)
+        for r in sim.cosine_topk_pandas(emb).collect()
+    }
+    assert jvm.keys() == arrow.keys()
+    for key, (rank, cos) in jvm.items():
+        arank, acos = arrow[key]
+        assert arank == rank, key
+        assert abs(acos - cos) < 1e-9, key
