@@ -1,0 +1,84 @@
+"""Training-data pipeline composition — the end-to-end curation shapes.
+
+The reference is a single-query engine (word count, reference
+WordCount.java); a training-data pipeline *composes* the extension
+operators this repo adds (quality scoring, dedup, splits) into one
+dataflow. These operators pin the two composition patterns:
+
+* **deterministic split** — reproducible train/validation assignment.
+  ``sample()`` is a trap for this: its output depends on partition layout
+  and seed-per-partition, so the "same" split changes when the cluster
+  size or file layout changes. Hashing the *key* (content-stable) makes
+  the assignment a pure function of the row — identical on any cluster,
+  any partitioning, any engine.
+* **curation pipeline** — quality filter → exact dedup → corpus stats,
+  chained as one lazy plan so Catalyst fuses the projections and the
+  only materialization points are the dedup window and the final
+  aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .textstats import quality_score
+
+__all__ = ["deterministic_split", "corpus_curation"]
+
+#: First-two-hex-chars threshold for the ~90% train split: 0xe6/0x100.
+SPLIT_HEX = "e6"
+
+
+def deterministic_split(documents: DataFrame) -> DataFrame:
+    """Per-(split, lang) corpus tallies under a hash-stable 90/10 split.
+
+    The assignment is ``sha256(doc_id)[:2] < 'e6'`` — both engines emit
+    lowercase-hex sha256, so the oracle reproduces the split exactly.
+    In production the hash key is the *content fingerprint*, not the id,
+    so re-ingested copies of a document always land in the same split
+    (no train/test leakage through duplicates).
+
+    The stratification tally is the check a pipeline runs after any
+    split: counts and char totals per (split, lang) — one partial-agg
+    shuffle of 2×|langs| rows.
+    """
+    bucket = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = F.when(bucket < SPLIT_HEX, "train").otherwise("validation")
+    return (
+        documents.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def corpus_curation(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """Quality filter → exact dedup → per-lang corpus stats, one dataflow.
+
+    Order matters at scale: the quality score is a pure projection
+    (no shuffle), so it runs *before* dedup and shrinks the window
+    shuffle's input; dedup partitions on the 32-byte content hash (never
+    the text); the final rollup is a partial-agg shuffle of |langs| rows.
+    Average quality is summed in DECIMAL so the rollup is
+    order-independent for the oracle.
+    """
+    scored = documents.join(
+        quality_score(documents).where(F.col("quality") >= min_quality),
+        "doc_id",
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )

@@ -21,6 +21,7 @@ from .sources.catalog import load_table
 from .functions import pandas_surface as pu
 from .operators import dedup as dd
 from .operators import multimodal as mm
+from .operators import pipeline as pl
 from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import textstats as ts
@@ -1309,6 +1310,55 @@ def q_token_count(spark, sf_dir):
 )
 def q_winnowing_fingerprint(spark, sf_dir):
     return ts.winnowing_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline composition — deterministic splits + end-to-end curation
+# ---------------------------------------------------------------------------
+
+@register(
+    "deterministic_split",
+    f"""
+    SELECT CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{pl.SPLIT_HEX}'
+                THEN 'train' ELSE 'validation' END AS split,
+           lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY split, lang
+    """,
+)
+def q_deterministic_split(spark, sf_dir):
+    return pl.deterministic_split(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_curation",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, text,
+             round({ts.QUALITY_WEIGHTS["len"]} * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                 + {ts.QUALITY_WEIGHTS["distinct"]}
+                   * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                 + {ts.QUALITY_WEIGHTS["clean"]}
+                   * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)), 6) AS quality
+      FROM (SELECT doc_id, lang, n_chars, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    return pl.corpus_curation(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
