@@ -1,0 +1,111 @@
+"""Stream-stream joins and streaming deduplication.
+
+Two Structured Streaming capabilities with no batch twin:
+
+* **interval join of two streams** — clicks ⋈ views per user where the
+  view precedes the click by at most a bounded interval. Both sides are
+  unbounded, so the join is only executable because the *time-range
+  condition plus watermarks* bound how much of each side must be kept:
+  Spark buffers each side in the state store and evicts rows once the
+  other side's watermark passes their join-window. Without the interval
+  condition the state would grow forever — that constraint is the whole
+  design, not an optimization.
+* **dropDuplicatesWithinWatermark** — streaming exact dedup. Batch dedup
+  (``dedup.dedup_exact``) sees the whole corpus; a stream cannot, so the
+  guarantee is scoped: duplicates arriving within the watermark horizon
+  are dropped, and state for a key is freed once the watermark passes it.
+  This is the ingest-time companion of the batch dedup operators — run it
+  at the stream head to thin obvious repeats, then batch-dedup the stored
+  corpus exactly.
+
+Both operators keep state bounded by *event time*, which is the property
+that lets them run for months on a cluster — state size tracks the
+watermark horizon, not the stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .windows import _as_event_time
+
+__all__ = ["clicks_after_views", "dedup_within_watermark"]
+
+
+def clicks_after_views(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "30 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Attribute each click to view events within ``max_gap`` before it.
+
+    The join condition is equi (user_id) + interval (view.ts ∈
+    [click.ts − max_gap, click.ts]); state eviction needs BOTH sides
+    watermarked. Output carries the pair of event ids and the gap in
+    seconds — the streaming analog of the batch as-of join
+    (``relational.join_asof``), except every qualifying view matches,
+    not only the latest.
+    """
+    v = (
+        _as_event_time(views).withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    c = (
+        _as_event_time(clicks).withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return c.join(v, cond).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "view_id",
+        (
+            F.col("click_ts").cast("long") - F.col("view_ts").cast("long")
+        ).alias("gap_sec"),
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, lateness: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on content identity within the watermark.
+
+    Keys on the event's content hash (id-independent — re-sent events get
+    new ids but identical payloads), so retransmissions and at-least-once
+    replays collapse. State per key is dropped once the watermark passes
+    it — bounded memory at any stream length.
+    """
+    keyed = stream.withColumn(
+        "content_key",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.col("ts").cast("string"),
+                F.col("value").cast("string"),
+            ),
+            256,
+        ),
+    )
+    return _as_event_time(keyed).withWatermark(
+        "ts", lateness
+    ).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )

@@ -337,3 +337,73 @@ def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
     assert {r.user_id for r in back.collect()} == {1, 2, 3}
     # at least two distinct batch partitions were written
     assert back.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join views per user within a 30-minute lookback; a view
+    outside the interval and a foreign user's view must not match."""
+    from hadoop_coded_wordcount_spark.streaming import joins as sj
+
+    rows = [
+        ("2024-01-01 09:00:00", 1, "view"),   # id 0: in window for click@09:20
+        ("2024-01-01 08:30:00", 1, "view"),   # id 1: 50 min before -> excluded
+        ("2024-01-01 09:20:00", 1, "click"),  # id 2
+        ("2024-01-01 09:10:00", 2, "view"),   # id 3: other user
+        ("2024-01-01 09:30:00", 2, "click"),  # id 4: matches id 3 only
+    ]
+    src = str(tmp_path / "src")
+    _mk_events(spark, rows).write.parquet(src)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    joined = sj.clicks_after_views(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+        max_gap="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.click_id, r.view_id, r.gap_sec)
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    assert got == {(2, 0, 1200), (4, 3, 1200)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Identical payloads with different event ids collapse to one row;
+    distinct payloads survive."""
+    from hadoop_coded_wordcount_spark.streaming import joins as sj
+
+    rows = [
+        ("2024-01-01 09:00:00", 1, "click"),  # id 0
+        ("2024-01-01 09:00:00", 1, "click"),  # id 1: retransmission of id 0
+        ("2024-01-01 09:05:00", 1, "click"),  # id 2: distinct ts
+        ("2024-01-01 09:00:00", 2, "click"),  # id 3: distinct user
+    ]
+    src = str(tmp_path / "src")
+    _mk_events(spark, rows).write.parquet(src)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        sj.dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM t_sdedup").collect()
+    assert len(out) == 3
+    # exactly one of the two retransmitted copies survived
+    assert sum(1 for r in out if r.user_id == 1 and str(r.ts).startswith("2024-01-01 09:00")) == 1
