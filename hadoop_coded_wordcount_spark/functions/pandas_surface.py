@@ -38,6 +38,7 @@ __all__ = [
     "normalize_text",
     "wordcount_combiner_pandas",
     "grouped_k_stats",
+    "chunk_documents",
 ]
 
 
@@ -139,4 +140,50 @@ def grouped_k_stats(events: DataFrame) -> DataFrame:
             "n",
             F.round(F.col("k_sum").cast("double") / F.col("n"), 6).alias("k_mean"),
         )
+    )
+
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 32) -> DataFrame:
+    """Python UDTF: one document row → many fixed-size token chunks.
+
+    The table-function API is the fourth Python extension point (after
+    scalar/grouped-map/grouped-agg): ``eval`` yields any number of rows
+    per input. Chunking is *the* training-data table function — documents
+    become ~N-token windows for tokenization/packing. The rule here
+    (whitespace tokens, fixed window, no overlap) is deliberately
+    SQL-expressible so the DuckDB oracle replays it exactly; a BPE-aware
+    chunker with overlap plugs into the same shape.
+
+    Scale: a UDTF is a per-partition Python generator — no shuffle of its
+    own; the explode factor lands in the scan stage. Python crossing cost
+    applies: for rules SQL can express, the JVM path (explode over
+    ``F.sequence`` + ``F.slice``) wins — the UDTF earns its cost only
+    when the chunking logic needs a real tokenizer.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int"
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            toks = [t for t in re.split(r"\s+", text or "") if t]
+            for i in range(0, len(toks), chunk_tokens):
+                part = toks[i : i + chunk_tokens]
+                yield doc_id, i // chunk_tokens, " ".join(part), len(part)
+
+    spark = documents.sparkSession
+    docs = documents.select("doc_id", "text")
+    # TVF invocation over a relation: register and call via SQL (the
+    # DataFrame API has no table-argument binding for UDTFs yet). The
+    # view name is per-call unique so concurrent queries can't collide.
+    import uuid
+
+    spark.udtf.register("chunk_documents_udtf", ChunkDocs)
+    view = f"hcw_udtf_src_{uuid.uuid4().hex[:12]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.* FROM {view}, LATERAL chunk_documents_udtf(doc_id, text) c"
     )

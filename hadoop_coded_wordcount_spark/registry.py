@@ -1312,6 +1312,24 @@ def q_winnowing_fingerprint(spark, sf_dir):
     return ts.winnowing_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "udtf_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ') AS chunk,
+           CAST(least(32, len(toks) - i * 32) AS INT) AS n_tokens
+    FROM t, unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS u(i)
+    """,
+)
+def q_udtf_chunk_documents(spark, sf_dir):
+    return pu.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline composition — deterministic splits + end-to-end curation
 # ---------------------------------------------------------------------------
