@@ -959,6 +959,45 @@ def string_funcs(part: DataFrame) -> DataFrame:
     )
 
 
+def regexp_funcs(part: DataFrame) -> DataFrame:
+    """Regexp battery: match test, extract, extract-all, replace, count.
+    All RE2-compatible patterns (no backrefs/lookahead) so any engine —
+    and the oracle — agrees; regexps are codegen'd with the compiled
+    pattern cached per task."""
+    return part.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("two_words"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        # NB: regexp_extract_all/regexp_count take the pattern as a Column
+        # (a bare string is read as a column NAME) — hence F.lit
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit(r"([aeiou]{2,})"), F.lit(1)),
+            ",",
+        ).alias("vowel_runs"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.regexp_count("p_name", F.lit(r"\ba\w*")).alias("a_words"),
+    )
+
+
+def conditional_funcs(customer: DataFrame) -> DataFrame:
+    """Conditional/bitwise battery: nullif/nvl2/greatest/least plus bit
+    ops on the key — all single-projection, codegen'd."""
+    return customer.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.nvl2(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            F.lit("other"),
+            F.lit("building"),
+        ).alias("seg_class"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+        F.col("c_custkey").bitwiseAND(F.lit(255)).alias("key_low8"),
+        F.col("c_custkey").bitwiseXOR(F.col("c_nationkey")).alias("key_xor_nat"),
+        F.shiftleft(F.col("c_nationkey"), 2).alias("nat_shl2"),
+    )
+
+
 def date_funcs(orders: DataFrame) -> DataFrame:
     return orders.select(
         "o_orderkey",

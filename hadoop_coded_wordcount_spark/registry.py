@@ -876,6 +876,41 @@ def q_string_funcs(spark, sf_dir):
 
 
 @register(
+    "regexp_funcs",
+    """
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
+           regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+           COALESCE(array_to_string(regexp_extract_all(p_name, '([aeiou]{2,})', 1), ','), '') AS vowel_runs,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(p_name, '\\ba\\w*')) AS INTEGER) AS a_words
+    FROM part
+    """,
+)
+def q_regexp_funcs(spark, sf_dir):
+    return rel.regexp_funcs(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "conditional_funcs",
+    """
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'other' ELSE 'building' END AS seg_class,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 1000.0) AS bal_cap1k,
+           c_custkey & 255 AS key_low8,
+           xor(c_custkey, c_nationkey) AS key_xor_nat,
+           c_nationkey << 2 AS nat_shl2
+    FROM customer
+    """,
+)
+def q_conditional_funcs(spark, sf_dir):
+    return rel.conditional_funcs(load_table(spark, sf_dir, "customer"))
+
+
+@register(
     "date_funcs",
     """
     SELECT o_orderkey,
