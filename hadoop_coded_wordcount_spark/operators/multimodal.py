@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["to_multimodal", "decode_media", "media_features"]
+__all__ = ["to_multimodal", "decode_media", "media_features", "media_integrity"]
 
 #: Output schema of the feature extractor (DDL form for mapInPandas).
 FEATURE_SCHEMA = (
@@ -82,3 +82,21 @@ def media_features(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def media_integrity(documents: DataFrame) -> DataFrame:
+    """Per-media-type integrity rollup — entirely JVM-side binary ops.
+
+    The relational half of the multimodal pattern: routing, counting,
+    sizing, and content-hashing binary payloads need no Python at all
+    (``length``/``sha2`` work on BINARY), so the integrity/manifest pass a
+    media pipeline runs before any decode is a plain codegen'd aggregate.
+    Exactly-oracled (byte lengths and sha256 agree across engines) —
+    unlike the decode path, which is stubbed.
+    """
+    mm = to_multimodal(documents)
+    return mm.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.count_distinct(F.sha2("payload", 256)).alias("distinct_payloads"),
+    )

@@ -1348,6 +1348,20 @@ def q_winnowing_fingerprint(spark, sf_dir):
 
 
 @register(
+    "multimodal_integrity",
+    """
+    SELECT 'text/plain;src=' || source AS media_type,
+           COUNT(*) AS n_items,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS distinct_payloads
+    FROM documents GROUP BY media_type
+    """,
+)
+def q_multimodal_integrity(spark, sf_dir):
+    return mm.media_integrity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "udtf_chunk_documents",
     """
     WITH t AS (
