@@ -1352,7 +1352,7 @@ def q_winnowing_fingerprint(spark, sf_dir):
     """
     SELECT 'text/plain;src=' || source AS media_type,
            COUNT(*) AS n_items,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT sha256(text)) AS distinct_payloads
     FROM documents GROUP BY media_type
     """,
@@ -1388,7 +1388,7 @@ def q_udtf_chunk_documents(spark, sf_dir):
     f"""
     SELECT CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{pl.SPLIT_HEX}'
                 THEN 'train' ELSE 'validation' END AS split,
-           lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY split, lang
     """,
 )
@@ -1419,7 +1419,7 @@ def q_deterministic_split(spark, sf_dir):
         FROM kept
       ) WHERE rn = 1
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
     FROM deduped GROUP BY lang
     """,

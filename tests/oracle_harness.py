@@ -46,6 +46,13 @@ def _values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    if isinstance(a, float) != isinstance(b, float):
+        # int-vs-float REPRESENTATION drift (e.g. DuckDB HUGEINT sums
+        # arriving as float64): Python says 99111 == 99111.0, but the
+        # driver compares stringified frames ('99111' != '99111.0') —
+        # mirror the stricter semantics or this harness green-lights
+        # queries the driver will fail.
+        return False
     return a == b
 
 
