@@ -46,10 +46,19 @@ def test_topk_uses_take_ordered(spark):
         assert "Exchange rangepartitioning" not in plan, q  # no global sort
 
 
+#: Queries whose POINT is the Python surface — everything else must stay
+#: fully JVM-side.
+_PYTHON_BY_DESIGN = {"multimodal_features", "similarity_topk_pandas"}
+
+
 def test_no_python_in_builtin_query_paths(spark):
     """Python evaluation belongs only to the explicitly-pandas queries."""
     for name in QUERIES:
-        if name.startswith("udf_") or name == "multimodal_features":
+        if (
+            name.startswith("udf_")
+            or name.startswith("udtf_")
+            or name in _PYTHON_BY_DESIGN
+        ):
             continue
         assert "Python" not in _plan(spark, name), name
 
