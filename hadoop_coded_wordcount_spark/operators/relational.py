@@ -669,6 +669,62 @@ def q7_nation_volume(
     )
 
 
+def argmin_supplier(supplier: DataFrame) -> DataFrame:
+    """Per-nation argmin — the row with the minimum value per group —
+    via ``min(struct(...))``: one partial-aggregable pass, shuffle of one
+    struct per group. The window formulation (row_number + filter) sorts
+    every group; the struct-min doesn't, and at 100 TB that's the
+    difference between a partial agg and a full per-group sort. The
+    struct's leading fields (acctbal, suppkey) totally order rows, so
+    ties are deterministic."""
+    best = F.min(
+        F.struct(
+            F.col("s_acctbal").alias("bal"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    return (
+        supplier.groupBy("s_nationkey")
+        .agg(best.alias("b"))
+        .select(
+            "s_nationkey",
+            F.col("b.key").alias("cheapest_suppkey"),
+            F.col("b.name").alias("cheapest_name"),
+            F.col("b.bal").alias("cheapest_bal"),
+        )
+    )
+
+
+def struct_json_funcs(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Struct battery: build a nested struct, access fields, serialize to
+    JSON and parse it back — the column-nesting round-trip. to_json
+    output is canonical enough to value-compare across engines when the
+    field order is fixed by construction."""
+    packed = F.struct(
+        F.col("n_name").alias("nation"),
+        F.struct(
+            F.col("r_regionkey").alias("id"), F.col("r_name").alias("name")
+        ).alias("region"),
+    )
+    j = F.to_json(packed)
+    return (
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("n_nationkey", packed.alias("s"), j.alias("as_json"))
+        .select(
+            "n_nationkey",
+            F.col("s.nation").alias("nation"),
+            F.col("s.region.name").alias("region_name"),
+            "as_json",
+            F.get_json_object("as_json", "$.region.id")
+            .cast("int")
+            .alias("parsed_region_id"),
+        )
+    )
+
+
 def pivot_status(orders: DataFrame) -> DataFrame:
     """Pivot: order counts per priority × status. Explicit pivot values
     keep the plan single-pass (no distinct-scan to discover columns) and

@@ -541,6 +541,39 @@ def q_approx_percentile_agg(spark, sf_dir):
 
 
 @register(
+    "argmin_supplier",
+    """
+    SELECT s_nationkey, s_suppkey AS cheapest_suppkey,
+           s_name AS cheapest_name, s_acctbal AS cheapest_bal
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                       ORDER BY s_acctbal, s_suppkey) AS rn
+          FROM supplier)
+    WHERE rn = 1
+    """,
+)
+def q_argmin_supplier(spark, sf_dir):
+    return rel.argmin_supplier(load_table(spark, sf_dir, "supplier"))
+
+
+@register(
+    "struct_json_funcs",
+    """
+    SELECT n_nationkey, n_name AS nation, r_name AS region_name,
+           to_json(struct_pack(nation := n_name,
+                               region := struct_pack(id := r_regionkey,
+                                                     name := r_name)))
+             AS as_json,
+           CAST(r_regionkey AS INTEGER) AS parsed_region_id
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_struct_json_funcs(spark, sf_dir):
+    return rel.struct_json_funcs(
+        load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    )
+
+
+@register(
     "pivot_status",
     """
     SELECT o_orderpriority,
