@@ -85,3 +85,21 @@ def test_join_asof_semantics(spark):
     )
     out = {r.click_id: (r.view_id, r.gap_sec) for r in rel.join_asof(events).collect()}
     assert out == {2: (1, 300), 4: (3, 0)}
+
+
+def test_orc_sink_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values, and predicates push to the ORC
+    reader just like parquet."""
+    from hadoop_coded_wordcount_spark.sources import io as sio
+
+    orders = load_table(spark, SF0001, "orders")
+    path = str(tmp_path / "orders_orc")
+    sio.write_orc(orders.select("o_orderkey", "o_totalprice", "o_orderstatus"), path)
+
+    back = sio.read_orc(spark, path)
+    assert back.count() == orders.count()
+    want = orders.where(F.col("o_orderstatus") == "O").count()
+    q = back.where(F.col("o_orderstatus") == "O")
+    assert q.count() == want
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
