@@ -189,16 +189,24 @@ def cosine_topk_pandas(
         .select("vec_id", "embedding")
         .collect()
     )
+    out_schema = "query_id long, neighbor_id long, cos double"
+    if not q_rows:
+        # empty corpus/slice → no queries; numpy can't shape a (0, d)
+        # matrix from nothing, and a real pipeline hits this on any
+        # fully-filtered partition — return an empty, well-typed result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((q_ids, q_mat))
 
-    out_schema = "query_id long, neighbor_id long, cos double"
-
     def score(batches):
         ids, qm = bq.value
         for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: nothing to score
+                continue
             n_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             n_mat /= np.linalg.norm(n_mat, axis=1, keepdims=True)
             cos = n_mat @ qm.T  # (batch × queries), one BLAS call
