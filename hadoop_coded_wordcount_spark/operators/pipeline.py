@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .textstats import quality_score
+from .textstats import quality_col, tokens_col
 
 __all__ = ["deterministic_split", "corpus_curation"]
 
@@ -58,16 +58,18 @@ def deterministic_split(documents: DataFrame) -> DataFrame:
 def corpus_curation(documents: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """Quality filter → exact dedup → per-lang corpus stats, one dataflow.
 
-    Order matters at scale: the quality score is a pure projection
-    (no shuffle), so it runs *before* dedup and shrinks the window
-    shuffle's input; dedup partitions on the 32-byte content hash (never
-    the text); the final rollup is a partial-agg shuffle of |langs| rows.
-    Average quality is summed in DECIMAL so the rollup is
-    order-independent for the oracle.
+    Order matters at scale: the quality score is computed INLINE in the
+    scan projection (``textstats.quality_col`` — not a join back to the
+    scored table, which would read the corpus twice), so the filter runs
+    before dedup and shrinks the window shuffle's input; dedup partitions
+    on the 32-byte content hash (never the text); the final rollup is a
+    partial-agg shuffle of |langs| rows. Average quality is summed in
+    DECIMAL so the rollup is order-independent for the oracle.
     """
-    scored = documents.join(
-        quality_score(documents).where(F.col("quality") >= min_quality),
-        "doc_id",
+    scored = (
+        documents.where(F.size(tokens_col()) > 0)
+        .withColumn("quality", quality_col())
+        .where(F.col("quality") >= min_quality)
     )
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     deduped = (

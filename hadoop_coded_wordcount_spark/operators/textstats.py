@@ -100,10 +100,11 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Composite document-quality heuristic in [0, 1]: length saturation,
-    vocabulary diversity, punctuation cleanliness. Fixed double-arithmetic
-    shape so the oracle reproduces it bit-for-bit."""
+def quality_col():
+    """The quality-score EXPRESSION over a ``text`` column — exposed
+    separately so composers (``pipeline.corpus_curation``) can compute it
+    inline in their own projection instead of joining this module's query
+    back to the source (which would scan the table twice)."""
     toks = tokens_col()
     n = F.size(toks).cast("double")
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
@@ -114,10 +115,18 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + F.lit(QUALITY_WEIGHTS["distinct"]) * distinct_ratio
         + F.lit(QUALITY_WEIGHTS["clean"]) * (F.lit(1.0) - punct_ratio)
     )
+    return F.round(score, 6)
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite document-quality heuristic in [0, 1]: length saturation,
+    vocabulary diversity, punctuation cleanliness. Fixed double-arithmetic
+    shape so the oracle reproduces it bit-for-bit."""
+    toks = tokens_col()
     return documents.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.round(score, 6).alias("quality"),
+        quality_col().alias("quality"),
     ).where(F.size(toks) > 0)
 
 

@@ -119,6 +119,31 @@ def test_q4_exists_is_semi_join(spark):
     assert "LeftSemi" in plan
 
 
+def test_whole_stage_codegen_covers_hot_paths(spark):
+    """The heavy built-in queries must run inside WholeStageCodegen spans
+    — falling out (interpreted expression eval) is a silent ~10-50×
+    regression the results never show."""
+    for q in (
+        "q1_pricing_summary",
+        "wordcount",
+        "simhash64",
+        "corpus_curation",
+    ):
+        df = QUERIES[q](spark, SF001)
+        # execute THIS QueryExecution (df.count() would plan a separate
+        # one) so AQE finalizes stages and codegen wrapping is visible
+        df._jdf.queryExecution().toRdd().count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, q  # the WholeStageCodegen star marker
+
+
+def test_corpus_curation_single_scan(spark):
+    """The curation pipeline computes quality inline — one corpus scan,
+    not a scored-join-back (which would read the table twice)."""
+    plan = _plan(spark, "corpus_curation")
+    assert plan.count("FileScan") == 1
+
+
 def test_cache_reuse_appears_in_plan(spark):
     """persist() swaps downstream scans to InMemoryTableScan — the lever
     for iterative reuse (e.g. the shingle table feeding both the LSH and
