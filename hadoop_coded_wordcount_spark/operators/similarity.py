@@ -69,9 +69,11 @@ def cosine_topk(
     window shuffles those on query_id. Ties broken by neighbor_id so the
     ranking is total.
     """
-    vecs = embeddings.select(
-        "vec_id", _as_double("embedding").alias("emb")
-    )
+    from ..sources.catalog import ensure_parallelism
+
+    vecs = ensure_parallelism(
+        embeddings.select("vec_id", "embedding"), key="vec_id"
+    ).select("vec_id", _as_double("embedding").alias("emb"))
     queries = vecs.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -111,7 +113,11 @@ def cosine_ivf_topk(
     workload) recall tracks cell quality. Unit tests plant clusters and
     assert the planted neighbors are recovered.
     """
-    vecs = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    from ..sources.catalog import ensure_parallelism
+
+    vecs = ensure_parallelism(
+        embeddings.select("vec_id", "embedding"), key="vec_id"
+    ).select("vec_id", _as_double("embedding").alias("emb"))
     centroids = vecs.where(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
     )
