@@ -360,10 +360,18 @@ def connected_components(
     node that appears in an edge, cluster_id = min doc_id in the
     component.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Checkpoint the edge list BEFORE iterating: every round joins against
+    # it, and without materialization the whole upstream pipeline (here,
+    # the LSH candidate generation + verify) would re-execute per round —
+    # measured ~2× on the full clustering query.
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
