@@ -1122,6 +1122,51 @@ def provenance_scan(documents: DataFrame) -> DataFrame:
     )
 
 
+def funnel_view_click(events: DataFrame) -> DataFrame:
+    """View→click conversion funnel: ONE shuffle on user_id with
+    conditional aggregates (min view ts, max click ts), then a scalar
+    rollup. The naive formulation — self-join views×clicks per user —
+    is quadratic per user; conditional aggregation is linear and
+    partial-aggregates map-side."""
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).alias("first_view")
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).alias("last_click")
+    per_user = events.groupBy("user_id").agg(first_view, last_click)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.count("first_view").alias("viewed"),
+        F.sum(
+            F.when(F.col("last_click") > F.col("first_view"), 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    again if still active ≥14 days later. Two aggregations — per-user
+    (first + last active day), then per-cohort — both partial-aggregated;
+    no self-join of the event log against itself (the usual retention
+    query trap, quadratic in events per user)."""
+    day = lambda c: F.date_trunc("day", F.col(c))  # noqa: E731
+    per_user = events.groupBy("user_id").agg(
+        F.min(day("ts")).alias("cohort_day"),
+        F.max(day("ts")).alias("last_day"),
+    )
+    retained = F.when(
+        F.col("last_day") >= F.col("cohort_day") + F.expr("INTERVAL 14 DAYS"),
+        1,
+    ).otherwise(0)
+    return per_user.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("cohort_size"),
+        F.sum(retained).alias("retained_2w"),
+    )
+
+
 def map_funcs(events: DataFrame) -> DataFrame:
     """Map-type scalar battery: construct, size, access, key listing — the
     map counterpart of array_funcs, all codegen'd."""

@@ -1015,6 +1015,44 @@ def q_provenance_scan(spark, sf_dir):
 
 
 @register(
+    "funnel_view_click",
+    """
+    SELECT COUNT(*) AS users,
+           COUNT(first_view) AS viewed,
+           CAST(SUM(CASE WHEN last_click > first_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS converted
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) AS last_click
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def q_funnel_view_click(spark, sf_dir):
+    return rel.funnel_view_click(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "cohort_retention",
+    """
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           COUNT(*) AS cohort_size,
+           CAST(SUM(CASE WHEN last_day >= cohort_day + INTERVAL 14 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS retained_2w
+    FROM (
+      SELECT user_id,
+             MIN(date_trunc('day', ts)) AS cohort_day,
+             MAX(date_trunc('day', ts)) AS last_day
+      FROM events GROUP BY user_id
+    ) GROUP BY cohort_day
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    return rel.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "map_funcs",
     """
     SELECT event_id,
