@@ -36,6 +36,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_ivf_topk",
+    "kmeans_centroids",
     "cosine_topk_pandas",
     "embedding_lsh_pairs",
     "embedding_neardup_pairs",
@@ -96,6 +97,7 @@ def cosine_ivf_topk(
     nprobe: int = 3,
     query_mod: int = 100,
     k: int = 10,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cell pruning.
 
@@ -118,9 +120,10 @@ def cosine_ivf_topk(
     vecs = ensure_parallelism(
         embeddings.select("vec_id", "embedding"), key="vec_id"
     ).select("vec_id", _as_double("embedding").alias("emb"))
-    centroids = vecs.where(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
-    )
+    if centroids is None:  # default: deterministic id-sample
+        centroids = vecs.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("cell_id"), F.col("emb").alias("c_emb")
+        )
 
     ccos = cosine(F.col("c_emb"), F.col("emb"))
     assigned = (
@@ -406,3 +409,95 @@ def embedding_neardup_pairs(
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 24, iters: int = 4
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) as pure DataFrame iterations — the
+    trainer the IVF docstring promises is pluggable.
+
+    Per round: assign every unit vector to its max-cosine centroid
+    (broadcast join + ``max(struct(...))`` argmax — no window), then
+    recompute each cell's centroid as the renormalized mean (posexplode →
+    per-(cell, dim) partial-agg mean → deterministic array re-assembly
+    via ``array_sort(collect_list(struct(dim, v)))``; collect_list order
+    is nondeterministic, the sort restores determinism).
+
+    Iterative-algorithm discipline (same as dedup.connected_components):
+    the invariant input (normalized vectors) is checkpointed ONCE before
+    the loop, each round's centroids are checkpointed so the plan stays
+    O(1) deep, and the round count is fixed (k-means converges fast and a
+    fixed budget keeps the job deterministic — no driver-side convergence
+    probe needed).
+
+    Init is the deterministic id-sample (same as the untrained IVF), so
+    trained-vs-untrained comparisons isolate exactly what Lloyd's rounds
+    add. Returns (cell_id, c_emb) with unit-norm centroids.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
+    vecs = (
+        ensure_parallelism(embeddings.select("vec_id", "embedding"), key="vec_id")
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm)
+        .select(
+            "vec_id", F.transform("emb", lambda x: x / F.col("nrm")).alias("ne")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("cell_id"),
+            F.col("ne").alias("c_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    dot = _fold_sum(F.zip_with(F.col("ne"), F.col("c_emb"), lambda a, b: a * b))
+    for _ in range(iters):
+        assigned = (
+            vecs.join(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct(dot.alias("cos"), F.col("cell_id"))).alias("b"),
+                F.first("ne").alias("ne"),
+            )
+            .select(F.col("b.cell_id").alias("cell_id"), "ne")
+        )
+        by_dim = (
+            assigned.select("cell_id", F.posexplode("ne").alias("d", "v"))
+            .groupBy("cell_id", "d")
+            .agg(F.avg("v").alias("m"))
+        )
+        mean = (
+            by_dim.groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("m")))
+                ).alias("sm")
+            )
+            .select(
+                "cell_id",
+                F.transform("sm", lambda s: s["m"]).alias("mean_emb"),
+            )
+        )
+        mnorm = F.sqrt(_fold_sum(F.transform("mean_emb", lambda x: x * x)))
+        cents = (
+            mean.withColumn("mn", mnorm)
+            .where(F.col("mn") > 0)
+            .select(
+                "cell_id",
+                F.transform("mean_emb", lambda x: x / F.col("mn")).alias(
+                    "c_emb"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents

@@ -1272,6 +1272,13 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return sim.cosine_ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("similarity_ivf_kmeans_topk")  # trained ANN, approximate → rows-only
+def q_similarity_ivf_kmeans_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=24, iters=3)
+    return sim.cosine_ivf_topk(emb, centroids=cents)
+
+
 @register("embedding_lsh_pairs")  # probabilistic recall → rows-only + units
 def q_embedding_lsh_pairs(spark, sf_dir):
     return sim.embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))

@@ -152,3 +152,26 @@ def test_pandas_topk_matches_builtin(spark):
         arank, acos = arrow[key]
         assert arank == rank, key
         assert abs(acos - cos) < 1e-9, key
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark):
+    """Lloyd's rounds must beat the id-sample init: trained-IVF recall@10
+    (vs exact brute force) strictly above untrained, centroids unit-norm.
+    Everything is deterministic, so the margin is stable."""
+    emb = load_table(spark, SF001, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=24, iters=3)
+    rows = cents.collect()
+    assert len(rows) <= 24
+    for r in rows:  # unit-normalized
+        assert abs(sum(x * x for x in r.c_emb) - 1.0) < 1e-9
+
+    truth = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(emb).collect()}
+    plain = {(r.query_id, r.neighbor_id) for r in sim.cosine_ivf_topk(emb).collect()}
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_ivf_topk(emb, centroids=cents).collect()
+    }
+    r_plain = len(plain & truth) / len(truth)
+    r_trained = len(trained & truth) / len(truth)
+    assert r_trained > r_plain
+    assert r_trained >= 0.5
