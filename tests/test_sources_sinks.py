@@ -103,3 +103,31 @@ def test_orc_sink_roundtrip_with_pushdown(spark, tmp_path):
     assert q.count() == want
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
+
+
+def test_register_views_sql_frontend(spark):
+    """register_views exposes every table to spark.sql; a multi-table SQL
+    join over the views must match the DataFrame-API twin."""
+    from hadoop_coded_wordcount_spark.sources.catalog import register_views
+
+    register_views(spark, SF0001)
+    got = {
+        (r.r_name, r.n)
+        for r in spark.sql(
+            """SELECT r_name, COUNT(*) AS n
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY r_name"""
+        ).collect()
+    }
+    from hadoop_coded_wordcount_spark.operators.relational import join_broadcast
+
+    want = {
+        (r.r_name, r.num_customers)
+        for r in join_broadcast(
+            load_table(spark, SF0001, "nation"),
+            load_table(spark, SF0001, "region"),
+            load_table(spark, SF0001, "customer"),
+        ).collect()
+    }
+    assert got == want
