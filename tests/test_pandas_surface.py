@@ -83,3 +83,27 @@ def test_multimodal_streams_batches(spark, docs):
 def test_decode_media_is_stub():
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x89PNG", "image/png")
+
+
+def test_row_udf_surface_matches_builtin(spark):
+    """The row-at-a-time F.udf surface (SURVEY §2.3's UDF row) exists and
+    agrees with the builtin twin. It stays OUT of every hot path by
+    policy: per-row Python crossing is ~10-100× slower than the
+    Arrow-batched pandas_udf, which is itself the fallback after
+    builtins — this test is the API demonstration, not a pattern."""
+    from pyspark.sql.types import IntegerType
+
+    @F.udf(IntegerType())
+    def ws_tokens(text: str) -> int:
+        return len([t for t in (text or "").split() if t])
+
+    docs = load_table(spark, SF001, "documents").limit(100)
+    got = docs.select("doc_id", ws_tokens("text").alias("n")).collect()
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n"),
+        ).collect()
+    }
+    assert {r.doc_id: r.n for r in got} == want
