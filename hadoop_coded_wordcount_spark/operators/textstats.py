@@ -32,6 +32,7 @@ __all__ = [
     "quality_score",
     "token_count",
     "winnowing_fingerprint",
+    "token_frequency_sketch",
 ]
 
 #: Tiny per-language stopword lists (lowercase). Real language ID uses
@@ -181,4 +182,33 @@ def winnowing_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
         .select(
             "doc_id", "fingerprint", F.col("n_grams").cast("int").alias("n_grams")
         )
+    )
+
+
+def token_frequency_sketch(
+    documents: DataFrame,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch of token frequencies — the mergeable heavy-hitter
+    summary (HLL answers "how many distinct"; CMS answers "how often is
+    X" within ε·N at the given confidence, in fixed memory).
+
+    Scale shape: the sketch is a partial-aggregable BINARY accumulator —
+    each task sketches its split, partials merge in the exchange, one
+    ~100 KB blob reaches the driver no matter how many tokens streamed
+    through. That blob is *queryable offline* (``CountMinSketch.readFrom``)
+    without touching the data again — the point of a sketch at 100 TB.
+
+    Output: one row (n_tokens, sketch_bytes). Rows-only in the registry —
+    the sketch encoding is engine-specific; the unit test decodes it and
+    pins the estimates against exact counts.
+    """
+    toks = documents.select(F.explode(tokens_col()).alias("tok"))
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_min_sketch(
+            "tok", F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("sketch"),
     )

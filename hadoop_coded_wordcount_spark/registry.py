@@ -1457,6 +1457,11 @@ def q_udtf_chunk_documents(spark, sf_dir):
     return pu.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+@register("token_frequency_sketch")  # engine-specific binary → rows-only
+def q_token_frequency_sketch(spark, sf_dir):
+    return ts.token_frequency_sketch(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline composition — deterministic splits + end-to-end curation
 # ---------------------------------------------------------------------------

@@ -56,3 +56,35 @@ def test_winnowing_excludes_short_docs(docs):
     assert 0 in ids
     fp = {r.doc_id: r.fingerprint for r in ts.winnowing_fingerprint(docs).collect()}
     assert all(len(v) == 32 for v in fp.values())  # md5 hex
+
+
+def test_token_frequency_sketch_estimates(spark):
+    """Decode the CMS blob and pin estimates: exact for heavy hitters at
+    this scale, and never an underestimate (the CMS guarantee)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    row = ts.token_frequency_sketch(docs).collect()[0]
+    assert row.n_tokens > 0
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row.sketch)
+    )
+    true_counts = {
+        r.tok: r.cnt
+        for r in docs.select(
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(5)
+        .collect()
+    }
+    for tok, cnt in true_counts.items():
+        est = jcms.estimateCount(tok)
+        assert est >= cnt  # never underestimates
+        assert est <= cnt * 1.01 + 10  # eps-tight at this scale
