@@ -193,8 +193,10 @@ def cosine_topk_pandas(
     vecs = ensure_parallelism(
         embeddings.select("vec_id", "embedding"), key="vec_id"
     )
+    # collect the query subset from the RAW scan — the filter prunes to
+    # ~1% of rows, so this small job shouldn't pay vecs' repartition
     q_rows = (
-        vecs.where(F.col("vec_id") % query_mod == 0)
+        embeddings.where(F.col("vec_id") % query_mod == 0)
         .select("vec_id", "embedding")
         .collect()
     )

@@ -37,6 +37,7 @@ def clicks_after_views(
     clicks: DataFrame,
     max_gap: str = "30 minutes",
     lateness: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each click to view events within ``max_gap`` before it.
 
@@ -46,6 +47,13 @@ def clicks_after_views(
     seconds — the streaming analog of the batch as-of join
     (``relational.join_asof``), except every qualifying view matches,
     not only the latest.
+
+    ``how="left_outer"`` keeps unattributed clicks: Spark holds them in
+    state until the view-side watermark passes their join window — only
+    then can "no view will ever arrive" be decided — and emits them
+    null-padded. Outer results therefore trail the watermark; a batch
+    that never advances it past the window keeps them buffered (the test
+    pushes a late dummy event for exactly this reason).
     """
     v = (
         _as_event_time(views).withWatermark("ts", lateness)
@@ -71,7 +79,7 @@ def clicks_after_views(
             >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")
         )
     )
-    return c.join(v, cond).select(
+    return c.join(v, cond, how).select(
         "click_id",
         F.col("c_user").alias("user_id"),
         "view_id",

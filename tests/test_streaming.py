@@ -407,3 +407,63 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(out) == 3
     # exactly one of the two retransmitted copies survived
     assert sum(1 for r in out if r.user_id == 1 and str(r.ts).startswith("2024-01-01 09:00")) == 1
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: the unattributed click emits
+    null-padded only after the watermark passes its join window."""
+    from hadoop_coded_wordcount_spark.streaming import joins as sj
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_events(
+        spark,
+        [
+            ("2024-01-01 09:00:00", 1, "view"),   # id 0
+            ("2024-01-01 09:20:00", 1, "click"),  # id 1: matches id 0
+            ("2024-01-01 09:30:00", 2, "click"),  # id 2: NO view ever
+        ],
+    ).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    joined = sj.clicks_after_views(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+        max_gap="30 minutes",
+        lateness="5 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push BOTH sides' watermarks far past every join window — each
+        # side's watermark advances only from events that reach ITS
+        # withWatermark node, so the dummy batch carries a view AND a
+        # click (the global watermark is the min of the two)
+        _mk_events(
+            spark,
+            [("2024-01-01 12:00:00", 9, "view"),
+             ("2024-01-01 12:00:00", 9, "click")],
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        _mk_events(
+            spark,
+            [("2024-01-01 14:00:00", 9, "view"),
+             ("2024-01-01 14:00:00", 9, "click")],
+        ).write.parquet(str(src / "b3"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.user_id: (r.view_id, r.gap_sec) for r in
+            spark.sql("SELECT * FROM t_ssj_outer").collect()
+            if r.user_id in (1, 2)}
+    assert rows[1] == (0, 1200)        # matched pair intact
+    assert rows[2] == (None, None)     # unmatched click, null-padded
