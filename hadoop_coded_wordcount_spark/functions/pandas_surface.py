@@ -143,14 +143,17 @@ def grouped_k_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def chunk_documents(documents: DataFrame, chunk_tokens: int = 32) -> DataFrame:
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 32, overlap: int = 0
+) -> DataFrame:
     """Python UDTF: one document row → many fixed-size token chunks.
 
     The table-function API is the fourth Python extension point (after
     scalar/grouped-map/grouped-agg): ``eval`` yields any number of rows
     per input. Chunking is *the* training-data table function — documents
     become ~N-token windows for tokenization/packing. The rule here
-    (whitespace tokens, fixed window, no overlap) is deliberately
+    (whitespace tokens, fixed window, optional ``overlap`` for sliding
+    training windows) is deliberately
     SQL-expressible so the DuckDB oracle replays it exactly; a BPE-aware
     chunker with overlap plugs into the same shape.
 
@@ -170,9 +173,14 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 32) -> DataFrame:
     class ChunkDocs:
         def eval(self, doc_id, text):
             toks = [t for t in re.split(r"\s+", text or "") if t]
-            for i in range(0, len(toks), chunk_tokens):
+            stride = chunk_tokens - overlap
+            idx = 0
+            for i in range(0, len(toks), stride):
                 part = toks[i : i + chunk_tokens]
-                yield doc_id, i // chunk_tokens, " ".join(part), len(part)
+                yield doc_id, idx, " ".join(part), len(part)
+                idx += 1
+                if i + chunk_tokens >= len(toks):
+                    break  # last window reached the end; no empty tail
 
     spark = documents.sparkSession
     docs = documents.select("doc_id", "text")

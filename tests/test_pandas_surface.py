@@ -107,3 +107,21 @@ def test_row_udf_surface_matches_builtin(spark):
         ).collect()
     }
     assert {r.doc_id: r.n for r in got} == want
+
+
+def test_chunk_documents_overlap_windows(spark):
+    """overlap > 0 produces sliding windows: consecutive chunks share
+    exactly `overlap` tokens and every token is covered."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        pu.chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    chunks = [r.chunk.split() for r in rows]
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[1] == ["t2", "t3", "t4", "t5"]  # 2-token overlap
+    assert chunks[-1][-1] == "t9"  # full coverage
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-2:] == b[:2]
