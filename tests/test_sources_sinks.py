@@ -131,3 +131,45 @@ def test_register_views_sql_frontend(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_max_partition_bytes_splits_scan(spark, tmp_path):
+    """Scan parallelism must follow spark.sql.files.maxPartitionBytes —
+    the spill-aware sizing knob: shrink it and one file becomes many
+    input splits (row-group granularity)."""
+    path = str(tmp_path / "li_smallgroups")
+    (
+        load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)  # tiny row groups
+        .parquet(path)
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        one = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert one == 1
+    assert many > 4  # split into many row-group-aligned partitions
+
+
+def test_merge_schema_reads_evolved_layout(spark, tmp_path):
+    """Schema evolution: files written before a column existed read back
+    null-padded under mergeSchema — the append-only data-lake pattern."""
+    base = tmp_path / "evolved"
+    v1 = load_table(spark, SF0001, "orders").select("o_orderkey", "o_totalprice")
+    v2 = load_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.parquet(str(base / "p=1"))
+    v2.write.parquet(str(base / "p=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(base))
+    assert set(merged.columns) >= {"o_orderkey", "o_totalprice", "o_orderpriority"}
+    n_total = v1.count() + v2.count()
+    assert merged.count() == n_total
+    # rows from the old layout carry NULL in the new column
+    assert merged.where(F.col("o_orderpriority").isNull()).count() == v1.count()
