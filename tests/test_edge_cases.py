@@ -57,3 +57,29 @@ def test_wordcount_multispace_and_leading_whitespace(spark):
     docs = spark.createDataFrame([("  a  b   a ",)], ["text"])
     out = {r.word: r.cnt for r in wc.wordcount(docs).collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_text_operators_survive_null_and_empty_text(spark):
+    """Null text, empty text, whitespace-only text — the malformed rows a
+    real crawl emits — must not crash any text operator; they drop or
+    pass through with sane values, never raise."""
+    from hadoop_coded_wordcount_spark.operators import dedup as dd
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "src-a", 0),
+            (2, "", "en", "src-a", 0),
+            (3, "   ", "en", "src-b", 3),
+            (4, "real text here and more real text here", "en", "src-b", 38),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # projections/filters: only the real doc survives where required
+    assert ts.text_stats(docs).count() == 1
+    assert ts.quality_score(docs).count() == 1
+    assert ts.token_count(docs).count() == 4  # counts are 0, not errors
+    assert dd.shingled(docs).count() == 1
+    assert dd.dedup_exact(docs).count() >= 1  # null text groups fine
+    sketch = ts.token_frequency_sketch(docs).collect()[0]
+    assert sketch.n_tokens == 8
