@@ -1015,6 +1015,28 @@ def string_funcs(part: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_string_funcs(part: DataFrame) -> DataFrame:
+    """Edit-distance battery: Levenshtein between each part name and its
+    lexicographic neighbor (sorted-neighborhood blocking — the classic
+    cheap candidate generator for string dedup: near-identical strings
+    sort adjacent, so one window pass surfaces most typo pairs without
+    any O(n²) comparison)."""
+    w = Window.orderBy("p_name", "p_partkey")
+    prev = F.lag("p_name").over(w)
+    return (
+        part.select("p_partkey", "p_name")
+        .withColumn("prev_name", prev)
+        .where(F.col("prev_name").isNotNull())
+        .select(
+            "p_partkey",
+            "p_name",
+            "prev_name",
+            F.levenshtein("p_name", "prev_name").alias("edit_dist"),
+            (F.levenshtein("p_name", "prev_name") <= 3).alias("near_match"),
+        )
+    )
+
+
 def regexp_funcs(part: DataFrame) -> DataFrame:
     """Regexp battery: match test, extract, extract-all, replace, count.
     All RE2-compatible patterns (no backrefs/lookahead) so any engine —

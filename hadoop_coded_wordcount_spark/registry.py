@@ -909,6 +909,23 @@ def q_string_funcs(spark, sf_dir):
 
 
 @register(
+    "fuzzy_string_funcs",
+    """
+    SELECT p_partkey, p_name, prev_name,
+           CAST(levenshtein(p_name, prev_name) AS INTEGER) AS edit_dist,
+           levenshtein(p_name, prev_name) <= 3 AS near_match
+    FROM (
+      SELECT p_partkey, p_name,
+             LAG(p_name) OVER (ORDER BY p_name, p_partkey) AS prev_name
+      FROM part
+    ) WHERE prev_name IS NOT NULL
+    """,
+)
+def q_fuzzy_string_funcs(spark, sf_dir):
+    return rel.fuzzy_string_funcs(load_table(spark, sf_dir, "part"))
+
+
+@register(
     "regexp_funcs",
     """
     SELECT p_partkey,
