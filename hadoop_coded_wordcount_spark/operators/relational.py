@@ -725,6 +725,47 @@ def struct_json_funcs(nation: DataFrame, region: DataFrame) -> DataFrame:
     )
 
 
+def stats_moments(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregates — mean/variance/stddev/correlation — from
+    EXACT decimal moments (Σx, Σx², Σxy in DECIMAL, the closed forms in
+    double at the end).
+
+    Spark's streaming ``stddev``/``corr`` use order-dependent one-pass
+    updates whose last-ulp output varies with partitioning — fine for
+    analytics, unusable under a bit-exact cross-engine oracle. Moment
+    sums in decimal are associative and exact, so the derived statistics
+    are bit-identical on any engine and any partitioning; the moments are
+    also partial-aggregable, so this costs ONE map-combined shuffle, same
+    as any sum. (The textbook caveat — catastrophic cancellation of
+    Σx² − (Σx)²/n in floats — doesn't apply: the sums are exact decimals.)
+    """
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    )
+
+
 def pivot_status(orders: DataFrame) -> DataFrame:
     """Pivot: order counts per priority × status. Explicit pivot values
     keep the plan single-pass (no distinct-scan to discover columns) and

@@ -574,6 +574,34 @@ def q_struct_json_funcs(spark, sf_dir):
 
 
 @register(
+    "stats_moments",
+    """
+    SELECT l_returnflag, n,
+           round(sx / n, 6) AS mean_qty,
+           round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           round(((sxy - sx * sy / n) / (n - 1))
+                 / sqrt(((sxx - sx * sx / n) / (n - 1))
+                        * ((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    return rel.stats_moments(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "pivot_status",
     """
     SELECT o_orderpriority,
