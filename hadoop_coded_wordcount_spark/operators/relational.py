@@ -725,6 +725,41 @@ def struct_json_funcs(nation: DataFrame, region: DataFrame) -> DataFrame:
     )
 
 
+def histogram_prices(orders: DataFrame, width: float = 25000.0) -> DataFrame:
+    """Equi-width histogram of order totals: one projection computes the
+    bucket id, one partial-agg shuffle counts — the fixed-memory
+    distribution profile (exact per-bucket counts; for data-dependent
+    bucket EDGES at scale, use approx percentiles to pick edges first)."""
+    bucket = F.floor(F.col("o_totalprice") / F.lit(width)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width).alias("lo"),
+            ((F.col("bucket") + 1) * width).alias("hi"),
+            "cnt",
+        )
+    )
+
+
+def upsert_snapshot(
+    base: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """MERGE-emulation over plain parquet: next snapshot = updates ∪
+    (base ⟕anti updates on the key). The incremental-ingest pattern when
+    no transactional table format is available — updates win on key
+    collision, unmatched base rows carry over.
+
+    Scale: ONE anti-join shuffle on the key (updates are usually small →
+    broadcast) + a union that's pure concatenation. At 100 TB the base
+    never rewrites except through this narrowing anti-join, and
+    partitioning the snapshot by ingest date turns the rewrite into a
+    partition-scoped operation."""
+    survivors = base.join(updates, on=key, how="left_anti")
+    return survivors.unionByName(updates)
+
+
 def stats_moments(lineitem: DataFrame) -> DataFrame:
     """Statistical aggregates — mean/variance/stddev/correlation — from
     EXACT decimal moments (Σx, Σx², Σxy in DECIMAL, the closed forms in

@@ -574,6 +574,48 @@ def q_struct_json_funcs(spark, sf_dir):
 
 
 @register(
+    "histogram_prices",
+    """
+    SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
+           COUNT(*) AS cnt
+    FROM (SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket
+          FROM orders)
+    GROUP BY bucket
+    """,
+)
+def q_histogram_prices(spark, sf_dir):
+    return rel.histogram_prices(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "upsert_snapshot",
+    # updates = re-priced 'P' orders (deterministic derivation so the
+    # oracle can rebuild the same update set); result = merged snapshot
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT * FROM (
+      SELECT b.* FROM orders b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    """,
+)
+def q_upsert_snapshot(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "orders")
+    updates = base.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return rel.upsert_snapshot(base, updates, "o_orderkey")
+
+
+@register(
     "stats_moments",
     """
     SELECT l_returnflag, n,
