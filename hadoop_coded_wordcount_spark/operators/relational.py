@@ -725,6 +725,25 @@ def struct_json_funcs(nation: DataFrame, region: DataFrame) -> DataFrame:
     )
 
 
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """SCD-2 effective ranges from an event log: each order's price is
+    "current" for its customer until the next order supersedes it —
+    valid_from/valid_to derived with one lead() over (custkey, date).
+    One shuffle on the dimension key; the open-ended current row keeps a
+    NULL valid_to. The pattern that turns an append-only log into a
+    temporal dimension without any mutable storage."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def histogram_prices(orders: DataFrame, width: float = 25000.0) -> DataFrame:
     """Equi-width histogram of order totals: one projection computes the
     bucket id, one partial-agg shuffle counts — the fixed-memory

@@ -574,6 +574,21 @@ def q_struct_json_funcs(spark, sf_dir):
 
 
 @register(
+    "scd2_intervals",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    return rel.scd2_intervals(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "histogram_prices",
     """
     SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi,
