@@ -95,3 +95,26 @@ def test_concurrent_registry_queries_are_isolated(spark):
     for name, cnt in results:
         assert cnt > 0
         assert by_name.setdefault(name, cnt) == cnt  # same query, same count
+
+
+def test_recursive_cte_sql_frontend(spark):
+    """Spark 4 WITH RECURSIVE: acyclic path expansion terminates and
+    produces every prefix path. (Deduplicating UNION inside the recursion
+    is not supported yet — UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — which
+    is why cyclic transitive closure lives in
+    dedup.connected_components rather than the SQL front-end.)"""
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["src", "dst"]
+    ).createOrReplaceTempView("chain_edges")
+    rows = spark.sql(
+        """
+        WITH RECURSIVE paths(node, depth) AS (
+          SELECT src, 0 FROM chain_edges WHERE src = 0
+          UNION ALL
+          SELECT e.dst, p.depth + 1
+          FROM paths p JOIN chain_edges e ON e.src = p.node
+        )
+        SELECT node, depth FROM paths ORDER BY depth
+        """
+    ).collect()
+    assert [(r.node, r.depth) for r in rows] == [(i, i) for i in range(11)]
