@@ -65,21 +65,33 @@ def main() -> int:
 
     warm.select(_noop_udf(F.col("r_regionkey"))).count()
 
+    # SPARK_GRAFT_BENCH_REPEAT > 1 records min-of-N per query — local
+    # noise control on a shared box; the driver default (1) is untouched
+    # so recorded rounds stay comparable.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            materialize(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                materialize(fn(spark, SF_DIR))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # keep benching the rest
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"{name}: ERROR {errors[name]}", file=sys.stderr)
+                break
+            finally:
+                # operators that persist() an intermediate must not
+                # subsidize (or GC-tax) later queries — every timing is
+                # self-contained
+                spark.catalog.clearCache()
+        if best is not None and name not in errors:
+            timings[name] = round(best, 3)
             print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
-        except Exception as exc:  # keep benching the rest
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"{name}: ERROR {errors[name]}", file=sys.stderr)
-        finally:
-            # operators that persist() an intermediate must not subsidize
-            # (or GC-tax) later queries — every timing is self-contained
-            spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_wall_sec",
