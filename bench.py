@@ -8,11 +8,18 @@ Run: ``python bench.py``. Env knobs:
 
 Each query is materialized through the ``noop`` sink — full execution of
 every operator and row on the executors, zero driver-side collection — so
-the number measures the plan, not the network to the driver. One JSON line
-goes to stdout (everything else to stderr):
+the number measures the plan, not the network to the driver.
 
-``{"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}``
+Stdout carries exactly ONE compact JSON line (everything else goes to
+stderr) so it survives tail-truncated capture whole — rounds 1-2 emitted
+the full per-query dict inline and the ~2.2 KB capture window cut the line,
+losing the total:
+
+``{"metric": "total_query_wall_sec", "value": N, "unit": "sec", "sf": 0.1,
+   "n_queries": N, "queries": {10 heaviest only}, "detail_file": ...}``
+
+The full per-query detail is written to ``bench_detail.json`` next to this
+script and echoed to stderr.
 
 The reference publishes no throughput numbers (SURVEY.md §6); the operative
 baseline is the driver's recorded BENCH per round, so keeping this harness
@@ -93,16 +100,43 @@ def main() -> int:
             timings[name] = round(best, 3)
             print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    out = {
+    total = round(sum(timings.values()), 3)
+    sf = _sf_from_dir(SF_DIR)
+    detail = {
         "metric": "total_query_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"bench_detail.json not written: {exc}", file=sys.stderr)
+    heaviest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": heaviest,
+        "detail_file": "bench_detail.json",
+    }
+    # Exactly ONE compact JSON line on stdout: rounds 1-2 emitted the full
+    # per-query dict inline and the capture window (~2.2 KB, keeps the tail)
+    # truncated it mid-line — "parsed: null", total lost. The compact
+    # summary always fits; full detail lives in bench_detail.json + stderr.
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(summary))
     return 1 if errors else 0
 
 

@@ -7,15 +7,19 @@ alongside; decode/resize/frame-sample run as Arrow-batched Python over
 metadata) stays JVM-side so Catalyst can prune and push down *before* any
 byte reaches Python.
 
-The decode step itself is STUBBED here — image/audio codecs are not in
-this environment (``decode_media`` raises NotImplementedError; the fake
-feature extractor is deterministic bytes math) — but the Spark-side
-surface is real and tested: schema, batch iteration, partition-size
-control, and the metadata join path.
+``decode_media`` is REAL for the formats decodable with the stdlib alone —
+WAV (``wave``) and the netpbm image family PGM/PPM (P2/P3/P5/P6 header
+parse). Formats needing codec libraries absent from this environment
+(JPEG/PNG/mp3/mp4) fall through to an ``opaque`` row that still carries
+the deterministic bytes-math features, so the pipeline never drops an
+item on an unknown format — it routes it.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,9 +29,26 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["to_multimodal", "decode_media", "media_features", "media_integrity"]
 
 #: Output schema of the feature extractor (DDL form for mapInPandas).
+#: Modality-specific fields are NULL where they don't apply (image rows
+#: have no sample_rate; opaque rows have only the bytes-math features).
 FEATURE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, header string, "
-    "byte_checksum bigint"
+    "byte_checksum bigint, kind string, width int, height int, maxval int, "
+    "channels int, sample_rate int, bit_depth int, n_frames bigint, "
+    "duration_ms bigint"
+)
+
+#: decode_media() keys, in FEATURE_SCHEMA order (after the bytes-math part).
+_DECODE_FIELDS = (
+    "kind",
+    "width",
+    "height",
+    "maxval",
+    "channels",
+    "sample_rate",
+    "bit_depth",
+    "n_frames",
+    "duration_ms",
 )
 
 
@@ -46,13 +67,81 @@ def to_multimodal(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """STUB — media decoding requires codec libraries not present in this
-    environment. A real deployment implements this with PIL/ffmpeg/etc.
-    and calls it inside :func:`media_features`' batch loop."""
-    raise NotImplementedError(
-        "media decode requires codec libraries; wire PIL/ffmpeg here"
-    )
+def _netpbm_header(b: bytes) -> dict | None:
+    """Parse a netpbm (P2/P3 ASCII, P5/P6 binary, PGM/PPM) header:
+    magic, then width/height/maxval as whitespace-separated ASCII ints
+    with ``#``-to-EOL comments allowed anywhere between tokens."""
+    magic = b[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        return None
+    vals: list[int] = []
+    i = 2
+    n = len(b)
+    while i < n and len(vals) < 3:
+        c = b[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < n and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and b[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None  # malformed header
+    if len(vals) < 3:
+        return None
+    width, height, maxval = vals
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    return {
+        "kind": "image/ppm" if channels == 3 else "image/pgm",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "channels": channels,
+        "bit_depth": 16 if maxval > 255 else 8,
+    }
+
+
+def decode_media(payload: bytes, media_type: str | None = None) -> dict:
+    """Decode a media payload's structural metadata with the stdlib only.
+
+    Returns a dict with ``kind`` plus the modality's fields (see
+    ``_DECODE_FIELDS``); unknown/undecodable formats return
+    ``{"kind": "opaque"}`` rather than raising — at pipeline scale an
+    unrecognized payload is a routing decision, not an error. Formats:
+
+    * WAV (RIFF/WAVE): channels, sample_rate, bit_depth, n_frames,
+      duration_ms — via stdlib ``wave``.
+    * PGM/PPM (P2/P3/P5/P6): width, height, maxval, channels, bit_depth.
+
+    A real deployment extends the dispatch with PIL/ffmpeg decoders; the
+    mapInPandas plumbing in :func:`media_features` is unchanged by that.
+    """
+    b = bytes(payload)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                rate = w.getframerate()
+                frames = w.getnframes()
+                return {
+                    "kind": "audio/wav",
+                    "channels": w.getnchannels(),
+                    "sample_rate": rate,
+                    "bit_depth": 8 * w.getsampwidth(),
+                    "n_frames": frames,
+                    # integer ms: deterministic across platforms (no FP)
+                    "duration_ms": (frames * 1000) // rate if rate else None,
+                }
+        except (wave.Error, EOFError, struct.error):
+            return {"kind": "opaque"}
+    img = _netpbm_header(b)
+    if img is not None:
+        return img
+    return {"kind": "opaque"}
 
 
 def media_features(multimodal: DataFrame) -> DataFrame:
@@ -61,25 +150,40 @@ def media_features(multimodal: DataFrame) -> DataFrame:
     The iterator-of-batches form never materializes a partition in memory
     — each Arrow batch is processed and yielded independently, which is
     what lets a 100 TB binary column stream through a fixed-size Python
-    worker. Features here are deterministic bytes math (length, header
-    bytes, additive checksum) standing in for the decoder's output
-    (embedding, dimensions, duration, ...).
+    worker. Each payload gets the deterministic bytes-math features
+    (length, header bytes, additive checksum) plus whatever
+    :func:`decode_media` extracts for its format (WAV/PGM/PPM real;
+    anything else rides through as ``kind='opaque'`` with NULL decode
+    fields).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len),
-                    "header": payloads.map(lambda b: bytes(b[:4]).hex()),
-                    "byte_checksum": payloads.map(
-                        lambda b: sum(b) % (1 << 31)
-                    ),
-                }
-            )
+            decoded = [
+                decode_media(b, mt)
+                for b, mt in zip(payloads, pdf["media_type"])
+            ]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": payloads.map(len),
+                "header": payloads.map(lambda b: bytes(b[:4]).hex()),
+                "byte_checksum": payloads.map(lambda b: sum(b) % (1 << 31)),
+            }
+            for field in _DECODE_FIELDS:
+                vals = [d.get(field) for d in decoded]
+                if field == "kind":
+                    out[field] = pd.Series(vals, dtype="object")
+                else:
+                    # nullable int columns must be Int64/Int32, not object
+                    out[field] = pd.Series(
+                        vals,
+                        dtype="Int64"
+                        if field in ("n_frames", "duration_ms")
+                        else "Int32",
+                    )
+            yield pd.DataFrame(out)
 
     return multimodal.mapInPandas(extract, schema=FEATURE_SCHEMA)
 

@@ -60,13 +60,17 @@ def test_multimodal_schema_and_features(docs):
     feats = mm.media_features(mm.to_multimodal(docs))
     assert feats.schema.simpleString() == (
         "struct<doc_id:bigint,media_type:string,n_bytes:int,"
-        "header:string,byte_checksum:bigint>"
+        "header:string,byte_checksum:bigint,kind:string,width:int,"
+        "height:int,maxval:int,channels:int,sample_rate:int,bit_depth:int,"
+        "n_frames:bigint,duration_ms:bigint>"
     )
     rows = {r.doc_id: r for r in feats.collect()}
     # multi-byte text: n_bytes > n_chars
     assert rows[2].n_bytes == len("über straße".encode("utf-8"))
     assert rows[0].header == "20205468"  # '  Th' in hex
     assert rows[0].media_type == "text/plain;src=srcA"
+    # text payloads are not a decodable media format → routed as opaque
+    assert rows[0].kind == "opaque" and rows[0].width is None
 
 
 def test_multimodal_streams_batches(spark, docs):
@@ -80,9 +84,81 @@ def test_multimodal_streams_batches(spark, docs):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
-def test_decode_media_is_stub():
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x89PNG", "image/png")
+def _wav_bytes(rate=8000, channels=1, sampwidth=2, n_frames=4000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(bytes(n_frames * channels * sampwidth))
+    return buf.getvalue()
+
+
+def test_decode_media_wav():
+    d = mm.decode_media(_wav_bytes(rate=16000, channels=2, n_frames=8000))
+    assert d == {
+        "kind": "audio/wav",
+        "channels": 2,
+        "sample_rate": 16000,
+        "bit_depth": 16,
+        "n_frames": 8000,
+        "duration_ms": 500,
+    }
+
+
+def test_decode_media_netpbm():
+    ppm = b"P6\n# a comment\n640 480\n255\n" + bytes(10)
+    assert mm.decode_media(ppm) == {
+        "kind": "image/ppm",
+        "width": 640,
+        "height": 480,
+        "maxval": 255,
+        "channels": 3,
+        "bit_depth": 8,
+    }
+    pgm16 = b"P5 32\t16 65535 "
+    d = mm.decode_media(pgm16)
+    assert (d["kind"], d["width"], d["height"], d["bit_depth"]) == (
+        "image/pgm",
+        32,
+        16,
+        16,
+    )
+    # ASCII variant + comment between tokens
+    assert mm.decode_media(b"P2\n#c\n3 2 15\n0 1 2 3 4 5")["maxval"] == 15
+
+
+def test_decode_media_unknown_is_opaque():
+    assert mm.decode_media(b"\x89PNG\r\n\x1a\n", "image/png") == {
+        "kind": "opaque"
+    }
+    assert mm.decode_media(b"RIFFxxxxWAVEbroken") == {"kind": "opaque"}
+    assert mm.decode_media(b"P6 notanint") == {"kind": "opaque"}
+    assert mm.decode_media(b"") == {"kind": "opaque"}
+
+
+def test_media_features_decodes_planted_media(spark):
+    """End-to-end: planted WAV + PPM payloads come back with REAL decoded
+    fields through the same mapInPandas path the documents table uses."""
+    rows = [
+        (100, bytearray(_wav_bytes(rate=8000, n_frames=2000)), "audio/wav"),
+        (101, bytearray(b"P6 2 2 255 " + bytes(12)), "image/ppm"),
+        (102, bytearray(b"not media at all"), "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, media_type string"
+    )
+    out = {r.doc_id: r for r in mm.media_features(df).collect()}
+    wav = out[100]
+    assert wav.kind == "audio/wav" and wav.sample_rate == 8000
+    assert wav.duration_ms == 250 and wav.bit_depth == 16
+    img = out[101]
+    assert img.kind == "image/ppm" and (img.width, img.height) == (2, 2)
+    assert img.sample_rate is None
+    assert out[102].kind == "opaque" and out[102].n_bytes == 16
 
 
 def test_row_udf_surface_matches_builtin(spark):

@@ -2,45 +2,14 @@
 
 from __future__ import annotations
 
-import pytest
 from conftest import SF001
-from oracle_harness import compare
 
 from hadoop_coded_wordcount_spark.operators.relational import approx_distinct
 from hadoop_coded_wordcount_spark.sources.catalog import load_table
 
-RELATIONAL = [
-    "filter_project",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_semi",
-    "join_anti",
-    "join_range",
-    "q1_pricing_summary",
-    "agg_multi",
-    "distinct_count",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
-    "window_rank",
-    "window_running",
-    "window_lag_lead",
-    "topk_orders",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_funcs",
-]
-
-
-@pytest.mark.parametrize("name", RELATIONAL)
-def test_relational_vs_oracle(spark, name):
-    res = compare(name, spark, SF001, verbose=True)
-    assert res["rows"] and res["schema"] and res["exact"], (name, res)
+# The per-name oracle sweep moved to tests/test_oracle_sweep.py, which
+# parametrizes over the ENTIRE registry (all oracled + rows-only entries)
+# so coverage no longer depends on a hand-maintained name list.
 
 
 def test_approx_distinct_within_rsd(spark):
