@@ -31,6 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from hadoop_coded_wordcount_spark.plans.metrics import run_with_metrics
 
     df = registry.QUERIES["wordcount"](spark, "/root/testdata/sf0.001")
+    # persist BEFORE the metrics materialization: the driver collects the
+    # returned frame afterwards, and without the cache that second action
+    # would re-execute the whole plan (doubling entry latency).
+    df = df.persist()
     print(
         "entry metrics: " + json.dumps(run_with_metrics(df)), file=sys.stderr
     )

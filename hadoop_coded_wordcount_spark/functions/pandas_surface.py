@@ -163,6 +163,14 @@ def chunk_documents(
     ``F.sequence`` + ``F.slice``) wins — the UDTF earns its cost only
     when the chunking logic needs a real tokenizer.
     """
+    if not 0 <= overlap < chunk_tokens:
+        # caught here, not inside the UDTF: stride <= 0 would otherwise
+        # surface as a worker-side ValueError (range step 0) or, worse,
+        # silently yield no chunks on a negative stride
+        raise ValueError(
+            f"require 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
     import re
 
     from pyspark.sql.functions import udtf

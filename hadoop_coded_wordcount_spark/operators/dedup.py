@@ -399,6 +399,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Falling through with changes pending means some component's
+        # diameter exceeds max_iter and its labels are NOT converged —
+        # returning them silently would split one component into several.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter "
+            "(min-label propagation needs O(diameter) rounds)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -779,6 +779,63 @@ def upsert_snapshot(
     return survivors.unionByName(updates)
 
 
+def repriced_updates(orders: DataFrame) -> DataFrame:
+    """The deterministic update set for the upsert demo: every pending
+    ('P') order re-priced at 2×. Lives here (not inline in the registry)
+    so the derivation the oracle SQL mirrors is a named, testable unit."""
+    return orders.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+
+
+def skewed_join_rollup(lineitem: DataFrame, nation: DataFrame) -> DataFrame:
+    """Deliberately skewed shuffle join: ~90% of lineitem rows land on one
+    join key, the classic straggler shape (one hot customer/session/URL).
+
+    The fact side derives a key where ``l_quantity <= 45`` (≈90% of rows)
+    collapses to key 0 and the tail spreads over ``l_suppkey % 25``; it
+    then joins nation on that key. The ``merge`` hint forces the
+    sort-merge path — at 25 rows the dim would broadcast, and a broadcast
+    join cannot demonstrate shuffle-skew handling; the query models the
+    case where BOTH sides are too big to broadcast. Under AQE the hot
+    partition is split at runtime (``skew=true`` on the SMJ — asserted
+    with lowered thresholds in tests/test_bucketing.py; at 100 TB the
+    default 256 MB threshold fires the same mechanism). The salting
+    alternative for when AQE can't help (e.g. the skewed side feeds an
+    aggregation) is demonstrated in dedup/similarity's quadratic cells.
+
+    ``ensure_parallelism`` on the fact scan is load-bearing for the skew
+    split, not just for scan parallelism: AQE splits a skewed reduce
+    partition at MAPPER granularity, so a single-file scan (1 map task)
+    leaves nothing to split — verified: same plan, same sizes, no
+    ``skew=true`` without it. A production-scale scan has thousands of
+    mappers and the helper is a no-op there.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    lineitem = ensure_parallelism(
+        lineitem.select("l_quantity", "l_suppkey"), key="l_suppkey"
+    )
+    fact = lineitem.select(
+        F.when(F.col("l_quantity") <= 45, F.lit(0))
+        .otherwise(F.pmod("l_suppkey", F.lit(25)))
+        .cast("bigint")
+        .alias("k"),
+        "l_quantity",
+    )
+    joined = fact.join(
+        nation.hint("merge"), fact["k"] == nation["n_nationkey"]
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select("n_name", "n_items", "sum_qty")
+    )
+
+
 def stats_moments(lineitem: DataFrame) -> DataFrame:
     """Statistical aggregates — mean/variance/stddev/correlation — from
     EXACT decimal moments (Σx, Σx², Σxy in DECIMAL, the closed forms in

@@ -15,7 +15,10 @@ and returns its communication profile:
 
 * ``shuffle_records_written`` / ``shuffle_bytes_written`` — the PACKETS_SENT
   analog: how many records/bytes crossed an Exchange;
-* ``rows_output`` — result cardinality.
+* ``rows_output_total`` — ``numOutputRows`` summed over every operator in
+  the plan: a total-rows-processed measure (per-operator work), NOT the
+  result cardinality. For result cardinality, count the returned frame or
+  use ``observe_rows``.
 
 There is no ENCODED_PACKETS_SENT analog by design: Spark's sort-based
 shuffle (map-side combine + lz4) occupies the slot the reference's XOR
@@ -50,6 +53,13 @@ def _walk(node):
     # subplan behind .plan(), not .children().
     if "QueryStage" in cls:
         yield from _walk(node.plan())
+        return
+    # A cached scan hides the relation's build plan (where the exchanges
+    # and their counters actually live) behind relation().cachedPlan(),
+    # not children(). Note: two scans of one cached relation would count
+    # its build metrics twice — fine for single-result profiling here.
+    if cls == "InMemoryTableScanExec":
+        yield from _walk(node.relation().cachedPlan())
         return
     children = node.children()
     for i in range(children.size()):
@@ -96,11 +106,16 @@ def observe_rows(df: DataFrame, name: str = "obs"):
 
 
 def run_with_metrics(df: DataFrame) -> dict[str, int]:
-    """Materialize ``df`` and return its communication profile.
+    """Materialize ``df`` and return its communication profile — keys
+    ``shuffle_records_written``, ``shuffle_bytes_written``, and
+    ``rows_output_total`` (see module docstring; the last is summed
+    operator output, not result cardinality).
 
     Executes the DataFrame's *own* QueryExecution (``toRdd().count()`` —
     rows stay on the executors, only counts return), because a
     ``df.write`` action plans a separate execution whose metrics would not
-    be visible on ``df``'s plan instance."""
+    be visible on ``df``'s plan instance. If the caller will also collect
+    ``df`` afterwards, ``persist()`` it first so this materialization
+    fills the cache instead of doubling the work."""
     df._jdf.queryExecution().toRdd().count()
     return collect_plan_metrics(df)

@@ -621,13 +621,30 @@ def q_histogram_prices(spark, sf_dir):
     """,
 )
 def q_upsert_snapshot(spark, sf_dir):
-    from pyspark.sql import functions as F
-
     base = load_table(spark, sf_dir, "orders")
-    updates = base.where(F.col("o_orderstatus") == "P").withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
+    return rel.upsert_snapshot(
+        base, rel.repriced_updates(base), "o_orderkey"
     )
-    return rel.upsert_snapshot(base, updates, "o_orderkey")
+
+
+@register(
+    "skewed_join_rollup",
+    """
+    SELECT n_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT CASE WHEN l_quantity <= 45 THEN 0
+                  ELSE l_suppkey % 25 END AS k, l_quantity
+      FROM lineitem
+    ) f JOIN nation ON f.k = nation.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_skewed_join_rollup(spark, sf_dir):
+    return rel.skewed_join_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
 
 
 @register(
@@ -1747,6 +1764,8 @@ def q_events_session(spark, sf_dir):
 # tests/test_relational.py and the in-repo full-oracle sweep) trails.
 
 _VERIFY_FIRST = [
+    # new this round — no external oracle row yet
+    "skewed_join_rollup",
     # never externally oracle-executed as of round 2 (VERDICT.md r2 list)
     "dedup_exact",
     "dedup_fingerprint",

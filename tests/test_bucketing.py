@@ -127,3 +127,33 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_registry_skew_query_splits_under_aqe(spark):
+    """The REGISTRY skew query (skewed_join_rollup: 90% of lineitem on one
+    nation key, merge-hinted SMJ) gets skew-split by AQE. Thresholds are
+    lowered so sf0.01 bytes count as skewed; the defaults fire the same
+    mechanism at production sizes. (The hot partition compresses to
+    ~12 KB at sf0.01, hence the 8k threshold here.)"""
+    from hadoop_coded_wordcount_spark.registry import QUERIES
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = QUERIES["skewed_join_rollup"](spark, "/root/testdata/sf0.01")
+        df._jdf.queryExecution().toRdd().count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the hot key:\n{plan}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

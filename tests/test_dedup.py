@@ -147,3 +147,21 @@ def test_connected_components_on_hand_built_graph(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A long chain whose diameter exceeds max_iter must raise, not
+    silently return split components (labels would still be changing)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
+    # and a budget that fits the diameter still converges fine
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(chain, max_iter=15).collect()
+    }
+    assert set(got.values()) == {0}

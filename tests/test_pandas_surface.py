@@ -201,3 +201,12 @@ def test_chunk_documents_overlap_windows(spark):
     assert chunks[-1][-1] == "t9"  # full coverage
     for a, b in zip(chunks, chunks[1:]):
         assert a[-2:] == b[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    """overlap >= chunk_tokens means stride <= 0 — must fail fast at the
+    driver with a clear message, not inside the UDTF worker."""
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (4, 5, -1):
+        with pytest.raises(ValueError, match="overlap"):
+            pu.chunk_documents(docs, chunk_tokens=4, overlap=bad)

@@ -29,7 +29,7 @@ def vectors(spark):
 
 
 def test_bruteforce_topk_planted(vectors):
-    out = sim.cosine_topk(vectors, query_mod=10, k=2).collect()
+    out = sim.cosine_topk(vectors, query_mod=10, k=2, dim=4).collect()
     by_query = {}
     for r in out:
         by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
@@ -41,14 +41,14 @@ def test_bruteforce_topk_planted(vectors):
 
 
 def test_bruteforce_excludes_self(vectors):
-    out = sim.cosine_topk(vectors, query_mod=10, k=5).collect()
+    out = sim.cosine_topk(vectors, query_mod=10, k=5, dim=4).collect()
     assert all(r.neighbor_id != r.query_id for r in out)
 
 
 def test_ivf_recovers_planted_clusters(vectors):
     # centroid_mod=10 -> centroids {0,10,20}: one per planted cluster.
     out = sim.cosine_ivf_topk(
-        vectors, centroid_mod=10, nprobe=1, query_mod=10, k=2
+        vectors, centroid_mod=10, nprobe=1, query_mod=10, k=2, dim=4
     ).collect()
     by_query = {}
     for r in out:
@@ -91,7 +91,7 @@ def test_ivf_structure_and_recall_on_driver_table(spark):
 def test_neardup_pairs_symmetric_threshold(vectors):
     pairs = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in sim.embedding_neardup_pairs(vectors, threshold=0.9).collect()
+        for r in sim.embedding_neardup_pairs(vectors, threshold=0.9, dim=4).collect()
     }
     assert pairs[(0, 1)] == 1.0
     assert (10, 11) in pairs

@@ -339,6 +339,34 @@ def test_foreachbatch_parquet_sink_roundtrip(spark, tmp_path):
     assert back.select("batch_id").distinct().count() >= 2
 
 
+def test_foreachbatch_replay_is_exactly_once(spark, tmp_path):
+    """Crash-replay simulation: foreachBatch is at-least-once, so the SAME
+    batch id can be delivered twice (failure between write and checkpoint
+    commit). The idempotent handler must make the second delivery a
+    self-overwrite — downstream readers see exactly-once output."""
+    from hadoop_coded_wordcount_spark.streaming.sinks import (
+        idempotent_parquet_batch_writer,
+    )
+
+    out = str(tmp_path / "out")
+    handle = idempotent_parquet_batch_writer(out)
+    b0 = _mk_events(
+        spark,
+        [("2024-01-01 09:00:00", 1, "click"), ("2024-01-01 09:01:00", 2, "view")],
+    )
+    b1 = _mk_events(spark, [("2024-01-01 09:05:00", 3, "click")])
+
+    handle(b0, 0)
+    handle(b1, 1)
+    handle(b0, 0)  # replay of batch 0 after a simulated crash
+    handle(b0, 0)  # replays are idempotent any number of times
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # no duplicates from the replays
+    assert {r.user_id for r in back.collect()} == {1, 2, 3}
+    assert back.select("batch_id").distinct().count() == 2
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Clicks join views per user within a 30-minute lookback; a view
     outside the interval and a foreign user's view must not match."""
