@@ -24,7 +24,13 @@ from pyspark.sql.window import Window
 
 from .textstats import quality_col, tokens_col
 
-__all__ = ["deterministic_split", "corpus_curation"]
+__all__ = [
+    "deterministic_split",
+    "corpus_curation",
+    "stratified_sample",
+    "contamination_check",
+    "SAMPLE_RATES",
+]
 
 #: First-two-hex-chars threshold for the ~90% train split: 0xe6/0x100.
 SPLIT_HEX = "e6"
@@ -83,4 +89,80 @@ def corpus_curation(documents: DataFrame, min_quality: float = 0.5) -> DataFrame
             F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_quality"),
+    )
+
+
+#: Per-language keep rates for the stratified sample — the "domain
+#: mixing" knob of a training run (keep all English, downsample the
+#: rest). Consumed by BOTH the Spark plan and the oracle SQL generator.
+SAMPLE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "es": 0.5,
+    "fr": 0.25,
+    "zh": 0.25,
+}
+
+
+def _rate_hex(rate: float) -> str:
+    """First-two-hex-chars threshold encoding rate/256 (same bucket
+    arithmetic as the train/validation split)."""
+    return format(min(255, int(rate * 256)), "02x")
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic per-language downsampling (domain mixing).
+
+    Same hash-bucket discipline as :func:`deterministic_split` — keep a
+    document iff its sha256 bucket falls below the language's rate
+    threshold — so the sample is a pure function of the row: identical on
+    any cluster, partitioning, or engine, and a document's fate never
+    flips between runs (``sample()`` can't promise any of that). Rate 1.0
+    keeps everything without touching the hash.
+
+    Scale: a single filter projection — no shuffle, pipelines into the
+    scan; the selectivity Catalyst sees is the blended keep rate.
+    """
+    bucket = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    keep = F.lit(False)
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        cond = F.col("lang") == lang
+        keep = keep | (
+            cond if rate >= 1.0 else (cond & (bucket < _rate_hex(rate)))
+        )
+    return documents.where(keep).select("doc_id", "lang", "source")
+
+
+def contamination_check(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Train→validation n-gram contamination report.
+
+    The eval-integrity check a training pipeline runs before trusting a
+    held-out split: which validation documents share any word ``n``-gram
+    with the training split, and how many distinct n-grams collide. Uses
+    the same hash-stable split as :func:`deterministic_split` and the
+    same shingle semantics as ``dedup.shingled``.
+
+    Scale: shingles explode once, split by the hash bucket, and collide
+    via a semi-join keyed on the gram string — candidate volume is
+    bounded by gram frequency, never |train|×|val|. (In production the
+    train side is the inverted index you already wrote —
+    ``textstats.inverted_index`` — not a rescan.)
+    """
+    from .dedup import shingled
+
+    bucket = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    grams = (
+        shingled(documents, n=n)
+        .withColumn(
+            "split", F.when(bucket < SPLIT_HEX, "train").otherwise("validation")
+        )
+        .select("doc_id", "split", F.explode("grams").alias("gram"))
+    )
+    train_grams = grams.where(F.col("split") == "train").select("gram").distinct()
+    val = grams.where(F.col("split") == "validation")
+    hits = val.join(train_grams, "gram", "left_semi")
+    return hits.agg(
+        F.count_distinct("doc_id").alias("n_contaminated_docs"),
+        F.count_distinct("gram").alias("n_colliding_grams"),
+        F.count(F.lit(1)).alias("n_gram_hits"),
     )

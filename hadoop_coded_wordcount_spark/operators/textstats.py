@@ -33,6 +33,9 @@ __all__ = [
     "token_count",
     "winnowing_fingerprint",
     "token_frequency_sketch",
+    "gopher_repetition",
+    "inverted_index",
+    "tfidf_topk",
 ]
 
 #: Tiny per-language stopword lists (lowercase). Real language ID uses
@@ -211,4 +214,133 @@ def token_frequency_sketch(
         F.count_min_sketch(
             "tok", F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
         ).alias("sketch"),
+    )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Repetition quality signals per document (the Gopher-rules family):
+    the fraction of tokens taken by the single most frequent token, and
+    the fraction of bigrams taken by the most frequent bigram. High values
+    flag boilerplate/spam (a page repeating one phrase) that length- and
+    punctuation-based quality scores miss.
+
+    Shape: one token explode and one bigram explode, each a two-level
+    partial-aggregable count (doc×term → doc), joined back on doc_id —
+    all codegen'd counts, shuffle keys are (doc_id, term) pairs. Docs
+    with < 2 tokens have no bigram and are excluded (same filter in the
+    oracle).
+    """
+    toks = documents.select("doc_id", tokens_col().alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    tok_stats = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.max("count").alias("top_tok"),
+        )
+    )
+    grams = F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+        F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    gram_stats = (
+        toks.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_gram"),
+        )
+    )
+    return tok_stats.join(gram_stats, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("top_tok").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(
+            F.col("top_gram").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def inverted_index(documents: DataFrame, min_df: int = 5, top_postings: int = 10) -> DataFrame:
+    """Inverted index: term → document frequency + leading postings.
+
+    The retrieval-side building block (and the contamination-lookup
+    structure): for each term appearing in at least ``min_df`` documents,
+    its document frequency and the first ``top_postings`` doc ids of the
+    sorted postings list (stringified — full postings would be the table
+    you *write*, not collect).
+
+    Scale: explode → distinct(term, doc) → one count-style aggregation
+    keyed by term; postings assemble via ``collect_set`` + ``sort_array``
+    (set is bounded per term by the slice; at true scale the full postings
+    list is written out partitioned by term-hash instead of sliced).
+    """
+    term_docs = (
+        documents.select(F.explode(tokens_col()).alias("term"), "doc_id")
+        .distinct()
+    )
+    return (
+        term_docs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, top_postings
+                ).cast("array<string>"),
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= min_df)
+        .select("term", "df", "postings_head")
+    )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·(N/df).
+
+    The idf is the *rational* form N/df rather than log(N/df): integer
+    tf·N is exact in double and one IEEE division is bit-identical across
+    engines, so the oracle comparison needs no tolerance — log's last-ulp
+    differences between libm implementations would break exactness
+    without changing any ranking.
+
+    Shape: tf = (doc, term) count; df = distinct-doc count per term;
+    N broadcast as a 1-row frame; ranking is a per-doc window over k
+    candidates with a total tie-break (score desc, term asc).
+    """
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+                6,
+            ).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
     )

@@ -1630,6 +1630,135 @@ def q_corpus_curation(spark, sf_dir):
     return pl.corpus_curation(load_table(spark, sf_dir, "documents"))
 
 
+def _sample_keep_sql() -> str:
+    """WHERE clause for stratified_sample, generated from the same
+    SAMPLE_RATES constant the Spark plan consumes."""
+    parts = []
+    for lang, rate in sorted(pl.SAMPLE_RATES.items()):
+        if rate >= 1.0:
+            parts.append(f"(lang = '{lang}')")
+        else:
+            parts.append(
+                f"(lang = '{lang}' AND substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)"
+                f" < '{pl._rate_hex(rate)}')"
+            )
+    return " OR ".join(parts)
+
+
+@register(
+    "stratified_sample",
+    f"SELECT doc_id, lang, source FROM documents WHERE {_sample_keep_sql()}",
+)
+def q_stratified_sample(spark, sf_dir):
+    return pl.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH g AS ({_DUCK_SHINGLES}),
+    e AS (
+      SELECT doc_id,
+             CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{pl.SPLIT_HEX}'
+                  THEN 'train' ELSE 'validation' END AS split,
+             unnest(grams) AS gram
+      FROM g
+    ),
+    tg AS (SELECT DISTINCT gram FROM e WHERE split = 'train'),
+    v AS (SELECT doc_id, gram FROM e WHERE split = 'validation')
+    SELECT COUNT(DISTINCT v.doc_id) AS n_contaminated_docs,
+           COUNT(DISTINCT v.gram) AS n_colliding_grams,
+           COUNT(*) AS n_gram_hits
+    FROM v JOIN tg USING (gram)
+    """,
+)
+def q_contamination_check(spark, sf_dir):
+    return pl.contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "gopher_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tt AS (SELECT * FROM toks WHERE len(toks) >= 2),
+    tokc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tt) GROUP BY doc_id, tok
+    ),
+    tokagg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_tok
+      FROM tokc GROUP BY doc_id
+    ),
+    gramc AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM tt) GROUP BY doc_id, gram
+    ),
+    gramagg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_gram
+      FROM gramc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           round(CAST(t.top_tok AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+           round(CAST(g.top_gram AS DOUBLE) / g.n_bigrams, 6) AS top_bigram_frac
+    FROM tokagg t JOIN gramagg g USING (doc_id)
+    """,
+)
+def q_gopher_repetition(spark, sf_dir):
+    return ts.gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "inverted_index",
+    """
+    SELECT term, df, postings_head FROM (
+      SELECT tok AS term, COUNT(DISTINCT doc_id) AS df,
+             array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 10), ',')
+               AS postings_head
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ) WHERE df >= 5
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    return ts.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, rank, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 6) DESC,
+                        tf.term ASC
+             ) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_topk(spark, sf_dir):
+    return ts.tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Pandas-UDF surface (SURVEY.md §2.3 UDF row) — each oracled against plain
 # SQL, proving the Python path computes exactly what the declarative form
@@ -1766,6 +1895,11 @@ def q_events_session(spark, sf_dir):
 _VERIFY_FIRST = [
     # new this round — no external oracle row yet
     "skewed_join_rollup",
+    "stratified_sample",
+    "contamination_check",
+    "gopher_repetition",
+    "inverted_index",
+    "tfidf_topk",
     # never externally oracle-executed as of round 2 (VERDICT.md r2 list)
     "dedup_exact",
     "dedup_fingerprint",

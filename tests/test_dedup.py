@@ -165,3 +165,54 @@ def test_connected_components_raises_when_unconverged(spark):
         for r in dd.connected_components(chain, max_iter=15).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """The sample is a pure function of the row: identical across runs,
+    per-language keep decisions follow the hash threshold exactly."""
+    import hashlib
+
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept1 = {r.doc_id for r in pl.stratified_sample(docs).collect()}
+    kept2 = {r.doc_id for r in pl.stratified_sample(docs).collect()}
+    assert kept1 == kept2  # determinism, any partitioning
+    for r in docs.select("doc_id", "lang").collect():
+        rate = pl.SAMPLE_RATES[r.lang]
+        bucket = hashlib.sha256(str(r.doc_id).encode()).hexdigest()[:2]
+        expect = rate >= 1.0 or bucket < pl._rate_hex(rate)
+        assert (r.doc_id in kept1) == expect, (r.doc_id, r.lang)
+
+
+def test_contamination_check_counts_val_side_only(spark):
+    """Plant one trigram shared train->validation; the report counts the
+    validation doc and the colliding gram exactly once."""
+    import hashlib
+
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+
+    def split_of(doc_id):
+        h = hashlib.sha256(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if h < pl.SPLIT_HEX else "validation"
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    val_id = next(i for i in range(1000) if split_of(i) == "validation")
+    other_val = next(
+        i for i in range(val_id + 1, 2000) if split_of(i) == "validation"
+    )
+    rows = [
+        (train_id, "shared tri gram plus tail", "en", "s", 1),
+        (val_id, "prefix shared tri gram", "en", "s", 1),  # contaminated
+        (other_val, "totally different words here", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    r = pl.contamination_check(docs).collect()[0]
+    # val doc's trigrams are {'prefix shared tri', 'shared tri gram'};
+    # only 'shared tri gram' also appears train-side
+    assert r.n_contaminated_docs == 1
+    assert r.n_colliding_grams == 1
+    assert r.n_gram_hits == 1

@@ -88,3 +88,54 @@ def test_token_frequency_sketch_estimates(spark):
         est = jcms.estimateCount(tok)
         assert est >= cnt  # never underestimates
         assert est <= cnt * 1.01 + 10  # eps-tight at this scale
+
+
+def test_gopher_repetition_planted(spark):
+    rows = [
+        (0, "spam spam spam spam ham", "en", "s", 23),  # heavy repetition
+        (1, "all words here are unique tokens", "en", "s", 32),
+        (2, "solo", "en", "s", 4),  # < 2 tokens -> excluded
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {r.doc_id: r for r in ts.gopher_repetition(docs).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n_tokens == 5
+    assert got[0].top_token_frac == pytest.approx(4 / 5)
+    # bigrams: 'spam spam' x3 of 4 bigrams
+    assert got[0].top_bigram_frac == pytest.approx(3 / 4)
+    # the operator rounds to 6 decimals — compare against the same rounding
+    assert got[1].top_token_frac == round(1 / 6, 6)
+    assert got[1].top_bigram_frac == round(1 / 5, 6)
+
+
+def test_inverted_index_postings(spark):
+    rows = [(i, "alpha beta " + ("gamma" if i % 2 else "delta"), "en", "s", 1)
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {r.term: r for r in ts.inverted_index(docs, min_df=5).collect()}
+    assert set(got) == {"alpha", "beta", "gamma", "delta"}
+    assert got["alpha"].df == 10
+    assert got["gamma"].df == 5
+    assert got["gamma"].postings_head == "1,3,5,7,9"
+    assert got["alpha"].postings_head == "0,1,2,3,4,5,6,7,8,9"
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    rows = [
+        (0, "common rare0 common", "en", "s", 1),
+        (1, "common rare1", "en", "s", 1),
+        (2, "common rare2", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {(r.doc_id, r.rank): r for r in ts.tfidf_topk(docs, k=2).collect()}
+    # rare term (df=1) outranks the common one (df=3) despite tf=2 on doc 0:
+    # doc0: rare0 = 1*3/1 = 3.0 ; common = 2*3/3 = 2.0
+    assert got[(0, 1)].term == "rare0" and got[(0, 1)].tfidf == 3.0
+    assert got[(0, 2)].term == "common" and got[(0, 2)].tfidf == 2.0
+    assert got[(1, 1)].term == "rare1"
