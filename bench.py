@@ -5,6 +5,11 @@ Run: ``python bench.py``. Env knobs:
 
 * ``SPARK_GRAFT_SF_DIR`` — parquet dir (default ``/root/testdata/sf0.1``)
 * ``SPARK_GRAFT_CPUS``   — local[] core count (default 32)
+* ``SPARK_GRAFT_BENCH_METRICS=1`` — also record each query's executed-plan
+  communication profile (shuffle records/bytes — the reference's
+  PACKETS_SENT counter surface) into ``bench_detail.json``. Materializes
+  through the plan's own QueryExecution instead of the noop sink, so the
+  default timing path is untouched when the knob is off.
 
 Each query is materialized through the ``noop`` sink — full execution of
 every operator and row on the executors, zero driver-side collection — so
@@ -76,15 +81,25 @@ def main() -> int:
     # noise control on a shared box; the driver default (1) is untouched
     # so recorded rounds stay comparable.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    with_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS") == "1"
 
     timings: dict[str, float] = {}
+    comm: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         best = None
         for _ in range(repeat):
             t0 = time.perf_counter()
             try:
-                materialize(fn(spark, SF_DIR))
+                df = fn(spark, SF_DIR)
+                if with_metrics:
+                    from hadoop_coded_wordcount_spark.plans.metrics import (
+                        run_with_metrics,
+                    )
+
+                    comm[name] = run_with_metrics(df)
+                else:
+                    materialize(df)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # keep benching the rest
@@ -111,6 +126,8 @@ def main() -> int:
     }
     if errors:
         detail["errors"] = errors
+    if comm:
+        detail["communication"] = comm
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     try:

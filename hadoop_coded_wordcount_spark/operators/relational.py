@@ -779,6 +779,74 @@ def upsert_snapshot(
     return survivors.unionByName(updates)
 
 
+def q21_waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape — the hardest reference subquery pattern: for
+    finalized multi-supplier orders, suppliers who were the ONLY late
+    shipper (EXISTS another supplier's line + NOT EXISTS another
+    supplier's LATE line, both correlated on the order). Adapted to this
+    dataset's columns: "late" = shipped > ``late_days`` after the order
+    date (no commit/receipt dates exist).
+
+    Plan shape: the late-line set is computed ONCE and reused as both the
+    driving side and the NOT-EXISTS probe; EXISTS/NOT EXISTS compile to
+    one left-semi and one left-anti sort-merge join on l_orderkey with
+    the supplier-inequality as a residual — never a per-row subquery.
+    The supplier dim rides a broadcast hash join; output is a bounded
+    top-N (TakeOrderedAndProject), fully deterministic via the
+    (numwait desc, s_name) total order.
+    """
+    late = (
+        lineitem.join(
+            F.broadcast(
+                orders.where(F.col("o_orderstatus") == "F").select(
+                    "o_orderkey", "o_orderdate"
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    only_late = late.join(
+        others,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(topn)
+    )
+
+
 def repriced_updates(orders: DataFrame) -> DataFrame:
     """The deterministic update set for the upsert demo: every pending
     ('P') order re-priced at 2×. Lives here (not inline in the registry)

@@ -535,6 +535,36 @@ def q_q22_dormant_accounts(spark, sf_dir):
     )
 
 
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_q21_waiting_suppliers(spark, sf_dir):
+    return rel.q21_waiting_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 @register("approx_percentile_agg")  # sketch != DuckDB's sketch → rows-only
 def q_approx_percentile_agg(spark, sf_dir):
     return rel.approx_percentile_agg(load_table(spark, sf_dir, "lineitem"))
@@ -1900,6 +1930,7 @@ _VERIFY_FIRST = [
     "gopher_repetition",
     "inverted_index",
     "tfidf_topk",
+    "q21_waiting_suppliers",
     # never externally oracle-executed as of round 2 (VERDICT.md r2 list)
     "dedup_exact",
     "dedup_fingerprint",

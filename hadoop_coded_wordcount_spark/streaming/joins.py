@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .windows import _as_event_time
 
-__all__ = ["clicks_after_views", "dedup_within_watermark"]
+__all__ = ["clicks_after_views", "dedup_within_watermark", "enrich_with_static"]
 
 
 def clicks_after_views(
@@ -117,3 +117,19 @@ def dedup_within_watermark(
     ).dropDuplicatesWithinWatermark(
         ["content_key"]
     )
+
+
+def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each streaming row with a broadcast
+    dimension — the third join modality next to batch-batch and
+    stream-stream, and the common shape for routing/annotation at the
+    stream head (event type → category, user → tenant, ...).
+
+    Unlike stream-stream, this needs NO watermark and NO join state: the
+    static side is just re-read (and with the broadcast hint, shipped
+    once per executor) each micro-batch, so the stream side stays a
+    stateless map — the 100 TB/day shape for reference-data enrichment.
+    The static side may even be updated between batches (each batch sees
+    the current table); only the stream side is incremental.
+    """
+    return stream.join(F.broadcast(dim), on)

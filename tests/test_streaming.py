@@ -495,3 +495,40 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
             if r.user_id in (1, 2)}
     assert rows[1] == (0, 1200)        # matched pair intact
     assert rows[2] == (None, None)     # unmatched click, null-padded
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: every micro-batch row is enriched from the
+    static dim with no watermark and no join state; rows with no dim
+    match drop (inner join), exactly as in batch."""
+    from hadoop_coded_wordcount_spark.streaming.joins import enrich_with_static
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_events(
+        spark,
+        [
+            ("2024-01-01 09:00:00", 1, "click"),
+            ("2024-01-01 09:01:00", 2, "view"),
+            ("2024-01-01 09:02:00", 3, "purchase"),
+        ],
+    ).write.parquet(str(src / "b1"))
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement")],
+        ["event_type", "category"],
+    )
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    out = str(tmp_path / "out")
+    q = (
+        enrich_with_static(stream, dim, "event_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    got = {(r.user_id, r.category) for r in back.collect()}
+    # 'purchase' has no dim row -> dropped; the rest enriched
+    assert got == {(1, "engagement"), (2, "engagement")}
