@@ -779,6 +779,164 @@ def upsert_snapshot(
     return survivors.unionByName(updates)
 
 
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly order volume
+    for a part type — the deepest join tree in the suite (6 tables, the
+    nation dim used twice under different roles).
+
+    Scale shape: all five dims prune BEFORE broadcasting (part filtered to
+    the type, customer-side nations to the region, supplier-side nation
+    carried as a name), so the only big-table work is lineitem ⋈ orders;
+    the share divides two exact DECIMAL sums (conditional numerator via
+    CASE) cast to double at the very end — no float accumulation anywhere.
+    """
+    volume = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    n_cust = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == target_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_type") == part_type).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                customer.join(
+                    F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key")
+                ).select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key")
+                ).select("s_suppkey", "supp_nation")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, F.col("volume"))
+                .otherwise(F.lit(0).cast(DEC))
+            ).alias("nation_volume"),
+            F.sum("volume").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nation_volume").cast("double")
+                / F.col("total_volume").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    period_start: str = "1996-01-01",
+    period_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — a reused aggregate (the revenue "view") consumed twice: once
+    as the join input, once reduced to a 1-row global max that returns as
+    a broadcast scalar filter. Exact DECIMAL revenue so the equality
+    against the max is well-defined cross-engine (a float sum would make
+    "= max" engine-dependent).
+    """
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(period_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(period_end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    average quantity — the correlated-scalar-aggregate pattern,
+    decorrelated into a per-part aggregate joined back to the fact (never
+    a per-row subquery).
+
+    Determinism note: the per-part average is computed as
+    exact-DECIMAL-sum / count and only then divided in double — a naive
+    ``avg(double)`` is partition-order-dependent in its last ulp, which
+    would make the ``quantity < 0.2*avg`` boundary engine-dependent.
+    """
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_brand") == brand).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
 def q21_waiting_suppliers(
     lineitem: DataFrame,
     orders: DataFrame,
@@ -1443,4 +1601,30 @@ def json_funcs(events: DataFrame) -> DataFrame:
         k.alias("k_str"),
         k.cast("bigint").alias("k_int"),
         (k.cast("bigint") % 10).alias("k_mod10"),
+    )
+
+
+def variant_funcs(events: DataFrame) -> DataFrame:
+    """VARIANT semi-structured surface (Spark 4): ``parse_json`` once into
+    an open-schema VARIANT value, then typed path extraction with
+    ``variant_get``.
+
+    vs ``json_funcs``' schema-on-read ``from_json``: VARIANT keeps the
+    full document in a binary-encoded form (no fixed struct), so one
+    ingested column serves queries whose paths aren't known at write time
+    — the modern lake shape for event properties. Extractions below are
+    deliberately cast to standard types so a JSON-function oracle can
+    reproduce them; ``schema_of_variant`` / ``is_variant_null`` are
+    exercised (typed per-row schema, JSON-null detection) but the schema
+    string itself is engine-specific so it stays out of the compare.
+    """
+    v = F.parse_json("props")
+    k_int = F.variant_get(v, "$.k", "bigint")
+    return events.select(
+        "event_id",
+        k_int.alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (k_int % 10).alias("k_mod10"),
+        F.is_variant_null(v).alias("props_is_json_null"),
+        F.variant_get(v, "$.missing", "string").alias("missing_path"),
     )

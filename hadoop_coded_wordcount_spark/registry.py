@@ -536,6 +536,112 @@ def q_q22_dormant_accounts(spark, sf_dir):
 
 
 @register(
+    "variant_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+           (json_type(json(props)) = 'NULL') AS props_is_json_null,
+           json_extract_string(props, '$.missing') AS missing_path
+    FROM events
+    """,
+)
+def q_variant_funcs(spark, sf_dir):
+    return rel.variant_funcs(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE), 6)
+             AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             SUM(CASE WHEN sn.n_name = 'NATION_3' THEN volume
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS nation_volume,
+             SUM(volume) AS total_volume
+      FROM (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS volume
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'ECONOMY'
+      ) l
+      JOIN orders ON l.l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l.l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY o_year
+    )
+    """,
+)
+def q_q8_market_share(spark, sf_dir):
+    return rel.q8_market_share(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_q15_top_supplier(spark, sf_dir):
+    return rel.q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+    JOIN per_part USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    return rel.q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
     "q21_waiting_suppliers",
     """
     WITH late AS (
@@ -1931,6 +2037,10 @@ _VERIFY_FIRST = [
     "inverted_index",
     "tfidf_topk",
     "q21_waiting_suppliers",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "variant_funcs",
     # never externally oracle-executed as of round 2 (VERDICT.md r2 list)
     "dedup_exact",
     "dedup_fingerprint",

@@ -532,3 +532,93 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     got = {(r.user_id, r.category) for r in back.collect()}
     # 'purchase' has no dim row -> dropped; the rest enriched
     assert got == {(1, "engagement"), (2, "engagement")}
+
+
+def test_transform_with_state_v2_matches_v1(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas port of the running-totals
+    state machine must carry state across micro-batches exactly like the
+    applyInPandasWithState original (same keys, same cumulative totals).
+    State v2 requires the RocksDB state store provider, and its
+    Python<->JVM state protocol needs google.protobuf — skip where that
+    package isn't installed (the operator itself imports fine)."""
+    pytest.importorskip("google.protobuf")
+    from hadoop_coded_wordcount_spark.streaming.stateful import (
+        running_user_totals_v2,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_events(
+        spark,
+        [
+            ("2024-01-01 09:00:00", 1, "click"),
+            ("2024-01-01 09:01:00", 1, "click"),
+            ("2024-01-01 09:02:00", 2, "click"),
+        ],
+    ).write.parquet(str(src / "b1"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+        q = (
+            running_user_totals_v2(stream)
+            .writeStream.format("memory")
+            .queryName("t_state_v2")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _mk_events(
+                spark,
+                [
+                    ("2024-01-01 09:10:00", 1, "click"),
+                    ("2024-01-01 09:11:00", 3, "click"),
+                ],
+            ).write.parquet(str(src / "b2"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    latest = {}
+    for r in spark.sql(
+        "SELECT * FROM t_state_v2 ORDER BY batches_seen"
+    ).collect():
+        latest[r.user_id] = (r.n_events, r.value_sum, r.batches_seen)
+    # user 1: 2 events in batch 1 + 1 in batch 2, state carried across
+    assert latest[1] == (3, 3.0, 2)
+    assert latest[2] == (1, 1.0, 1)
+    assert latest[3] == (1, 1.0, 1)
+
+
+def test_transform_with_state_v2_plan_builds(spark, tmp_path):
+    """Without google.protobuf only execution is blocked — plan
+    construction and the output schema of the state-v2 operator must
+    still work (guards the operator wiring itself)."""
+    from hadoop_coded_wordcount_spark.streaming.stateful import (
+        running_user_totals_v2,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _mk_events(spark, [("2024-01-01 09:00:00", 1, "click")]).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src) + "/*")
+    df = running_user_totals_v2(stream)
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,value_sum:double,"
+        "batches_seen:bigint>"
+    )
