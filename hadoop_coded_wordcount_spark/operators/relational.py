@@ -1628,3 +1628,23 @@ def variant_funcs(events: DataFrame) -> DataFrame:
         F.is_variant_null(v).alias("props_is_json_null"),
         F.variant_get(v, "$.missing", "string").alias("missing_path"),
     )
+
+
+def generator_funcs(nation: DataFrame) -> DataFrame:
+    """Generator (table-valued) expression surface: a per-row computed
+    sequence exploded with OUTER semantics — rows whose array is empty
+    still emit one (NULL, NULL) row instead of disappearing, the
+    LEFT-JOIN-shaped explode every fan-out pipeline (chunking, n-gram
+    expansion, retry schedules) needs to avoid silently dropping parents.
+
+    ``posexplode_outer`` also surfaces the element ordinal, which is what
+    keeps downstream order-sensitive logic (position-weighted scores,
+    chunk indices) deterministic without a window.
+    """
+    m = F.pmod("n_nationkey", F.lit(4)).cast("bigint")
+    arr = F.when(m == 0, F.array().cast("array<bigint>")).otherwise(
+        F.sequence(F.lit(1).cast("bigint"), m)
+    )
+    return nation.select(
+        "n_nationkey", F.posexplode_outer(arr).alias("pos", "val")
+    )

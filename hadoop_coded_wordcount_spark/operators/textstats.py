@@ -228,10 +228,15 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     partial-aggregable count (doc×term → doc), joined back on doc_id —
     all codegen'd counts, shuffle keys are (doc_id, term) pairs. Docs
     with < 2 tokens have no bigram and are excluded (same filter in the
-    oracle).
+    oracle). The tokenized frame is persisted before branching — the
+    two explodes otherwise each re-run tokenization, and exploding a
+    computed string array straight out of its projection is the slow
+    shape `contamination_check` documents.
     """
-    toks = documents.select("doc_id", tokens_col().alias("toks")).where(
-        F.size("toks") >= 2
+    toks = (
+        documents.select("doc_id", tokens_col().alias("toks"))
+        .where(F.size("toks") >= 2)
+        .persist()
     )
     tok_stats = (
         toks.select("doc_id", F.explode("toks").alias("tok"))

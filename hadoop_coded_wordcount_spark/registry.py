@@ -536,6 +536,21 @@ def q_q22_dormant_accounts(spark, sf_dir):
 
 
 @register(
+    "generator_funcs",
+    """
+    WITH m AS (SELECT n_nationkey, n_nationkey % 4 AS m FROM nation),
+    e AS (SELECT n_nationkey, unnest(range(1, m + 1)) AS i FROM m WHERE m > 0)
+    SELECT n_nationkey, CAST(i - 1 AS INT) AS pos, CAST(i AS BIGINT) AS val
+    FROM e
+    UNION ALL
+    SELECT n_nationkey, NULL, NULL FROM m WHERE m = 0
+    """,
+)
+def q_generator_funcs(spark, sf_dir):
+    return rel.generator_funcs(load_table(spark, sf_dir, "nation"))
+
+
+@register(
     "variant_funcs",
     """
     SELECT event_id,
@@ -2041,6 +2056,7 @@ _VERIFY_FIRST = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "variant_funcs",
+    "generator_funcs",
     # never externally oracle-executed as of round 2 (VERDICT.md r2 list)
     "dedup_exact",
     "dedup_fingerprint",
