@@ -163,3 +163,37 @@ def test_cache_reuse_appears_in_plan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         g.unpersist()
+
+
+def test_q8_broadcasts_every_dim(spark):
+    """Q8's six-table tree: part/customer/supplier/nation/region all ride
+    broadcast joins; the only shuffle-worthy join is fact-fact
+    (lineitem ⋈ orders)."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact-fact join may be SMJ or (at sf0.01 under AQE) broadcast;
+    # what must NOT happen is a dim arriving via shuffle join
+    assert "CartesianProduct" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read  # column pruning on the fact scan
+
+
+def test_q21_compiles_to_semi_plus_anti(spark):
+    """EXISTS and NOT EXISTS must become one left-semi and one left-anti
+    join — never per-row subqueries (no nested-loop over lineitem)."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # bounded top-N, no global sort
+
+
+def test_q15_max_arrives_broadcast(spark):
+    """The 1-row global max joins back as a broadcast, not a shuffle."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q17_part_filter_pushed_and_broadcast(spark):
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "EqualTo(p_brand,Brand#13)" in plan  # pushed to the part scan
+    assert "BroadcastHashJoin" in plan
