@@ -1648,3 +1648,37 @@ def generator_funcs(nation: DataFrame) -> DataFrame:
     return nation.select(
         "n_nationkey", F.posexplode_outer(arr).alias("pos", "val")
     )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — the left-outer join + conditional
+    count + histogram-of-counts pattern (no reference analog; Q13 is the
+    canonical "count the counts" query).
+
+    Adapted to this corpus: TPC-H excludes orders by comment pattern;
+    ``orders`` has no comment column, so '5-LOW'-priority orders are
+    excluded instead. The exclusion rides the JOIN CONDITION (not a
+    WHERE after the join) so customers whose every order is excluded
+    still appear with c_count = 0 — the classic Q13 trap.
+
+    Scale: customer ⋈ orders shuffles both sides on the customer key
+    once; the follow-on groupBy(c_custkey) reuses that exchange (Catalyst
+    sees the child partitioning satisfies the agg distribution — no
+    second shuffle of the fact), and the final histogram aggregates
+    |distinct counts| rows (~tens), partial-agg'd map-side.
+    """
+    qualifying = orders.where(
+        ~F.col("o_orderpriority").startswith("5")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(qualifying, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -18,7 +18,7 @@ so they pipeline into the same scan at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .dedup import tokens_col
@@ -36,6 +36,10 @@ __all__ = [
     "gopher_repetition",
     "inverted_index",
     "tfidf_topk",
+    "pii_redact",
+    "PII_EMAIL",
+    "PII_PHONE",
+    "PII_IPV4",
 ]
 
 #: Tiny per-language stopword lists (lowercase). Real language ID uses
@@ -348,4 +352,71 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+#: PII patterns — deliberately the RE2 ∩ Java-regex common subset so the
+#: Spark plan and the DuckDB oracle compile the SAME automaton.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def inject_pii(documents: DataFrame) -> Column:
+    """Deterministic PII-bearing text: the corpus itself carries no PII,
+    so the fixture rides inside the query — a contact trailer derived
+    from ``doc_id`` (email for 2/3 of docs, phone for 1/2, IP for all),
+    identically constructed by the oracle SQL. Returns the augmented
+    text column."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 != 0,
+        F.concat(F.lit(" reach user"), did.cast("string"), F.lit("@example.org")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.concat(
+        F.lit(" from 10."),
+        (did % 200).cast("string"),
+        F.lit(".0."),
+        (did % 250).cast("string"),
+    )
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII detection + masking — the compliance pass every training-data
+    pipeline runs before a corpus ships: count and replace emails, NANP
+    phone numbers, and IPv4 addresses with typed mask tokens.
+
+    Redaction order is load-bearing (email first — its domain part would
+    otherwise feed the IP matcher a prefix) and is identical in the
+    oracle. Counts are taken on the pre-redaction text.
+
+    Scale: one narrow projection per row, three codegen'd regex passes,
+    no shuffle — pipelines into the scan at any corpus size. The regex
+    set is a module constant shared with the oracle generator (one
+    source of truth, two engines).
+    """
+    injected = inject_pii(documents)
+    red = injected
+    for pat, tag in (
+        (PII_EMAIL, "[EMAIL]"),
+        (PII_PHONE, "[PHONE]"),
+        (PII_IPV4, "[IP]"),
+    ):
+        red = F.regexp_replace(red, pat, tag)
+    return documents.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(injected, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(injected, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
+        red.alias("redacted"),
     )

@@ -24,6 +24,7 @@ from .operators import multimodal as mm
 from .operators import pipeline as pl
 from .operators import relational as rel
 from .operators import similarity as sim
+from .operators import sketches as sk
 from .operators import textstats as ts
 from .operators import wordcount as wc
 from .streaming import windows as sw
@@ -683,6 +684,27 @@ def q_q21_waiting_suppliers(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_q13_customer_distribution(spark, sf_dir):
+    return rel.q13_customer_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
     )
 
 
@@ -1827,6 +1849,84 @@ def q_contamination_check(spark, sf_dir):
     return pl.contamination_check(load_table(spark, sf_dir, "documents"))
 
 
+# KMV estimate has no DuckDB twin (xxhash64 bottom-k) → rows-only check;
+# tests/test_sketches.py pins accuracy vs exact count-distinct and
+# bit-equality between the window and mergeable-partial strategies.
+@register("kmv_distinct_custkeys")
+def q_kmv_distinct_custkeys(spark, sf_dir):
+    return sk.kmv_distinct(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    ).orderBy("o_orderpriority")
+
+
+_DUCK_PII_INJECT = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 <> 0
+                   THEN ' reach user' || doc_id || '@example.org'
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+           || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS t
+    FROM documents
+"""
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH inj AS ({_DUCK_PII_INJECT})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{ts.PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{ts.PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{ts.PII_IPV4}')) AS BIGINT) AS n_ip,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{ts.PII_EMAIL}', '[EMAIL]', 'g'),
+               '{ts.PII_PHONE}', '[PHONE]', 'g'),
+             '{ts.PII_IPV4}', '[IP]', 'g') AS redacted
+    FROM inj
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    return ts.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "passage_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    base AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 4),
+    pas AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, len(tk) // 4),
+               i -> sha256(array_to_string(list_slice(tk, i*4+1, i*4+4), ' '))
+             )) AS h
+      FROM base
+    ),
+    cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM pas GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages,
+           ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM pas JOIN cnt USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_passage_dedup(spark, sf_dir):
+    return dd.passage_dedup(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "gopher_repetition",
     """
@@ -2045,6 +2145,10 @@ def q_events_session(spark, sf_dir):
 
 _VERIFY_FIRST = [
     # new this round — no external oracle row yet
+    "q13_customer_distribution",
+    "passage_dedup",
+    "pii_redact",
+    "kmv_distinct_custkeys",
     "skewed_join_rollup",
     "stratified_sample",
     "contamination_check",

@@ -216,3 +216,25 @@ def test_contamination_check_counts_val_side_only(spark):
     assert r.n_contaminated_docs == 1
     assert r.n_colliding_grams == 1
     assert r.n_gram_hits == 1
+
+
+def test_passage_dedup_flags_shared_passages(spark):
+    """A passage that occurs in ≥2 docs must be counted dup in EVERY doc
+    containing it; docs shorter than the passage size are dropped."""
+    from hadoop_coded_wordcount_spark.operators.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),      # shares passage 'a b c d' with 2
+            (2, "a b c d q r s t"),
+            (3, "unique words only here"),
+            (4, "too short"),             # < 4 tokens → dropped
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in passage_dedup(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_dup_passages"] == 1 and rows[2]["n_dup_passages"] == 1
+    assert rows[1]["n_passages"] == 2
+    assert rows[3]["n_dup_passages"] == 0
+    assert rows[1]["dup_ratio"] == 0.5

@@ -87,3 +87,21 @@ def test_recursive_cte_sql_frontend(spark):
         """
     ).collect()
     assert [(r.node, r.depth) for r in rows] == [(i, i) for i in range(11)]
+
+
+def test_q13_includes_zero_order_customers(spark):
+    """The exclusion filter must ride the join condition: customers with
+    no qualifying orders appear in the c_count=0 bucket."""
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        q13_customer_distribution,
+    )
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF001, "customer")
+    orders = load_table(spark, SF001, "orders")
+    dist = {
+        r["c_count"]: r["custdist"]
+        for r in q13_customer_distribution(cust, orders).collect()
+    }
+    assert 0 in dist and dist[0] > 0
+    assert sum(dist.values()) == cust.count()

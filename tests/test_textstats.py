@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from conftest import SF001
+
 from hadoop_coded_wordcount_spark.operators import textstats as ts
 
 
@@ -139,3 +141,30 @@ def test_tfidf_ranks_rare_terms_first(spark):
     assert got[(0, 1)].term == "rare0" and got[(0, 1)].tfidf == 3.0
     assert got[(0, 2)].term == "common" and got[(0, 2)].tfidf == 2.0
     assert got[(1, 1)].term == "rare1"
+
+
+def test_pii_redact_masks_everything(spark):
+    """After redaction no PII pattern may survive, and counts mirror the
+    deterministic injection schedule (email 2/3, phone 1/2, IP all)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    out = ts.pii_redact(load_table(spark, SF001, "documents")).persist()
+    n = out.count()
+    leftovers = out.where(
+        F.col("redacted").rlike(ts.PII_EMAIL)
+        | F.col("redacted").rlike(ts.PII_PHONE)
+        | F.col("redacted").rlike(ts.PII_IPV4)
+    ).count()
+    assert leftovers == 0
+    agg = out.agg(
+        F.sum("n_email").alias("e"), F.sum("n_phone").alias("p"), F.sum("n_ip").alias("i")
+    ).collect()[0]
+    out.unpersist()
+    assert agg["i"] == n  # every doc gets an IP
+    assert 0 < agg["e"] < n and 0 < agg["p"] < n
+    assert out.where(F.col("redacted").contains("[EMAIL]")).count() == out.where(
+        F.col("n_email") > 0
+    ).count()
