@@ -117,6 +117,27 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)
+    # Round-over-round regression gate: diff against the COMMITTED
+    # bench_detail.json (the previous run at the same sf) before we
+    # overwrite it. A query regresses when it is both 1.5× slower and
+    # +0.5 s absolute — the floor keeps sub-second queries' scheduler
+    # noise out of the report.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        if prior.get("sf") == sf:
+            for name, now in timings.items():
+                old = prior.get("queries", {}).get(name)
+                if old is not None and now > 1.5 * old and now - old > 0.5:
+                    regressions[name] = [old, now]
+    except (OSError, ValueError):
+        pass
+    for name, (old, now) in sorted(regressions.items()):
+        print(f"REGRESSION {name}: {old:.3f}s -> {now:.3f}s", file=sys.stderr)
     detail = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -128,8 +149,8 @@ def main() -> int:
         detail["errors"] = errors
     if comm:
         detail["communication"] = comm
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
+    if regressions:
+        detail["regressions"] = regressions
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -145,6 +166,7 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_regressions": len(regressions),
         "queries": heaviest,
         "detail_file": "bench_detail.json",
     }

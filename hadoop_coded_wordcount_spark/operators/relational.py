@@ -1682,3 +1682,82 @@ def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFra
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def events_time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one pass over the event
+    stream producing hour, day, month, year, and grand-total aggregates
+    simultaneously (``ROLLUP`` on the calendar decomposition) — the batch
+    twin of a timeseries store's continuous aggregate ladder.
+
+    Determinism: ``value`` is cast to DECIMAL(18,6) BEFORE summing (the
+    module-wide money discipline) — double sums differ in the last ulp
+    between Spark's partial-agg order and DuckDB's scan order; decimal
+    sums are exact and order-free.
+
+    Scale: Spark expands ROLLUP into a single Expand + one partial-agg'd
+    shuffle keyed on (grouping-set id, keys) — 5 output ladders for one
+    scan and one exchange, vs 5 separate jobs if each granularity were
+    its own query. Cardinality after partial agg is bounded by
+    |distinct hours| × 5, tiny at any corpus size.
+    """
+    t = F.col("ts")
+    base = events.select(
+        F.year(t).alias("yr"),
+        F.month(t).alias("mo"),
+        F.dayofmonth(t).alias("dy"),
+        F.hour(t).alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return base.rollup("yr", "mo", "dy", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+
+
+def snapshot_cdc(orders: DataFrame) -> DataFrame:
+    """Change-data-capture diff between two snapshots of a table: emit
+    one row per INSERT / UPDATE / DELETE, suppressing the unchanged
+    majority — the incremental-pipeline primitive (feeding a MERGE, an
+    audit log, or a downstream recompute trigger).
+
+    The "new" snapshot is derived deterministically inside the query so
+    both engines diff identical inputs: pending orders reprice 2×
+    (updates), every 97th key disappears (deletes), every 101st key
+    re-enters under a shifted key (inserts).
+
+    Scale: a single full-outer sort-merge join on the primary key — both
+    sides shuffle once on o_orderkey; with both snapshots bucketed by key
+    on disk (`sources/io.py` bucketed writes) the exchange disappears
+    entirely and CDC becomes a zip of co-located files. The change filter
+    runs post-join, so the output is |changes|, not |table|.
+    """
+    old = orders.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    new = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "P", F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.col("o_totalprice").alias("new_price"),
+            )
+        )
+    )
+    diff = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+    )
+    return (
+        diff.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+    )

@@ -1849,6 +1849,48 @@ def q_contamination_check(spark, sf_dir):
     return pl.contamination_check(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "snapshot_cdc",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice AS old_price FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                  ELSE o_totalprice END AS new_price
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey,
+           CASE WHEN old_price IS NULL THEN 'insert'
+                WHEN new_price IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           old_price, new_price
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old_price IS NULL OR new_price IS NULL OR old_price <> new_price
+    """,
+)
+def q_snapshot_cdc(spark, sf_dir):
+    return rel.snapshot_cdc(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_time_rollup",
+    """
+    SELECT year(ts) AS yr, month(ts) AS mo, day(ts) AS dy, hour(ts) AS hr,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts), hour(ts))
+    """,
+)
+def q_events_time_rollup(spark, sf_dir):
+    return rel.events_time_rollup(load_table(spark, sf_dir, "events"))
+
+
 # KMV estimate has no DuckDB twin (xxhash64 bottom-k) → rows-only check;
 # tests/test_sketches.py pins accuracy vs exact count-distinct and
 # bit-equality between the window and mergeable-partial strategies.
@@ -2135,6 +2177,20 @@ def q_events_session(spark, sf_dir):
     return sw.session_counts(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "events_distinct_users",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+             AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts)
+    """,
+)
+def q_events_distinct_users(spark, sf_dir):
+    return sw.tumbling_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
@@ -2149,6 +2205,9 @@ _VERIFY_FIRST = [
     "passage_dedup",
     "pii_redact",
     "kmv_distinct_custkeys",
+    "events_time_rollup",
+    "events_distinct_users",
+    "snapshot_cdc",
     "skewed_join_rollup",
     "stratified_sample",
     "contamination_check",

@@ -55,6 +55,11 @@ def get_spark(
             str(shuffle_partitions * 8),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs otherwise evaluate through pickled row batches
+        # (BatchEvalPythonUDTF); the Arrow path batches them like every
+        # other Python surface here (caught by the registry-wide plan
+        # hygiene sweep in tests/test_plan_shapes.py).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ so
         # Spark and the DuckDB oracle agree on wall-clock values.

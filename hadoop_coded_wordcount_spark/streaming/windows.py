@@ -33,6 +33,8 @@ __all__ = [
     "session_counts",
     "watermarked_tumbling",
     "watermarked_session",
+    "tumbling_distinct_users",
+    "watermarked_distinct_users",
 ]
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -151,4 +153,43 @@ def watermarked_session(
             "user_id",
             "n_events",
         )
+    )
+
+
+def tumbling_distinct_users(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Exact distinct users per event-time bucket — batch form.
+
+    ``count_distinct`` shuffles (window, user) pairs with map-side partial
+    dedup; output is |windows| rows.
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .select(_win_str("w.start").alias("window_start"), "distinct_users")
+    )
+
+
+def watermarked_distinct_users(
+    stream: DataFrame, width: str = "1 hour", lateness: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of :func:`tumbling_distinct_users`.
+
+    Streaming aggregation doesn't support ``count_distinct`` (the state
+    would be unbounded per group), so the streaming shape is
+    **dedupe-then-count**: ``dropDuplicates`` on (user, bucket) keyed by
+    the SAME watermark that later finalizes the windows — dedup state
+    expires with the watermark exactly like window state — then an
+    ordinary windowed count of the surviving one-row-per-user-per-bucket
+    stream. Same answer as the batch form, bounded state at any rate.
+    """
+    deduped = (
+        _as_event_time(stream)
+        .withWatermark("ts", lateness)
+        .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicates(["user_id", "bucket"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count("*").alias("distinct_users"))
+        .select(_win_str("w.start").alias("window_start"), "distinct_users")
     )

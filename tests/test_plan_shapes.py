@@ -197,3 +197,35 @@ def test_q17_part_filter_pushed_and_broadcast(spark):
     plan = _plan(spark, "q17_small_quantity_revenue")
     assert "EqualTo(p_brand,Brand#13)" in plan  # pushed to the part scan
     assert "BroadcastHashJoin" in plan
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Engine-level anti-pattern sweep over EVERY registry query's physical
+    plan at sf0.001: no accidental cartesian products (the one theta join
+    is a deliberate broadcast-nested-loop over 25×5 dims) and no
+    row-at-a-time Python UDF (BatchEvalPython) anywhere — Python surfaces
+    must be Arrow-batched (ArrowEvalPython / MapInPandas / FlatMapGroups)."""
+    sf = "/root/testdata/sf0.001"
+    allowed_nested_loop = {
+        # theta/cross shapes documented as BroadcastNestedLoopJoin on dims
+        "join_cross_theta",
+        "join_range",
+        "correlated_above_nation_avg",
+        "q22_dormant_accounts",
+        "q15_top_supplier",
+        "q6_forecast_revenue",
+        "histogram_prices",
+    }
+    bad: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # plan construction must never raise
+            bad[name] = f"plan build failed: {type(exc).__name__}: {exc}"[:200]
+            continue
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        if "BatchEvalPython" in plan:
+            bad[name] = "BatchEvalPython (row-at-a-time Python UDF)"
+    spark.catalog.clearCache()
+    assert not bad, bad

@@ -622,3 +622,39 @@ def test_transform_with_state_v2_plan_builds(spark, tmp_path):
         "struct<user_id:bigint,n_events:bigint,value_sum:double,"
         "batches_seen:bigint>"
     )
+
+
+def test_streaming_distinct_users_equals_batch(spark, tmp_path):
+    """Streaming can't count_distinct (unbounded per-group state); the
+    dedupe-then-count twin must reproduce the batch distinct counts for
+    every window the watermark finalized."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        sw.watermarked_distinct_users(stream, width="1 hour", lateness="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_distinct_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r.window_start): r.distinct_users
+        for r in spark.sql("SELECT * FROM t_distinct_eq").collect()
+    }
+    want = {
+        r.window_start: r.distinct_users
+        for r in sw.tumbling_distinct_users(events, width="1 hour").collect()
+    }
+    assert got, "stream produced no windows"
+    for key, n in got.items():
+        assert want[key] == n
+    assert len(got) >= len(want) - 10
