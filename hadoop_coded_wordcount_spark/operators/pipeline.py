@@ -29,6 +29,7 @@ __all__ = [
     "corpus_curation",
     "stratified_sample",
     "contamination_check",
+    "mixture_weights",
     "SAMPLE_RATES",
 ]
 
@@ -183,4 +184,40 @@ def contamination_check(documents: DataFrame, n: int = 3) -> DataFrame:
         F.count_distinct("doc_id").alias("n_contaminated_docs"),
         F.count_distinct("gram").alias("n_colliding_grams"),
         F.count(F.lit(1)).alias("n_gram_hits"),
+    )
+
+
+def mixture_weights(
+    documents: DataFrame, alpha: float = 0.5, budget: int = 1_000_000
+) -> DataFrame:
+    """Data-mixture planning: per-source sampling weights proportional to
+    size^alpha — the standard LLM-pretraining recipe knob (alpha < 1
+    up-weights small high-quality sources against the web-scale bulk;
+    alpha=1 is proportional, alpha=0 uniform).
+
+    Emits, per source: token count, normalized mixture weight, the token
+    budget allotted, and the sampling rate to hit it (capped at 1 —
+    over-allotted sources surface as rate 1.0, telling the pipeline to
+    either upsample by repetition or re-normalize).
+
+    Scale: one partial-agg'd shuffle of |sources| rows, then a
+    single-partition window over that tiny aggregate for the normalizer —
+    driver-free, rescan-free. Transcendental (pow) outputs round to 6 dp
+    per the module determinism discipline.
+    """
+    toks = tokens_col()
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens")
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    wsum = F.sum(w).over(Window.partitionBy())
+    frac = w / wsum
+    return per_src.select(
+        "source",
+        "n_tokens",
+        F.round(frac, 6).alias("weight"),
+        F.floor(frac * budget).cast("bigint").alias("budget_tokens"),
+        F.round(F.least(F.lit(1.0), frac * budget / F.col("n_tokens")), 6).alias(
+            "sampling_rate"
+        ),
     )

@@ -1761,3 +1761,48 @@ def snapshot_cdc(orders: DataFrame) -> DataFrame:
         .where(F.col("change_type").isNotNull())
         .select("o_orderkey", "change_type", "old_price", "new_price")
     )
+
+
+def incremental_agg_update(orders: DataFrame, cutoff: str = "1997-01-01") -> DataFrame:
+    """Materialized-view maintenance: fold a delta into a pre-aggregated
+    state ALGEBRAICALLY — merge partial aggregates (sum of counts, sum of
+    sums, min of mins, max of maxes; avg re-derived at read) instead of
+    rescanning the base. This is Catalyst's own partial/final aggregation
+    contract (the reference's combiner, reference WordCount.java:95-114)
+    lifted to pipeline level: because the agg state is a commutative
+    monoid, `agg(base ∪ delta) == merge(agg(base), agg(delta))`, and a
+    100-TB nightly refresh touches only the delta partitions.
+
+    Here "state" and "delta" are derived from the same table split at
+    ``cutoff`` so the DuckDB oracle (a plain full-table aggregate) proves
+    the merge is lossless.
+    """
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("sum_price"),
+            F.min(_dec("o_totalprice")).alias("min_price"),
+            F.max(_dec("o_totalprice")).alias("max_price"),
+        )
+
+    cut = F.col("o_orderdate") < F.lit(cutoff)
+    state = partial(orders.where(cut))
+    delta = partial(orders.where(~cut))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price").alias("s"),
+            F.min("min_price").alias("mn"),
+            F.max("max_price").alias("mx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("s").cast("double").alias("sum_price"),
+            F.col("mn").cast("double").alias("min_price"),
+            F.col("mx").cast("double").alias("max_price"),
+            (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
+        )
+    )

@@ -2191,6 +2191,49 @@ def q_events_distinct_users(spark, sf_dir):
     return sw.tumbling_distinct_users(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "incremental_agg_update",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg_update(spark, sf_dir):
+    return rel.incremental_agg_update(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "mixture_weights",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wtd AS (
+      SELECT source, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE), 0.5) AS w,
+             SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () AS wsum
+      FROM per_src
+    )
+    SELECT source, n_tokens,
+           ROUND(w / wsum, 6) AS weight,
+           CAST(FLOOR(w / wsum * 1000000) AS BIGINT) AS budget_tokens,
+           ROUND(LEAST(1.0, w / wsum * 1000000 / n_tokens), 6) AS sampling_rate
+    FROM wtd
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    return pl.mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------

@@ -105,3 +105,29 @@ def test_q13_includes_zero_order_customers(spark):
     }
     assert 0 in dist and dist[0] > 0
     assert sum(dist.values()) == cust.count()
+
+
+def test_incremental_merge_handles_empty_delta(spark):
+    """Cutoff past the data's max date → the delta side is empty; the
+    merged state must equal the state alone (monoid identity)."""
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        incremental_agg_update,
+    )
+
+    orders = load_table(spark, SF001, "orders")
+    far = incremental_agg_update(orders, cutoff="2999-01-01").collect()
+    near = incremental_agg_update(orders, cutoff="1000-01-01").collect()
+    assert sorted(map(tuple, far)) == sorted(map(tuple, near))
+
+
+def test_mixture_weights_normalize_and_cap(spark):
+    from hadoop_coded_wordcount_spark.operators.pipeline import mixture_weights
+
+    docs = load_table(spark, SF001, "documents")
+    rows = mixture_weights(docs, budget=10_000).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r["sampling_rate"] <= 1.0
+        assert r["budget_tokens"] >= 0
+    # tiny budget → every source undersampled, rates strictly < 1
+    assert all(r["sampling_rate"] < 1.0 for r in rows)
