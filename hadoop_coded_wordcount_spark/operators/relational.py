@@ -1806,3 +1806,100 @@ def incremental_agg_update(orders: DataFrame, cutoff: str = "1997-01-01") -> Dat
             (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
         )
     )
+
+
+def gap_fill_locf(events: DataFrame) -> DataFrame:
+    """Time-series regularization: project an irregular event stream onto
+    a dense hourly grid per user and carry the last observation forward
+    (LOCF) across the gaps — the timeseries-store "continuous view"
+    primitive (locf/interpolate) a feature pipeline needs before joining
+    event data against anything sampled on a clock.
+
+    Semantics: per (user, hour) the observed value is the LATEST event's
+    value in that hour (``max_by(value, event_id)`` — deterministic,
+    event_id is unique); grid bounds are the global [min, max] hour;
+    hours before a user's first observation stay NULL (LOCF has nothing
+    to carry).
+
+    Scale: the grid is |users| × |hours| rows built from an exploded
+    ``sequence`` against a broadcast 1-row bounds aggregate — no data
+    shuffle creates it. The per-hour pre-aggregate shrinks the event
+    stream BEFORE the grid join (events never meet the grid row-for-row),
+    and the LOCF window sorts each user's grid slice — bounded by grid
+    width, not event volume.
+    """
+    ts = F.col("ts").cast("timestamp")
+    hourly = (
+        events.select(
+            "user_id", F.date_trunc("hour", ts).alias("hr"), "event_id", "value"
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts)).alias("lo"),
+        F.date_trunc("hour", F.max(ts)).alias("hi"),
+    )
+    grid = (
+        events.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+    )
+
+
+def try_funcs(lineitem: DataFrame) -> DataFrame:
+    """Safe-arithmetic battery: the ``try_*`` surface that keeps a 100-TB
+    job alive when one row in a trillion is malformed — failed casts,
+    zero divides, and bigint overflow yield NULL instead of killing the
+    stage (the difference between quarantining bad rows and re-running a
+    six-hour job under ANSI semantics).
+
+    Every nullable output here is DATA-dependent (nulls mixed with
+    values): an all-NULL column is a cross-engine comparison trap —
+    Spark collects it as a typeless None column while DuckDB emits typed
+    NaN, and stringified frames disagree ('None' vs 'nan') even though
+    both are "all null".
+    """
+    nine = F.lit(9223372036854775807)
+    odd = F.col("l_linenumber") % 2 == 1
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "safe_div"
+        ),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25.0)
+        ).alias("div_maybe"),
+        F.when(odd, F.col("l_returnflag"))
+        .otherwise(F.col("l_linenumber").cast("string"))
+        .try_cast("int")
+        .alias("cast_mixed"),
+        F.concat(F.lit("4"), F.col("l_linenumber").cast("string"))
+        .try_cast("int")
+        .alias("cast_num"),
+        F.try_add(F.col("l_orderkey"), F.lit(1)).alias("add_ok"),
+        F.try_add(
+            nine, F.when(F.col("l_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("add_overflow"),
+    )

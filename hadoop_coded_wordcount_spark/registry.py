@@ -2192,6 +2192,57 @@ def q_events_distinct_users(spark, sf_dir):
 
 
 @register(
+    "gap_fill_locf",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM u CROSS JOIN b
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             arg_max(value, event_id) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           h.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN hourly h USING (user_id, hr)
+    """,
+)
+def q_gap_fill_locf(spark, sf_dir):
+    return rel.gap_fill_locf(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "try_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity AS safe_div,
+           l_extendedprice / NULLIF(l_quantity - 25.0, 0.0) AS div_maybe,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 1 THEN l_returnflag
+                         ELSE CAST(l_linenumber AS VARCHAR) END
+                    AS INTEGER) AS cast_mixed,
+           TRY_CAST('4' || CAST(l_linenumber AS VARCHAR) AS INTEGER) AS cast_num,
+           l_orderkey + 1 AS add_ok,
+           CASE WHEN l_orderkey % 2 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE 9223372036854775807 END AS add_overflow
+    FROM lineitem
+    """,
+)
+def q_try_funcs(spark, sf_dir):
+    return rel.try_funcs(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "incremental_agg_update",
     """
     SELECT o_orderpriority,
