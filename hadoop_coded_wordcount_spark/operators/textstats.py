@@ -37,6 +37,7 @@ __all__ = [
     "inverted_index",
     "tfidf_topk",
     "pii_redact",
+    "unigram_surprisal",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -419,4 +420,62 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         F.regexp_count(injected, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
         F.regexp_count(injected, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
         red.alias("redacted"),
+    )
+
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality scoring: how "expected" each document's
+    tokens are under the corpus's OWN unigram distribution — the cheap
+    tier of the LM-based quality filters used on pretraining corpora
+    (docs of vanishingly rare tokens ≈ noise/garble; docs of only
+    ultra-common tokens ≈ boilerplate).
+
+    Deliberately log-free: mean token probability and hapax ratio are
+    computed as ONE division of exact integer aggregates
+    (Σ corpus-freq / (n_tokens × corpus_total)) — a floating mean of
+    ``log p`` would be partial-sum-order-dependent in the last ulp and
+    can't be value-hash-compared across engines (same rationale as
+    tfidf_topk's rational idf).
+
+    Scale: tokens explode once and are persisted (vocabulary count and
+    the frequency join both branch from that frame); the frequency join
+    is an equi-join on the token — broadcast here because this corpus's
+    vocabulary is tiny, a plain shuffled join at web-scale vocabulary.
+    The 1-row corpus total rides a broadcast cross join.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    ex = (
+        ensure_parallelism(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens_col()).alias("word"))
+        .persist()
+    )
+    vocab = ex.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        ex.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.min("c").alias("min_freq"),
+            hapax.alias("n_hapax"),
+            F.max("t").alias("t"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            "min_freq",
+            "n_hapax",
+            (
+                F.col("sum_freq").cast("double")
+                / (F.col("n_tokens").cast("double") * F.col("t").cast("double"))
+            ).alias("mean_token_prob"),
+            (
+                F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("hapax_ratio"),
+        )
     )

@@ -2192,6 +2192,35 @@ def q_events_distinct_users(spark, sf_dir):
 
 
 @register(
+    "unigram_surprisal",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY word),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS sum_freq,
+           CAST(MIN(c) AS BIGINT) AS min_freq,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(c) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(t) AS DOUBLE))
+             AS mean_token_prob,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+    FROM ex JOIN v USING (word) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark, sf_dir):
+    return ts.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "gap_fill_locf",
     """
     WITH b AS (

@@ -26,7 +26,7 @@ import functools
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zvalue", "write_zordered"]
+__all__ = ["zvalue", "write_zordered", "compact_small_files"]
 
 
 def zvalue(cols: list[str], bits: int = 16) -> Column:
@@ -76,3 +76,48 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet directory into
+    ~``target_file_bytes`` files. Returns the output file count.
+
+    The small-files problem is the silent 100-TB killer on the READ side:
+    every file costs a footer fetch, a scheduler task, and a row-group
+    whose statistics prune nothing; a table of 10 KB files makes a scan
+    metadata-bound. Streaming sinks and over-parallel writers produce
+    exactly that, so compaction is a standing maintenance job.
+
+    Sizing uses the SOURCE's actual on-disk bytes (compressed) rather
+    than row counts — the one number that transfers across schemas. The
+    rewrite is ``repartition(n)`` (round-robin, even output sizes); pass
+    ``sort_within`` to restore clustering (compaction is the natural
+    moment to re-sort — same write, better statistics; for
+    multi-dimensional clustering use :func:`write_zordered` instead).
+    """
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // target_file_bytes))  # ceil-div
+    df = spark.read.parquet(src_dir).repartition(n)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode("overwrite").parquet(dest_dir)
+    out = [
+        f
+        for f in glob.glob(os.path.join(dest_dir, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    return len(out)

@@ -78,3 +78,27 @@ def test_zorder_prunes_multidim_filters(spark, tmp_path):
     # the clustered layout's scan must skip most of the data the
     # unclustered one reads (file/row-group stats pruning)
     assert rows_zed < rows_plain / 2, (rows_zed, rows_plain)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """A 64-file fragmented table compacts to the byte-targeted count and
+    round-trips every row."""
+    from hadoop_coded_wordcount_spark.sources.layout import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    base = spark.range(200_000).withColumn("v", F.col("id") * 2)
+    base.repartition(64).write.parquet(src)
+
+    import glob
+    n_src = len(glob.glob(src + "/*.parquet"))
+    assert n_src == 64
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(src + "/*.parquet")
+    )
+    n_out = compact_small_files(spark, src, dest, target_file_bytes=total // 4)
+    assert n_out <= 5  # ceil(total / (total/4)) = 4 (+1 rounding slack)
+    got = spark.read.parquet(dest)
+    assert got.count() == 200_000
+    assert got.agg(F.sum("v")).collect()[0][0] == base.agg(F.sum("v")).collect()[0][0]
