@@ -539,9 +539,15 @@ def passage_dedup(documents: DataFrame, passage_tokens: int = 4) -> DataFrame:
     counts are what a curation pipeline thresholds to drop or rewrite
     them.
 
-    Scale posture (100 TB): passages shuffle as 64-hex-char sha256 keys —
+    Scale posture (100 TB): passages shuffle as 8-byte xxhash64 keys —
     the text itself never routes a shuffle (same discipline as
-    ``dedup_exact``). The per-doc passage arrays are persisted before the
+    ``dedup_exact``, but the narrower hash: this operator COUNTS
+    duplication rather than deleting rows, so a ~1e-10 64-bit collision
+    odds is the right trade against an 8× smaller shuffle key; the
+    deletion-grade sha256 fingerprint stays in ``dedup_exact``). The
+    DuckDB oracle hashes with sha256 instead — any injective-in-practice
+    hash yields identical counts, which is itself a useful property to
+    pin. The per-doc passage arrays are persisted before the
     explode (a computed-array explode straight out of its projection
     measured ~30× slower than exploding a materialized row — see
     ``pipeline.contamination_check``), and both the frequency count and
@@ -563,8 +569,8 @@ def passage_dedup(documents: DataFrame, passage_tokens: int = 4) -> DataFrame:
         "doc_id",
         F.transform(
             F.sequence(F.lit(0).cast("bigint"), npass - 1),
-            lambda i: F.sha2(
-                F.concat_ws(" ", F.slice("tk", i * p + 1, F.lit(p))), 256
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice("tk", i * p + 1, F.lit(p)))
             ),
         ).alias("ph"),
     ).persist()

@@ -30,6 +30,7 @@ __all__ = [
     "stratified_sample",
     "contamination_check",
     "mixture_weights",
+    "weighted_sample",
     "SAMPLE_RATES",
 ]
 
@@ -220,4 +221,41 @@ def mixture_weights(
         F.round(F.least(F.lit(1.0), frac * budget / F.col("n_tokens")), 6).alias(
             "sampling_rate"
         ),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme: each row draws a uniform
+    ``u ∈ (0,1)`` and scores ``u^(1/w)``; the global top-k scores ARE a
+    weighted sample without replacement. One pass, no rejection loop, no
+    sequential state — the classic way to draw a bounded eval/debug set
+    from a weighted corpus at any scale.
+
+    Determinism: ``u`` comes from ``xxhash64(key)`` (the same affine map
+    as ``operators.sketches``), so the sample is a pure function of the
+    key set — partition-layout-independent, reproducible across runs
+    (asserted in tests). Ties are impossible modulo hash collisions, but
+    the sort key still appends the row key for total order.
+
+    Scale: the top-k compiles to TakeOrderedAndProject — per-partition
+    k-heaps, then a k-row merge on the driver side of the exchange; no
+    global sort ever materializes. Weights must be > 0.
+    """
+    h = F.xxhash64(F.col(key_col)).cast("double")
+    u = (h + F.lit(float(2**63)) + F.lit(1.0)) / F.lit(float(2**64) + 2.0)
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            score.alias("sample_score"),
+        )
+        .orderBy(F.desc("sample_score"), F.col(key_col))
+        .limit(k)
     )

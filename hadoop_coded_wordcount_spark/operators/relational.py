@@ -1903,3 +1903,143 @@ def try_funcs(lineitem: DataFrame) -> DataFrame:
             nine, F.when(F.col("l_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
         ).alias("add_overflow"),
     )
+
+def ordered_set_aggs(orders: DataFrame) -> DataFrame:
+    """Ordered-set aggregate surface — ``percentile_disc`` / ``mode`` /
+    ``listagg`` (the ISO ``WITHIN GROUP`` family, new as first-class
+    functions in Spark 4).
+
+    ``percentile_disc`` returns an actual element of the group (smallest
+    value whose cume_dist ≥ p) — no interpolation, so it is bit-exact
+    cross-engine by construction, unlike ``percentile``'s arithmetic.
+    ``mode`` is made deterministic under ties by the ``deterministic``
+    flag (lowest value wins); ``listagg DISTINCT … WITHIN GROUP`` pins an
+    explicit order so the concatenation is partitioning-independent (an
+    unordered listagg would be nondeterministic by shuffle arrival, same
+    trap as ``collect_list``). All three are single partial-agg'd
+    shuffles over 3 groups.
+    """
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("median_price_disc"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_price_disc"),
+        F.expr("mode(o_orderpriority, true)").alias("mode_priority"),
+        F.expr(
+            "listagg(DISTINCT o_orderpriority, '|') "
+            "WITHIN GROUP (ORDER BY o_orderpriority)"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def winsorized_stats(lineitem: DataFrame) -> DataFrame:
+    """Winsorized (clamped-tail) robust statistics per group: clamp
+    values to their group's exact [p05, p95] band, then mean/stddev of
+    the clamped column — the standard way to stop a handful of corrupt
+    outliers from dragging a 100-TB quality metric.
+
+    Two aggregations, no row explosion: pass 1 computes the exact
+    percentile bounds per group (tiny result), which broadcast-join back
+    onto the fact scan; pass 2 aggregates the clamped expression. The
+    stddev comes from exact decimal moments (Σv, Σv² of the clamped
+    decimal), not the order-dependent streaming ``stddev`` — same
+    bit-exactness discipline as :func:`stats_moments`. Clamped values
+    are quantized to DECIMAL(28,10) BEFORE the moment sums on both
+    engines, so interpolated bounds can't smuggle ulp drift into Σv².
+    """
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    v = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    vd = v.cast("decimal(28,10)")
+    agg = (
+        lineitem.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vd).alias("sv"),
+            F.sum(vd * vd).alias("svv"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sv, svv = F.col("sv").cast("double"), F.col("svv").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("lo"), 6).alias("p05"),
+        F.round(F.col("hi"), 6).alias("p95"),
+        F.round(sv / n, 6).alias("wins_mean"),
+        F.round(F.sqrt((svv - sv * sv / n) / (n - 1)), 6).alias("wins_std"),
+    )
+
+
+def hierarchy_rollup(spark: SparkSession, customer: DataFrame) -> DataFrame:
+    """Recursive-CTE graph walk (``WITH RECURSIVE``, new in Spark 4):
+    every customer key walks its binary-ancestor chain ``k → k DIV 2``
+    down to the root and the result rolls up per depth — the shape of
+    org-chart / BOM / category-tree traversals that classic engines do
+    with iterative self-joins.
+
+    Physically Spark executes the recursion as a UnionLoop: each step is
+    a distributed self-join of the previous frontier, so the walk
+    parallelizes like any join and needs O(log maxkey) rounds here —
+    the declarative twin of ``dedup.connected_components``'s hand-rolled
+    iteration (which predates this syntax and keeps checkpoint control).
+    The rollup output is |depths| rows regardless of input size.
+    """
+    import uuid
+
+    view = f"hier_src_{uuid.uuid4().hex[:12]}"
+    customer.select("c_custkey").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE walk(k, step) AS (
+              SELECT c_custkey, 0 FROM {view}
+              UNION ALL
+              SELECT k DIV 2, step + 1 FROM walk WHERE k > 0
+            )
+            SELECT step AS depth, COUNT(*) AS n_on_level,
+                   MIN(k) AS min_key, MAX(k) AS max_key
+            FROM walk GROUP BY step
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def url_funcs(documents: DataFrame) -> DataFrame:
+    """URL scalar surface — ``parse_url`` component extraction (HOST /
+    PATH / QUERY / per-key query param) plus ``url_encode`` /
+    ``url_decode`` — over URLs synthesized deterministically from
+    document fields (the corpus has no real URL column). Web-curation
+    pipelines lean on exactly this family for domain-level filtering,
+    canonicalization, and per-domain mixture stats; all of it is
+    codegen'd JVM string work, no UDF.
+    """
+    u = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&rank="),
+        F.col("doc_id") % 7,
+    )
+    enc = F.url_encode(F.concat(F.col("source"), F.lit(" x/"), F.col("lang")))
+    return documents.select(
+        "doc_id",
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        enc.alias("enc"),
+        F.url_decode(enc).alias("dec"),
+    )

@@ -1891,6 +1891,15 @@ def q_events_time_rollup(spark, sf_dir):
     return rel.events_time_rollup(load_table(spark, sf_dir, "events"))
 
 
+# A-Res score depends on xxhash64 → no DuckDB twin; rows-only, with
+# determinism/bias/plan pinned in tests/test_properties.py.
+@register("weighted_sample_orders")
+def q_weighted_sample_orders(spark, sf_dir):
+    return pl.weighted_sample(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", k=100
+    )
+
+
 # KMV estimate has no DuckDB twin (xxhash64 bottom-k) → rows-only check;
 # tests/test_sketches.py pins accuracy vs exact count-distinct and
 # bit-equality between the window and mergeable-partial strategies.

@@ -136,3 +136,28 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in dd.connected_components(sdf).collect()
     }
     assert got == want
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-Res weighted sampling: partition-layout-invariant, exactly k rows,
+    and weight-biased (sampled orders are pricier than the population on
+    average); the top-k compiles to TakeOrderedAndProject."""
+    from hadoop_coded_wordcount_spark.operators.pipeline import weighted_sample
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    a = weighted_sample(orders, "o_orderkey", "o_totalprice", k=100)
+    b = weighted_sample(
+        orders.repartition(17), "o_orderkey", "o_totalprice", k=100
+    )
+    rows_a = sorted(r["o_orderkey"] for r in a.collect())
+    rows_b = sorted(r["o_orderkey"] for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 100
+
+    pop_mean = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    samp_mean = a.agg(F.avg("weight")).collect()[0][0]
+    assert samp_mean > pop_mean * 1.2
+
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
