@@ -40,6 +40,7 @@ __all__ = [
     "cosine_topk_pandas",
     "embedding_lsh_pairs",
     "embedding_neardup_pairs",
+    "semdedup",
 ]
 
 
@@ -598,3 +599,76 @@ def kmeans_centroids(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 24,
+    threshold: float = 0.95,
+    iters: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means, then dropping,
+    WITHIN each cluster, every vector that has a ≥-threshold cosine
+    neighbor — keeping one representative per near-duplicate set.
+
+    This is the production-scale embedding dedup recipe: the cluster
+    step caps the quadratic verify at |cluster|² (clusters are ~N/k and
+    tunable by k), so unlike ``embedding_neardup_pairs``'s fixed label
+    blocking, the blocking key here ADAPTS to the data — semantically
+    close vectors land in the same cell by construction, which is what
+    makes intra-cluster-only comparison sound in practice.
+
+    Deterministic keep rule: a vector is dropped iff some SAME-cluster
+    vector with a smaller ``vec_id`` sits within the threshold — an
+    order-free predicate (no sequential greedy pass), so the kept set is
+    a pure function of (assignments, threshold) and survives
+    repartitioning; transitive chains keep only the chain's minimum id.
+    Centroids come from :func:`kmeans_centroids` (deterministic init,
+    fixed rounds). Output: one row per vector with its cell, keep flag,
+    and the similarity that evicted it (NULL when kept).
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    cents = kmeans_centroids(embeddings, k=k, iters=iters, dim=dim)
+    norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
+    vecs = (
+        ensure_parallelism(embeddings.select("vec_id", "embedding"), key="vec_id")
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("nrm", norm)
+        .select("vec_id", F.transform("emb", lambda x: x / F.col("nrm")).alias("ne"))
+    )
+    cdot = dot_unrolled(F.col("ne"), F.col("c_emb"), dim)
+    assigned = (
+        vecs.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(cdot.alias("cos"), F.col("cell_id"))).alias("b"),
+            F.first("ne").alias("ne"),
+        )
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"), "ne")
+        .persist()
+    )
+    pdot = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+    evict = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), pdot.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("evicted_by_cos"))
+    )
+    return (
+        assigned.join(evict, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("evicted_by_cos").isNull().alias("keep"),
+            F.round("evicted_by_cos", 6).alias("evicted_by_cos"),
+        )
+    )

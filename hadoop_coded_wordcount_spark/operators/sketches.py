@@ -48,7 +48,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["kmv_distinct", "kmv_distinct_partial", "kmv_merge", "DEFAULT_K"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_distinct_partial",
+    "kmv_merge",
+    "bitmap_distinct",
+    "bitmap_distinct_global",
+    "hll_sketch_distinct",
+    "DEFAULT_K",
+]
 
 DEFAULT_K = 256
 
@@ -162,3 +170,80 @@ def kmv_merge(df: DataFrame, group_col: str, value_col: str, k: int = DEFAULT_K)
     return global_k.agg(
         F.count(F.lit(1)).alias("m"), F.max("u").alias("kth")
     ).select(*_estimate(k))
+
+
+def bitmap_distinct(events: DataFrame, key: str = "user_id",
+                    group: str = "event_type") -> DataFrame:
+    """EXACT distinct-count at sketch cost — Spark's bitmap aggregate
+    family (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg``, Spark 3.5+): integer keys fold into fixed
+    4 KB bitmaps per (group, 32k-wide bucket), so the shuffle after the
+    map-side partial agg carries ``|groups| × |key range|/32768``
+    bitmap rows — independent of ROW count, unlike exact
+    count-distinct whose shuffle carries every distinct pair.
+
+    The middle tier of the engine's cardinality ladder: exact
+    count-distinct (full pairs shuffle) > **bitmap (exact, bounded
+    shuffle, needs bounded-int keys)** > KMV/HLL (approximate, O(k)
+    any-type keys). Count and OR-merge are both partial-aggregable;
+    the same bitmaps also union across groups (``bitmap_or_agg``) for a
+    global exact count with no rescan — asserted in tests.
+    """
+    seg = (
+        events.groupBy(
+            F.col(group),
+            F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+        )
+        .agg(F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias("bm"))
+    )
+    return (
+        seg.groupBy(group)
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct"))
+    )
+
+
+def bitmap_distinct_global(events: DataFrame, key: str = "user_id",
+                           group: str = "event_type") -> DataFrame:
+    """OR-merge the per-(group, bucket) bitmaps of :func:`bitmap_distinct`
+    into a single exact global distinct count — sketch-algebra twin of
+    :func:`kmv_merge`, but lossless."""
+    seg = (
+        events.groupBy(
+            F.col(group),
+            F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+        )
+        .agg(F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias("bm"))
+    )
+    return (
+        seg.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct_global"))
+    )
+
+
+def hll_sketch_distinct(events: DataFrame, key: str = "user_id",
+                        group: str = "event_type",
+                        lg_k: int = 14) -> DataFrame:
+    """Apache DataSketches HLL surface (``hll_sketch_agg`` /
+    ``hll_sketch_estimate``, Spark 3.5+): per-group cardinality sketches
+    whose BINARY representation is the cross-system interchange format —
+    the same bytes load in Druid/Hive/Pinot/the datasketches-python lib,
+    which is the practical reason to pick it over Spark's own HLL++
+    (``approx_count_distinct``, no exposed sketch bytes).
+
+    Emits both the per-group estimate and the sketch bytes; the
+    mergeability twin (``hll_union_agg`` over these bytes == one-shot
+    global sketch) is asserted in tests. Estimate-only output (no DuckDB
+    sketch twin) → rows-only oracle, same policy as ``approx_distinct``.
+    """
+    return (
+        events.groupBy(group)
+        .agg(F.expr(f"hll_sketch_agg({key}, {lg_k})").alias("sk"))
+        .select(
+            group,
+            F.expr("CAST(round(hll_sketch_estimate(sk)) AS BIGINT)").alias(
+                "approx_users"
+            ),
+            F.length("sk").alias("sketch_bytes"),
+        )
+    )

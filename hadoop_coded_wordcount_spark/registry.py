@@ -2324,6 +2324,166 @@ def q_mixture_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 surface: ordered-set aggs, robust stats, recursive CTE,
+# URL functions, bitmap/HLL cardinality, SemDeDup
+# ---------------------------------------------------------------------------
+
+
+# Oracle pins percentile_disc/mode BY CONSTRUCTION (explicit cume_dist /
+# count-then-tiebreak windows) rather than trusting DuckDB's tie rules to
+# coincide with Spark's.
+@register(
+    "ordered_set_aggs",
+    """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice) AS cd
+      FROM orders
+    ),
+    disc AS (
+      SELECT o_orderstatus,
+             MIN(o_totalprice) FILTER (WHERE cd >= 0.5) AS median_price_disc,
+             MIN(o_totalprice) FILTER (WHERE cd >= 0.9) AS p90_price_disc
+      FROM ranked GROUP BY o_orderstatus
+    ),
+    pc AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC,
+                                         o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    base AS (
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, '|'
+                        ORDER BY o_orderpriority) AS priorities,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT base.o_orderstatus, median_price_disc, p90_price_disc,
+           pc.o_orderpriority AS mode_priority, priorities, n
+    FROM base
+    JOIN disc USING (o_orderstatus)
+    JOIN pc   USING (o_orderstatus)
+    WHERE pc.rn = 1
+    """,
+)
+def q_ordered_set_aggs(spark, sf_dir):
+    return rel.ordered_set_aggs(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l.l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                      AS DECIMAL(28,10))) AS sv,
+             SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                      AS DECIMAL(28,10))
+                 * CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                        AS DECIMAL(28,10))) AS svv,
+             MIN(lo) AS lo, MIN(hi) AS hi
+      FROM lineitem l JOIN b USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(lo, 6) AS p05,
+           ROUND(hi, 6) AS p95,
+           ROUND(CAST(sv AS DOUBLE) / n, 6) AS wins_mean,
+           ROUND(SQRT((CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                      / (n - 1)), 6) AS wins_std
+    FROM m
+    """,
+)
+def q_winsorized_stats(spark, sf_dir):
+    return rel.winsorized_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "hierarchy_rollup",
+    """
+    WITH RECURSIVE walk(k, step) AS (
+      SELECT c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT k // 2, step + 1 FROM walk WHERE k > 0
+    )
+    SELECT step AS depth, CAST(COUNT(*) AS BIGINT) AS n_on_level,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM walk GROUP BY step
+    """,
+)
+def q_hierarchy_rollup(spark, sf_dir):
+    return rel.hierarchy_rollup(spark, load_table(spark, sf_dir, "customer"))
+
+
+# The oracle rebuilds each parse_url component with plain string ops —
+# sound because source/lang are alphanumeric (the one encoded char
+# sequence, ' x/', is written out explicitly).
+@register(
+    "url_funcs",
+    """
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           '/docs/' || doc_id AS path,
+           'lang=' || lang || '&rank=' || (doc_id % 7) AS query,
+           lang AS lang_param,
+           source || '+x%2F' || lang AS enc,
+           source || ' x/' || lang AS dec
+    FROM documents
+    """,
+)
+def q_url_funcs(spark, sf_dir):
+    return rel.url_funcs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct_users(spark, sf_dir):
+    return sk.bitmap_distinct(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "bitmap_distinct_global",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_global
+    FROM events
+    """,
+)
+def q_bitmap_distinct_global(spark, sf_dir):
+    return sk.bitmap_distinct_global(load_table(spark, sf_dir, "events"))
+
+
+# DataSketches HLL estimate — no DuckDB sketch twin → rows-only;
+# accuracy and union-mergeability pinned in tests/test_sketches.py.
+@register("hll_sketch_users")
+def q_hll_sketch_users(spark, sf_dir):
+    return sk.hll_sketch_distinct(load_table(spark, sf_dir, "events"))
+
+
+# k-means assignment has no DuckDB twin → rows-only; planted-duplicate
+# recall, keep-count accounting, and layout-determinism pinned in
+# tests/test_similarity.py.
+@register("semdedup_keep")
+def q_semdedup_keep(spark, sf_dir):
+    return sim.semdedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
 # The external correctness gate oracles the first N registry entries in
@@ -2332,11 +2492,17 @@ def q_mixture_weights(spark, sf_dir):
 # tests/test_relational.py and the in-repo full-oracle sweep) trails.
 
 _VERIFY_FIRST = [
+    # round-3 additions — no external oracle row yet
+    "ordered_set_aggs",
+    "winsorized_stats",
+    "hierarchy_rollup",
+    "url_funcs",
+    "bitmap_distinct_users",
+    "bitmap_distinct_global",
     # new this round — no external oracle row yet
     "q13_customer_distribution",
     "passage_dedup",
     "pii_redact",
-    "kmv_distinct_custkeys",
     "events_time_rollup",
     "events_distinct_users",
     "snapshot_cdc",

@@ -175,3 +175,47 @@ def test_kmeans_centroids_improve_ivf_recall(spark):
     r_trained = len(trained & truth) / len(truth)
     assert r_trained > r_plain
     assert r_trained >= 0.5
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """SemDeDup on the planted fixture: exact/scaled copies (cosine 1.0)
+    are dropped keeping the smallest vec_id; orthogonal clusters never
+    evict each other; keep-set is layout-deterministic."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [2.0, 0.0, 0.0, 0.0], 0),   # scaled copy of 0 -> dropped
+        (2, [0.9, 0.1, 0.0, 0.0], 0),   # cos≈0.994 to 0 -> dropped @0.95
+        (10, [0.0, 1.0, 0.0, 0.0], 1),
+        (11, [0.0, 3.0, 0.0, 0.0], 1),  # scaled copy of 10 -> dropped
+        (20, [0.0, 0.0, 0.0, 1.0], 2),
+        (21, [0.0, 0.0, 0.1, 0.9], 2),  # cos≈0.9939 to 20 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = sim.semdedup(df, k=3, threshold=0.95, iters=3, dim=4)
+    kept = {r["vec_id"] for r in out.collect() if r["keep"]}
+    assert 0 in kept and 10 in kept and 20 in kept
+    assert 1 not in kept and 11 not in kept
+    # one row per vector, keep+dropped partition the input
+    assert out.count() == len(rows)
+
+    again = {
+        r["vec_id"]
+        for r in sim.semdedup(
+            df.repartition(7), k=3, threshold=0.95, iters=3, dim=4
+        ).collect()
+        if r["keep"]
+    }
+    assert again == kept
+
+
+def test_semdedup_real_embeddings_accounting(spark):
+    """On the real table: every vector appears exactly once, kept rows
+    have NULL evicted_by_cos, dropped rows record a cosine ≥ threshold."""
+    emb = load_table(spark, SF001, "embeddings")
+    out = sim.semdedup(emb, k=24, threshold=0.95).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        if r["keep"]:
+            assert r["evicted_by_cos"] is None
+        else:
+            assert r["evicted_by_cos"] >= 0.95

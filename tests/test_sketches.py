@@ -83,3 +83,67 @@ def test_merge_estimates_global_distinct(spark):
     assert merged["kmv_est"] == whole["kmv_est"]
     true = _orders(spark).select("o_custkey").distinct().count()
     assert abs(merged["kmv_est"] - true) / true < 0.25
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    """DataSketches HLL: per-group estimate within 5% of exact (lg_k=14
+    on ≤150 distinct is effectively exact), and the union of per-group
+    sketch BYTES equals a one-shot global sketch — the mergeability that
+    lets 1000 executors sketch independently and combine driver-side."""
+    ev = load_table(spark, SF001, "events")
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in sk.hll_sketch_distinct(ev).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(1, 0.05 * exact[k])
+
+    sketches = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    merged = sketches.agg(
+        F.expr(
+            "CAST(round(hll_sketch_estimate(hll_union_agg(sk, false))) AS BIGINT)"
+        ).alias("est")
+    ).collect()[0]["est"]
+    oneshot = ev.agg(
+        F.expr(
+            "CAST(round(hll_sketch_estimate(hll_sketch_agg(user_id, 14))) AS BIGINT)"
+        ).alias("est")
+    ).collect()[0]["est"]
+    assert merged == oneshot
+    g_exact = ev.agg(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
+    assert abs(merged - g_exact) <= max(1, 0.05 * g_exact)
+
+
+def test_bitmap_distinct_is_exact_and_bounded(spark):
+    """Bitmap distinct: exact equality with count_distinct (not approximate),
+    and the segment relation is bounded by |groups| × ceil(range/32768)
+    bitmap rows — the property that bounds the shuffle at any row count."""
+    ev = load_table(spark, SF001, "events")
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in sk.bitmap_distinct(ev).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+    n_seg = (
+        ev.groupBy("event_type", F.expr("bitmap_bucket_number(user_id)"))
+        .count()
+        .count()
+    )
+    # 5 event types × 2 buckets (ids 1..32768 share bucket 1; id 0 — and
+    # any negative — falls in bucket 0: Spark buckets are (v-1) DIV 32768 + 1)
+    assert n_seg <= 5 * 2
