@@ -2043,3 +2043,103 @@ def url_funcs(documents: DataFrame) -> DataFrame:
         enc.alias("enc"),
         F.url_decode(enc).alias("dec"),
     )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions
+    at >``gap_minutes`` inactivity gaps — the batch twin of the streaming
+    session window (streaming/windows.py), and the standard first step of
+    any clickstream/behavior pipeline.
+
+    Gap detection is the lag-then-cumsum idiom: a row opens a new session
+    iff it is the user's first event or follows its predecessor by more
+    than the gap; the running sum of that flag numbers the sessions.
+    Both windows AND the final per-session aggregation cluster on
+    ``user_id`` (session_seq is a refinement of the user partition), so
+    Catalyst plans ONE exchange for the whole query — lag, cumsum, and
+    the groupBy all reuse the same hash(user_id) partitioning. At 100 TB
+    that single user-keyed shuffle is the irreducible cost; everything
+    else is per-partition.
+
+    Gap arithmetic is integer epoch-seconds end to end, so the oracle
+    comparison is exact (no timestamp-diff FP).
+    """
+    gap_s = gap_minutes * 60
+    # ts is TIMESTAMP_NTZ (load_table's nanos conversion); NTZ has no
+    # direct long cast — hop through timestamp (session tz pinned UTC
+    # makes it value-preserving), then to epoch seconds (floor).
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(sec).over(w)
+    opens = (prev.isNull() | (sec - prev > F.lit(gap_s))).cast("int")
+    numbered = events.select(
+        "user_id", "event_id", "ts", "value", opens.alias("opens")
+    ).withColumn(
+        "session_seq",
+        F.sum("opens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        ).alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def rolling_anomaly(events: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly detection: hourly metric per event_type,
+    scored against the trailing 24 observed hours (current hour held
+    out). The streaming-adjacent monitoring query every event pipeline
+    runs; in Spark it is hourly-rollup → ordered window, two shuffles
+    total, both on low-cardinality keys with map-side partial agg doing
+    the heavy lifting on the first.
+
+    FP discipline (the part that makes this oracle-exact): the hourly
+    metric is an integer (sum of millivalue = round(value*1000)), and the
+    rolling mean/std are computed from integer sums (Σx, Σx²) carried
+    through the window as BIGINTs — the only float ops are the final
+    mean/std/z division and sqrt, the same closed-form expression both
+    engines evaluate from identical integers. Frame-summation order, the
+    usual cross-engine float killer in windowed stats, never touches a
+    float here.
+    """
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("x").over(w)
+    ss = F.sum(F.col("x") * F.col("x")).over(w)
+    mean = s.cast("double") / n
+    var = (ss.cast("double") - s.cast("double") * s.cast("double") / n) / (
+        n - 1
+    )
+    z = (F.col("x").cast("double") - mean) / F.sqrt(var)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "x",
+        n.alias("n_ref"),
+        F.round(z, 6).alias("zscore"),
+    )
+    return scored.where(F.col("n_ref") >= 12).select(
+        "event_type",
+        "hour",
+        "x",
+        "n_ref",
+        "zscore",
+        (F.abs(F.col("zscore")) > F.lit(z_thresh)).alias("is_anomaly"),
+    )

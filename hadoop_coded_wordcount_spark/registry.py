@@ -2483,6 +2483,78 @@ def q_semdedup_keep(spark, sf_dir):
     return sim.semdedup(load_table(spark, sf_dir, "embeddings"))
 
 
+# Gap arithmetic is integer epoch-seconds (epoch_us // 1e6 == Spark's
+# timestamp->long cast, floor semantics) so the compare is exact; the
+# window SUM is HUGEINT in DuckDB -> CAST. sum_value is a few-element
+# double sum, ROUND(4) absorbs the order-dependence.
+@register(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN prev IS NULL
+                           OR epoch_us(ts) // 1000000
+                              - epoch_us(prev) // 1000000 > 1800
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM o
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(MAX(epoch_us(ts) // 1000000)
+                - MIN(epoch_us(ts) // 1000000) AS BIGINT) AS duration_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    return rel.sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+# The rolling stats are computed from integer window sums (Σx, Σx² as
+# BIGINT) so the only float arithmetic is the identical closed-form
+# mean/std/z expression on both sides; is_anomaly tests the ROUNDED z.
+@register(
+    "rolling_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    w AS (
+      SELECT event_type, hour, x,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n_ref,
+             CAST(SUM(x) OVER fr AS BIGINT) AS s,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS ss
+      FROM hourly
+      WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, x, n_ref,
+           ROUND((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n_ref)
+                 / SQRT((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_ref)
+                        / (n_ref - 1)), 6) AS zscore,
+           ABS(ROUND((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n_ref)
+                 / SQRT((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_ref)
+                        / (n_ref - 1)), 6)) > 3.0 AS is_anomaly
+    FROM w WHERE n_ref >= 12
+    """,
+)
+def q_rolling_anomaly(spark, sf_dir):
+    return rel.rolling_anomaly(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
@@ -2493,6 +2565,8 @@ def q_semdedup_keep(spark, sf_dir):
 
 _VERIFY_FIRST = [
     # round-3 additions — no external oracle row yet
+    "sessionize_events",
+    "rolling_anomaly",
     "ordered_set_aggs",
     "winsorized_stats",
     "hierarchy_rollup",

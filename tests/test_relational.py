@@ -131,3 +131,65 @@ def test_mixture_weights_normalize_and_cap(spark):
         assert r["budget_tokens"] >= 0
     # tiny budget → every source undersampled, rates strictly < 1
     assert all(r["sampling_rate"] < 1.0 for r in rows)
+
+
+def test_sessionize_splits_on_gap(spark):
+    """Known stream: events 10 min apart stay in one session; a 31-min
+    gap opens a new one; per-session bounds and counts are exact."""
+    from datetime import datetime, timedelta
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events 10 min apart, then a 31-min gap, then one
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + timedelta(minutes=10), 1.0),
+        (3, 1, t0 + timedelta(minutes=20), 1.0),
+        (4, 1, t0 + timedelta(minutes=51), 5.0),
+        # user 2: a single event
+        (5, 2, t0, 2.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in rel.sessionize_events(ev, gap_minutes=30).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11.n_events == 3 and s11.duration_sec == 1200
+    s12 = out[(1, 2)]
+    assert s12.n_events == 1 and s12.duration_sec == 0 and s12.sum_value == 5.0
+    # exactly-30-min gap does NOT split (strict > gap)
+    ev2 = spark.createDataFrame(
+        [(1, 1, t0, 0.0), (2, 1, t0 + timedelta(minutes=30), 0.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    assert rel.sessionize_events(ev2, gap_minutes=30).count() == 1
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    """Flat hourly traffic with one 100× spike: only the spike hour is
+    flagged, and warm-up hours (<12 reference hours) are excluded."""
+    from datetime import datetime, timedelta
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    t0 = datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(48):
+        # slight alternation so the reference window has nonzero variance
+        n = 4 if h % 2 == 0 else 5
+        v = 100.0 if h == 40 else 1.0
+        for k in range(n):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=h, minutes=k), 7, "view", v))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = rel.rolling_anomaly(ev).collect()
+    flagged = {r.hour.hour + 24 * (r.hour.day - 1) for r in out if r.is_anomaly}
+    assert flagged == {40 + (t0.day - 1) * 24}
+    # warm-up exclusion: first 12 hours never scored
+    assert min(r.hour for r in out) >= t0 + timedelta(hours=12)
