@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .sources.catalog import load_table
 from .functions import pandas_surface as pu
 from .operators import dedup as dd
+from .operators import graph as gr
 from .operators import multimodal as mm
 from .operators import pipeline as pl
 from .operators import relational as rel
@@ -2555,6 +2556,61 @@ def q_rolling_anomaly(spark, sf_dir):
     return rel.rolling_anomaly(load_table(spark, sf_dir, "events"))
 
 
+def _pagerank_round(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank round (oracle side of the exact
+    recurrence in operators/graph.py — same floor-div, same 85/100
+    damping; DuckDB's window-free GROUP BY join round)."""
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             150000000000 // (SELECT nn FROM n)
+             + 85 * CAST(SUM(r.rank // d.d) AS BIGINT) // 100 AS rank
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    )"""
+
+
+# Iterative float algorithms are normally un-oracle-able; integer-scaled
+# rank mass (graph.py) makes the recurrence exact, so DuckDB replays it
+# by unrolling the 3 rounds.  SUM → HUGEINT → CAST, // is floor (all
+# values non-negative, so it matches Spark's truncating div).
+@register(
+    "pagerank_trade",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (
+      SELECT node, 1000000000000 // (SELECT nn FROM n) AS rank FROM deg
+    ),{_pagerank_round("r0", "r1")},{_pagerank_round("r1", "r2")},{_pagerank_round("r2", "r3")}
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           rank AS rank_scaled
+    FROM r3
+    """,
+)
+def q_pagerank_trade(spark, sf_dir):
+    return gr.pagerank(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
@@ -2565,6 +2621,7 @@ def q_rolling_anomaly(spark, sf_dir):
 
 _VERIFY_FIRST = [
     # round-3 additions — no external oracle row yet
+    "pagerank_trade",
     "sessionize_events",
     "rolling_anomaly",
     "ordered_set_aggs",
