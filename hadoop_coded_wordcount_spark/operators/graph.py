@@ -89,6 +89,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = deg.count()  # driver-side scalar, not a data collect
+    if n_nodes == 0:
+        # Empty graph: return a typed empty frame rather than dividing
+        # by zero below (registry-wide empty-input invariant).
+        spark = orders.sparkSession
+        return spark.createDataFrame(
+            [], "node bigint, node_type string, entity_key bigint, rank_scaled bigint"
+        )
     init = PR_SCALE // n_nodes
     teleport = (PR_SCALE * (100 - damping_pct) // 100) // n_nodes
 

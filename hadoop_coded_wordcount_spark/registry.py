@@ -2620,76 +2620,48 @@ def q_pagerank_trade(spark, sf_dir):
 # tests/test_relational.py and the in-repo full-oracle sweep) trails.
 
 _VERIFY_FIRST = [
-    # round-3 additions — no external oracle row yet
-    "pagerank_trade",
+    # Round-4 priority. (1) The 19 events-table queries: all errored in the
+    # r3 environment (catalog ts-dtype bug, now fixed) and need a green
+    # external CORRECTNESS row on the fixed loader.
     "sessionize_events",
     "rolling_anomaly",
-    "ordered_set_aggs",
-    "winsorized_stats",
-    "hierarchy_rollup",
-    "url_funcs",
     "bitmap_distinct_users",
     "bitmap_distinct_global",
-    # new this round — no external oracle row yet
-    "q13_customer_distribution",
-    "passage_dedup",
-    "pii_redact",
+    "hll_sketch_users",
     "events_time_rollup",
     "events_distinct_users",
-    "snapshot_cdc",
-    "skewed_join_rollup",
-    "stratified_sample",
-    "contamination_check",
-    "gopher_repetition",
-    "inverted_index",
-    "tfidf_topk",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "variant_funcs",
-    "generator_funcs",
-    # never externally oracle-executed as of round 2 (VERDICT.md r2 list)
-    "dedup_exact",
-    "dedup_fingerprint",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "similarity_topk",
-    "embedding_neardup_pairs",
-    "text_stats",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "winnowing_fingerprint",
-    "multimodal_integrity",
-    "udtf_chunk_documents",
-    "deterministic_split",
-    "corpus_curation",
-    "udf_normalize_text",
-    "udf_wordcount_combiner",
-    "udf_grouped_k_stats",
     "events_tumbling",
     "events_sliding",
     "events_session",
+    "udf_grouped_k_stats",
     "map_funcs",
     "json_funcs",
-    "regexp_funcs",
-    "conditional_funcs",
-    "fuzzy_string_funcs",
+    "variant_funcs",
+    "join_asof",
+    "window_lag_lead",
     "funnel_view_click",
     "cohort_retention",
-    "provenance_scan",
-    "global_sort",
-    # green in round 1 but outside the round-2 verification window
-    "topk_orders",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
+    "gap_fill_locf",
+    # (2) Never externally driver-checked as of round 3 (VERDICT.md r3
+    # item 6): the rows-only similarity/sketch family plus assorted tail.
+    "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
+    "kmv_distinct_custkeys",
+    "token_frequency_sketch",
+    "weighted_sample_orders",
+    "multimodal_features",
+    "try_funcs",
+    "incremental_agg_update",
+    "mixture_weights",
+    "unigram_surprisal",
+    "minhash_signatures",
+    "simhash64",
+    "simhash_pairs",
+    "similarity_topk_pandas",
+    "embedding_lsh_pairs",
+    "semdedup_keep",
+    # (3) Code changed this round — re-verify.
+    "pagerank_trade",
 ]
 
 

@@ -61,16 +61,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(k, v)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # int64 nanos → NTZ microsecond timestamp, in pure integer math.
-        # Floor division must NOT route through a double: epoch nanos
-        # (~1.7e18) exceed 2^53, so `ts / 1000` in floating point loses up
-        # to ~128 ns — enough to flip a microsecond vs DuckDB's exact
-        # integer conversion. `ts - pmod(ts, 1000)` is exactly divisible,
-        # so DIV is an exact floor for any sign.
-        micros = F.expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")
-        df = df.withColumn(
-            "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
-        )
+        # The physical layout of events.ts varies by environment:
+        # TIMESTAMP(NANOS) surfaces as int64 nanos (via nanosAsLong),
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+        # TIMESTAMP_NTZ directly. Branch on the observed dtype so the
+        # engine is layout-agnostic rather than assuming one writer.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # int64 nanos → NTZ microsecond timestamp, in pure integer
+            # math. Floor division must NOT route through a double: epoch
+            # nanos (~1.7e18) exceed 2^53, so `ts / 1000` in floating
+            # point loses up to ~128 ns — enough to flip a microsecond vs
+            # DuckDB's exact integer conversion. `ts - pmod(ts, 1000)` is
+            # exactly divisible, so DIV is an exact floor for any sign.
+            micros = F.expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")
+            df = df.withColumn(
+                "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
+            )
+        elif ts_type != "timestamp_ntz":
+            # LTZ or other timestamp flavor: normalize to NTZ wall-clock
+            # (session tz is pinned to UTC above, so this is lossless).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
