@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "simhash64",
     "simhash_pairs",
@@ -592,4 +593,108 @@ def passage_dedup(documents: DataFrame, passage_tokens: int = 4) -> DataFrame:
                 F.col("n_dup_passages") / F.col("n_passages"), 6
             ).alias("dup_ratio"),
         )
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components by large-star/small-star contraction — the
+    O(log n)-round alternative to :func:`connected_components`' min-label
+    propagation (which needs O(diameter) rounds and so degrades on long
+    chains). Algorithm: Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC 2014).
+
+    State is a directed edge list L with every edge (big, small),
+    big > small — a forest of partial pointers toward each component's
+    minimum. Each round alternates:
+
+    * **large-star**: for each node u over its FULL neighborhood Γ(u),
+      let m = min(Γ(u) ∪ {u}); rewire every *larger* neighbor v > u to
+      (v, m). Doubles pointer shortcuts — the contraction step.
+    * **small-star**: for each node u over its *smaller* neighbors N(u),
+      let m = min(N(u)); rewire u and every v ∈ N(u)\\{m} to (v, m).
+      Flattens partial stars.
+
+    Both steps preserve the big>small invariant and the component
+    partition; at fixpoint L is exactly {(node, component_min)} for every
+    non-root node. Convergence is detected by an (edge-count, hash-sum)
+    signature — two driver-side scalars per round, no data collect — and
+    non-convergence within ``max_iter`` raises rather than returning a
+    partially-contracted (wrong) labeling.
+
+    Scale: every round is two self-contained (groupBy min + join)
+    shuffles over the CURRENT edge list, which only shrinks; rounds are
+    logarithmic in component size, so a 100-long chain that costs
+    label-propagation 100 rounds closes in ~5. ``localCheckpoint`` per
+    round bounds plan growth (use ``checkpoint()`` on a real cluster).
+
+    Input: (doc_a, doc_b) pairs, any orientation, self-loops ignored.
+    Output: (doc_id, cluster_id) for every node in an edge,
+    cluster_id = min doc_id of the component.
+    """
+    L = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = None
+    for _ in range(max_iter):
+        # -- large-star: full symmetric neighborhood ---------------------
+        sym = L.select("a", "b").union(
+            L.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy(F.col("a").alias("u")).agg(
+            F.min("b").alias("mn")
+        )
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        L = (
+            sym.where(F.col("b") > F.col("a"))  # larger neighbors v of u=a
+            .join(mins, sym["a"] == mins["u"])
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: smaller neighbors only --------------------------
+        sm_min = L.groupBy(F.col("a").alias("u")).agg(
+            F.min("b").alias("m")
+        )
+        L = (
+            L.join(sm_min, L["a"] == sm_min["u"])
+            .select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            )  # rewire smaller neighbors to m
+            .union(sm_min.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = L.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a sum of int64 hashes overflows
+            # long under ANSI; decimal is exact and never overflows here.
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        new_sig = (new_sig["n"], new_sig["h"])
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "alternation rounds"
+        )
+    roots = L.select(F.col("b").alias("doc_id")).distinct()
+    return (
+        L.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+        .union(roots.select("doc_id", F.col("doc_id").alias("cluster_id")))
+        .distinct()
     )

@@ -31,6 +31,7 @@ __all__ = [
     "contamination_check",
     "mixture_weights",
     "weighted_sample",
+    "pack_sequences",
     "SAMPLE_RATES",
 ]
 
@@ -258,4 +259,67 @@ def weighted_sample(
         )
         .orderBy(F.desc("sample_score"), F.col(key_col))
         .limit(k)
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, capacity: int = 256, shards: int = 8
+) -> DataFrame:
+    """Concat-then-split sequence packing — the step that turns variable-
+    length documents into fixed-``capacity`` training sequences with zero
+    padding waste (T5/GPT-style packing).
+
+    Semantics: within a shard, documents ordered by ``doc_id`` are
+    conceptually concatenated into one token stream, which is then cut
+    every ``capacity`` tokens. Each document row reports where its tokens
+    landed: the sequence index holding its first token (``seq_start``),
+    the one holding its last (``seq_end`` — documents may straddle a cut),
+    and the offset of its first token inside ``seq_start``. Downstream, a
+    writer groups by (shard, seq) to emit the packed batches.
+
+    Scale: packing is a prefix-sum, which is inherently sequential over
+    its order — so the order is *per shard*, never global. Each shard is
+    one window partition (one task); ``shards`` scales with the cluster,
+    and the assignment ``pmod(doc_id, shards)`` is a pure row function, so
+    the packing is deterministic under any partition layout or executor
+    count. No global sort, no driver state. Empty documents are dropped
+    (they occupy no tokens).
+
+    Exactly mirrored in SQL (same window, same integer arithmetic), so the
+    DuckDB oracle value-checks every offset.
+    """
+    if capacity <= 0 or shards <= 0:
+        raise ValueError(
+            f"require capacity > 0 and shards > 0, got {capacity=}, {shards=}"
+        )
+    n_tok = F.size(tokens_col())
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return (
+        documents.select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(shards)).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            start.alias("_s"),
+            cum.alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(f"_s DIV {capacity}").alias("seq_start"),
+            F.expr(f"(_c - 1) DIV {capacity}").alias("seq_end"),
+            (F.col("_s") % capacity).alias("seq_offset"),
+        )
     )

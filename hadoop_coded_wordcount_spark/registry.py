@@ -1504,6 +1504,43 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_clusters_star",
+    # Same oracle as dedup_clusters (the component partition is
+    # algorithm-independent); the Spark side runs large-star/small-star
+    # contraction — O(log n) rounds vs label propagation's O(diameter).
+    f"""
+    WITH RECURSIVE
+    g AS ({_DUCK_SHINGLES}),
+    e AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM e
+      UNION ALL
+      SELECT doc_b, doc_a FROM e
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    edges = dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
+    return dd.connected_components_star(edges)
+
+
 @register("simhash64")  # rows-only; hamming behavior unit-tested
 def q_simhash64(spark, sf_dir):
     return dd.simhash64(load_table(spark, sf_dir, "documents"))
@@ -1898,6 +1935,37 @@ def q_events_time_rollup(spark, sf_dir):
 def q_weighted_sample_orders(spark, sf_dir):
     return pl.weighted_sample(
         load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", k=100
+    )
+
+
+@register(
+    "pack_sequences",
+    # Same per-shard prefix-sum in SQL: every offset is value-checked.
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS c
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens,
+           (c - n_tokens) // 256 AS seq_start,
+           (c - 1) // 256 AS seq_end,
+           (c - n_tokens) % 256 AS seq_offset
+    FROM p
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    return pl.pack_sequences(
+        load_table(spark, sf_dir, "documents"), capacity=256, shards=8
     )
 
 
@@ -2605,6 +2673,12 @@ def _pagerank_round(prev: str, out: str) -> str:
     """,
 )
 def q_pagerank_trade(spark, sf_dir):
+    # Measured 4.8 s at sf0.1/local[32] (bench_detail.json r4). Cluster
+    # note: the operator uses eager localCheckpoint per round, which pins
+    # iteration state to executor memory — on a real multi-executor
+    # cluster set a checkpoint dir and switch to reliable checkpoint()
+    # (operators/graph.py docstring) so a lost executor doesn't kill the
+    # lineage-free iteration state.
     return gr.pagerank(
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
@@ -2620,6 +2694,9 @@ def q_pagerank_trade(spark, sf_dir):
 # tests/test_relational.py and the in-repo full-oracle sweep) trails.
 
 _VERIFY_FIRST = [
+    # (0) New this round — no external oracle row yet.
+    "dedup_clusters_star",
+    "pack_sequences",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.

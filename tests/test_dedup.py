@@ -238,3 +238,51 @@ def test_passage_dedup_flags_shared_passages(spark):
     assert rows[1]["n_passages"] == 2
     assert rows[3]["n_dup_passages"] == 0
     assert rows[1]["dup_ratio"] == 0.5
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star contraction computes the same component
+    partition as min-label propagation on an arbitrary random graph."""
+    import random
+
+    random.seed(7)
+    raw = [
+        (random.randrange(300), random.randrange(300)) for _ in range(250)
+    ]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw if a != b], ["doc_a", "doc_b"]
+    )
+    by_prop = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components(edges, max_iter=40).collect()
+    }
+    by_star = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components_star(edges).collect()
+    }
+    assert by_star == by_prop
+
+
+def test_star_cc_converges_on_long_chain_in_log_rounds(spark):
+    """A 120-long path (diameter 120) closes within the default 15
+    alternation rounds — the O(log n) property label propagation lacks —
+    and every node gets the component-min label."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_star(chain, max_iter=15).collect()
+    }
+    assert set(got) == set(range(121))
+    assert set(got.values()) == {0}
+
+
+def test_star_cc_raises_when_unconverged(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components_star(chain, max_iter=1)

@@ -161,3 +161,43 @@ def test_weighted_sample_deterministic_and_biased(spark):
 
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_invariants(spark):
+    """Per shard, documents tile the token stream contiguously: each doc's
+    seq_start/seq_offset equals the running total before it, seq_end covers
+    its last token, and the packing is partition-layout-independent."""
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = pl.pack_sequences(docs, capacity=256, shards=8).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.seq_start == cum // 256
+            assert r.seq_offset == cum % 256
+            cum += r.n_tokens
+            assert r.seq_end == (cum - 1) // 256
+    # layout-independence: same answer from a repartitioned source
+    again = pl.pack_sequences(
+        docs.repartition(13), capacity=256, shards=8
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    import pytest
+
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for cap, sh in [(0, 8), (-1, 8), (256, 0), (256, -2)]:
+        with pytest.raises(ValueError, match="capacity|shards"):
+            pl.pack_sequences(docs, capacity=cap, shards=sh)
