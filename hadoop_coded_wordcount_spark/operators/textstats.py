@@ -38,6 +38,7 @@ __all__ = [
     "tfidf_topk",
     "pii_redact",
     "unigram_surprisal",
+    "bigram_lm",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -478,4 +479,48 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
                 F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double")
             ).alias("hapax_ratio"),
         )
+    )
+
+
+def bigram_lm(documents: DataFrame) -> DataFrame:
+    """Corpus bigram language model: count every adjacent token pair and
+    its conditional probability P(w2|w1) — the n-gram statistics layer
+    under perplexity filters, boilerplate detectors, and surprisal
+    scoring (the bigram upgrade of :func:`unigram_surprisal`).
+
+    Pair construction stays JVM-side: an index ``sequence`` over each
+    token array pairs ``toks[i]`` with ``toks[i+1]`` (guarded — Spark's
+    ``sequence(1, 0)`` yields a DESCENDING sequence, so sub-2-token
+    documents must short-circuit to an empty array, not an empty range),
+    then one explode feeds a map-side-combined count. P(w2|w1) is the
+    count over a ``w1``-partitioned window sum — key count is vocabulary
+    sized, so the window parallelizes across the cluster.
+    """
+    toks = tokens_col()
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pair = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+    )
+    counts = (
+        documents.select(pair.alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(w), 6
+        ).alias("cond_p"),
     )

@@ -2299,6 +2299,29 @@ def q_unigram_surprisal(spark, sf_dir):
 
 
 @register(
+    "bigram_lm",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2)
+    SELECT w1, w2, cnt,
+           ROUND(cnt / SUM(cnt) OVER (PARTITION BY w1), 6) AS cond_p
+    FROM c
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    return ts.bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "gap_fill_locf",
     """
     WITH b AS (
@@ -2697,6 +2720,7 @@ _VERIFY_FIRST = [
     # (0) New this round — no external oracle row yet.
     "dedup_clusters_star",
     "pack_sequences",
+    "bigram_lm",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.

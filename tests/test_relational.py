@@ -193,3 +193,37 @@ def test_rolling_anomaly_flags_planted_spike(spark):
     assert flagged == {40 + (t0.day - 1) * 24}
     # warm-up exclusion: first 12 hours never scored
     assert min(r.hour for r in out) >= t0 + timedelta(hours=12)
+
+
+def test_exact_percentiles_by_group_bit_identical_to_builtin(spark):
+    """The histogram formulation (bounded state, parallel count phase)
+    must reproduce the builtin percentile's doubles EXACTLY — same
+    floor/ceil ranks, same (ceil-pos)*lo + (pos-floor)*hi interpolation."""
+    from pyspark.sql import functions as F
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    ref = sorted(
+        map(
+            tuple,
+            li.groupBy("l_returnflag")
+            .agg(
+                F.percentile("l_extendedprice", F.lit(0.05)).alias("p0"),
+                F.percentile("l_extendedprice", F.lit(0.25)).alias("p1"),
+                F.percentile("l_extendedprice", F.lit(0.5)).alias("p2"),
+                F.percentile("l_extendedprice", F.lit(0.95)).alias("p3"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            rel.exact_percentiles_by_group(
+                li, "l_returnflag", "l_extendedprice", [0.05, 0.25, 0.5, 0.95]
+            ).collect(),
+        )
+    )
+    assert got == ref  # exact equality, not approx

@@ -168,3 +168,32 @@ def test_pii_redact_masks_everything(spark):
     assert out.where(F.col("redacted").contains("[EMAIL]")).count() == out.where(
         F.col("n_email") > 0
     ).count()
+
+
+def test_bigram_lm_edges_and_probabilities(spark):
+    """Sub-2-token docs contribute nothing (the sequence(1,0) descending
+    trap), pairs count adjacency with multiplicity, and P(w2|w1) sums to
+    1 per w1."""
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a"),
+            (3, ""),
+            (4, "  "),
+            (5, "b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r.w1, r.w2): (r.cnt, r.cond_p) for r in ts.bigram_lm(docs).collect()}
+    assert rows[("a", "b")] == (2, 1.0)         # both 'a b' occurrences
+    assert rows[("b", "a")] == (1, round(1 / 3, 6))
+    assert rows[("b", "c")] == (2, round(2 / 3, 6))
+    assert ("c", "a") not in rows               # no cross-document pairs
+    import collections
+
+    totals = collections.defaultdict(float)
+    for (w1, _), (_, p) in rows.items():
+        totals[w1] += p
+    assert all(abs(t - 1.0) < 1e-6 for t in totals.values())
