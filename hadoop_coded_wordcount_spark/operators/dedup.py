@@ -652,27 +652,29 @@ def connected_components_star(
             F.min("b").alias("mn")
         )
         mins = mins.select("u", F.least("mn", "u").alias("m"))
-        L = (
+        big = (
             sym.where(F.col("b") > F.col("a"))  # larger neighbors v of u=a
             .join(mins, sym["a"] == mins["u"])
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # -- small-star: smaller neighbors only --------------------------
-        sm_min = L.groupBy(F.col("a").alias("u")).agg(
+        sm_min = big.groupBy(F.col("a").alias("u")).agg(
             F.min("b").alias("m")
         )
+        # ONE lazy checkpoint per alternation (not one per star): the
+        # convergence-signature job below materializes it, so each round
+        # costs a single job and the plan still resets to O(1) depth.
         L = (
-            L.join(sm_min, L["a"] == sm_min["u"])
+            big.join(sm_min, big["a"] == sm_min["u"])
             .select(
                 F.col("b").alias("a"), F.col("m").alias("b")
             )  # rewire smaller neighbors to m
             .union(sm_min.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sig = L.agg(
             F.count(F.lit(1)).alias("n"),

@@ -1350,6 +1350,71 @@ def global_sort(customer: DataFrame) -> DataFrame:
     )
 
 
+def global_row_number(orders: DataFrame, n_parts: int = 32) -> DataFrame:
+    """Global dense row numbering over a total order — the distributed
+    ``zipWithIndex`` pattern, and the one window shape you must NEVER
+    write naively at scale: ``row_number() OVER (ORDER BY ...)`` with no
+    PARTITION BY is a single-task window (all rows through one reducer).
+
+    The scale formulation:
+
+    1. range-partition on the order key (sampled split points — the same
+       exchange a global sort uses); partition index order == key order;
+    2. count rows per partition (a ``spark_partition_id`` groupBy — tiny,
+       one row per partition) and turn the counts into per-partition
+       *offsets* on the driver (bounded: n_parts scalars, not data);
+    3. number rows *within* each partition (parallel window, one
+       partition per task) and add the broadcast offset.
+
+    Output is identical to the naive window (oracled), but every stage
+    runs at full parallelism and no task ever sees more than its slice.
+
+    The ranged frame is materialized (localCheckpoint) BEFORE the count
+    pass: RangePartitioner samples its split points with a per-execution
+    seed, so two separate jobs over the same lazy plan can draw
+    *different* partition boundaries — the offsets would then be computed
+    against a different pid assignment than the one that numbers the
+    rows. Pinning the partitioning once makes pid a stable fact. (On a
+    cluster, reliable ``checkpoint()`` for the same reason plus executor
+    loss.)
+    """
+    with_pid = (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(n_parts, F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Driver-side: n_parts (pid, count) rows -> cumulative offsets. This
+    # is a bounded control-plane collect (one scalar per partition), the
+    # same class as a convergence probe — not a data collect.
+    sizes = {
+        r["pid"]: r["cnt"]
+        for r in with_pid.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    spark = orders.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    return (
+        with_pid.join(off_df, "pid")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.row_number().over(w) + F.col("off")).alias("rn"),
+        )
+    )
+
+
 def topk_orders(orders: DataFrame, k: int = 10) -> DataFrame:
     """Global top-k: TakeOrderedAndProject, not a full sort."""
     return (

@@ -2322,6 +2322,18 @@ def q_bigram_lm(spark, sf_dir):
 
 
 @register(
+    "global_row_number",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def q_global_row_number(spark, sf_dir):
+    return rel.global_row_number(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "gap_fill_locf",
     """
     WITH b AS (
@@ -2721,6 +2733,7 @@ _VERIFY_FIRST = [
     "dedup_clusters_star",
     "pack_sequences",
     "bigram_lm",
+    "global_row_number",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.

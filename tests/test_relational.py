@@ -227,3 +227,34 @@ def test_exact_percentiles_by_group_bit_identical_to_builtin(spark):
         )
     )
     assert got == ref  # exact equality, not approx
+
+
+def test_global_row_number_matches_naive_window(spark):
+    """The range-partition + offset formulation must equal the naive
+    single-task window exactly, and survive a different input layout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    naive = {
+        (r.o_orderkey, r.rn)
+        for r in orders.select(
+            "o_orderkey",
+            F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
+        ).collect()
+    }
+    got = {
+        (r.o_orderkey, r.rn)
+        for r in rel.global_row_number(orders, n_parts=7).collect()
+    }
+    assert got == naive
+    again = {
+        (r.o_orderkey, r.rn)
+        for r in rel.global_row_number(
+            orders.repartition(13), n_parts=7
+        ).collect()
+    }
+    assert again == naive
