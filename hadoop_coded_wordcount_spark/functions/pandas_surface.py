@@ -190,8 +190,14 @@ def chunk_documents(
                 if i + chunk_tokens >= len(toks):
                     break  # last window reached the end; no empty tail
 
+    from ..sources.catalog import ensure_parallelism
+
     spark = documents.sparkSession
-    docs = documents.select("doc_id", "text")
+    # Spread the narrow scan first: a single parquet file is one input
+    # split, so without this the UDTF's Python generator runs on ONE
+    # worker regardless of cores (no-op at real scale — same rationale
+    # as every other compute-heavy documents operator).
+    docs = ensure_parallelism(documents.select("doc_id", "text"))
     # TVF invocation over a relation: register and call via SQL (the
     # DataFrame API has no table-argument binding for UDTFs yet). The
     # view name is per-call unique so concurrent queries can't collide.
