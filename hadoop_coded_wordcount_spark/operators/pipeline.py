@@ -32,6 +32,7 @@ __all__ = [
     "mixture_weights",
     "weighted_sample",
     "pack_sequences",
+    "stratified_fixed_k",
     "SAMPLE_RATES",
 ]
 
@@ -322,4 +323,27 @@ def pack_sequences(
             F.expr(f"(_c - 1) DIV {capacity}").alias("seq_end"),
             (F.col("_s") % capacity).alias("seq_offset"),
         )
+    )
+
+
+def stratified_fixed_k(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: exactly min(k, |stratum|)
+    documents per language, chosen by hash order — the "give me 20 docs
+    per language for eval" primitive.
+
+    Hash-ordering (md5 of the key) makes the choice a pure function of
+    the key set: partition-layout- and engine-independent (md5 hex is
+    identical in Spark and the oracle), unlike ``sample()`` whose output
+    depends on physical partitioning. The window partitions by stratum,
+    so strata rank in parallel; for a HUGE stratum with tiny k, prefer
+    the A-Res top-k shape (:func:`weighted_sample` with unit weights)
+    which compiles to per-partition heaps instead of a full stratum sort.
+    """
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
     )

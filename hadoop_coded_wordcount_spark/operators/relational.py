@@ -2279,3 +2279,68 @@ def rolling_anomaly(events: DataFrame, z_thresh: float = 3.0) -> DataFrame:
         "zscore",
         (F.abs(F.col("zscore")) > F.lit(z_thresh)).alias("is_anomaly"),
     )
+
+
+def table_profile(lineitem: DataFrame) -> DataFrame:
+    """Column-profile statistics — the data-quality pass a pipeline runs
+    before trusting a new drop: per numeric column, row count, null
+    count, min/max, and exact distinct count, in ONE scan.
+
+    All 4×5 aggregates are computed in a single Aggregate operator
+    (one pass, map-side partial), then pivoted to long form with
+    ``stack`` — profiling must never cost one scan per column.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.min(F.col(c).cast("double")).alias(f"{c}_min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}_max"),
+            F.count_distinct(F.col(c)).alias(f"{c}_ndv"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_min, {c}_max, {c}_ndv" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_null, vmin, vmax, ndv)"
+        ),
+    ).select("col", "n_rows", "n_null", "vmin", "vmax", "ndv")
+
+
+def equidepth_histogram(orders: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equi-depth (quantile) histogram of o_totalprice: bin boundaries
+    are exact percentile_cont cuts, bins are assigned by boundary
+    comparison — NOT by ``ntile`` over a global ORDER BY, which is a
+    single-task window (the same anti-pattern :func:`global_row_number`
+    exists to avoid). Boundaries come from
+    :func:`exact_percentiles_by_group` (bounded state, parallel), the
+    binning is a codegen'd sum of comparisons on the scan, and the
+    per-bin stats are one partial-agg shuffle of ``n_bins`` rows.
+    """
+    pcts = [i / n_bins for i in range(1, n_bins)]
+    bounds = exact_percentiles_by_group(
+        orders.select(F.lit(1).alias("g"), "o_totalprice"),
+        "g",
+        "o_totalprice",
+        pcts,
+    )
+    v = F.col("o_totalprice").cast("double")
+    bin_expr = sum(
+        (v > F.col(f"p{i}")).cast("int") for i in range(len(pcts))
+    )
+    return (
+        orders.select("o_totalprice")
+        .join(F.broadcast(bounds.drop("g")))
+        .select(v.alias("v"), bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+        )
+    )

@@ -2334,6 +2334,98 @@ def q_global_row_number(spark, sf_dir):
 
 
 @register(
+    "table_profile",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+        CAST(MIN(l_quantity) AS DOUBLE) AS q_min,
+        CAST(MAX(l_quantity) AS DOUBLE) AS q_max,
+        COUNT(DISTINCT l_quantity) AS q_ndv,
+        CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS p_min,
+        CAST(MAX(l_extendedprice) AS DOUBLE) AS p_max,
+        COUNT(DISTINCT l_extendedprice) AS p_ndv,
+        CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+        CAST(MIN(l_discount) AS DOUBLE) AS d_min,
+        CAST(MAX(l_discount) AS DOUBLE) AS d_max,
+        COUNT(DISTINCT l_discount) AS d_ndv,
+        CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+        CAST(MIN(l_tax) AS DOUBLE) AS t_min,
+        CAST(MAX(l_tax) AS DOUBLE) AS t_max,
+        COUNT(DISTINCT l_tax) AS t_ndv
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col, n_rows, q_nulls AS n_null,
+           q_min AS vmin, q_max AS vmax, q_ndv AS ndv FROM a
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, p_nulls, p_min, p_max, p_ndv FROM a
+    UNION ALL
+    SELECT 'l_discount', n_rows, d_nulls, d_min, d_max, d_ndv FROM a
+    UNION ALL
+    SELECT 'l_tax', n_rows, t_nulls, t_min, t_max, t_ndv FROM a
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    return rel.table_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.1) AS p0,
+             quantile_cont(o_totalprice, 0.2) AS p1,
+             quantile_cont(o_totalprice, 0.3) AS p2,
+             quantile_cont(o_totalprice, 0.4) AS p3,
+             quantile_cont(o_totalprice, 0.5) AS p4,
+             quantile_cont(o_totalprice, 0.6) AS p5,
+             quantile_cont(o_totalprice, 0.7) AS p6,
+             quantile_cont(o_totalprice, 0.8) AS p7,
+             quantile_cont(o_totalprice, 0.9) AS p8
+      FROM orders
+    )
+    SELECT bin, COUNT(*) AS n,
+           ROUND(MIN(v), 6) AS vmin, ROUND(MAX(v), 6) AS vmax
+    FROM (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             (CASE WHEN CAST(o_totalprice AS DOUBLE) > p0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p1 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p2 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p3 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p4 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p5 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p6 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p7 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_totalprice AS DOUBLE) > p8 THEN 1 ELSE 0 END
+             ) AS bin
+      FROM orders, b
+    )
+    GROUP BY bin
+    """,
+)
+def q_equidepth_histogram(spark, sf_dir):
+    return rel.equidepth_histogram(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "stratified_fixed_k",
+    """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q_stratified_fixed_k(spark, sf_dir):
+    return pl.stratified_fixed_k(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "gap_fill_locf",
     """
     WITH b AS (
@@ -2734,6 +2826,9 @@ _VERIFY_FIRST = [
     "pack_sequences",
     "bigram_lm",
     "global_row_number",
+    "table_profile",
+    "equidepth_histogram",
+    "stratified_fixed_k",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.

@@ -258,3 +258,33 @@ def test_global_row_number_matches_naive_window(spark):
         ).collect()
     }
     assert again == naive
+
+
+def test_table_profile_single_scan(spark):
+    """All 4x5 profile aggregates must come from ONE scan/aggregate —
+    profiling must never cost a pass per column."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    df = rel.table_profile(li)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    rows = {r.col: r for r in df.collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for r in rows.values():
+        assert r.n_null == 0 and r.ndv > 0 and r.vmin <= r.vmax
+
+
+def test_equidepth_histogram_covers_all_rows(spark):
+    """Bins partition the table: counts sum to the row count, bins are
+    0..9, and each bin's [vmin, vmax] is within its neighbors' order."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    rows = sorted(rel.equidepth_histogram(orders).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(10))
+    assert sum(r.n for r in rows) == orders.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.vmax <= b.vmin
