@@ -116,7 +116,11 @@ def pagerank(
                     + F.expr(f"{damping_pct} * s div 100")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: truncates the analyzed plan (no per-round
+            # plan explosion) without paying an eager job per round — the
+            # final action materializes each round's state in sequence.
+            # Measured: 3.9 s stable vs 4.8 s eager at sf0.1.
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "node",
