@@ -42,6 +42,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "passage_dedup",
+    "containment_pairs",
 ]
 
 
@@ -700,3 +701,77 @@ def connected_components_star(
         .union(roots.select("doc_id", F.col("doc_id").alias("cluster_id")))
         .distinct()
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_on: str | None = "lang",
+) -> DataFrame:
+    """Asymmetric near-duplication: shingle-set CONTAINMENT
+    ``C(X, Y) = |X ∩ Y| / |X|`` — the measure Jaccard misses. A wire
+    story embedded in a longer article, or a doc that is 90% boilerplate
+    template, has high containment but low Jaccard (the union is
+    dominated by the larger doc), so a Jaccard-threshold dedup keeps
+    both. Broder's original resemblance/containment pairing.
+
+    Same salted block-join machinery and hashed-shingle trick as
+    :func:`ngram_jaccard_pairs` (see there for the parallelism notes).
+    Note the asymmetry kills Jaccard's size-ratio prune: the smaller
+    side's containment in the larger is bounded only by 1 regardless of
+    the size gap (a tweet inside a book still has containment 1), so
+    every same-block pair must be verified — which is WHY containment
+    dedup at scale blocks on LSH candidates first. One a<b join computes
+    the intersection once and emits BOTH orientations that clear the
+    threshold: (doc_contained, doc_container, containment).
+    """
+    g = shingled(documents, n).select(
+        "doc_id",
+        "lang",
+        F.transform("grams", lambda s: F.xxhash64(s)).alias("grams"),
+    )
+    salts = 64
+    nparts = 8 * documents.sparkSession.sparkContext.defaultParallelism
+    keys = ([block_on] if block_on is not None else []) + ["salt"]
+    a = (
+        g.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salts)))
+        .repartition(nparts, *keys)
+        .alias("a")
+    )
+    b = (
+        g.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        .repartition(nparts, *keys)
+        .alias("b")
+    )
+    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
+    cond = (
+        F.col("a.salt") == F.col("b.salt")
+    ) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if block_on is not None:
+        cond = (F.col(f"a.{block_on}") == F.col(f"b.{block_on}")) & cond
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    paired = (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            sa.alias("na"),
+            sb.alias("nb"),
+            inter.alias("ni"),
+        )
+        .where(F.col("ni") > 0)
+    )
+    c_ab = F.col("ni").cast("double") / F.col("na")  # A contained in B
+    c_ba = F.col("ni").cast("double") / F.col("nb")  # B contained in A
+    fwd = paired.where(c_ab >= threshold).select(
+        F.col("da").alias("doc_contained"),
+        F.col("db").alias("doc_container"),
+        F.round(c_ab, 6).alias("containment"),
+    )
+    rev = paired.where(c_ba >= threshold).select(
+        F.col("db").alias("doc_contained"),
+        F.col("da").alias("doc_container"),
+        F.round(c_ba, 6).alias("containment"),
+    )
+    return fwd.union(rev)

@@ -1541,6 +1541,32 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dd.connected_components_star(edges)
 
 
+@register(
+    "containment_pairs",
+    # Oracle over string grams (the Spark side hashes shingles to
+    # xxhash64 — set sizes, and hence containment, are preserved up to
+    # collisions; same argument the ngram_jaccard oracle already proves).
+    f"""
+    WITH g AS ({_DUCK_SHINGLES}),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(a.grams) AS na, len(b.grams) AS nb,
+             len(list_intersect(a.grams, b.grams)) AS ni
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) > 0
+    )
+    SELECT da AS doc_contained, db AS doc_container,
+           ROUND(CAST(ni AS DOUBLE) / na, 6) AS containment
+    FROM p WHERE CAST(ni AS DOUBLE) / na >= 0.8
+    UNION ALL
+    SELECT db, da, ROUND(CAST(ni AS DOUBLE) / nb, 6)
+    FROM p WHERE CAST(ni AS DOUBLE) / nb >= 0.8
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    return dd.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register("simhash64")  # rows-only; hamming behavior unit-tested
 def q_simhash64(spark, sf_dir):
     return dd.simhash64(load_table(spark, sf_dir, "documents"))
@@ -2829,6 +2855,7 @@ _VERIFY_FIRST = [
     "table_profile",
     "equidepth_histogram",
     "stratified_fixed_k",
+    "containment_pairs",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.

@@ -286,3 +286,25 @@ def test_star_cc_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components_star(chain, max_iter=1)
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully embedded in a long one has containment 1.0 in
+    the contained->container direction only — the case Jaccard misses."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "en", short), (2, "en", long_), (3, "en", "zeta eta theta iota kappa")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {
+        (r.doc_contained, r.doc_container): r.containment
+        for r in dd.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert rows == {(1, 2): 1.0}  # asymmetric: (2,1) absent, doc 3 unrelated
+    # and the Jaccard view of the same pair is far below any dedup bar
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    assert j[(1, 2)] < 0.1

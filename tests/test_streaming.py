@@ -658,3 +658,25 @@ def test_streaming_distinct_users_equals_batch(spark, tmp_path):
     for key, n in got.items():
         assert want[key] == n
     assert len(got) >= len(want) - 10
+
+
+def test_streaming_progress_profile(spark, tmp_path):
+    """The streaming O12 surface: an AvailableNow run over the events
+    table reports its input rows exactly and nonzero windowed-agg state."""
+    from hadoop_coded_wordcount_spark.streaming import progress as sp
+
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = events.count()
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    profile = sp.run_with_progress(
+        sw.watermarked_tumbling(stream, width="1 hour", lateness="10 minutes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="t_progress",
+    )
+    assert profile["input_rows_total"] == n
+    assert profile["n_batches"] >= 1
+    assert profile["state_rows_last"] > 0  # windowed agg holds state
