@@ -2344,3 +2344,92 @@ def equidepth_histogram(orders: DataFrame, n_bins: int = 10) -> DataFrame:
             F.round(F.max("v"), 6).alias("vmax"),
         )
     )
+
+
+def iqr_outliers(lineitem: DataFrame) -> DataFrame:
+    """Tukey-fence outlier report per group: count values beyond
+    [Q1 - 1.5·IQR, Q3 + 1.5·IQR] — the robust data-quality screen that,
+    unlike z-scores, is not itself dragged by the outliers it hunts.
+
+    Quartiles come from :func:`exact_percentiles_by_group` (bounded
+    state, bit-identical to the builtin percentile); the fences
+    broadcast back onto the scan and the report is one partial-agg
+    shuffle of |groups| rows. Only always-defined outputs (counts,
+    rates) are emitted — a min/max over an empty outlier set would be
+    NULL, the cross-engine comparison trap ``try_funcs`` documents.
+    """
+    bounds = exact_percentiles_by_group(
+        lineitem, "l_returnflag", "l_extendedprice", [0.25, 0.75]
+    ).select(
+        "l_returnflag", F.col("p0").alias("q1"), F.col("p1").alias("q3")
+    )
+    v = F.col("l_extendedprice").cast("double")
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    out = ((v < lo) | (v > hi)).cast("int")
+    return (
+        lineitem.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out).alias("n_outliers"),
+            F.round(F.min("q1"), 6).alias("q1"),
+            F.round(F.min("q3"), 6).alias("q3"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "n_outliers",
+            "q1",
+            "q3",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n"), 6
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+def chi_square_independence(orders: DataFrame) -> DataFrame:
+    """Pearson chi-square independence statistic for the
+    (o_orderstatus × o_orderpriority) contingency table — the
+    categorical-drift check a pipeline runs between corpus snapshots.
+
+    Exactness discipline: each cell's contribution (obs - exp)²/exp is
+    a fixed double expression over exact integer counts (deterministic
+    per cell), ROUNDED to 6 dp and summed as DECIMAL — because a
+    *double* sum over shuffled cells is order-dependent in the last
+    ulp and would flap against any oracle. The decimal sum is exact and
+    associative, so the statistic is reproducible bit-for-bit on both
+    engines (a documented 1e-6-per-cell quantization of true chi²).
+    """
+    obs = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy("o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy()
+    cells = obs.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        6,
+    ).cast("decimal(18,6)")
+    return cells.agg(
+        F.sum(contrib).cast("double").alias("chi2"),
+        (
+            (F.count_distinct("o_orderstatus") - 1)
+            * (F.count_distinct("o_orderpriority") - 1)
+        ).alias("dof"),
+        F.max("n").alias("n"),
+    )

@@ -2435,6 +2435,61 @@ def q_equidepth_histogram(spark, sf_dir):
 
 
 @register(
+    "iqr_outliers",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < q1 - 1.5*(q3-q1)
+                           OR CAST(l_extendedprice AS DOUBLE) > q3 + 1.5*(q3-q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MIN(q1), 6) AS q1, ROUND(MIN(q3), 6) AS q3,
+           ROUND(CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < q1 - 1.5*(q3-q1)
+                                 OR CAST(l_extendedprice AS DOUBLE) > q3 + 1.5*(q3-q1)
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS outlier_rate
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_iqr_outliers(spark, sf_dir):
+    return rel.iqr_outliers(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    cells AS (
+      SELECT o_orderstatus, o_orderpriority, o,
+             SUM(o) OVER (PARTITION BY o_orderstatus) AS r,
+             SUM(o) OVER (PARTITION BY o_orderpriority) AS c,
+             SUM(o) OVER () AS n
+      FROM obs
+    )
+    SELECT CAST(SUM(CAST(ROUND(
+             (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 6)
+           AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+           (COUNT(DISTINCT o_orderstatus) - 1)
+             * (COUNT(DISTINCT o_orderpriority) - 1) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def q_chi_square_independence(spark, sf_dir):
+    return rel.chi_square_independence(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "stratified_fixed_k",
     """
     SELECT doc_id, lang, rk FROM (
@@ -2856,6 +2911,8 @@ _VERIFY_FIRST = [
     "equidepth_histogram",
     "stratified_fixed_k",
     "containment_pairs",
+    "iqr_outliers",
+    "chi_square_independence",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.
