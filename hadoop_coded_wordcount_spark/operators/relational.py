@@ -2433,3 +2433,81 @@ def chi_square_independence(orders: DataFrame) -> DataFrame:
         ).alias("dof"),
         F.max("n").alias("n"),
     )
+
+
+def skew_report(lineitem: DataFrame) -> DataFrame:
+    """Join-key skew diagnosis for l_suppkey — the report you run BEFORE
+    deciding to salt a join or rely on AQE skew-split. Emits one row:
+    distinct keys, total rows, the heaviest key's row share, and the
+    p50/p99 key-frequency quantiles (a p99/p50 ratio near 1 means
+    uniform; ≫1 means a skewed join ahead).
+
+    The frequency table is a map-side-combined groupBy (shuffle rows ==
+    distinct keys); the quantiles over it use the bounded-state
+    histogram percentile. Nothing here scans the fact table twice.
+    """
+    freq = lineitem.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("f"))
+    q = exact_percentiles_by_group(
+        freq.select(F.lit(1).alias("g"), "f"), "g", "f", [0.5, 0.99]
+    ).select(F.col("p0").alias("p50_freq"), F.col("p1").alias("p99_freq"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_freq"),
+    )
+    return (
+        stats.join(F.broadcast(q))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.round(
+                F.col("max_freq").cast("double") / F.col("n_rows"), 6
+            ).alias("top_key_share"),
+            "p50_freq",
+            "p99_freq",
+            F.round(F.col("p99_freq") / F.col("p50_freq"), 6).alias(
+                "p99_p50_ratio"
+            ),
+        )
+    )
+
+
+def mad_stats(lineitem: DataFrame) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    companion to :func:`winsorized_stats`: MAD = median(|v − median(v)|),
+    immune to any minority of corrupt values (stddev is not).
+
+    Two bounded-state percentile passes (:func:`exact_percentiles_by_group`):
+    group medians broadcast back onto the scan, then the median of the
+    absolute deviations. |v − m| is a deterministic per-row double
+    expression, so both engines see identical deviation sets and the
+    second percentile matches exactly.
+    """
+    med = exact_percentiles_by_group(
+        lineitem, "l_returnflag", "l_extendedprice", [0.5]
+    ).select("l_returnflag", F.col("p0").alias("med"))
+    dev = (
+        lineitem.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med",
+            F.abs(
+                F.col("l_extendedprice").cast("double") - F.col("med")
+            ).alias("dev"),
+        )
+    )
+    mad = exact_percentiles_by_group(
+        dev, "l_returnflag", "dev", [0.5]
+    ).select("l_returnflag", F.col("p0").alias("mad"))
+    n = lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n.join(med, "l_returnflag")
+        .join(mad, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("med"), 6).alias("median_price"),
+            F.round(F.col("mad"), 6).alias("mad_price"),
+        )
+    )

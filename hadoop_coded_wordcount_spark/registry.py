@@ -2490,6 +2490,54 @@ def q_chi_square_independence(spark, sf_dir):
 
 
 @register(
+    "skew_report",
+    """
+    WITH freq AS (
+      SELECT l_suppkey, COUNT(*) AS f FROM lineitem GROUP BY l_suppkey
+    ),
+    q AS (
+      SELECT quantile_cont(f, 0.5) AS p50_freq,
+             quantile_cont(f, 0.99) AS p99_freq
+      FROM freq
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(f) AS BIGINT) AS n_rows,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           ROUND(CAST(MAX(f) AS DOUBLE) / SUM(f), 6) AS top_key_share,
+           MIN(p50_freq) AS p50_freq,
+           MIN(p99_freq) AS p99_freq,
+           ROUND(MIN(p99_freq) / MIN(p50_freq), 6) AS p99_p50_ratio
+    FROM freq, q
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    return rel.skew_report(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "mad_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, med,
+             ABS(CAST(l_extendedprice AS DOUBLE) - med) AS dev
+      FROM lineitem l JOIN med USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(MIN(med), 6) AS median_price,
+           ROUND(quantile_cont(dev, 0.5), 6) AS mad_price
+    FROM dev GROUP BY l_returnflag
+    """,
+)
+def q_mad_stats(spark, sf_dir):
+    return rel.mad_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "stratified_fixed_k",
     """
     SELECT doc_id, lang, rk FROM (
@@ -2913,6 +2961,8 @@ _VERIFY_FIRST = [
     "containment_pairs",
     "iqr_outliers",
     "chi_square_independence",
+    "skew_report",
+    "mad_stats",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.
