@@ -2511,3 +2511,103 @@ def mad_stats(lineitem: DataFrame) -> DataFrame:
             F.round(F.col("mad"), 6).alias("mad_price"),
         )
     )
+
+
+def regression_by_group(lineitem: DataFrame) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) from exact
+    decimal moments — "aggregate-only ML": slope and intercept need only
+    Σx, Σy, Σxy, Σx², which partial-aggregate map-side like any sum.
+
+    Exactness discipline (same as :func:`stats_moments`): the moments
+    are DECIMAL sums (order-independent, no shuffle-order ulp drift);
+    only the final slope/intercept arithmetic runs in double — a fixed
+    expression over exact inputs, so both engines agree bit-for-bit.
+    """
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def ohlc_hourly(events: DataFrame) -> DataFrame:
+    """OHLC (open/high/low/close) bars per hour over the events stream —
+    the classic downsampling shape for any metric series.
+
+    Open/close are the values at the earliest/latest (ts, event_id) in
+    the bar — the composite order key makes ties deterministic. Both
+    come from ONE window pass (ascending and descending row_number over
+    the same partition sort share one physical Window), then a
+    map-side-combined aggregate per bar. Bars are plentiful, so the
+    window parallelizes across the cluster.
+    """
+    hr = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    base = events.select(hr, "ts", "event_id", "value")
+    wa = Window.partitionBy("bar_hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("bar_hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.select(
+        "bar_hour",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return ranked.groupBy("bar_hour").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average of ``value`` — the right mean for
+    irregularly-sampled series (a value that held for an hour must weigh
+    60× one that held a minute; the row-mean pretends they're equal).
+
+    Each event's value holds until the user's next event (lead over the
+    (ts, event_id) order); weights are integer microsecond gaps and the
+    weighted sum accumulates in DECIMAL — exact and order-independent —
+    with only the final division in double. Users with a single event
+    (no gap) are excluded, keeping every output column always-defined.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros needs TIMESTAMP (LTZ); the session tz is pinned UTC
+    # (sources/catalog._SCAN_CONFS), so the NTZ→LTZ cast is lossless.
+    dt_us = (
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).alias("dt_us")
+    seg = events.select("user_id", "ts", "event_id", "value").select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        dt_us,
+    ).where(F.col("dt_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("v") * F.col("dt_us")).alias("sv"),
+        F.sum("dt_us").alias("st"),
+    ).where(F.col("st") > 0)
+    return agg.select(
+        "user_id",
+        "n_segments",
+        F.round(
+            F.col("sv").cast("double") / F.col("st").cast("double"), 6
+        ).alias("twa_value"),
+    )

@@ -2538,6 +2538,85 @@ def q_mad_stats(spark, sf_dir):
 
 
 @register(
+    "regression_by_group",
+    """
+    WITH a AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+             -- DECIMAL(12,2) operands: DuckDB computes DECIMAL(18)x
+             -- products in int64 and overflows; the inputs carry 2 dp,
+             -- so the narrower cast is value-identical.
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM a
+    """,
+)
+def q_regression_by_group(spark, sf_dir):
+    return rel.regression_by_group(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "ohlc_hourly",
+    """
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS bar_hour, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT bar_hour,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY bar_hour
+    """,
+)
+def q_ohlc_hourly(spark, sf_dir):
+    return rel.ohlc_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_segments,
+             SUM(v * dt_us) AS sv, SUM(dt_us) AS st
+      FROM seg WHERE dt_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_segments,
+           ROUND(CAST(sv AS DOUBLE) / CAST(st AS DOUBLE), 6) AS twa_value
+    FROM agg WHERE st > 0
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    return rel.time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "stratified_fixed_k",
     """
     SELECT doc_id, lang, rk FROM (
@@ -2963,6 +3042,9 @@ _VERIFY_FIRST = [
     "chi_square_independence",
     "skew_report",
     "mad_stats",
+    "regression_by_group",
+    "ohlc_hourly",
+    "time_weighted_avg",
     # Round-4 priority. (1) The 19 events-table queries: all errored in the
     # r3 environment (catalog ts-dtype bug, now fixed) and need a green
     # external CORRECTNESS row on the fixed loader.
