@@ -3029,25 +3029,10 @@ def q_pagerank_trade(spark, sf_dir):
 # tests/test_relational.py and the in-repo full-oracle sweep) trails.
 
 _VERIFY_FIRST = [
-    # (0) New this round — no external oracle row yet.
-    "dedup_clusters_star",
-    "pack_sequences",
-    "bigram_lm",
-    "global_row_number",
-    "table_profile",
-    "equidepth_histogram",
-    "stratified_fixed_k",
-    "containment_pairs",
-    "iqr_outliers",
-    "chi_square_independence",
-    "skew_report",
-    "mad_stats",
-    "regression_by_group",
-    "ohlc_hourly",
-    "time_weighted_avg",
-    # Round-4 priority. (1) The 19 events-table queries: all errored in the
-    # r3 environment (catalog ts-dtype bug, now fixed) and need a green
-    # external CORRECTNESS row on the fixed loader.
+    # Round-4 priority, sized to the external gate's ~50-query window.
+    # (1) The 19 events-table queries: all errored in the r3 environment
+    # (catalog ts-dtype bug, fixed this round) and need a green external
+    # CORRECTNESS row on the fixed loader.
     "sessionize_events",
     "rolling_anomaly",
     "bitmap_distinct_users",
@@ -3067,7 +3052,25 @@ _VERIFY_FIRST = [
     "funnel_view_click",
     "cohort_retention",
     "gap_fill_locf",
-    # (2) Never externally driver-checked as of round 3 (VERDICT.md r3
+    # (2) New this round — no external oracle row yet.
+    "dedup_clusters_star",
+    "pack_sequences",
+    "bigram_lm",
+    "global_row_number",
+    "table_profile",
+    "equidepth_histogram",
+    "stratified_fixed_k",
+    "containment_pairs",
+    "iqr_outliers",
+    "chi_square_independence",
+    "skew_report",
+    "mad_stats",
+    "regression_by_group",
+    "ohlc_hourly",
+    "time_weighted_avg",
+    # (3) Code changed this round (lazy checkpoints) — re-verify.
+    "pagerank_trade",
+    # (4) Never externally driver-checked as of round 3 (VERDICT.md r3
     # item 6): the rows-only similarity/sketch family plus assorted tail.
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",
@@ -3084,9 +3087,6 @@ _VERIFY_FIRST = [
     "simhash_pairs",
     "similarity_topk_pandas",
     "embedding_lsh_pairs",
-    "semdedup_keep",
-    # (3) Code changed this round — re-verify.
-    "pagerank_trade",
 ]
 
 
