@@ -201,3 +201,69 @@ def test_pack_sequences_rejects_bad_params(spark):
     for cap, sh in [(0, 8), (-1, 8), (256, 0), (256, -2)]:
         with pytest.raises(ValueError, match="capacity|shards"):
             pl.pack_sequences(docs, capacity=cap, shards=sh)
+
+
+_PCT_VALUES = st.lists(
+    st.decimals(
+        min_value=-10000, max_value=10000, places=2, allow_nan=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(values=_PCT_VALUES, p=st.sampled_from([0.0, 0.05, 0.25, 0.5, 0.9, 1.0]))
+@_SETTINGS
+def test_exact_percentiles_by_group_property(spark, values, p):
+    """The histogram formulation must equal the builtin percentile
+    bit-for-bit on arbitrary value multisets (duplicates, negatives,
+    single elements, boundary percentiles)."""
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        exact_percentiles_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in values], ["grp", "v"]
+    )
+    want = df.groupBy("grp").agg(
+        F.percentile("v", F.lit(p)).alias("want")
+    ).collect()[0]["want"]
+    got = exact_percentiles_by_group(df, "grp", "v", [p]).collect()[0]["p0"]
+    assert got == want
+
+
+_STAR_EDGES = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=_STAR_EDGES)
+@_SETTINGS
+def test_star_cc_matches_union_find(spark, edges):
+    """Large-star/small-star contraction must agree with union-find on
+    arbitrary graphs — same model check label propagation passes."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    sdf = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_star(sdf).collect()
+    }
+    assert got == want
