@@ -70,14 +70,22 @@ def shingled(documents: DataFrame, n: int = 3) -> DataFrame:
     with_toks = src.select("doc_id", "lang", toks.alias("toks")).where(
         F.size("toks") >= n
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("toks", i + k + 1) for k in range(n)]
-            ),
-        )
-    )
+    # The when() guard makes the expression TOTAL: Catalyst's
+    # InferFiltersFromGenerate infers `size(grams) > 0` from any
+    # downstream explode and may evaluate it BEFORE the size(toks) >= n
+    # filter (predicates reorder freely) — an unguarded element_at then
+    # faults on short docs under strict semantics.
+    grams = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + k + 1) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return with_toks.select("doc_id", "lang", grams.alias("grams"))
 
 
@@ -230,19 +238,80 @@ def _signature_col(k: int) -> Column:
     )
 
 
+_MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """The k (a_i, b_i) pairs of the Carter–Wegman family
+    ``h_i(x) = (a_i·x + b_i) mod p`` — deterministic per index i (seeded
+    PRNG), so the operator and the DuckDB oracle generate the identical
+    family for any k."""
+    import random
+
+    out = []
+    for i in range(k):
+        rng = random.Random(0x5EED0000 + i)
+        out.append((rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P)))
+    return out
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
-    """k-permutation MinHash signature per document.
+    """k-permutation MinHash signature per document, one row per
+    ``(doc_id, perm)`` with the 31-bit minimum hash.
 
     Signature size is k longs per doc regardless of document length — the
-    property that makes fuzzy dedup linear at 100 TB (hashing is
-    :func:`_signature_col`).
+    property that makes fuzzy dedup linear at 100 TB.
+
+    Hash family: Carter–Wegman ``h_i(x) = (a_i·x + b_i) mod p`` with
+    ``p = 2³¹−1`` over ``x = (56-bit half of md5(gram)) mod p`` — pure
+    integer arithmetic (``a_i·x < 2⁶²``, no overflow), pairwise-
+    independent (an UNREDUCED affine family ``h1 + i·h2`` is NOT: the
+    argmin gram correlates across i and signature agreement badly
+    overestimates Jaccard — measured, caught by the estimate-tracks-
+    Jaccard property test). md5 exists in DuckDB, so unlike the previous
+    seeded-xxhash64 basis every minimum is value-checked by the external
+    oracle. The exploded (doc_id, perm, minhash) projection replaces the
+    earlier ``array<bigint>`` signature column, which the driver harness
+    cannot canonicalize (r4 gate error: pandas sort on list cells).
+
+    Shape: explode shingles once → one md5 + mod per gram → one
+    groupBy(doc_id) with k codegen'd min-aggregates (partial map-side, so
+    the shuffle carries k longs per doc) → unpivot to rows. The
+    repartition before the explode spreads gram hashing across cores on a
+    single-file scan and pre-aligns the groupBy (no second exchange).
     """
     g = shingled(documents, n)
-    return g.select(
-        "doc_id",
-        "lang",
-        _signature_col(k).alias("signature"),
-        F.size("grams").alias("n_grams"),
+    nparts = 2 * documents.sparkSession.sparkContext.defaultParallelism
+    h = F.md5("gram")
+    ex = (
+        g.repartition(nparts, "doc_id")
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+                % F.lit(_MINHASH_P)
+            ).alias("x"),
+        )
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(minhash_params(k))
+        ]
+    )
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("perm"), F.col(f"m{i}").alias("minhash")
+            )
+            for i in range(k)
+        ]
+    )
+    return sig.select("doc_id", F.explode(perms).alias("p")).select(
+        "doc_id", "p.perm", "p.minhash"
     )
 
 
@@ -439,29 +508,47 @@ def dedup_clusters(
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document (Charikar fingerprint).
 
-    Each token's xxhash64 votes ±1 on every bit; the fingerprint takes the
+    Each token's hash votes ±1 on every bit; the fingerprint takes the
     majority sign per bit. Near-duplicate documents land at small Hamming
     distance.
 
-    Shape: explode tokens → one hash per row → 64 conditional-sum
-    aggregates (one per bit) → recombine into a long. The 64 sums stay
-    inside whole-stage codegen and partial-aggregate map-side, so the
-    shuffle carries 64 ints per doc — measured ~50× faster than the
-    "obvious" nested higher-order-function formulation (aggregate over
-    zip_with over transform), which falls out of codegen into interpreted
-    expression evaluation per token×bit.
+    The 64 vote bits come from the first 16 hex chars of ``md5(tok)``,
+    split into two 32-bit halves (``hi`` = hex 1–8 → bits 32–63, ``lo`` =
+    hex 9–16 → bits 0–31). md5 + integer shifts exist identically in
+    DuckDB, so the full fingerprint is value-checked by the external
+    oracle — the previous xxhash64 basis had no DuckDB twin and left this
+    operator permanently rows-only.
+
+    Shape: explode tokens → one md5 per row, two conv() halves → 64
+    conditional-sum aggregates (one per bit) → recombine into a long. The
+    64 sums stay inside whole-stage codegen and partial-aggregate
+    map-side, so the shuffle carries 64 ints per doc — measured ~50×
+    faster than the "obvious" nested higher-order-function formulation
+    (aggregate over zip_with over transform), which falls out of codegen
+    into interpreted expression evaluation per token×bit.
     """
     import functools
 
     from ..sources.catalog import ensure_parallelism
 
     src = ensure_parallelism(documents.select("doc_id", "lang", "text"))
+    hh = F.md5("tok")
     toks = src.select(
         "doc_id", "lang", F.explode(tokens_col()).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(hh, 9, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring(hh, 1, 8), 16, 10).cast("long").alias("hi"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright("lo" if i < 32 else "hi", i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]

@@ -232,33 +232,43 @@ def weighted_sample(
     weight_col: str,
     k: int = 100,
 ) -> DataFrame:
-    """Distributed weighted sampling WITHOUT replacement — the
-    Efraimidis–Spirakis A-Res scheme: each row draws a uniform
-    ``u ∈ (0,1)`` and scores ``u^(1/w)``; the global top-k scores ARE a
-    weighted sample without replacement. One pass, no rejection loop, no
-    sequential state — the classic way to draw a bounded eval/debug set
-    from a weighted corpus at any scale.
+    """Distributed weighted sampling WITHOUT replacement — sequential
+    Poisson sampling (Ohlsson 1998, a.k.a. priority sampling): each row
+    draws a uniform ``u ∈ (0,1)`` and takes priority ``u / w``; the k
+    SMALLEST priorities are a probability-proportional-to-size sample
+    without replacement. One pass, no rejection loop, no sequential state
+    — the classic way to draw a bounded eval/debug set from a weighted
+    corpus at any scale. (The Efraimidis–Spirakis ``u^(1/w)`` key yields
+    the same inclusion law; ``u/w`` is chosen because it needs NO
+    transcendental: hash → two IEEE divisions, each correctly rounded, so
+    Spark and the DuckDB oracle produce bit-identical doubles and the
+    sample is value-hash-verifiable — pow/log differ across libm
+    implementations in the last ulp, which can flip the k-th boundary.)
 
-    Determinism: ``u`` comes from ``xxhash64(key)`` (the same affine map
-    as ``operators.sketches``), so the sample is a pure function of the
-    key set — partition-layout-independent, reproducible across runs
-    (asserted in tests). Ties are impossible modulo hash collisions, but
-    the sort key still appends the row key for total order.
+    Determinism: ``u`` comes from the first 15 hex chars of
+    ``md5(key)`` (a 60-bit integer both engines derive identically), so
+    the sample is a pure function of the key set — partition-layout-
+    independent, reproducible across runs and engines (asserted in tests
+    and by the external oracle). Ties are impossible modulo hash
+    collisions, but the sort key still appends the row key for total
+    order.
 
     Scale: the top-k compiles to TakeOrderedAndProject — per-partition
     k-heaps, then a k-row merge on the driver side of the exchange; no
     global sort ever materializes. Weights must be > 0.
     """
-    h = F.xxhash64(F.col(key_col)).cast("double")
-    u = (h + F.lit(float(2**63)) + F.lit(1.0)) / F.lit(float(2**64) + 2.0)
-    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60 + 2))
+    score = u / F.col(weight_col).cast("double")
     return (
         df.select(
             F.col(key_col),
             F.col(weight_col).cast("double").alias("weight"),
             score.alias("sample_score"),
         )
-        .orderBy(F.desc("sample_score"), F.col(key_col))
+        .orderBy(F.asc("sample_score"), F.col(key_col))
         .limit(k)
     )
 

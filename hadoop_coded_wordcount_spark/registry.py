@@ -1442,7 +1442,36 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register("minhash_signatures")  # xxhash64 has no DuckDB twin → rows-only
+# Same Carter–Wegman family h_i(x) = (a_i*x + b_i) mod p over the md5-derived
+# gram hash, min-reduced per (doc, perm) — every minimum value-checks.
+_MINHASH_K = 32
+_MINHASH_MINS = ",\n           ".join(
+    f"min(({a} * x + {b}) % 2147483647) AS m{i}"
+    for i, (a, b) in enumerate(dd.minhash_params(_MINHASH_K))
+)
+_MINHASH_UNPIVOT = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {i} AS perm, m{i} AS minhash FROM s"
+    for i in range(_MINHASH_K)
+)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH g AS ({_DUCK_SHINGLES}),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 14)) AS BIGINT) % 2147483647 AS x
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    ),
+    s AS (
+      SELECT doc_id,
+           {_MINHASH_MINS}
+      FROM h GROUP BY doc_id
+    )
+    {_MINHASH_UNPIVOT}
+    """,
+)
 def q_minhash_signatures(spark, sf_dir):
     return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
@@ -1567,12 +1596,63 @@ def q_containment_pairs(spark, sf_dir):
     return dd.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register("simhash64")  # rows-only; hamming behavior unit-tested
+# Bit votes come from the two 32-bit halves of md5(tok) (hi = hex 1-8 →
+# bits 32-63, lo = hex 9-16 → bits 0-31) — pure integer arithmetic both
+# engines compute identically.  DuckDB refuses 1<<63 (signed overflow), so
+# the sign bit recombines via the min-long literal; addition of disjoint
+# powers equals bitwise OR.
+_SIMHASH_BIT_SUMS = ",\n             ".join(
+    "SUM(CASE WHEN (({col} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+        col="lo" if i < 32 else "hi", sh=i % 32, i=i
+    )
+    for i in range(64)
+)
+_SIMHASH_RECOMBINE = "\n        + ".join(
+    ["CASE WHEN b63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"]
+    + [
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(63)
+    ]
+)
+_DUCK_SIMHASH = f"""
+      SELECT doc_id, lang,
+             CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id, lang,
+             {_SIMHASH_BIT_SUMS}
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi
+          FROM (SELECT doc_id, lang,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents)
+        )
+        GROUP BY doc_id, lang
+      )
+"""
+
+
+@register("simhash64", _DUCK_SIMHASH)
 def q_simhash64(spark, sf_dir):
     return dd.simhash64(load_table(spark, sf_dir, "documents"))
 
 
-@register("simhash_pairs")  # rows-only; pigeonhole banding unit-tested
+@register(
+    "simhash_pairs",
+    # Oracle verifies the full pipeline — fingerprints AND the Hamming
+    # filter — by brute force (all-pairs is fine at oracle SF); the Spark
+    # side's pigeonhole banding must produce the identical pair set.
+    f"""
+    WITH s AS ({_DUCK_SIMHASH})
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
 def q_simhash_pairs(spark, sf_dir):
     return dd.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -1955,9 +2035,22 @@ def q_events_time_rollup(spark, sf_dir):
     return rel.events_time_rollup(load_table(spark, sf_dir, "events"))
 
 
-# A-Res score depends on xxhash64 → no DuckDB twin; rows-only, with
-# determinism/bias/plan pinned in tests/test_properties.py.
-@register("weighted_sample_orders")
+@register(
+    "weighted_sample_orders",
+    # Sequential-Poisson priority u/w mirrored exactly: md5-derived 60-bit
+    # uniform, two IEEE divisions (both correctly rounded) — the doubles
+    # are bit-identical across engines, so even sample_score value-hashes.
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS weight,
+           ((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) + 1) / 1152921504606846978.0)
+             / CAST(o_totalprice AS DOUBLE) AS sample_score
+    FROM orders
+    ORDER BY sample_score ASC, o_orderkey
+    LIMIT 100
+    """,
+)
 def q_weighted_sample_orders(spark, sf_dir):
     return pl.weighted_sample(
         load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", k=100

@@ -68,9 +68,12 @@ def test_ngram_jaccard_finds_near_and_exact_pairs(docs):
 
 
 def test_minhash_signature_shape_and_determinism(docs):
-    sigs = dd.minhash_signatures(docs, k=16).collect()
-    by_id = {r.doc_id: tuple(r.signature) for r in sigs}
-    assert all(len(s) == 16 for s in by_id.values())
+    rows = dd.minhash_signatures(docs, k=16).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, [None] * 16)[r.perm] = r.minhash
+    by_id = {d: tuple(s) for d, s in by_id.items()}
+    assert all(len(s) == 16 and None not in s for s in by_id.values())
     assert by_id[0] == by_id[1]  # identical text -> identical signature
     assert by_id[0] == by_id[5]  # whitespace variant -> same shingle set
     # near-dup shares most hash mins

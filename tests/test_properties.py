@@ -88,7 +88,9 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         (r.doc_a, r.doc_b): r.jaccard
         for r in dd.ngram_jaccard_pairs(docs, threshold=0.0, block_on=None).collect()
     }
-    sigs = {r.doc_id: r.signature for r in dd.minhash_signatures(docs, k=32).collect()}
+    sigs: dict = {}
+    for r in dd.minhash_signatures(docs, k=32).collect():
+        sigs.setdefault(r.doc_id, [None] * 32)[r.perm] = r.minhash
     errs = []
     for i in range(30):
         a, b = 2 * i, 2 * i + 1
@@ -139,9 +141,9 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 def test_weighted_sample_deterministic_and_biased(spark):
-    """A-Res weighted sampling: partition-layout-invariant, exactly k rows,
-    and weight-biased (sampled orders are pricier than the population on
-    average); the top-k compiles to TakeOrderedAndProject."""
+    """Sequential-Poisson weighted sampling: partition-layout-invariant,
+    exactly k rows, and weight-biased (sampled orders are pricier than the
+    population on average); the top-k compiles to TakeOrderedAndProject."""
     from hadoop_coded_wordcount_spark.operators.pipeline import weighted_sample
     from hadoop_coded_wordcount_spark.sources.catalog import load_table
     import pyspark.sql.functions as F
