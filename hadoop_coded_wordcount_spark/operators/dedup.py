@@ -795,6 +795,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_on: str | None = "lang",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Asymmetric near-duplication: shingle-set CONTAINMENT
     ``C(X, Y) = |X ∩ Y| / |X|`` — the measure Jaccard misses. A wire
@@ -803,23 +804,124 @@ def containment_pairs(
     dominated by the larger doc), so a Jaccard-threshold dedup keeps
     both. Broder's original resemblance/containment pairing.
 
-    Same salted block-join machinery and hashed-shingle trick as
-    :func:`ngram_jaccard_pairs` (see there for the parallelism notes).
-    Note the asymmetry kills Jaccard's size-ratio prune: the smaller
-    side's containment in the larger is bounded only by 1 regardless of
-    the size gap (a tweet inside a book still has containment 1), so
-    every same-block pair must be verified — which is WHY containment
-    dedup at scale blocks on LSH candidates first. One a<b join computes
-    the intersection once and emits BOTH orientations that clear the
-    threshold: (doc_contained, doc_container, containment).
+    The asymmetry kills Jaccard's size-ratio prune (a tweet inside a
+    book still has containment 1 at any size gap), so candidate
+    generation must come from the sets themselves. Default path:
+    **prefix filtering** (the SSJoin/PPJoin family) — sort each doc's
+    hashed shingles canonically; if ``C(X, Y) >= t`` then at least
+    ``ceil(t·|X|)`` of X's shingles are in Y, so by pigeonhole X's first
+    ``|X| - ceil(t·|X|) + 1`` shingles MUST intersect Y. Candidates are
+    an equi-join of X-prefix shingles against the full inverted index —
+    EXACT recall by construction (unlike MinHash banding, whose recall
+    for containment is probabilistic and poor at low Jaccard), candidate
+    volume bounded by prefix-shingle frequency instead of block size².
+    The verify stage then runs the intersection only on candidate pairs:
+    equi-joins end to end, no quadratic cell anywhere. (At 100 TB the
+    classic refinement is ordering shingles by ascending global
+    frequency so prefixes hold the rarest shingles; hash order is the
+    zero-extra-pass approximation.)
+
+    ``prefix_filter=False`` keeps the salted quadratic block join
+    (every same-block pair verified) — the reference implementation the
+    equality test pins the filtered path against.
+
+    One unordered candidate pair computes the intersection once and
+    emits BOTH orientations that clear the threshold:
+    (doc_contained, doc_container, containment).
     """
     g = shingled(documents, n).select(
         "doc_id",
         "lang",
-        F.transform("grams", lambda s: F.xxhash64(s)).alias("grams"),
+        F.array_sort(
+            F.transform("grams", lambda s: F.xxhash64(s))
+        ).alias("grams"),
     )
+    if prefix_filter:
+        paired = _containment_candidates_prefix(g, threshold, block_on)
+    else:
+        paired = _containment_pairs_blocked(g, block_on)
+    c_ab = F.col("ni").cast("double") / F.col("na")  # A contained in B
+    c_ba = F.col("ni").cast("double") / F.col("nb")  # B contained in A
+    fwd = paired.where(c_ab >= threshold).select(
+        F.col("da").alias("doc_contained"),
+        F.col("db").alias("doc_container"),
+        F.round(c_ab, 6).alias("containment"),
+    )
+    rev = paired.where(c_ba >= threshold).select(
+        F.col("db").alias("doc_contained"),
+        F.col("da").alias("doc_container"),
+        F.round(c_ba, 6).alias("containment"),
+    )
+    return fwd.union(rev)
+
+
+def _containment_candidates_prefix(
+    g: DataFrame, threshold: float, block_on: str | None
+) -> DataFrame:
+    """(da, db, na, nb, ni) for unordered pairs surviving the prefix
+    filter. ``g`` carries canonically sorted hashed shingles; it is
+    persisted because three stages scan it (prefix explode, index
+    explode, verify join-back) — at production scale this cache is the
+    signature table you'd materialize once."""
+    g = g.persist()
+    plen = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + 1
+    )
+    blk = [block_on] if block_on is not None else []
+    pre = g.select(
+        F.col("doc_id").alias("doc_x"),
+        *blk,
+        F.explode(F.slice("grams", 1, plen)).alias("sh"),
+    )
+    idx = g.select(
+        F.col("doc_id").alias("doc_y"),
+        *[F.col(c).alias(f"{c}_y") for c in blk],
+        F.explode("grams").alias("sh"),
+    )
+    import functools
+
+    cond = [pre["sh"] == idx["sh"], pre["doc_x"] != idx["doc_y"]]
+    if block_on is not None:
+        cond.append(pre[block_on] == idx[f"{block_on}_y"])
+    cand = (
+        pre.join(idx, functools.reduce(lambda a, b: a & b, cond))
+        .select(
+            F.least("doc_x", "doc_y").alias("da"),
+            F.greatest("doc_x", "doc_y").alias("db"),
+        )
+        .distinct()
+    )
+    ga = g.select(
+        F.col("doc_id").alias("da"),
+        F.col("grams").alias("grams_a"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("db"),
+        F.col("grams").alias("grams_b"),
+    )
+    return (
+        cand.join(ga, "da")
+        .join(gb, "db")
+        .select(
+            "da",
+            "db",
+            F.size("grams_a").alias("na"),
+            F.size("grams_b").alias("nb"),
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("ni"),
+        )
+    )
+
+
+def _containment_pairs_blocked(
+    g: DataFrame, block_on: str | None
+) -> DataFrame:
+    """(da, db, na, nb, ni) by salted quadratic block join — the
+    reference path (see :func:`ngram_jaccard_pairs` for the salting
+    rationale); every same-block pair pays the intersect."""
     salts = 64
-    nparts = 8 * documents.sparkSession.sparkContext.defaultParallelism
+    nparts = 8 * g.sparkSession.sparkContext.defaultParallelism
     keys = ([block_on] if block_on is not None else []) + ["salt"]
     a = (
         g.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salts)))
@@ -838,7 +940,7 @@ def containment_pairs(
     if block_on is not None:
         cond = (F.col(f"a.{block_on}") == F.col(f"b.{block_on}")) & cond
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    paired = (
+    return (
         a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("da"),
@@ -849,16 +951,3 @@ def containment_pairs(
         )
         .where(F.col("ni") > 0)
     )
-    c_ab = F.col("ni").cast("double") / F.col("na")  # A contained in B
-    c_ba = F.col("ni").cast("double") / F.col("nb")  # B contained in A
-    fwd = paired.where(c_ab >= threshold).select(
-        F.col("da").alias("doc_contained"),
-        F.col("db").alias("doc_container"),
-        F.round(c_ab, 6).alias("containment"),
-    )
-    rev = paired.where(c_ba >= threshold).select(
-        F.col("db").alias("doc_contained"),
-        F.col("da").alias("doc_container"),
-        F.round(c_ba, 6).alias("containment"),
-    )
-    return fwd.union(rev)

@@ -336,6 +336,64 @@ def pack_sequences(
     )
 
 
+def chunk_documents_sql(
+    documents: DataFrame, chunk_tokens: int = 32, overlap: int = 0
+) -> DataFrame:
+    """Document → fixed-size token chunks, entirely in JVM expressions —
+    the default chunking path.
+
+    Identical semantics to the Python-UDTF variant
+    (``functions.pandas_surface.chunk_documents``): whitespace tokens,
+    windows of ``chunk_tokens`` starting every ``chunk_tokens - overlap``,
+    generation stopping once a window reaches the end of the document,
+    token-less documents dropped. That twin stays registered as the
+    table-function API demo; THIS one is the registry default because the
+    rule is SQL-expressible and the explode(sequence) + slice formulation
+    stays inside whole-stage codegen — no Python worker pool, no Arrow
+    hop, no per-executor interpreter spin-up (the r4 driver bench charged
+    the UDTF 32.5 s of exactly that cold-start).
+
+    Scale: the explode factor lands in the scan stage (no shuffle of its
+    own); slice() caps at the array end so the tail window never reads
+    past the document.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"require 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    from ..sources.catalog import ensure_parallelism
+
+    stride = chunk_tokens - overlap
+    d = (
+        ensure_parallelism(documents.select("doc_id", "text"))
+        .select("doc_id", tokens_col().alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .where(F.col("n_tok") > 0)
+    )
+    # Last window index: smallest j with j*stride + chunk_tokens >= n
+    # (the generator stops after the window that reaches the end).
+    j_last = F.when(F.col("n_tok") <= chunk_tokens, F.lit(0)).otherwise(
+        F.expr(f"(n_tok - {chunk_tokens} + {stride} - 1) DIV {stride}")
+    )
+    part = F.slice(
+        "toks", F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), j_last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", part).alias("chunk"),
+            F.size(part).cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def stratified_fixed_k(documents: DataFrame, k: int = 20) -> DataFrame:
     """Deterministic fixed-size sample per stratum: exactly min(k, |stratum|)
     documents per language, chosen by hash order — the "give me 20 docs

@@ -1157,17 +1157,28 @@ def sql_api_priority_counts(spark: SparkSession, orders: DataFrame) -> DataFrame
 
 
 def percentile_agg(lineitem: DataFrame) -> DataFrame:
-    """Exact percentiles (continuous interpolation) per group, via the
-    builtin aggregate (per-group value map — state unbounded in rows).
-    At 100 TB either switch to approx_percentile (t-digest sketch,
-    single pass, mergeable) or keep exactness with the bounded-state
-    histogram formulation (:func:`exact_percentiles_by_group`,
-    bit-identical — used by :func:`winsorized_stats`)."""
-    return lineitem.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+    """Exact percentiles (continuous interpolation) per group, computed
+    with the bounded-state histogram formulation
+    (:func:`exact_percentiles_by_group`, bit-identical to the builtin —
+    asserted in tests). The builtin ``percentile`` aggregate ships every
+    raw value into one per-group in-memory map — unbounded state, an
+    OOM-bound reducer per group at 100 TB — so it remains only as the
+    unit-test cross-check and the DuckDB oracle's formulation; the sketch
+    counterpart is :func:`approx_percentile_agg`.
+
+    Two value columns → two histogram aggregations joined on the 3-row
+    group key (broadcast, negligible)."""
+    qty = exact_percentiles_by_group(
+        lineitem, "l_returnflag", "l_quantity", [0.5]
+    ).select("l_returnflag", F.round(F.col("p0"), 6).alias("median_qty"))
+    price = exact_percentiles_by_group(
+        lineitem, "l_returnflag", "l_extendedprice", [0.25, 0.75]
+    ).select(
+        "l_returnflag",
+        F.round(F.col("p0"), 6).alias("p25_price"),
+        F.round(F.col("p1"), 6).alias("p75_price"),
     )
+    return qty.join(price, "l_returnflag")
 
 
 def string_agg_sorted(nation: DataFrame, region: DataFrame) -> DataFrame:
@@ -2040,7 +2051,15 @@ def exact_percentiles_by_group(
     Returns one row per group: (group_col, p0, p1, ... one column per
     requested percentile).
     """
-    freq = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    # The builtin percentile IGNORES nulls; an unfiltered histogram would
+    # count the null bucket in n and sort it first in the cumulative
+    # window, shifting every rank — filter to keep the bit-identical
+    # contract on nullable inputs too.
+    freq = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
@@ -2549,29 +2568,22 @@ def ohlc_hourly(events: DataFrame) -> DataFrame:
     the classic downsampling shape for any metric series.
 
     Open/close are the values at the earliest/latest (ts, event_id) in
-    the bar — the composite order key makes ties deterministic. Both
-    come from ONE window pass (ascending and descending row_number over
-    the same partition sort share one physical Window), then a
-    map-side-combined aggregate per bar. Bars are plentiful, so the
-    window parallelizes across the cluster.
+    the bar — the composite order key makes ties deterministic, via
+    ``min_by``/``max_by`` over the (ts, event_id) struct (lexicographic
+    struct ordering). That makes the whole operator ONE map-side-
+    combinable aggregate: no window, no per-bar sort at all — strictly
+    less work than the two-row_number formulation this replaced (opposite
+    sort directions do NOT share a physical Window; they compile to two
+    Window execs with a re-sort between).
     """
     hr = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
     base = events.select(hr, "ts", "event_id", "value")
-    wa = Window.partitionBy("bar_hour").orderBy("ts", "event_id")
-    wd = Window.partitionBy("bar_hour").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    ranked = base.select(
-        "bar_hour",
-        "value",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wd).alias("rd"),
-    )
-    return ranked.groupBy("bar_hour").agg(
-        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+    ord_key = F.struct("ts", "event_id")
+    return base.groupBy("bar_hour").agg(
+        F.min_by("value", ord_key).alias("open"),
         F.round(F.max("value"), 6).alias("high"),
         F.round(F.min("value"), 6).alias("low"),
-        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.max_by("value", ord_key).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

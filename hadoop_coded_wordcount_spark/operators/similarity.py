@@ -224,7 +224,10 @@ def cosine_ivf_topk(
 
 
 def cosine_topk_pandas(
-    embeddings: DataFrame, query_mod: int = 100, k: int = 10
+    embeddings: DataFrame,
+    query_mod: int = 100,
+    k: int = 10,
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Brute-force cosine top-k as an Arrow-vectorized ``mapInPandas``.
 
@@ -237,7 +240,12 @@ def cosine_topk_pandas(
 
     The query matrix is a *broadcast variable* (collected once on the
     driver): a query set is bounded operator input — the corpus, which
-    scales, streams through mapInPandas and is never collected.
+    scales, streams through mapInPandas and is never collected. The
+    collect itself is hard-capped at ``max_queries`` rows (deterministic:
+    lowest vec_ids) — the ``query_mod`` filter alone selects a
+    corpus-PROPORTIONAL slice, which at 100× scale is a driver OOM, not a
+    query set. Raising the cap is an explicit caller decision sized to
+    driver memory (q·d·8 bytes, e.g. 1024×1024-dim ≈ 8 MB).
 
     Not value-hash-oracled: numpy's pairwise summation legally differs
     from a SQL engine's sequential fold in the last ulp; the unit test
@@ -254,10 +262,14 @@ def cosine_topk_pandas(
         embeddings.select("vec_id", "embedding"), key="vec_id"
     )
     # collect the query subset from the RAW scan — the filter prunes to
-    # ~1% of rows, so this small job shouldn't pay vecs' repartition
+    # ~1% of rows, so this small job shouldn't pay vecs' repartition; the
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps), so the driver never receives more than max_queries rows
     q_rows = (
         embeddings.where(F.col("vec_id") % query_mod == 0)
         .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max_queries)
         .collect()
     )
     out_schema = "query_id long, neighbor_id long, cos double"

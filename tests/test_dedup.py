@@ -311,3 +311,26 @@ def test_containment_pairs_asymmetric(spark):
         for r in dd.ngram_jaccard_pairs(docs, threshold=0.05).collect()
     }
     assert j[(1, 2)] < 0.1
+
+
+def test_containment_prefix_filter_equals_blocked(spark):
+    """The prefix-filter candidate stage is EXACT-recall by pigeonhole:
+    on the real documents table (planted containment pairs) the filtered
+    path must emit the identical pair set and values as the quadratic
+    block join, at more than one threshold."""
+    documents = load_table(spark, SF001, "documents")
+    for thr in (0.8, 0.5):
+        fast = {
+            (r.doc_contained, r.doc_container): r.containment
+            for r in dd.containment_pairs(
+                documents, threshold=thr, prefix_filter=True
+            ).collect()
+        }
+        brute = {
+            (r.doc_contained, r.doc_container): r.containment
+            for r in dd.containment_pairs(
+                documents, threshold=thr, prefix_filter=False
+            ).collect()
+        }
+        assert fast == brute
+        assert brute, "planted containment pairs should exist"

@@ -154,6 +154,17 @@ def test_pandas_topk_matches_builtin(spark):
         assert abs(acos - cos) < 1e-9, key
 
 
+def test_pandas_topk_query_collect_is_bounded(spark):
+    """query_mod=1 selects the WHOLE corpus as queries — the max_queries
+    cap must bound the driver collect (deterministically: lowest vec_ids)
+    instead of collecting corpus-proportionally."""
+    emb = load_table(spark, SF001, "embeddings")
+    out = sim.cosine_topk_pandas(emb, query_mod=1, k=3, max_queries=7)
+    qids = {r.query_id for r in out.collect()}
+    low7 = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(7).collect()]
+    assert qids == set(low7)
+
+
 def test_kmeans_centroids_improve_ivf_recall(spark):
     """Lloyd's rounds must beat the id-sample init: trained-IVF recall@10
     (vs exact brute force) strictly above untrained, centroids unit-norm.
