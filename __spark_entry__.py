@@ -38,6 +38,36 @@ def entry(spark: SparkSession) -> DataFrame:
     print(
         "entry metrics: " + json.dumps(run_with_metrics(df)), file=sys.stderr
     )
+    # The streaming twin of the same counter surface (O12 covers BOTH
+    # execution modes): a finite AvailableNow pass of the windowed-agg
+    # plan over the sf0.001 events, reporting micro-batches, input rows,
+    # and state-store rows/bytes. Guarded — a streaming-env hiccup must
+    # not fail the batch smoke contract.
+    try:
+        import os
+        import tempfile
+
+        from hadoop_coded_wordcount_spark.sources.catalog import load_table
+        from hadoop_coded_wordcount_spark.streaming import progress as sp
+        from hadoop_coded_wordcount_spark.streaming import windows as sw
+
+        tmp = tempfile.mkdtemp(prefix="hcw_entry_stream_")
+        events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = os.path.join(tmp, "src")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        profile = sp.run_with_progress(
+            sw.watermarked_tumbling(stream, width="1 hour", lateness="10 minutes"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            query_name="hcw_entry_progress",
+        )
+        print(
+            "entry streaming progress: " + json.dumps(profile), file=sys.stderr
+        )
+    except Exception as exc:  # noqa: BLE001 — diagnostic surface only
+        print(f"entry streaming progress unavailable: {exc}", file=sys.stderr)
     return df
 
 

@@ -76,6 +76,40 @@ def main() -> int:
         return s
 
     warm.select(_noop_udf(F.col("r_regionkey"))).count()
+    # Each Python eval mode runs through its OWN worker module — warming
+    # the scalar-pandas pool leaves mapInPandas/applyInPandas/grouped-agg/
+    # Arrow-UDTF daemons cold, and the r4 driver bench charged the first
+    # UDTF query 32.5 s (43×) of exactly that spin-up. Warm all four over
+    # a many-partition range so one worker forks per core, not just one.
+    rng = spark.range(0, 256, 1, 2 * spark.sparkContext.defaultParallelism)
+    rng.mapInPandas(lambda it: it, schema="id long").count()
+    rng.groupBy((F.col("id") % 8).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], schema="id long"
+    ).count()
+
+    # explicit eval type: `from __future__ import annotations` stringifies
+    # type hints module-wide, so Series→scalar inference can't see them
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _warm_agg(s):
+        return float(s.sum())
+
+    rng.groupBy((F.col("id") % 8)).agg(_warm_agg(F.col("id"))).count()
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="v bigint")
+    class _WarmUdtf:
+        def eval(self, v):
+            yield (v,)
+
+    spark.udtf.register("hcw_bench_warm_udtf", _WarmUdtf)
+    rng.createOrReplaceTempView("hcw_bench_warm_src")
+    spark.sql(
+        "SELECT u.v FROM hcw_bench_warm_src, "
+        "LATERAL hcw_bench_warm_udtf(id) u"
+    ).count()
     # Exercise the join/agg/window machinery once on the tiny dims: the
     # first multi-stage query of a session otherwise pays codegen +
     # broadcast + exchange warmup that is session overhead, not plan cost

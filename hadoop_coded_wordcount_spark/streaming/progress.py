@@ -64,6 +64,18 @@ def run_with_progress(
     """
     import json
 
+    spark = sdf.sparkSession
+    # recentProgress only RETAINS the last numRecentProgressUpdates
+    # entries (default 100) — a >100-micro-batch run would silently
+    # undercount the "aggregated profile". Raise the retention for this
+    # run and hard-fail if a run ever fills it, instead of lying.
+    retain_key = "spark.sql.streaming.numRecentProgressUpdates"
+    n_keep = 10_000
+    try:
+        prev = spark.conf.get(retain_key)
+    except Exception:
+        prev = None
+    spark.conf.set(retain_key, str(n_keep))
     q = (
         sdf.writeStream.format("noop")
         .queryName(query_name)
@@ -72,10 +84,28 @@ def run_with_progress(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    # recentProgress returns JSON strings on some PySpark versions and
-    # dicts on others; normalize.
-    progs = []
-    for p in q.recentProgress:
-        progs.append(json.loads(p) if isinstance(p, str) else p)
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # returning partial totals as if complete would be silent
+            # data loss; the caller asked for a FINITE AvailableNow run
+            raise TimeoutError(
+                f"streaming run {query_name!r} did not finish within "
+                f"{timeout_sec}s"
+            )
+        # recentProgress returns JSON strings on some PySpark versions and
+        # dicts on others; normalize.
+        progs = []
+        for p in q.recentProgress:
+            progs.append(json.loads(p) if isinstance(p, str) else p)
+    finally:
+        q.stop()  # idempotent after termination; kills the leak on timeout
+        if prev is None:
+            spark.conf.unset(retain_key)
+        else:
+            spark.conf.set(retain_key, prev)
+    if len(progs) >= n_keep:
+        raise RuntimeError(
+            f"progress buffer filled ({n_keep}); totals would undercount"
+        )
     return progress_totals(progs)
