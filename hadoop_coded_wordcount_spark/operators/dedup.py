@@ -43,6 +43,7 @@ __all__ = [
     "simhash_pairs",
     "passage_dedup",
     "containment_pairs",
+    "duplicate_spans",
 ]
 
 
@@ -951,3 +952,70 @@ def _containment_pairs_blocked(
         )
         .where(F.col("ni") > 0)
     )
+
+
+def duplicate_spans(documents: DataFrame, w: int = 8) -> DataFrame:
+    """Maximal cross-document duplicated token spans: every run of
+    consecutive tokens, ``w`` or longer, that appears verbatim in at
+    least one OTHER document — reported per document as
+    (doc_id, span_start, span_tokens), 0-based token offsets.
+
+    This is the exact-substring dedup tier (the duplicated-substring
+    removal step of LLM training-data pipelines, conventionally done
+    with suffix arrays on one machine): unlike :func:`passage_dedup`'s
+    non-overlapping fixed windows, the STRIDE-1 windows here detect a
+    duplicated run at any alignment, and the island merge recovers the
+    full maximal span (a duplicated run of L >= w tokens produces
+    L - w + 1 consecutive duplicated window starts, which merge back to
+    one (start, L) span).
+
+    Distributed shape instead of a suffix array: ① one projection
+    computes the md5 of each of the ~n_tokens sliding windows per doc
+    (the explode multiplies rows, never bytes — each row is a 32-char
+    hash + two ints); ② a map-side-combined count-distinct-docs per
+    window hash marks the duplicated ones; ③ a semi join keeps
+    duplicated window starts; ④ the classic gaps-and-islands window
+    (lag + running flag-sum, partitioned per doc — parallel across
+    docs) merges adjacent starts into maximal spans. Shuffles carry
+    hashes and ints only; the text never leaves stage ①.
+    """
+    from pyspark.sql.window import Window
+
+    from ..sources.catalog import ensure_parallelism
+
+    src = ensure_parallelism(documents.select("doc_id", "text"))
+    toked = src.select("doc_id", tokens_col().alias("toks")).where(
+        F.size("toks") >= w
+    )
+    # total expression (same InferFiltersFromGenerate hazard as shingled)
+    wins = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - w),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win_rows = toked.select(
+        "doc_id", F.posexplode(wins).alias("pos", "h")
+    )
+    dup = (
+        win_rows.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = win_rows.join(dup, "h", "left_semi").select("doc_id", "pos")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wseq)
+    is_new = F.when(prev.isNull() | (F.col("pos") - prev > 1), 1).otherwise(0)
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.sum(is_new).over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") - F.min("pos") + w).cast("int").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_tokens")

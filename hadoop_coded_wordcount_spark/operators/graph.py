@@ -38,7 +38,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["trade_edges", "pagerank", "PR_SCALE"]
+__all__ = [
+    "trade_edges",
+    "pagerank",
+    "bfs_depths",
+    "degree_distribution",
+    "PR_SCALE",
+]
 
 PR_SCALE = 10**12
 
@@ -129,4 +135,86 @@ def pagerank(
         .alias("node_type"),
         F.expr("node div 2").alias("entity_key"),
         F.col("rank").alias("rank_scaled"),
+    )
+
+
+def bfs_depths(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    seed_custkey: int = 1,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Distributed BFS: minimum hop distance from one seed customer to
+    every reachable node of the trade graph, capped at ``max_hops`` —
+    the k-hop-neighborhood primitive under influence/contagion queries
+    ("every supplier within two trades of this account").
+
+    Shape: classic frontier expansion. ``visited`` holds (node, dist)
+    for settled nodes; each round joins the CURRENT FRONTIER ONLY (never
+    the visited set) to the edge list, anti-joins out already-settled
+    nodes, and the loop stops early on an empty frontier — per-round
+    cost is O(frontier-adjacent edges), the frontier is checkpointed so
+    the plan stays flat, and total work is O(E) across all rounds, same
+    as single-machine BFS. Distances are integers; output is
+    order-insensitive — deterministic under any partitioning, no
+    tie-break needed because round k IS distance k.
+
+    The DuckDB oracle replays it as a depth-bounded recursive CTE with a
+    final MIN(dist) — identical by BFS's level-synchronous invariant.
+    """
+    edges = trade_edges(orders, lineitem).localCheckpoint(eager=True)
+    spark = orders.sparkSession
+    seed_node = 2 * seed_custkey  # customer parity (trade_edges docstring)
+    visited = spark.createDataFrame(
+        [(seed_node, 0)], "node bigint, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # one driver scalar per round — the standard early-stop (star-CC
+        # convergence discipline); BFS on a connected graph runs
+        # diameter rounds, not max_hops
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_key"),
+        "dist",
+    )
+
+
+def degree_distribution(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Degree histogram of the trade graph, per node type: how many
+    customers/suppliers have exactly d distinct counterparties — the
+    first thing to look at before ANY iterative graph algorithm at
+    100 TB (a power-law tail is what makes the message shuffle skew).
+
+    Two map-side-combined aggregations over the O(E) edge list (per-node
+    degree, then histogram); the output is at most |distinct degrees|
+    rows — tiny at any scale.
+    """
+    deg = trade_edges(orders, lineitem).groupBy(
+        F.col("src").alias("node")
+    ).agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "degree",
+        )
+        .groupBy("node_type", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
     )

@@ -2176,6 +2176,48 @@ def q_passage_dedup(spark, sf_dir):
 
 
 @register(
+    "duplicate_spans",
+    # Same stride-1 window hashing + gaps-and-islands merge in SQL:
+    # every maximal duplicated span's offset and length value-checks.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    wi AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+      FROM t, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+      WHERE len(toks) >= 8
+    ),
+    dup AS (
+      SELECT h FROM wi GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM wi WHERE h IN (SELECT h FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits
+      )
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_duplicate_spans(spark, sf_dir):
+    return dd.duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "gopher_repetition",
     """
     WITH toks AS (
@@ -2395,6 +2437,20 @@ def q_events_session(spark, sf_dir):
 )
 def q_events_distinct_users(spark, sf_dir):
     return sw.tumbling_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "debounce_events",
+    f"""
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('minute', ts), '{_TS_FMT_DUCK}') AS minute
+    FROM events
+    """,
+)
+def q_debounce_events(spark, sf_dir):
+    # batch twin of the dropDuplicatesWithinWatermark streaming dedup
+    # (equivalence on finite input pinned in tests/test_streaming.py)
+    return sw.debounced_events(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -3122,6 +3178,74 @@ def q_pagerank_trade(spark, sf_dir):
     )
 
 
+_DUCK_TRADE_EDGES = """
+    e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    )
+"""
+
+
+@register(
+    "bfs_trade",
+    # Depth-bounded recursive CTE; UNION (not ALL) dedups (node, dist)
+    # pairs per level, MIN(dist) recovers the BFS level-synchronous
+    # distance exactly.
+    f"""
+    WITH RECURSIVE
+    {_DUCK_TRADE_EDGES},
+    reach(node, dist) AS (
+        SELECT CAST(2 AS BIGINT) AS node, 0 AS dist
+      UNION
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 4
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           CAST(MIN(dist) AS INT) AS dist
+    FROM reach
+    GROUP BY node
+    """,
+)
+def q_bfs_trade(spark, sf_dir):
+    return gr.bfs_depths(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        seed_custkey=1,
+        max_hops=4,
+    )
+
+
+@register(
+    "degree_distribution",
+    f"""
+    WITH
+    {_DUCK_TRADE_EDGES},
+    deg AS (
+      SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           degree,
+           COUNT(*) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def q_degree_distribution(spark, sf_dir):
+    return gr.degree_distribution(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
@@ -3148,6 +3272,10 @@ _VERIFY_FIRST = [
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
+    "duplicate_spans",
+    "bfs_trade",
+    "degree_distribution",
+    "debounce_events",
     "percentile_agg",
     "ohlc_hourly",
     "similarity_topk_pandas",

@@ -193,3 +193,33 @@ def watermarked_distinct_users(
         .agg(F.count("*").alias("distinct_users"))
         .select(_win_str("w.start").alias("window_start"), "distinct_users")
     )
+
+
+def debounced_events(df: DataFrame, lateness: str = "30 minutes") -> DataFrame:
+    """Keyed event dedup ("debounce"): one row per (user, event_type,
+    minute) — the at-least-once-delivery cleanup every event pipeline
+    runs before aggregation.
+
+    Streaming form uses ``dropDuplicatesWithinWatermark``: unlike plain
+    ``dropDuplicates``, whose key state grows FOREVER on a stream, its
+    state expires once the watermark passes a key's event time — bounded
+    state at any rate, the only shape that survives an unbounded stream.
+    Batch form is the plain DISTINCT of the same key projection, so the
+    two agree row-for-row on finite input (pinned in tests; the key
+    projection carries no non-key columns, which keeps first-arrival
+    nondeterminism out of the output).
+    """
+    keys = ["user_id", "event_type", "minute"]
+    if df.isStreaming:
+        return (
+            _as_event_time(df)
+            .withWatermark("ts", lateness)
+            .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+            .dropDuplicatesWithinWatermark(keys)
+            .select("user_id", "event_type", _win_str("minute").alias("minute"))
+        )
+    return (
+        df.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .select("user_id", "event_type", _win_str("minute").alias("minute"))
+        .distinct()
+    )

@@ -334,3 +334,27 @@ def test_containment_prefix_filter_equals_blocked(spark):
         }
         assert fast == brute
         assert brute, "planted containment pairs should exist"
+
+
+def test_duplicate_spans_planted_run(spark):
+    """Two docs sharing one 12-token run (different alignment) must each
+    report exactly one maximal span of 12 tokens at the right offset;
+    within-doc repetition and unrelated docs must not surface."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    filler_a = " ".join(f"a{i}" for i in range(5))
+    filler_b = " ".join(f"b{i}" for i in range(9))
+    rep = " ".join(["r0 r1 r2 r3"] * 5)  # repeats only inside doc 3
+    docs = spark.createDataFrame(
+        [
+            (1, "en", filler_a + " " + shared),
+            (2, "en", filler_b + " " + shared + " tail0 tail1"),
+            (3, "en", rep),
+            (4, "en", " ".join(f"z{i}" for i in range(30))),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {
+        r.doc_id: (r.span_start, r.span_tokens)
+        for r in dd.duplicate_spans(docs, w=8).collect()
+    }
+    assert rows == {1: (5, 12), 2: (9, 12)}

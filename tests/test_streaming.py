@@ -680,3 +680,40 @@ def test_streaming_progress_profile(spark, tmp_path):
     assert profile["input_rows_total"] == n
     assert profile["n_batches"] >= 1
     assert profile["state_rows_last"] > 0  # windowed agg holds state
+
+
+def test_debounce_stream_equals_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a finite stream must produce
+    exactly the batch DISTINCT of the same key projection — including
+    collapsing a planted duplicate delivery."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # plant at-least-once redelivery: the same rows appended twice
+    dup = events.unionAll(events.limit(200))
+    src = str(tmp_path / "src")
+    dup.write.parquet(src)
+
+    batch = {
+        (r.user_id, r.event_type, r.minute)
+        for r in sw.debounced_events(
+            spark.read.schema(_SCHEMA).parquet(src)
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        sw.debounced_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_debounce")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type, r.minute)
+        for r in spark.sql("SELECT * FROM t_debounce").collect()
+    }
+    assert got == batch
