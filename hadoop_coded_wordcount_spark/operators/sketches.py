@@ -7,8 +7,8 @@ sketches: per-partition partial sketches that shrink the shuffle to
 ``k`` values per (partition, group) regardless of input size, union-merge
 at the reducer, and an estimate whose error is ~1/sqrt(k).
 
-Estimator: hash every value to a uniform ``u ∈ [0,1)`` (xxhash64 →
-affine map), retain the ``k`` smallest distinct ``u`` per group. With
+Estimator: hash every value to a uniform ``u ∈ [0,1)`` (52-bit md5
+prefix / 2⁵²), retain the ``k`` smallest distinct ``u`` per group. With
 ``m`` retained values and ``u_k`` the k-th smallest:
 
 * ``m < k``  → the group's distinct count is simply ``m`` (exact modulo
@@ -48,6 +48,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .dedup import tokens_col
+
 __all__ = [
     "kmv_distinct",
     "kmv_distinct_partial",
@@ -55,6 +57,8 @@ __all__ = [
     "bitmap_distinct",
     "bitmap_distinct_global",
     "hll_sketch_distinct",
+    "hll_estimate_manual",
+    "cms_estimate_counts",
     "DEFAULT_K",
 ]
 
@@ -62,10 +66,18 @@ DEFAULT_K = 256
 
 
 def _uniform_hash(value_col: str) -> Column:
-    """xxhash64 → uniform double in [0,1). The +2^63 / 2^64 affine map is
-    exact in double for the top 53 bits, which is all the estimator uses."""
-    h = F.xxhash64(F.col(value_col)).cast("double")
-    return (h + F.lit(float(2**63))) / F.lit(float(2**64))
+    """md5 → uniform double in [0,1), externally reproducible.
+
+    13 hex chars = 52 bits, so the integer is < 2⁵² and BOTH the
+    long→double conversion and the /2⁵² division are exact — the uniform
+    is bit-identical to DuckDB's ``('0x' || substr(md5(v),1,13))::BIGINT
+    / 2^52``, which is what lets the KMV estimate be value-checked by the
+    external oracle (the previous xxhash64 basis had no DuckDB twin).
+    The value is stringified before hashing so any key type shares one
+    canonical byte representation across engines."""
+    h = F.md5(F.col(value_col).cast("string").cast("binary"))
+    x = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    return x.cast("double") / F.lit(float(2**52))
 
 
 def _estimate(k: int) -> list[Column]:
@@ -218,6 +230,131 @@ def bitmap_distinct_global(events: DataFrame, key: str = "user_id",
         seg.groupBy("bkt")
         .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
         .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct_global"))
+    )
+
+
+def cms_estimate_counts(
+    documents: DataFrame, d: int = 4, w: int = 1024, top: int = 20
+) -> DataFrame:
+    """Count-min sketch built openly in SQL — md5-derived row hashes, so
+    the full counter matrix AND the point estimates replay in an external
+    engine (the builtin ``count_min_sketch`` twin,
+    textstats.token_frequency_sketch, emits an engine-specific blob the
+    oracle can't decode).
+
+    Build: every token occurrence increments one bucket per depth row —
+    ``bucket_i(t) = md5(i ':' t)[52 bits] mod w`` — so the sketch is the
+    (depth, bucket) count table: ``d × w`` rows after partial aggregation
+    no matter how many tokens streamed through (the mergeable-summary
+    property; the shuffle is sketch-sized, not data-sized). Query: the
+    top-`top` tokens by exact count (deterministic (count, tok) order)
+    look up their d buckets and take the min — the classic one-sided
+    estimate (cms_est ≥ exact, inflated only by collisions; the unit test
+    pins the error bound ε·N and the registry oracle replays every value).
+
+    The candidate probe set is broadcast — 4·top rows against the bounded
+    counter table, no shuffle.
+    """
+    toks = documents.select(F.explode(tokens_col()).alias("tok"))
+    depths = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth")
+
+    def bucket(depth: Column, tok: Column) -> Column:
+        h = F.md5(F.concat(depth.cast("string"), F.lit(":"), tok))
+        return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % w
+
+    counters = (
+        toks.select("tok", depths)
+        .select("depth", bucket(F.col("depth"), F.col("tok")).alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_toks = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(top)
+    )
+    cand = top_toks.select("tok", "exact_cnt", depths).select(
+        "tok",
+        "exact_cnt",
+        "depth",
+        bucket(F.col("depth"), F.col("tok")).alias("bucket"),
+    )
+    return (
+        counters.join(F.broadcast(cand), ["depth", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_estimate_manual(
+    events: DataFrame, key: str = "user_id", group: str = "event_type", b: int = 6
+) -> DataFrame:
+    """HyperLogLog from first principles on an md5 basis — every register
+    and the final estimate value-checkable by an external SQL engine
+    (unlike the DataSketches surface of :func:`hll_sketch_distinct`,
+    whose binary encoding is engine-specific).
+
+    Flajolet et al.'s estimator over ``m = 2^b`` registers: a 52-bit md5
+    prefix splits into a ``b``-bit register index and a ``w = 52-b`` bit
+    suffix; the register keeps ``M_j = max(rho)`` where ``rho`` is the
+    1-based position of the suffix's leftmost 1-bit (``w+1`` for an
+    all-zero suffix). Estimate ``alpha_m·m²/Z`` with ``Z = Σ 2^-M_j``
+    (absent registers contribute 2⁰ = 1), and the linear-counting
+    small-range correction ``m·ln(m/V)`` when ``E ≤ 2.5m`` and ``V > 0``
+    registers are empty.
+
+    Determinism across engines is engineered, not hoped for: every
+    ``2^-M_j`` is a dyadic rational ≥ 2^-(w+1) and the register count is
+    ≤ m, so Z is an exact multiple of 2^-(w+1) below 2^53·2^-(w+1) —
+    EVERY partial-aggregation order produces the identical double, and
+    the one division/log afterwards is single-rooted IEEE. ``rho`` uses
+    ``length(bin(x))`` as an integer bit-length (both engines print
+    binary without leading zeros), never float log2.
+
+    Scale: groupBy(group, idx) partial-aggregates max(rho) map-side, so
+    the shuffle carries ≤ m rows per group per partition regardless of
+    input rows — the classic mergeable-sketch shape.
+    """
+    if b not in (4, 5, 6):
+        raise ValueError("b must be 4..6 so alpha_m is tabulated")
+    m = 1 << b
+    w = 52 - b
+    alpha = HLL_ALPHA[m]
+    h = F.md5(F.col(key).cast("string").cast("binary"))
+    x = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    idx = F.shiftright(x, w)
+    rest = x.bitwiseAND(F.lit((1 << w) - 1))
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    regs = (
+        events.select(F.col(group), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group, "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    v_set = F.count(F.lit(1))
+    z = F.sum(F.pow(F.lit(2.0), -F.col("M")))
+    agg = regs.groupBy(group).agg(
+        v_set.alias("v_set"), z.alias("z_set")
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("z_set") + (F.lit(m) - F.col("v_set")).cast("double")
+    )
+    zeros = (F.lit(m) - F.col("v_set")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        group,
+        F.col("v_set").cast("int").alias("registers_set"),
+        est.alias("hll_est"),
     )
 
 

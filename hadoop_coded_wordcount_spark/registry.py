@@ -1698,7 +1698,29 @@ def q_similarity_topk(spark, sf_dir):
     return sim.cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("similarity_topk_pandas")  # numpy FP order ≠ SQL fold → rows-only
+@register(
+    "similarity_topk_pandas",
+    # Same oracle as similarity_topk: the BLAS path normalizes-then-matmuls
+    # where the SQL fold divides by norms, so raw cosines differ in the
+    # last ulp — but ranks are tie-free on this corpus (nearest distinct
+    # cosines differ by ≫1e-12, pinned by the rank-exact unit test) and
+    # the 6-decimal rounding absorbs the ulp; verified value-exact against
+    # this oracle at sf0.01 AND sf0.1 before promotion from rows-only.
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q_similarity_topk_pandas(spark, sf_dir):
     return sim.cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
 
@@ -1907,6 +1929,43 @@ def q_token_frequency_sketch(spark, sf_dir):
     return ts.token_frequency_sketch(load_table(spark, sf_dir, "documents"))
 
 
+# Open-implementation CMS twin of token_frequency_sketch: md5 row hashes
+# make the counter matrix and the min-of-d point estimates fully
+# replayable — the oracle rebuilds the identical sketch and probes it.
+@register(
+    "cms_manual_counts",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counters AS (
+      SELECT depth,
+             CAST(('0x' || substr(md5(CAST(depth AS VARCHAR) || ':' || tok), 1, 13)) AS BIGINT)
+               % 1024 AS bucket,
+             COUNT(*) AS cnt
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+      GROUP BY depth, bucket
+    ),
+    top_toks AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    cand AS (
+      SELECT tok, exact_cnt, depth,
+             CAST(('0x' || substr(md5(CAST(depth AS VARCHAR) || ':' || tok), 1, 13)) AS BIGINT)
+               % 1024 AS bucket
+      FROM top_toks, (SELECT unnest([0, 1, 2, 3]) AS depth) d
+    )
+    SELECT tok, exact_cnt, MIN(cnt) AS cms_est
+    FROM cand JOIN counters USING (depth, bucket)
+    GROUP BY tok, exact_cnt
+    """,
+)
+def q_cms_manual_counts(spark, sf_dir):
+    return sk.cms_estimate_counts(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline composition — deterministic splits + end-to-end curation
 # ---------------------------------------------------------------------------
@@ -2097,10 +2156,35 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
-# KMV estimate has no DuckDB twin (xxhash64 bottom-k) → rows-only check;
-# tests/test_sketches.py pins accuracy vs exact count-distinct and
-# bit-equality between the window and mergeable-partial strategies.
-@register("kmv_distinct_custkeys")
+# KMV bottom-k on the 52-bit md5 basis: u is an exact dyadic double in
+# both engines, the retained set is a pure function of the value set, and
+# the one division ((k-1)/u_k) is single-rooted IEEE — so the estimate is
+# bit-identical to DuckDB's replay. tests/test_sketches.py additionally
+# pins accuracy vs exact count-distinct and bit-equality between the
+# window and mergeable-partial strategies.
+@register(
+    "kmv_distinct_custkeys",
+    """
+    WITH u AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, u,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY u) AS rn
+      FROM u
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS retained,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 255.0 / MAX(u) END AS kmv_est
+    FROM r WHERE rn <= 256
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
 def q_kmv_distinct_custkeys(spark, sf_dir):
     return sk.kmv_distinct(
         load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
@@ -3035,6 +3119,52 @@ def q_bitmap_distinct_global(spark, sf_dir):
 @register("hll_sketch_users")
 def q_hll_sketch_users(spark, sf_dir):
     return sk.hll_sketch_distinct(load_table(spark, sf_dir, "events"))
+
+
+_HLL_M = 64
+_HLL_W = 46  # 52-bit md5 prefix minus b=6 index bits
+_HLL_MASK = (1 << _HLL_W) - 1
+_HLL_ALPHA_M2 = 0.709 * _HLL_M * _HLL_M
+
+
+# First-principles HLL whose every register — and the estimate itself — is
+# replayed by the oracle: the b/w bit split, length(bin(x)) bit-length rho,
+# the dyadic-exact register sum (order-independent by construction, see
+# sketches.hll_estimate_manual), and the linear-counting correction branch.
+@register(
+    "hll_manual_users",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, x >> {_HLL_W} AS idx,
+             CASE WHEN (x & {_HLL_MASK}) = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(x & {_HLL_MASK})) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, idx, MAX(rho) AS M FROM r GROUP BY event_type, idx
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS v_set, SUM(pow(2.0, -M)) AS z_set
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(v_set AS INTEGER) AS registers_set,
+           CASE WHEN raw <= {2.5 * _HLL_M!r} AND ({_HLL_M} - v_set) > 0
+                THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({_HLL_M} - v_set AS DOUBLE))
+                ELSE raw END AS hll_est
+    FROM (
+      SELECT *, {_HLL_ALPHA_M2!r} / (z_set + CAST({_HLL_M} - v_set AS DOUBLE)) AS raw
+      FROM agg
+    )
+    """,
+)
+def q_hll_manual_users(spark, sf_dir):
+    return sk.hll_estimate_manual(load_table(spark, sf_dir, "events"))
 
 
 # k-means assignment has no DuckDB twin → rows-only; planted-duplicate

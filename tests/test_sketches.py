@@ -147,3 +147,48 @@ def test_bitmap_distinct_is_exact_and_bounded(spark):
     # 5 event types × 2 buckets (ids 1..32768 share bucket 1; id 0 — and
     # any negative — falls in bucket 0: Spark buckets are (v-1) DIV 32768 + 1)
     assert n_seg <= 5 * 2
+
+
+def test_hll_manual_accuracy_and_partitioning_invariance(spark):
+    """m=64 registers → relative SE ≈ 1.04/8 ≈ 13%; assert a generous
+    ~3-sigma 40%. Determinism claim: every 2^-M term is dyadic so the
+    register sum is exact under ANY aggregation order — layout must not
+    change a single bit of the estimate."""
+    ev = load_table(spark, SF001, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    got = sk.hll_estimate_manual(ev).collect()
+    assert len(got) == len(exact)
+    for r in got:
+        true = exact[r["event_type"]]
+        assert abs(r["hll_est"] - true) / true < 0.40, (r, true)
+    one = sorted(map(tuple, sk.hll_estimate_manual(ev.coalesce(1)).collect()))
+    many = sorted(map(tuple, sk.hll_estimate_manual(ev.repartition(13)).collect()))
+    assert one == many == sorted(map(tuple, got))
+
+
+def test_cms_manual_overestimates_within_bound(spark):
+    """CMS point estimates are one-sided (est ≥ exact) and the min-of-d
+    rows bounds the collision inflation by ~2N/w with high probability —
+    assert est - exact ≤ 4N/w (generous) for every probed heavy hitter."""
+    docs = load_table(spark, SF001, "documents")
+    rows = sk.cms_estimate_counts(docs).collect()
+    assert len(rows) == 20
+    n_total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")))
+    ).collect()[0][0]
+    bound = 4.0 * n_total / 1024
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["cms_est"] - r["exact_cnt"] <= bound, (r, bound)
+
+
+def test_cms_manual_partitioning_invariant(spark):
+    docs = load_table(spark, SF001, "documents")
+    one = sorted(map(tuple, sk.cms_estimate_counts(docs.coalesce(1)).collect()))
+    many = sorted(map(tuple, sk.cms_estimate_counts(docs.repartition(7)).collect()))
+    assert one == many
