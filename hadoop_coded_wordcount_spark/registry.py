@@ -3376,6 +3376,76 @@ def q_degree_distribution(spark, sf_dir):
     )
 
 
+# Degree-oriented exact triangle count over the degree-bounded supplier
+# kNN co-occurrence graph (the bipartite trade graph is triangle-free by
+# construction, and the raw projection densifies with scale — see
+# graph.supplier_knn_graph). The oracle replays the identical top-k
+# sparsification + orientation + wedge-close joins.
+@register(
+    "triangle_count_suppliers",
+    """
+    WITH p AS (
+      SELECT a.l_suppkey AS s, b.l_suppkey AS d, COUNT(*) AS c
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT s AS node, d AS partner, c FROM p
+      UNION ALL
+      SELECT d AS node, s AS partner, c FROM p
+    ),
+    kept AS (
+      SELECT node, partner FROM (
+        SELECT node, partner,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, partner) AS rn
+        FROM sym
+      ) WHERE rn <= 3
+    ),
+    e0 AS (
+      SELECT DISTINCT LEAST(node, partner) AS src,
+                      GREATEST(node, partner) AS dst
+      FROM kept
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND src < dst)
+                  THEN src ELSE dst END AS lo,
+             CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND src < dst)
+                  THEN dst ELSE src END AS hi,
+             CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND src < dst)
+                  THEN dd.d ELSE ds.d END AS dhi
+      FROM e0 JOIN deg ds ON ds.v = e0.src JOIN deg dd ON dd.v = e0.dst
+    ),
+    w AS (
+      SELECT w1.hi AS b, w2.hi AS c
+      FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+      WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)
+    ),
+    t AS (
+      SELECT COUNT(*) AS n_wedges,
+             CAST(COALESCE(SUM(CASE WHEN cl.b IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_triangles
+      FROM w LEFT JOIN (SELECT DISTINCT lo AS b, hi AS c FROM o) cl
+        ON w.b = cl.b AND w.c = cl.c
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e0) AS n_edges,
+           n_wedges, n_triangles
+    FROM t
+    """,
+)
+def q_triangle_count_suppliers(spark, sf_dir):
+    return gr.triangle_count(
+        gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------

@@ -3,6 +3,8 @@ covers the real tables; these pin semantics on known topologies)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from hadoop_coded_wordcount_spark.operators import graph as gr
 
 
@@ -73,3 +75,63 @@ def test_degree_distribution_hand_graph(spark):
         ("customer", 2): 1,
         ("supplier", 2): 2,
     }
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+def test_triangle_count_hand_graphs(spark):
+    # K3: one triangle, 3 wedges? No — orientation yields exactly 1 wedge
+    # per triangle (at its (deg,id)-min vertex), and it closes.
+    k3 = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    r = gr.triangle_count(k3).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+    # K4: C(4,3)=4 triangles, C(4,2)=6 edges.
+    k4 = _edges(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    r = gr.triangle_count(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # star (no triangle): hub 1 to leaves 2..5 + one leaf-leaf edge → 1.
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert gr.triangle_count(star).collect()[0].n_triangles == 0
+    plus = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)])
+    assert gr.triangle_count(plus).collect()[0].n_triangles == 1
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented count == brute-force 3-clique enumeration on the
+    real kNN graph — the orientation must not lose or double-count."""
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+    from conftest import SF001
+
+    edges = gr.supplier_knn_graph(load_table(spark, SF001, "lineitem"))
+    e = edges.persist()
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    brute = (
+        a.join(b, F.col("a.src") == F.col("b.src"))
+        .where(F.col("a.dst") < F.col("b.dst"))
+        .join(
+            c,
+            (F.col("c.src") == F.col("a.dst"))
+            & (F.col("c.dst") == F.col("b.dst")),
+        )
+        .count()
+    )
+    got = gr.triangle_count(e).collect()[0]
+    assert got.n_triangles == brute and got.n_triangles > 0
+
+
+def test_knn_graph_is_degree_bounded_and_layout_invariant(spark):
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+    from conftest import SF001
+
+    li = load_table(spark, SF001, "lineitem")
+    e1 = sorted(map(tuple, gr.supplier_knn_graph(li).collect()))
+    e2 = sorted(map(tuple, gr.supplier_knn_graph(li.repartition(17)).collect()))
+    assert e1 == e2 and len(e1) > 0
+    # each node CONTRIBUTES <= 3 kept edges, so |E| <= k|V| even though a
+    # popular node's own degree can exceed k (others keep edges to it)
+    n_nodes = len({v for e in e1 for v in e})
+    assert len(e1) <= 3 * n_nodes
