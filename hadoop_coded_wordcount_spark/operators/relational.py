@@ -2623,3 +2623,42 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
             F.col("sv").cast("double") / F.col("st").cast("double"), 6
         ).alias("twa_value"),
     )
+
+
+def ewma_values(events: DataFrame, span: int = 20) -> DataFrame:
+    """Exponentially weighted moving average of ``value`` per user over
+    the last ``span`` events (alpha = 1/2, pandas ``adjust=False``
+    semantics truncated to the frame) — the smoothing layer under drift
+    detectors and rate limiters.
+
+    Engineered for cross-engine bit-exactness, which an EWMA normally
+    forfeits to float pow(): alpha is exactly 0.5, so the recurrence
+    ``E = (E_prev + x) * 0.5`` multiplies by a power of two (exact) and
+    rounds only on the addition — and the fold runs in a FIXED
+    left-to-right frame order on both engines (Spark ``aggregate`` over a
+    window-collected array seeded with its head; DuckDB ``list_reduce``,
+    which seeds with the head by definition). No pow(), no
+    order-dependent sum, no libm.
+
+    Scale: the window state is ``span`` doubles per partition-in-flight —
+    bounded regardless of series length — and the shuffle is the one
+    hash exchange on user_id every windowed series op pays. The collected
+    frame array is span-bounded, not series-bounded.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: (acc + x) * F.lit(0.5),
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        ewma.alias("ewma"),
+    )

@@ -39,6 +39,8 @@ __all__ = [
     "pii_redact",
     "unigram_surprisal",
     "bigram_lm",
+    "perplexity_buckets",
+    "char_entropy",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -521,4 +523,96 @@ def bigram_lm(documents: DataFrame) -> DataFrame:
         F.round(
             F.col("cnt").cast("double") / F.sum("cnt").over(w), 6
         ).alias("cond_p"),
+    )
+
+
+def perplexity_buckets(documents: DataFrame, buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by its
+    average negative log-likelihood under the CORPUS bigram LM
+    (add-one smoothing over the corpus vocabulary), then split the
+    corpus into ``buckets`` equi-depth quality tiers — the head/middle/
+    tail partition CCNet uses to keep, LM-filter, or drop web text.
+
+    Determinism: the per-bigram NLL is one ln() of a ratio of exact
+    integer counts (both engines correctly round ln to the same double in
+    practice), the per-doc mean is rounded to 6 decimals BEFORE any
+    downstream use, and the ntile ranks on the rounded score with doc_id
+    as tiebreak — so bucket boundaries cannot flip on last-ulp noise.
+
+    Scale: the LM is vocabulary²-bounded (bigram types, not tokens); the
+    per-doc scoring join shuffles on (w1, w2) — the natural key — and
+    partial-aggregates the mean map-side. The one global ntile window
+    ranks DOC-COUNT rows (not tokens); at extreme scale swap it for
+    equidepth_histogram boundaries, the engine's approx-quantile shape.
+    """
+    toked = documents.select("doc_id", tokens_col().alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    t = F.col("toks")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    bg = toked.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lm = lm.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    vocab = toked.select(F.explode("toks").alias("t")).agg(
+        F.count_distinct("t").alias("v_size")
+    )
+    nll = -F.log(
+        (F.col("c12") + 1) / (F.col("c1") + F.col("v_size")).cast("double")
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+    w = Window.orderBy("avg_nll", "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        F.round(F.exp("avg_nll"), 4).alias("ppl"),
+        F.ntile(buckets).over(w).alias("ppl_bucket"),
+    )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of the per-document character distribution — the
+    cheapest gibberish/boilerplate signal (near-zero for repeated-char
+    spam, ~4.2 bits for English prose, higher for base64 blobs), used as
+    a pre-filter before token-level quality scoring.
+
+    One explode over characters, one (doc, char) count, one per-doc
+    aggregation of -p·log2(p) — all codegen'd; rounding to 6 decimals
+    absorbs the engines' summation-order ulps.
+    """
+    chars = documents.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = -p * F.log2(p)
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+            F.round(F.sum(ent), 6).alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("distinct_chars").cast("int").alias("distinct_chars"),
+            "entropy_bits",
+        )
     )

@@ -2589,6 +2589,77 @@ def q_bigram_lm(spark, sf_dir):
     return ts.bigram_lm(load_table(spark, sf_dir, "documents"))
 
 
+# CCNet-style LM-quality tiers: per-doc mean NLL under the corpus bigram
+# LM (add-one smoothing over corpus vocab), rounded BEFORE the ntile so
+# bucket boundaries can't flip on last-ulp noise. The oracle replays the
+# LM, the smoothing, and the bucketing end to end.
+@register(
+    "perplexity_buckets",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks FROM toked WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t2, unnest(range(1, len(toks))) AS u(i)
+    ),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    lm1 AS (
+      SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM lm
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v_size
+      FROM (SELECT unnest(toks) AS t FROM t2)
+    ),
+    terms AS (
+      SELECT bg.doc_id,
+             -ln((c12 + 1) / CAST(c1 + v_size AS DOUBLE)) AS nll
+      FROM bg JOIN lm1 ON bg.w1 = lm1.w1 AND bg.w2 = lm1.w2
+      CROSS JOIN vocab
+    ),
+    scores AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 6) AS avg_nll
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_nll,
+           ROUND(exp(avg_nll), 4) AS ppl,
+           CAST(NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS INTEGER)
+             AS ppl_bucket
+    FROM scores
+    """,
+)
+def q_perplexity_buckets(spark, sf_dir):
+    return ts.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    c2 AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+      GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT doc_id, ch, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c2
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS INTEGER) AS distinct_chars,
+           ROUND(SUM(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6)
+             AS entropy_bits
+    FROM pd GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    return ts.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "global_row_number",
     """
@@ -2856,6 +2927,26 @@ def q_ohlc_hourly(spark, sf_dir):
 )
 def q_time_weighted_avg(spark, sf_dir):
     return rel.time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+# EWMA engineered for cross-engine bit-exactness: alpha = 1/2 makes the
+# recurrence's multiply exact, and both engines fold the window-collected
+# array head-seeded left-to-right (see relational.ewma_values).
+@register(
+    "ewma_values",
+    """
+    SELECT user_id, event_id, value,
+           list_reduce(l, (acc, x) -> (acc + x) * 0.5) AS ewma
+    FROM (
+      SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+)
+def q_ewma_values(spark, sf_dir):
+    return rel.ewma_values(load_table(spark, sf_dir, "events"))
 
 
 @register(

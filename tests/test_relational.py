@@ -288,3 +288,27 @@ def test_equidepth_histogram_covers_all_rows(spark):
     assert sum(r.n for r in rows) == orders.count()
     for a, b in zip(rows, rows[1:]):
         assert a.vmax <= b.vmin
+
+
+def test_ewma_recurrence_hand_values(spark):
+    """alpha=1/2 pandas adjust=False semantics: E1=v1, E=(E+v)/2."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import ewma_values
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate([8.0, 4.0, 2.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+    got = {r.event_id: r.ewma for r in ewma_values(df).collect()}
+    assert got == {0: 8.0, 1: 6.0, 2: 4.0}  # 8; (8+4)/2; (6+2)/2
+    # constant series is a fixed point
+    cdf = spark.createDataFrame(
+        [(2, i, t0 + dt.timedelta(minutes=i), 5.0) for i in range(40)],
+        "user_id long, event_id long, ts timestamp_ntz, value double",
+    )
+    assert {r.ewma for r in ewma_values(cdf).collect()} == {5.0}

@@ -197,3 +197,33 @@ def test_bigram_lm_edges_and_probabilities(spark):
     for (w1, _), (_, p) in rows.items():
         totals[w1] += p
     assert all(abs(t - 1.0) < 1e-6 for t in totals.values())
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ts.char_entropy(docs).collect()}
+    assert got[1].entropy_bits == 0.0 and got[1].distinct_chars == 1
+    assert got[2].entropy_bits == 1.0  # two equiprobable symbols
+    assert got[3].entropy_bits == 2.0  # four equiprobable symbols
+    assert got[3].n_chars == 4
+
+
+def test_perplexity_buckets_orders_quality(spark):
+    """Repetitive text = predictable bigrams = low NLL = bucket 1; docs
+    of unique-vocabulary text land in the tail bucket."""
+    rep = "the cat sat . " * 10
+    docs = spark.createDataFrame(
+        [(i, rep) for i in range(6)]
+        + [(10 + i, f"zq{i} xv{i} wk{i} jm{i} qq{i} zz{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in ts.perplexity_buckets(docs, buckets=2).collect()
+    }
+    assert len(got) == 12
+    for i in range(6):
+        assert got[i].ppl_bucket == 1, got[i]
+        assert got[10 + i].ppl_bucket == 2, got[10 + i]
+        assert got[i].avg_nll < got[10 + i].avg_nll
