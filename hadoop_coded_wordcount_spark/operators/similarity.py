@@ -41,6 +41,9 @@ __all__ = [
     "embedding_lsh_pairs",
     "embedding_neardup_pairs",
     "semdedup",
+    "rp_sign",
+    "random_projection",
+    "embedding_covariance",
 ]
 
 
@@ -682,5 +685,95 @@ def semdedup(
             "cell_id",
             F.col("evicted_by_cos").isNull().alias("keep"),
             F.round("evicted_by_cos", 6).alias("evicted_by_cos"),
+        )
+    )
+
+
+def rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 for output dim j, input dim i — an md5 parity, so
+    the SAME generator emits the sign literals for both the Spark plan
+    and the SQL oracle (no seeded-RNG state to replicate cross-engine)."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[:13], 16) % 2 == 0 else -1
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = 8, dim: int = 64
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with Achlioptas ±1
+    entries: ``y_j = Σ_i s_ij·x_i / sqrt(out_dim)`` — the cheap first
+    stage before ANN indexing or dedup when 64+ dims are overkill
+    (pairwise distances are preserved within (1±ε) w.h.p.; the unit test
+    measures the distortion on real pairs).
+
+    Entirely codegen'd per-row arithmetic — no shuffle, no UDF: each
+    output dim unrolls to a flat left-associated sum of sign-flipped
+    array ordinals (multiplying by ±1.0 is IEEE-exact, the adds run in
+    the same order in the SQL oracle, and the one division uses a shared
+    Python-emitted literal — so outputs are bit-identical cross-engine,
+    no rounding needed). The sign matrix is md5-derived via
+    :func:`rp_sign`, never a seeded RNG.
+    """
+    import math
+
+    emb = _as_double("embedding")
+    scale = F.lit(math.sqrt(float(out_dim)))
+    outs = []
+    for j in range(out_dim):
+        expr = emb[0] * F.lit(float(rp_sign(j, 0)))
+        for i in range(1, dim):
+            expr = expr + emb[i] * F.lit(float(rp_sign(j, i)))
+        outs.append((expr / scale).alias(f"y{j}"))
+    return embeddings.select("vec_id", *outs)
+
+
+def embedding_covariance(embeddings: DataFrame, dims: int = 16) -> DataFrame:
+    """Upper-triangle covariance matrix of the first ``dims`` embedding
+    dimensions — the Σ behind PCA whitening, redundancy pruning, and
+    drift monitors. Emits (i, j, cov) with 1-based labels, population
+    covariance ``(Σxy − ΣxΣy/n)/n``.
+
+    The 100 TB shape: each row expands to its dims·(dims+1)/2 pair
+    products IN-EXPRESSION (one generated struct array + explode — no
+    self-join on vec_id, which would shuffle the corpus twice), and the
+    groupBy over the tiny (i, j) key space partial-aggregates map-side,
+    so the shuffle carries O(dims²·partitions) rows regardless of corpus
+    size. The d×d result is driver-sized; eigen-decomposition on it is a
+    numpy afterthought (tested), not a cluster job. Rounded to 6 — sums
+    of 10⁴+ doubles are engine-order-dependent in the last ulps.
+    """
+    emb = _as_double("embedding")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("i"),
+                F.lit(j + 1).alias("j"),
+                (emb[i] * emb[j]).alias("xx"),
+                emb[i].alias("xi"),
+                emb[j].alias("xj"),
+            )
+            for i in range(dims)
+            for j in range(i, dims)
+        ]
+    )
+    exploded = embeddings.select(F.explode(pairs).alias("p")).select("p.*")
+    return (
+        exploded.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xx").alias("sxx"),
+            F.sum("xi").alias("sxi"),
+            F.sum("xj").alias("sxj"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("sxx") - F.col("sxi") * F.col("sxj") / F.col("n"))
+                / F.col("n"),
+                6,
+            ).alias("cov"),
         )
     )

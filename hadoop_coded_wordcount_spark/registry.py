@@ -1742,6 +1742,53 @@ def q_embedding_lsh_pairs(spark, sf_dir):
     return sim.embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def _rp_oracle_sql() -> str:
+    """JL-projection oracle: the SAME rp_sign generator that built the
+    Spark plan emits the sign literals here, the adds run in the same
+    left-associated order, and the divisor is one shared Python float
+    repr — bit-identical outputs, no rounding."""
+    import math
+
+    cols = []
+    for j in range(8):
+        body = " + ".join(
+            f"({sim.rp_sign(j, i)}*emb[{i + 1}])" for i in range(64)
+        )
+        cols.append(f"({body}) / {math.sqrt(8.0)!r} AS y{j}")
+    sel = ",\n           ".join(cols)
+    return f"WITH v AS ({_DUCK_VECS})\n    SELECT vec_id,\n           {sel}\n    FROM v"
+
+
+@register("embedding_rp", _rp_oracle_sql())
+def q_embedding_rp(spark, sf_dir):
+    return sim.random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+# Population covariance of the first 16 embedding dims; the oracle takes
+# the self-join road (fine at oracle SF) while the engine expands pair
+# products in-expression to keep the corpus to ONE narrow pass.
+@register(
+    "embedding_covariance",
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    d AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i, emb[i] AS x
+      FROM v, unnest(range(1, 17)) AS r(i)
+    ),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, a.x * b.x AS xx, a.x AS xi, b.x AS xj
+      FROM d a JOIN d b ON a.vec_id = b.vec_id AND b.i >= a.i
+    )
+    SELECT i, j,
+           ROUND((SUM(xx) - SUM(xi) * SUM(xj) / COUNT(*)) / COUNT(*), 6)
+             AS cov
+    FROM pr GROUP BY i, j
+    """,
+)
+def q_embedding_covariance(spark, sf_dir):
+    return sim.embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "embedding_neardup_pairs",
     f"""

@@ -230,3 +230,46 @@ def test_semdedup_real_embeddings_accounting(spark):
             assert r["evicted_by_cos"] is None
         else:
             assert r["evicted_by_cos"] >= 0.95
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: squared-distance ratios after an 8-dim ±1 projection
+    concentrate around 1; assert the empirical mean ratio over real
+    pairs is within a generous band (not per-pair — ε at p=8 is large)."""
+    import numpy as np
+
+    emb = load_table(spark, SF001, "embeddings").limit(200)
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()
+    }
+    proj = {
+        r.vec_id: np.array([r[f"y{j}"] for j in range(8)])
+        for r in sim.random_projection(emb).collect()
+    }
+    ids = sorted(orig)[:60]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        do = float(np.sum((orig[a] - orig[b]) ** 2))
+        dp = float(np.sum((proj[a] - proj[b]) ** 2))
+        if do > 0:
+            ratios.append(dp / do)
+    m = sum(ratios) / len(ratios)
+    assert 0.7 < m < 1.3, m
+
+
+def test_embedding_covariance_matches_numpy_and_is_psd(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF001, "embeddings")
+    x = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=float
+    )[:, :16]
+    want = np.cov(x, rowvar=False, bias=True)
+    got = np.zeros((16, 16))
+    for r in sim.embedding_covariance(emb).collect():
+        got[r.i - 1, r.j - 1] = r.cov
+        got[r.j - 1, r.i - 1] = r.cov
+    assert np.max(np.abs(got - want)) < 1e-5
+    # the driver-sized eigen step: PSD up to rounding noise
+    evals = np.linalg.eigvalsh(got)
+    assert evals.min() > -1e-6
