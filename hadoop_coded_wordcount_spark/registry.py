@@ -2585,6 +2585,31 @@ def q_debounce_events(spark, sf_dir):
 
 
 @register(
+    "click_attribution",
+    """
+    WITH v AS (
+      SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id, click_id, view_id,
+           epoch_us(c_ts) - epoch_us(v_ts) AS gap_us
+    FROM c JOIN v
+      ON v_user = user_id
+     AND v_ts <= c_ts
+     AND v_ts >= c_ts - INTERVAL '10 minutes'
+    """,
+)
+def q_click_attribution(spark, sf_dir):
+    # batch twin of the watermarked stream-stream interval join
+    # (row-identity on finite input pinned in tests/test_streaming.py)
+    return sw.click_view_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "unigram_surprisal",
     """
     WITH ex AS (

@@ -35,6 +35,7 @@ __all__ = [
     "watermarked_session",
     "tumbling_distinct_users",
     "watermarked_distinct_users",
+    "click_view_attribution",
 ]
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -222,4 +223,50 @@ def debounced_events(df: DataFrame, lateness: str = "30 minutes") -> DataFrame:
         df.withColumn("minute", F.date_trunc("minute", F.col("ts")))
         .select("user_id", "event_type", _win_str("minute").alias("minute"))
         .distinct()
+    )
+
+
+def click_view_attribution(
+    df: DataFrame, window: str = "10 minutes", lateness: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: every click pairs with the same
+    user's views from the preceding ``window`` — the attribution
+    primitive (which impressions preceded this action?).
+
+    Streaming shape: BOTH sides carry a watermark and the join condition
+    bounds event time in BOTH directions (``v.ts ∈ [c.ts − window,
+    c.ts]``) — that two-sided constraint is what lets Spark expire
+    buffered rows once the watermark passes, keeping join state bounded
+    at any stream rate; an unconstrained side would buffer forever.
+    Append-mode emits a pair once both inputs have arrived and the
+    watermark proves no earlier match can still appear.
+
+    Batch twin is the identical join expression (the registry entry;
+    row-for-row equality with the streaming run on finite input is
+    pinned in tests). The gap is exact integer microseconds — no float.
+    """
+    src = _as_event_time(df)
+    views = src.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = src.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if df.isStreaming:
+        views = views.withWatermark("v_ts", lateness)
+        clicks = clicks.withWatermark("c_ts", lateness)
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {window}"))
+    )
+    return clicks.join(views, cond).select(
+        "user_id",
+        "click_id",
+        "view_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )

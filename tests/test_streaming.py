@@ -717,3 +717,39 @@ def test_debounce_stream_equals_batch_distinct(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_debounce").collect()
     }
     assert got == batch
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch join's pair set once the finite stream drains (two-sided time
+    bounds make the state finite AND the result complete)."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    batch = {
+        (r.user_id, r.click_id, r.view_id, r.gap_us)
+        for r in sw.click_view_attribution(
+            spark.read.schema(_SCHEMA).parquet(src)
+        ).collect()
+    }
+    assert batch  # non-degenerate fixture
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        sw.click_view_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_id, r.view_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM t_attrib").collect()
+    }
+    assert got == batch
