@@ -237,22 +237,33 @@ def supplier_knn_graph(lineitem: DataFrame, k: int = 3) -> DataFrame:
     is exactly the skew the degree orientation in triangle_count absorbs) — the same reason ANN graphs are
     built degree-bounded.
 
-    Shape: per-order self-join (quadratic in bounded order size, a
-    constant ×~7 blowup), one partial-agg'd pair count, a per-node top-k
-    window over the symmetrized pair list (vocabulary-sized input), then
+    Shape: ONE shuffle of lineitem (groupBy orderkey), then the ordered
+    pair set is generated IN-EXPRESSION from the per-order sorted
+    distinct-supplier array (nested transform + slice — order size is
+    bounded, so the expansion is a small constant), exploded into one
+    partial-agg'd count of DISTINCT SHARED ORDERS per pair. A self-join
+    formulation shuffles lineitem twice and counts lineitem-pair
+    multiplicity rather than shared orders; this shape halves the
+    shuffle and matches the stated semantics. Then a per-node top-k
+    window over the symmetrized pair list (vocabulary-sized input) and
     LEAST/GREATEST dedup back to one row per undirected edge.
     """
-    s = lineitem.select("l_orderkey", "l_suppkey")
-    a, b = s.alias("a"), s.alias("b")
+    arr = F.array_sort(F.collect_set("l_suppkey"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("supps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
+                lambda y: F.struct(x.alias("s"), y.alias("d")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s"), F.col("b.l_suppkey").alias("d")
-        )
+        lineitem.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(arr.alias("supps"))
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sym = pairs.select(

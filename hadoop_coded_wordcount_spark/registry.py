@@ -3548,10 +3548,11 @@ def q_degree_distribution(spark, sf_dir):
     "triangle_count_suppliers",
     """
     WITH p AS (
-      SELECT a.l_suppkey AS s, b.l_suppkey AS d, COUNT(*) AS c
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      GROUP BY 1, 2
+      SELECT s, d, COUNT(*) AS c FROM (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey AS s, b.l_suppkey AS d
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      ) GROUP BY 1, 2
     ),
     sym AS (
       SELECT s AS node, d AS partner, c FROM p
@@ -3642,6 +3643,18 @@ _VERIFY_FIRST = [
     "percentile_agg",
     "ohlc_hourly",
     "similarity_topk_pandas",
+    # (3b) Round-5 additions: new operators and sketch-family oracle
+    # conversions (kmv/hll/cms md5 bases) — none ever gate-checked.
+    "kmv_distinct_custkeys",
+    "hll_manual_users",
+    "cms_manual_counts",
+    "triangle_count_suppliers",
+    "ewma_values",
+    "perplexity_buckets",
+    "char_entropy",
+    "embedding_rp",
+    "embedding_covariance",
+    "click_attribution",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
@@ -3659,7 +3672,6 @@ _VERIFY_FIRST = [
     # (5) Rows-only family: keep in-window for clean no_oracle rows.
     "similarity_ivf_topk",
     "similarity_ivf_kmeans_topk",
-    "kmv_distinct_custkeys",
     "token_frequency_sketch",
     "multimodal_features",
     "hll_sketch_users",
