@@ -44,6 +44,7 @@ __all__ = [
     "passage_dedup",
     "containment_pairs",
     "duplicate_spans",
+    "keep_best_per_cluster",
 ]
 
 
@@ -1019,3 +1020,44 @@ def duplicate_spans(documents: DataFrame, w: int = 8) -> DataFrame:
         F.min("pos").cast("int").alias("span_start"),
         (F.max("pos") - F.min("pos") + w).cast("int").alias("span_tokens"),
     ).select("doc_id", "span_start", "span_tokens")
+
+
+def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
+    """End-to-end near-dup RESOLUTION — the step most dedup surfaces stop
+    short of: LSH candidate pairs → star-contraction components → keep
+    exactly the highest-quality member of every duplicate cluster
+    (singletons keep themselves). The output is the actionable keep/drop
+    list a curation pipeline consumes, one row per scored document.
+
+    Composition of three already-verified operators (minhash_lsh_pairs,
+    connected_components_star, textstats.quality_score), so each stage
+    keeps its own scale shape: banded LSH (no all-pairs), O(log n)
+    contraction rounds, single-projection scoring. The final argmax is a
+    row_number over (quality DESC, doc_id) on the ROUNDED quality — both
+    engines rank identical values, so the keep flag cannot flip on float
+    noise. Both windows (rank, cluster size) share one cluster_id
+    exchange.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import quality_score
+
+    edges = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    labels = connected_components_star(edges)
+    q = quality_score(documents).select("doc_id", "quality")
+    labeled = q.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w_rank) == 1).alias("keep"),
+        F.count(F.lit(1)).over(w_all).alias("cluster_size"),
+    )

@@ -1570,6 +1570,69 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dd.connected_components_star(edges)
 
 
+# End-to-end near-dup resolution: LSH pairs → star CC → keep the single
+# highest-quality member per cluster. The oracle composes the exact-pair
+# recursive-CTE closure (== the LSH pair set at this data's similarity
+# margins, argued at minhash_lsh_pairs) with the quality formula, ranking
+# on the rounded score so the keep flag is float-noise-proof.
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE
+    g AS ({_DUCK_SHINGLES}),
+    e AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM e
+      UNION ALL
+      SELECT doc_b, doc_a FROM e
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             round({ts.QUALITY_WEIGHTS["len"]} * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                 + {ts.QUALITY_WEIGHTS["distinct"]}
+                   * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                 + {ts.QUALITY_WEIGHTS["clean"]}
+                   * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)), 6) AS quality
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      ) WHERE len(toks) > 0
+    ),
+    lab AS (
+      SELECT q.doc_id, q.quality,
+             COALESCE(l.cluster_id, q.doc_id) AS cluster_id
+      FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id, quality,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) = 1) AS keep,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM lab
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    return dd.keep_best_per_cluster(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "containment_pairs",
     # Oracle over string grams (the Spark side hashes shingles to
@@ -3655,6 +3718,7 @@ _VERIFY_FIRST = [
     "embedding_rp",
     "embedding_covariance",
     "click_attribution",
+    "dedup_keep_best",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
@@ -3677,7 +3741,6 @@ _VERIFY_FIRST = [
     "hll_sketch_users",
     "embedding_lsh_pairs",
     "approx_percentile_agg",
-    "approx_distinct",
     # (6) Streaming/events + Python-surface spot checks filling the
     # window (green in r4; cheap re-confirmation on the rotated head).
     "events_tumbling",

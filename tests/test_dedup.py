@@ -6,6 +6,7 @@ real sf0.01 documents (the driver table has planted near-duplicates).
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from hadoop_coded_wordcount_spark.operators import dedup as dd
 from hadoop_coded_wordcount_spark.sources.catalog import load_table
@@ -358,3 +359,24 @@ def test_duplicate_spans_planted_run(spark):
         for r in dd.duplicate_spans(docs, w=8).collect()
     }
     assert rows == {1: (5, 12), 2: (9, 12)}
+
+
+def test_keep_best_per_cluster_resolution(spark):
+    """Every cluster keeps exactly one member (its max-quality argmax);
+    singletons keep themselves; nobody disappears."""
+    docs = load_table(spark, SF001, "documents")
+    rows = dd.keep_best_per_cluster(docs).collect()
+    scored = docs.where(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) > 0).count()
+    assert len(rows) == scored
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())  # planted dups found
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, cid
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert keeps[0].doc_id == best.doc_id
+        assert all(r.cluster_size == len(members) for r in members)
