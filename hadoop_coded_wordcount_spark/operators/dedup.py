@@ -285,9 +285,15 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
     g = shingled(documents, n)
     nparts = 2 * documents.sparkSession.sparkContext.defaultParallelism
     h = F.md5("gram")
+    # explode_OUTER, deliberately: a plain explode makes Catalyst push
+    # `size(grams) > 0 AND isnotnull(grams)` down to the scan, and those
+    # predicates re-derive the ENTIRE tokenize+shingle expression per row
+    # (measured 14.1 s vs 2.6 s at sf0.1 — the r5 bench regression).
+    # shingled() already guarantees non-empty gram arrays, so the outer
+    # variant emits the identical rows with no pushed re-evaluation.
     ex = (
         g.repartition(nparts, "doc_id")
-        .select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
         .select(
             "doc_id",
             (

@@ -2662,3 +2662,108 @@ def ewma_values(events: DataFrame, span: int = 20) -> DataFrame:
         "value",
         ewma.alias("ewma"),
     )
+
+
+def rolling_median(events: DataFrame, span: int = 21) -> DataFrame:
+    """Exact median of ``value`` over the trailing ``span`` events per
+    user — the robust twin of ewma_values (a median tracker shrugs off
+    the single spike that drags any mean-based smoother).
+
+    Shape: the window collects the bounded frame array (``span`` doubles
+    of state per in-flight row, independent of series length),
+    ``array_sort`` + middle element inside ONE codegen'd projection — no
+    per-row Python, no second shuffle beyond the user_id exchange every
+    windowed op pays. Even-length frames average the two middle elements
+    ((a+b)/2 — one add, one exact halving, bit-identical cross-engine);
+    sorting makes the value deterministic under any input order.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    # Column `/` is true division — cast truncates, matching DuckDB's `//`
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, mid_lo).otherwise((mid_lo + mid_hi) * F.lit(0.5))
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        med.alias("rolling_median"),
+    )
+
+
+def join_asof_nearest(events: DataFrame) -> DataFrame:
+    """Nearest-asof join: for every click, the view CLOSEST in time —
+    before or after — per user (backward asof answers "what did they
+    last see"; nearest answers "what exposure does this action belong
+    to", the attribution-with-clock-skew shape).
+
+    Same union-then-window formulation as :func:`join_asof` — one hash
+    exchange on user_id carries BOTH directions: a backward
+    last(ignorenulls) over [unbounded, current] and a forward
+    first(ignorenulls) over [current, unbounded] (two sorts, one
+    shuffle). Equal-ts views sort before clicks, so ties count as
+    "before" — and among equal-ts views both directions resolve to the
+    MAX view event_id (backward: last in id-ascending order; forward:
+    first in id-DESCENDING order), matching the oracle's per-(user, ts)
+    max-id view dedup. The nearer side wins; exact-microsecond gap ties
+    prefer the backward match. Clicks with no view at all drop.
+
+    Output gap_us is SIGNED microseconds (view_ts − click_ts): negative
+    for a view before the click.
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", F.desc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "tag",
+        "event_id",
+        F.last("view_id", ignorenulls=True).over(w_back).alias("b_id"),
+        F.last("view_ts", ignorenulls=True).over(w_back).alias("b_ts"),
+        F.first("view_id", ignorenulls=True).over(w_fwd).alias("f_id"),
+        F.first("view_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
+    )
+    c = merged.where(F.col("tag") == 1)
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    gap_b = us("ts") - us("b_ts")
+    gap_f = us("f_ts") - us("ts")
+    pick_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (gap_b <= gap_f)
+    )
+    return c.where(
+        F.col("b_id").isNotNull() | F.col("f_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("view_id"),
+        F.when(pick_back, -gap_b).otherwise(gap_f).alias("gap_us"),
+    )

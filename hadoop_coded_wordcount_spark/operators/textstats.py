@@ -41,6 +41,7 @@ __all__ = [
     "bigram_lm",
     "perplexity_buckets",
     "char_entropy",
+    "collocations_pmi",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -615,4 +616,50 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             F.col("distinct_chars").cast("int").alias("distinct_chars"),
             "entropy_bits",
         )
+    )
+
+
+def collocations_pmi(
+    documents: DataFrame, min_count: int = 5, top: int = 50
+) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    ``PMI(w1,w2) = log2(c12·N / (c1·c2))`` over adjacent-token pairs,
+    restricted to pairs seen ≥ ``min_count`` times (PMI's low-frequency
+    pathology) — the classic phrase-mining signal ("new york" scores; 
+    "of the" doesn't, despite its raw count).
+
+    All counts are exact integers; the single log2 runs on a ratio of
+    exact integer products (c12·N up to ~2⁵³ stays exact in double) and
+    rounds to 6 — cross-engine-stable. Unigram context counts come from
+    the SAME bigram relation (w1-position + w2-position occurrences), so
+    N, c1, c2 are mutually consistent. Top-``top`` by (PMI, pair) is a
+    total order; the global sort ranks vocabulary-sized data.
+    """
+    toked = documents.select(tokens_col().alias("toks"))
+    t = F.col("toks")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = counts.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    c2 = c1.withColumn("c2", F.sum("c12").over(Window.partitionBy("w2")))
+    n_total = counts.agg(F.sum("c12").alias("n_bigrams"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c12") * F.col("n_bigrams")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        ),
+        6,
+    )
+    return (
+        c2.crossJoin(F.broadcast(n_total))
+        .where(F.col("c12") >= min_count)
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top)
     )

@@ -251,6 +251,50 @@ def q_join_asof(spark, sf_dir):
     return rel.join_asof(load_table(spark, sf_dir, "events"))
 
 
+# Nearest-neighbor asof (before OR after, nearer side wins, exact-gap
+# ties prefer backward): oracle runs DuckDB's ASOF twice — backward
+# inclusive, forward strict — over max-id-deduped views and picks the
+# nearer, mirroring the engine's two-direction single-shuffle window.
+@register(
+    "join_asof_nearest",
+    """
+    WITH views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT c.click_id, c.user_id, c.ts AS cts, v.view_id AS b_id,
+             v.ts AS b_ts
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+    ),
+    f AS (
+      SELECT c.click_id, v.view_id AS f_id, v.ts AS f_ts
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND c.ts < v.ts
+    )
+    SELECT click_id, user_id,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+                     epoch_us(cts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(cts))
+                THEN b_id ELSE f_id END AS view_id,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+                     epoch_us(cts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(cts))
+                THEN epoch_us(b_ts) - epoch_us(cts)
+                ELSE epoch_us(f_ts) - epoch_us(cts) END AS gap_us
+    FROM b JOIN f USING (click_id)
+    WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    return rel.join_asof_nearest(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "join_left_outer",
     """
@@ -2771,6 +2815,39 @@ def q_perplexity_buckets(spark, sf_dir):
 
 
 @register(
+    "collocations_pmi",
+    """
+    WITH toked AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM toked, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cc AS (
+      SELECT w1, w2, c12,
+             SUM(c12) OVER (PARTITION BY w1) AS c1,
+             SUM(c12) OVER (PARTITION BY w2) AS c2
+      FROM c
+    ),
+    n AS (SELECT SUM(c12) AS n_bigrams FROM c)
+    SELECT w1, w2, c12,
+           ROUND(log2(CAST(c12 * n_bigrams AS DOUBLE)
+                      / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+    FROM cc CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_collocations_pmi(spark, sf_dir):
+    return ts.collocations_pmi(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "char_entropy",
     """
     WITH chars AS (
@@ -3084,6 +3161,29 @@ def q_ewma_values(spark, sf_dir):
     return rel.ewma_values(load_table(spark, sf_dir, "events"))
 
 
+# Exact trailing-21 median per user: bounded frame array, sorted middle
+# element(s) — deterministic under any input order; the even-frame mean
+# is one add + one exact halving.
+@register(
+    "rolling_median",
+    """
+    SELECT user_id, event_id, value,
+           CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+                ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) * 0.5
+           END AS rolling_median
+    FROM (
+      SELECT user_id, event_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS a
+      FROM events
+    )
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    return rel.rolling_median(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "stratified_fixed_k",
     """
@@ -3380,9 +3480,9 @@ _HLL_ALPHA_M2 = 0.709 * _HLL_M * _HLL_M
     )
     SELECT event_type,
            CAST(v_set AS INTEGER) AS registers_set,
-           CASE WHEN raw <= {2.5 * _HLL_M!r} AND ({_HLL_M} - v_set) > 0
-                THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({_HLL_M} - v_set AS DOUBLE))
-                ELSE raw END AS hll_est
+           round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND ({_HLL_M} - v_set) > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({_HLL_M} - v_set AS DOUBLE))
+                      ELSE raw END, 6) AS hll_est
     FROM (
       SELECT *, {_HLL_ALPHA_M2!r} / (z_set + CAST({_HLL_M} - v_set AS DOUBLE)) AS raw
       FROM agg
@@ -3391,6 +3491,52 @@ _HLL_ALPHA_M2 = 0.709 * _HLL_M * _HLL_M
 )
 def q_hll_manual_users(spark, sf_dir):
     return sk.hll_estimate_manual(load_table(spark, sf_dir, "events"))
+
+
+# Sliding distinct-users via HLL register max-merge: per-hour registers
+# built once, each trailing 3h window merges 3 bounded register sets —
+# union semantics with no event rescan. Oracle replays registers, the
+# range-join merge, and the corrected estimate.
+@register(
+    "hll_sliding_users",
+    f"""
+    WITH h AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_num,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT hour_num, x >> {_HLL_W} AS idx,
+             CASE WHEN (x & {_HLL_MASK}) = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(x & {_HLL_MASK})) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT hour_num, idx, MAX(rho) AS M FROM r GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT hour_num FROM regs),
+    merged AS (
+      SELECT g.hour_num, r2.idx, MAX(r2.M) AS M
+      FROM grid g JOIN regs r2
+        ON r2.hour_num <= g.hour_num AND r2.hour_num > g.hour_num - 3
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT hour_num, COUNT(*) AS v_set, SUM(pow(2.0, -M)) AS z_set
+      FROM merged GROUP BY 1
+    )
+    SELECT strftime(to_timestamp(hour_num * 3600), '{_TS_FMT_DUCK}')
+             AS window_end_hour,
+           CAST(v_set AS INTEGER) AS registers_set,
+           round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND ({_HLL_M} - v_set) > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({_HLL_M} - v_set AS DOUBLE))
+                      ELSE raw END, 6) AS hll_users_trailing
+    FROM (
+      SELECT *, {_HLL_ALPHA_M2!r} / (z_set + CAST({_HLL_M} - v_set AS DOUBLE)) AS raw
+      FROM agg
+    )
+    """,
+)
+def q_hll_sliding_users(spark, sf_dir):
+    return sk.hll_sliding_users(load_table(spark, sf_dir, "events"))
 
 
 # k-means assignment has no DuckDB twin → rows-only; planted-duplicate
@@ -3719,6 +3865,10 @@ _VERIFY_FIRST = [
     "embedding_covariance",
     "click_attribution",
     "dedup_keep_best",
+    "rolling_median",
+    "hll_sliding_users",
+    "collocations_pmi",
+    "join_asof_nearest",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
@@ -3733,14 +3883,11 @@ _VERIFY_FIRST = [
     "iqr_outliers",
     "skew_report",
     "mad_stats",
-    # (5) Rows-only family: keep in-window for clean no_oracle rows.
+    # (5) Rows-only family: a rotating subset stays in-window for clean
+    # no_oracle rows (all seven were no_oracle-checked in r4).
     "similarity_ivf_topk",
-    "similarity_ivf_kmeans_topk",
     "token_frequency_sketch",
     "multimodal_features",
-    "hll_sketch_users",
-    "embedding_lsh_pairs",
-    "approx_percentile_agg",
     # (6) Streaming/events + Python-surface spot checks filling the
     # window (green in r4; cheap re-confirmation on the rotated head).
     "events_tumbling",

@@ -192,3 +192,50 @@ def test_cms_manual_partitioning_invariant(spark):
     one = sorted(map(tuple, sk.cms_estimate_counts(docs.coalesce(1)).collect()))
     many = sorted(map(tuple, sk.cms_estimate_counts(docs.repartition(7)).collect()))
     assert one == many
+
+
+def test_hll_sliding_merge_is_union_not_sum(spark):
+    """A trailing-3h window's estimate must track the UNION of the three
+    hours' distinct users (register max-merge), not their sum — the
+    property that makes the sketch mergeable."""
+    ev = load_table(spark, SF001, "events")
+    got = {
+        r["window_end_hour"]: r["hll_users_trailing"]
+        for r in sk.hll_sliding_users(ev).collect()
+    }
+    import pyspark.sql.functions as F2
+
+    per_hour = ev.select(
+        F2.date_format(F2.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h"),
+        "user_id",
+    ).groupBy("h").agg(F2.collect_set("user_id").alias("us")).collect()
+    # build exact trailing-3h unions driver-side (720 tiny sets)
+    import datetime as dt
+
+    sets = {r["h"]: set(r["us"]) for r in per_hour}
+    hours = sorted(sets)
+    for i, h in enumerate(hours):
+        t = dt.datetime.strptime(h, "%Y-%m-%d %H:%M:%S")
+        u = set()
+        for k in range(3):
+            hk = (t - dt.timedelta(hours=k)).strftime("%Y-%m-%d %H:%M:%S")
+            u |= sets.get(hk, set())
+        est = got[h]
+        assert abs(est - len(u)) / max(1, len(u)) < 0.45, (h, est, len(u))
+
+
+def test_rolling_median_tracks_true_median(spark):
+    import statistics
+
+    from hadoop_coded_wordcount_spark.operators.relational import rolling_median
+
+    ev = load_table(spark, SF001, "events")
+    one_user = ev.where(F.col("user_id") == ev.select("user_id").first()[0])
+    rows = sorted(
+        one_user.select("ts", "event_id", "value").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    got = {r.event_id: r.rolling_median for r in rolling_median(one_user).collect()}
+    for i, r in enumerate(rows):
+        frame = [x.value for x in rows[max(0, i - 20) : i + 1]]
+        assert abs(got[r.event_id] - statistics.median(frame)) < 1e-9, i
