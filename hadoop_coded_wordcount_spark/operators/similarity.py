@@ -735,45 +735,44 @@ def embedding_covariance(embeddings: DataFrame, dims: int = 16) -> DataFrame:
     drift monitors. Emits (i, j, cov) with 1-based labels, population
     covariance ``(Σxy − ΣxΣy/n)/n``.
 
-    The 100 TB shape: each row expands to its dims·(dims+1)/2 pair
-    products IN-EXPRESSION (one generated struct array + explode — no
-    self-join on vec_id, which would shuffle the corpus twice), and the
-    groupBy over the tiny (i, j) key space partial-aggregates map-side,
-    so the shuffle carries O(dims²·partitions) rows regardless of corpus
-    size. The d×d result is driver-sized; eigen-decomposition on it is a
-    numpy afterthought (tested), not a cluster job. Rounded to 6 — sums
-    of 10⁴+ doubles are engine-order-dependent in the last ulps.
+    The 100 TB shape, second iteration: ONE aggregation computes all
+    dims·(dims+1)/2 product sums + dims first-moment sums as sibling
+    partial-agg'd expressions — the corpus is scanned once, NOTHING is
+    exploded or shuffled per row (the previous explode-then-groupBy
+    shape shuffled 136 rows per vector; this shuffles one partials row
+    per partition), and the single result row is reshaped to (i, j, cov)
+    rows by exploding a literal-sized struct array. The d×d result is
+    driver-sized; eigen-decomposition on it is a numpy afterthought
+    (tested), not a cluster job. Rounded to 6 — float sums are
+    engine-order-dependent in the last ulps.
     """
-    emb = _as_double("embedding")
-    pairs = F.array(
+    # scalar-indexed cast, NOT _as_double: the whole-array transform
+    # would re-evaluate once per sibling aggregate (153x per row here);
+    # float->double on the extracted element is the same value
+    def e(i: int):
+        return F.col("embedding")[i].cast("double")
+
+    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
+    sums = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(e(i)).alias(f"s{i}") for i in range(dims)],
+        *[F.sum(e(i) * e(j)).alias(f"p{i}_{j}") for i, j in pairs],
+    )
+    out = F.array(
         *[
             F.struct(
                 F.lit(i + 1).alias("i"),
                 F.lit(j + 1).alias("j"),
-                (emb[i] * emb[j]).alias("xx"),
-                emb[i].alias("xi"),
-                emb[j].alias("xj"),
+                F.round(
+                    (
+                        F.col(f"p{i}_{j}")
+                        - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
+                ).alias("cov"),
             )
-            for i in range(dims)
-            for j in range(i, dims)
+            for i, j in pairs
         ]
     )
-    exploded = embeddings.select(F.explode(pairs).alias("p")).select("p.*")
-    return (
-        exploded.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("xx").alias("sxx"),
-            F.sum("xi").alias("sxi"),
-            F.sum("xj").alias("sxj"),
-        )
-        .select(
-            "i",
-            "j",
-            F.round(
-                (F.col("sxx") - F.col("sxi") * F.col("sxj") / F.col("n"))
-                / F.col("n"),
-                6,
-            ).alias("cov"),
-        )
-    )
+    return sums.select(F.explode_outer(out).alias("x")).select("x.*")

@@ -229,3 +229,12 @@ def test_registry_wide_plan_hygiene(spark):
             bad[name] = "BatchEvalPython (row-at-a-time Python UDF)"
     spark.catalog.clearCache()
     assert not bad, bad
+
+
+def test_nearest_asof_single_exchange_two_sorts(spark):
+    """Both asof directions must ride ONE user_id exchange (two window
+    sorts, no second shuffle) — a regression to per-direction exchanges
+    doubles the operator's only data movement."""
+    plan = _plan(spark, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 2
