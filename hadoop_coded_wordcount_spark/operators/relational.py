@@ -2767,3 +2767,71 @@ def join_asof_nearest(events: DataFrame) -> DataFrame:
         F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("view_id"),
         F.when(pick_back, -gap_b).otherwise(gap_f).alias("gap_us"),
     )
+
+
+def pareto_front(orders: DataFrame) -> DataFrame:
+    """2-D skyline: orders not dominated on (o_totalprice, o_orderdate)
+    — "no other order is both at-least-as-expensive AND at-least-as-
+    recent, strictly better in one". The multi-objective shortlist query
+    (best price/recency trade-offs) that a naive formulation answers
+    with an O(n²) dominance self-join.
+
+    The 2-D case collapses to sorting: group by price (per-group max
+    date dominates its own group), order the price groups descending,
+    and a row survives iff its date strictly exceeds every
+    higher-price group's max date — one running-max window over the
+    PRICE-DISTINCT relation (vocabulary-sized, not row-sized), then one
+    join back. Equal (price, date) rows tie into the front together.
+    The global-order window ranks |distinct prices| rows; at extreme
+    cardinality the same prefix-max decomposes per-partition exactly
+    like global_row_number.
+    """
+    g = orders.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("gd"))
+    w = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.withColumn("hmax", F.max("gd").over(w))
+    front_groups = g.where(F.col("hmax").isNull() | (F.col("hmax") < F.col("gd")))
+    return (
+        orders.join(front_groups, "o_totalprice")
+        .where(F.col("o_orderdate") == F.col("gd"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+def concurrency_profile(events: DataFrame, hold: str = "5 minutes") -> DataFrame:
+    """Peak concurrency per hour: treat every event as holding a
+    resource for ``hold`` (half-open interval), sweep +1/−1 deltas in
+    time order, and report each hour's maximum running occupancy — the
+    capacity-planning query behind "how many sessions were live at
+    once".
+
+    Sweep-line as ONE running-sum window over the 2n delta rows; ends
+    sort before starts at the same instant (half-open semantics, the
+    delta ascending tiebreak) with event_id as the final total-order
+    key. The global-order window is the textbook sweep; at extreme
+    scale the prefix sum decomposes per-partition with a broadcast
+    offset, exactly the global_row_number technique. Peak-per-hour is a
+    partial-agg'd max over the delta points falling in that hour.
+    """
+    iv = F.expr(f"INTERVAL {hold}")
+    starts = events.select(
+        F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = events.select(
+        (F.col("ts") + iv).alias("t"), F.lit(-1).alias("d"), "event_id"
+    )
+    w = Window.orderBy("t", "d", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = starts.unionByName(ends).select(
+        "t", F.sum("d").over(w).alias("live")
+    )
+    return (
+        swept.groupBy(F.date_trunc("hour", "t").alias("h"))
+        .agg(F.max("live").alias("peak_concurrency"))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("peak_concurrency").cast("int").alias("peak_concurrency"),
+        )
+    )

@@ -3184,6 +3184,48 @@ def q_rolling_median(spark, sf_dir):
     return rel.rolling_median(load_table(spark, sf_dir, "events"))
 
 
+# 2-D skyline via sort, not the O(n^2) dominance self-join the oracle
+# runs — the engine's answer ranks only the price-distinct relation.
+@register(
+    "pareto_front",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders q
+      WHERE q.o_totalprice >= o.o_totalprice
+        AND q.o_orderdate >= o.o_orderdate
+        AND (q.o_totalprice > o.o_totalprice
+             OR q.o_orderdate > o.o_orderdate)
+    )
+    """,
+)
+def q_pareto_front(spark, sf_dir):
+    return rel.pareto_front(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "concurrency_profile",
+    f"""
+    WITH d AS (
+      SELECT ts AS t, 1 AS d, event_id FROM events
+      UNION ALL
+      SELECT ts + INTERVAL '5 minutes', -1, event_id FROM events
+    ),
+    s AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS live
+      FROM d
+    )
+    SELECT strftime(date_trunc('hour', t), '{_TS_FMT_DUCK}') AS hour,
+           CAST(MAX(live) AS INTEGER) AS peak_concurrency
+    FROM s GROUP BY date_trunc('hour', t)
+    """,
+)
+def q_concurrency_profile(spark, sf_dir):
+    return rel.concurrency_profile(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "stratified_fixed_k",
     """
@@ -3869,6 +3911,8 @@ _VERIFY_FIRST = [
     "hll_sliding_users",
     "collocations_pmi",
     "join_asof_nearest",
+    "pareto_front",
+    "concurrency_profile",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
@@ -3883,10 +3927,8 @@ _VERIFY_FIRST = [
     "iqr_outliers",
     "skew_report",
     "mad_stats",
-    # (5) Rows-only family: a rotating subset stays in-window for clean
-    # no_oracle rows (all seven were no_oracle-checked in r4).
-    "similarity_ivf_topk",
-    "token_frequency_sketch",
+    # (5) Rows-only family: one representative stays in-window for a
+    # clean no_oracle row (all nine were no_oracle-checked in r4).
     "multimodal_features",
     # (6) Streaming/events + Python-surface spot checks filling the
     # window (green in r4; cheap re-confirmation on the rotated head).

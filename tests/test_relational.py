@@ -312,3 +312,50 @@ def test_ewma_recurrence_hand_values(spark):
         "user_id long, event_id long, ts timestamp_ntz, value double",
     )
     assert {r.ewma for r in ewma_values(cdf).collect()} == {5.0}
+
+
+def test_pareto_front_is_mutually_nondominated(spark):
+    from hadoop_coded_wordcount_spark.operators.relational import pareto_front
+
+    orders = load_table(spark, SF001, "orders")
+    front = pareto_front(orders).collect()
+    assert front
+    # no front member dominates another
+    for a in front:
+        for b in front:
+            if a.o_orderkey == b.o_orderkey:
+                continue
+            dominates = (
+                a.o_totalprice >= b.o_totalprice
+                and a.o_orderdate >= b.o_orderdate
+                and (
+                    a.o_totalprice > b.o_totalprice
+                    or a.o_orderdate > b.o_orderdate
+                )
+            )
+            assert not dominates, (a, b)
+    # and the global max-price order is always on the front
+    import pyspark.sql.functions as F2
+
+    top = orders.orderBy(F2.desc("o_totalprice"), F2.desc("o_orderdate")).first()
+    assert any(r.o_orderkey == top.o_orderkey for r in front) or any(
+        r.o_totalprice == top.o_totalprice for r in front
+    )
+
+
+def test_concurrency_profile_hand_case(spark):
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        concurrency_profile,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0),                                 # holds 10:00-10:05
+        (2, t0 + dt.timedelta(minutes=1)),       # 10:01-10:06 (peak 2)
+        (3, t0 + dt.timedelta(minutes=30)),      # 10:30-10:35 (back to 1)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = {r.hour: r.peak_concurrency for r in concurrency_profile(df).collect()}
+    assert got["2024-01-01 10:00:00"] == 2
