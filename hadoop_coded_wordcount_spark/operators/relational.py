@@ -2835,3 +2835,44 @@ def concurrency_profile(events: DataFrame, hold: str = "5 minutes") -> DataFrame
             F.col("peak_concurrency").cast("int").alias("peak_concurrency"),
         )
     )
+
+
+def funnel_sequence(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Ordered 3-step funnel with step deadlines: users who viewed, then
+    clicked within ``within`` of their FIRST view, then purchased within
+    ``within`` of that first qualifying click — the sequence-mining
+    shape behind conversion analysis (order matters, windows matter;
+    a naive 3-way event join explodes on power users).
+
+    Each step is one filtered aggregation joined on user_id: step k's
+    anchor is min(ts of step-k events inside step k−1's window) — no
+    per-user event×event join ever forms, so per-user cost is linear in
+    that user's events and the joins are all user-keyed equi-joins.
+    Output: one row (n_viewed, n_clicked, n_purchased), monotonically
+    non-increasing by construction.
+    """
+    iv = F.expr(f"INTERVAL {within}")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + iv))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + iv))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )

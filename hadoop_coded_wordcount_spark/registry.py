@@ -3226,6 +3226,39 @@ def q_concurrency_profile(spark, sf_dir):
     return rel.concurrency_profile(load_table(spark, sf_dir, "events"))
 
 
+# Ordered 3-step funnel with per-step deadlines — each step anchors on
+# min(ts) inside the previous step's window, so no event-by-event join
+# ever forms; the oracle replays the same three anchored aggregations.
+@register(
+    "funnel_sequence",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL '1 hour'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL '1 hour'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+)
+def q_funnel_sequence(spark, sf_dir):
+    return rel.funnel_sequence(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "stratified_fixed_k",
     """
@@ -3913,6 +3946,7 @@ _VERIFY_FIRST = [
     "join_asof_nearest",
     "pareto_front",
     "concurrency_profile",
+    "funnel_sequence",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
@@ -3920,7 +3954,6 @@ _VERIFY_FIRST = [
     "dedup_clusters",
     "dedup_clusters_star",
     "containment_pairs",
-    "contamination_check",
     "passage_dedup",
     "winsorized_stats",
     "equidepth_histogram",

@@ -269,3 +269,93 @@ def test_star_cc_matches_union_find(spark, edges):
         for r in dd.connected_components_star(sdf).collect()
     }
     assert got == want
+
+
+_TRI_EDGES = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}))
+
+
+@given(edges=_TRI_EDGES)
+@_SETTINGS
+def test_triangle_count_matches_python_enumeration(spark, edges):
+    """Degree orientation must neither lose nor double-count triangles
+    on arbitrary graphs (the orientation argument is subtle enough to
+    model-check, not just spot-check)."""
+    from itertools import combinations
+
+    from hadoop_coded_wordcount_spark.operators import graph as gr
+
+    eset = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    sdf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = gr.triangle_count(sdf).collect()[0]
+    assert got.n_triangles == want
+    assert got.n_edges == len(edges)
+
+
+_SERIES = st.lists(
+    st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=40
+)
+
+
+@given(values=_SERIES)
+@_SETTINGS
+def test_ewma_matches_pandas(spark, values):
+    """Engine EWMA == pandas ewm(alpha=.5, adjust=False) over the same
+    20-row trailing frame — an independent implementation as oracle."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hadoop_coded_wordcount_spark.operators.relational import ewma_values
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+    got = {r.event_id: r.ewma for r in ewma_values(df).collect()}
+    s = pd.Series([float(v) for v in values])
+    for i in range(len(values)):
+        frame = s.iloc[max(0, i - 19) : i + 1]
+        want = frame.ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+@given(values=_SERIES)
+@_SETTINGS
+def test_rolling_median_matches_pandas(spark, values):
+    import datetime as dt
+
+    import pandas as pd
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        rolling_median,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+    got = {r.event_id: r.rolling_median for r in rolling_median(df).collect()}
+    s = pd.Series([float(v) for v in values])
+    want = s.rolling(21, min_periods=1).median()
+    for i in range(len(values)):
+        assert abs(got[i] - want.iloc[i]) < 1e-9, i
