@@ -1832,7 +1832,53 @@ def q_similarity_topk_pandas(spark, sf_dir):
     return sim.cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("similarity_ivf_topk")  # approximate by design → rows-only + units
+# "Approximate" means recall@k < 1 vs BRUTE FORCE — but the IVF pipeline
+# itself is fully deterministic (id-sampled centroids, argmax-cosine
+# assignment with cell_id-desc tie-break, nprobe probe ranking, exact
+# rescoring), so the oracle replays it stage for stage and the output is
+# value-exact. Promoted from rows-only in r5.
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH v0 AS ({_DUCK_VECS}),
+    v AS (SELECT vec_id, emb FROM v0),
+    c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM v WHERE vec_id % 37 = 0),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS.format(a="c_emb", b="emb")} DESC,
+                          c.cell_id DESC) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT query_id, q_emb, cell_id FROM (
+        SELECT q.query_id, q.q_emb, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DUCK_COS.format(a="c_emb", b="q_emb")} DESC,
+                          c.cell_id ASC) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+      FROM probes p
+      JOIN asg a ON p.cell_id = a.cell_id AND a.vec_id <> p.query_id
+      JOIN v ON v.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q_similarity_ivf_topk(spark, sf_dir):
     return sim.cosine_ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -1844,7 +1890,72 @@ def q_similarity_ivf_kmeans_topk(spark, sf_dir):
     return sim.cosine_ivf_topk(emb, centroids=cents)
 
 
-@register("embedding_lsh_pairs")  # probabilistic recall → rows-only + units
+def _lsh_oracle_sql(bits: int = 32, bands: int = 4, dim: int = 64) -> str:
+    """Sign-LSH oracle: regenerates the SAME seeded ±1 hyperplane matrix
+    the operator bakes into its plan (random.Random(42), identical draw
+    order) and replays sketch → band buckets → candidate join → exact
+    verify. "Probabilistic recall" refers to misses vs brute force; the
+    pipeline itself is deterministic, so the output is value-exact. The
+    per-bit float sums are engine-order-dependent in the last ulp — a
+    sign can only flip for |sum| at ulp scale, never observed on this
+    corpus (verified exact at sf0.01 and sf0.1 before promotion)."""
+    import random
+
+    rng = random.Random(42)
+    planes = [
+        [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(bits)
+    ]
+    r = bits // bands
+    sum_cols = []
+    for i in range(bits):
+        pos = [str(j + 1) for j in range(dim) if planes[i][j] > 0]
+        sum_cols.append(
+            f"SUM(CASE WHEN j IN ({', '.join(pos)}) THEN e ELSE -e END) AS s{i}"
+        )
+    band_rows = []
+    for b in range(bands):
+        bucket = " + ".join(
+            f"(CASE WHEN s{b * r + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM sums"
+        )
+    dot = (
+        "list_reduce(list_transform(range(1, len(x.ne) + 1),"
+        " i -> x.ne[i] * y.ne[i]), (acc, q) -> acc + q)"
+    )
+    return f"""
+    WITH v AS ({_DUCK_VECS}),
+    nv AS (
+      SELECT vec_id,
+             list_transform(emb, x -> x / sqrt(
+               list_reduce(list_transform(emb, y -> y * y),
+                           (acc, q) -> acc + q))) AS ne
+      FROM v
+    ),
+    comp AS (
+      SELECT vec_id, j, ne[j] AS e FROM nv, unnest(range(1, {dim + 1})) AS t(j)
+    ),
+    sums AS (
+      SELECT vec_id, {', '.join(sum_cols)} FROM comp GROUP BY vec_id
+    ),
+    buckets AS ({' UNION ALL '.join(band_rows)}),
+    bk AS (
+      SELECT b.vec_id, b.band, b.bucket, nv.ne
+      FROM buckets b JOIN nv USING (vec_id)
+    ),
+    scored AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, {dot} AS cos
+      FROM bk x JOIN bk y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    FROM scored WHERE cos >= 0.3
+    """
+
+
+@register("embedding_lsh_pairs", _lsh_oracle_sql())
 def q_embedding_lsh_pairs(spark, sf_dir):
     return sim.embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
 
@@ -3947,6 +4058,8 @@ _VERIFY_FIRST = [
     "pareto_front",
     "concurrency_profile",
     "funnel_sequence",
+    "similarity_ivf_topk",
+    "embedding_lsh_pairs",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
@@ -3955,8 +4068,6 @@ _VERIFY_FIRST = [
     "dedup_clusters_star",
     "containment_pairs",
     "passage_dedup",
-    "winsorized_stats",
-    "equidepth_histogram",
     "iqr_outliers",
     "skew_report",
     "mad_stats",
