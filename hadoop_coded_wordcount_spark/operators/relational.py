@@ -2876,3 +2876,87 @@ def funnel_sequence(events: DataFrame, within: str = "1 hour") -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
     )
+
+
+def markov_transitions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """First-order Markov model of user behavior: P(next event type |
+    current event type), transitions counted only WITHIN a session
+    (30-minute inactivity gap) — the navigation-pattern summary behind
+    "what do users do after an error?".
+
+    Sessionization and the next-event lookup are both windows over the
+    SAME (user_id, ts, event_id) order, so the whole derivation rides
+    one hash exchange; the transition count partial-aggregates into a
+    |types|² relation and the row-probability normalization is a window
+    over that vocabulary-sized table. Probabilities round to 6 (integer
+    count ratios — a single division, but sums of counts reach the
+    window in engine order).
+    """
+    gap_s = 1800 if gap == "30 minutes" else int(gap.split()[0]) * 60
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(sec).over(w)
+    opens = (prev.isNull() | (sec - prev > F.lit(gap_s))).cast("int")
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type", opens.alias("opens")
+    )
+    sid = F.sum("opens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = flagged.withColumn("sid", sid)
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pairs = seq.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(ws).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "c",
+        F.round(F.col("c").cast("double") / F.sum("c").over(wn), 6).alias("p"),
+    )
+
+
+def keyset_page(
+    orders: DataFrame, page_size: int = 20, page: int = 3
+) -> DataFrame:
+    """Keyset (seek-method) pagination: page ``page`` of orders in
+    (o_orderdate DESC, o_orderkey ASC) order, fetched by FILTERING past
+    the previous page's boundary tuple instead of OFFSET-scanning — the
+    only pagination that stays O(page) at 100 TB (OFFSET n re-sorts and
+    discards n rows on every request; a keyset filter is predicate-
+    pushdown-friendly and TakeOrdered-sized).
+
+    The boundary (last tuple of the previous page) is derived without a
+    driver collect: min-struct over the first ``(page−1)·page_size``
+    rows in sort order (struct minimum under (−date, key) ordering IS
+    the boundary), broadcast into the tuple-comparison filter. The
+    oracle answers with plain OFFSET/LIMIT over the identical total
+    order — keyset and offset must agree row-for-row, which is exactly
+    the property that makes the seek method safe to deploy.
+    """
+    skip = (page - 1) * page_size
+    # struct ordering is lexicographic; (-date_ordinal, key) ascending ==
+    # (date DESC, key ASC), so max(struct) over the first `skip` rows in
+    # page order yields the boundary tuple
+    ordered = orders.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    neg_ts = -F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    head = ordered.limit(skip).select(
+        F.struct(neg_ts.alias("nd"), F.col("o_orderkey").alias("k")).alias("t")
+    )
+    bound = head.agg(F.max("t").alias("b"))
+    after_boundary = (
+        F.struct(neg_ts.alias("nd"), F.col("o_orderkey").alias("k"))
+        > F.col("b")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bound))
+        # page 1 (or an empty table) has no boundary: NULL disables the
+        # seek filter rather than dropping every row
+        .where(F.col("b").isNull() | after_boundary)
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(page_size)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

@@ -3370,6 +3370,63 @@ def q_funnel_sequence(spark, sf_dir):
     return rel.funnel_sequence(load_table(spark, sf_dir, "events"))
 
 
+# First-order Markov transition matrix over within-session event pairs —
+# the lag-then-cumsum sessionization and the lead() lookup replay
+# exactly; probabilities are integer-count ratios rounded to 6.
+@register(
+    "markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT *,
+             SUM(CASE WHEN prev IS NULL
+                       OR epoch_us(ts) // 1000000
+                          - epoch_us(prev) // 1000000 > 1800
+                       THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    pairs AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS nxt
+      FROM s
+    ),
+    c AS (
+      SELECT cur, nxt, COUNT(*) AS c FROM pairs
+      WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur, nxt, c,
+           ROUND(c / SUM(c) OVER (PARTITION BY cur), 6) AS p
+    FROM c
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    return rel.markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+# Keyset pagination must agree row-for-row with OFFSET/LIMIT over the
+# identical total order — the oracle runs the offset scan the seek
+# method exists to avoid.
+@register(
+    "keyset_page",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q_keyset_page(spark, sf_dir):
+    return rel.keyset_page(load_table(spark, sf_dir, "orders"))
+
+
 @register(
     "stratified_fixed_k",
     """
@@ -4060,16 +4117,16 @@ _VERIFY_FIRST = [
     "funnel_sequence",
     "similarity_ivf_topk",
     "embedding_lsh_pairs",
+    "markov_transitions",
+    "keyset_page",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    "dedup_clusters",
     "dedup_clusters_star",
     "containment_pairs",
     "passage_dedup",
     "iqr_outliers",
-    "skew_report",
     "mad_stats",
     # (5) Rows-only family: one representative stays in-window for a
     # clean no_oracle row (all nine were no_oracle-checked in r4).

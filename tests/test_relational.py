@@ -359,3 +359,25 @@ def test_concurrency_profile_hand_case(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
     got = {r.hour: r.peak_concurrency for r in concurrency_profile(df).collect()}
     assert got["2024-01-01 10:00:00"] == 2
+
+
+def test_keyset_pagination_equals_offset_every_page(spark):
+    """Seek-method pages must tile the offset-sorted relation exactly —
+    including page 1 (no boundary) and the ragged last page."""
+    import pyspark.sql.functions as F2
+
+    from hadoop_coded_wordcount_spark.operators.relational import keyset_page
+
+    orders = load_table(spark, SF001, "orders").limit(95)
+    full = [
+        r.o_orderkey
+        for r in orders.orderBy(
+            F2.desc("o_orderdate"), F2.asc("o_orderkey")
+        ).collect()
+    ]
+    seen = []
+    for page in range(1, 7):  # 5 pages of 20 over 95 rows + one empty
+        got = [r.o_orderkey for r in keyset_page(orders, 20, page).collect()]
+        assert got == full[(page - 1) * 20 : page * 20], page
+        seen += got
+    assert seen == full
