@@ -2960,3 +2960,43 @@ def keyset_page(
         .limit(page_size)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+def abandoned_views(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Temporal anti-join: per user, how many views got NO click within
+    ``window`` — the negative space of click attribution (funnel
+    leakage, creative fatigue). Anti-joins with a range condition are
+    the shape optimizers mishandle into nested loops; here the match
+    check is a user-keyed left join + per-view any-match aggregation,
+    so the only shuffle is the equi-key exchange and the range predicate
+    evaluates as a join residual.
+
+    Output per user: n_views, n_abandoned, abandonment_rate (integer
+    ratio rounded to 6).
+    """
+    iv = F.expr(f"INTERVAL {window}")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + iv),
+        "left",
+    )
+    per_view = j.groupBy("user_id", "view_id").agg(
+        F.max(F.col("c_ts").isNotNull()).alias("converted")
+    )
+    return per_view.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.when(~F.col("converted"), 1).otherwise(0)).alias("n_abandoned"),
+        F.round(
+            F.sum(F.when(~F.col("converted"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("abandonment_rate"),
+    )

@@ -60,6 +60,7 @@ __all__ = [
     "hll_estimate_manual",
     "hll_sliding_users",
     "cms_estimate_counts",
+    "theta_intersection_estimate",
     "DEFAULT_K",
 ]
 
@@ -456,4 +457,63 @@ def hll_sketch_distinct(events: DataFrame, key: str = "user_id",
             ),
             F.length("sk").alias("sketch_bytes"),
         )
+    )
+
+
+def theta_intersection_estimate(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Distinct-key JOIN-CARDINALITY estimate from two KMV (theta)
+    sketches — the sketch-algebra operation behind join planning at
+    100 TB: each side is summarized ONCE into k hashes, and the overlap
+    estimate needs only the sketches, never a join of the raw tables.
+
+    Theta-sketch intersection: with per-side thresholds θ = u_(k) (the
+    k-th smallest uniform; 1.0 for an exact side with < k keys),
+    θ∩ = min(θ_a, θ_b), and S = {x ∈ K_a ∩ K_b : u(x) < θ∩}, the
+    estimator |S| / θ∩ is unbiased for |A ∩ B| — the same md5 basis as
+    kmv_distinct, so the whole derivation replays in the oracle.
+    Emits the estimate next to the exact intersection (cheap at test
+    scale) so the relative error is part of the checked output.
+    """
+    def bottom(df: DataFrame, key: str):
+        pairs = df.select(_uniform_hash(key).alias("u")).distinct()
+        w = Window.orderBy("u")
+        return pairs.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
+
+    ka, kb = bottom(a, a_key).alias("ka"), bottom(b, b_key).alias("kb")
+    theta_a = ka.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+        .otherwise(F.max("u"))
+        .alias("ta")
+    )
+    theta_b = kb.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+        .otherwise(F.max("u"))
+        .alias("tb")
+    )
+    inter = ka.join(kb, F.col("ka.u") == F.col("kb.u")).select(
+        F.col("ka.u").alias("u")
+    )
+    est = (
+        inter.crossJoin(F.broadcast(theta_a))
+        .crossJoin(F.broadcast(theta_b))
+        .where(F.col("u") < F.least("ta", "tb"))
+        .agg(
+            F.count(F.lit(1)).alias("retained"),
+            F.round(
+                F.count(F.lit(1)) / F.min(F.least("ta", "tb")), 4
+            ).alias("est_overlap"),
+        )
+    )
+    exact = (
+        a.select(F.col(a_key).alias("x"))
+        .distinct()
+        .join(b.select(F.col(b_key).alias("x")).distinct(), "x")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return est.crossJoin(exact).select(
+        "retained", "est_overlap", "exact_overlap"
     )

@@ -3428,6 +3428,88 @@ def q_keyset_page(spark, sf_dir):
 
 
 @register(
+    "abandoned_views",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts FROM events
+      WHERE event_type = 'view'
+    ),
+    pv AS (
+      SELECT user_id, view_id,
+             EXISTS (
+               SELECT 1 FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = v.user_id
+                 AND c.ts >= v.v_ts
+                 AND c.ts <= v.v_ts + INTERVAL '10 minutes'
+             ) AS converted
+      FROM v
+    )
+    SELECT user_id,
+           COUNT(*) AS n_views,
+           CAST(SUM(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_abandoned,
+           ROUND(SUM(CASE WHEN NOT converted THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS abandonment_rate
+    FROM pv GROUP BY user_id
+    """,
+)
+def q_abandoned_views(spark, sf_dir):
+    return rel.abandoned_views(load_table(spark, sf_dir, "events"))
+
+
+# Theta-sketch intersection: join-cardinality estimate from two KMV
+# sketches (never a raw-table join); the oracle replays the bottom-k
+# sets, the θ∩ cut, and the |S|/θ∩ estimator on the same md5 basis,
+# alongside the exact overlap so the error is part of the checked row.
+@register(
+    "sketch_join_cardinality",
+    """
+    WITH ka AS (
+      SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn FROM (
+        SELECT DISTINCT
+          CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0 AS u
+        FROM orders
+      ) QUALIFY rn <= 256
+    ),
+    kb AS (
+      SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn FROM (
+        SELECT DISTINCT
+          CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0 AS u
+        FROM customer
+      ) QUALIFY rn <= 256
+    ),
+    ta AS (SELECT CASE WHEN COUNT(*) < 256 THEN 1.0 ELSE MAX(u) END AS ta FROM ka),
+    tb AS (SELECT CASE WHEN COUNT(*) < 256 THEN 1.0 ELSE MAX(u) END AS tb FROM kb),
+    s AS (
+      SELECT ka.u FROM ka JOIN kb ON ka.u = kb.u, ta, tb
+      WHERE ka.u < LEAST(ta, tb)
+    ),
+    est AS (
+      SELECT COUNT(*) AS retained,
+             ROUND(COUNT(*) / MIN(LEAST(ta, tb)), 4) AS est_overlap
+      FROM s, ta, tb
+    ),
+    ex AS (
+      SELECT COUNT(*) AS exact_overlap FROM (
+        SELECT DISTINCT o_custkey FROM orders
+      ) a JOIN (SELECT DISTINCT c_custkey FROM customer) b
+        ON a.o_custkey = b.c_custkey
+    )
+    SELECT retained, est_overlap, exact_overlap FROM est, ex
+    """,
+)
+def q_sketch_join_cardinality(spark, sf_dir):
+    return sk.theta_intersection_estimate(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
+@register(
     "stratified_fixed_k",
     """
     SELECT doc_id, lang, rk FROM (
@@ -4119,15 +4201,15 @@ _VERIFY_FIRST = [
     "embedding_lsh_pairs",
     "markov_transitions",
     "keyset_page",
+    "abandoned_views",
+    "sketch_join_cardinality",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_clusters_star",
     "containment_pairs",
-    "passage_dedup",
     "iqr_outliers",
-    "mad_stats",
     # (5) Rows-only family: one representative stays in-window for a
     # clean no_oracle row (all nine were no_oracle-checked in r4).
     "multimodal_features",

@@ -239,3 +239,20 @@ def test_rolling_median_tracks_true_median(spark):
     for i, r in enumerate(rows):
         frame = [x.value for x in rows[max(0, i - 20) : i + 1]]
         assert abs(got[r.event_id] - statistics.median(frame)) < 1e-9, i
+
+
+def test_theta_intersection_tracks_exact_overlap(spark):
+    """|S|/θ∩ must estimate the exact key overlap within KMV error
+    (~4σ/√k ≈ 25% at k=256) — and the sketches never join raw tables."""
+    orders = load_table(spark, SF001, "orders")
+    customer = load_table(spark, SF001, "customer")
+    r = sk.theta_intersection_estimate(
+        orders, "o_custkey", customer, "c_custkey"
+    ).collect()[0]
+    assert r.exact_overlap > 0
+    assert abs(r.est_overlap - r.exact_overlap) / r.exact_overlap < 0.25, r
+    # disjoint sides estimate ~zero
+    a = spark.range(0, 500).selectExpr("id AS k")
+    b = spark.range(10_000, 10_500).selectExpr("id AS k")
+    r2 = sk.theta_intersection_estimate(a, "k", b, "k").collect()[0]
+    assert r2.exact_overlap == 0 and r2.retained == 0
