@@ -3000,3 +3000,69 @@ def abandoned_views(events: DataFrame, window: str = "10 minutes") -> DataFrame:
             6,
         ).alias("abandonment_rate"),
     )
+
+
+def dwell_time_stats(events: DataFrame) -> DataFrame:
+    """Time-to-next-event distribution per event type: median and p90 of
+    the gap (seconds) from each event to the SAME USER's next event —
+    the engagement signal behind session-timeout tuning (what gap is
+    "normal" after a click vs after an error?).
+
+    Gaps derive from one lead() over the user exchange (integer epoch
+    seconds, no FP); the percentile layer reuses
+    :func:`exact_percentiles_by_group` — the bounded-state histogram
+    formulation, so no per-group raw-value map ever materializes.
+    """
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (F.lead(sec).over(w) - sec).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    out = exact_percentiles_by_group(
+        gaps, "event_type", "gap_s", [0.5, 0.9]
+    )
+    return out.select(
+        "event_type",
+        F.round("p0", 6).alias("median_gap_s"),
+        F.round("p1", 6).alias("p90_gap_s"),
+    )
+
+
+def cohort_matrix(events: DataFrame) -> DataFrame:
+    """Full cohort-retention GRID: users bucketed by first-activity week
+    (cohort), counted in every later week they return — the
+    (cohort_week, age_weeks) heatmap behind every retention dashboard,
+    generalizing the single-horizon cohort_retention rollup.
+
+    Shape: first-week per user (one agg), distinct (user, week) activity
+    pairs (one agg), one user-keyed join, then the grid count and a
+    broadcast join back to cohort sizes for the rate — every stage
+    partial-aggregates; the grid is |cohorts|·|ages| rows, tiny at any
+    scale. Weeks are integer epoch-week ordinals (no date FP), rates are
+    integer ratios rounded to 6.
+    """
+    week = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(604_800_000_000)
+        )
+    ).alias("wk")
+    uw = events.select("user_id", week).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = uw.join(first, "user_id").select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_weeks")
+    )
+    grid = joined.groupBy("cohort_wk", "age_weeks").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return grid.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "age_weeks",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )

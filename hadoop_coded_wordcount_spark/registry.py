@@ -3457,6 +3457,53 @@ def q_abandoned_views(spark, sf_dir):
     return rel.abandoned_views(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "dwell_time_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             LEAD(epoch_us(ts) // 1000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_dwell_time_stats(spark, sf_dir):
+    return rel.dwell_time_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "cohort_matrix",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+    j AS (
+      SELECT f.cohort_wk, uw.wk - f.cohort_wk AS age_weeks
+      FROM uw JOIN f USING (user_id)
+    ),
+    g AS (
+      SELECT cohort_wk, age_weeks, COUNT(*) AS n_active
+      FROM j GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+    SELECT g.cohort_wk, g.age_weeks, n_active, cohort_size,
+           ROUND(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM g JOIN sz USING (cohort_wk)
+    """,
+)
+def q_cohort_matrix(spark, sf_dir):
+    return rel.cohort_matrix(load_table(spark, sf_dir, "events"))
+
+
 # Theta-sketch intersection: join-cardinality estimate from two KMV
 # sketches (never a raw-table join); the oracle replays the bottom-k
 # sets, the θ∩ cut, and the |S|/θ∩ estimator on the same md5 basis,
@@ -4203,13 +4250,14 @@ _VERIFY_FIRST = [
     "keyset_page",
     "abandoned_views",
     "sketch_join_cardinality",
+    "dwell_time_stats",
+    "cohort_matrix",
     # (4) Consumers of internals changed this round (shingled's total-
     # expression guard; exact_percentiles_by_group's null filter).
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_clusters_star",
     "containment_pairs",
-    "iqr_outliers",
     # (5) Rows-only family: one representative stays in-window for a
     # clean no_oracle row (all nine were no_oracle-checked in r4).
     "multimodal_features",
