@@ -872,9 +872,15 @@ def _containment_candidates_prefix(
     explode, verify join-back) — at production scale this cache is the
     signature table you'd materialize once."""
     g = g.persist()
+    # ceil on a FLOAT product is a recall hazard: when t·n is
+    # mathematically an integer m but fl(t·n) rounds a hair above it,
+    # ceil returns m+1 and the prefix shrinks below the pigeonhole
+    # minimum. Nudging down by 1e-9 before ceil can only LENGTHEN the
+    # prefix (more candidates, never fewer) — exact recall is preserved
+    # for any threshold expressible to 9 decimals.
     plen = (
         F.size("grams")
-        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        - F.ceil(F.lit(threshold) * F.size("grams") - F.lit(1e-9)).cast("int")
         + 1
     )
     blk = [block_on] if block_on is not None else []
@@ -962,10 +968,16 @@ def _containment_pairs_blocked(
 
 
 def duplicate_spans(documents: DataFrame, w: int = 8) -> DataFrame:
-    """Maximal cross-document duplicated token spans: every run of
-    consecutive tokens, ``w`` or longer, that appears verbatim in at
-    least one OTHER document — reported per document as
-    (doc_id, span_start, span_tokens), 0-based token offsets.
+    """Maximal cross-document duplicated-COVERAGE spans: every run of
+    consecutive tokens in which EACH w-token window occurs verbatim in
+    at least one other document — reported per document as
+    (doc_id, span_start, span_tokens), 0-based token offsets. Note the
+    merge semantics: adjacent duplicated windows merge even when they
+    match DIFFERENT partner documents, so a merged span is a region
+    fully covered by duplicated windows, not necessarily one contiguous
+    substring of a single partner (the same semantics ExactSubstr-style
+    pipelines act on — every token in the span lies inside some
+    duplicated w-gram and is removable).
 
     This is the exact-substring dedup tier (the duplicated-substring
     removal step of LLM training-data pipelines, conventionally done

@@ -2821,10 +2821,28 @@ def concurrency_profile(events: DataFrame, hold: str = "5 minutes") -> DataFrame
     ends = events.select(
         (F.col("ts") + iv).alias("t"), F.lit(-1).alias("d"), "event_id"
     )
+    deltas = starts.unionByName(ends)
+    # zero-delta PROBE at every hour boundary of the observed span: an
+    # hour whose peak is occupancy carried in from earlier deltas (or an
+    # hour fully inside a long hold, with no delta of its own) would
+    # otherwise under-report or go missing entirely. Probes sort between
+    # ends (-1) and starts (+1) at the same instant, preserving the
+    # half-open interval semantics at the boundary itself.
+    span = deltas.agg(
+        F.date_trunc("hour", F.min("t")).alias("a"),
+        F.date_trunc("hour", F.max("t")).alias("b"),
+    )
+    probes = span.select(
+        F.explode(
+            F.sequence(F.col("a"), F.col("b"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("t"),
+        F.lit(0).alias("d"),
+        F.lit(-1).alias("event_id"),
+    )
     w = Window.orderBy("t", "d", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    swept = starts.unionByName(ends).select(
+    swept = deltas.unionByName(probes).select(
         "t", F.sum("d").over(w).alias("live")
     )
     return (
@@ -2878,7 +2896,7 @@ def funnel_sequence(events: DataFrame, within: str = "1 hour") -> DataFrame:
     )
 
 
-def markov_transitions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def markov_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """First-order Markov model of user behavior: P(next event type |
     current event type), transitions counted only WITHIN a session
     (30-minute inactivity gap) — the navigation-pattern summary behind
@@ -2892,7 +2910,7 @@ def markov_transitions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     count ratios — a single division, but sums of counts reach the
     window in engine order).
     """
-    gap_s = 1800 if gap == "30 minutes" else int(gap.split()[0]) * 60
+    gap_s = gap_minutes * 60
     sec = F.col("ts").cast("timestamp").cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(sec).over(w)

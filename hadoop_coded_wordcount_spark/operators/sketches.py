@@ -477,11 +477,11 @@ def theta_intersection_estimate(
     scale) so the relative error is part of the checked output.
     """
     def bottom(df: DataFrame, key: str):
+        # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+        # k-heaps, never the single-task global sort an unpartitioned
+        # row_number window would force on |distinct keys| rows
         pairs = df.select(_uniform_hash(key).alias("u")).distinct()
-        w = Window.orderBy("u")
-        return pairs.withColumn("rn", F.row_number().over(w)).where(
-            F.col("rn") <= k
-        )
+        return pairs.orderBy("u").limit(k)
 
     ka, kb = bottom(a, a_key).alias("ka"), bottom(b, b_key).alias("kb")
     theta_a = ka.agg(
@@ -503,8 +503,13 @@ def theta_intersection_estimate(
         .where(F.col("u") < F.least("ta", "tb"))
         .agg(
             F.count(F.lit(1)).alias("retained"),
-            F.round(
-                F.count(F.lit(1)) / F.min(F.least("ta", "tb")), 4
+            # empty intersection: MIN over zero rows is NULL — the
+            # estimator must report 0.0, not propagate the null
+            F.coalesce(
+                F.round(
+                    F.count(F.lit(1)) / F.min(F.least("ta", "tb")), 4
+                ),
+                F.lit(0.0),
             ).alias("est_overlap"),
         )
     )

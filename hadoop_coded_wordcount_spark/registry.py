@@ -1807,7 +1807,9 @@ def q_similarity_topk(spark, sf_dir):
 
 @register(
     "similarity_topk_pandas",
-    # Same oracle as similarity_topk: the BLAS path normalizes-then-matmuls
+    # Same oracle as similarity_topk PLUS the operator's max_queries cap
+    # (lowest 1024 vec_ids) so engine and oracle agree at every scale —
+    # the BLAS path normalizes-then-matmuls
     # where the SQL fold divides by norms, so raw cosines differ in the
     # last ulp — but ranks are tie-free on this corpus (nearest distinct
     # cosines differ by ≫1e-12, pinned by the rank-exact unit test) and
@@ -1815,7 +1817,8 @@ def q_similarity_topk(spark, sf_dir):
     # this oracle at sf0.01 AND sf0.1 before promotion from rows-only.
     f"""
     WITH v AS ({_DUCK_VECS}),
-    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
     scored AS (
       SELECT query_id, v.vec_id AS neighbor_id,
              {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
@@ -3317,11 +3320,21 @@ def q_pareto_front(spark, sf_dir):
 @register(
     "concurrency_profile",
     f"""
-    WITH d AS (
+    WITH d0 AS (
       SELECT ts AS t, 1 AS d, event_id FROM events
       UNION ALL
       SELECT ts + INTERVAL '5 minutes', -1, event_id FROM events
     ),
+    span AS (
+      SELECT date_trunc('hour', MIN(t)) AS a, date_trunc('hour', MAX(t)) AS b
+      FROM d0
+    ),
+    probes AS (
+      SELECT unnest(generate_series(a, b, INTERVAL '1 hour')) AS t,
+             0 AS d, -1 AS event_id
+      FROM span
+    ),
+    d AS (SELECT * FROM d0 UNION ALL SELECT * FROM probes),
     s AS (
       SELECT t, SUM(d) OVER (ORDER BY t, d, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
@@ -3535,7 +3548,8 @@ def q_cohort_matrix(spark, sf_dir):
     ),
     est AS (
       SELECT COUNT(*) AS retained,
-             ROUND(COUNT(*) / MIN(LEAST(ta, tb)), 4) AS est_overlap
+             COALESCE(ROUND(COUNT(*) / MIN(LEAST(ta, tb)), 4), 0.0)
+               AS est_overlap
       FROM s, ta, tb
     ),
     ex AS (

@@ -36,6 +36,7 @@ __all__ = [
     "tumbling_distinct_users",
     "watermarked_distinct_users",
     "click_view_attribution",
+    "debounced_events",
 ]
 
 _FMT = "yyyy-MM-dd HH:mm:ss"

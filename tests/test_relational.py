@@ -359,6 +359,17 @@ def test_concurrency_profile_hand_case(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
     got = {r.hour: r.peak_concurrency for r in concurrency_profile(df).collect()}
     assert got["2024-01-01 10:00:00"] == 2
+    # carried-in occupancy: an event at 10:59 holds into hour 11 with no
+    # delta point of its own inside that hour — the boundary probe must
+    # still report it (the bug the r5 review caught)
+    late = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 10, 59))],
+        "event_id long, ts timestamp_ntz",
+    )
+    got2 = {
+        r.hour: r.peak_concurrency for r in concurrency_profile(late).collect()
+    }
+    assert got2["2024-01-01 11:00:00"] == 1
 
 
 def test_keyset_pagination_equals_offset_every_page(spark):

@@ -256,3 +256,4 @@ def test_theta_intersection_tracks_exact_overlap(spark):
     b = spark.range(10_000, 10_500).selectExpr("id AS k")
     r2 = sk.theta_intersection_estimate(a, "k", b, "k").collect()[0]
     assert r2.exact_overlap == 0 and r2.retained == 0
+    assert r2.est_overlap == 0.0  # not NULL: empty intersection is zero
