@@ -4206,6 +4206,198 @@ def q_triangle_count_suppliers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion set (Q2, Q9, Q11, Q12, Q16, Q20) — with these the full
+# 22-query suite is registered. Shapes adapted to the testdata schema (no
+# partsupp / ship modes / commit dates); see operators/relational.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH regional_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    ),
+    qual_parts AS (
+      SELECT p_partkey, p_type, p_size FROM part
+      WHERE p_type = 'LARGE' AND p_size <= 15
+    ),
+    pair_cost AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+      FROM lineitem
+      JOIN qual_parts ON l_partkey = p_partkey
+      JOIN regional_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_type,
+           CAST(supply_cost AS DOUBLE) AS supply_cost
+    FROM pair_cost
+    JOIN (SELECT l_partkey AS m_partkey, MIN(supply_cost) AS min_cost
+          FROM pair_cost GROUP BY l_partkey) m
+      ON l_partkey = m_partkey AND supply_cost = min_cost
+    JOIN regional_supp ON l_suppkey = s_suppkey
+    JOIN qual_parts ON l_partkey = p_partkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    return rel.q2_min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%cold%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_q9_product_type_profit(spark, sf_dir):
+    return rel.q9_product_type_profit(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH base AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM base
+    WHERE CAST(part_value AS DOUBLE)
+          > (SELECT CAST(SUM(part_value) AS DOUBLE) * 0.001 FROM base)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q_q11_important_stock(spark, sf_dir):
+    return rel.q11_important_stock(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q12_latency_priority",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+                WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) <= 60 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+)
+def q_q12_latency_priority(spark, sf_dir):
+    return rel.q12_latency_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_q16_supplier_count(spark, sf_dir):
+    return rel.q16_supplier_count(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    WITH filtered AS (
+      SELECT l_partkey, l_suppkey, l_quantity
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    pair_qty AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM filtered GROUP BY l_partkey, l_suppkey
+    ),
+    part_qty AS (
+      SELECT l_partkey AS t_partkey, SUM(supp_qty) AS total_qty
+      FROM pair_qty GROUP BY l_partkey
+    ),
+    excess AS (
+      SELECT DISTINCT l_suppkey
+      FROM pair_qty JOIN part_qty ON l_partkey = t_partkey
+      WHERE CAST(supp_qty AS DOUBLE) > 0.5 * CAST(total_qty AS DOUBLE)
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s_name
+    """,
+)
+def q_q20_excess_shippers(spark, sf_dir):
+    return rel.q20_excess_shippers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
 # The external correctness gate oracles the first N registry entries in
@@ -4228,6 +4420,13 @@ _VERIFY_FIRST = [
     "simhash64",
     "simhash_pairs",
     "weighted_sample_orders",
+    # (2b) TPC-H completion set — new this round, never gate-checked.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_latency_priority",
+    "q16_supplier_count",
+    "q20_excess_shippers",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
