@@ -3448,3 +3448,315 @@ def q20_excess_shippers(
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics additions (round 5, continued): experimentation stats, data-
+# quality auditing, seasonality, customer segmentation, weighted robust
+# stats, and period-over-period reporting. All DuckDB-oracled.
+# ---------------------------------------------------------------------------
+
+
+def ab_test_conversion(events: DataFrame, min_purchases: int = 14) -> DataFrame:
+    """Two-proportion A/B conversion z-test: users split into variants by
+    a deterministic hash of their id (here ``user_id % 2``), conversion =
+    the user emitted at least ``min_purchases`` ``purchase`` events (a
+    low bar degenerates on this dataset — nearly every user purchases —
+    which would zero the pooled standard error; 14 sits at the median).
+    Returns one row with per-variant exposure/conversion counts, rates,
+    and the pooled z-score (0.0 sentinel when the pooled rate is 0 or 1:
+    the test is undefined there — and NULL would compare engine-unstable
+    as None-vs-NaN — while under ANSI mode an unguarded division would
+    *raise*).
+
+    Scale shape: ONE shuffle — the per-user groupBy (map-side combined
+    count) — then a single-row global agg; the z arithmetic runs on
+    the single scalar row. All counts are exact integers; the only
+    doubles are the final deterministic divisions, so the statistic is
+    engine-stable.
+    """
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= min_purchases
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    variant = (F.col("user_id") % 2).alias("variant")
+    agg = per_user.select(variant, "converted").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.when(
+            (pooled > 0) & (pooled < 1),
+            F.round((rate_a - rate_b) / se, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )
+
+
+def fk_integrity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign key in
+    the star schema plus a primary-key duplication check — the
+    expectation-suite core of a data-quality gate before a training run.
+
+    Scale shape: each orphan count is a left-anti join AGGREGATED TO ONE
+    scalar before anything combines — the dims (customer/part/supplier)
+    broadcast, lineitem⋈orders anti runs as a shuffled join AQE can plan;
+    the final assembly cross-joins five 1-row frames (broadcast, trivial).
+    No driver collect anywhere.
+    """
+
+    def count1(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    li_orphan_orders = count1(
+        lineitem.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ),
+        "orphan_lineitem_orders",
+    )
+    li_orphan_parts = count1(
+        lineitem.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_anti",
+        ),
+        "orphan_lineitem_parts",
+    )
+    li_orphan_supp = count1(
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        ),
+        "orphan_lineitem_suppliers",
+    )
+    ord_orphan_cust = count1(
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ),
+        "orphan_orders_customers",
+    )
+    dup_pk = count1(
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1),
+        "dup_orderkeys",
+    )
+    totals = lineitem.agg(
+        F.count(F.lit(1)).alias("lineitem_rows")
+    ).join(F.broadcast(orders.agg(F.count(F.lit(1)).alias("orders_rows"))))
+    return (
+        totals.join(F.broadcast(li_orphan_orders))
+        .join(F.broadcast(li_orphan_parts))
+        .join(F.broadcast(li_orphan_supp))
+        .join(F.broadcast(ord_orphan_cust))
+        .join(F.broadcast(dup_pk))
+    )
+
+
+def seasonal_hourly(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: mean value by
+    (type, hour) against the type's overall mean, with the residual —
+    the baseline every anomaly detector needs before flagging "unusual
+    for 3 a.m." rather than "unusual overall".
+
+    Scale shape: one partial-agg shuffle to the |types|·24-row grid;
+    the per-type overall mean is a WINDOW over that tiny grid (sibling
+    aggregate, no second scan). Sums run in exact DECIMAL so the
+    double divisions at the end are engine-stable; means are defined as
+    sum(value)/count(*) (null values count in the denominator).
+    """
+    hourly = events.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    wt = Window.partitionBy("event_type")
+    hourly_avg = F.col("s").cast("double") / F.col("n_events").cast("double")
+    type_avg = F.sum("s").over(wt).cast("double") / F.sum("n_events").over(
+        wt
+    ).cast("double")
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(hourly_avg, 6).alias("hourly_avg"),
+        F.round(type_avg, 6).alias("type_avg"),
+        F.round(hourly_avg - type_avg, 6).alias("residual"),
+    )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency/Frequency/Monetary
+    metrics scored into exact quintiles, reported as segment sizes.
+
+    Quintile assignment deliberately avoids ``ntile`` over a global ORDER
+    BY (a single-task window — the anti-pattern
+    :func:`global_row_number` exists to avoid): boundaries come from
+    :func:`exact_percentiles_by_group` (bounded state, parallel,
+    bit-identical to percentile_cont) and each score is a codegen'd sum
+    of boundary comparisons, so the whole query is three tiny aggregates
+    broadcast onto one per-customer frame. Metrics are exact (integer
+    day/count, DECIMAL money) before the final double comparisons.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    maxd = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("global_last")
+    )
+    m = per_cust.join(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("global_last"), F.col("last_order"))
+        .cast("double")
+        .alias("rec_days"),
+        F.col("freq").cast("double").alias("freq"),
+        "monetary",
+    )
+    pcts = [0.2, 0.4, 0.6, 0.8]
+    lit_g = F.lit(1).alias("g")
+
+    def bounds(col: str, prefix: str) -> DataFrame:
+        b = exact_percentiles_by_group(
+            m.select(lit_g, col), "g", col, pcts
+        ).drop("g")
+        return b.select(
+            *[F.col(f"p{i}").alias(f"{prefix}{i}") for i in range(len(pcts))]
+        )
+
+    def score(col: str, prefix: str):
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) > F.col(f"{prefix}{i}")).cast("int")
+                for i in range(len(pcts))
+            )
+        )
+
+    scored = (
+        m.join(F.broadcast(bounds("rec_days", "r")))
+        .join(F.broadcast(bounds("freq", "f")))
+        .join(F.broadcast(bounds("monetary", "m")))
+        .select(
+            score("rec_days", "r").alias("r_score"),
+            score("freq", "f").alias("f_score"),
+            score("monetary", "m").alias("m_score"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def weighted_median_price(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Quantity-weighted median of extended price per brand: the first
+    price (in price order) whose running weight reaches half the brand's
+    total weight — the lower weighted median, exact.
+
+    Scale shape: one broadcast of the part dim, then ONE window pass per
+    brand partition ordered by (price, orderkey, linenumber) — a total
+    order, so the running DECIMAL weight is deterministic; the pick is a
+    conditional MIN in the same shuffle's aggregate. Weights accumulate
+    in exact DECIMAL — the 2·cum ≥ total comparison never tie-breaks on
+    float dust.
+    """
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("price"),
+        _dec("l_quantity").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("p_brand")
+    c = j.select(
+        "p_brand",
+        "price",
+        F.sum("qty").over(w).alias("cumw"),
+        F.sum("qty").over(wt).alias("total"),
+    )
+    return (
+        c.where(F.lit(2) * F.col("cumw") >= F.col("total"))
+        .groupBy("p_brand")
+        .agg(F.min("price").alias("weighted_median_price"))
+    )
+
+
+def revenue_mom(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue: monthly totals in exact DECIMAL with the
+    previous month and percent change via one lag window — the
+    period-over-period report every dashboard starts from.
+
+    Scale shape: the only full-data work is the monthly partial-agg
+    shuffle; the lag window runs over the |months| aggregated rows
+    (dozens, not data-scaled), so the unpartitioned ORDER BY is safe by
+    construction. First month reports NULL change, not 0 — absence, not
+    zero growth.
+    """
+    monthly = orders.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+        ).alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag(F.col("rev")).over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_pct"),
+    )

@@ -4398,6 +4398,211 @@ def q_q20_excess_shippers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Analytics additions: experimentation, data-quality audit, seasonality,
+# segmentation, weighted robust stats, period-over-period.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM per_user
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           CASE WHEN (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) > 0
+                 AND (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) < 1
+           THEN
+           ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 6)
+           ELSE 0.0 END AS z_score
+    FROM agg
+    """,
+)
+def q_ab_test_conversion(spark, sf_dir):
+    return rel.ab_test_conversion(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "fk_integrity",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS lineitem_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS orders_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        AS orphan_lineitem_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        AS orphan_lineitem_parts,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        AS orphan_lineitem_suppliers,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        AS orphan_orders_customers,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+         HAVING COUNT(*) > 1)) AS dup_orderkeys
+    """,
+)
+def q_fk_integrity(spark, sf_dir):
+    return rel.fk_integrity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "seasonal_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, n_events,
+           ROUND(CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+             AS hourly_avg,
+           ROUND(CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                        AS DOUBLE), 6) AS type_avg,
+           ROUND(CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE)
+                 - CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                          AS DOUBLE), 6) AS residual
+    FROM hourly
+    """,
+)
+def q_seasonal_hourly(spark, sf_dir):
+    return rel.seasonal_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                  AS DOUBLE) AS rec_days,
+             CAST(COUNT(*) AS DOUBLE) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(rec_days, 0.2) AS r0,
+             quantile_cont(rec_days, 0.4) AS r1,
+             quantile_cont(rec_days, 0.6) AS r2,
+             quantile_cont(rec_days, 0.8) AS r3,
+             quantile_cont(freq, 0.2) AS f0, quantile_cont(freq, 0.4) AS f1,
+             quantile_cont(freq, 0.6) AS f2, quantile_cont(freq, 0.8) AS f3,
+             quantile_cont(monetary, 0.2) AS m0,
+             quantile_cont(monetary, 0.4) AS m1,
+             quantile_cont(monetary, 0.6) AS m2,
+             quantile_cont(monetary, 0.8) AS m3
+      FROM m
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT 1 + (CASE WHEN rec_days > r0 THEN 1 ELSE 0 END
+                + CASE WHEN rec_days > r1 THEN 1 ELSE 0 END
+                + CASE WHEN rec_days > r2 THEN 1 ELSE 0 END
+                + CASE WHEN rec_days > r3 THEN 1 ELSE 0 END) AS r_score,
+             1 + (CASE WHEN freq > f0 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f3 THEN 1 ELSE 0 END) AS f_score,
+             1 + (CASE WHEN monetary > m0 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m3 THEN 1 ELSE 0 END) AS m_score
+      FROM m, b
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    return rel.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH j AS (
+      SELECT p_brand, l_extendedprice AS price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    c AS (
+      SELECT p_brand, price,
+             SUM(qty) OVER (PARTITION BY p_brand
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cumw,
+             SUM(qty) OVER (PARTITION BY p_brand) AS total
+      FROM j
+    )
+    SELECT p_brand, MIN(price) AS weighted_median_price
+    FROM c WHERE 2 * cumw >= total
+    GROUP BY p_brand
+    """,
+)
+def q_weighted_median_price(spark, sf_dir):
+    return rel.weighted_median_price(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "revenue_mom",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS mom_pct
+    FROM monthly
+    """,
+)
+def q_revenue_mom(spark, sf_dir):
+    return rel.revenue_mom(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
 # The external correctness gate oracles the first N registry entries in
@@ -4427,6 +4632,13 @@ _VERIFY_FIRST = [
     "q12_latency_priority",
     "q16_supplier_count",
     "q20_excess_shippers",
+    # (2c) Analytics additions — new this round, never gate-checked.
+    "ab_test_conversion",
+    "fk_integrity",
+    "seasonal_hourly",
+    "rfm_segments",
+    "weighted_median_price",
+    "revenue_mom",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
