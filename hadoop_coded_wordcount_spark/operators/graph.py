@@ -223,6 +223,56 @@ def degree_distribution(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _shared_order_pairs(lineitem: DataFrame) -> DataFrame:
+    """Per supplier pair, the count of DISTINCT SHARED ORDERS — the
+    common base of the unipartite projections below. ONE shuffle of
+    lineitem (groupBy orderkey); the ordered pair set is generated
+    in-expression from the per-order sorted distinct-supplier array
+    (order size is bounded, so the expansion is a small constant),
+    exploded into a partial-agg'd count. Returns (s, d, c) with s < d.
+    """
+    arr = F.array_sort(F.collect_set("l_suppkey"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("supps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
+                lambda y: F.struct(x.alias("s"), y.alias("d")),
+            ),
+        )
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(arr.alias("supps"))
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def supplier_cooccurrence_graph(
+    lineitem: DataFrame, min_shared: int = 30
+) -> DataFrame:
+    """Thresholded co-occurrence supplier graph: an undirected edge where
+    two suppliers share at least ``min_shared`` distinct orders. The
+    companion projection to :func:`supplier_knn_graph`: the kNN variant
+    bounds DEGREE (near-regular by construction — every core is trivial),
+    this one bounds by association STRENGTH, producing the irregular
+    degree distribution that density analytics like :func:`k_core`
+    actually discriminate on. Same single-shuffle pair base; the
+    threshold prunes before anything else sees the edge list. At scale
+    the threshold is the knob: raising it keeps edge count sub-linear in
+    corpus growth (pair support concentrates), unlike the raw projection
+    which densifies toward complete.
+    """
+    return (
+        _shared_order_pairs(lineitem)
+        .where(F.col("c") >= min_shared)
+        .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+    )
+
+
 def supplier_knn_graph(lineitem: DataFrame, k: int = 3) -> DataFrame:
     """Sparse unipartite supplier graph: each supplier keeps edges to its
     ``k`` strongest co-suppliers (most shared orders; ties by id), and an
@@ -248,24 +298,7 @@ def supplier_knn_graph(lineitem: DataFrame, k: int = 3) -> DataFrame:
     window over the symmetrized pair list (vocabulary-sized input) and
     LEAST/GREATEST dedup back to one row per undirected edge.
     """
-    arr = F.array_sort(F.collect_set("l_suppkey"))
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("supps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
-                lambda y: F.struct(x.alias("s"), y.alias("d")),
-            ),
-        )
-    )
-    pairs = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .groupBy("l_orderkey")
-        .agg(arr.alias("supps"))
-        .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    pairs = _shared_order_pairs(lineitem)
     sym = pairs.select(
         F.col("s").alias("node"), F.col("d").alias("partner"), "c"
     ).unionAll(
@@ -351,4 +384,59 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     return counts.crossJoin(tri).select(
         "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )
+
+
+def k_core(edges: DataFrame, k: int = 2, max_rounds: int = 40) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with degree < k (and their edges) until the graph stabilizes; returns
+    each surviving node with its degree INSIDE the core subgraph. The
+    standard subgraph-density primitive (spam rings, community nuclei,
+    robustness) and — unlike per-round node ordering algorithms — the
+    peel is confluent: the fixpoint is order-independent, so the result
+    is deterministic under any execution.
+
+    Scale shape: each round is one degree aggregation (map-side combined)
+    plus two semi-joins of the edge list against the alive-node set;
+    AQE picks broadcast vs shuffle for the alive side as it shrinks.
+    ``localCheckpoint`` per round pins the lineage (the same cadence
+    star-contraction CC uses — on a cluster, ``checkpoint()``).
+    Convergence is detected by edge count (1 driver scalar per round, a
+    bounded control-plane read); rounds are worst-case O(peel depth) —
+    pathological chains peel one layer per round, so a ``max_rounds``
+    guard RAISES rather than silently returning a non-fixpoint.
+    """
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    converged = prev_edges == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        deg = (
+            cur.select(F.col("src").alias("v"))
+            .unionAll(cur.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.where(F.col("d") >= k)
+        nxt = (
+            cur.join(
+                alive.select(F.col("v").alias("src")), "src", "left_semi"
+            )
+            .join(alive.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        converged = n == prev_edges
+        cur, prev_edges = nxt, n
+    if not converged:
+        raise RuntimeError(
+            f"k_core: not converged after {max_rounds} rounds "
+            f"({prev_edges} edges remain)"
+        )
+    return (
+        cur.select(F.col("src").alias("v"))
+        .unionAll(cur.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
     )

@@ -3760,3 +3760,100 @@ def revenue_mom(orders: DataFrame) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
         ).alias("mom_pct"),
     )
+
+
+def market_basket_pairs(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 2,
+    topn: int = 50,
+) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket mining, the
+    pairwise a-priori step): for every order, each unordered pair of
+    distinct parts on it; pairs are counted and filtered to a support
+    threshold, top-N by support.
+
+    Scale shape: the pair generation is a SELF-JOIN ON THE ORDER KEY with
+    ``p1 < p2`` — quadratic only in lines-per-order (baskets are small
+    and bounded by the schema, ~7 max in TPC-H; a pathological basket
+    would be capped upstream), never in table size. Distinct parts per
+    order first (dedups re-ordered same-part lines), one shuffle on the
+    order key for the join, one partial-agg shuffle on the pair. Brand
+    names ride a broadcast at the end, after the heavy counting.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    pa = part.select(
+        F.col("p_partkey").alias("pa_key"), F.col("p_name").alias("name_a")
+    )
+    pb = part.select(
+        F.col("p_partkey").alias("pb_key"), F.col("p_name").alias("name_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), F.col("part_a") == F.col("pa_key"))
+        .join(F.broadcast(pb), F.col("part_b") == F.col("pb_key"))
+        .select("part_a", "part_b", "name_a", "name_b", "support")
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(topn)
+    )
+
+
+def interpurchase_intervals(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Inter-purchase interval profile per market segment: days between a
+    customer's consecutive orders (lag window over (customer, date)),
+    aggregated to per-segment count/mean/min/max — the repeat-behavior
+    metric behind churn models.
+
+    Scale shape: ONE shuffle partitions by customer for the lag window
+    (per-customer order counts are small); gaps are exact integer days,
+    the mean divides an exact integer sum — engine-stable. Customers
+    with a single order contribute no gap (lag is NULL, filtered), and
+    the segment dim rides a broadcast.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    d = F.col("o_orderdate").cast("date")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(d, F.lag(d).over(w)).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("ck"), "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("ck"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )

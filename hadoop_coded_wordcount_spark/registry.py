@@ -4602,6 +4602,118 @@ def q_revenue_mom(spark, sf_dir):
     return rel.revenue_mom(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "market_basket_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, pa.p_name AS name_a, pb.p_name AS name_b, support
+    FROM pairs JOIN part pa ON part_a = pa.p_partkey
+               JOIN part pb ON part_b = pb.p_partkey
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def q_market_basket_pairs(spark, sf_dir):
+    return rel.market_basket_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "interpurchase_intervals",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6)
+             AS mean_gap_days,
+           MIN(gap_days) AS min_gap_days, MAX(gap_days) AS max_gap_days
+    FROM gaps JOIN customer ON o_custkey = c_custkey
+    WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def q_interpurchase_intervals(spark, sf_dir):
+    return rel.interpurchase_intervals(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+# k-core: the oracle unrolls the peel as repeated CTE rounds (recursive
+# CTEs cannot re-aggregate per step). 40 unrolled rounds bounds the peel
+# depth the oracle can replay; the Spark operator RAISES past 40 rounds
+# rather than silently diverging from this oracle, and at sf0.01 the
+# thresholded co-occurrence graph peels 100 -> 86 nodes in 2 rounds.
+# The graph is the STRENGTH-thresholded projection, not the kNN one —
+# kNN is near-regular by construction, so its every core is trivial
+# (all-nodes at k, empty at k+1; measured).
+_KCORE_PREFIX = """
+    WITH p AS (
+      SELECT s, d, COUNT(*) AS c FROM (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey AS s, b.l_suppkey AS d
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      ) GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT s AS src, d AS dst FROM p WHERE c >= 30
+    )"""
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one several times — unmaterialized,
+    # the expansion is exponential in the round count.
+    parts = [_KCORE_PREFIX]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT v, COUNT(*) AS c FROM (
+        SELECT src AS v FROM e{i} UNION ALL SELECT dst FROM e{i}
+      ) GROUP BY v
+    ),
+    a{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE c >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT src, dst FROM e{i}
+      WHERE src IN (SELECT v FROM a{i}) AND dst IN (SELECT v FROM a{i})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT src AS v FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})
+    GROUP BY v"""
+    )
+    return "".join(parts)
+
+
+@register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
+def q_k_core_suppliers(spark, sf_dir):
+    return gr.k_core(
+        gr.supplier_cooccurrence_graph(
+            load_table(spark, sf_dir, "lineitem"), min_shared=30
+        ),
+        k=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
@@ -4639,6 +4751,9 @@ _VERIFY_FIRST = [
     "rfm_segments",
     "weighted_median_price",
     "revenue_mom",
+    "market_basket_pairs",
+    "interpurchase_intervals",
+    "k_core_suppliers",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -135,3 +135,51 @@ def test_knn_graph_is_degree_bounded_and_layout_invariant(spark):
     # popular node's own degree can exceed k (others keep edges to it)
     n_nodes = len({v for e in e1 for v in e})
     assert len(e1) <= 3 * n_nodes
+
+
+def test_k_core_triangle_with_pendants(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle, and
+    every pendant is peeled (chain peeling needs MULTIPLE rounds — the
+    fixpoint loop, not a single degree filter)."""
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = {(r.v, r.core_degree) for r in gr.k_core(e, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_k3_empty_and_deterministic(spark):
+    """The same graph has no 3-core (empty, no crash); k=1 keeps all."""
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)])
+    assert gr.k_core(e, k=3).count() == 0
+    assert gr.k_core(e, k=1).count() == 6
+
+
+def test_k_core_raises_past_max_rounds(spark):
+    """A long chain peels one layer per round from each end; with
+    max_rounds too small the operator must RAISE, never return a
+    non-fixpoint."""
+    import pytest
+
+    chain = _edges(spark, [(i, i + 1) for i in range(1, 12)])
+    with pytest.raises(RuntimeError, match="not converged"):
+        gr.k_core(chain, k=2, max_rounds=2)
+    # with enough rounds the chain's 2-core is empty
+    assert gr.k_core(chain, k=2, max_rounds=12).count() == 0
+
+
+def test_cooccurrence_graph_threshold_and_invariance(spark):
+    from conftest import SF001
+
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF001, "lineitem")
+    e30 = sorted(map(tuple, gr.supplier_cooccurrence_graph(li, 30).collect()))
+    e30b = sorted(
+        map(
+            tuple,
+            gr.supplier_cooccurrence_graph(li.repartition(13), 30).collect(),
+        )
+    )
+    assert e30 == e30b and len(e30) > 0
+    # monotone: a higher threshold can only lose edges
+    e34 = set(map(tuple, gr.supplier_cooccurrence_graph(li, 34).collect()))
+    assert e34 <= set(e30)
