@@ -3857,3 +3857,107 @@ def interpurchase_intervals(
             F.max("gap_days").alias("max_gap_days"),
         )
     )
+
+
+def sequence_match_users(
+    events: DataFrame, pattern: str = "e{3,}"
+) -> DataFrame:
+    """Ordered-sequence pattern match per user (the ClickHouse
+    ``sequenceMatch`` shape): each user's event-type stream collapses to
+    a compact symbol string in time order, and a regex decides whether
+    the behavioral pattern occurred — default: a run of three or more
+    consecutive errors (the rage-click/broken-flow signature; ordered
+    funnels like ``s.*c.*p`` are the same machinery). Returns
+    matched/unmatched user counts.
+
+    Scale shape: ONE shuffle (groupBy user); the time-ordering is an
+    in-expression ``array_sort`` over (ts, event_id, symbol) structs —
+    per-user state is the user's OWN event count, the same bound any
+    sessionizer carries, never a global sort. The regex runs once per
+    user on a short string (codegen'd), not per event. Ties on ts break
+    by event_id, so the symbol string is a total-order fact; event
+    types map to their (distinct) initials.
+    """
+    sym = F.struct(
+        F.col("ts"),
+        F.col("event_id"),
+        F.substring(F.col("event_type"), 1, 1).alias("ch"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(sym)), lambda x: x.getField("ch")
+        ),
+        "",
+    )
+    per_user = events.groupBy("user_id").agg(
+        seq.rlike(pattern).alias("matched")
+    )
+    return per_user.groupBy("matched").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def psi_drift(
+    orders: DataFrame,
+    split_date: str = "1998-01-01",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift report: bucket the reference
+    period's order totals into exact deciles, score the comparison
+    period against those FROZEN boundaries, and report per-bucket
+    proportions with PSI contributions — the standard
+    training-vs-serving drift gate for a feature column.
+
+    Scale shape: boundaries via :func:`exact_percentiles_by_group`
+    (bounded-state histogram, parallel) on the reference slice only;
+    both periods then bucket in one scan each (codegen'd boundary
+    comparisons against the broadcast 1-row bounds) and aggregate to
+    ``n_bins`` rows. Proportions are Laplace-smoothed ((c+0.5)/(n+n_bins/2))
+    so an empty comparison bucket contributes a finite term instead of
+    ln(0); results round to 6 (ln's last ulp is libm-vs-JVM dependent,
+    the same reason the HLL estimates round).
+    """
+    ref = orders.where(F.col("o_orderdate") < F.lit(split_date).cast("timestamp"))
+    cmp_ = orders.where(
+        F.col("o_orderdate") >= F.lit(split_date).cast("timestamp")
+    )
+    pcts = [i / n_bins for i in range(1, n_bins)]
+    bounds = exact_percentiles_by_group(
+        ref.select(F.lit(1).alias("g"), "o_totalprice"),
+        "g",
+        "o_totalprice",
+        pcts,
+    ).drop("g")
+    v = F.col("o_totalprice").cast("double")
+    bucket = sum((v > F.col(f"p{i}")).cast("int") for i in range(len(pcts)))
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select("o_totalprice")
+            .join(F.broadcast(bounds))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = bucketed(ref, "n_ref")
+    b = bucketed(cmp_, "n_cmp")
+    joined = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cmp", F.lit(0)).alias("n_cmp"),
+    )
+    wt = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 0.5) / (
+        F.sum("n_ref").over(wt) + F.lit(n_bins * 0.5)
+    )
+    p_cmp = (F.col("n_cmp") + 0.5) / (
+        F.sum("n_cmp").over(wt) + F.lit(n_bins * 0.5)
+    )
+    return joined.select(
+        "bucket",
+        "n_ref",
+        "n_cmp",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cmp, 6).alias("p_cmp"),
+        F.round((p_cmp - p_ref) * F.log(p_cmp / p_ref), 6).alias("psi_term"),
+    )

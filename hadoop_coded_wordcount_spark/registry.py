@@ -4704,6 +4704,94 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+@register(
+    "sequence_match_users",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             regexp_matches(
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id),
+               'e{3,}') AS matched
+      FROM events GROUP BY user_id
+    )
+    SELECT matched, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY matched
+    """,
+)
+def q_sequence_match_users(spark, sf_dir):
+    return rel.sequence_match_users(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "psi_drift",
+    """
+    WITH ref AS (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    cmpp AS (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    b AS (
+      SELECT quantile_cont(o_totalprice, 0.1) AS p0,
+             quantile_cont(o_totalprice, 0.2) AS p1,
+             quantile_cont(o_totalprice, 0.3) AS p2,
+             quantile_cont(o_totalprice, 0.4) AS p3,
+             quantile_cont(o_totalprice, 0.5) AS p4,
+             quantile_cont(o_totalprice, 0.6) AS p5,
+             quantile_cont(o_totalprice, 0.7) AS p6,
+             quantile_cont(o_totalprice, 0.8) AS p7,
+             quantile_cont(o_totalprice, 0.9) AS p8
+      FROM ref
+    ),
+    ra AS (
+      SELECT (CASE WHEN CAST(o_totalprice AS DOUBLE) > p0 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p1 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p2 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p3 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p4 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p5 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p6 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p7 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p8 THEN 1 ELSE 0 END
+             ) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+      FROM ref, b GROUP BY 1
+    ),
+    ca AS (
+      SELECT (CASE WHEN CAST(o_totalprice AS DOUBLE) > p0 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p1 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p2 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p3 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p4 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p5 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p6 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p7 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(o_totalprice AS DOUBLE) > p8 THEN 1 ELSE 0 END
+             ) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_cmp
+      FROM cmpp, b GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(ra.bucket, ca.bucket) AS bucket,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cmp, 0) AS n_cmp
+      FROM ra FULL OUTER JOIN ca ON ra.bucket = ca.bucket
+    )
+    SELECT bucket, n_ref, n_cmp,
+           ROUND((n_ref + 0.5) / (SUM(n_ref) OVER () + 5.0), 6) AS p_ref,
+           ROUND((n_cmp + 0.5) / (SUM(n_cmp) OVER () + 5.0), 6) AS p_cmp,
+           ROUND(((n_cmp + 0.5) / (SUM(n_cmp) OVER () + 5.0)
+                  - (n_ref + 0.5) / (SUM(n_ref) OVER () + 5.0))
+                 * ln(((n_cmp + 0.5) / (SUM(n_cmp) OVER () + 5.0))
+                      / ((n_ref + 0.5) / (SUM(n_ref) OVER () + 5.0))), 6)
+             AS psi_term
+    FROM j
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    return rel.psi_drift(load_table(spark, sf_dir, "orders"))
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -4754,6 +4842,8 @@ _VERIFY_FIRST = [
     "market_basket_pairs",
     "interpurchase_intervals",
     "k_core_suppliers",
+    "sequence_match_users",
+    "psi_drift",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
