@@ -3961,3 +3961,115 @@ def psi_drift(
         F.round(p_cmp, 6).alias("p_cmp"),
         F.round((p_cmp - p_ref) * F.log(p_cmp / p_ref), 6).alias("psi_term"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Linear multi-touch revenue attribution: each purchase's value is
+    split equally across the user's clicks in the preceding
+    ``window_days``, and attributed revenue rolls up by click date —
+    the marketing-analytics join every event warehouse runs nightly.
+
+    Scale shape: ONE user-keyed join (both sides pre-filtered to their
+    event type, the time bound is a join residual), touch counts per
+    purchase via a window over the joined pairs partitioned by purchase
+    id (per-purchase fanout = that user's clicks in the window —
+    bounded by user activity, never corpus size). Determinism: the
+    per-touch share rounds to 6 digits and sums as EXACT DECIMAL —
+    summing raw double shares would be partition-order-dependent in the
+    last ulp. Purchases with no preceding click are unattributed and
+    excluded by the inner join (a 'direct' bucket would be a union of
+    the anti side).
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+    )
+    w = Window.partitionBy("p_id")
+    share = F.round(
+        F.col("p_value") / F.count(F.lit(1)).over(w).cast("double"), 6
+    ).cast("decimal(18,6)")
+    return (
+        pairs.select(
+            F.date_format(F.col("c_ts"), "yyyy-MM-dd").alias("click_date"),
+            share.alias("share"),
+        )
+        .groupBy("click_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("share").cast("double").alias("attributed_revenue"),
+        )
+    )
+
+
+def benford_digits(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit shares vs the log10(1+1/d) expectation, with the
+    chi-square statistic — the classic fabricated-numbers screen for a
+    financial column.
+
+    Determinism: the leading digit comes from the INTEGER part's string
+    (floor → bigint → string → first char) — extracting it via
+    log10/power hits float boundary dust at exact powers of ten, and
+    formatting a raw double differs across engines. One partial-agg
+    shuffle to 9 rows; shares and the chi-square term are deterministic
+    double divisions of exact counts, rounded to 6.
+    """
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    )
+    counts = orders.where(F.col("o_totalprice") >= 1).groupBy(
+        digit.alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy()
+    # staged selects: the chi sum windows over an expression that itself
+    # contains the total window — nested window functions are illegal in
+    # one projection, so total/obs/exp materialize as columns first
+    staged = counts.select(
+        "digit",
+        "n",
+        F.sum("n").over(wt).cast("double").alias("total"),
+    ).select(
+        "digit",
+        "n",
+        "total",
+        (F.col("n") / F.col("total")).alias("obs"),
+        F.log10(
+            F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+        ).alias("expd"),
+    )
+    # each chi term rounds to 8 digits and sums as exact DECIMAL: a raw
+    # double sum over the (unordered) window would be addition-order-
+    # dependent in the last ulp across engines
+    chi_term8 = F.round(
+        (F.col("obs") - F.col("expd"))
+        * (F.col("obs") - F.col("expd"))
+        / F.col("expd")
+        * F.col("total"),
+        8,
+    ).cast("decimal(18,8)")
+    return staged.select(
+        "digit",
+        "n",
+        F.round(F.col("obs"), 6).alias("obs_share"),
+        F.round(F.col("expd"), 6).alias("exp_share"),
+        F.round(F.sum(chi_term8).over(wt).cast("double"), 6).alias(
+            "chi_square"
+        ),
+    )

@@ -4792,6 +4792,70 @@ def q_psi_drift(spark, sf_dir):
     return rel.psi_drift(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "multi_touch_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+             value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p_id, p_value, c_ts
+      FROM purchases JOIN clicks
+        ON p_user = c_user AND c_ts < p_ts
+       AND c_ts >= p_ts - INTERVAL 7 DAY
+    ),
+    shares AS (
+      SELECT strftime(c_ts, '%Y-%m-%d') AS click_date,
+             CAST(ROUND(p_value
+                        / CAST(COUNT(*) OVER (PARTITION BY p_id) AS DOUBLE),
+                        6) AS DECIMAL(18,6)) AS share
+      FROM pairs
+    )
+    SELECT click_date, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(share) AS DOUBLE) AS attributed_revenue
+    FROM shares GROUP BY click_date
+    """,
+)
+def q_multi_touch_attribution(spark, sf_dir):
+    return rel.multi_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "benford_digits",
+    """
+    WITH c AS (
+      SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    s AS (
+      SELECT digit, n, CAST(SUM(n) OVER () AS DOUBLE) AS total FROM c
+    ),
+    t AS (
+      SELECT digit, n, total, n / total AS obs,
+             log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expd
+      FROM s
+    )
+    SELECT digit, n,
+           ROUND(obs, 6) AS obs_share,
+           ROUND(expd, 6) AS exp_share,
+           ROUND(CAST(SUM(CAST(ROUND((obs - expd) * (obs - expd) / expd
+                                     * total, 8) AS DECIMAL(18,8)))
+                      OVER () AS DOUBLE), 6) AS chi_square
+    FROM t
+    """,
+)
+def q_benford_digits(spark, sf_dir):
+    return rel.benford_digits(load_table(spark, sf_dir, "orders"))
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -4844,6 +4908,8 @@ _VERIFY_FIRST = [
     "k_core_suppliers",
     "sequence_match_users",
     "psi_drift",
+    "multi_touch_attribution",
+    "benford_digits",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
