@@ -44,8 +44,11 @@ __all__ = [
     "pagerank",
     "bfs_depths",
     "degree_distribution",
+    "supplier_cooccurrence_graph",
     "supplier_knn_graph",
     "triangle_count",
+    "k_core",
+    "link_prediction_jaccard",
     "PR_SCALE",
 ]
 
@@ -439,4 +442,59 @@ def k_core(edges: DataFrame, k: int = 2, max_rounds: int = 40) -> DataFrame:
         .unionAll(cur.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, topn: int = 25
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: for NON-adjacent node pairs
+    sharing at least one neighbor, score = |N(u)∩N(v)| / |N(u)∪N(v)|;
+    top-N predicted links. The classic collaborative-filtering /
+    recommend-an-edge primitive.
+
+    Scale shape: candidate pairs come from a WEDGE JOIN (two edge copies
+    joined on the shared neighbor) — never all-pairs; the common-
+    neighbor count aggregates the wedges, degrees ride a broadcast, and
+    adjacency is excluded with one anti-join against the edge list.
+    On skewed graphs the wedge fanout concentrates on hubs — the same
+    degree-orientation bound as triangle_count applies if needed; here
+    candidates are already only distance-2 pairs. Scores divide exact
+    integers (engine-stable); output is bounded TakeOrdered on the
+    (score desc, pair) total order.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # wedges: u -(n)- v with u < v
+    w1 = sym.select(F.col("b").alias("n"), F.col("a").alias("u"))
+    w2 = sym.select(F.col("b").alias("n2"), F.col("a").alias("v"))
+    common = (
+        w1.join(w2, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_adjacent = common.join(
+        edges,
+        (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")),
+        "left_anti",
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    return (
+        non_adjacent.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(topn)
     )

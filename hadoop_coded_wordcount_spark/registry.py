@@ -4856,6 +4856,39 @@ def q_benford_digits(spark, sf_dir):
     return rel.benford_digits(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "link_prediction_jaccard",
+    _KCORE_PREFIX
+    + """,
+    symm AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e0
+      UNION ALL SELECT dst AS a, src AS b FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM symm GROUP BY a),
+    common AS (
+      SELECT w1.a AS u, w2.a AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM symm w1 JOIN symm w2 ON w1.b = w2.b AND w1.a < w2.a
+      GROUP BY 1, 2
+    ),
+    na AS (
+      SELECT u, v, cn FROM common
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE src = u AND dst = v)
+    )
+    SELECT u, v, cn,
+           ROUND(cn / CAST(du.d + dv.d - cn AS DOUBLE), 6) AS jaccard
+    FROM na JOIN deg du ON du.a = u JOIN deg dv ON dv.a = v
+    ORDER BY jaccard DESC, u, v
+    LIMIT 25
+    """,
+)
+def q_link_prediction_jaccard(spark, sf_dir):
+    return gr.link_prediction_jaccard(
+        gr.supplier_cooccurrence_graph(
+            load_table(spark, sf_dir, "lineitem"), min_shared=30
+        )
+    )
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -4910,6 +4943,7 @@ _VERIFY_FIRST = [
     "psi_drift",
     "multi_touch_attribution",
     "benford_digits",
+    "link_prediction_jaccard",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
