@@ -663,3 +663,94 @@ def collocations_pmi(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top)
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
+    """Distributed BPE merge training: learn the first ``n_merges``
+    byte-pair-encoding merges from the corpus word-frequency table —
+    the tokenizer-training step of an LLM data pipeline, expressed as
+    DataFrame rounds.
+
+    Algorithm (classic Sennrich BPE): vocab = (word, count) with each
+    word as a symbol array (chars initially); per round, count adjacent
+    symbol pairs weighted by word count, take the global argmax pair
+    (ties: lexicographic, so training is deterministic), and rewrite
+    every word's symbol array merging that pair left-to-right.
+
+    Scale shape: the training state is the WORD-FREQUENCY table, not the
+    corpus — one corpus-wide groupBy builds it, every later round
+    touches only the vocab frame (checkpointed per round, plan stays
+    flat). The per-round argmax is ``orderBy().limit(1)`` →
+    TakeOrdered → a one-row driver collect (bounded control plane, the
+    same class as a convergence probe). The merge rewrite is an
+    IN-EXPRESSION left fold (``F.aggregate``) — no Python in the loop.
+    A merged symbol is strictly longer than the pair's left element, so
+    a fold without a just-merged flag reproduces exact left-to-right
+    non-overlapping BPE semantics.
+
+    Returns the merge table: (merge_rank, left_sym, right_sym,
+    pair_count) — the artifact a tokenizer ships.
+    """
+    word = F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    # chars via substr over a 1..len index sequence (split('', word) has
+    # engine-specific empty-string edge behavior)
+    vocab = (
+        documents.select(word)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x as a, syms[i + 1] as b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pair_counts.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], best[0]["pair_count"]
+        merges.append((rank, a, b, pc))
+        merged = a + b
+        vocab = vocab.select(
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                f"(acc, x) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = {_sql_str(a)} "
+                f"AND x = {_sql_str(b)} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array({_sql_str(merged)})) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def _sql_str(s: str) -> str:
+    """Quote a Python string as a SQL string literal (symbols here come
+    from corpus text split on whitespace — escape quotes and backslashes
+    defensively)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -4889,6 +4889,76 @@ def q_link_prediction_jaccard(spark, sf_dir):
     )
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Replay BPE merge training in DuckDB: vocab state is a
+    '|'-delimited symbol string (document text is alphanumeric — no
+    delimiter collision, asserted in tests), the per-round rewrite is a
+    ``list_reduce`` left fold with the same no-flag semantics as the
+    Spark ``aggregate`` (a merged symbol is strictly longer than the
+    pair's left element), and each round's argmax breaks ties
+    lexicographically. MATERIALIZED throughout — each round references
+    the previous one several times."""
+    parts = [
+        r"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(text, '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), '|') AS seq, cnt
+      FROM w
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+      SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(l) - 1),
+                 j -> {{'a': l[j], 'b': l[j + 1]}})) AS u, cnt
+        FROM (SELECT string_split(seq, '|') AS l, cnt FROM v{i})
+      ) GROUP BY u.a, u.b
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM p{i}
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend('', string_split(seq, '|')),
+               (acc, x) -> CASE
+                 WHEN acc <> '' AND split_part(acc, '|', -1) = b{i}.a
+                      AND x = b{i}.b
+                 THEN substr(acc, 1,
+                             length(acc)
+                             - length(split_part(acc, '|', -1)))
+                      || b{i}.a || b{i}.b
+                 WHEN acc = '' THEN x
+                 ELSE acc || '|' || x END
+             ) AS seq, cnt
+      FROM v{i}, b{i}
+    )"""
+        )
+    selects = [
+        f"SELECT {i + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" pair_count FROM b{i}"
+        for i in range(n_merges)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_oracle(n_merges=10))
+def q_bpe_train_merges(spark, sf_dir):
+    return ts.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -4944,6 +5014,7 @@ _VERIFY_FIRST = [
     "multi_touch_attribution",
     "benford_digits",
     "link_prediction_jaccard",
+    "bpe_train_merges",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -227,3 +227,57 @@ def test_perplexity_buckets_orders_quality(spark):
         assert got[i].ppl_bucket == 1, got[i]
         assert got[10 + i].ppl_bucket == 2, got[10 + i]
         assert got[i].avg_nll < got[10 + i].avg_nll
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The Sennrich corpus: merges must match a reference in-memory BPE
+    exactly — including the left-to-right non-overlapping rewrite and
+    lexicographic tie-breaks."""
+    import collections
+
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(1, " ".join(w for w, c in freq.items() for _ in range(c)))],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in ts.bpe_train(docs, n_merges=6).collect()
+    ]
+
+    vocab = {tuple(w): c for w, c in freq.items()}
+    exp = []
+    for rank in range(1, 7):
+        pc = collections.Counter()
+        for w, c in vocab.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += c
+        m = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == m)[0]
+        exp.append((rank, a, b, m))
+        new = {}
+        for w, c in vocab.items():
+            out = []
+            for ch in w:
+                if out and out[-1] == a and ch == b:
+                    out[-1] = a + b
+                else:
+                    out.append(ch)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    assert got == exp
+
+
+def test_bpe_train_empty_and_single_char(spark):
+    """Empty corpus -> empty merge table; single-char words produce no
+    pairs and must not crash the argmax round."""
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert ts.bpe_train(empty, n_merges=3).count() == 0
+    singles = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id bigint, text string"
+    )
+    assert ts.bpe_train(singles, n_merges=3).count() == 0
