@@ -42,6 +42,8 @@ __all__ = [
     "perplexity_buckets",
     "char_entropy",
     "collocations_pmi",
+    "bpe_train",
+    "bpe_encode_tokens",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -691,6 +693,36 @@ def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
     Returns the merge table: (merge_rank, left_sym, right_sym,
     pair_count) — the artifact a tokenizer ships.
     """
+    merges, _ = _bpe_state(documents, n_merges)
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_encode_tokens(
+    documents: DataFrame, n_merges: int = 10, topn: int = 50
+) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: the final symbol
+    vocabulary's token frequencies (top-N) — the encode half of the
+    tokenizer, demonstrating train→apply on the same engine. The merge
+    list is bounded driver state (n_merges rows); the token rollup is
+    one explode + partial agg over the WORD-frequency table, so corpus
+    text is still never re-scanned after the initial vocab build.
+    """
+    _, vocab = _bpe_state(documents, n_merges)
+    return (
+        vocab.select(F.explode("syms").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(topn)
+    )
+
+
+def _bpe_state(documents: DataFrame, n_merges: int):
+    """Shared BPE trainer: returns (merge list, final vocab frame)."""
     word = F.explode(F.split(F.col("text"), r"\s+")).alias("word")
     # chars via substr over a 1..len index sequence (split('', word) has
     # engine-specific empty-string edge behavior)
@@ -742,11 +774,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
-    spark = documents.sparkSession
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
-    )
+    return merges, vocab
 
 
 def _sql_str(s: str) -> str:

@@ -4889,7 +4889,7 @@ def q_link_prediction_jaccard(spark, sf_dir):
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
     """Replay BPE merge training in DuckDB: vocab state is a
     '|'-delimited symbol string (document text is alphanumeric — no
     delimiter collision, asserted in tests), the per-round rewrite is a
@@ -4945,18 +4945,37 @@ def _bpe_oracle(n_merges: int) -> str:
       FROM v{i}, b{i}
     )"""
         )
-    selects = [
-        f"SELECT {i + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
-        f" pair_count FROM b{i}"
-        for i in range(n_merges)
-    ]
-    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    if final is None:
+        selects = [
+            f"SELECT {i + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
+            f" pair_count FROM b{i}"
+            for i in range(n_merges)
+        ]
+        final = "\n    " + "\n    UNION ALL ".join(selects)
+    parts.append(final)
     return "".join(parts)
 
 
 @register("bpe_train_merges", _bpe_oracle(n_merges=10))
 def q_bpe_train_merges(spark, sf_dir):
     return ts.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)
+
+
+@register(
+    "bpe_encode_tokens",
+    _bpe_oracle(
+        n_merges=10,
+        final="""
+    SELECT token, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT unnest(string_split(seq, '|')) AS token, cnt FROM v10
+    ) GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+    ),
+)
+def q_bpe_encode_tokens(spark, sf_dir):
+    return ts.bpe_encode_tokens(
+        load_table(spark, sf_dir, "documents"), n_merges=10
+    )
 
 
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
@@ -5015,6 +5034,7 @@ _VERIFY_FIRST = [
     "benford_digits",
     "link_prediction_jaccard",
     "bpe_train_merges",
+    "bpe_encode_tokens",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
