@@ -1,0 +1,175 @@
+"""Fixture tests for the round-5 analytics additions: semantics pinned on
+hand-built inputs (the oracle sweep covers the real tables)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hadoop_coded_wordcount_spark.operators import relational as rel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def test_market_basket_pairs_hand_baskets(spark):
+    """Two baskets sharing the pair (1,2); pair (1,3) appears once and
+    falls below min_support."""
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    part = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "p_partkey bigint, p_name string"
+    )
+    got = rel.market_basket_pairs(lineitem, part, min_support=2).collect()
+    assert [(r.part_a, r.part_b, r.support) for r in got] == [(1, 2, 2)]
+
+
+def test_market_basket_dedups_same_part_lines(spark):
+    """Re-ordered same-part lines in one basket must not inflate support
+    (distinct-parts-per-order before the pair join)."""
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 2)], "l_orderkey bigint, l_partkey bigint"
+    )
+    part = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "p_partkey bigint, p_name string"
+    )
+    got = rel.market_basket_pairs(lineitem, part, min_support=1).collect()
+    assert [(r.part_a, r.part_b, r.support) for r in got] == [(1, 2, 1)]
+
+
+def test_interpurchase_intervals_single_order_customers_excluded(spark):
+    import datetime
+
+    d = datetime.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 100, d(2020, 1, 1)),
+            (2, 100, d(2020, 1, 11)),
+            (3, 200, d(2020, 5, 1)),  # single order -> no gap
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(100, "SEG_A"), (200, "SEG_B")], "c_custkey bigint, c_mktsegment string"
+    )
+    got = rel.interpurchase_intervals(orders, customer).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.c_mktsegment, r.n_gaps, r.mean_gap_days, r.min_gap_days) == (
+        "SEG_A",
+        1,
+        10.0,
+        10,
+    )
+
+
+def test_multi_touch_attribution_splits_evenly(spark):
+    """One purchase of value 9.0 with 3 in-window clicks on two dates:
+    each click gets 3.0; an out-of-window click gets nothing."""
+    import datetime
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2020, 1, 10, 12), 7, "purchase", 9.0),
+        (2, d(2020, 1, 9, 1), 7, "click", 0.0),
+        (3, d(2020, 1, 9, 2), 7, "click", 0.0),
+        (4, d(2020, 1, 8, 5), 7, "click", 0.0),
+        (5, d(2019, 12, 1, 0), 7, "click", 0.0),  # outside 7-day window
+        (6, d(2020, 1, 9, 3), 8, "click", 0.0),  # other user
+    ]
+    got = {
+        r.click_date: (r.n_touches, r.attributed_revenue)
+        for r in rel.multi_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert got == {"2020-01-09": (2, 6.0), "2020-01-08": (1, 3.0)}
+
+
+def test_benford_shares_sum_to_one_and_chi_nonnegative(spark):
+    orders = spark.createDataFrame(
+        [(float(v),) for v in [1, 19, 23, 34, 45, 56, 67, 78, 89, 91, 120]],
+        "o_totalprice double",
+    )
+    got = rel.benford_digits(orders).collect()
+    assert abs(sum(r.obs_share for r in got) - 1.0) < 1e-6
+    assert all(r.chi_square >= 0 for r in got)
+    assert len({r.chi_square for r in got}) == 1  # same statistic every row
+    # digit extraction is string-based: 120 -> '1'
+    ones = [r for r in got if r.digit == "1"]
+    assert ones and ones[0].n == 3  # 1, 19, 120
+
+
+def test_sequence_match_counts_partition_invariant(spark):
+    import datetime
+
+    d = datetime.datetime
+    rows = [
+        # user 1: e,e,e consecutive -> match
+        (1, d(2020, 1, 1, 0), 1, "error", 0.0),
+        (2, d(2020, 1, 1, 1), 1, "error", 0.0),
+        (3, d(2020, 1, 1, 2), 1, "error", 0.0),
+        # user 2: errors separated by a view -> no match
+        (4, d(2020, 1, 1, 0), 2, "error", 0.0),
+        (5, d(2020, 1, 1, 1), 2, "view", 0.0),
+        (6, d(2020, 1, 1, 2), 2, "error", 0.0),
+        (7, d(2020, 1, 1, 3), 2, "error", 0.0),
+    ]
+    ev = _events(spark, rows)
+    got = {r.matched: r.n_users for r in rel.sequence_match_users(ev).collect()}
+    assert got == {True: 1, False: 1}
+    got2 = {
+        r.matched: r.n_users
+        for r in rel.sequence_match_users(ev.repartition(7)).collect()
+    }
+    assert got2 == got
+
+
+def test_psi_drift_identical_periods_near_zero(spark):
+    """When both periods draw the same values, every PSI term is ~0 (the
+    smoothing keeps it finite, not exactly zero for unequal sizes)."""
+    import datetime
+
+    d = datetime.datetime
+    rows = [(i, float(100 + (i * 37) % 900), d(1996, 1, 1)) for i in range(200)]
+    rows += [
+        (1000 + i, float(100 + (i * 37) % 900), d(1999, 1, 1))
+        for i in range(200)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_totalprice double, o_orderdate timestamp"
+    )
+    got = rel.psi_drift(orders).collect()
+    assert len(got) == 10
+    assert sum(abs(r.psi_term) for r in got) < 1e-3
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    from conftest import SF001
+
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF001, "orders")
+    got = rel.rfm_segments(orders)
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert got.agg(F.sum("n_customers")).collect()[0][0] == n_cust
+    scores = got.select("r_score", "f_score", "m_score").collect()
+    assert all(
+        1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        for r in scores
+    )
+
+
+def test_weighted_median_is_weighted_not_plain(spark):
+    """A heavy-quantity cheap line must drag the weighted median below
+    the unweighted one."""
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 98.0, 10.0), (2, 1, 2, 100.0, 1.0), (3, 1, 3, 200.0, 1.0)],
+        "l_orderkey bigint, l_partkey bigint, l_linenumber int, "
+        "l_extendedprice double, l_quantity double",
+    )
+    part = spark.createDataFrame([(1, "B")], "p_partkey bigint, p_brand string")
+    got = rel.weighted_median_price(lineitem, part).collect()
+    assert got[0].weighted_median_price == 98.0
