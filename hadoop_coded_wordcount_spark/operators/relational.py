@@ -4073,3 +4073,106 @@ def benford_digits(orders: DataFrame) -> DataFrame:
             "chi_square"
         ),
     )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM change-point scan over the daily event-value series: S_t =
+    Σ_{i≤t} (x_i − x̄) with the day of maximum |S| flagged — the classic
+    "where did the level shift" detector for a monitored metric.
+
+    Determinism discipline: daily totals sum in exact DECIMAL; the
+    per-day deviation rounds to 8 digits and the cumulative sum runs
+    over DECIMAL — window aggregation order is engine-internal (Spark
+    folds sequentially, DuckDB uses segment trees), so a raw double
+    prefix sum would drift in the last ulp; exact decimal is
+    order-independent by construction. The window itself is over the
+    day-ordered AGGREGATED series (calendar-bounded, not data-sized).
+    The argmax flag compares |S| against the series max (identical
+    decimals), tie-broken to every attaining day.
+    """
+    daily = events.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    wt = Window.partitionBy()
+    wo = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = daily.select(
+        "day",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("x"),
+        (
+            F.sum("s").over(wt).cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("xbar"),
+    ).select(
+        "day",
+        "n",
+        F.round(F.col("x"), 6).alias("daily_mean"),
+        F.sum(
+            F.round(F.col("x") - F.col("xbar"), 8).cast("decimal(18,8)")
+        ).over(wo).alias("s_raw"),
+    )
+    flagged = staged.select(
+        "day",
+        "n",
+        "daily_mean",
+        F.round(F.col("s_raw").cast("double"), 6).alias("cusum"),
+        (
+            F.abs(F.col("s_raw"))
+            == F.max(F.abs(F.col("s_raw"))).over(Window.partitionBy())
+        ).alias("is_changepoint"),
+    )
+    return flagged
+
+
+def rolling_correlation(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling Pearson correlation between two daily metrics (click count
+    vs purchase value) over a trailing window — the co-movement monitor
+    between a leading and a lagging business metric.
+
+    Scale shape: one partial-agg shuffle to the daily grid, then every
+    rolling sum is a window over the day-ordered AGGREGATED series
+    (calendar-bounded). Every windowed sum runs over EXACT types —
+    integer click counts and DECIMAL purchase values/products — because
+    window aggregation order is engine-internal (Spark folds
+    sequentially, DuckDB segment-trees); only the final correlation
+    arithmetic is double, on identical exact inputs. Rows with an
+    incomplete window or zero variance report NULL, not a fabricated 0.
+    """
+    daily = events.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(w).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).over(w).cast("double")
+    sxy = F.sum(F.col("y") * F.col("x")).over(w).cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        (n == window_days) & (varx > 0) & (vary > 0),
+        cov / F.sqrt(varx * vary),
+    )
+    return daily.select(
+        "day",
+        F.col("x").alias("clicks"),
+        F.col("y").cast("double").alias("purchase_value"),
+        F.round(corr, 6).alias("rolling_corr"),
+    )

@@ -4978,6 +4978,72 @@ def q_bpe_encode_tokens(spark, sf_dir):
     )
 
 
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1
+    ),
+    staged AS (
+      SELECT day, n, CAST(s AS DOUBLE) / n AS x,
+             CAST(SUM(s) OVER () AS DOUBLE)
+               / CAST(SUM(n) OVER () AS DOUBLE) AS xbar
+      FROM daily
+    ),
+    c AS (
+      SELECT day, n, ROUND(x, 6) AS daily_mean,
+             SUM(CAST(ROUND(x - xbar, 8) AS DECIMAL(18,8)))
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS s_raw
+      FROM staged
+    )
+    SELECT day, n, daily_mean, ROUND(CAST(s_raw AS DOUBLE), 6) AS cusum,
+           abs(s_raw) = MAX(abs(s_raw)) OVER () AS is_changepoint
+    FROM c
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    return rel.cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rolling_correlation",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, x, y,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) OVER w AS DOUBLE) AS syy,
+             CAST(SUM(y * x) OVER w AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x AS clicks, CAST(y AS DOUBLE) AS purchase_value,
+           ROUND(CASE WHEN n = 7 AND (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+                 THEN (n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS rolling_corr
+    FROM r
+    """,
+)
+def q_rolling_correlation(spark, sf_dir):
+    return rel.rolling_correlation(load_table(spark, sf_dir, "events"))
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -5035,6 +5101,8 @@ _VERIFY_FIRST = [
     "link_prediction_jaccard",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "cusum_changepoint",
+    "rolling_correlation",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
