@@ -359,3 +359,58 @@ def test_rolling_median_matches_pandas(spark, values):
     want = s.rolling(21, min_periods=1).median()
     for i in range(len(values)):
         assert abs(got[i] - want.iloc[i]) < 1e-9, i
+
+
+def _reference_bpe(freq: dict[str, int], n_merges: int):
+    """In-memory BPE with max-count / lexicographic-min-pair selection and
+    left-to-right non-overlapping rewrite — the model bpe_train must match."""
+    vocab = {tuple(w): c for w, c in freq.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += c
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == m)[0]
+        out.append((rank, a, b, m))
+        new = {}
+        for w, c in vocab.items():
+            merged = []
+            for ch in w:
+                if merged and merged[-1] == a and ch == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(ch)
+            new[tuple(merged)] = new.get(tuple(merged), 0) + c
+        vocab = new
+    return out
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    reps=st.lists(st.integers(min_value=1, max_value=5), min_size=8, max_size=8),
+)
+@_SETTINGS
+def test_bpe_train_matches_reference_model(spark, words, reps):
+    """Random small corpora: distributed BPE == in-memory reference BPE,
+    merge for merge — including tie-breaks and overlapping-pair rewrites
+    (alphabet 'abcd' maximizes aa/ab adjacency collisions)."""
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+    freq = Counter()
+    for w, r in zip(words, reps):
+        freq[w] += r
+    text = " ".join(w for w, c in freq.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in ts.bpe_train(docs, n_merges=4).collect()
+    ]
+    assert got == _reference_bpe(dict(freq), 4)
