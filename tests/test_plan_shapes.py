@@ -238,3 +238,28 @@ def test_nearest_asof_single_exchange_two_sorts(spark):
     plan = _plan(spark, "join_asof_nearest")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window ") == 2
+
+
+def test_tpch_completion_broadcasts_and_pushdown(spark):
+    """The TPC-H completion set must broadcast its pruned dims and push
+    the dim filters to the parquet scan — a lost broadcast here turns a
+    dim lookup into a full shuffle at scale."""
+    for name, pushed in [
+        ("q2_min_cost_supplier", "LARGE"),
+        ("q9_product_type_profit", "cold"),
+        ("q16_supplier_count", "Brand#13"),
+        ("q20_excess_shippers", None),
+    ]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        if pushed is not None:
+            assert pushed in plan, (name, "dim filter not pushed into plan")
+
+
+def test_rfm_has_no_global_ntile_window(spark):
+    """rfm_segments scores via broadcast percentile boundaries — an
+    unpartitioned ntile window (single task over all customers) must
+    never reappear."""
+    plan = _plan(spark, "rfm_segments")
+    assert "ntile" not in plan.lower()
