@@ -27,6 +27,7 @@ clusters, and versions.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "tokens_col",
@@ -1078,4 +1079,63 @@ def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
         "quality",
         (F.row_number().over(w_rank) == 1).alias("keep"),
         F.count(F.lit(1)).over(w_all).alias("cluster_size"),
+    )
+
+
+def dedup_incremental(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup screen: which docs of the NEW
+    ingest near-duplicate something already in the EXISTING corpus — the
+    nightly-batch question, as opposed to the within-corpus pair scan.
+    Halves are derived from the source id here (src0-9 existing,
+    src10-19 new); a production pipeline passes two frames.
+
+    Shape: reuses the banded-LSH pair scan (:func:`minhash_lsh_pairs` —
+    candidates only inside LSH buckets, exact-Jaccard verify), then
+    classifies each pair by half and keeps cross pairs only; per new doc
+    the best existing match survives via one window (max jaccard, min
+    id). The half map joins on doc_id — key-partitioned, no broadcast of
+    a corpus-sized frame.
+    """
+    half = documents.select(
+        "doc_id",
+        (F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10).alias(
+            "is_existing"
+        ),
+    )
+    pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    j = (
+        pairs.join(
+            half.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("is_existing").alias("ex_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            half.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("is_existing").alias("ex_b"),
+            ),
+            "doc_b",
+        )
+        .where(F.col("ex_a") != F.col("ex_b"))
+        .select(
+            F.when(F.col("ex_a"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("new_doc_id"),
+            F.when(F.col("ex_a"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("matched_doc_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jaccard"), F.asc("matched_doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_doc_id", "matched_doc_id", "jaccard")
     )

@@ -782,3 +782,67 @@ def _sql_str(s: str) -> str:
     from corpus text split on whitespace — escape quotes and backslashes
     defensively)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame, max_df: int = 50, threshold: float = 0.3
+) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs via the inverted index — the
+    lexical complement to the dense embedding similarity family: pairs
+    meet only on shared terms (posting-list join), never all-pairs.
+
+    Scale knobs: ``max_df`` drops hub terms (a term in d docs contributes
+    d² join rows — the classic posting-prune); idf is the RATIONAL form
+    tf·N/df (no log: libm-vs-JVM last-ulp differences would break
+    exactness, same decision as tfidf_topk). Weights round to 6 and
+    become DECIMAL before any pair product or norm, so every sum is
+    exact and order-independent; cosine itself is one double division of
+    identical exact inputs.
+    """
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    weights = (
+        tf.join(df_.where(F.col("df") <= max_df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = weights.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -5044,6 +5044,98 @@ def q_rolling_correlation(spark, sf_dir):
     return rel.rolling_correlation(load_table(spark, sf_dir, "events"))
 
 
+_GRAMS_CTE = r"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    )"""
+
+
+@register(
+    "dedup_incremental",
+    _GRAMS_CTE
+    + r""",
+    p AS (
+      SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(regexp_extract(source, '(\d+)$', 1) AS INT) < 10 AS ex
+      FROM documents
+    ),
+    c AS (
+      SELECT CASE WHEN ha.ex THEN p.doc_b ELSE p.doc_a END AS new_doc_id,
+             CASE WHEN ha.ex THEN p.doc_a ELSE p.doc_b END AS matched_doc_id,
+             jaccard
+      FROM p JOIN h ha ON p.doc_a = ha.doc_id
+             JOIN h hb ON p.doc_b = hb.doc_id
+      WHERE ha.ex <> hb.ex
+    )
+    SELECT new_doc_id, matched_doc_id, jaccard FROM (
+      SELECT c.*, ROW_NUMBER() OVER (PARTITION BY new_doc_id
+                    ORDER BY jaccard DESC, matched_doc_id) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    return dd.dedup_incremental(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_cosine_pairs",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wts AS (
+      SELECT doc_id, term,
+             CAST(ROUND(CAST(tf * n_docs AS DOUBLE) / df, 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM tf JOIN dfq USING (term), nn
+      WHERE df <= 50
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM wts GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+             AS cosine
+    FROM dots JOIN norms na ON doc_a = na.doc_id
+              JOIN norms nb ON doc_b = nb.doc_id
+    WHERE ROUND(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+          >= 0.3
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    return ts.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -5103,6 +5195,8 @@ _VERIFY_FIRST = [
     "bpe_encode_tokens",
     "cusum_changepoint",
     "rolling_correlation",
+    "dedup_incremental",
+    "tfidf_cosine_pairs",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
