@@ -4176,3 +4176,37 @@ def rolling_correlation(events: DataFrame, window_days: int = 7) -> DataFrame:
         F.col("y").cast("double").alias("purchase_value"),
         F.round(corr, 6).alias("rolling_corr"),
     )
+
+
+def fuzzy_blocking_pairs(part: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Entity-resolution blocking join over part names: candidate pairs
+    meet only inside a cheap blocking key (the name's first token), pass
+    a length-band prefilter, and only then pay Levenshtein — the
+    standard record-linkage shape that never goes all-pairs.
+
+    Scale shape: DISTINCT names first (the entity universe, far smaller
+    than the row count), an equi-join on the block key (shuffled, AQE
+    salts a hot block), the |len diff| ≤ d band as a cheap residual
+    BEFORE the O(len²) edit distance, and ``a < b`` halves the pair
+    space. Edit distance is an exact integer — engine-stable with no
+    float discipline needed. At 100× the blocking key is the knob:
+    a first-token block grows with vocabulary, not corpus rows.
+    """
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    block = lambda c: F.split(F.col(c), " ").getItem(0)  # noqa: E731
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (block("name_a") == block("name_b"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .where(dist <= max_dist)
+        .select("name_a", "name_b", dist.alias("edit_dist"))
+    )

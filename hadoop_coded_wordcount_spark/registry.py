@@ -5136,6 +5136,23 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     return ts.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "fuzzy_blocking_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM n a JOIN n b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_blocking_pairs(spark, sf_dir):
+    return rel.fuzzy_blocking_pairs(load_table(spark, sf_dir, "part"))
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -5197,6 +5214,7 @@ _VERIFY_FIRST = [
     "rolling_correlation",
     "dedup_incremental",
     "tfidf_cosine_pairs",
+    "fuzzy_blocking_pairs",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
