@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "trade_edges",
     "pagerank",
+    "personalized_pagerank",
     "bfs_depths",
     "degree_distribution",
     "supplier_cooccurrence_graph",
@@ -497,4 +498,72 @@ def link_prediction_jaccard(
         )
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(topn)
+    )
+
+
+def personalized_pagerank(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    seed_custkey: int = 1,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank from one seed customer: identical integer
+    recurrence to :func:`pagerank` except ALL teleport mass returns to
+    the seed node — the rank then measures proximity-weighted influence
+    of the seed, the standard recommendation/expansion primitive.
+
+    Same scale discipline as pagerank (checkpointed invariant inputs,
+    per-round lazy checkpoint, one join + one agg shuffle per round) and
+    the same determinism argument: every quantity is integer-scaled with
+    floor division, so message order cannot drift a single unit and the
+    oracle replays the rounds exactly.
+    """
+    edges = trade_edges(orders, lineitem).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    if deg.count() == 0:
+        spark = orders.sparkSession
+        return spark.createDataFrame(
+            [],
+            "node bigint, node_type string, entity_key bigint, rank_scaled bigint",
+        )
+    seed_node = 2 * seed_custkey
+    teleport_total = PR_SCALE * (100 - damping_pct) // 100
+    ranks = deg.select(
+        "node",
+        F.when(F.col("node") == seed_node, F.lit(PR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(n_iter):
+        contrib = ranks.join(deg, "node").select(
+            "node", F.expr("rank div d").alias("contrib")
+        )
+        ranks = (
+            edges.join(contrib, edges["src"] == contrib["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == seed_node, F.lit(teleport_total)
+                    ).otherwise(F.lit(0))
+                    + F.expr(f"{damping_pct} * s div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("rank").alias("rank_scaled"),
     )

@@ -4210,3 +4210,52 @@ def fuzzy_blocking_pairs(part: DataFrame, max_dist: int = 3) -> DataFrame:
         .where(dist <= max_dist)
         .select("name_a", "name_b", dist.alias("edit_dist"))
     )
+
+
+def clv_cohort(orders: DataFrame) -> DataFrame:
+    """Customer-lifetime-value cohort curves: customers cohorted by
+    first-order month, revenue accumulated over cohort age in months,
+    normalized per cohort member — the LTV curve a growth dashboard
+    plots per acquisition cohort.
+
+    Scale shape: one shuffle keys the first-order aggregate by customer,
+    one joins it back (both on custkey), the grid aggregate reduces to
+    |cohorts|·|ages| rows, and the cumulative sum is a window over that
+    tiny grid ORDERED BY AGE — running in exact DECIMAL (window fold
+    order is engine-internal; decimal is order-independent). Month
+    ordinals are integers (year·12+month), so cohort age is exact
+    integer arithmetic, no date-float dust.
+    """
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mo")
+    per_order = orders.select(
+        "o_custkey", mo, _dec("o_totalprice").alias("rev")
+    )
+    first = per_order.groupBy("o_custkey").agg(F.min("mo").alias("cohort_mo"))
+    sizes = first.groupBy("cohort_mo").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    grid = (
+        per_order.join(first, "o_custkey")
+        .groupBy(
+            "cohort_mo", (F.col("mo") - F.col("cohort_mo")).alias("age_months")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_mo").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_mo")
+        .select(
+            "cohort_mo",
+            "age_months",
+            "n_orders",
+            "cohort_size",
+            F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("rev").over(w).cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("clv"),
+        )
+    )

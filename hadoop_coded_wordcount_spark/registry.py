@@ -5153,6 +5153,105 @@ def q_fuzzy_blocking_pairs(spark, sf_dir):
     return rel.fuzzy_blocking_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register(
+    "clv_cohort",
+    """
+    WITH po AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS mo,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, MIN(mo) AS cohort_mo FROM po GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_mo, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY cohort_mo
+    ),
+    grid AS (
+      SELECT cohort_mo, mo - cohort_mo AS age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(rev) AS rev
+      FROM po JOIN first USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_mo, age_months, n_orders, cohort_size,
+           CAST(SUM(rev) OVER w AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+                 / CAST(cohort_size AS DOUBLE), 6) AS clv
+    FROM grid JOIN sizes USING (cohort_mo)
+    WINDOW w AS (PARTITION BY cohort_mo ORDER BY age_months
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_clv_cohort(spark, sf_dir):
+    return rel.clv_cohort(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "personalized_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node = 2 THEN 1000000000000 ELSE 0 END AS rank
+      FROM deg
+    ),
+    r1 AS (
+      SELECT e.dst AS node,
+             CASE WHEN e.dst = 2 THEN 150000000000 ELSE 0 END
+             + 85 * CAST(SUM(r.rank // d.d) AS BIGINT) // 100 AS rank
+      FROM edges e
+      JOIN r0 r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             CASE WHEN e.dst = 2 THEN 150000000000 ELSE 0 END
+             + 85 * CAST(SUM(r.rank // d.d) AS BIGINT) // 100 AS rank
+      FROM edges e
+      JOIN r1 r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             CASE WHEN e.dst = 2 THEN 150000000000 ELSE 0 END
+             + 85 * CAST(SUM(r.rank // d.d) AS BIGINT) // 100 AS rank
+      FROM edges e
+      JOIN r2 r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           rank AS rank_scaled
+    FROM r3
+    """,
+)
+def q_personalized_pagerank(spark, sf_dir):
+    return gr.personalized_pagerank(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        seed_custkey=1,
+    )
+
+
 @register("k_core_suppliers", _kcore_oracle(k=5, rounds=40))
 def q_k_core_suppliers(spark, sf_dir):
     return gr.k_core(
@@ -5215,6 +5314,8 @@ _VERIFY_FIRST = [
     "dedup_incremental",
     "tfidf_cosine_pairs",
     "fuzzy_blocking_pairs",
+    "clv_cohort",
+    "personalized_pagerank",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
