@@ -173,3 +173,21 @@ def test_weighted_median_is_weighted_not_plain(spark):
     part = spark.createDataFrame([(1, "B")], "p_partkey bigint, p_brand string")
     got = rel.weighted_median_price(lineitem, part).collect()
     assert got[0].weighted_median_price == 98.0
+
+
+def test_clv_cohort_monotone_and_consistent(spark):
+    """Per cohort, cumulative revenue is non-decreasing in age, and
+    age-0 exists for every cohort (the first order defines it)."""
+    from conftest import SF001
+
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    rows = rel.clv_cohort(load_table(spark, SF001, "orders")).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_mo, []).append(r)
+    for mo, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        assert rs[0].age_months == 0, mo
+        cums = [r.cum_revenue for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:])), mo

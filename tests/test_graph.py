@@ -183,3 +183,24 @@ def test_cooccurrence_graph_threshold_and_invariance(spark):
     # monotone: a higher threshold can only lose edges
     e34 = set(map(tuple, gr.supplier_cooccurrence_graph(li, 34).collect()))
     assert e34 <= set(e30)
+
+
+def test_personalized_pagerank_seed_concentration(spark):
+    """All teleport mass returns to the seed: the seed customer must
+    outrank every other customer, and an empty graph returns empty."""
+    from conftest import SF001
+
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF001, "orders")
+    lineitem = load_table(spark, SF001, "lineitem")
+    ranks = gr.personalized_pagerank(orders, lineitem, seed_custkey=1)
+    custs = {
+        r.entity_key: r.rank_scaled
+        for r in ranks.where(F.col("node_type") == "customer").collect()
+    }
+    assert custs and custs[1] == max(custs.values())
+
+    empty_o = orders.where(F.lit(False))
+    empty_l = lineitem.where(F.lit(False))
+    assert gr.personalized_pagerank(empty_o, empty_l).count() == 0
