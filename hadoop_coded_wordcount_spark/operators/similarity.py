@@ -776,3 +776,71 @@ def embedding_covariance(embeddings: DataFrame, dims: int = 16) -> DataFrame:
         ]
     )
     return sums.select(F.explode_outer(out).alias("x")).select("x.*")
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_mod: int = 100,
+    k_each: int = 20,
+    k_out: int = 10,
+    rrf_k: int = 60,
+    dim: int = 64,
+    max_df: int = 50,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the DENSE
+    ranking (exact embedding cosine, :func:`cosine_topk`) with the
+    SPARSE ranking (TF-IDF posting-list cosine,
+    :func:`~..textstats.tfidf_query_topk`) for the same deterministic
+    query set, scoring each candidate ``Σ 1/(rrf_k + rank)`` over the
+    rankings that retrieved it (Cormack et al.'s RRF — the standard
+    lexical+vector fusion in production retrieval stacks).
+
+    The id spaces align by construction (documents.doc_id ==
+    embeddings.vec_id in the test corpus); each side contributes its
+    top ``k_each``, fused by FULL OUTER join so a candidate found by
+    only one ranking still scores. Both rank terms are one double
+    division each, added left-to-right — bit-identical to the SQL
+    oracle, rounded to 6 for the gate.
+
+    Scale: both sides are already bounded (dense broadcasts the query
+    subset, sparse joins posting lists); fusion shuffles only
+    (query, candidate, rank) triples — k_each rows per query per side.
+    """
+    from .textstats import tfidf_query_topk
+
+    dense = cosine_topk(
+        embeddings, query_mod=query_mod, k=k_each, dim=dim
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").alias("dense_rank")
+    )
+    sparse = tfidf_query_topk(
+        documents, query_mod=query_mod, k=k_each, max_df=max_df
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").alias("sparse_rank")
+    )
+    fused = dense.join(sparse, ["query_id", "neighbor_id"], "full_outer")
+
+    def term(rank_col: Column) -> Column:
+        return F.when(
+            rank_col.isNotNull(),
+            F.lit(1.0) / (F.lit(rrf_k) + rank_col).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    rrf = term(F.col("dense_rank")) + term(F.col("sparse_rank"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= k_out)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+            F.coalesce("sparse_rank", F.lit(0)).alias("sparse_rank"),
+        )
+    )

@@ -784,20 +784,15 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def tfidf_cosine_pairs(
-    documents: DataFrame, max_df: int = 50, threshold: float = 0.3
-) -> DataFrame:
-    """Sparse TF-IDF cosine document pairs via the inverted index — the
-    lexical complement to the dense embedding similarity family: pairs
-    meet only on shared terms (posting-list join), never all-pairs.
+def tfidf_weight_norms(documents: DataFrame, max_df: int = 50):
+    """Shared sparse-vector base for the TF-IDF similarity family:
+    per-(doc, term) weights and per-doc squared norms.
 
-    Scale knobs: ``max_df`` drops hub terms (a term in d docs contributes
-    d² join rows — the classic posting-prune); idf is the RATIONAL form
-    tf·N/df (no log: libm-vs-JVM last-ulp differences would break
-    exactness, same decision as tfidf_topk). Weights round to 6 and
-    become DECIMAL before any pair product or norm, so every sum is
-    exact and order-independent; cosine itself is one double division of
-    identical exact inputs.
+    Weight is the RATIONAL idf form tf·N/df (no log — libm-vs-JVM
+    last-ulp differences would break oracle exactness), rounded to 6
+    and cast DECIMAL(18,6) so every downstream dot/norm sum is exact
+    and aggregation-order-independent. ``max_df`` prunes hub terms (a
+    term in d docs contributes d² posting-join rows).
     """
     tf = (
         documents.select("doc_id", F.explode(tokens_col()).alias("term"))
@@ -823,6 +818,81 @@ def tfidf_cosine_pairs(
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
     )
+    return weights, norms
+
+
+def tfidf_query_topk(
+    documents: DataFrame,
+    query_mod: int = 100,
+    k: int = 20,
+    max_df: int = 50,
+) -> DataFrame:
+    """Sparse (lexical) top-k retrieval: for each query document
+    (doc_id % query_mod == 0), the k nearest other documents by TF-IDF
+    cosine — the posting-list-join twin of ``similarity.cosine_topk``.
+
+    Candidates meet only on shared terms (never all-pairs), so a query
+    matches at most the union of its terms' posting lists; ranking is
+    total via (cosine DESC, neighbor_id). The cosine divides
+    exact-decimal dot/norm sums in double once per candidate —
+    deterministic on both engines, no tolerance needed.
+    """
+    weights, norms = tfidf_weight_norms(documents, max_df=max_df)
+    q = weights.where(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
+    )
+    dots = (
+        q.join(
+            weights.select(
+                F.col("doc_id").alias("neighbor_id"), "term", "w"
+            ),
+            "term",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    nq = norms.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("qn2"))
+    nn = norms.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("n2").alias("nn2")
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn2").cast("double") * F.col("nn2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        dots.join(nq, "query_id")
+        .join(nn, "neighbor_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame, max_df: int = 50, threshold: float = 0.3
+) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs via the inverted index — the
+    lexical complement to the dense embedding similarity family: pairs
+    meet only on shared terms (posting-list join), never all-pairs.
+
+    Scale knobs: ``max_df`` drops hub terms (a term in d docs contributes
+    d² join rows — the classic posting-prune); idf is the RATIONAL form
+    tf·N/df (no log: libm-vs-JVM last-ulp differences would break
+    exactness, same decision as tfidf_topk). Weights round to 6 and
+    become DECIMAL before any pair product or norm, so every sum is
+    exact and order-independent; cosine itself is one double division of
+    identical exact inputs.
+    """
+    weights, norms = tfidf_weight_norms(documents, max_df=max_df)
     a = weights.select(
         F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
     )

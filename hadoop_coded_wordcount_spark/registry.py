@@ -5262,6 +5262,96 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "hybrid_rrf_topk",
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id % 100 = 0),
+    dense_scored AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    dense_top AS (
+      SELECT query_id, neighbor_id, dense_rank FROM (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                    AS INT) AS dense_rank
+        FROM dense_scored
+      ) WHERE dense_rank <= 20
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wts AS (
+      SELECT doc_id, term,
+             CAST(ROUND(CAST(tf * n_docs AS DOUBLE) / df, 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM tf JOIN dfq USING (term), nn
+      WHERE df <= 50
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM wts GROUP BY doc_id),
+    sdots AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+             SUM(a.w * b.w) AS dot
+      FROM wts a JOIN wts b
+        ON a.term = b.term AND b.doc_id <> a.doc_id
+      WHERE a.doc_id % 100 = 0
+      GROUP BY 1, 2
+    ),
+    sparse_top AS (
+      SELECT query_id, neighbor_id, sparse_rank FROM (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY CAST(dot AS DOUBLE)
+                          / sqrt(CAST(nq.n2 AS DOUBLE)
+                                 * CAST(nb.n2 AS DOUBLE)) DESC,
+                          neighbor_id) AS INT) AS sparse_rank
+        FROM sdots
+        JOIN norms nq ON query_id = nq.doc_id
+        JOIN norms nb ON neighbor_id = nb.doc_id
+      ) WHERE sparse_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+             COALESCE(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+             d.dense_rank, s.sparse_rank,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + d.dense_rank),
+                      CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sparse_rank),
+                        CAST(0 AS DOUBLE)) AS rrf
+      FROM dense_top d
+      FULL OUTER JOIN sparse_top s
+        ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_rank, ROUND(rrf, 6) AS rrf_score,
+           COALESCE(dense_rank, 0) AS dense_rank,
+           COALESCE(sparse_rank, 0) AS sparse_rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, neighbor_id)
+                     AS INT) AS rrf_rank
+      FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+)
+def q_hybrid_rrf_topk(spark, sf_dir):
+    return sim.hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------
@@ -5316,6 +5406,7 @@ _VERIFY_FIRST = [
     "fuzzy_blocking_pairs",
     "clv_cohort",
     "personalized_pagerank",
+    "hybrid_rrf_topk",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
