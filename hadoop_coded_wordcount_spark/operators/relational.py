@@ -4259,3 +4259,53 @@ def clv_cohort(orders: DataFrame) -> DataFrame:
             ).alias("clv"),
         )
     )
+
+
+def entity_resolution(part: DataFrame, max_dist: int = 3) -> DataFrame:
+    """End-to-end entity resolution over part names: fuzzy candidate
+    pairs (:func:`fuzzy_blocking_pairs`) become edges of a match graph,
+    connected components merge transitively-linked variants into one
+    entity, and each entity elects a canonical representative — the
+    full record-linkage pipeline (blocking → matching → clustering →
+    canonicalization), not just the pair list.
+
+    Node ids are MIN(p_partkey) per distinct name (stable integers, so
+    the O(log n) star-contraction CC applies unchanged); entity_id is
+    the component's minimum node id and the canonical name is that
+    node's name — deterministic, no scoring heuristic to disagree on.
+    Names with no fuzzy match form singleton entities via the left-join
+    coalesce, so the output covers the entire name universe.
+
+    Scale: pairs never go all-pairs (first-token blocking + length
+    band), CC is O(log n) rounds over an edge list that only shrinks,
+    and the canonical/size joins key on entity_id — the entity universe,
+    not the row count.
+    """
+    from .dedup import connected_components_star
+
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    pairs = fuzzy_blocking_pairs(part, max_dist=max_dist)
+    na = names.select(
+        F.col("p_name").alias("name_a"), F.col("nid").alias("doc_a")
+    )
+    nb = names.select(
+        F.col("p_name").alias("name_b"), F.col("nid").alias("doc_b")
+    )
+    edges = pairs.join(na, "name_a").join(nb, "name_b").select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components_star(edges)
+    labeled = names.join(cc, names["nid"] == cc["doc_id"], "left").select(
+        "p_name", "nid", F.coalesce("cluster_id", "nid").alias("entity_id")
+    )
+    canon = labeled.where(F.col("nid") == F.col("entity_id")).select(
+        "entity_id", F.col("p_name").alias("canonical_name")
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labeled.join(canon, "entity_id")
+        .join(sizes, "entity_id")
+        .select("entity_id", "p_name", "canonical_name", "n_members")
+    )

@@ -5263,6 +5263,52 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "entity_resolution",
+    # Oracle: same blocking-join pair predicate as fuzzy_blocking_pairs,
+    # closed transitively by recursive CTE (algorithm-independent
+    # component partition — the Spark side runs star contraction), then
+    # the same canonical/size joins.
+    """
+    WITH RECURSIVE
+    n AS (SELECT p_name, MIN(p_partkey) AS nid FROM part GROUP BY p_name),
+    e AS (
+      SELECT a.nid AS doc_a, b.nid AS doc_b
+      FROM n a JOIN n b
+        ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 3
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM e
+      UNION ALL
+      SELECT doc_b, doc_a FROM e
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node
+    ),
+    cc AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+      SELECT n.p_name, n.nid, COALESCE(cc.cluster_id, n.nid) AS entity_id
+      FROM n LEFT JOIN cc ON n.nid = cc.node
+    ),
+    canon AS (SELECT entity_id, p_name AS canonical_name FROM labeled
+              WHERE nid = entity_id),
+    sizes AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM labeled GROUP BY entity_id)
+    SELECT l.entity_id, l.p_name, c.canonical_name, s.n_members
+    FROM labeled l
+    JOIN canon c USING (entity_id)
+    JOIN sizes s USING (entity_id)
+    """,
+)
+def q_entity_resolution(spark, sf_dir):
+    return rel.entity_resolution(load_table(spark, sf_dir, "part"))
+
+
+@register(
     "hybrid_rrf_topk",
     f"""
     WITH v AS ({_DUCK_VECS}),
@@ -5407,6 +5453,7 @@ _VERIFY_FIRST = [
     "clv_cohort",
     "personalized_pagerank",
     "hybrid_rrf_topk",
+    "entity_resolution",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -392,3 +392,37 @@ def test_keyset_pagination_equals_offset_every_page(spark):
         assert got == full[(page - 1) * 20 : page * 20], page
         seen += got
     assert seen == full
+
+
+def test_entity_resolution_transitive_merge_and_singletons(spark):
+    """A→B and B→C within edit distance 3 (A→C farther) must still
+    land in ONE entity via transitivity; the canonical name is the
+    minimum-partkey member's; unmatched names form singletons."""
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        entity_resolution,
+    )
+
+    rows = [
+        # one chain: dist(a,b)=2, dist(b,c)=2, dist(a,c)=4 > 3
+        (10, "azure metal rod xx"),
+        (20, "azure metal rod xxzz"),
+        (30, "azure metal rod xxzzqq"),
+        # duplicate name rows collapse to one entity member
+        (40, "azure metal rod xx"),
+        # different block (first token differs) — never a candidate
+        (50, "green metal rod xx"),
+    ]
+    part = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    out = {r.p_name: r for r in entity_resolution(part).collect()}
+    assert len(out) == 4  # distinct names
+    chain = [
+        out["azure metal rod xx"],
+        out["azure metal rod xxzz"],
+        out["azure metal rod xxzzqq"],
+    ]
+    assert {r.entity_id for r in chain} == {10}
+    assert all(r.canonical_name == "azure metal rod xx" for r in chain)
+    assert all(r.n_members == 3 for r in chain)
+    green = out["green metal rod xx"]
+    assert green.entity_id == 50 and green.n_members == 1
+    assert green.canonical_name == "green metal rod xx"
