@@ -5262,6 +5262,60 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+def _sssp_oracle(seed_custkey: int, rounds: int) -> str:
+    """Unrolled Bellman–Ford replay: round k's CTE is the min-combine of
+    round k-1's distances with one relaxation over the weighted edges —
+    exactly the operator's per-round invariant, in integer arithmetic."""
+    parts = [
+        f"""
+    WITH e0 AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(MIN(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    d0 AS (SELECT CAST({2 * seed_custkey} AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN d{k - 1} d ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           dist
+    FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("sssp_weighted", _sssp_oracle(seed_custkey=1, rounds=4))
+def q_sssp_weighted(spark, sf_dir):
+    return gr.sssp_weighted(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        seed_custkey=1,
+        n_rounds=4,
+    )
+
+
 @register(
     "entity_resolution",
     # Oracle: same blocking-join pair predicate as fuzzy_blocking_pairs,
@@ -5454,6 +5508,7 @@ _VERIFY_FIRST = [
     "personalized_pagerank",
     "hybrid_rrf_topk",
     "entity_resolution",
+    "sssp_weighted",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

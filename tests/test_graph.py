@@ -204,3 +204,75 @@ def test_personalized_pagerank_seed_concentration(spark):
     empty_o = orders.where(F.lit(False))
     empty_l = lineitem.where(F.lit(False))
     assert gr.personalized_pagerank(empty_o, empty_l).count() == 0
+
+
+def _trade_w(spark, triples):
+    """orders/lineitem realizing weighted (custkey, suppkey, qty) links,
+    one synthetic order per triple."""
+    orders = spark.createDataFrame(
+        [(i, c) for i, (c, _, _) in enumerate(triples)],
+        "o_orderkey bigint, o_custkey bigint",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, s, float(q)) for i, (_, s, q) in enumerate(triples)],
+        "l_orderkey bigint, l_suppkey bigint, l_quantity double",
+    )
+    return orders, lineitem
+
+
+def test_sssp_weighted_prefers_cheap_detour(spark):
+    # direct hop c1-s10 costs 9; detour c1-s20(1) -> c2(1) -> s10(1)
+    # costs 3 — weighted SSSP must take the detour where BFS would not.
+    # duplicate c1-s20 links (qty 5 and 1) pin the MIN edge weight.
+    triples = [
+        (1, 10, 9),
+        (1, 20, 5),
+        (1, 20, 1),
+        (2, 20, 1),
+        (2, 10, 1),
+    ]
+    orders, lineitem = _trade_w(spark, triples)
+    got = {
+        (r.node_type, r.entity_key): r.dist
+        for r in gr.sssp_weighted(
+            orders, lineitem, seed_custkey=1, n_rounds=4
+        ).collect()
+    }
+    assert got == {
+        ("customer", 1): 0,
+        ("supplier", 20): 1,
+        ("customer", 2): 2,
+        ("supplier", 10): 3,
+    }
+
+
+def test_sssp_weighted_round_bound_and_early_stop(spark):
+    # chain c1 -s10- c2 -s20- c3, unit weights: within 2 rounds only
+    # nodes ≤2 edges away settle; a generous round budget stops early at
+    # the fixpoint and yields the full component with exact distances.
+    triples = [(1, 10, 1), (2, 10, 1), (2, 20, 1), (3, 20, 1)]
+    orders, lineitem = _trade_w(spark, triples)
+    two = {
+        (r.node_type, r.entity_key): r.dist
+        for r in gr.sssp_weighted(
+            orders, lineitem, seed_custkey=1, n_rounds=2
+        ).collect()
+    }
+    assert two == {
+        ("customer", 1): 0,
+        ("supplier", 10): 1,
+        ("customer", 2): 2,
+    }
+    full = {
+        (r.node_type, r.entity_key): r.dist
+        for r in gr.sssp_weighted(
+            orders, lineitem, seed_custkey=1, n_rounds=50
+        ).collect()
+    }
+    assert full == {
+        ("customer", 1): 0,
+        ("supplier", 10): 1,
+        ("customer", 2): 2,
+        ("supplier", 20): 3,
+        ("customer", 3): 4,
+    }
