@@ -4309,3 +4309,91 @@ def entity_resolution(part: DataFrame, max_dist: int = 3) -> DataFrame:
         .join(sizes, "entity_id")
         .select("entity_id", "p_name", "canonical_name", "n_members")
     )
+
+
+def kaplan_meier_churn(
+    orders: DataFrame, churn_gap_days: int = 90
+) -> DataFrame:
+    """Kaplan–Meier survival curve for customer retention: time from a
+    customer's first order to churn (last order ≥ ``churn_gap_days``
+    before the observation-window end), right-censored at the window end
+    for still-active customers — the estimator behind every retention
+    curve with incomplete observation.
+
+    Grid: one row per 30-day duration bucket t with d (churn events),
+    c (censored), n at risk (standard life-table form; n falls by d+c
+    at each step). Survival S(t) = Π_{j≤t} (1 - d_j/n_j), computed as a
+    per-step-rounded left fold over the time-ordered factor list
+    (round(acc·f, 6) each step — the EWMA/BPE cross-engine-exact
+    recurrence discipline: window/product aggregation order is
+    engine-internal, an explicit fold is not). The grid is tiny (≤ the
+    duration range in months) so the one-row collect_list + O(k²)
+    prefix folds are driver-free and cheap; everything before the grid
+    is one per-customer shuffle.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    wend = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("wend")
+    )
+    churned = F.datediff(F.col("wend"), F.col("last_d")) > churn_gap_days
+    durations = per_cust.join(F.broadcast(wend)).select(
+        churned.cast("int").alias("ev"),
+        F.floor(
+            F.when(
+                churned, F.datediff("last_d", "first_d")
+            ).otherwise(F.datediff("wend", "first_d"))
+            / 30
+        ).alias("t"),
+    )
+    n_total = durations.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    grid = (
+        durations.groupBy("t")
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+        )
+        .join(F.broadcast(n_total))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    grid = grid.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = F.round(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"), 6
+    )
+    one_row = grid.select(
+        F.struct("t", "d", "c", "n_risk", factor.alias("f")).alias("row")
+    ).agg(F.sort_array(F.collect_list("row")).alias("rows"))
+    survs = F.transform(
+        F.sequence(F.lit(1), F.size("rows")),
+        lambda i: F.aggregate(
+            F.slice(F.col("rows"), F.lit(1), i),
+            F.lit(1.0),
+            lambda acc, x: F.round(acc * x["f"], 6),
+        ),
+    )
+    return (
+        one_row.select(
+            F.explode(F.arrays_zip(F.col("rows"), survs.alias("s"))).alias(
+                "z"
+            )
+        )
+        .select(
+            F.col("z.rows.t").alias("t_months"),
+            F.col("z.rows.n_risk").alias("n_at_risk"),
+            F.col("z.rows.d").alias("d_churned"),
+            F.col("z.rows.c").alias("c_censored"),
+            F.col("z.s").alias("survival"),
+        )
+    )

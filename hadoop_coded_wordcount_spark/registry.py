@@ -5262,6 +5262,68 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "kaplan_meier_churn",
+    # Replays the life-table grid and the per-step-rounded survival fold
+    # (list_reduce with a prepended 1.0 == F.aggregate's 1.0 init) —
+    # the EWMA/BPE exact-recurrence discipline.
+    """
+    WITH pc AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    we AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS wend FROM orders),
+    dur AS (
+      SELECT CASE WHEN date_diff('day', last_d, wend) > 90
+                  THEN 1 ELSE 0 END AS ev,
+             CAST(FLOOR(CASE WHEN date_diff('day', last_d, wend) > 90
+                        THEN date_diff('day', first_d, last_d)
+                        ELSE date_diff('day', first_d, wend)
+                        END / 30.0) AS BIGINT) AS t
+      FROM pc, we
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dur),
+    grid AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM dur GROUP BY t
+    ),
+    g2 AS (
+      SELECT t, d, c,
+             CAST(n_total - COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM grid, nt
+    ),
+    lists AS (
+      SELECT list(t ORDER BY t) AS ts,
+             list(d ORDER BY t) AS ds,
+             list(c ORDER BY t) AS cs,
+             list(n_risk ORDER BY t) AS ns,
+             list(ROUND(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk, 6)
+                  ORDER BY t) AS fs
+      FROM g2
+    ),
+    survs AS (
+      SELECT ts, ds, cs, ns,
+             list_transform(range(1, len(fs) + 1),
+               i -> list_reduce(
+                      list_prepend(CAST(1 AS DOUBLE), fs[1:i]),
+                      (acc, x) -> ROUND(acc * x, 6))) AS ss
+      FROM lists
+    )
+    SELECT unnest(ts) AS t_months, unnest(ns) AS n_at_risk,
+           unnest(ds) AS d_churned, unnest(cs) AS c_censored,
+           unnest(ss) AS survival
+    FROM survs
+    """,
+)
+def q_kaplan_meier_churn(spark, sf_dir):
+    return rel.kaplan_meier_churn(load_table(spark, sf_dir, "orders"))
+
+
 def _sssp_oracle(seed_custkey: int, rounds: int) -> str:
     """Unrolled Bellman–Ford replay: round k's CTE is the min-combine of
     round k-1's distances with one relaxation over the weighted edges —
@@ -5509,6 +5571,7 @@ _VERIFY_FIRST = [
     "hybrid_rrf_topk",
     "entity_resolution",
     "sssp_weighted",
+    "kaplan_meier_churn",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -426,3 +426,39 @@ def test_entity_resolution_transitive_merge_and_singletons(spark):
     green = out["green metal rod xx"]
     assert green.entity_id == 50 and green.n_members == 1
     assert green.canonical_name == "green metal rod xx"
+
+
+def test_kaplan_meier_hand_curve(spark):
+    """Four customers with hand-computable life table: churners at t=0
+    and t=2, censoring at t=0 and t=12; survival steps 0.75 -> 0.375
+    and stays flat through the censored-only time."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        kaplan_meier_churn,
+    )
+
+    def d(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        (1, 1, d("2020-01-01")),  # churned, t=0
+        (2, 2, d("2020-01-01")),
+        (3, 2, d("2020-03-01")),  # churned, t=2
+        (4, 3, d("2020-01-01")),
+        (5, 3, d("2020-12-01")),  # censored (30d gap), t=12
+        (6, 4, d("2020-12-31")),  # censored at window end, t=0
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp"
+    )
+    got = {
+        r.t_months: r for r in kaplan_meier_churn(orders).collect()
+    }
+    assert set(got) == {0, 2, 12}
+    assert (got[0].n_at_risk, got[0].d_churned, got[0].c_censored) == (4, 1, 1)
+    assert got[0].survival == 0.75
+    assert (got[2].n_at_risk, got[2].d_churned, got[2].c_censored) == (2, 1, 0)
+    assert got[2].survival == 0.375
+    assert (got[12].n_at_risk, got[12].d_churned, got[12].c_censored) == (1, 0, 1)
+    assert got[12].survival == 0.375  # censored-only time: curve is flat
