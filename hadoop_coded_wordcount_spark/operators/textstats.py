@@ -916,3 +916,91 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word co-occurrence graph — nodes are tokens, edges
+    link ADJACENT tokens (distinct, symmetric), and the stationary mass
+    ranks corpus keywords. The same exact-integer rank recurrence as
+    ``graph.pagerank`` (floor-div contributions over PR_SCALE mass), so
+    the iteration is deterministic under any partitioning and the
+    oracle replays it by unrolling rounds — an iterative-float
+    algorithm made externally verifiable.
+
+    Shapes: bigram edges come from the O(tokens) arrays_zip slice
+    (bigram_lm's measured fix, never element_at re-evaluation); the
+    graph is vocabulary-sized, orders smaller than the corpus, so the
+    per-round join+groupBy shuffles stay tiny; lazy checkpoint per
+    round keeps the plan flat. Top-k is a row_number over the
+    aggregated vocabulary frame with a total (rank DESC, word) order.
+    """
+    from .graph import PR_SCALE
+
+    toked = documents.select(tokens_col().alias("toks"))
+    t = F.col("toks")
+    zipped = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        toked.select(F.explode(zipped).alias("p"))
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .union(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        spark = documents.sparkSession
+        return spark.createDataFrame(
+            [], "word string, rank_scaled bigint, rank_pos int"
+        )
+    init = PR_SCALE // n_nodes
+    teleport = (PR_SCALE * (100 - damping_pct) // 100) // n_nodes
+    ranks = deg.select("node", F.lit(init).alias("rank"))
+    for _ in range(n_iter):
+        contrib = ranks.join(deg, "node").select(
+            "node", F.expr("rank div d").alias("contrib")
+        )
+        ranks = (
+            edges.join(contrib, edges["src"] == contrib["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"{damping_pct} * s div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition k-row
+    # heaps, driver merges k·P rows — no global sort); the row_number
+    # window then runs over only the k surviving rows.
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(k)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return top.withColumn("rank_pos", F.row_number().over(w)).select(
+        F.col("node").alias("word"),
+        F.col("rank").alias("rank_scaled"),
+        "rank_pos",
+    )

@@ -5262,6 +5262,60 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+def _textrank_round(prev: str, out: str) -> str:
+    """One unrolled integer-TextRank round over the word graph — same
+    floor-div recurrence as _pagerank_round, string node keys."""
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             150000000000 // (SELECT nn FROM n)
+             + 85 * CAST(SUM(r.rank // d.d) AS BIGINT) // 100 AS rank
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "textrank_keywords",
+    f"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    p AS (SELECT DISTINCT w1, w2 FROM b WHERE w1 <> w2),
+    edges AS (
+      SELECT w1 AS src, w2 AS dst FROM p
+      UNION
+      SELECT w2 AS src, w1 AS dst FROM p
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (
+      SELECT node, 1000000000000 // (SELECT nn FROM n) AS rank FROM deg
+    ),{_textrank_round("r0", "r1")},{_textrank_round("r1", "r2")},{_textrank_round("r2", "r3")}
+    SELECT node AS word, rank AS rank_scaled,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS INT)
+             AS rank_pos
+    FROM r3
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """,
+)
+def q_textrank_keywords(spark, sf_dir):
+    return ts.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "kaplan_meier_churn",
     # Replays the life-table grid and the per-step-rounded survival fold
@@ -5572,6 +5626,7 @@ _VERIFY_FIRST = [
     "entity_resolution",
     "sssp_weighted",
     "kaplan_meier_churn",
+    "textrank_keywords",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

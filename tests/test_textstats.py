@@ -281,3 +281,31 @@ def test_bpe_train_empty_and_single_char(spark):
         [(1, "a b c a b")], "doc_id bigint, text string"
     )
     assert ts.bpe_train(singles, n_merges=3).count() == 0
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word adjacent to every other word must take the most rank
+    mass; self-pairs are excluded; empty corpus yields a typed empty
+    frame."""
+    from hadoop_coded_wordcount_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hub spoke1"), (2, "hub spoke2"), (3, "hub spoke3"),
+         (4, "loop loop")],
+        ["doc_id", "text"],
+    )
+    out = textrank_keywords(docs, k=10).collect()
+    # 'loop loop' has only a self-pair -> contributes no node at all
+    assert {r.word for r in out} == {"hub", "spoke1", "spoke2", "spoke3"}
+    assert out[0].word == "hub" and out[0].rank_pos == 1
+    spokes = [r for r in out if r.word != "hub"]
+    assert len({r.rank_scaled for r in spokes}) == 1  # symmetric spokes tie
+    assert [r.rank_pos for r in sorted(out, key=lambda r: r.rank_pos)] == [
+        1, 2, 3, 4,
+    ]
+    empty = textrank_keywords(
+        spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    assert empty.collect() == []
