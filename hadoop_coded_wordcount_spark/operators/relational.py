@@ -4397,3 +4397,55 @@ def kaplan_meier_churn(
             F.col("z.s").alias("survival"),
         )
     )
+
+
+def holt_forecast(events: DataFrame) -> DataFrame:
+    """Holt linear-trend exponential smoothing over daily event counts
+    per type — the level+trend upgrade of ``ewma_values`` and the
+    one-step-ahead forecaster under capacity planning: l_t = α·y_t +
+    (1-α)(l+b), b_t = β(l_t - l) + (1-β)b, forecast = l_t + b_t.
+
+    α = β = 1/2 makes every multiply an exact power-of-two halving, so
+    with a FIXED fold order (Spark ``aggregate`` with a struct
+    accumulator; DuckDB ``list_reduce`` over struct-lifted elements)
+    the whole recurrence is bit-exact cross-engine — no pow(), no libm,
+    no rounding anywhere. Init: l₂ = y₂, b₂ = y₂ − y₁ (classic two-point
+    start); days with <2 observations emit NULL state.
+
+    Scale: the SF-proportional work is the per-(type, day) count — one
+    distributed aggregation; the fold runs over the DAY GRID, which is
+    time-range-bound, not data-bound (30 days here, ~3k for a decade),
+    so the O(grid²) prefix folds are constant-cost at any corpus size.
+    """
+    g = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vals = F.collect_list("x").over(w)
+    nl = lambda acc, x: (x + (acc["l"] + acc["b"])) * F.lit(0.5)  # noqa: E731
+    state = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 2).alias("l"),
+            (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            nl(acc, x).alias("l"),
+            ((nl(acc, x) - acc["l"] + acc["b"]) * F.lit(0.5)).alias("b"),
+        ),
+    )
+    guarded = F.when(F.size(vals) >= 2, state)
+    return g.select(
+        "event_type",
+        # ISO string, not DATE: the gate's pandas canonicalizer maps
+        # Spark DATE and DuckDB DATE to different dtypes
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        guarded["l"].alias("level"),
+        guarded["b"].alias("trend"),
+        (guarded["l"] + guarded["b"]).alias("forecast_next"),
+    )

@@ -5262,6 +5262,45 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "holt_forecast",
+    # Recursive CTE replays the α=β=1/2 Holt recurrence step for step
+    # (every op a dyadic-exact add/halve — no rounding either side).
+    # NOT a struct-accumulator list_reduce: DuckDB v1.0.0 mis-evaluates
+    # chained folds whose accumulator is a STRUCT (verified: one step
+    # exact, two chained steps wrong), so the replay walks rn instead.
+    """
+    WITH RECURSIVE g AS (
+      SELECT event_type, day, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS rn
+      FROM (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+      )
+    ),
+    hs(event_type, rn, l, b) AS (
+      SELECT g2.event_type, g2.rn, g2.x AS l, g2.x - g1.x AS b
+      FROM g g1 JOIN g g2
+        ON g1.event_type = g2.event_type AND g1.rn = 1 AND g2.rn = 2
+      UNION ALL
+      SELECT h.event_type, g.rn,
+             (g.x + (h.l + h.b)) * 0.5 AS l,
+             ((g.x + (h.l + h.b)) * 0.5 - h.l + h.b) * 0.5 AS b
+      FROM hs h JOIN g
+        ON g.event_type = h.event_type AND g.rn = h.rn + 1
+    )
+    SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day, g.x,
+           h.l AS level, h.b AS trend, h.l + h.b AS forecast_next
+    FROM g LEFT JOIN hs h
+      ON g.event_type = h.event_type AND g.rn = h.rn
+    """,
+)
+def q_holt_forecast(spark, sf_dir):
+    return rel.holt_forecast(load_table(spark, sf_dir, "events"))
+
+
 def _textrank_round(prev: str, out: str) -> str:
     """One unrolled integer-TextRank round over the word graph — same
     floor-div recurrence as _pagerank_round, string node keys."""
@@ -5627,6 +5666,7 @@ _VERIFY_FIRST = [
     "sssp_weighted",
     "kaplan_meier_churn",
     "textrank_keywords",
+    "holt_forecast",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

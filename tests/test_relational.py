@@ -462,3 +462,61 @@ def test_kaplan_meier_hand_curve(spark):
     assert got[2].survival == 0.375
     assert (got[12].n_at_risk, got[12].d_churned, got[12].c_censored) == (1, 0, 1)
     assert got[12].survival == 0.375  # censored-only time: curve is flat
+
+
+def test_holt_forecast_locks_linear_trend(spark):
+    """On an exactly linear daily series (one event on day 1, two on
+    day 2, ...) Holt with alpha=beta=1/2 reproduces level=y_t, trend=k,
+    forecast=y_{t+1} exactly; day 1 has undefined (NULL) state; a
+    nonlinear reference series matches a Python replay bit for bit."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        holt_forecast,
+    )
+
+    rows = []
+    eid = 0
+    # type 'lin': k events on day k (y = 1,2,3,4,5)
+    for day in range(1, 6):
+        for _ in range(day):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2020, 1, day), 1, "lin", 0.0, "{}")
+            )
+    # type 'ref': counts 10, 14, 12, 20
+    for day, cnt in enumerate([10, 14, 12, 20], start=1):
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2020, 1, day), 1, "ref", 0.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        (r.event_type, r.day): r for r in holt_forecast(events).collect()
+    }
+    first = out[("lin", "2020-01-01")]
+    assert first.level is None and first.trend is None
+    assert first.forecast_next is None
+    for day in range(2, 6):
+        r = out[("lin", f"2020-01-0{day}")]
+        assert (r.level, r.trend, r.forecast_next) == (
+            float(day), 1.0, float(day + 1),
+        )
+    # python replay of the alpha=beta=1/2 recurrence
+    ys = [10.0, 14.0, 12.0, 20.0]
+    l, b = ys[1], ys[1] - ys[0]
+    expect = {2: (l, b)}
+    for t, x in enumerate(ys[2:], start=3):
+        nl = (x + (l + b)) * 0.5
+        b = ((nl - l) + b) * 0.5
+        l = nl
+        expect[t] = (l, b)
+    for t in range(2, 5):
+        r = out[("ref", f"2020-01-0{t}")]
+        assert (r.level, r.trend) == expect[t]
+        assert r.forecast_next == expect[t][0] + expect[t][1]
