@@ -844,3 +844,109 @@ def hybrid_rrf_topk(
             F.coalesce("sparse_rank", F.lit(0)).alias("sparse_rank"),
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    code_mod: int = 31,
+    query_mod: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the
+    compression leg of the IVF-PQ index every billion-scale vector
+    store runs: vectors are encoded as ``m`` per-subspace codebook ids
+    and queries score candidates by ASYMMETRIC distance (exact query
+    subvector vs quantized candidate), never touching raw candidate
+    vectors at search time.
+
+    Deterministic end to end, so the oracle replays it stage for
+    stage (the IVF discipline): the codebook is the id-sampled corpus
+    (vec_id % code_mod — the trainer is pluggable, the plumbing is the
+    engine's), per-subspace assignment is argmin L2² with a
+    min(struct(d, code_id)) tie-break, and the per-subspace query↔code
+    distances round to 6 and become DECIMAL so the m-term ADC sum is
+    exact in any order.
+
+    Scale: encoding is ONE corpus pass against a broadcast codebook
+    (m argmin-struct aggregates in a single partial-aggregable
+    groupBy); search joins the m-wide code table against m tiny
+    broadcast distance tables — candidates never shuffle, only the
+    final top-k window moves (query_id, neighbor_id, dist) triples.
+    At 100×, memory per candidate is m codes, not dim floats — the
+    point of PQ.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    sub = dim // m
+    vecs = ensure_parallelism(
+        embeddings.select("vec_id", "embedding"), key="vec_id"
+    ).select("vec_id", _as_double("embedding").alias("emb"))
+    cb = vecs.where(F.col("vec_id") % code_mod == 0).select(
+        F.col("vec_id").alias("code_id"), F.col("emb").alias("c_emb")
+    )
+
+    def subdist(a: Column, b: Column, j: int) -> Column:
+        out = F.lit(0.0)
+        for i in range(j * sub, (j + 1) * sub):
+            diff = a[i] - b[i]
+            out = out + diff * diff
+        return out
+
+    enc = (
+        vecs.join(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        subdist(F.col("emb"), F.col("c_emb"), j).alias("d"),
+                        F.col("code_id"),
+                    )
+                ).alias(f"c{j}")
+                for j in range(m)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"c{j}.code_id").alias(f"code_{j}") for j in range(m)],
+        )
+    )
+    queries = vecs.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    qc = queries.join(F.broadcast(cb))
+    acc = enc
+    for j in range(m):
+        dtab_j = qc.select(
+            "query_id",
+            F.col("code_id").alias(f"code_{j}"),
+            F.round(subdist(F.col("q_emb"), F.col("c_emb"), j), 6)
+            .cast("decimal(18,6)")
+            .alias(f"d{j}"),
+        )
+        on = [f"code_{j}"] if j == 0 else ["query_id", f"code_{j}"]
+        acc = acc.join(F.broadcast(dtab_j), on)
+    ad = F.col("d0")
+    for j in range(1, m):
+        ad = ad + F.col(f"d{j}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("ad"), F.asc("neighbor_id")
+    )
+    return (
+        acc.where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ad.alias("ad"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.col("ad").cast("double").alias("pq_dist"),
+        )
+    )

@@ -5262,6 +5262,76 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+def _pq_subdist(a: str, b: str, j: int, sub: int = 8) -> str:
+    """Left-associated L2² over subspace j's dims (1-based lists) —
+    the same fold order as the operator's unrolled Spark expression."""
+    expr = "CAST(0 AS DOUBLE)"
+    for i in range(j * sub + 1, (j + 1) * sub + 1):
+        expr += f" + ({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+    return f"({expr})"
+
+
+def _pq_oracle(m: int = 8, code_mod: int = 31, query_mod: int = 100,
+               k: int = 10) -> str:
+    """Stage-for-stage PQ replay: id-sampled codebook, per-subspace
+    min-struct assignment, decimal ADC table, m chained code joins."""
+    enc_cols = ", ".join(
+        f"min({{'d': {_pq_subdist('v.emb', 'cb.c_emb', j)}, "
+        f"'c': cb.code_id}})['c'] AS code_{j}"
+        for j in range(m)
+    )
+    dt_cols = ", ".join(
+        f"CAST(ROUND({_pq_subdist('q.q_emb', 'cb.c_emb', j)}, 6) "
+        f"AS DECIMAL(18,6)) AS d{j}"
+        for j in range(m)
+    )
+    chain = [
+        f"""
+    c0 AS (
+      SELECT e.*, d.query_id, d.d0 AS s0
+      FROM enc e JOIN dt d ON e.code_0 = d.code_id
+    )"""
+    ]
+    for j in range(1, m):
+        chain.append(
+            f""",
+    c{j} AS (
+      SELECT c{j - 1}.*, d.d{j} AS s{j}
+      FROM c{j - 1} JOIN dt d
+        ON c{j - 1}.query_id = d.query_id
+       AND c{j - 1}.code_{j} = d.code_id
+    )"""
+        )
+    ad = " + ".join(f"s{j}" for j in range(m))
+    return f"""
+    WITH v AS ({_DUCK_VECS}),
+    cb AS (SELECT vec_id AS code_id, emb AS c_emb FROM v
+           WHERE vec_id % {code_mod} = 0),
+    enc AS (
+      SELECT v.vec_id, {enc_cols}
+      FROM v, cb GROUP BY v.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+          WHERE vec_id % {query_mod} = 0),
+    dt AS (SELECT query_id, code_id, {dt_cols} FROM q, cb),
+    {"".join(chain)}
+    SELECT query_id, neighbor_id, rank, CAST(ad AS DOUBLE) AS pq_dist
+    FROM (
+      SELECT query_id, vec_id AS neighbor_id, {ad} AS ad,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY {ad} ASC, vec_id ASC)
+                  AS INT) AS rank
+      FROM c{m - 1}
+      WHERE vec_id <> query_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register("pq_topk", _pq_oracle())
+def q_pq_topk(spark, sf_dir):
+    return sim.pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "holt_forecast",
     # Recursive CTE replays the α=β=1/2 Holt recurrence step for step
@@ -5667,6 +5737,7 @@ _VERIFY_FIRST = [
     "kaplan_meier_churn",
     "textrank_keywords",
     "holt_forecast",
+    "pq_topk",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -302,3 +302,58 @@ def test_hybrid_rrf_internal_consistency(spark):
         # ranking used the unrounded score, so rounded scores may tie
         # across distinct rank pairs — assert monotonicity only.
         assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_topk_planted_clusters_and_real_recall(spark):
+    """PQ with a codebook containing the exact cluster prototypes must
+    rank same-cluster members (pq_dist 0) above all others; on the real
+    corpus the untrained id-sampled codebook still clears a recall
+    floor vs brute-force L2 (deterministic pipeline -> stable value,
+    measured 0.28)."""
+    import numpy as np
+    from collections import defaultdict
+
+    # planted: 4 prototype directions in 64-d, members = exact copies.
+    # code_mod=31 samples vec_ids 0,31,62,93 as the codebook — make
+    # those the prototypes and give every member id % 31 != 0.
+    protos = {}
+    rng_dims = [0, 16, 32, 48]
+    rows = []
+    for c, base in enumerate([0, 31, 62, 93]):
+        v = [0.0] * 64
+        for d in range(rng_dims[c], rng_dims[c] + 16):
+            v[d] = 1.0 + c
+        protos[base] = v
+        rows.append((base, v, c))
+        # two exact-copy members per prototype (ids avoid % 31 == 0)
+        rows.append((base + 1, list(v), c))
+        rows.append((base + 2, list(v), c))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = sim.pq_topk(emb, code_mod=31, query_mod=31, k=2)
+    got = defaultdict(list)
+    for r in sorted(out.collect(), key=lambda r: (r.query_id, r.rank)):
+        got[r.query_id].append((r.neighbor_id, r.pq_dist))
+    for base in protos:
+        assert [n for n, _ in got[base]] == [base + 1, base + 2]
+        assert all(d == 0.0 for _, d in got[base])
+
+    # real-corpus recall floor
+    real = load_table(spark, SF001, "embeddings")
+    emb_rows = real.collect()
+    ids = np.array([r.vec_id for r in emb_rows])
+    X = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    res = defaultdict(set)
+    for r in sim.pq_topk(real).collect():
+        res[r.query_id].add(r.neighbor_id)
+    recalls = []
+    for q, neigh in res.items():
+        qi = int(np.where(ids == q)[0][0])
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        order = [
+            int(ids[i]) for i in np.argsort(d, kind="stable")
+            if ids[i] != q
+        ][:10]
+        recalls.append(len(neigh & set(order)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.2
