@@ -4449,3 +4449,67 @@ def holt_forecast(events: DataFrame) -> DataFrame:
         guarded["b"].alias("trend"),
         (guarded["l"] + guarded["b"]).alias("forecast_next"),
     )
+
+
+def interval_coverage(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Interval-union coverage (gaps-and-islands with real endpoints):
+    each lineitem spans [o_orderdate, l_shipdate] — a supplier's open
+    fulfillment window — and overlapping windows merge into islands.
+    Per supplier: interval count, island count, total covered days
+    (the union length no plain groupBy can produce), and the longest
+    island. The classic sweep: a window over (start ASC) marks a new
+    island when start exceeds the running MAX(end) of all earlier
+    intervals, and a cumulative sum of the marks numbers the islands.
+
+    Exactness: day ordinals are integers (datediff vs a fixed epoch);
+    island boundaries depend only on the SET of earlier intervals
+    (running max), so (start, end) sort ties cannot move them — the
+    partition order is engine-internal but the output is not.
+    Scale: one shuffle on l_suppkey; per-row state is one running max.
+    """
+    epoch = F.lit("1995-01-01").cast("date")
+    iv = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.datediff(F.to_date("o_orderdate"), epoch).alias("s"),
+            F.datediff(F.to_date("l_shipdate"), epoch).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.select(
+        "l_suppkey",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(10**9))),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    ).select(
+        "l_suppkey", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    islands = marked.groupBy("l_suppkey", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("e") - F.min("s") + 1).alias("len_days"),
+    )
+    return islands.groupBy("l_suppkey").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("len_days").cast("bigint").alias("covered_days"),
+        F.max("len_days").cast("bigint").alias("max_island_days"),
+    )

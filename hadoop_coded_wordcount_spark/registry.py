@@ -5262,6 +5262,54 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "interval_coverage",
+    """
+    WITH iv AS (
+      SELECT l_suppkey,
+             date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1995-01-01',
+                       CAST(l_shipdate AS DATE)) AS e
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    marked AS (
+      SELECT l_suppkey, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY l_suppkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1000000000)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    numbered AS (
+      SELECT l_suppkey, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY l_suppkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked
+    ),
+    islands AS (
+      SELECT l_suppkey, island, COUNT(*) AS n_iv,
+             MAX(e) - MIN(s) + 1 AS len_days
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT l_suppkey,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len_days) AS BIGINT) AS covered_days,
+           CAST(MAX(len_days) AS BIGINT) AS max_island_days
+    FROM islands GROUP BY l_suppkey
+    """,
+)
+def q_interval_coverage(spark, sf_dir):
+    return rel.interval_coverage(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _pq_subdist(a: str, b: str, j: int, sub: int = 8) -> str:
     """Left-associated L2² over subspace j's dims (1-based lists) —
     the same fold order as the operator's unrolled Spark expression."""
@@ -5738,6 +5786,7 @@ _VERIFY_FIRST = [
     "textrank_keywords",
     "holt_forecast",
     "pq_topk",
+    "interval_coverage",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -520,3 +520,43 @@ def test_holt_forecast_locks_linear_trend(spark):
         r = out[("ref", f"2020-01-0{t}")]
         assert (r.level, r.trend) == expect[t]
         assert r.forecast_next == expect[t][0] + expect[t][1]
+
+
+def test_interval_coverage_hand_islands(spark):
+    """Supplier 1: [0,5] and [3,8] overlap (one island, 9 days),
+    [20,22] stands alone; touching intervals [8,...] would merge but a
+    1-day gap does not. Supplier 2: nested interval stays one island."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        interval_coverage,
+    )
+
+    def d(offset):
+        return dt.datetime(1995, 1, 1) + dt.timedelta(days=offset)
+
+    # (orderkey, orderdate-offset, suppkey, shipdate-offset)
+    spans = [
+        (1, 0, 1, 5),
+        (2, 3, 1, 8),
+        (3, 20, 1, 22),
+        (4, 10, 2, 30),
+        (5, 12, 2, 15),  # nested inside [10,30]
+    ]
+    orders = spark.createDataFrame(
+        [(k, d(s)) for k, s, _, _ in spans],
+        "o_orderkey bigint, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(k, sup, d(e)) for k, _, sup, e in spans],
+        "l_orderkey bigint, l_suppkey bigint, l_shipdate timestamp",
+    )
+    got = {
+        r.l_suppkey: r for r in interval_coverage(orders, lineitem).collect()
+    }
+    s1, s2 = got[1], got[2]
+    assert (s1.n_intervals, s1.n_islands) == (3, 2)
+    assert s1.covered_days == 9 + 3  # [0,8] and [20,22]
+    assert s1.max_island_days == 9
+    assert (s2.n_intervals, s2.n_islands) == (1 + 1, 1)
+    assert s2.covered_days == 21 and s2.max_island_days == 21
