@@ -4513,3 +4513,41 @@ def interval_coverage(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.sum("len_days").cast("bigint").alias("covered_days"),
         F.max("len_days").cast("bigint").alias("max_island_days"),
     )
+
+
+def time_decay_scores(events: DataFrame) -> DataFrame:
+    """Exponentially time-decayed engagement score per (user, type):
+    Σ 0.5^age_days over the user's events, ages anchored to the
+    corpus's last day — the recency-weighted counter behind feature
+    stores and ranking signals ("a click today is worth two
+    yesterday").
+
+    Exact and order-independent BY CONSTRUCTION: 0.5^age is a dyadic
+    rational, exactly representable in double for any realistic age
+    and in DECIMAL(38,30) for ages ≤ 30 days (the corpus's whole
+    span), so per-event weights cast to decimal exactly and the sum is
+    associative — no fold-order discipline needed, unlike a float sum.
+    For longer horizons, cap age (older events decay below any
+    ranking-relevant mass) or trade scale digits for range.
+
+    Scale: one projection computes weights in-row, one partial-agg
+    shuffle on (user, type). The window-end scalar is a broadcast join.
+    """
+    wend = events.agg(F.max(F.to_date("ts")).alias("wend"))
+    age = F.datediff(F.col("wend"), F.to_date("ts"))
+    return (
+        events.join(F.broadcast(wend))
+        .select(
+            "user_id",
+            "event_type",
+            F.pow(F.lit(0.5), age).cast("decimal(38,30)").alias("w"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            # round AFTER the cast: a 30-frac-digit decimal -> double
+            # conversion is a hard rounding case where BigDecimal and
+            # DuckDB legally differ in the last ulp (measured 87/750)
+            F.round(F.sum("w").cast("double"), 6).alias("decay_score"),
+        )
+    )

@@ -5263,6 +5263,27 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "time_decay_scores",
+    # POWER(0.5, age) is dyadic-exact in double, cast to DECIMAL(38,30)
+    # exactly for ages <= 30 — so the sum is associative and no fold
+    # order needs pinning on either engine.
+    """
+    WITH we AS (SELECT MAX(CAST(ts AS DATE)) AS wend FROM events)
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(POWER(0.5, date_diff('day',
+                                                    CAST(ts AS DATE), wend))
+                               AS DECIMAL(38,30))) AS DOUBLE), 6)
+             AS decay_score
+    FROM events, we
+    GROUP BY user_id, event_type
+    """,
+)
+def q_time_decay_scores(spark, sf_dir):
+    return rel.time_decay_scores(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "interval_coverage",
     """
     WITH iv AS (
@@ -5787,6 +5808,7 @@ _VERIFY_FIRST = [
     "holt_forecast",
     "pq_topk",
     "interval_coverage",
+    "time_decay_scores",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

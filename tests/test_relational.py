@@ -560,3 +560,31 @@ def test_interval_coverage_hand_islands(spark):
     assert s1.max_island_days == 9
     assert (s2.n_intervals, s2.n_islands) == (1 + 1, 1)
     assert s2.covered_days == 21 and s2.max_island_days == 21
+
+
+def test_time_decay_scores_hand_values(spark):
+    """Ages 0,1,2 -> 1 + 0.5 + 0.25 = 1.75 exactly; same event count
+    further in the past scores strictly less."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        time_decay_scores,
+    )
+
+    def ev(eid, uid, day):
+        return (eid, dt.datetime(2020, 1, day, 12), uid, "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 10), ev(2, 1, 9), ev(3, 1, 8),   # ages 0,1,2
+        ev(4, 2, 3), ev(5, 2, 2), ev(6, 2, 1),    # ages 7,8,9
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    got = {r.user_id: r for r in time_decay_scores(events).collect()}
+    assert got[1].n_events == 3 and got[1].decay_score == 1.75
+    assert got[2].n_events == 3
+    assert got[2].decay_score == round(2 ** -7 + 2 ** -8 + 2 ** -9, 6)
+    assert got[2].decay_score < got[1].decay_score
