@@ -4551,3 +4551,79 @@ def time_decay_scores(events: DataFrame) -> DataFrame:
             F.round(F.sum("w").cast("double"), 6).alias("decay_score"),
         )
     )
+
+
+def cuped_adjustment(events: DataFrame, split_day: int = 15) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM'13): variance-reduced A/B readout. Each user's
+    pre-period value sum (days < split_day) is the covariate X for
+    their experiment-period metric Y; the pooled θ = cov(X,Y)/var(X)
+    yields Y_adj = Y − θ(X − E[X]) — same expectation, strictly lower
+    variance whenever X predicts Y. Reports per variant (user_id % 2):
+    n, raw and adjusted means, pooled θ, and the within-variant
+    variance-reduction share.
+
+    Exactness: per-event values round to 6 and become DECIMAL, so
+    every moment sum (Σx, Σy, Σxy, Σx², Σy²) is exact and
+    order-independent; the scalar θ/mean/variance arithmetic then runs
+    in double over identical inputs with identical expression shapes
+    on both engines, rounded to 6 at the output. Scale: one per-user
+    shuffle, then variant-level moment rows; the pooled row broadcasts.
+    """
+    d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    age = F.datediff(F.to_date("ts"), F.col("d0"))
+    val = F.round("value", 6).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    pu = (
+        events.join(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            # (14,6): per-user period sums stay far under 10^8, and the
+            # x*y / x*x products then fit DECIMAL(28,12) on both engines
+            # (DuckDB v1.0.0 overflows the product of two (18,6)s)
+            F.sum(F.when(age < split_day, val).otherwise(zero))
+            .cast("decimal(14,6)")
+            .alias("x"),
+            F.sum(F.when(age >= split_day, val).otherwise(zero))
+            .cast("decimal(14,6)")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mp = moments(pu, []).select(
+        dbl("n").alias("pn"),
+        (dbl("sx") / dbl("n")).alias("pmx"),
+        (
+            (dbl("sxy") - dbl("sx") * dbl("sy") / dbl("n"))
+            / (dbl("sxx") - dbl("sx") * dbl("sx") / dbl("n"))
+        ).alias("theta"),
+    )
+    mv = moments(pu, ["variant"]).join(F.broadcast(mp))
+    n, sx, sy = dbl("n"), dbl("sx"), dbl("sy")
+    mean_y = sy / n
+    mean_x = sx / n
+    cov_v = (dbl("sxy") - sx * sy / n) / (n - 1)
+    varx_v = (dbl("sxx") - sx * sx / n) / (n - 1)
+    vary_v = (dbl("syy") - sy * sy / n) / (n - 1)
+    t = F.col("theta")
+    var_adj = vary_v - 2 * t * cov_v + t * t * varx_v
+    return mv.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(t, 6).alias("theta"),
+        F.round(mean_y - t * (mean_x - F.col("pmx")), 6).alias("mean_y_adj"),
+        F.round(F.lit(1.0) - var_adj / vary_v, 6).alias("var_reduction"),
+    )

@@ -5263,6 +5263,76 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "cuped_adjustment",
+    # Decimal moment sums (exact, order-free) feed double scalar
+    # arithmetic with the same expression shapes as the operator.
+    """
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    pu AS (
+      SELECT user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) < 15
+                      THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(14,6)) AS x,
+             CAST(SUM(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) >= 15
+                      THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(14,6)) AS y
+      FROM events, d0 GROUP BY user_id
+    ),
+    mv AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             -- CAST to (19,6) forces int128 multiply storage: DuckDB
+             -- v1.0.0 otherwise multiplies in the inputs' int64 width
+             SUM(CAST(x AS DECIMAL(19,6)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,6)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,6)) * y) AS syy
+      FROM pu GROUP BY variant
+    ),
+    mp AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS pn,
+             CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pmx,
+             (CAST(SUM(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE))
+             / (CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE)
+                - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS theta
+      FROM pu
+    )
+    SELECT variant, n AS n_users,
+           ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+           ROUND(theta, 6) AS theta,
+           ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - pmx),
+                 6) AS mean_y_adj,
+           ROUND(CAST(1 AS DOUBLE)
+                 - ((CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+                    - 2 * theta
+                      * ((CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1))
+                    + theta * theta
+                      * ((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1)))
+                   / ((CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)),
+                 6) AS var_reduction
+    FROM mv, mp
+    """,
+)
+def q_cuped_adjustment(spark, sf_dir):
+    return rel.cuped_adjustment(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "time_decay_scores",
     # POWER(0.5, age) is dyadic-exact in double, cast to DECIMAL(38,30)
     # exactly for ages <= 30 — so the sum is associative and no fold
@@ -5809,6 +5879,7 @@ _VERIFY_FIRST = [
     "pq_topk",
     "interval_coverage",
     "time_decay_scores",
+    "cuped_adjustment",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

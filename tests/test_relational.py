@@ -588,3 +588,35 @@ def test_time_decay_scores_hand_values(spark):
     assert got[2].n_events == 3
     assert got[2].decay_score == round(2 ** -7 + 2 ** -8 + 2 ** -9, 6)
     assert got[2].decay_score < got[1].decay_score
+
+
+def test_cuped_removes_covariate_imbalance(spark):
+    """Y = 2X with no noise: pooled theta = 2 exactly, within-variant
+    variance reduction = 1, and both variants' adjusted means land on
+    the same value (the imbalance was all covariate)."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        cuped_adjustment,
+    )
+
+    rows = []
+    eid = 0
+    for uid, x in [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]:
+        eid += 1
+        rows.append((eid, dt.datetime(2020, 1, 1), uid, "pre", x, "{}"))
+        eid += 1
+        rows.append((eid, dt.datetime(2020, 1, 20), uid, "post", 2 * x, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    got = {r.variant: r for r in cuped_adjustment(events).collect()}
+    assert set(got) == {0, 1}
+    for v in got.values():
+        assert v.theta == 2.0
+        assert v.var_reduction == 1.0
+        assert v.n_users == 2
+    assert got[0].mean_y == 6.0 and got[1].mean_y == 4.0
+    assert got[0].mean_y_adj == got[1].mean_y_adj == 5.0
