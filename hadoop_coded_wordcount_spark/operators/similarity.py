@@ -950,3 +950,45 @@ def pq_topk(
             F.col("ad").cast("double").alias("pq_dist"),
         )
     )
+
+
+def ann_recall_metrics(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Ranking-quality scoreboard for the ANN index: per query, compare
+    the IVF approximate top-k (:func:`cosine_ivf_topk`) against the
+    exact brute-force top-k (:func:`cosine_topk`) and report hit count,
+    recall@k, and MRR (reciprocal rank of the first true neighbor in
+    the approximate list; 0 when it misses entirely) — the engine
+    evaluating its own index, the metric loop every ANN deployment
+    runs before trading recall for speed.
+
+    Both pipelines are deterministic, so the metrics are exact values,
+    not estimates: the oracle replays BOTH rankings and the same
+    left-join/aggregate. Scale: two bounded top-k pipelines plus one
+    join on (query, neighbor) pairs — k rows per query per side.
+    """
+    exact = cosine_topk(embeddings, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    approx = cosine_ivf_topk(embeddings, k=k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    per_q = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("is_true", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.min(
+                F.when(F.col("is_true").isNotNull(), F.col("rank"))
+            ).alias("first_hit"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, 6).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

@@ -522,3 +522,107 @@ def theta_intersection_estimate(
     return est.crossJoin(exact).select(
         "retained", "est_overlap", "exact_overlap"
     )
+
+
+def bloom_prefilter(
+    orders: DataFrame,
+    customer: DataFrame,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter membership prefilter — the third sketch family
+    (bitmap/KMV/CMS exist): build a Bloom filter over the custkeys that
+    ordered in the final data year, probe EVERY customer, and report
+    the confusion counts plus the realized false-positive rate. The
+    classic join/scan prefilter: a probe that fails the Bloom skips the
+    expensive lookup with zero false negatives by construction.
+
+    Bit positions are md5-derived (``i:key`` seeds, one 60-bit integer
+    mod m) — engine-reproducible like every md5-based sketch here, so
+    the whole filter and every probe verdict value-hash externally.
+    The built filter is the DISTINCT set-bit table (sparse form, ≤ m
+    rows), broadcast to probes; a probe passes iff all k positions hit
+    (count == k). Zero false negatives is asserted by the oracle row:
+    n_true_members counts only Bloom-passing true members.
+
+    Scale: build is one distinct-aggregate over k·|members| ints; the
+    probe side shuffles nothing (broadcast hash join per position);
+    the summary is a single partial-agg'd row.
+    """
+
+    def pos(key: Column, i: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % m_bits).alias(f"p{i}")
+
+    members = (
+        orders.where(F.year("o_orderdate") == 2001)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[pos(F.col("key"), i) for i in range(k_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = customer.select(F.col("c_custkey").alias("key")).select(
+        "key", *[pos(F.col("key"), i) for i in range(k_hashes)]
+    )
+    probed = probes.select(
+        "key",
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(k_hashes)])).alias(
+            "bit"
+        ),
+    )
+    hits = (
+        probed.join(F.broadcast(bits), "bit", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+        .select("key", (F.col("n_hit") == k_hashes).alias("bloom_pass"))
+    )
+    truth = members.withColumn("is_member", F.lit(1))
+    joined = hits.join(truth, "key", "left").select(
+        "key",
+        "bloom_pass",
+        F.coalesce("is_member", F.lit(0)).alias("is_member"),
+    )
+    n_bits = bits.select(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+            F.sum(F.col("bloom_pass").cast("int")).cast("bigint").alias("n_pass"),
+            F.sum("is_member").cast("bigint").alias("n_members"),
+            F.sum(
+                (F.col("bloom_pass").cast("int") * F.col("is_member"))
+            ).cast("bigint").alias("n_true_members"),
+            F.sum(
+                (F.col("bloom_pass").cast("int") * (1 - F.col("is_member")))
+            ).cast("bigint").alias("n_false_pos"),
+        )
+        .join(F.broadcast(n_bits))
+        .select(
+            "n_probed",
+            "n_set_bits",
+            "n_members",
+            "n_pass",
+            "n_true_members",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.greatest(
+                    (F.col("n_probed") - F.col("n_members")).cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

@@ -5262,6 +5262,96 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+def _register_ann_recall_metrics() -> None:
+    """Registered via a helper so the oracle can embed the already-
+    registered IVF and brute-force replays as subqueries — the metrics
+    oracle is literally 'both rankings + one left-join aggregate'."""
+
+    @register(
+        "ann_recall_metrics",
+        f"""
+    WITH approx AS ({ORACLES["similarity_ivf_topk"]}),
+    exact AS ({ORACLES["similarity_topk"]}),
+    pq AS (
+      SELECT a.query_id,
+             CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             MIN(CASE WHEN e.neighbor_id IS NOT NULL
+                 THEN a.rank END) AS first_hit
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.query_id
+    )
+    SELECT query_id, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / 10, 6) AS recall_at_k,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / first_hit,
+                          CAST(0 AS DOUBLE)), 6) AS mrr
+    FROM pq
+    """,
+    )
+    def q_ann_recall_metrics(spark, sf_dir):
+        return sim.ann_recall_metrics(load_table(spark, sf_dir, "embeddings"))
+
+
+_register_ann_recall_metrics()
+
+
+@register(
+    "bloom_prefilter",
+    """
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) = 2001
+    ),
+    bits AS (
+      SELECT DISTINCT
+             (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || CAST(key AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 4096) AS bit
+      FROM members, unnest([0, 1, 2]) AS t(i)
+    ),
+    probed AS (
+      SELECT c_custkey AS key,
+             (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 4096) AS bit
+      FROM customer, unnest([0, 1, 2]) AS t(i)
+    ),
+    hits AS (
+      SELECT p.key,
+             SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM probed p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY p.key
+    ),
+    j AS (
+      SELECT h.key, (h.n_hit = 3) AS bloom_pass,
+             CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM hits h LEFT JOIN members m ON h.key = m.key
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set_bits FROM bits)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           n_set_bits,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(CASE WHEN bloom_pass THEN is_member ELSE 0 END)
+                AS BIGINT) AS n_true_members,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 - is_member ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN bloom_pass THEN 1 - is_member
+                          ELSE 0 END) AS DOUBLE)
+                 / GREATEST(CAST(COUNT(*) - SUM(is_member) AS DOUBLE),
+                            CAST(1 AS DOUBLE)), 6) AS fp_rate
+    FROM j, nb GROUP BY n_set_bits
+    """,
+)
+def q_bloom_prefilter(spark, sf_dir):
+    return sk.bloom_prefilter(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 @register(
     "cuped_adjustment",
     # Decimal moment sums (exact, order-free) feed double scalar
@@ -5880,6 +5970,8 @@ _VERIFY_FIRST = [
     "interval_coverage",
     "time_decay_scores",
     "cuped_adjustment",
+    "bloom_prefilter",
+    "ann_recall_metrics",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

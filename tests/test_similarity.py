@@ -357,3 +357,23 @@ def test_pq_topk_planted_clusters_and_real_recall(spark):
         ][:10]
         recalls.append(len(neigh & set(order)) / 10)
     assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_ann_recall_metrics_match_python_replay(spark):
+    """Recall/MRR rows must equal a Python recomputation from the two
+    underlying rankings, and every metric obeys its bounds."""
+    emb = load_table(spark, SF001, "embeddings")
+    exact = {}
+    for r in sim.cosine_topk(emb).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in sim.cosine_ivf_topk(emb).collect():
+        approx.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    got = {r.query_id: r for r in sim.ann_recall_metrics(emb).collect()}
+    assert set(got) == set(approx)
+    for q, rows in approx.items():
+        hits = [rk for rk, n in rows if n in exact.get(q, set())]
+        assert got[q].n_hits == len(hits)
+        assert got[q].recall_at_k == round(len(hits) / 10, 6)
+        assert got[q].mrr == (round(1.0 / min(hits), 6) if hits else 0.0)
+        assert 0 <= got[q].recall_at_k <= 1

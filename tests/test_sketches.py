@@ -257,3 +257,29 @@ def test_theta_intersection_tracks_exact_overlap(spark):
     r2 = sk.theta_intersection_estimate(a, "k", b, "k").collect()[0]
     assert r2.exact_overlap == 0 and r2.retained == 0
     assert r2.est_overlap == 0.0  # not NULL: empty intersection is zero
+
+
+def test_bloom_prefilter_no_false_negatives_and_sane_fp(spark):
+    """Every true member must pass the Bloom (zero false negatives by
+    construction: n_true_members == n_members); the set-bit count is
+    bounded by k*|members| and m; false positives are possible but the
+    realized rate must stay well under the m/k sizing's ceiling."""
+    from hadoop_coded_wordcount_spark.operators.sketches import (
+        bloom_prefilter,
+    )
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    SF001 = "/root/testdata/sf0.01"
+    row = bloom_prefilter(
+        load_table(spark, SF001, "orders"),
+        load_table(spark, SF001, "customer"),
+    ).collect()[0]
+    assert row.n_true_members == row.n_members  # no false negatives
+    assert row.n_pass == row.n_true_members + row.n_false_pos
+    assert 0 < row.n_set_bits <= min(4096, 3 * row.n_members)
+    assert row.fp_rate == round(
+        row.n_false_pos / max(row.n_probed - row.n_members, 1), 6
+    )
+    # 4096 bits / 3 hashes sized for ~hundreds of members: the realized
+    # FP rate should stay far below a coin flip
+    assert row.fp_rate < 0.25
