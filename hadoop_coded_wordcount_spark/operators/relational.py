@@ -4627,3 +4627,62 @@ def cuped_adjustment(events: DataFrame, split_day: int = 15) -> DataFrame:
         F.round(mean_y - t * (mean_x - F.col("pmx")), 6).alias("mean_y_adj"),
         F.round(F.lit(1.0) - var_adj / vary_v, 6).alias("var_reduction"),
     )
+
+
+def topn_with_other(
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Top-N-per-group with an OTHER rollup — the reporting staple
+    ("top 3 suppliers per nation, rest as one bucket") that naive
+    top-k drops: the tail's mass is kept, so per-nation revenue still
+    totals. Revenue is the TPC-H decimal discipline (price × (1 −
+    discount) in DECIMAL, summed exactly, one final double cast);
+    ranking compares exact decimals with a supplier-key tie-break.
+
+    Scale: the only data-sized shuffle is the per-supplier revenue
+    aggregate; supplier/nation are broadcast dims, the rank window
+    partitions by nation (bounded groups), and the OTHER rollup is a
+    second aggregation over supplier-universe rows.
+    """
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        ).alias("rev_d")
+    )
+    rk = (
+        rev.join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_name", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.desc("rev_d"), F.asc("s_suppkey")
+                )
+            ),
+        )
+    )
+    bucket = F.when(F.col("rk") <= n, F.col("s_name")).otherwise(
+        F.lit("OTHER")
+    )
+    rank_pos = F.when(F.col("rk") <= n, F.col("rk")).otherwise(F.lit(0))
+    return (
+        rk.select(
+            "n_name", bucket.alias("bucket"), rank_pos.alias("rank_pos"), "rev_d"
+        )
+        .groupBy("n_name", "bucket", "rank_pos")
+        .agg(
+            F.sum("rev_d").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        )
+    )

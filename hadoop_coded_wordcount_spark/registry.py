@@ -5262,6 +5262,41 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "topn_with_other",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    rk AS (
+      SELECT n_name, s_name, rev_d,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                                     ORDER BY rev_d DESC, s_suppkey)
+                  AS INT) AS rk
+      FROM rev
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           CASE WHEN rk <= 3 THEN s_name ELSE 'OTHER' END AS bucket,
+           CASE WHEN rk <= 3 THEN rk ELSE 0 END AS rank_pos,
+           CAST(SUM(rev_d) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM rk GROUP BY 1, 2, 3
+    """,
+)
+def q_topn_with_other(spark, sf_dir):
+    return rel.topn_with_other(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _register_ann_recall_metrics() -> None:
     """Registered via a helper so the oracle can embed the already-
     registered IVF and brute-force replays as subqueries — the metrics
@@ -5972,6 +6007,7 @@ _VERIFY_FIRST = [
     "cuped_adjustment",
     "bloom_prefilter",
     "ann_recall_metrics",
+    "topn_with_other",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

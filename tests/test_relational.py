@@ -620,3 +620,61 @@ def test_cuped_removes_covariate_imbalance(spark):
         assert v.n_users == 2
     assert got[0].mean_y == 6.0 and got[1].mean_y == 4.0
     assert got[0].mean_y_adj == got[1].mean_y_adj == 5.0
+
+
+def test_topn_with_other_preserves_totals(spark):
+    """The OTHER bucket must carry exactly the tail's mass: per nation,
+    bucket revenues sum to the nation's total supplier revenue, ranked
+    buckets are the top-3 by revenue, and supplier counts add up."""
+    from collections import defaultdict
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        topn_with_other,
+    )
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    SF001 = "/root/testdata/sf0.01"
+    nation = load_table(spark, SF001, "nation")
+    supplier = load_table(spark, SF001, "supplier")
+    lineitem = load_table(spark, SF001, "lineitem")
+    out = topn_with_other(nation, supplier, lineitem).collect()
+    by_nation = defaultdict(list)
+    for r in out:
+        by_nation[r.n_name].append(r)
+    import pyspark.sql.functions as F
+
+    totals = {
+        r.n_name: (float(r.total), r.n_sup)
+        for r in lineitem.join(
+            supplier, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).alias("total"),
+            F.countDistinct("s_suppkey").alias("n_sup"),
+        )
+        .collect()
+    }
+    for nat, rows in by_nation.items():
+        ranked = sorted(
+            [r for r in rows if r.rank_pos > 0], key=lambda r: r.rank_pos
+        )
+        assert [r.rank_pos for r in ranked] == list(range(1, len(ranked) + 1))
+        assert all(r.n_suppliers == 1 for r in ranked)
+        other = [r for r in rows if r.rank_pos == 0]
+        assert len(other) <= 1
+        revs = [r.revenue for r in ranked]
+        assert revs == sorted(revs, reverse=True)
+        if other:
+            assert all(r.revenue >= other[0].revenue / other[0].n_suppliers
+                       for r in ranked)
+        total_rev, n_sup = totals[nat]
+        assert abs(sum(r.revenue for r in rows) - total_rev) < 1e-6
+        assert sum(r.n_suppliers for r in rows) == n_sup
