@@ -4686,3 +4686,62 @@ def topn_with_other(
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         )
     )
+
+
+def gini_lorenz(orders: DataFrame) -> DataFrame:
+    """Revenue-concentration analytics: the Lorenz curve by customer
+    decile plus the sample Gini coefficient
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over customers ranked by revenue
+    ascending — "what share of revenue do the bottom k% of customers
+    produce" and its scalar summary, the standard inequality readout.
+
+    Exactness: per-customer revenue is exact DECIMAL(18,2); the rank
+    weight Σ i·xᵢ multiplies an integer into the decimal (exact), so
+    both Gini inputs are exact and the one double division rounds at
+    6; decile cut points come from ntile over the (revenue, custkey)
+    TOTAL order, so the curve is engine-independent.
+
+    Scale note: ranks ride one global-ordered window over the CUSTOMER
+    universe (dimension-sized, not fact-sized); at 1000× customers,
+    swap in the two-phase distributed ranking `global_row_number`
+    already in this module — the aggregates are unchanged.
+    """
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast(DEC).alias("rev")
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = rev.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("i") * F.col("rev")).alias("iw"),
+    )
+    gini = F.round(
+        F.lit(2.0) * F.col("iw").cast("double")
+        / (F.col("n").cast("double") * F.col("s").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+        6,
+    )
+    deciles = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.withColumn("cum_rev", F.sum("decile_rev").over(wc))
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("decile_rev").cast("double").alias("decile_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("s").cast("double"), 6
+            ).alias("cum_revenue_share"),
+            gini.alias("gini"),
+        )
+    )

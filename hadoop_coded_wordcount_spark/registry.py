@@ -5263,6 +5263,52 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "gini_lorenz",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS INT) AS i,
+             CAST(NTILE(10) OVER (ORDER BY rev, o_custkey) AS INT)
+               AS decile
+      FROM rev
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS s,
+             SUM(i * rev) AS iw
+      FROM ranked
+    ),
+    dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(rev) AS decile_rev
+      FROM ranked GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_customers, decile_rev,
+             SUM(decile_rev) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM dec
+    )
+    SELECT decile, n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_revenue,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(s AS DOUBLE), 6)
+             AS cum_revenue_share,
+           ROUND(2.0 * CAST(iw AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM cum, tot
+    """,
+)
+def q_gini_lorenz(spark, sf_dir):
+    return rel.gini_lorenz(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "topn_with_other",
     """
     WITH rev AS (
@@ -6008,6 +6054,7 @@ _VERIFY_FIRST = [
     "bloom_prefilter",
     "ann_recall_metrics",
     "topn_with_other",
+    "gini_lorenz",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

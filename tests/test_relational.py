@@ -678,3 +678,40 @@ def test_topn_with_other_preserves_totals(spark):
         total_rev, n_sup = totals[nat]
         assert abs(sum(r.revenue for r in rows) - total_rev) < 1e-6
         assert sum(r.n_suppliers for r in rows) == n_sup
+
+
+def test_gini_lorenz_known_distributions(spark):
+    """Perfect equality -> Gini 0 and a linear Lorenz curve; an extreme
+    concentration (one customer holds almost everything) -> Gini near
+    its sample maximum (n-1)/n, convex curve."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        gini_lorenz,
+    )
+
+    def orders_for(revs):
+        rows = [
+            (i, cust + 1, dt.datetime(2020, 1, 1), float(r))
+            for i, (cust, r) in enumerate(
+                [(c, r) for c, r in enumerate(revs)]
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, "
+            "o_totalprice double",
+        )
+
+    equal = gini_lorenz(orders_for([100.0] * 10)).collect()
+    assert all(r.gini == 0.0 for r in equal)
+    shares = {r.decile: r.cum_revenue_share for r in equal}
+    for d in range(1, 11):
+        assert shares[d] == round(d / 10, 6)
+
+    skewed = gini_lorenz(orders_for([1.0] * 9 + [9991.0])).collect()
+    g = skewed[0].gini
+    # sample-max Gini for n=10 is 0.9; nine 1.0s pull it slightly below
+    assert 0.88 < g <= 0.9
+    shares = {r.decile: r.cum_revenue_share for r in skewed}
+    assert shares[9] < 0.001 and shares[10] == 1.0
