@@ -5263,6 +5263,42 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "source_diversity",
+    """
+    WITH per AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per GROUP BY lang
+    ),
+    terms AS (
+      SELECT per.lang,
+             ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))),
+                   6) AS shannon_nats,
+             ROUND(SUM((CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                       * (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))),
+                   6) AS simpson,
+             ROUND(CAST(1 AS DOUBLE)
+                   / SUM((CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                         * (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))),
+                   6) AS effective_sources
+      FROM per JOIN tot ON per.lang = tot.lang
+      GROUP BY per.lang
+    )
+    SELECT lang, n_docs, n_sources, shannon_nats, simpson,
+           effective_sources
+    FROM tot JOIN terms USING (lang)
+    """,
+)
+def q_source_diversity(spark, sf_dir):
+    return ts.source_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "gini_lorenz",
     """
     WITH rev AS (
@@ -6055,6 +6091,7 @@ _VERIFY_FIRST = [
     "ann_recall_metrics",
     "topn_with_other",
     "gini_lorenz",
+    "source_diversity",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -309,3 +309,35 @@ def test_textrank_hub_word_ranks_first(spark):
         spark.createDataFrame([], "doc_id bigint, text string")
     )
     assert empty.collect() == []
+
+
+def test_source_diversity_known_mixtures(spark):
+    """Uniform 4-source mix -> H = ln 4, Simpson 0.25, effective 4;
+    single-source monoculture -> H = 0, Simpson 1, effective 1."""
+    import math
+
+    from hadoop_coded_wordcount_spark.operators.textstats import (
+        source_diversity,
+    )
+
+    rows = []
+    did = 0
+    for s in ("a", "b", "c", "d"):
+        for _ in range(5):
+            did += 1
+            rows.append((did, "x", "en", s, 1))
+    for _ in range(7):
+        did += 1
+        rows.append((did, "x", "fr", "only", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    )
+    got = {r.lang: r for r in source_diversity(docs).collect()}
+    en, fr = got["en"], got["fr"]
+    assert (en.n_docs, en.n_sources) == (20, 4)
+    assert en.shannon_nats == round(math.log(4), 6)
+    assert en.simpson == 0.25 and en.effective_sources == 4.0
+    assert (fr.n_docs, fr.n_sources) == (7, 1)
+    assert fr.shannon_nats == 0.0 and fr.simpson == 1.0
+    assert fr.effective_sources == 1.0
