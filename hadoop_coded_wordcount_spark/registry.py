@@ -5263,6 +5263,40 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "revenue_bridge",
+    """
+    WITH seg AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mo,
+             o_orderpriority AS segment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT mo, segment, rev,
+             LAG(rev) OVER (PARTITION BY segment ORDER BY mo) AS prev_rev
+      FROM seg
+    ),
+    d AS (SELECT *, rev - COALESCE(prev_rev, rev) AS delta FROM lagd),
+    t AS (SELECT mo, CAST(SUM(delta) AS DECIMAL(18,2)) AS total_delta
+          FROM d GROUP BY mo)
+    SELECT d.mo, segment,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(prev_rev AS DOUBLE) AS prev_revenue,
+           CAST(delta AS DOUBLE) AS delta,
+           CAST(total_delta AS DOUBLE) AS total_delta,
+           CASE WHEN total_delta <> 0
+                THEN ROUND(CAST(delta AS DOUBLE)
+                           / CAST(total_delta AS DOUBLE), 6)
+           END AS share_of_delta
+    FROM d JOIN t ON d.mo = t.mo
+    """,
+)
+def q_revenue_bridge(spark, sf_dir):
+    return rel.revenue_bridge(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "source_diversity",
     """
     WITH per AS (
@@ -6092,6 +6126,7 @@ _VERIFY_FIRST = [
     "topn_with_other",
     "gini_lorenz",
     "source_diversity",
+    "revenue_bridge",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -715,3 +715,35 @@ def test_gini_lorenz_known_distributions(spark):
     assert 0.88 < g <= 0.9
     shares = {r.decile: r.cum_revenue_share for r in skewed}
     assert shares[9] < 0.001 and shares[10] == 1.0
+
+
+def test_revenue_bridge_hand_decomposition(spark):
+    """Two segments, two months: deltas +10 and -4 -> total +6, shares
+    10/6 and -4/6; first month has NULL prev and zero delta."""
+    import datetime as dt
+
+    from hadoop_coded_wordcount_spark.operators.relational import (
+        revenue_bridge,
+    )
+
+    rows = [
+        (1, dt.datetime(2020, 1, 5), "A", 100.0),
+        (2, dt.datetime(2020, 1, 6), "B", 50.0),
+        (3, dt.datetime(2020, 2, 5), "A", 110.0),
+        (4, dt.datetime(2020, 2, 6), "B", 46.0),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_orderdate timestamp, "
+        "o_orderpriority string, o_totalprice double",
+    )
+    got = {(r.mo, r.segment): r for r in revenue_bridge(orders).collect()}
+    m1, m2 = 2020 * 12 + 1, 2020 * 12 + 2
+    assert got[(m1, "A")].prev_revenue is None
+    assert got[(m1, "A")].delta == 0.0 and got[(m1, "A")].total_delta == 0.0
+    assert got[(m1, "A")].share_of_delta is None  # zero-delta month guard
+    a2, b2 = got[(m2, "A")], got[(m2, "B")]
+    assert (a2.delta, b2.delta) == (10.0, -4.0)
+    assert a2.total_delta == 6.0
+    assert a2.share_of_delta == round(10 / 6, 6)
+    assert b2.share_of_delta == round(-4 / 6, 6)
