@@ -992,3 +992,136 @@ def ann_recall_metrics(embeddings: DataFrame, k: int = 10) -> DataFrame:
             F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    code_mod: int = 31,
+    centroid_mod: int = 37,
+    nprobe: int = 3,
+    query_mod: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """The composed IVF-PQ index — the architecture billion-scale
+    vector stores actually deploy: IVF cell pruning bounds WHICH
+    candidates each query touches (~nprobe/|cells| of the corpus), and
+    PQ asymmetric distance bounds WHAT is read per candidate (m codes,
+    never the raw vector). Candidate generation reuses the IVF
+    assignment/probe stages (:func:`cosine_ivf_topk`); scoring reuses
+    the PQ encode + decimal ADC tables (:func:`pq_topk`); both are
+    deterministic, so the composition stays oracle-exact end to end.
+
+    Ranking is by PQ distance (asc, neighbor tie-break) WITHIN the
+    probed cells — recall vs brute force now compounds both
+    approximations, which is the honest production trade; the
+    ann_recall_metrics pattern measures it.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    sub = dim // m
+    vecs = ensure_parallelism(
+        embeddings.select("vec_id", "embedding"), key="vec_id"
+    ).select("vec_id", _as_double("embedding").alias("emb"))
+
+    # --- IVF stage: cell assignment + query probes (cosine geometry) ---
+    norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
+    nvecs = vecs.withColumn("nrm", norm)
+    cents = nvecs.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    ccos = dot_unrolled(F.col("c_emb"), F.col("emb"), dim) / (
+        F.col("c_nrm") * F.col("nrm")
+    )
+    assigned = (
+        nvecs.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(ccos.alias("cos"), F.col("cell_id"))).alias("b"))
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+    )
+    queries = nvecs.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qcos = dot_unrolled(F.col("c_emb"), F.col("q_emb"), dim) / (
+        F.col("c_nrm") * F.col("q_nrm")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qcell_cos"), F.asc("cell_id")
+    )
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("query_id", "cell_id", qcos.alias("qcell_cos"))
+        .withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+
+    # --- PQ stage: encode corpus, ADC tables per query (L2 geometry) ---
+    cb = vecs.where(F.col("vec_id") % code_mod == 0).select(
+        F.col("vec_id").alias("code_id"), F.col("emb").alias("c_emb")
+    )
+
+    def subdist(a: Column, b: Column, j: int) -> Column:
+        out = F.lit(0.0)
+        for i in range(j * sub, (j + 1) * sub):
+            diff = a[i] - b[i]
+            out = out + diff * diff
+        return out
+
+    enc = (
+        vecs.join(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        subdist(F.col("emb"), F.col("c_emb"), j).alias("d"),
+                        F.col("code_id"),
+                    )
+                ).alias(f"c{j}")
+                for j in range(m)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"c{j}.code_id").alias(f"code_{j}") for j in range(m)],
+        )
+    )
+    qc = queries.select("query_id", "q_emb").join(F.broadcast(cb))
+
+    # --- compose: candidates = probed cells; score = chained ADC joins ---
+    acc = probes.join(assigned, "cell_id").join(enc, "vec_id")
+    for j in range(m):
+        dtab_j = qc.select(
+            "query_id",
+            F.col("code_id").alias(f"code_{j}"),
+            F.round(subdist(F.col("q_emb"), F.col("c_emb"), j), 6)
+            .cast("decimal(18,6)")
+            .alias(f"d{j}"),
+        )
+        acc = acc.join(F.broadcast(dtab_j), ["query_id", f"code_{j}"])
+    ad = F.col("d0")
+    for j in range(1, m):
+        ad = ad + F.col(f"d{j}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("ad"), F.asc("neighbor_id")
+    )
+    return (
+        acc.where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ad.alias("ad")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.col("ad").cast("double").alias("pq_dist"),
+        )
+    )

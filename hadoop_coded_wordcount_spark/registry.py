@@ -5262,6 +5262,115 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+def _pq_subdist(a: str, b: str, j: int, sub: int = 8) -> str:
+    """Left-associated L2² over subspace j's dims (1-based lists) —
+    the same fold order as the operator's unrolled Spark expression."""
+    expr = "CAST(0 AS DOUBLE)"
+    for i in range(j * sub + 1, (j + 1) * sub + 1):
+        expr += f" + ({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+    return f"({expr})"
+
+
+def _ivf_pq_oracle(m: int = 8, code_mod: int = 31, centroid_mod: int = 37,
+                   nprobe: int = 3, query_mod: int = 100,
+                   k: int = 10) -> str:
+    """Composed replay: the IVF assignment/probe CTEs (same max-struct
+    DESC / probe ASC tie-breaks as similarity_ivf_topk) feed the PQ
+    encode + decimal ADC chain (same stages as pq_topk), restricted to
+    probed-cell candidates."""
+    enc_cols = ", ".join(
+        f"min({{'d': {_pq_subdist('v.emb', 'cb.c_emb', j)}, "
+        f"'c': cb.code_id}})['c'] AS code_{j}"
+        for j in range(m)
+    )
+    dt_cols = ", ".join(
+        f"CAST(ROUND({_pq_subdist('q.q_emb', 'cb.c_emb', j)}, 6) "
+        f"AS DECIMAL(18,6)) AS d{j}"
+        for j in range(m)
+    )
+    chain = [
+        """
+    c0 AS (
+      SELECT cand.query_id, cand.vec_id,
+             """ + ", ".join(f"cand.code_{j}" for j in range(1, m)) + """,
+             d.d0 AS s0
+      FROM cand JOIN dt d
+        ON cand.query_id = d.query_id AND cand.code_0 = d.code_id
+    )"""
+    ]
+    for j in range(1, m):
+        carry = ", ".join(f"c{j-1}.code_{i}" for i in range(j + 1, m))
+        carry = (carry + ",") if carry else ""
+        prev_s = ", ".join(f"c{j-1}.s{i}" for i in range(j))
+        chain.append(
+            f""",
+    c{j} AS (
+      SELECT c{j - 1}.query_id, c{j - 1}.vec_id, {carry}
+             {prev_s}, d.d{j} AS s{j}
+      FROM c{j - 1} JOIN dt d
+        ON c{j - 1}.query_id = d.query_id
+       AND c{j - 1}.code_{j} = d.code_id
+    )"""
+        )
+    ad = " + ".join(f"s{j}" for j in range(m))
+    return f"""
+    WITH v0 AS ({_DUCK_VECS}),
+    v AS (SELECT vec_id, emb FROM v0),
+    c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM v
+          WHERE vec_id % {centroid_mod} = 0),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DUCK_COS.format(a="c_emb", b="emb")} DESC,
+                          c.cell_id DESC) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+          WHERE vec_id % {query_mod} = 0),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DUCK_COS.format(a="c_emb", b="q_emb")} DESC,
+                          c.cell_id ASC) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= {nprobe}
+    ),
+    cb AS (SELECT vec_id AS code_id, emb AS c_emb FROM v
+           WHERE vec_id % {code_mod} = 0),
+    enc AS (
+      SELECT v.vec_id, {enc_cols}
+      FROM v, cb GROUP BY v.vec_id
+    ),
+    dt AS (SELECT query_id, code_id, {dt_cols} FROM q, cb),
+    cand AS (
+      SELECT p.query_id, e.*
+      FROM probes p
+      JOIN asg a ON p.cell_id = a.cell_id
+      JOIN enc e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    {"".join(chain)}
+    SELECT query_id, neighbor_id, rank, CAST(ad AS DOUBLE) AS pq_dist
+    FROM (
+      SELECT query_id, vec_id AS neighbor_id, {ad} AS ad,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY {ad} ASC, vec_id ASC)
+                  AS INT) AS rank
+      FROM c{m - 1}
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ivf_pq_topk", _ivf_pq_oracle())
+def q_ivf_pq_topk(spark, sf_dir):
+    return sim.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "revenue_bridge",
     """
@@ -5640,15 +5749,6 @@ def q_interval_coverage(spark, sf_dir):
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
-
-
-def _pq_subdist(a: str, b: str, j: int, sub: int = 8) -> str:
-    """Left-associated L2² over subspace j's dims (1-based lists) —
-    the same fold order as the operator's unrolled Spark expression."""
-    expr = "CAST(0 AS DOUBLE)"
-    for i in range(j * sub + 1, (j + 1) * sub + 1):
-        expr += f" + ({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
-    return f"({expr})"
 
 
 def _pq_oracle(m: int = 8, code_mod: int = 31, query_mod: int = 100,
@@ -6127,6 +6227,7 @@ _VERIFY_FIRST = [
     "gini_lorenz",
     "source_diversity",
     "revenue_bridge",
+    "ivf_pq_topk",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

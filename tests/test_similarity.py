@@ -377,3 +377,27 @@ def test_ann_recall_metrics_match_python_replay(spark):
         assert got[q].recall_at_k == round(len(hits) / 10, 6)
         assert got[q].mrr == (round(1.0 / min(hits), 6) if hits else 0.0)
         assert 0 <= got[q].recall_at_k <= 1
+
+
+def test_ivf_pq_composition_consistency(spark):
+    """IVF-PQ scores must agree exactly with plain PQ on shared
+    (query, neighbor) pairs (same codebooks, same ADC tables), its
+    candidates must be a subset of the probed IVF cells' members, and
+    rank sequences must be contiguous."""
+    emb = load_table(spark, SF001, "embeddings")
+    pq = {
+        (r.query_id, r.neighbor_id): r.pq_dist
+        for r in sim.pq_topk(emb).collect()
+    }
+    composed = sim.ivf_pq_topk(emb).collect()
+    assert composed
+    by_q = {}
+    for r in composed:
+        by_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in pq:
+            assert pq[(r.query_id, r.neighbor_id)] == r.pq_dist, r
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.pq_dist for r in rows]
+        assert dists == sorted(dists)
