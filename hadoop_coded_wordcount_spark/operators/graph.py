@@ -642,3 +642,51 @@ def sssp_weighted(
         F.expr("node div 2").alias("entity_key"),
         "dist",
     )
+
+
+def degree_assortativity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Degree assortativity of the trade graph: the Pearson correlation
+    of endpoint degrees over all directed edges — one number separating
+    hub-avoiding (negative, typical for bipartite commerce) from
+    hub-clustering topologies; the structural health check run before
+    trusting sampled-neighborhood algorithms.
+
+    Every moment (Σd_s, Σd_t, Σd_s·d_t, Σd_s², Σd_t²) is an exact
+    integer sum (degrees are BIGINT counts), so the only float work is
+    the final correlation formula — identical expression shape on both
+    engines, rounded to 6. Scale: degrees are one groupBy over the
+    edge list; the moment pass is one partial-aggregable scan of edges
+    joined twice to the broadcastable degree table.
+    """
+    edges = trade_edges(orders, lineitem)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    dt = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    mom = (
+        edges.join(ds, "src")
+        .join(dt, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("d_src").alias("ss"),
+            F.sum("d_dst").alias("st"),
+            F.sum(F.col("d_src") * F.col("d_dst")).alias("sst"),
+            F.sum(F.col("d_src") * F.col("d_src")).alias("sss"),
+            F.sum(F.col("d_dst") * F.col("d_dst")).alias("stt"),
+        )
+    )
+    n = F.col("n_edges").cast("double")
+    ss, st = F.col("ss").cast("double"), F.col("st").cast("double")
+    num = F.col("sst").cast("double") - ss * st / n
+    den = F.sqrt(
+        (F.col("sss").cast("double") - ss * ss / n)
+        * (F.col("stt").cast("double") - st * st / n)
+    )
+    # NULLIF guard: a degree-regular graph has zero endpoint variance
+    # and the correlation is undefined — NULL, not a division error
+    # (ANSI mode raises DIVIDE_BY_ZERO even for doubles).
+    return mom.select(
+        "n_edges",
+        F.round(num / F.when(den != 0, den), 6).alias("assortativity"),
+    )

@@ -5262,6 +5262,45 @@ def q_k_core_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "degree_assortativity",
+    f"""
+    WITH {_DUCK_TRADE_EDGES.strip()},
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             SUM(a.d) AS ss, SUM(b.d) AS st,
+             SUM(a.d * b.d) AS sst,
+             SUM(a.d * a.d) AS sss,
+             SUM(b.d * b.d) AS stt
+      FROM edges e
+      JOIN deg a ON e.src = a.node
+      JOIN deg b ON e.dst = b.node
+    )
+    SELECT n_edges,
+           ROUND((CAST(sst AS DOUBLE)
+                  - CAST(ss AS DOUBLE) * CAST(st AS DOUBLE)
+                    / CAST(n_edges AS DOUBLE))
+                 / NULLIF(SQRT((CAST(sss AS DOUBLE)
+                         - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                           / CAST(n_edges AS DOUBLE))
+                        * (CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                             / CAST(n_edges AS DOUBLE))), 0), 6)
+             AS assortativity
+    FROM mom
+    """,
+)
+def q_degree_assortativity(spark, sf_dir):
+    return gr.degree_assortativity(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _pq_subdist(a: str, b: str, j: int, sub: int = 8) -> str:
     """Left-associated L2² over subspace j's dims (1-based lists) —
     the same fold order as the operator's unrolled Spark expression."""
@@ -6228,6 +6267,7 @@ _VERIFY_FIRST = [
     "source_diversity",
     "revenue_bridge",
     "ivf_pq_topk",
+    "degree_assortativity",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -276,3 +276,19 @@ def test_sssp_weighted_round_bound_and_early_stop(spark):
         ("supplier", 20): 3,
         ("customer", 3): 4,
     }
+
+
+def test_degree_assortativity_known_topologies(spark):
+    """A star is maximally disassortative (r = -1: every edge links the
+    hub to a leaf); a 4-cycle is degree-regular and the correlation is
+    degenerate (NULL denominator -> None)."""
+    # star: customer 1 trades with suppliers 10,20,30 (hub deg 3, leaves 1)
+    orders, lineitem = _trade(spark, [(1, 10), (1, 20), (1, 30)])
+    row = gr.degree_assortativity(orders, lineitem).collect()[0]
+    assert row.n_edges == 6  # 3 undirected links, both directions
+    assert row.assortativity == -1.0
+    # 4-cycle: c1-s10, s10-c2, c2-s20, s20-c1 — all degrees equal
+    orders, lineitem = _trade(spark, [(1, 10), (2, 10), (2, 20), (1, 20)])
+    row = gr.degree_assortativity(orders, lineitem).collect()[0]
+    assert row.n_edges == 8
+    assert row.assortativity is None  # zero variance on both endpoints
