@@ -1041,3 +1041,48 @@ def source_diversity(documents: DataFrame) -> DataFrame:
         "simpson",
         "effective_sources",
     )
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """Source-level vocabulary overlap: Jaccard similarity of the
+    distinct-token sets of every source pair — the corpus-curation
+    screen that catches two "different" sources being the same scrape
+    (a mirror, a re-crawl) before per-document dedup ever runs.
+
+    Shape: distinct (source, term) posting lists, pair counts from one
+    self-join on term (pairs meet only on shared vocabulary — never a
+    source cross product), set sizes joined back, Jaccard =
+    inter / (|A| + |B| − inter) as one rounded double from exact
+    integer counts. Scale: vocabulary-sized state; the term join's
+    fan-out is |sources-per-term|² — bounded by the source count, not
+    the corpus.
+    """
+    st = documents.select(
+        "source", F.explode(tokens_col()).alias("term")
+    ).distinct()
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )
+    a = st.select(F.col("source").alias("src_a"), "term")
+    b = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n_terms").alias("terms_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n_terms").alias("terms_b"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("terms_a") + F.col("terms_b") - F.col("n_common")).cast(
+            "double"
+        ),
+        6,
+    )
+    return (
+        inter.join(na, "src_a")
+        .join(nb, "src_b")
+        .select("src_a", "src_b", "terms_a", "terms_b", "n_common",
+                jac.alias("jaccard"))
+    )

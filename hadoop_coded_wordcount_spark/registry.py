@@ -5263,6 +5263,39 @@ def q_k_core_suppliers(spark, sf_dir):
 
 
 @register(
+    "source_overlap",
+    """
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM st GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           na.n_terms AS terms_a, nb.n_terms AS terms_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(na.n_terms + nb.n_terms - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes na ON src_a = na.source
+    JOIN sizes nb ON src_b = nb.source
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    return ts.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "degree_assortativity",
     f"""
     WITH {_DUCK_TRADE_EDGES.strip()},
@@ -6268,6 +6301,7 @@ _VERIFY_FIRST = [
     "revenue_bridge",
     "ivf_pq_topk",
     "degree_assortativity",
+    "source_overlap",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

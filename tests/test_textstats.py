@@ -341,3 +341,28 @@ def test_source_diversity_known_mixtures(spark):
     assert (fr.n_docs, fr.n_sources) == (7, 1)
     assert fr.shannon_nats == 0.0 and fr.simpson == 1.0
     assert fr.effective_sources == 1.0
+
+
+def test_source_overlap_hand_sets(spark):
+    """Vocabulary sets {a,b,c}/{b,c,d} -> Jaccard 2/4; a disjoint
+    source pairs with others at 0 common terms (no row at all, since
+    pairs meet only on shared vocabulary)."""
+    from hadoop_coded_wordcount_spark.operators.textstats import (
+        source_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "b c d", "en", "s2", 5),
+            (3, "b c", "en", "s2", 3),   # dup terms within source collapse
+            (4, "x y z", "en", "s3", 5),
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    got = {(r.src_a, r.src_b): r for r in source_overlap(docs).collect()}
+    assert set(got) == {("s1", "s2")}  # s3 shares nothing -> no row
+    r = got[("s1", "s2")]
+    assert (r.terms_a, r.terms_b, r.n_common) == (3, 3, 2)
+    assert r.jaccard == 0.5
