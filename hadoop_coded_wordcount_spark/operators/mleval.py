@@ -1,0 +1,271 @@
+"""Model-evaluation statistics as distributed aggregates: AUC-ROC,
+calibration curves, and mutual information.
+
+A training-data engine ends up scoring things — rankers, quality
+classifiers, engagement models — and the evaluation statistics
+themselves must be distributed aggregates, not sklearn calls on a
+driver-side collect. Each operator here is expressed so the heavy part
+is one partial-aggregated shuffle and the statistic is assembled from a
+bounded histogram / contingency grid, the same bounded-state discipline
+as ``relational.exact_percentiles_by_group``.
+
+Exactness discipline (what makes these DuckDB-oracle-exact):
+
+* rank statistics (AUC) stay in INTEGER pair-count space until the final
+  division — the Mann–Whitney numerator is doubled (``2·wins + ties``)
+  so tie-halves never leave integers;
+* probability-like per-row quantities (calibration predictions) are
+  rounded to 6 dp and cast to DECIMAL before any sum, so group sums are
+  associative and engine-independent;
+* transcendental terms (``ln`` in mutual information) are computed on
+  identical doubles in both engines, rounded to 6 dp per TERM, then
+  summed as DECIMAL — JVM and libm ``ln`` legally differ in the last
+  ulp, and a raw double sum over a shuffled grid is order-dependent
+  (the ``chi_square_independence`` / ``cusum_changepoint`` pattern).
+
+Reference parity: the reference engine (a word-count job,
+/root/reference/src/wordcount/WordCount.java) has no evaluation surface;
+this family extends the engine per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "user_engagement_labels",
+    "auc_roc",
+    "calibration_bins",
+    "mutual_information",
+]
+
+
+def user_engagement_labels(events: DataFrame) -> DataFrame:
+    """Per-user (score, label) frame: does click engagement predict
+    high purchase value?
+
+    ``score`` = the user's click count (the model-free ranking signal);
+    ``label`` = 1 iff the user's summed purchase value exceeds the
+    global mean per-user purchase value. The mean (not the median) is
+    the threshold because it is a single exact DECIMAL scalar — one
+    broadcast, no order statistics over a corpus-sized value set.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value"), 6).cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("purchase_value"),
+    )
+    mean = per_user.agg(
+        (
+            F.sum("purchase_value").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("thr")
+    )
+    return per_user.join(F.broadcast(mean)).select(
+        "user_id",
+        "score",
+        F.when(F.col("purchase_value").cast("double") > F.col("thr"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label"),
+    )
+
+
+def auc_roc(events: DataFrame) -> DataFrame:
+    """Exact tie-corrected AUC-ROC (Mann–Whitney U form) of the click
+    engagement score against the high-spender label.
+
+    Scale shape: the naive rank formulation is a GLOBAL ORDER BY — a
+    single-task window. This is the bounded-state reformulation: collapse
+    users to a per-distinct-score histogram ``(score → n_pos, n_neg)``
+    (one partial-aggregated shuffle, state bounded by distinct scores),
+    then one window over the tiny histogram accumulates the negatives
+    seen below each score. Pair counts stay integer:
+
+        num2 = 2·Σ_s pos(s)·neg_below(s) + Σ_s pos(s)·neg(s)
+        AUC  = num2 / (2·P·N)
+
+    ``num2`` doubles the numerator so tied pairs (worth ½) never leave
+    integer space; the single final division is rounded to 6 dp. The
+    degenerate one-class case returns NULL via NULLIF, not a crash.
+    """
+    hist = (
+        user_engagement_labels(events)
+        .groupBy("score")
+        .agg(
+            F.sum("label").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("label")).cast("bigint").alias("neg"),
+        )
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = hist.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return scored.agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                2 * F.sum(F.col("pos") * F.col("neg_below"))
+                + F.sum(F.col("pos") * F.col("neg"))
+            ).cast("double")
+            / F.nullif(
+                (2 * F.sum("pos") * F.sum("neg")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(events: DataFrame) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for the click-share
+    "prediction" of the high-spender label.
+
+    Prediction p = clicks / (clicks + views) per user (users with
+    neither are excluded — no prediction exists). p is rounded to 6 dp
+    and cast to DECIMAL(18,6) at the row level, so every downstream
+    sum — mean prediction, Brier numerator (p−y)², observed rate — is
+    an exact associative decimal aggregate; only the final per-bin
+    divisions return to (rounded) doubles. Binning is decile on the
+    decimal (``floor(p·10)`` capped at 9), exact arithmetic, no float
+    boundary dust.
+
+    Scale: one per-user shuffle, then a 10-row grid.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "views"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value"), 6).cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("purchase_value"),
+    )
+    mean = per_user.agg(
+        (
+            F.sum("purchase_value").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("thr")
+    )
+    scored = (
+        per_user.where(F.col("clicks") + F.col("views") > 0)
+        .join(F.broadcast(mean))
+        .select(
+            F.round(
+                F.col("clicks").cast("double")
+                / (F.col("clicks") + F.col("views")).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+            F.when(F.col("purchase_value").cast("double") > F.col("thr"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    sq_err = (F.col("p") - F.col("y")).cast("decimal(19,6)")
+    return (
+        scored.select(
+            F.least(
+                F.floor(F.col("p") * 10).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            ).alias("bin"),
+            "p",
+            "y",
+            (sq_err * sq_err).cast("decimal(38,12)").alias("se"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("p").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum("se").cast("double") / F.count(F.lit(1)), 6
+            ).alias("brier"),
+        )
+    )
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Mutual information (and entropies) between event type and
+    hour-of-day — the dependence screen you run before trusting a
+    categorical feature pair.
+
+    The contingency grid is one partial-aggregated shuffle bounded by
+    |types|×24 cells; marginals are windows over that grid, never a
+    second scan. Each MI term ``p(x,y)·ln(p(x,y)/(p(x)p(y)))`` and each
+    entropy term is computed on identical doubles in both engines,
+    rounded to 6 dp per term, then summed as DECIMAL — the established
+    discipline for transcendental aggregates (``ln`` differs by an ulp
+    between JVM and libm, and raw double sums over shuffled grids are
+    order-dependent). Output: one row with MI, H(type), H(hour), and
+    the normalized MI / min-entropy ratio.
+    """
+    cells = events.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    g = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(wx).alias("rx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wall).alias("t"),
+    )
+    c, rx, cy, t = (F.col(k).cast("double") for k in ("c", "rx", "cy", "t"))
+    mi_term = F.round((c / t) * F.log((c * t) / (rx * cy)), 6).cast(
+        "decimal(18,6)"
+    )
+    # entropy terms must be counted once per marginal value, not once per
+    # cell: tag the first cell of each x (resp. y) group by row_number.
+    rnx = F.row_number().over(Window.partitionBy("x").orderBy("y"))
+    rny = F.row_number().over(Window.partitionBy("y").orderBy("x"))
+    hx_term = F.when(
+        rnx == 1, F.round(-(rx / t) * F.log(rx / t), 6)
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    hy_term = F.when(
+        rny == 1, F.round(-(cy / t) * F.log(cy / t), 6)
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    agg = g.select(
+        mi_term.alias("mi_t"), hx_term.alias("hx_t"), hy_term.alias("hy_t")
+    ).agg(
+        F.sum("mi_t").alias("mi_d"),
+        F.sum("hx_t").alias("hx_d"),
+        F.sum("hy_t").alias("hy_d"),
+    )
+    return agg.select(
+        F.col("mi_d").cast("double").alias("mi_nats"),
+        F.col("hx_d").cast("double").alias("h_type"),
+        F.col("hy_d").cast("double").alias("h_hour"),
+        F.round(
+            F.col("mi_d").cast("double")
+            / F.least(F.col("hx_d"), F.col("hy_d")).cast("double"),
+            6,
+        ).alias("nmi"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .sources.catalog import load_table
 from .functions import pandas_surface as pu
 from .operators import dedup as dd
+from .operators import mleval as ml
 from .operators import graph as gr
 from .operators import multimodal as mm
 from .operators import pipeline as pl
@@ -6227,6 +6228,134 @@ def q_hybrid_rrf_topk(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation statistics (operators/mleval.py) — AUC, calibration,
+# mutual information as bounded-state distributed aggregates
+# ---------------------------------------------------------------------------
+
+_MLEVAL_LABELS_SQL = """
+    per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicks,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS views,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS pv
+      FROM events GROUP BY user_id
+    ),
+    thr AS (
+      SELECT CAST(SUM(pv) AS DOUBLE) / COUNT(*) AS thr FROM per_user
+    )"""
+
+
+@register(
+    "auc_roc",
+    f"""
+    WITH {_MLEVAL_LABELS_SQL},
+    lab AS (
+      SELECT clicks AS score,
+             CASE WHEN CAST(pv AS DOUBLE) > thr THEN 1 ELSE 0 END AS label
+      FROM per_user CROSS JOIN thr
+    ),
+    hist AS (
+      SELECT score, CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(1 - label) AS BIGINT) AS neg
+      FROM lab GROUP BY score
+    ),
+    scored AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM hist
+    )
+    SELECT CAST(SUM(pos + neg) AS BIGINT) AS n_users,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(2 * SUM(pos * neg_below) + SUM(pos * neg) AS DOUBLE)
+                 / NULLIF(CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 0), 6)
+             AS auc
+    FROM scored
+    """,
+)
+def q_auc_roc(spark, sf_dir):
+    return ml.auc_roc(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "calibration_bins",
+    f"""
+    WITH {_MLEVAL_LABELS_SQL},
+    scored AS (
+      SELECT CAST(ROUND(CAST(clicks AS DOUBLE)
+                        / CAST(clicks + views AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS p,
+             CASE WHEN CAST(pv AS DOUBLE) > thr THEN 1 ELSE 0 END AS y
+      FROM per_user CROSS JOIN thr
+      WHERE clicks + views > 0
+    )
+    SELECT CAST(LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS mean_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+           ROUND(CAST(SUM(CAST(p - y AS DECIMAL(19,6))
+                          * CAST(p - y AS DECIMAL(19,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS brier
+    FROM scored GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    return ml.calibration_bins(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "mutual_information",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, EXTRACT(hour FROM ts) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT x, y, c,
+             SUM(c) OVER (PARTITION BY x) AS rx,
+             SUM(c) OVER (PARTITION BY y) AS cy,
+             SUM(c) OVER () AS t,
+             ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) AS rnx,
+             ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) AS rny
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                   * LN((CAST(c AS DOUBLE) * CAST(t AS DOUBLE))
+                        / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))), 6)
+             AS DECIMAL(18,6)) AS mi_t,
+        CAST(CASE WHEN rnx = 1 THEN
+               ROUND(-(CAST(rx AS DOUBLE) / CAST(t AS DOUBLE))
+                     * LN(CAST(rx AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+             ELSE 0 END AS DECIMAL(18,6)) AS hx_t,
+        CAST(CASE WHEN rny = 1 THEN
+               ROUND(-(CAST(cy AS DOUBLE) / CAST(t AS DOUBLE))
+                     * LN(CAST(cy AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+             ELSE 0 END AS DECIMAL(18,6)) AS hy_t
+      FROM g
+    )
+    SELECT CAST(SUM(mi_t) AS DOUBLE) AS mi_nats,
+           CAST(SUM(hx_t) AS DOUBLE) AS h_type,
+           CAST(SUM(hy_t) AS DOUBLE) AS h_hour,
+           ROUND(CAST(SUM(mi_t) AS DOUBLE)
+                 / CAST(LEAST(SUM(hx_t), SUM(hy_t)) AS DOUBLE), 6) AS nmi
+    FROM terms
+    """,
+)
+def q_mutual_information(spark, sf_dir):
+    return ml.mutual_information(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
