@@ -38,6 +38,7 @@ __all__ = [
     "auc_roc",
     "calibration_bins",
     "mutual_information",
+    "subsample_ci",
 ]
 
 
@@ -268,4 +269,74 @@ def mutual_information(events: DataFrame) -> DataFrame:
             / F.least(F.col("hx_d"), F.col("hy_d")).cast("double"),
             6,
         ).alias("nmi"),
+    )
+
+
+def subsample_ci(orders: DataFrame, n_replicates: int = 64) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the mean order value:
+    B replicates, replicate b containing exactly the rows whose
+    ``md5(key ':' b)`` is even — a reproducible subsampling bootstrap
+    (each replicate is an independent ~n/2 subsample; the spread of
+    replicate means estimates the sampling variability of the mean).
+
+    Engine/layout-independent BY CONSTRUCTION: membership is a pure
+    function of (key, b), so any engine draws the identical replicates —
+    unlike rand()-based bootstraps, this one is oracle-replayable.
+    Replicate sums are exact decimals; the 2.5%/97.5% band is read off
+    the B order statistics (rank ceil(0.025·B) and ceil(0.975·B)).
+
+    Scale: the fan-out is B× on a two-column projection (key, price),
+    partial-aggregated to B groups before the shuffle — the shuffle
+    carries B rows per map partition regardless of data size. The final
+    window orders B rows, a constant.
+    """
+    fan = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b"),
+    )
+    member = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k"), F.lit(":"), F.col("b").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    reps = (
+        fan.where(member)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum("price").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_b")
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    lo_rank = max(1, -(-25 * n_replicates // 1000))  # ceil(0.025·B)
+    hi_rank = -(-975 * n_replicates // 1000)  # ceil(0.975·B)
+    band = reps.select("mean_b", rn.alias("rn")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.max(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias("ci_hi"),
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean"),
+    )
+    return point.join(F.broadcast(band)).select(
+        "n_orders", "point_mean", "n_replicates", "ci_lo", "ci_hi"
     )

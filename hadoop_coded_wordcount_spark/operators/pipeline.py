@@ -33,6 +33,7 @@ __all__ = [
     "weighted_sample",
     "pack_sequences",
     "stratified_fixed_k",
+    "target_encoding",
     "SAMPLE_RATES",
 ]
 
@@ -414,4 +415,63 @@ def stratified_fixed_k(documents: DataFrame, k: int = 20) -> DataFrame:
         documents.select("doc_id", "lang")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
+    )
+
+
+def target_encoding(
+    orders: DataFrame, customer: DataFrame, n_folds: int = 5
+) -> DataFrame:
+    """K-fold out-of-fold target encoding of the market segment against
+    order value — the leakage-safe categorical encoder: each fold's
+    encoding is the target mean computed WITHOUT that fold's rows, so a
+    model trained on fold f never sees its own targets in the feature.
+
+    Folds are md5-hash-assigned on the customer key (the same
+    engine/layout-independent discipline as :func:`deterministic_split` —
+    ``sample()``-based folds would reshuffle under repartitioning).
+    Target sums stay DECIMAL until the single final division, so the
+    out-of-fold mean is an exact associative aggregate.
+
+    Scale: one orders⋈customer join (dim side), one partial-agg shuffle
+    to the (segment, fold) grid; totals are windows over that tiny grid,
+    never a second scan.
+    """
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_folds
+    )
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == customer.c_custkey,
+    ).select(
+        "c_mktsegment",
+        fold.alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    grid = joined.groupBy("c_mktsegment", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price").alias("s"),
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return grid.select(
+        "c_mktsegment",
+        "fold",
+        "n_rows",
+        F.round(
+            (F.sum("s").over(w) - F.col("s")).cast("double")
+            / F.nullif(
+                (F.sum("n_rows").over(w) - F.col("n_rows")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("oof_mean"),
+        F.round(F.col("s").cast("double") / F.col("n_rows"), 6).alias(
+            "fold_mean"
+        ),
     )

@@ -6358,6 +6358,134 @@ def q_mutual_information(spark, sf_dir):
     return ml.mutual_information(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "subsample_ci",
+    """
+    WITH fan AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             unnest(generate_series(0, 63)) AS b
+      FROM orders
+    ),
+    reps AS (
+      SELECT b, ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS mean_b
+      FROM fan
+      WHERE CAST(('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 2 = 0
+      GROUP BY b
+    ),
+    ranked AS (
+      SELECT b, mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+      FROM reps
+    ),
+    band AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+             MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+             MAX(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi
+      FROM ranked
+    ),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS point_mean
+      FROM orders
+    )
+    SELECT n_orders, point_mean, n_replicates, ci_lo, ci_hi
+    FROM point CROSS JOIN band
+    """,
+)
+def q_subsample_ci(spark, sf_dir):
+    return ml.subsample_ci(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "target_encoding",
+    """
+    WITH j AS (
+      SELECT c_mktsegment,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 5 AS fold,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    grid AS (
+      SELECT c_mktsegment, fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(price) AS s
+      FROM j GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, fold, n_rows,
+           ROUND(CAST(SUM(s) OVER (PARTITION BY c_mktsegment) - s AS DOUBLE)
+                 / NULLIF(CAST(SUM(n_rows) OVER (PARTITION BY c_mktsegment)
+                               - n_rows AS DOUBLE), 0), 6) AS oof_mean,
+           ROUND(CAST(s AS DOUBLE) / n_rows, 6) AS fold_mean
+    FROM grid
+    """,
+)
+def q_target_encoding(spark, sf_dir):
+    return pl.target_encoding(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH flagged AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             o_orderpriority,
+             CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                    OR LAG(o_orderpriority) OVER w <> o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    versioned AS (
+      SELECT o_custkey, d, o_orderkey, o_orderpriority,
+             CAST(SUM(chg) OVER (
+               PARTITION BY o_custkey ORDER BY d, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS version
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT o_custkey, version, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders, MIN(d) AS vf
+      FROM versioned GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, version, priority, n_orders,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+                    '%Y-%m-%d') AS valid_to
+    FROM intervals
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    return rel.scd2_intervals(load_table(spark, sf_dir, "orders"))
+
+
+# The oracle for the MERGE demo is the DIRECT newer snapshot: the Spark
+# plan reconstructs it by applying the CDC delta to the older snapshot
+# (insert/update/delete), so value equality here proves the merge
+# semantics end-to-end, not just the arithmetic.
+@register(
+    "merge_apply_changes",
+    """
+    WITH c AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS c2 FROM orders)
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders CROSS JOIN c
+    WHERE CAST(o_orderdate AS DATE) > c2 - 180
+      AND CAST(o_orderdate AS DATE) <= c2
+    GROUP BY o_custkey
+    """,
+)
+def q_merge_apply_changes(spark, sf_dir):
+    return rel.merge_apply_changes(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------

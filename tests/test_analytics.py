@@ -191,3 +191,153 @@ def test_clv_cohort_monotone_and_consistent(spark):
         assert rs[0].age_months == 0, mo
         cums = [r.cum_revenue for r in rs]
         assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:])), mo
+
+
+# ---- round-6 additions: SCD2, MERGE, target encoding, bootstrap CI ----
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+        " o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def test_scd2_intervals_change_history(spark):
+    import datetime
+
+    d = datetime.datetime
+    orders = _orders(
+        spark,
+        [
+            (1, 7, 10.0, d(2020, 1, 1), "LOW"),
+            (2, 7, 10.0, d(2020, 2, 1), "LOW"),
+            (3, 7, 10.0, d(2020, 3, 1), "HIGH"),
+            (4, 7, 10.0, d(2020, 4, 1), "LOW"),
+        ],
+    )
+    got = sorted(
+        rel.scd2_intervals(orders).collect(), key=lambda r: r.version
+    )
+    assert [
+        (r.version, r.priority, r.n_orders, r.valid_from, r.valid_to)
+        for r in got
+    ] == [
+        (1, "LOW", 2, "2020-01-01", "2020-03-01"),
+        (2, "HIGH", 1, "2020-03-01", "2020-04-01"),
+        (3, "LOW", 1, "2020-04-01", None),
+    ]
+
+
+def test_scd2_same_day_ties_break_on_orderkey(spark):
+    import datetime
+
+    d = datetime.datetime
+    orders = _orders(
+        spark,
+        [
+            (2, 7, 10.0, d(2020, 1, 1), "HIGH"),
+            (1, 7, 10.0, d(2020, 1, 1), "LOW"),
+        ],
+    )
+    got = sorted(
+        rel.scd2_intervals(orders).collect(), key=lambda r: r.version
+    )
+    assert [(r.version, r.priority) for r in got] == [(1, "LOW"), (2, "HIGH")]
+
+
+def test_merge_apply_reconstructs_direct_snapshot(spark):
+    """INSERT / UPDATE / DELETE / unchanged all present; the merged
+    output must equal the newer snapshot computed directly."""
+    import datetime
+
+    d = datetime.datetime
+    # c2 = 2020-12-31, c1 = c2-90d = 2020-10-02; window = 180 days.
+    orders = _orders(
+        spark,
+        [
+            # cust 1: active only in the OLD window -> DELETE
+            (1, 1, 100.0, d(2020, 5, 1), "X"),
+            # cust 2: active in both, changed (new order in gap) -> UPDATE
+            (2, 2, 100.0, d(2020, 9, 1), "X"),
+            (3, 2, 50.0, d(2020, 11, 1), "X"),
+            # cust 3: active only in the NEW window -> INSERT
+            (4, 3, 70.0, d(2020, 12, 1), "X"),
+            # cust 4: one order inside BOTH windows -> unchanged
+            (5, 4, 30.0, d(2020, 9, 15), "X"),
+            # anchor for c2
+            (6, 5, 10.0, d(2020, 12, 31), "X"),
+        ],
+    )
+    got = {
+        r.o_custkey: (r.n_orders, r.revenue)
+        for r in rel.merge_apply_changes(orders).collect()
+    }
+    assert 1 not in got  # deleted
+    assert got[2] == (2, 150.0)  # updated (both orders inside new window)
+    assert got[3] == (1, 70.0)  # inserted
+    assert got[4] == (1, 30.0)  # unchanged carried from base
+    assert got[5] == (1, 10.0)
+
+
+def test_target_encoding_excludes_own_fold(spark):
+    import hashlib
+
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+
+    def fold(ck):
+        return (
+            int(hashlib.md5(str(ck).encode()).hexdigest()[:13], 16) % 5
+        )
+
+    # two customers guaranteed in different folds
+    a, b = 1, 2
+    while fold(b) == fold(a):
+        b += 1
+    import datetime
+
+    d = datetime.datetime
+    orders = _orders(
+        spark,
+        [(1, a, 10.0, d(2020, 1, 1), "X"), (2, b, 30.0, d(2020, 1, 1), "X")],
+    )
+    customer = spark.createDataFrame(
+        [(a, "SEG"), (b, "SEG")], "c_custkey bigint, c_mktsegment string"
+    )
+    got = {
+        r.fold: r for r in pl.target_encoding(orders, customer).collect()
+    }
+    # each fold's encoding is the OTHER fold's mean
+    assert got[fold(a)].oof_mean == 30.0
+    assert got[fold(b)].oof_mean == 10.0
+    assert got[fold(a)].fold_mean == 10.0
+
+
+def test_subsample_ci_matches_python_replay(spark):
+    import datetime
+    import hashlib
+    from decimal import Decimal
+
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    d = datetime.datetime
+    rows = [
+        (k, 1, float(100 + 7 * k), d(2020, 1, 1), "X") for k in range(1, 41)
+    ]
+    orders = _orders(spark, rows)
+    got = ml.subsample_ci(orders, n_replicates=64).collect()[0]
+
+    def member(k, b):
+        h = hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:13]
+        return int(h, 16) % 2 == 0
+
+    means = []
+    for b in range(64):
+        sel = [Decimal(f"{100 + 7 * k}.00") for k in range(1, 41) if member(k, b)]
+        means.append((round(float(sum(sel)) / len(sel), 6), b))
+    means.sort()
+    assert got.n_replicates == 64
+    assert got.ci_lo == means[1][0]  # rank 2 of 64
+    assert got.ci_hi == means[62][0]  # rank 63 of 64
+    assert got.point_mean == round(sum(100 + 7 * k for k in range(1, 41)) / 40, 6)
