@@ -50,6 +50,8 @@ __all__ = [
     "triangle_count",
     "k_core",
     "link_prediction_jaccard",
+    "hits_ranking",
+    "modularity_by_nation",
     "PR_SCALE",
 ]
 
@@ -689,4 +691,188 @@ def degree_assortativity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return mom.select(
         "n_edges",
         F.round(num / F.when(den != 0, den), 6).alias("assortativity"),
+    )
+
+
+def hits_ranking(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    n_rounds: int = 2,
+    topn: int = 20,
+) -> DataFrame:
+    """HITS hubs-and-authorities on the directed customer→supplier trade
+    graph (Kleinberg, JACM 1999): a supplier's authority is the summed
+    hub mass of its buyers; a customer's hub mass is the summed
+    authority of its suppliers. Returns the top-N authorities.
+
+    Exactness discipline (same stance as :func:`pagerank`): all mass is
+    integer-scaled and the per-round normalization is an integer
+    floor-division by ``max(score) div SCALE`` — the usual L2 norm
+    would put a sqrt inside the loop and make the fixpoint float-path
+    dependent, whereas this max-norm keeps every intermediate an exact
+    integer that any engine reproduces by unrolling the recurrence.
+    The divisor never overflows: scores stay ≤ degree·SCALE, and the
+    normalizer divides DOWN to ~SCALE before the next matmul.
+
+    Scale shape: each half-round is one join shuffle + one partial-agg
+    shuffle on the edge list (the only O(E) structure); the max is a
+    1-row aggregate riding a broadcast join, never a driver collect.
+    Edges are invariant loop input — checkpointed once.
+    """
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = edges.select("c").distinct().select(
+        "c", F.lit(PR_SCALE).alias("hub")
+    )
+    auths = None
+    for _ in range(n_rounds):
+        raw_auth = (
+            edges.join(hubs, "c")
+            .groupBy("s")
+            .agg(F.sum("hub").alias("a"))
+        )
+        amax = raw_auth.agg(F.max("a").alias("amax"))
+        auths = (
+            raw_auth.join(F.broadcast(amax))
+            .select(
+                "s",
+                F.expr(f"a div greatest(amax div {PR_SCALE}, 1)").alias(
+                    "auth"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_hub = (
+            edges.join(auths, "s")
+            .groupBy("c")
+            .agg(F.sum("auth").alias("h"))
+        )
+        hmax = raw_hub.agg(F.max("h").alias("hmax"))
+        hubs = (
+            raw_hub.join(F.broadcast(hmax))
+            .select(
+                "c",
+                F.expr(f"h div greatest(hmax div {PR_SCALE}, 1)").alias(
+                    "hub"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        auths.select(F.col("s").alias("s_suppkey"), F.col("auth").alias("auth_scaled"))
+        .orderBy(F.desc("auth_scaled"), "s_suppkey")
+        .limit(topn)
+    )
+
+
+def modularity_by_nation(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    min_shared: int = 30,
+) -> DataFrame:
+    """Newman modularity of the NATION partition over the thresholded
+    supplier co-occurrence graph — "do same-nation suppliers trade
+    together more than a degree-preserving random rewiring predicts?"
+    The community-quality score you compute before trusting any
+    clustering (here the natural geographic partition).
+
+        Q = Σ_c ( e_c/m − (d_c/(2m))² )
+
+    with m = |E|, e_c = intra-community edges, d_c = summed degrees.
+    All three are exact integers off one edge list; each community's
+    term is one double division rounded to 6 dp, and the global Q is
+    the DECIMAL sum of the rounded terms (the order-proof discipline —
+    a raw double sum over shuffled communities drifts in the last ulp).
+
+    Scale: the edge list is the thresholded projection (sub-linear in
+    corpus growth, see :func:`supplier_cooccurrence_graph`); everything
+    after it is two tiny aggregates and broadcast dims.
+    """
+    edges = supplier_cooccurrence_graph(
+        lineitem, min_shared=min_shared
+    ).localCheckpoint(eager=True)
+    nat = supplier.select(
+        F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("nk")
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    enat = (
+        edges.join(nat.withColumnRenamed("v", "src"), "src")
+        .withColumnRenamed("nk", "nk_src")
+        .join(
+            nat.selectExpr("v as dst", "nk as nk_dst"), "dst"
+        )
+    )
+    intra = (
+        enat.where(F.col("nk_src") == F.col("nk_dst"))
+        .groupBy(F.col("nk_src").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dnat = (
+        deg.join(nat, "v")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    per = (
+        dnat.join(intra, "nk", "left")
+        .na.fill({"intra_edges": 0})
+        .join(F.broadcast(m))
+        .select(
+            "nk",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            # (d/2m) squared as an explicit self-product, not pow(x,2):
+            # x*x is the same double expression in DuckDB, pow need not be
+            F.round(
+                F.col("intra_edges").cast("double") / F.col("m")
+                - (
+                    F.col("degree_sum").cast("double")
+                    / (2 * F.col("m")).cast("double")
+                )
+                * (
+                    F.col("degree_sum").cast("double")
+                    / (2 * F.col("m")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("q_term_d"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        per.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("nk"), "n_name"
+                )
+            ),
+            "nk",
+        )
+        .select(
+            "n_name",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            F.col("q_term_d").cast("double").alias("q_term"),
+            F.sum("q_term_d").over(w).cast("double").alias("modularity"),
+        )
     )

@@ -6486,6 +6486,100 @@ def q_merge_apply_changes(spark, sf_dir):
     return rel.merge_apply_changes(load_table(spark, sf_dir, "orders"))
 
 
+def _hits_half_round(prev: str, raw: str, out: str, src: str, dst: str, score: str) -> str:
+    """One unrolled HITS half-round: sum the opposite side's mass over
+    the edge list, then max-normalize with integer floor-division (the
+    oracle twin of graph.py:hits_ranking's exact recurrence)."""
+    return f"""
+    {raw} AS (
+      SELECT {dst}, CAST(SUM({score}) AS BIGINT) AS x
+      FROM e JOIN {prev} USING ({src}) GROUP BY {dst}
+    ),
+    {out} AS (
+      SELECT {dst},
+             x // GREATEST(CAST((SELECT MAX(x) FROM {raw}) AS BIGINT)
+                           // 1000000000000, 1) AS score
+      FROM {raw}
+    )"""
+
+
+# HITS is iterative-float in every textbook; the max-norm integer
+# recurrence (graph.py) makes it exactly replayable, so the oracle
+# unrolls the 2 rounds (4 half-rounds; the trailing hub half-round is
+# dead in the Spark plan and omitted here).
+@register(
+    "hits_ranking",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    h0 AS (
+      SELECT DISTINCT c, CAST(1000000000000 AS BIGINT) AS score FROM e
+    ),{_hits_half_round("h0", "a1r", "a1", "c", "s", "score")},{_hits_half_round("a1", "h1r", "h1", "s", "c", "score")},{_hits_half_round("h1", "a2r", "a2", "c", "s", "score")}
+    SELECT s AS s_suppkey, CAST(score AS BIGINT) AS auth_scaled
+    FROM a2 ORDER BY score DESC, s LIMIT 20
+    """,
+)
+def q_hits_ranking(spark, sf_dir):
+    return gr.hits_ranking(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "modularity_nations",
+    """
+    WITH p AS (
+      SELECT s, d, COUNT(*) AS c FROM (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey AS s, b.l_suppkey AS d
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      ) GROUP BY 1, 2
+    ),
+    e AS (SELECT s AS src, d AS dst FROM p WHERE c >= 30),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    nat AS (SELECT s_suppkey AS v, s_nationkey AS nk FROM supplier),
+    intra AS (
+      SELECT ns.nk AS nk, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      FROM e JOIN nat ns ON e.src = ns.v JOIN nat nd ON e.dst = nd.v
+      WHERE ns.nk = nd.nk GROUP BY 1
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY v
+    ),
+    dnat AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) AS BIGINT) AS degree_sum
+      FROM deg JOIN nat USING (v) GROUP BY nk
+    ),
+    per AS (
+      SELECT nk, n_nodes, COALESCE(intra_edges, 0) AS intra_edges,
+             degree_sum,
+             CAST(ROUND(
+               CAST(COALESCE(intra_edges, 0) AS DOUBLE) / m
+               - (CAST(degree_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                 * (CAST(degree_sum AS DOUBLE) / CAST(2 * m AS DOUBLE)),
+               6) AS DECIMAL(18,6)) AS qd
+      FROM dnat LEFT JOIN intra USING (nk) CROSS JOIN m
+    )
+    SELECT n_name, n_nodes, intra_edges, degree_sum,
+           CAST(qd AS DOUBLE) AS q_term,
+           CAST(SUM(qd) OVER () AS DOUBLE) AS modularity
+    FROM per JOIN nation ON nk = n_nationkey
+    """,
+)
+def q_modularity_nations(spark, sf_dir):
+    return gr.modularity_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------

@@ -292,3 +292,61 @@ def test_degree_assortativity_known_topologies(spark):
     row = gr.degree_assortativity(orders, lineitem).collect()[0]
     assert row.n_edges == 8
     assert row.assortativity is None  # zero variance on both endpoints
+
+
+def test_hits_authority_orders_by_buyer_mass(spark):
+    """Supplier 10 has two buyers, supplier 20 one — s10's authority
+    strictly dominates. Hand trace of the integer recurrence (S = scale):
+    a1 = (2S, S) -> norm /2 -> (S, S/2); h1 = (S, 1.5S) -> divisor
+    floor(1.5)=1 -> unchanged; a2 = (2.5S, 1.5S) -> divisor floor(2.5)=2
+    -> (1.25S, 0.75S)."""
+    orders, lineitem = _trade(spark, [(1, 10), (2, 10), (2, 20)])
+    got = gr.hits_ranking(orders, lineitem).collect()
+    assert [r.s_suppkey for r in got] == [10, 20]
+    assert got[0].auth_scaled == gr.PR_SCALE * 5 // 4
+    assert got[1].auth_scaled == gr.PR_SCALE * 3 // 4
+
+
+def test_modularity_two_cliques_is_half(spark):
+    """Two disconnected same-nation pairs: e_c/m = 1/2 and
+    (d_c/2m)^2 = 1/4 for each community -> Q = 0.5 exactly."""
+    # suppliers 1,2 (nation 0) share order 100; suppliers 3,4 (nation 1)
+    # share order 200.
+    lineitem = spark.createDataFrame(
+        [(100, 1), (100, 2), (200, 3), (200, 4)],
+        "l_orderkey bigint, l_suppkey bigint",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)],
+        "s_suppkey bigint, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey int, n_name string"
+    )
+    got = gr.modularity_by_nation(
+        lineitem, supplier, nation, min_shared=1
+    ).collect()
+    assert {r.n_name: r.q_term for r in got} == {"A": 0.25, "B": 0.25}
+    assert all(r.modularity == 0.5 for r in got)
+    assert all(r.intra_edges == 1 and r.degree_sum == 2 for r in got)
+
+
+def test_modularity_anti_community_is_negative(spark):
+    """All edges cross the partition: e_c = 0 for both communities, so
+    Q = -(sum of squared degree shares) < 0."""
+    lineitem = spark.createDataFrame(
+        [(100, 1), (100, 2), (200, 3), (200, 4)],
+        "l_orderkey bigint, l_suppkey bigint",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 1)],
+        "s_suppkey bigint, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey int, n_name string"
+    )
+    got = gr.modularity_by_nation(
+        lineitem, supplier, nation, min_shared=1
+    ).collect()
+    assert all(r.intra_edges == 0 for r in got)
+    assert all(r.modularity == -0.5 for r in got)
