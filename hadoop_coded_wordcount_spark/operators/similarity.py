@@ -44,6 +44,7 @@ __all__ = [
     "rp_sign",
     "random_projection",
     "embedding_covariance",
+    "ann_ndcg",
 ]
 
 
@@ -1124,4 +1125,70 @@ def ivf_pq_topk(
             "rank",
             F.col("ad").cast("double").alias("pq_dist"),
         )
+    )
+
+
+def ann_ndcg(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k of the IVF approximate ranking against brute-force truth —
+    the graded companion to :func:`ann_recall_metrics`: recall says
+    whether true neighbors showed up, NDCG says whether they showed up
+    IN THE RIGHT ORDER, discounting late hits logarithmically.
+
+    Relevance is graded from the exact ranking (true rank 1 → k, rank k
+    → 1, miss → 0); DCG terms ``rel / log2(pos+1)`` are rounded to 6 dp
+    per term and summed as DECIMAL — log2 is transcendental and the
+    per-term-round-then-decimal-sum discipline is what keeps an
+    order-insensitive external replay bit-exact. The ideal DCG is
+    computed from the exact list the same way, so ndcg ≤ 1 with
+    equality iff the approximate order matches truth.
+
+    Scale: two bounded top-k pipelines + one (query, neighbor) join —
+    k rows per query per side, same as the recall scoreboard.
+    """
+    exact = cosine_topk(embeddings, k=k).select(
+        "query_id",
+        "neighbor_id",
+        (k + 1 - F.col("rank")).alias("rel"),
+        F.col("rank").alias("true_rank"),
+    )
+    approx = cosine_ivf_topk(embeddings, k=k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    dcg = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+                / F.log2(F.col("rank").cast("double") + 1),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("dcg_d"))
+    )
+    idcg = (
+        exact.select(
+            "query_id",
+            F.round(
+                F.col("rel").cast("double")
+                / F.log2(F.col("true_rank").cast("double") + 1),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("idcg_d"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.col("dcg_d").cast("double").alias("dcg"),
+        F.col("idcg_d").cast("double").alias("idcg"),
+        F.round(
+            F.col("dcg_d").cast("double") / F.col("idcg_d").cast("double"),
+            6,
+        ).alias("ndcg"),
     )

@@ -5629,6 +5629,46 @@ def _register_ann_recall_metrics() -> None:
 _register_ann_recall_metrics()
 
 
+def _register_ann_ndcg() -> None:
+    """Same embed-the-replays construction as ann_recall_metrics: the
+    NDCG oracle is both rankings + graded log-discounted terms (rounded
+    per term, decimal-summed — the transcendental-aggregate rule)."""
+
+    @register(
+        "ann_ndcg",
+        f"""
+    WITH approx AS ({ORACLES["similarity_ivf_topk"]}),
+    exact AS ({ORACLES["similarity_topk"]}),
+    dcg AS (
+      SELECT a.query_id,
+             SUM(CAST(ROUND(CAST(COALESCE(11 - e.rank, 0) AS DOUBLE)
+                            / log2(CAST(a.rank AS DOUBLE) + 1), 6)
+                      AS DECIMAL(18,6))) AS dcg_d
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             SUM(CAST(ROUND(CAST(11 - rank AS DOUBLE)
+                            / log2(CAST(rank AS DOUBLE) + 1), 6)
+                      AS DECIMAL(18,6))) AS idcg_d
+      FROM exact GROUP BY query_id
+    )
+    SELECT d.query_id,
+           CAST(dcg_d AS DOUBLE) AS dcg,
+           CAST(idcg_d AS DOUBLE) AS idcg,
+           ROUND(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6) AS ndcg
+    FROM dcg d JOIN idcg USING (query_id)
+    """,
+    )
+    def q_ann_ndcg(spark, sf_dir):
+        return sim.ann_ndcg(load_table(spark, sf_dir, "embeddings"))
+
+
+_register_ann_ndcg()
+
+
 @register(
     "bloom_prefilter",
     """

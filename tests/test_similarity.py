@@ -401,3 +401,44 @@ def test_ivf_pq_composition_consistency(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         dists = [r.pq_dist for r in rows]
         assert dists == sorted(dists)
+
+
+def test_ann_ndcg_matches_python_replay(spark):
+    """NDCG rows must equal a Python recomputation (same per-term 6dp
+    rounding) from the two rankings, and obey 0 <= ndcg <= 1 with
+    equality iff the approximate order matches truth exactly."""
+    import math
+    from decimal import Decimal
+
+    emb = load_table(spark, SF001, "embeddings")
+    exact = {}
+    for r in sim.cosine_topk(emb).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    approx = {}
+    for r in sim.cosine_ivf_topk(emb).collect():
+        approx.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    got = {r.query_id: r for r in sim.ann_ndcg(emb).collect()}
+    assert set(got) == set(approx)
+    for q, rows in approx.items():
+        dcg = sum(
+            Decimal(
+                str(
+                    round(
+                        (11 - exact[q][n] if n in exact[q] else 0)
+                        / math.log2(rk + 1),
+                        6,
+                    )
+                )
+            )
+            for rk, n in rows
+        )
+        idcg = sum(
+            Decimal(str(round((11 - rk) / math.log2(rk + 1), 6)))
+            for rk in exact[q].values()
+        )
+        assert got[q].dcg == float(dcg)
+        assert got[q].idcg == float(idcg)
+        assert got[q].ndcg == round(float(dcg) / float(idcg), 6)
+        assert 0.0 <= got[q].ndcg <= 1.0
+        perfect = all(n in exact[q] and exact[q][n] == rk for rk, n in rows)
+        assert (got[q].ndcg == 1.0) == perfect
