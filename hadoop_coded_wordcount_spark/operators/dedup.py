@@ -35,8 +35,10 @@ __all__ = [
     "dedup_exact",
     "dedup_fingerprint",
     "ngram_jaccard_pairs",
+    "minhash_wide",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "lsh_tuning_curve",
     "connected_components",
     "connected_components_star",
     "dedup_clusters",
@@ -258,6 +260,47 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return out
 
 
+def minhash_wide(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """The wide (doc_id, m0..m{k-1}) MinHash frame shared by
+    :func:`minhash_signatures` (which unpivots it for the gate-friendly
+    row schema) and :func:`lsh_tuning_curve` (which bands it per config).
+
+    Shape: explode shingles once → one md5 + mod per gram → one
+    groupBy(doc_id) with k codegen'd min-aggregates (partial map-side, so
+    the shuffle carries k longs per doc). The repartition before the
+    explode spreads gram hashing across cores on a single-file scan and
+    pre-aligns the groupBy (no second exchange).
+    """
+    g = shingled(documents, n)
+    nparts = 2 * documents.sparkSession.sparkContext.defaultParallelism
+    h = F.md5("gram")
+    # explode_OUTER, deliberately: a plain explode makes Catalyst push
+    # `size(grams) > 0 AND isnotnull(grams)` down to the scan, and those
+    # predicates re-derive the ENTIRE tokenize+shingle expression per row
+    # (measured 14.1 s vs 2.6 s at sf0.1 — the r5 bench regression).
+    # shingled() already guarantees non-empty gram arrays, so the outer
+    # variant emits the identical rows with no pushed re-evaluation.
+    ex = (
+        g.repartition(nparts, "doc_id")
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+                % F.lit(_MINHASH_P)
+            ).alias("x"),
+        )
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(minhash_params(k))
+        ]
+    )
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
     """k-permutation MinHash signature per document, one row per
     ``(doc_id, perm)`` with the 31-bit minimum hash.
@@ -283,34 +326,7 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
     repartition before the explode spreads gram hashing across cores on a
     single-file scan and pre-aligns the groupBy (no second exchange).
     """
-    g = shingled(documents, n)
-    nparts = 2 * documents.sparkSession.sparkContext.defaultParallelism
-    h = F.md5("gram")
-    # explode_OUTER, deliberately: a plain explode makes Catalyst push
-    # `size(grams) > 0 AND isnotnull(grams)` down to the scan, and those
-    # predicates re-derive the ENTIRE tokenize+shingle expression per row
-    # (measured 14.1 s vs 2.6 s at sf0.1 — the r5 bench regression).
-    # shingled() already guarantees non-empty gram arrays, so the outer
-    # variant emits the identical rows with no pushed re-evaluation.
-    ex = (
-        g.repartition(nparts, "doc_id")
-        .select("doc_id", F.explode_outer("grams").alias("gram"))
-        .select(
-            "doc_id",
-            (
-                F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
-                % F.lit(_MINHASH_P)
-            ).alias("x"),
-        )
-    )
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(minhash_params(k))
-        ]
-    )
+    sig = minhash_wide(documents, n, k)
     perms = F.array(
         *[
             F.struct(
@@ -1138,4 +1154,106 @@ def dedup_incremental(
         j.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("new_doc_id", "matched_doc_id", "jaccard")
+    )
+
+
+def lsh_tuning_curve(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    threshold: float = 0.5,
+    configs: tuple[tuple[int, int], ...] = ((16, 2), (8, 4), (4, 8)),
+) -> DataFrame:
+    """Band-geometry tuning sweep for MinHash LSH: for each (bands, rows)
+    split of the k-hash signature, the candidate-pair volume and its
+    recall/precision against the exact near-dup truth set — the
+    measurement loop you run BEFORE burning cluster-days on a 100 TB
+    dedup with the wrong S-curve.
+
+    Truth is the exact Jaccard ≥ threshold pair set, language-blocked
+    (:func:`ngram_jaccard_pairs` — word-shingle sets across languages
+    are disjoint, so the block loses nothing on this corpus and keeps
+    the quadratic verify affordable; at real scale you'd measure on a
+    document SAMPLE, same query shape). Band buckets are md5 over the
+    ':'-joined signature slice, so the whole sweep — signatures, bands,
+    candidates, hits — is replayed value-exact by the external oracle.
+
+    Scale: one signature pass (persisted, shared by all configs), one
+    (band, bucket) equi-join per config — the candidate join is the
+    LSH join itself, so the sweep costs ~|configs|× the production
+    banding step, never a second corpus scan.
+    """
+    sig = minhash_wide(documents, n, k).persist()
+    truth = (
+        ngram_jaccard_pairs(documents, n=n, threshold=threshold)
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+        .persist()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    per_config = []
+    for bands, r in configs:
+        assert bands * r <= k
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"m{i * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        ).cast("binary")
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+        buckets = sig.select(
+            "doc_id", F.explode(band_structs).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
+        cand = (
+            buckets.alias("x")
+            .join(
+                buckets.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        per_config.append(
+            cand.join(truth, ["doc_a", "doc_b"], "left").agg(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.coalesce(F.sum("t"), F.lit(0))
+                .cast("bigint")
+                .alias("n_tp"),
+            )
+        )
+    out = per_config[0]
+    for c in per_config[1:]:
+        out = out.unionAll(c)
+    return out.join(F.broadcast(n_truth)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_tp",
+        "n_truth",
+        F.round(
+            F.col("n_tp").cast("double")
+            / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_tp").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
     )

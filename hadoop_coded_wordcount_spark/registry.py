@@ -1542,6 +1542,87 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _lsh_tuning_oracle(
+    configs: tuple[tuple[int, int], ...] = ((16, 2), (8, 4), (4, 8)),
+) -> str:
+    """Full replay of the LSH tuning sweep: md5 signatures → per-config
+    band buckets (md5 of the ':'-joined slice) → candidate pairs →
+    hit counts vs the exact lang-blocked Jaccard truth set."""
+    parts = [
+        f"""
+    WITH g AS ({_DUCK_SHINGLES}),
+    truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) AS j
+        FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE j >= 0.5
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 14)) AS BIGINT)
+               % 2147483647 AS x
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    ),
+    s AS (
+      SELECT doc_id,
+           {_MINHASH_MINS}
+      FROM h GROUP BY doc_id
+    )"""
+    ]
+    for bands, r in configs:
+        tag = f"c{bands}x{r}"
+        arms = "\n      UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, md5("
+            + " || ':' || ".join(
+                f"CAST(m{i * r + j} AS VARCHAR)" for j in range(r)
+            )
+            + ") AS bucket FROM s"
+            for i in range(bands)
+        )
+        parts.append(
+            f""",
+    {tag}b AS ({arms}),
+    {tag}c AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM {tag}b x JOIN {tag}b y
+        ON x.band = y.band AND x.bucket = y.bucket
+       AND x.doc_id < y.doc_id
+    ),
+    {tag}s AS (
+      SELECT CAST({bands} AS INT) AS bands,
+             CAST({r} AS INT) AS rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_tp
+      FROM {tag}c c LEFT JOIN truth t
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM c{bands}x{r}s" for bands, r in configs
+    )
+    parts.append(
+        f"""
+    SELECT bands, rows_per_band, n_candidates, n_tp, n_truth,
+           ROUND(CAST(n_tp AS DOUBLE)
+                 / NULLIF(CAST(n_truth AS DOUBLE), 0), 6) AS recall,
+           ROUND(CAST(n_tp AS DOUBLE)
+                 / NULLIF(CAST(n_candidates AS DOUBLE), 0), 6) AS precision
+    FROM ({union}) CROSS JOIN nt"""
+    )
+    return "".join(parts)
+
+
+@register("lsh_tuning_curve", _lsh_tuning_oracle())
+def q_lsh_tuning_curve(spark, sf_dir):
+    return dd.lsh_tuning_curve(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_clusters",
     # Oracle: transitive closure by recursive CTE over the *exact* Jaccard

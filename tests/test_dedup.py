@@ -380,3 +380,30 @@ def test_keep_best_per_cluster_resolution(spark):
         best = max(members, key=lambda r: (r.quality, -r.doc_id))
         assert keeps[0].doc_id == best.doc_id
         assert all(r.cluster_size == len(members) for r in members)
+
+
+def test_lsh_tuning_curve_nested_configs_monotone(docs):
+    """The default configs nest (each (4,8) band is the conjunction of
+    two aligned (8,4) bands, each of those two (16,2) bands), so the
+    candidate volume must be non-increasing as bands sharpen; the exact
+    duplicate pair is a candidate AND a true positive in every config."""
+    got = sorted(
+        dd.lsh_tuning_curve(docs).collect(), key=lambda r: -r.bands
+    )
+    assert [(r.bands, r.rows_per_band) for r in got] == [
+        (16, 2),
+        (8, 4),
+        (4, 8),
+    ]
+    # truth on this fixture: (0,1), (0,5), (1,5) identical-shingle pairs
+    # plus the near pair (0,2) family — all configs share one n_truth.
+    assert len({r.n_truth for r in got}) == 1
+    cands = [r.n_candidates for r in got]
+    assert cands == sorted(cands, reverse=True)
+    for r in got:
+        # identical signatures agree on every band: the exact-dup pairs
+        # are always candidates and always verified true
+        assert r.n_tp >= 3
+        assert r.n_tp <= r.n_truth and r.n_tp <= r.n_candidates
+        assert r.recall is None or r.recall <= 1.0
+        assert r.precision is None or r.precision <= 1.0
