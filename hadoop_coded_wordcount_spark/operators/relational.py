@@ -4937,3 +4937,87 @@ def merge_apply_changes(orders: DataFrame, lag_days: int = 90) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_support: int = 3,
+    topn: int = 30,
+) -> DataFrame:
+    """Directed association rules A→B over order baskets with support,
+    confidence, and lift — the step after :func:`market_basket_pairs`
+    (which stops at pair support): confidence = supp(A∪B)/supp(A) is
+    the conditional attach rate, lift = confidence/P(B) normalizes away
+    B's base popularity (lift > 1 ⇒ genuinely associated).
+
+    Every statistic is a ratio of exact integer counts (pair support,
+    item support, basket count), each division rounded to 6 dp — no
+    float accumulates anywhere. Both rule directions emit from one
+    unordered pair count.
+
+    Scale: identical join shape to the basket pairs (quadratic only in
+    basket size); item supports are one extra partial-agg, the basket
+    count is a broadcast scalar.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("supp_item")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_pair"))
+        .where(F.col("supp_pair") >= min_support)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "supp_pair",
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "supp_pair",
+        )
+    )
+    enriched = (
+        rules.join(
+            item.selectExpr("item AS antecedent", "supp_item AS supp_ante"),
+            "antecedent",
+        )
+        .join(
+            item.selectExpr("item AS consequent", "supp_item AS supp_cons"),
+            "consequent",
+        )
+        .join(F.broadcast(n_baskets))
+    )
+    conf = F.round(
+        F.col("supp_pair").cast("double") / F.col("supp_ante"), 6
+    )
+    lift = F.round(
+        (F.col("supp_pair") * F.col("n_baskets")).cast("double")
+        / (F.col("supp_ante") * F.col("supp_cons")).cast("double"),
+        6,
+    )
+    return (
+        enriched.select(
+            "antecedent",
+            "consequent",
+            "supp_pair",
+            "supp_ante",
+            "supp_cons",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(topn)
+    )

@@ -4710,6 +4710,48 @@ def q_market_basket_pairs(spark, sf_dir):
 
 
 @register(
+    "association_rules",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM op
+    ),
+    item AS (
+      SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS supp_item
+      FROM op GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS supp_pair
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, supp_pair FROM pairs
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, supp_pair FROM pairs
+    )
+    SELECT antecedent, consequent, supp_pair,
+           ia.supp_item AS supp_ante, ic.supp_item AS supp_cons,
+           ROUND(CAST(supp_pair AS DOUBLE) / ia.supp_item, 6)
+             AS confidence,
+           ROUND(CAST(supp_pair * n_baskets AS DOUBLE)
+                 / CAST(ia.supp_item * ic.supp_item AS DOUBLE), 6) AS lift
+    FROM rules
+    JOIN item ia ON antecedent = ia.item
+    JOIN item ic ON consequent = ic.item
+    CROSS JOIN nb
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 30
+    """,
+)
+def q_association_rules(spark, sf_dir):
+    return rel.association_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
     "interpurchase_intervals",
     """
     WITH gaps AS (

@@ -341,3 +341,25 @@ def test_subsample_ci_matches_python_replay(spark):
     assert got.ci_lo == means[1][0]  # rank 2 of 64
     assert got.ci_hi == means[62][0]  # rank 63 of 64
     assert got.point_mean == round(sum(100 + 7 * k for k in range(1, 41)) / 40, 6)
+
+
+def test_association_rules_hand_baskets(spark):
+    """Four baskets: {1,2} x2, {3,4}, {1,3}. Lift separates the tight
+    (3,4) association (lift 2.0) from the popular-but-diluted (1,2)
+    (lift 4/3); confidence is direction-sensitive."""
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 3), (12, 4), (13, 1), (13, 3)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in rel.association_rules(lineitem, min_support=1).collect()
+    }
+    assert got[(2, 1)].confidence == 1.0
+    assert got[(1, 2)].confidence == 0.666667
+    assert got[(1, 2)].lift == got[(2, 1)].lift == 1.333333
+    assert got[(3, 4)].lift == got[(4, 3)].lift == 2.0
+    assert got[(3, 4)].confidence == 0.5 and got[(4, 3)].confidence == 1.0
+    # ordering: highest lift first, ties by antecedent
+    first = min(got.values(), key=lambda r: (-r.lift, r.antecedent, r.consequent))
+    assert (first.antecedent, first.consequent) == (3, 4)
