@@ -44,6 +44,7 @@ __all__ = [
     "collocations_pmi",
     "bpe_train",
     "bpe_encode_tokens",
+    "tokenizer_fertility",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -1085,4 +1086,61 @@ def source_overlap(documents: DataFrame) -> DataFrame:
         .join(nb, "src_b")
         .select("src_a", "src_b", "terms_a", "terms_b", "n_common",
                 jac.alias("jaccard"))
+    )
+
+
+def tokenizer_fertility(documents: DataFrame, n_merges: int = 10) -> DataFrame:
+    """Per-language tokenizer fertility of the learned BPE: subword
+    tokens per whitespace word and characters per subword token — the
+    capacity-planning statistic for a tokenizer (a language with 2×
+    fertility pays 2× the sequence length for the same text), and the
+    standard fairness audit across languages.
+
+    Reuses the trained vocab state from :func:`bpe_train` (word →
+    final symbol array); the word string is reconstructed from the
+    symbols (their concatenation is the word, so no extra state rides
+    through the merge rounds). Per-(lang, word) occurrence counts join
+    the vocab on the word key; everything after is exact integer sums
+    with two final 6dp divisions.
+
+    Scale: one corpus scan for (lang, word) counts, one vocab-sized
+    join, a |langs|-row output. The BPE state itself never re-scans the
+    corpus (see _bpe_state).
+    """
+    _, vocab = _bpe_state(documents, n_merges)
+    wt = vocab.select(
+        F.concat_ws("", "syms").alias("word"),
+        F.size("syms").cast("bigint").alias("n_toks"),
+        F.length(F.concat_ws("", "syms")).cast("bigint").alias("n_chars_w"),
+    )
+    lw = (
+        documents.select(
+            "lang", F.explode(F.split("text", r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    return (
+        lw.join(wt, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_toks"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.sum(F.col("occ") * F.col("n_chars_w"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_toks")).cast("double")
+                / F.sum("occ"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_chars_w")).cast("double")
+                / F.sum(F.col("occ") * F.col("n_toks")),
+                6,
+            ).alias("chars_per_token"),
+        )
     )

@@ -5080,6 +5080,40 @@ def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
     return "".join(parts)
 
 
+_FERTILITY_FINAL = r"""
+    SELECT lang,
+           CAST(SUM(occ) AS BIGINT) AS n_words,
+           CAST(SUM(occ * n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(occ * n_chars_w) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(occ * n_toks) AS DOUBLE) / SUM(occ), 6)
+             AS fertility,
+           ROUND(CAST(SUM(occ * n_chars_w) AS DOUBLE)
+                 / SUM(occ * n_toks), 6) AS chars_per_token
+    FROM (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+        SELECT lang, unnest(string_split_regex(text, '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY 1, 2
+    ) lw
+    JOIN (
+      SELECT replace(seq, '|', '') AS word,
+             CAST(len(string_split(seq, '|')) AS BIGINT) AS n_toks,
+             CAST(length(replace(seq, '|', '')) AS BIGINT) AS n_chars_w
+      FROM v10
+    ) wt USING (word)
+    GROUP BY lang"""
+
+
+# Fertility replays the same 10 merge rounds; the per-word token count
+# is read off the final vocab state (word == the symbols concatenated,
+# so no extra column rides through the rounds).
+@register(
+    "tokenizer_fertility", _bpe_oracle(n_merges=10, final=_FERTILITY_FINAL)
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    return ts.tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
 @register("bpe_train_merges", _bpe_oracle(n_merges=10))
 def q_bpe_train_merges(spark, sf_dir):
     return ts.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)

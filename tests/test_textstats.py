@@ -366,3 +366,25 @@ def test_source_overlap_hand_sets(spark):
     r = got[("s1", "s2")]
     assert (r.terms_a, r.terms_b, r.n_common) == (3, 3, 2)
     assert r.jaccard == 0.5
+
+
+def test_tokenizer_fertility_hand_corpus(spark):
+    """Corpus 'ab ab cd' x many: after 1 merge ('a','b')->'ab', the word
+    'ab' is 1 token and 'cd' stays 2 chars->... with n_merges=1 the pair
+    (a,b) (count 2 per doc) merges first, so fertility of the single
+    lang = (2*1 + 1*2)/3 tokens per word."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd", "en", "s", 8), (2, "ab ab cd", "en", "s", 8)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = ts.tokenizer_fertility(docs, n_merges=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    # per doc: words ab, ab, cd -> occurrences: ab x2 (1 BPE token after
+    # the merge), cd x1 (2 tokens: merge rank 1 only merged (a,b))
+    assert r.lang == "en"
+    assert r.n_words == 6
+    assert r.n_bpe_tokens == 2 * 2 * 1 + 2 * 1 * 2
+    assert r.n_chars == 12
+    assert r.fertility == round(8 / 6, 6)
+    assert r.chars_per_token == round(12 / 8, 6)
