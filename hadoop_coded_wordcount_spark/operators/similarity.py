@@ -45,6 +45,7 @@ __all__ = [
     "random_projection",
     "embedding_covariance",
     "ann_ndcg",
+    "mmr_topk",
 ]
 
 
@@ -1192,3 +1193,145 @@ def ann_ndcg(embeddings: DataFrame, k: int = 10) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k_cand: int = 20,
+    k_out: int = 5,
+    query_mod: int = 100,
+    dim: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-k: greedily select ``k_out`` results from the dense
+    top-``k_cand`` candidates, each round taking the candidate with the
+    best balance of query relevance and NOVELTY against what's already
+    selected (λ=1/2):
+
+        score(c) = (rel(c) − max_{s∈selected} sim(c, s)) / 2
+
+    — the standard fix for near-duplicate result lists (an ANN top-k
+    over a deduplicated-but-still-clustered corpus returns 10 copies of
+    the same answer; MMR returns one and spends the rest of the budget
+    on coverage).
+
+    Determinism: relevance and pairwise sims are the engine's rounded
+    cosines; each greedy argmax orders by (rounded score, neighbor_id),
+    so the selection is a pure function of the data and the oracle
+    replays all ``k_out`` rounds exactly. λ=1/2 keeps the score an
+    exact halving of a difference of 6dp decimals.
+
+    Scale: candidate sets are k_cand per query, so the pairwise-sim
+    table is ≤ k_cand² rows per query and every greedy round is one
+    join + one window over that bounded table — the corpus is touched
+    only by the initial top-k.
+    """
+    cand = cosine_topk(
+        embeddings, query_mod=query_mod, k=k_cand, dim=dim
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cosine").alias("rel"),
+    ).localCheckpoint(eager=True)
+    ids = cand.select("query_id", "neighbor_id")
+    vecs = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    nrm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
+    va = vecs.select(
+        F.col("vec_id").alias("ida"),
+        F.col("emb").alias("ea"),
+        nrm.alias("na"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("idb"),
+        F.col("emb").alias("eb"),
+        nrm.alias("nb"),
+    )
+    pair_ids = (
+        ids.alias("x")
+        .join(ids.alias("y"), "query_id")
+        .where(F.col("x.neighbor_id") != F.col("y.neighbor_id"))
+        .select(
+            "query_id",
+            F.col("x.neighbor_id").alias("ida"),
+            F.col("y.neighbor_id").alias("idb"),
+        )
+    )
+    sim = F.round(
+        dot_unrolled(F.col("ea"), F.col("eb"), dim)
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    psim = (
+        pair_ids.join(va, "ida")
+        .join(vb, "idb")
+        .select("query_id", "ida", "idb", sim.alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id")
+    first = (
+        cand.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.desc("rel"), "neighbor_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("mmr_round"),
+            "neighbor_id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+    )
+    sel = first
+    rem = cand.join(
+        first.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    for r in range(2, k_out + 1):
+        selid = sel.select(
+            F.col("query_id").alias("q2"), F.col("neighbor_id").alias("sid")
+        )
+        ms = (
+            rem.join(selid, rem["query_id"] == selid["q2"])
+            .join(
+                psim,
+                (psim["query_id"] == rem["query_id"])
+                & (psim["ida"] == rem["neighbor_id"])
+                & (psim["idb"] == selid["sid"]),
+            )
+            .groupBy(rem["query_id"], rem["neighbor_id"], rem["rel"])
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            ms.select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                F.round((F.col("rel") - F.col("maxsim")) / 2, 6).alias(
+                    "mmr_score"
+                ),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w.orderBy(F.desc("mmr_score"), "neighbor_id")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).alias("mmr_round"),
+                "neighbor_id",
+                "rel",
+                "mmr_score",
+            )
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=False)
+        rem = rem.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return sel

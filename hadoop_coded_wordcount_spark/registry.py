@@ -5826,6 +5826,85 @@ def _register_ann_ndcg() -> None:
 _register_ann_ndcg()
 
 
+def _mmr_oracle(k_cand: int = 20, k_out: int = 5) -> str:
+    """Replay the MMR greedy selection: candidate top-k + pairwise sims
+    once, then one (argmax, accumulate) CTE pair per round. Selection
+    order is (rounded score, neighbor_id) -- identical to the Spark
+    windows, so every round's pick replays exactly."""
+    parts = [
+        f"""
+    WITH v AS ({_DUCK_VECS}),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+          WHERE vec_id % 100 = 0),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, round(cos, 6) AS rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+          FROM q JOIN v ON v.vec_id <> q.query_id
+        )
+      ) WHERE rnk <= {k_cand}
+    ),
+    psim AS MATERIALIZED (
+      SELECT x.query_id, x.neighbor_id AS ida, y.neighbor_id AS idb,
+             round({_DUCK_COS.format(a="va.emb", b="vb.emb")}, 6) AS sim
+      FROM cand x JOIN cand y ON x.query_id = y.query_id
+                             AND x.neighbor_id <> y.neighbor_id
+      JOIN v va ON va.vec_id = x.neighbor_id
+      JOIN v vb ON vb.vec_id = y.neighbor_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT query_id, 1 AS mmr_round, neighbor_id, rel,
+             rel AS mmr_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    a1 AS MATERIALIZED (SELECT * FROM s1)"""
+    ]
+    for r in range(2, k_out + 1):
+        parts.append(
+            f""",
+    ms{r} AS MATERIALIZED (
+      SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.sim) AS maxsim
+      FROM cand c
+      JOIN a{r - 1} s ON s.query_id = c.query_id
+      JOIN psim p ON p.query_id = c.query_id
+                 AND p.ida = c.neighbor_id AND p.idb = s.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM a{r - 1} z
+                        WHERE z.query_id = c.query_id
+                          AND z.neighbor_id = c.neighbor_id)
+      GROUP BY 1, 2, 3
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT query_id, {r} AS mmr_round, neighbor_id, rel,
+             round((rel - maxsim) / 2, 6) AS mmr_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY round((rel - maxsim) / 2, 6) DESC, neighbor_id) AS rn
+        FROM ms{r}
+      ) WHERE rn = 1
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT * FROM a{r - 1} UNION ALL SELECT * FROM s{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, mmr_round, neighbor_id, rel, mmr_score
+    FROM a{k_out}"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_topk", _mmr_oracle())
+def q_mmr_topk(spark, sf_dir):
+    return sim.mmr_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "bloom_prefilter",
     """

@@ -442,3 +442,39 @@ def test_ann_ndcg_matches_python_replay(spark):
         assert 0.0 <= got[q].ndcg <= 1.0
         perfect = all(n in exact[q] and exact[q][n] == rk for rk, n in rows)
         assert (got[q].ndcg == 1.0) == perfect
+
+
+def test_mmr_diversifies_away_from_duplicate_results(spark):
+    """Corpus: two identical near-copies of the query and one moderately
+    relevant but novel vector. Plain top-2 returns the two copies; MMR
+    round 2 must skip the second copy (novelty penalty = 1) and take
+    the novel vector."""
+    import numpy as np
+
+    def vec(a, b, c):
+        v = np.zeros(64)
+        v[0], v[1], v[2] = a, b, c
+        n = np.linalg.norm(v)
+        return [float(x) for x in v / n]
+
+    rows = [
+        (0, vec(1.0, 0.0, 0.0), 0),  # query (id % 100 == 0)
+        (1, vec(0.95, 0.3122, 0.0), 0),  # near-copy A1
+        (2, vec(0.95, 0.3122, 0.0), 0),  # near-copy A2 (identical to A1)
+        # novel direction: rel 0.5, sim to A1 = 0.475 < rel, so its MMR
+        # score (0.5-0.475)/2 beats the duplicate's (0.95-1)/2 < 0
+        (3, vec(0.5, 0.0, 0.866), 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        r.mmr_round: r
+        for r in sim.mmr_topk(emb, k_cand=3, k_out=3).collect()
+    }
+    assert got[1].neighbor_id in (1, 2)  # highest relevance, id tie-break
+    assert got[1].neighbor_id == 1
+    assert got[2].neighbor_id == 3  # novelty beats the duplicate
+    assert got[3].neighbor_id == 2  # the copy comes last
+    # the duplicate's round-3 score carries the full sim=1 penalty
+    assert got[3].mmr_score < 0 < got[2].mmr_score
