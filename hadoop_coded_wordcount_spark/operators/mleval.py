@@ -290,7 +290,13 @@ def subsample_ci(orders: DataFrame, n_replicates: int = 64) -> DataFrame:
     carries B rows per map partition regardless of data size. The final
     window orders B rows, a constant.
     """
-    fan = orders.select(
+    from ..sources.catalog import ensure_parallelism
+
+    # spread BEFORE the B-fold explode: a single-file scan would fuse the
+    # fan-out + md5 work into one task (measured 8.0 s -> ~1 s at sf0.1)
+    fan = ensure_parallelism(
+        orders.select("o_orderkey", "o_totalprice"), key="o_orderkey"
+    ).select(
         F.col("o_orderkey").cast("string").alias("k"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b"),
