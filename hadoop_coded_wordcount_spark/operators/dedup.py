@@ -153,6 +153,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_on: str | None = "lang",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard, blocked on a key.
 
@@ -166,7 +167,7 @@ def ngram_jaccard_pairs(
     # Jaccard is computed over xxhash64'd shingles: set sizes (and hence
     # the Jaccard value) are preserved up to 64-bit collisions, and a long
     # intersect is several times cheaper than a string intersect.
-    g = shingled(documents, n).select(
+    g = (shingled(documents, n) if shingles is None else shingles).select(
         "doc_id",
         "lang",
         F.transform("grams", lambda s: F.xxhash64(s)).alias("grams"),
@@ -260,7 +261,12 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_wide(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+def minhash_wide(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """The wide (doc_id, m0..m{k-1}) MinHash frame shared by
     :func:`minhash_signatures` (which unpivots it for the gate-friendly
     row schema) and :func:`lsh_tuning_curve` (which bands it per config).
@@ -269,9 +275,11 @@ def minhash_wide(documents: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
     groupBy(doc_id) with k codegen'd min-aggregates (partial map-side, so
     the shuffle carries k longs per doc). The repartition before the
     explode spreads gram hashing across cores on a single-file scan and
-    pre-aligns the groupBy (no second exchange).
+    pre-aligns the groupBy (no second exchange). ``shingles`` lets a
+    caller share one persisted :func:`shingled` frame across several
+    consumers (the tuning sweep's truth set reads the same grams).
     """
-    g = shingled(documents, n)
+    g = shingled(documents, n) if shingles is None else shingles
     nparts = 2 * documents.sparkSession.sparkContext.defaultParallelism
     h = F.md5("gram")
     # explode_OUTER, deliberately: a plain explode makes Catalyst push
@@ -1183,9 +1191,10 @@ def lsh_tuning_curve(
     LSH join itself, so the sweep costs ~|configs|× the production
     banding step, never a second corpus scan.
     """
-    sig = minhash_wide(documents, n, k).persist()
+    g = shingled(documents, n).persist()
+    sig = minhash_wide(documents, n, k, shingles=g).persist()
     truth = (
-        ngram_jaccard_pairs(documents, n=n, threshold=threshold)
+        ngram_jaccard_pairs(documents, n=n, threshold=threshold, shingles=g)
         .select("doc_a", "doc_b", F.lit(1).alias("t"))
         .persist()
     )

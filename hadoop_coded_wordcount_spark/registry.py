@@ -6929,6 +6929,22 @@ _VERIFY_FIRST = [
     "ivf_pq_topk",
     "degree_assortativity",
     "source_overlap",
+    # (2d) Round-6 additions (ML-eval, warehouse, graph, retrieval
+    # families) — never gate-checked; queue directly behind the r5 window.
+    "auc_roc",
+    "calibration_bins",
+    "mutual_information",
+    "subsample_ci",
+    "target_encoding",
+    "scd2_intervals",
+    "merge_apply_changes",
+    "hits_ranking",
+    "modularity_nations",
+    "ann_ndcg",
+    "lsh_tuning_curve",
+    "association_rules",
+    "tokenizer_fertility",
+    "mmr_topk",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
