@@ -5021,3 +5021,111 @@ def association_rules(
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(topn)
     )
+
+
+def lateral_topn_per_nation(
+    nation: DataFrame, customer: DataFrame, k: int = 2
+) -> DataFrame:
+    """Correlated LATERAL subquery: top-k customers by balance per
+    nation, written as the SQL-standard lateral join (each nation row
+    drives an ordered, limited subquery over customers) — the
+    engine-surface feature for "top-N related rows per driving row"
+    that predates window functions and that migrating SQL carries.
+
+    Catalyst decorrelates this into a ranked join (the same physical
+    shape as the row_number window formulation — no per-row re-scan
+    survives optimization), so using the standard syntax costs nothing
+    at scale. Deterministic: ties break on the name.
+    """
+    spark = nation.sparkSession
+    nation.createOrReplaceTempView("hcw_lat_nation")
+    customer.createOrReplaceTempView("hcw_lat_customer")
+    return spark.sql(
+        f"""
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM hcw_lat_nation,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM hcw_lat_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT {k}
+        ) AS c
+        """
+    )
+
+
+def running_distinct_types(events: DataFrame) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — the aggregation
+    SQL engines refuse directly (distinct needs full-window state) —
+    via the first-occurrence trick: flag each (user, type)'s first
+    event with row_number()==1, then running-SUM the flags. State is
+    one bit per row instead of a per-frame distinct set, which is the
+    difference between O(1) and O(window) memory per row at scale.
+
+    Both windows partition by user (one exchange); the flag window
+    sub-partitions by type within it.
+    """
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("nw"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum("nw").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )
+
+
+def session_bounce_rate(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user session statistics with bounce rate: sessions split on
+    inactivity gaps > ``gap_minutes``; a session with a single event is
+    a bounce. The engagement-quality readout next to raw event counts.
+
+    Sessionization is the lag-then-cumsum shape (one per-user window
+    exchange shared by every step); all statistics are exact integer
+    counts with one final 6dp division each.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    # integer epoch-seconds gap arithmetic, the sessionize_events idiom
+    # (NTZ -> timestamp -> long under the UTC-pinned session)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(sec).over(w)
+    new_sess = (prev.isNull() | (sec - prev > F.lit(gap_s))).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = events.select(
+        "user_id", "ts", "event_id", new_sess.alias("ns")
+    ).select("user_id", "event_id", F.sum("ns").over(run).alias("sess_id"))
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_events_per_session"),
+    )

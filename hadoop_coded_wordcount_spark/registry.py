@@ -6856,6 +6856,90 @@ def q_modularity_nations(spark, sf_dir):
     )
 
 
+@register(
+    "lateral_topn",
+    """
+    SELECT n_name, c.c_name, c.c_acctbal
+    FROM nation,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) AS c
+    """,
+)
+def q_lateral_topn(spark, sf_dir):
+    return rel.lateral_topn_per_nation(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "running_distinct_types",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(SUM(nw) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_running_distinct_types(spark, sf_dir):
+    return rel.running_distinct_types(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_bounce_rate",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) // 1000000
+                       - epoch_us(prev) // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS mean_events_per_session
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def q_session_bounce_rate(spark, sf_dir):
+    return rel.session_bounce_rate(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------

@@ -747,3 +747,73 @@ def test_revenue_bridge_hand_decomposition(spark):
     assert a2.total_delta == 6.0
     assert a2.share_of_delta == round(10 / 6, 6)
     assert b2.share_of_delta == round(-4 / 6, 6)
+
+
+def test_lateral_topn_per_nation_fixture(spark):
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    nation = spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey int, n_name string"
+    )
+    customer = spark.createDataFrame(
+        [
+            (1, "c1", 0, 50.0),
+            (2, "c2", 0, 90.0),
+            (3, "c3", 0, 70.0),
+            (4, "c4", 1, 10.0),
+        ],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double",
+    )
+    got = {
+        (r.n_name, r.c_name)
+        for r in rel.lateral_topn_per_nation(nation, customer).collect()
+    }
+    # top-2 by balance per nation; nation B has only one customer
+    assert got == {("A", "c2"), ("A", "c3"), ("B", "c4")}
+
+
+def test_running_distinct_types_first_occurrence_trick(spark):
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    events = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 0, 0), 7, "view", 0.0, ""),
+            (2, d(2024, 1, 1, 0, 1), 7, "click", 0.0, ""),
+            (3, d(2024, 1, 1, 0, 2), 7, "view", 0.0, ""),
+            (4, d(2024, 1, 1, 0, 3), 7, "purchase", 0.0, ""),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.event_id: r.distinct_types_so_far
+        for r in rel.running_distinct_types(events).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_session_bounce_rate_fixture(spark):
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    rows = [
+        # session 1: two events 5 min apart (not a bounce)
+        (1, d(2024, 1, 1, 10, 0), 7, "view", 0.0, ""),
+        (2, d(2024, 1, 1, 10, 5), 7, "click", 0.0, ""),
+        # >30 min gap -> session 2: single event (bounce)
+        (3, d(2024, 1, 1, 12, 0), 7, "view", 0.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    r = rel.session_bounce_rate(events).collect()[0]
+    assert (r.n_sessions, r.n_bounces) == (2, 1)
+    assert r.bounce_rate == 0.5
+    assert r.mean_events_per_session == 1.5
