@@ -45,6 +45,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode_tokens",
     "tokenizer_fertility",
+    "readability_scores",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -1143,4 +1144,43 @@ def tokenizer_fertility(documents: DataFrame, n_merges: int = 10) -> DataFrame:
                 6,
             ).alias("chars_per_token"),
         )
+    )
+
+
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document from
+    the classic heuristics: words = whitespace tokens, sentences =
+    ``[.!?]+`` runs (min 1 — unpunctuated text is one sentence),
+    syllables ≈ vowel groups (``[aeiouy]+`` in the lowercased text;
+    whitespace breaks groups, so the text-wide count equals the per-word
+    sum). The standard quick quality prior for curation pipelines —
+    crude per document, stable in aggregate.
+
+    All three counts are exact integers from single codegen'd regexes
+    (the RE2∩Java-compatible subset shared with the oracle, same stance
+    as pii_redact); the two score formulas are identical double
+    expressions rounded to 6. One projection, shuffle-free.
+    """
+    words = F.size(tokens_col())
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    counted = documents.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
     )

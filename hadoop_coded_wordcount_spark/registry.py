@@ -5080,6 +5080,34 @@ def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
     return "".join(parts)
 
 
+@register(
+    "readability_scores",
+    r"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 6) AS fk_grade
+    FROM counted WHERE n_words > 0
+    """,
+)
+def q_readability_scores(spark, sf_dir):
+    return ts.readability_scores(load_table(spark, sf_dir, "documents"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7029,6 +7057,10 @@ _VERIFY_FIRST = [
     "association_rules",
     "tokenizer_fertility",
     "mmr_topk",
+    "lateral_topn",
+    "running_distinct_types",
+    "session_bounce_rate",
+    "readability_scores",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -388,3 +388,25 @@ def test_tokenizer_fertility_hand_corpus(spark):
     assert r.n_chars == 12
     assert r.fertility == round(8 / 6, 6)
     assert r.chars_per_token == round(12 / 8, 6)
+
+
+def test_readability_scores_hand_text(spark):
+    """'the cat sat. it ran!' -> 5 words, 2 sentences, 5 vowel groups;
+    Flesch ease = 206.835 - 1.015*2.5 - 84.6*1.0."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran!", "en", "s", 20)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = ts.readability_scores(docs).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    assert r.flesch_ease == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 6)
+    assert r.fk_grade == round(0.39 * 2.5 + 11.8 * 1.0 - 15.59, 6)
+
+
+def test_readability_unpunctuated_is_one_sentence(spark):
+    docs = spark.createDataFrame(
+        [(1, "plain words only here", "en", "s", 21)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = ts.readability_scores(docs).collect()[0]
+    assert r.n_sentences == 1 and r.n_words == 4
