@@ -46,6 +46,7 @@ __all__ = [
     "bpe_encode_tokens",
     "tokenizer_fertility",
     "readability_scores",
+    "bigram_heldout_xent",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -1183,4 +1184,85 @@ def readability_scores(documents: DataFrame) -> DataFrame:
         "n_syllables",
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )
+
+
+def bigram_heldout_xent(documents: DataFrame) -> DataFrame:
+    """Held-out cross-entropy of the corpus bigram LM: train on even
+    doc_ids, score the odd half — the GENERALIZATION measure that
+    in-corpus perplexity (:func:`perplexity_buckets`) cannot give, and
+    the statistic that exposes train/eval contamination (undeduplicated
+    near-copies across the split push held-out entropy artificially
+    low — which is why this sits next to the dedup family).
+
+    Smoothing is add-one over the train vocabulary; unseen history
+    words degrade to the uniform 1/V. Exactness: each distinct eval
+    bigram's NLL term is one ln() of a ratio of exact integers, rounded
+    to 6 dp, multiplied by its integer multiplicity, and summed as
+    DECIMAL — a raw double mean over half a million shuffled bigrams is
+    order-dependent in the last ulp (the MI/chi-square discipline).
+
+    Scale: both halves come off one scan; the LM is bigram-type-bounded;
+    the scoring join shuffles on the natural (w1, w2) key.
+    """
+    toked = documents.select(
+        "doc_id", tokens_col().alias("toks")
+    ).where(F.size("toks") >= 2)
+    t = F.col("toks")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    bg = toked.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    train_bg = bg.where(F.col("doc_id") % 2 == 0)
+    eval_bg = bg.where(F.col("doc_id") % 2 == 1)
+    pair_c = train_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    hist_c = train_bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    vocab = (
+        toked.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("toks").alias("tk"))
+        .agg(F.count_distinct("tk").cast("bigint").alias("v_size"))
+    )
+    ev = eval_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    joined = (
+        ev.join(pair_c, ["w1", "w2"], "left")
+        .join(hist_c, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "n",
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            "v_size",
+        )
+    )
+    nll6 = F.round(
+        -F.log(
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.col("v_size")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    out = joined.agg(
+        F.sum("n").cast("bigint").alias("n_eval_bigrams"),
+        F.sum(F.when(F.col("c12") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_unseen_bigrams"),
+        F.sum(F.col("n") * nll6).alias("total_d"),
+    )
+    mean_nll = F.round(
+        F.col("total_d").cast("double") / F.col("n_eval_bigrams"), 6
+    )
+    return out.select(
+        "n_eval_bigrams",
+        "n_unseen_bigrams",
+        mean_nll.alias("mean_nll"),
+        F.round(F.exp(mean_nll), 4).alias("ppl"),
     )

@@ -5108,6 +5108,70 @@ def q_readability_scores(spark, sf_dir):
     return ts.readability_scores(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "bigram_heldout_xent",
+    r"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 j -> {'w1': toks[j], 'w2': toks[j + 1]})) AS u
+        FROM toked WHERE len(toks) >= 2
+      )
+    ),
+    pair_c AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    hist_c AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM bg WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v_size FROM (
+        SELECT unnest(toks) AS tk FROM toked
+        WHERE doc_id % 2 = 0 AND len(toks) >= 2
+      )
+    ),
+    ev AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT n, COALESCE(c12, 0) AS c12,
+             CAST(ROUND(-LN(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+                            / CAST(COALESCE(c1, 0) + v_size AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS nll6
+      FROM ev
+      LEFT JOIN pair_c USING (w1, w2)
+      LEFT JOIN hist_c USING (w1)
+      CROSS JOIN vocab
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_eval_bigrams,
+             CAST(SUM(CASE WHEN c12 = 0 THEN n ELSE 0 END) AS BIGINT)
+               AS n_unseen_bigrams,
+             SUM(n * nll6) AS total_d
+      FROM terms
+    )
+    SELECT n_eval_bigrams, n_unseen_bigrams,
+           ROUND(CAST(total_d AS DOUBLE) / n_eval_bigrams, 6) AS mean_nll,
+           ROUND(EXP(ROUND(CAST(total_d AS DOUBLE) / n_eval_bigrams, 6)), 4)
+             AS ppl
+    FROM agg
+    """,
+)
+def q_bigram_heldout_xent(spark, sf_dir):
+    return ts.bigram_heldout_xent(load_table(spark, sf_dir, "documents"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7061,6 +7125,7 @@ _VERIFY_FIRST = [
     "running_distinct_types",
     "session_bounce_rate",
     "readability_scores",
+    "bigram_heldout_xent",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -410,3 +410,33 @@ def test_readability_unpunctuated_is_one_sentence(spark):
     )
     r = ts.readability_scores(docs).collect()[0]
     assert r.n_sentences == 1 and r.n_words == 4
+
+
+def test_bigram_heldout_xent_python_replay(spark):
+    """Tiny split corpus replayed in Python with the same add-one
+    smoothing, per-term rounding, and decimal accumulation."""
+    import math
+    from decimal import Decimal
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "en", "s", 7),  # train: bigrams ab, ba, ab
+            (2, "a c", "en", "s", 3),  # train: ac
+            (1, "a b c d", "en", "s", 7),  # eval: ab, bc, cd
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = ts.bigram_heldout_xent(docs).collect()[0]
+    # train vocab {a,b,c} -> V=3; c1: a->3, b->1; c12: (a,b)->2, (b,a)->1,
+    # (a,c)->1. eval bigrams: (a,b) seen, (b,c) unseen pair (c1(b)=1),
+    # (c,d) unseen history (c1=0).
+    assert (r.n_eval_bigrams, r.n_unseen_bigrams) == (3, 2)
+    terms = [
+        round(-math.log((2 + 1) / (3 + 3)), 6),  # (a,b)
+        round(-math.log((0 + 1) / (1 + 3)), 6),  # (b,c)
+        round(-math.log((0 + 1) / (0 + 3)), 6),  # (c,d)
+    ]
+    total = sum(Decimal(str(t)) for t in terms)
+    mean = round(float(total) / 3, 6)
+    assert r.mean_nll == mean
+    assert r.ppl == round(math.exp(mean), 4)
