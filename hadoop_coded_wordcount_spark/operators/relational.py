@@ -4795,7 +4795,7 @@ def revenue_bridge(orders: DataFrame) -> DataFrame:
     )
 
 
-def scd2_intervals(orders: DataFrame) -> DataFrame:
+def scd2_compressed(orders: DataFrame) -> DataFrame:
     """Slowly-changing-dimension (type 2) build: compress each
     customer's order-priority history into validity intervals
     ``[valid_from, valid_to)`` with a version number — the

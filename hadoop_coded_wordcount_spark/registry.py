@@ -6797,7 +6797,7 @@ def q_target_encoding(spark, sf_dir):
 
 
 @register(
-    "scd2_intervals",
+    "scd2_compressed",
     """
     WITH flagged AS (
       SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
@@ -6829,8 +6829,8 @@ def q_target_encoding(spark, sf_dir):
     FROM intervals
     """,
 )
-def q_scd2_intervals(spark, sf_dir):
-    return rel.scd2_intervals(load_table(spark, sf_dir, "orders"))
+def q_scd2_compressed(spark, sf_dir):
+    return rel.scd2_compressed(load_table(spark, sf_dir, "orders"))
 
 
 # The oracle for the MERGE demo is the DIRECT newer snapshot: the Spark
@@ -7112,7 +7112,7 @@ _VERIFY_FIRST = [
     "mutual_information",
     "subsample_ci",
     "target_encoding",
-    "scd2_intervals",
+    "scd2_compressed",
     "merge_apply_changes",
     "hits_ranking",
     "modularity_nations",

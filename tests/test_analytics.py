@@ -218,7 +218,7 @@ def test_scd2_intervals_change_history(spark):
         ],
     )
     got = sorted(
-        rel.scd2_intervals(orders).collect(), key=lambda r: r.version
+        rel.scd2_compressed(orders).collect(), key=lambda r: r.version
     )
     assert [
         (r.version, r.priority, r.n_orders, r.valid_from, r.valid_to)
@@ -242,7 +242,7 @@ def test_scd2_same_day_ties_break_on_orderkey(spark):
         ],
     )
     got = sorted(
-        rel.scd2_intervals(orders).collect(), key=lambda r: r.version
+        rel.scd2_compressed(orders).collect(), key=lambda r: r.version
     )
     assert [(r.version, r.priority) for r in got] == [(1, "LOW"), (2, "HIGH")]
 
