@@ -5129,3 +5129,58 @@ def session_bounce_rate(
             F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_events_per_session"),
     )
+
+
+def watermark_lateness(
+    events: DataFrame, delays_sec: tuple[int, ...] = (0, 60, 300, 900)
+) -> DataFrame:
+    """Watermark-delay sizing audit: treating ``event_id`` as arrival
+    order, an event's lateness is how far the event-time high-water mark
+    had already advanced past it when it arrived. For each candidate
+    delay, the rows a streaming job with that watermark would DROP —
+    the measurement you run on history before committing a
+    ``withWatermark`` budget (streaming/windows.py) to production.
+
+    Lateness is exact integer epoch-seconds off one strictly-preceding
+    running max. That running max is a GLOBAL arrival-order window —
+    fine at audit scale on one box; at 100 TB use the two-phase
+    range-partition formulation (``global_row_number``'s shape): range
+    partition on event_id, per-partition running max, plus the
+    broadcast per-partition prefix max.
+    """
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sec = F.col("ts").cast("timestamp").cast("long")
+    hw = F.max(sec).over(w)
+    late = events.select(
+        F.greatest(F.coalesce(hw - sec, F.lit(0)), F.lit(0)).alias(
+            "late_sec"
+        )
+    )
+    grid = late.crossJoin(
+        F.broadcast(
+            events.sparkSession.createDataFrame(
+                [(d,) for d in delays_sec], "delay_sec int"
+            )
+        )
+    )
+    return (
+        grid.groupBy("delay_sec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_sec") > F.col("delay_sec"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.max("late_sec").cast("bigint").alias("max_late_sec"),
+        )
+        .select(
+            "delay_sec",
+            "n_events",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("n_events"), 6
+            ).alias("frac_dropped"),
+            "max_late_sec",
+        )
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "tokenizer_fertility",
     "readability_scores",
     "bigram_heldout_xent",
+    "vocab_growth_curve",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -1265,4 +1266,70 @@ def bigram_heldout_xent(documents: DataFrame) -> DataFrame:
         "n_unseen_bigrams",
         mean_nll.alias("mean_nll"),
         F.round(F.exp(mean_nll), 4).alias("ppl"),
+    )
+
+
+def vocab_growth_curve(documents: DataFrame, n_slices: int = 10) -> DataFrame:
+    """Heaps-law vocabulary growth: slice the corpus into ``n_slices``
+    equal doc_id ranges and report, per slice, the token volume, the
+    NEW vocabulary it introduces, and the cumulative type/token counts
+    with the Heaps exponent proxy ``ln(V)/ln(N)`` — the curve that says
+    whether a crawl is still finding new language or re-crawling itself
+    (it flattens hard under duplication, which ties it to the dedup
+    family).
+
+    Scale shape: slice assignment is integer arithmetic on doc_id
+    against one broadcast max (no global rank window); first occurrence
+    per token is a vocabulary-bounded min-aggregate; everything else is
+    an ``n_slices``-row grid with running sums. One corpus scan feeds
+    both aggregates.
+    """
+    bounds = documents.agg(
+        (F.max("doc_id") + 1).cast("bigint").alias("n_docs_total")
+    )
+    toks = (
+        documents.join(F.broadcast(bounds))
+        .select(
+            # integer floor division — a double divide + cast would
+            # TRUNCATE in Spark but ROUND in DuckDB's CAST
+            F.expr(f"(doc_id * {n_slices}) div n_docs_total")
+            .cast("bigint")
+            .alias("slice_id"),
+            F.explode(tokens_col()).alias("tok"),
+        )
+    )
+    per_slice = toks.groupBy("slice_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("slice_id").alias("first_slice"))
+        .groupBy(F.col("first_slice").alias("slice_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    w = Window.orderBy("slice_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = (
+        per_slice.join(first, "slice_id", "left")
+        .na.fill({"new_types": 0})
+        .select(
+            "slice_id",
+            "n_tokens",
+            "new_types",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("bigint").alias("cum_types"),
+        )
+    )
+    return merged.select(
+        "slice_id",
+        "n_tokens",
+        "new_types",
+        "cum_tokens",
+        "cum_types",
+        F.round(
+            F.log(F.col("cum_types").cast("double"))
+            / F.log(F.col("cum_tokens").cast("double")),
+            6,
+        ).alias("heaps_exponent"),
     )

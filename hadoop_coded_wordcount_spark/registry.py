@@ -5172,6 +5172,76 @@ def q_bigram_heldout_xent(spark, sf_dir):
     return ts.bigram_heldout_xent(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "vocab_growth_curve",
+    r"""
+    WITH b AS (
+      SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs_total FROM documents
+    ),
+    toks AS (
+      SELECT CAST((doc_id * 10) // n_docs_total AS BIGINT) AS slice_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents CROSS JOIN b
+    ),
+    per_slice AS (
+      SELECT slice_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    first AS (
+      SELECT first_slice AS slice_id, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM (SELECT tok, MIN(slice_id) AS first_slice FROM toks GROUP BY tok)
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT p.slice_id, p.n_tokens, COALESCE(f.new_types, 0) AS new_types,
+             CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CAST(SUM(COALESCE(f.new_types, 0)) OVER w AS BIGINT)
+               AS cum_types
+      FROM per_slice p LEFT JOIN first f ON p.slice_id = f.slice_id
+      WINDOW w AS (ORDER BY p.slice_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT slice_id, n_tokens, new_types, cum_tokens, cum_types,
+           ROUND(LN(CAST(cum_types AS DOUBLE))
+                 / LN(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_exponent
+    FROM merged
+    """,
+)
+def q_vocab_growth_curve(spark, sf_dir):
+    return ts.vocab_growth_curve(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "watermark_lateness",
+    """
+    WITH late AS (
+      SELECT GREATEST(COALESCE(
+               MAX(epoch_us(ts) // 1000000) OVER (
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(ts) // 1000000, 0), 0) AS late_sec
+      FROM events
+    ),
+    grid AS (
+      SELECT late_sec, d.delay_sec
+      FROM late CROSS JOIN (
+        SELECT unnest([0, 60, 300, 900]) AS delay_sec) d
+    )
+    SELECT CAST(delay_sec AS INT) AS delay_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_sec > delay_sec THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN late_sec > delay_sec THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_dropped,
+           CAST(MAX(late_sec) AS BIGINT) AS max_late_sec
+    FROM grid GROUP BY delay_sec
+    """,
+)
+def q_watermark_lateness(spark, sf_dir):
+    return rel.watermark_lateness(load_table(spark, sf_dir, "events"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7126,6 +7196,8 @@ _VERIFY_FIRST = [
     "session_bounce_rate",
     "readability_scores",
     "bigram_heldout_xent",
+    "vocab_growth_curve",
+    "watermark_lateness",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

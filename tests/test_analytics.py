@@ -363,3 +363,31 @@ def test_association_rules_hand_baskets(spark):
     # ordering: highest lift first, ties by antecedent
     first = min(got.values(), key=lambda r: (-r.lift, r.antecedent, r.consequent))
     assert (first.antecedent, first.consequent) == (3, 4)
+
+
+def test_watermark_lateness_hand_arrivals(spark):
+    """Arrival order (event_id) vs event time: event 3 arrives 2 min
+    late behind the high-water mark set by event 2."""
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 10, 0), 7, "view", 0.0, ""),
+            (2, d(2024, 1, 1, 10, 10), 7, "view", 0.0, ""),
+            (3, d(2024, 1, 1, 10, 8), 7, "view", 0.0, ""),  # 120 s late
+            (4, d(2024, 1, 1, 10, 11), 7, "view", 0.0, ""),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.delay_sec: r
+        for r in rel.watermark_lateness(ev, delays_sec=(0, 60, 300)).collect()
+    }
+    assert got[0].n_dropped == 1 and got[0].max_late_sec == 120
+    assert got[60].n_dropped == 1  # 120 > 60
+    assert got[300].n_dropped == 0  # within a 5-minute watermark
+    assert got[0].frac_dropped == 0.25

@@ -440,3 +440,23 @@ def test_bigram_heldout_xent_python_replay(spark):
     mean = round(float(total) / 3, 6)
     assert r.mean_nll == mean
     assert r.ppl == round(math.exp(mean), 4)
+
+
+def test_vocab_growth_monotone_and_accounting(spark):
+    from conftest import SF001
+
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF001, "documents")
+    rows = sorted(
+        ts.vocab_growth_curve(docs).collect(), key=lambda r: r.slice_id
+    )
+    assert [r.slice_id for r in rows] == list(range(10))
+    assert rows[0].new_types == rows[0].cum_types  # slice 0 is all-new
+    # cumulative columns really are running sums
+    assert rows[-1].cum_tokens == sum(r.n_tokens for r in rows)
+    assert rows[-1].cum_types == sum(r.new_types for r in rows)
+    # new vocabulary per slice shrinks overall (Heaps): the last slice
+    # introduces far less than the first
+    assert rows[-1].new_types < rows[0].new_types
+    assert all(0 < r.heaps_exponent < 1 for r in rows)
