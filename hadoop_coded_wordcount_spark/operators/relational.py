@@ -5184,3 +5184,75 @@ def watermark_lateness(
             "max_late_sec",
         )
     )
+
+
+def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series per type: trend = centered (period+1)-point moving average,
+    seasonal = per hour-of-day mean of the detrended series, residual =
+    what's left — the decompose() every anomaly pipeline runs before
+    alerting on raw counts (its residuals are what rolling_anomaly
+    should really consume).
+
+    Exactness: the trend is an integer window sum over the hourly
+    counts divided once (deterministic double); detrended values are
+    rounded to 6 dp and cast DECIMAL before the seasonal-index mean, so
+    that group mean is an exact associative aggregate (a raw double
+    mean over shuffled hours drifts in the last ulp); the residual
+    subtraction repeats the identical double expression on both
+    engines. Rows without a full centered window carry NULL trend and
+    drop out of the seasonal fit, exactly as classic decompose does.
+
+    Scale: one partial-agg to the (type, hour) grid; both windows
+    partition by type; the seasonal fit is a (type × period) grid join.
+    """
+    half = period // 2
+    g = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-half, half)
+    )
+    with_trend = g.select(
+        "event_type",
+        "hr",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == period + 1,
+            F.sum("x").over(w).cast("double") / (period + 1),
+        ).alias("trend"),
+    )
+    det = with_trend.select(
+        "event_type",
+        "hr",
+        "x",
+        "trend",
+        F.hour("hr").alias("hod"),
+        F.round(F.col("x") - F.col("trend"), 6)
+        .cast("decimal(18,6)")
+        .alias("d6"),
+    )
+    seasonal = (
+        det.where(F.col("d6").isNotNull())
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(
+                F.sum("d6").cast("double") / F.count(F.lit(1)), 6
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.join(seasonal, ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "x",
+            F.round("trend", 6).alias("trend"),
+            "seasonal",
+            F.round(
+                F.col("x") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )

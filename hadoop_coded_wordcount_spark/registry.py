@@ -5242,6 +5242,45 @@ def q_watermark_lateness(spark, sf_dir):
     return rel.watermark_lateness(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "seasonal_decompose",
+    """
+    WITH g AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    wt AS (
+      SELECT event_type, hr, x,
+             CASE WHEN COUNT(*) OVER w = 25
+                  THEN CAST(SUM(x) OVER w AS DOUBLE) / 25 END AS trend
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, hr, x, trend,
+             EXTRACT(hour FROM hr) AS hod,
+             CAST(ROUND(x - trend, 6) AS DECIMAL(18,6)) AS d6
+      FROM wt
+    ),
+    seasonal AS (
+      SELECT event_type, hod,
+             ROUND(CAST(SUM(d6) AS DOUBLE) / COUNT(*), 6) AS seasonal
+      FROM det WHERE d6 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, d.x,
+           ROUND(d.trend, 6) AS trend, s.seasonal,
+           ROUND(d.x - d.trend - s.seasonal, 6) AS residual
+    FROM det d LEFT JOIN seasonal s
+      ON d.event_type = s.event_type AND d.hod = s.hod
+    """,
+)
+def q_seasonal_decompose(spark, sf_dir):
+    return rel.seasonal_decompose(load_table(spark, sf_dir, "events"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7198,6 +7237,7 @@ _VERIFY_FIRST = [
     "bigram_heldout_xent",
     "vocab_growth_curve",
     "watermark_lateness",
+    "seasonal_decompose",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -391,3 +391,40 @@ def test_watermark_lateness_hand_arrivals(spark):
     assert got[60].n_dropped == 1  # 120 > 60
     assert got[300].n_dropped == 0  # within a 5-minute watermark
     assert got[0].frac_dropped == 0.25
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """A flat level 10 with +5 bumps at hour 6 over several days: the
+    trend hovers near the mixed mean, the hour-6 seasonal index is
+    positive and the largest, and decomposition is additive
+    (x == trend + seasonal + residual wherever all parts exist)."""
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    rows = []
+    eid = 0
+    for day in range(1, 6):
+        for hour in range(24):
+            n = 10 + (5 if hour == 6 else 0)
+            for _ in range(n):
+                rows.append(
+                    (eid, d(2024, 1, day, hour), 7, "view", 0.0, "")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = rel.seasonal_decompose(ev).collect()
+    seas = {}
+    for r in out:
+        hod = int(r.hour_ts[11:13])
+        if r.seasonal is not None:
+            seas[hod] = r.seasonal
+        if r.trend is not None and r.seasonal is not None:
+            assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 1e-6
+    assert max(seas, key=seas.get) == 6
+    assert seas[6] > 3  # the planted +5 bump, minus MA smearing
