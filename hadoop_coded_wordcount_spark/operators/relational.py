@@ -5256,3 +5256,60 @@ def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+def clamped_running_balance(lineitem: DataFrame) -> DataFrame:
+    """Running inventory balance clamped at zero per supplier: returns
+    (flag 'R') add stock, shipments drain it, and the balance can never
+    go negative — the non-linear running fold (inventory, wallet,
+    queue-depth) that naive window SUMs get wrong.
+
+    The trick that keeps it WINDOW-expressible (no iterative fold, no
+    UDF): clamping at zero is reflection at the running minimum —
+
+        bal_t = S_t − least(min_{k≤t} S_k, 0)
+
+    with S the plain prefix sum of signed deltas. Two ROWS-frame window
+    passes over one supplier partition, all integer arithmetic (deltas
+    are integer quantities), so the oracle replays it exactly.
+
+    Output: per-supplier summary (moves, final/peak balance, stockout
+    touches — rows where a drain found the shelf empty).
+    """
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    delta = F.when(
+        F.col("l_returnflag") == "R", F.col("l_quantity").cast("bigint")
+    ).otherwise(-F.col("l_quantity").cast("bigint"))
+    keyed = lineitem.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        delta.alias("delta"),
+    ).withColumn("s", F.sum("delta").over(w))
+    # second pass over the SAME partition ordering (one exchange, the
+    # Window execs chain): running min of the prefix sum, then reflect
+    balanced = keyed.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "delta",
+        (F.col("s") - F.least(F.min("s").over(w), F.lit(0))).alias("bal"),
+    )
+    return balanced.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.expr(
+            "max_by(bal, struct(l_shipdate, l_orderkey, l_linenumber))"
+        )
+        .cast("bigint")
+        .alias("final_balance"),
+        F.max("bal").cast("bigint").alias("peak_balance"),
+        F.sum(F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stockout_drains"),
+    )

@@ -5281,6 +5281,48 @@ def q_seasonal_decompose(spark, sf_dir):
     return rel.seasonal_decompose(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "clamped_running_balance",
+    """
+    WITH keyed AS (
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS BIGINT)
+                  ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+             SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT)
+                      ELSE -CAST(l_quantity AS BIGINT) END) OVER w AS s
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    balanced AS (
+      SELECT l_suppkey, delta,
+             s - LEAST(MIN(s) OVER w, 0) AS bal,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate DESC, l_orderkey DESC,
+                        l_linenumber DESC) AS rn_last
+      FROM keyed
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN bal END) AS BIGINT)
+             AS final_balance,
+           CAST(MAX(bal) AS BIGINT) AS peak_balance,
+           CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockout_drains
+    FROM balanced GROUP BY l_suppkey
+    """,
+)
+def q_clamped_running_balance(spark, sf_dir):
+    return rel.clamped_running_balance(load_table(spark, sf_dir, "lineitem"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,

@@ -428,3 +428,29 @@ def test_seasonal_decompose_recovers_planted_pattern(spark):
             assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 1e-6
     assert max(seas, key=seas.get) == 6
     assert seas[6] > 3  # the planted +5 bump, minus MA smearing
+
+
+def test_clamped_balance_reflection_identity(spark):
+    """Deltas +5, -10, +3 for one supplier: a naive prefix sum would go
+    negative; the clamp floors it at zero (bal path 5, 0, 3), which the
+    reflection identity must reproduce exactly."""
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    lineitem = spark.createDataFrame(
+        [
+            # (orderkey, suppkey, linenumber, qty, returnflag, shipdate)
+            (1, 9, 1, 5.0, "R", d(2020, 1, 1)),
+            (2, 9, 1, 10.0, "N", d(2020, 1, 2)),
+            (3, 9, 1, 3.0, "R", d(2020, 1, 3)),
+        ],
+        "l_orderkey bigint, l_suppkey bigint, l_linenumber int,"
+        " l_quantity double, l_returnflag string, l_shipdate timestamp",
+    )
+    r = rel.clamped_running_balance(lineitem).collect()[0]
+    assert r.n_moves == 3
+    assert r.final_balance == 3  # not -2: the drain was clamped
+    assert r.peak_balance == 5
+    assert r.n_stockout_drains == 1  # the -10 hit an empty shelf
