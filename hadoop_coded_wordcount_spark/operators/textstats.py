@@ -48,6 +48,7 @@ __all__ = [
     "readability_scores",
     "bigram_heldout_xent",
     "vocab_growth_curve",
+    "zipf_fit",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -1332,4 +1333,65 @@ def vocab_growth_curve(documents: DataFrame, n_slices: int = 10) -> DataFrame:
             / F.log(F.col("cum_tokens").cast("double")),
             6,
         ).alias("heaps_exponent"),
+    )
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Zipf rank-frequency fit: regress ln(frequency) on ln(rank) over
+    the top-N vocabulary — natural language sits near slope −1, and a
+    corpus that drifts from it (templated spam, boilerplate floods) is
+    flagged before any model sees it. The frequency-side companion to
+    :func:`vocab_growth_curve`'s Heaps exponent.
+
+    Ranks come from one vocabulary-sized top-N (TakeOrdered, ties by
+    word — total order); each (ln rank, ln freq) pair is rounded to 6 dp
+    and cast DECIMAL, and the slope/intercept/R² come from exact decimal
+    moment sums via the same closed forms as ``regression_by_group`` —
+    no float accumulates across rows.
+    """
+    counts = (
+        documents.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(top_n)
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "w"))
+        .alias("rank"),
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)")
+    t = ranked.select(
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).cast("decimal(38,12)").alias("xy"),
+        (x * x).cast("decimal(38,12)").alias("xx"),
+        (y * y).cast("decimal(38,12)").alias("yy"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        F.col("n").alias("n_words_fit"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )

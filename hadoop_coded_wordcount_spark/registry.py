@@ -5323,6 +5323,64 @@ def q_clamped_running_balance(spark, sf_dir):
     return rel.clamped_running_balance(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "zipf_fit",
+    r"""
+    WITH counts AS (
+      SELECT w, c FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ) GROUP BY w
+      ) ORDER BY c DESC, w LIMIT 1000
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+      FROM counts
+    ),
+    t AS (
+      SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+      FROM t
+    )
+    SELECT n AS n_words_fit,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM m
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    return ts.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7280,6 +7338,7 @@ _VERIFY_FIRST = [
     "vocab_growth_curve",
     "watermark_lateness",
     "seasonal_decompose",
+    "clamped_running_balance",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

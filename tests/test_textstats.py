@@ -460,3 +460,21 @@ def test_vocab_growth_monotone_and_accounting(spark):
     # introduces far less than the first
     assert rows[-1].new_types < rows[0].new_types
     assert all(0 < r.heaps_exponent < 1 for r in rows)
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Plant frequencies c_i = floor(1200/i): the log-log fit must come
+    back near slope -1 with high R^2; the synthetic corpus (near-uniform
+    vocabulary) honestly scores far from Zipfian."""
+    words = []
+    for i in range(1, 41):
+        words += [f"w{i:02d}"] * (1200 // i)
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = ts.zipf_fit(docs).collect()[0]
+    assert r.n_words_fit == 40
+    assert -1.05 < r.zipf_slope < -0.95
+    assert r.r2 > 0.99
