@@ -5313,3 +5313,73 @@ def clamped_running_balance(lineitem: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_stockout_drains"),
     )
+
+
+def position_attribution(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution: the
+    first and last click before each purchase get 40% of its value
+    each, the middle clicks split the remaining 20% — the credit model
+    that values discovery and closing over the grind in between
+    (:func:`multi_touch_attribution` is the equal-split baseline).
+
+    Degenerate paths follow the standard convention: a single touch
+    takes 100%, two touches take 50/50. Shares are 6dp-rounded decimals
+    before any sum (partition-order-proof); positions come from two
+    ranks over the same per-purchase window partition.
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+    )
+    w = Window.partitionBy("p_id")
+    fwd = F.row_number().over(w.orderBy("c_ts", "c_id"))
+    bwd = F.row_number().over(w.orderBy(F.desc("c_ts"), F.desc("c_id")))
+    n = F.count(F.lit(1)).over(w)
+    ranked = pairs.select(
+        "p_id",
+        "p_value",
+        "c_ts",
+        fwd.alias("fwd"),
+        bwd.alias("bwd"),
+        n.alias("n_touch"),
+    )
+    frac = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when(F.col("n_touch") == 2, F.lit(0.5))
+        .when((F.col("fwd") == 1) | (F.col("bwd") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2).cast("double"))
+    )
+    share = F.round(F.col("p_value") * frac, 6).cast("decimal(18,6)")
+    return (
+        ranked.select(
+            F.date_format("c_ts", "yyyy-MM-dd").alias("click_date"),
+            F.when(F.col("fwd") == 1, "first")
+            .when(F.col("bwd") == 1, "last")
+            .otherwise("middle")
+            .alias("position"),
+            share.alias("share"),
+        )
+        .groupBy("click_date", "position")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("share").cast("double").alias("attributed_revenue"),
+        )
+    )

@@ -5381,6 +5381,52 @@ def q_zipf_fit(spark, sf_dir):
     return ts.zipf_fit(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "position_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+             value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p_id, p_value, c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY c_ts, c_id) AS fwd,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY c_ts DESC, c_id DESC) AS bwd,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_touch
+      FROM purchases JOIN clicks
+        ON p_user = c_user AND c_ts < p_ts
+       AND c_ts >= p_ts - INTERVAL 7 DAY
+    ),
+    shared AS (
+      SELECT strftime(c_ts, '%Y-%m-%d') AS click_date,
+             CASE WHEN fwd = 1 THEN 'first'
+                  WHEN bwd = 1 THEN 'last'
+                  ELSE 'middle' END AS position,
+             CAST(ROUND(p_value * CASE
+                    WHEN n_touch = 1 THEN 1.0
+                    WHEN n_touch = 2 THEN 0.5
+                    WHEN fwd = 1 OR bwd = 1 THEN 0.4
+                    ELSE 0.2 / CAST(n_touch - 2 AS DOUBLE) END, 6)
+                  AS DECIMAL(18,6)) AS share
+      FROM ranked
+    )
+    SELECT click_date, position,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(share) AS DOUBLE) AS attributed_revenue
+    FROM shared GROUP BY 1, 2
+    """,
+)
+def q_position_attribution(spark, sf_dir):
+    return rel.position_attribution(load_table(spark, sf_dir, "events"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7339,6 +7385,8 @@ _VERIFY_FIRST = [
     "watermark_lateness",
     "seasonal_decompose",
     "clamped_running_balance",
+    "zipf_fit",
+    "position_attribution",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

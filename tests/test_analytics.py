@@ -454,3 +454,39 @@ def test_clamped_balance_reflection_identity(spark):
     assert r.final_balance == 3  # not -2: the drain was clamped
     assert r.peak_balance == 5
     assert r.n_stockout_drains == 1  # the -10 hit an empty shelf
+
+
+def test_position_attribution_u_shape(spark):
+    """Purchase of 10.0 with 4 touches on distinct dates: first and
+    last get 4.0 each, the two middles 1.0 each; a single-touch path
+    takes the full value."""
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 10, 12), 7, "purchase", 10.0, ""),
+        (2, d(2024, 1, 6, 1), 7, "click", 0.0, ""),
+        (3, d(2024, 1, 7, 1), 7, "click", 0.0, ""),
+        (4, d(2024, 1, 8, 1), 7, "click", 0.0, ""),
+        (5, d(2024, 1, 9, 1), 7, "click", 0.0, ""),
+        # second user: single touch
+        (6, d(2024, 1, 10, 12), 8, "purchase", 6.0, ""),
+        (7, d(2024, 1, 9, 2), 8, "click", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.click_date, r.position): r.attributed_revenue
+        for r in rel.position_attribution(ev).collect()
+    }
+    assert got[("2024-01-06", "first")] == 4.0
+    assert got[("2024-01-09", "last")] == 4.0
+    assert got[("2024-01-07", "middle")] == 1.0
+    assert got[("2024-01-08", "middle")] == 1.0
+    assert got[("2024-01-09", "first")] == 6.0  # single touch, user 8
+    assert abs(sum(got.values()) - 16.0) < 1e-9  # mass conserved
