@@ -5383,3 +5383,95 @@ def position_attribution(
             F.sum("share").cast("double").alias("attributed_revenue"),
         )
     )
+
+
+def overdispersion_index(events: DataFrame) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of the hourly arrival
+    counts per event type: ≈1 for Poisson arrivals, >1 for bursty
+    traffic (campaigns, incidents), <1 for throttled/heartbeat-like
+    regularity — the one-number answer to "is this stream bursty?",
+    computed before anyone fits a rate model that assumes Poisson.
+
+    Counts are integers, so the moment sums (ΣX, ΣX²) are exact
+    BIGINTs and the sample-variance closed form is the identical
+    double expression on both engines; one partial-agg shuffle to the
+    (type, hour) grid, one to the type row.
+
+    Caveat: the statistic is over OBSERVED hours — an hour with zero
+    events contributes no grid row, so a stream that alternates
+    bursts with total silence needs the dense grid first
+    (``gap_fill_locf``'s grid shape) for the zeros to count.
+    """
+    g = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n_hours").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1 / n
+    var = (n * s2 - s1 * s1) / (n * (n - 1))
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("var_per_hour"),
+        F.round(var / mean, 6).alias("fano"),
+        (var / mean > 1.0).alias("is_overdispersed"),
+    )
+
+
+def residual_anomaly(events: DataFrame, topn: int = 10) -> DataFrame:
+    """Seasonality-aware anomaly ranking: z-score the RESIDUALS of
+    :func:`seasonal_decompose` (not the raw counts — a 9am spike that
+    happens every 9am is not an anomaly) and return the top-N hours by
+    |z| — the compose-two-operators query that closes the loop the
+    decompose docstring promises.
+
+    The residuals are already 6dp-rounded; their per-type mean/σ come
+    from exact decimal moment sums, and the z expression is the
+    identical double shape both engines. Top-N on (rounded |z|, type,
+    hour) is a total order.
+    """
+    dec = seasonal_decompose(events).where(F.col("residual").isNotNull())
+    r6 = F.col("residual").cast("decimal(18,6)")
+    stats = (
+        dec.select(
+            "event_type",
+            r6.alias("r"),
+            (r6 * r6).cast("decimal(38,12)").alias("rr"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").alias("sr"),
+            F.sum("rr").alias("srr"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sr, srr = F.col("sr").cast("double"), F.col("srr").cast("double")
+    mean = sr / n
+    sd = F.sqrt((n * srr - sr * sr) / (n * (n - 1)))
+    enriched = dec.join(
+        F.broadcast(
+            stats.select(
+                "event_type", mean.alias("r_mean"), sd.alias("r_sd")
+            )
+        ),
+        "event_type",
+    ).select(
+        "event_type",
+        "hour_ts",
+        "x",
+        "residual",
+        F.round(
+            (F.col("residual") - F.col("r_mean")) / F.col("r_sd"), 6
+        ).alias("z"),
+    )
+    return (
+        enriched.orderBy(F.abs(F.col("z")).desc(), "event_type", "hour_ts")
+        .limit(topn)
+    )

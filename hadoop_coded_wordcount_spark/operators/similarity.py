@@ -46,6 +46,7 @@ __all__ = [
     "embedding_covariance",
     "ann_ndcg",
     "mmr_topk",
+    "embedding_drift",
 ]
 
 
@@ -1335,3 +1336,67 @@ def mmr_topk(
             "left_anti",
         )
     return sel
+
+
+def embedding_drift(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Embedding-distribution drift between the two vec_id halves of the
+    corpus: per-half centroids and their cosine / L2 gap — the cheap
+    first-line monitor for "did the upstream encoder or data mix
+    change?" before any model retrain.
+
+    Exactness: each component is rounded to 6 dp and cast DECIMAL at
+    the ROW level, so the per-half component sums are exact associative
+    aggregates (a raw double mean over shuffled rows drifts in the last
+    ulp); centroid components divide once (deterministic double) and
+    the cosine/L2 fold over the 64 centroid components is the same
+    fixed left-to-right order both engines.
+
+    Scale: one scan, two partial-agg rows of 64 sums each.
+    """
+    half = (F.col("vec_id") % 2).alias("half")
+    comps = embeddings.select(
+        half,
+        *[
+            F.round(F.col("embedding")[i].cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias(f"c{i}")
+            for i in range(dim)
+        ],
+    )
+    agg = comps.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(dim)],
+    )
+    a = agg.where(F.col("half") == 0).select(
+        F.col("n").alias("n_a"),
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("n")).alias(f"a{i}")
+            for i in range(dim)
+        ],
+    )
+    b = agg.where(F.col("half") == 1).select(
+        F.col("n").alias("n_b"),
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("n")).alias(f"b{i}")
+            for i in range(dim)
+        ],
+    )
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    l2 = F.lit(0.0)
+    for i in range(dim):
+        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+        na = na + F.col(f"a{i}") * F.col(f"a{i}")
+        nb = nb + F.col(f"b{i}") * F.col(f"b{i}")
+        l2 = l2 + (F.col(f"a{i}") - F.col(f"b{i}")) * (
+            F.col(f"a{i}") - F.col(f"b{i}")
+        )
+    return a.join(b).select(
+        "n_a",
+        "n_b",
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias(
+            "centroid_cosine"
+        ),
+        F.round(F.sqrt(l2), 6).alias("centroid_l2"),
+    )

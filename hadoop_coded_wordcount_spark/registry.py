@@ -5427,6 +5427,159 @@ def q_position_attribution(spark, sf_dir):
     return rel.position_attribution(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "overdispersion_index",
+    """
+    WITH g AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM g GROUP BY 1
+    )
+    SELECT event_type, n_hours,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+             AS mean_per_hour,
+           ROUND((CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n_hours AS DOUBLE)
+                    * (CAST(n_hours AS DOUBLE) - 1)), 6) AS var_per_hour,
+           ROUND(((CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n_hours AS DOUBLE)
+                     * (CAST(n_hours AS DOUBLE) - 1)))
+                 / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)), 6)
+             AS fano,
+           ((CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n_hours AS DOUBLE)
+               * (CAST(n_hours AS DOUBLE) - 1)))
+           / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)) > 1.0
+             AS is_overdispersed
+    FROM m
+    """,
+)
+def q_overdispersion_index(spark, sf_dir):
+    return rel.overdispersion_index(load_table(spark, sf_dir, "events"))
+
+
+_SEASONAL_DET_SQL = """
+    g AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    wt AS (
+      SELECT event_type, hr, x,
+             CASE WHEN COUNT(*) OVER w = 25
+                  THEN CAST(SUM(x) OVER w AS DOUBLE) / 25 END AS trend
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, hr, x, trend,
+             EXTRACT(hour FROM hr) AS hod,
+             CAST(ROUND(x - trend, 6) AS DECIMAL(18,6)) AS d6
+      FROM wt
+    ),
+    seasonal AS (
+      SELECT event_type, hod,
+             ROUND(CAST(SUM(d6) AS DOUBLE) / COUNT(*), 6) AS seasonal
+      FROM det WHERE d6 IS NOT NULL GROUP BY 1, 2
+    ),
+    decomposed AS (
+      SELECT d.event_type,
+             strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, d.x,
+             ROUND(d.x - d.trend - s.seasonal, 6) AS residual
+      FROM det d LEFT JOIN seasonal s
+        ON d.event_type = s.event_type AND d.hod = s.hod
+    )"""
+
+
+@register(
+    "residual_anomaly",
+    f"""
+    WITH {_SEASONAL_DET_SQL},
+    resid AS (SELECT * FROM decomposed WHERE residual IS NOT NULL),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(residual AS DECIMAL(18,6))) AS sr,
+             SUM(CAST(CAST(residual AS DECIMAL(18,6))
+                      * CAST(residual AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS srr
+      FROM resid GROUP BY 1
+    ),
+    enriched AS (
+      SELECT r.event_type, r.hour_ts, r.x, r.residual,
+             ROUND((r.residual - CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                   / SQRT((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                           - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                          / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1))), 6) AS z
+      FROM resid r JOIN stats s ON r.event_type = s.event_type
+    )
+    SELECT event_type, hour_ts, x, residual, z
+    FROM enriched
+    ORDER BY ABS(z) DESC, event_type, hour_ts
+    LIMIT 10
+    """,
+)
+def q_residual_anomaly(spark, sf_dir):
+    return rel.residual_anomaly(load_table(spark, sf_dir, "events"))
+
+
+def _embedding_drift_oracle(dim: int = 64) -> str:
+    """Mirror of similarity.embedding_drift: decimal component sums per
+    half, then the same left-to-right 0.0-seeded folds over the 64
+    centroid components for cosine and L2."""
+    comps = ",\n             ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE), 6)"
+        f" AS DECIMAL(18,6)) AS c{i}"
+        for i in range(dim)
+    )
+    sums = ", ".join(f"SUM(c{i}) AS s{i}" for i in range(dim))
+    a_means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS a{i}" for i in range(dim)
+    )
+    b_means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS b{i}" for i in range(dim)
+    )
+    dot = "0.0" + "".join(f" + a{i} * b{i}" for i in range(dim))
+    na = "0.0" + "".join(f" + a{i} * a{i}" for i in range(dim))
+    nb = "0.0" + "".join(f" + b{i} * b{i}" for i in range(dim))
+    l2 = "0.0" + "".join(
+        f" + (a{i} - b{i}) * (a{i} - b{i})" for i in range(dim)
+    )
+    return f"""
+    WITH comps AS (
+      SELECT vec_id % 2 AS half,
+             {comps}
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT half, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+      FROM comps GROUP BY half
+    ),
+    a AS (SELECT n AS n_a, {a_means} FROM agg WHERE half = 0),
+    b AS (SELECT n AS n_b, {b_means} FROM agg WHERE half = 1)
+    SELECT n_a, n_b,
+           ROUND(({dot}) / (SQRT({na}) * SQRT({nb})), 6)
+             AS centroid_cosine,
+           ROUND(SQRT({l2}), 6) AS centroid_l2
+    FROM a CROSS JOIN b
+    """
+
+
+@register("embedding_drift", _embedding_drift_oracle())
+def q_embedding_drift(spark, sf_dir):
+    return sim.embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7387,6 +7540,9 @@ _VERIFY_FIRST = [
     "clamped_running_balance",
     "zipf_fit",
     "position_attribution",
+    "overdispersion_index",
+    "residual_anomaly",
+    "embedding_drift",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",

@@ -490,3 +490,32 @@ def test_position_attribution_u_shape(spark):
     assert got[("2024-01-08", "middle")] == 1.0
     assert got[("2024-01-09", "first")] == 6.0  # single touch, user 8
     assert abs(sum(got.values()) - 16.0) < 1e-9  # mass conserved
+
+
+def test_overdispersion_separates_poisson_from_bursty(spark):
+    """A constant-rate stream has variance 0 (fano 0, underdispersed);
+    an alternating 0/20 stream is strongly overdispersed."""
+    import datetime
+
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d = datetime.datetime
+    rows = []
+    eid = 0
+    for h in range(24):
+        for _ in range(5):  # 'steady': exactly 5/hour
+            rows.append((eid, d(2024, 1, 1, h), 1, "steady", 0.0, ""))
+            eid += 1
+        n_bursty = 35 if h % 2 == 0 else 5  # alternating burst/lull
+        for _ in range(n_bursty):
+            rows.append((eid, d(2024, 1, 1, h), 1, "bursty", 0.0, ""))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_type: r for r in rel.overdispersion_index(ev).collect()}
+    assert got["steady"].fano == 0.0
+    assert not got["steady"].is_overdispersed
+    assert got["bursty"].is_overdispersed and got["bursty"].fano > 1

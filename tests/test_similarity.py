@@ -478,3 +478,33 @@ def test_mmr_diversifies_away_from_duplicate_results(spark):
     assert got[3].neighbor_id == 2  # the copy comes last
     # the duplicate's round-3 score carries the full sim=1 penalty
     assert got[3].mmr_score < 0 < got[2].mmr_score
+
+
+def test_embedding_drift_identical_halves_and_shifted(spark):
+    """Mirrored halves have cosine 1 / L2 0; shifting one half moves
+    both metrics the right way."""
+    import numpy as np
+
+    def vec(seed, shift=0.0):
+        rng = np.random.RandomState(seed)
+        v = rng.rand(64) + shift
+        return [float(x) for x in v]
+
+    same = [(2 * i + h, vec(i), 0) for i in range(20) for h in (0, 1)]
+    emb = spark.createDataFrame(
+        same, "vec_id bigint, embedding array<float>, label int"
+    )
+    r = sim.embedding_drift(emb).collect()[0]
+    assert (r.n_a, r.n_b) == (20, 20)
+    assert r.centroid_cosine == 1.0 and r.centroid_l2 == 0.0
+    shifted = [
+        (2 * i + h, vec(i, shift=2.0 * h), 0)
+        for i in range(20)
+        for h in (0, 1)
+    ]
+    emb2 = spark.createDataFrame(
+        shifted, "vec_id bigint, embedding array<float>, label int"
+    )
+    r2 = sim.embedding_drift(emb2).collect()[0]
+    assert r2.centroid_l2 > 10  # +2 shift on 64 dims: sqrt(64*4) = 16
+    assert r2.centroid_cosine < 1.0
