@@ -5475,3 +5475,47 @@ def residual_anomaly(events: DataFrame, topn: int = 10) -> DataFrame:
         enriched.orderBy(F.abs(F.col("z")).desc(), "event_type", "hour_ts")
         .limit(topn)
     )
+
+
+def top_session_paths(
+    events: DataFrame, gap_minutes: int = 30, depth: int = 3, topn: int = 20
+) -> DataFrame:
+    """Most common session-opening paths: the first ``depth`` event
+    types of each session, joined into a path string, counted corpus-
+    wide — the "how do sessions start" readout behind landing-page and
+    onboarding analysis (the path-level companion to
+    :func:`markov_transitions`' edge-level view).
+
+    Sessionization is the shared lag-then-cumsum shape; the path build
+    is rank ≤ depth inside the (user, session) partition + an ordered
+    string_agg — every window clusters on user_id, one exchange.
+    Top-N on (count desc, path) is a total order.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(sec).over(w)
+    opens = (prev.isNull() | (sec - prev > F.lit(gap_s))).cast("int")
+    numbered = events.select(
+        "user_id", "event_id", "ts", "event_type", opens.alias("opens")
+    ).withColumn(
+        "sess",
+        F.sum("opens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    heads = numbered.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= depth
+    )
+    paths = heads.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">", F.array_sort(F.collect_list(F.struct("rn", "event_type")))
+            .getField("event_type")
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(topn)
+    )

@@ -49,6 +49,7 @@ __all__ = [
     "bigram_heldout_xent",
     "vocab_growth_curve",
     "zipf_fit",
+    "langid_confusion",
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
@@ -1394,4 +1395,32 @@ def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
         F.round(cov / varx, 6).alias("zipf_slope"),
         F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of :func:`lang_id` against the labeled ``lang``
+    column — the engine evaluating its own classifier, the same
+    score-your-own-output stance as ``ann_recall_metrics``. Per
+    (label, prediction) cell: count, share of the label's documents,
+    and whether it's the diagonal — honest on this corpus, whose
+    synthetic text skews every vote toward the English stopword list.
+
+    One classifier pass + one (label, pred) partial-agg; the label
+    marginal is a window over the cell grid.
+    """
+    pred = lang_id(documents).select("doc_id", "pred_lang")
+    joined = documents.select("doc_id", "lang").join(pred, "doc_id")
+    cells = joined.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share_of_lang"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )

@@ -5580,6 +5580,85 @@ def q_embedding_drift(spark, sf_dir):
     return sim.embedding_drift(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "top_session_paths",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) // 1000000
+                       - epoch_us(prev) // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS opens
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sess
+      FROM marked
+    ),
+    heads AS (
+      SELECT user_id, sess, event_type, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                                     ORDER BY ts, event_id) AS rn
+        FROM numbered
+      ) WHERE rn <= 3
+    ),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             CAST(COUNT(*) AS BIGINT) AS path_len
+      FROM heads GROUP BY 1, 2
+    )
+    SELECT path, path_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1, 2
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_top_session_paths(spark, sf_dir):
+    return rel.top_session_paths(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS w
+      FROM documents
+    ), scores AS ({{lang_scores}}),
+    pred AS (
+      SELECT doc_id, cand AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS share_of_lang,
+           lang = pred_lang AS is_correct
+    FROM cells
+    """.format(lang_scores=_lang_score_sql()),
+)
+def q_langid_confusion(spark, sf_dir):
+    return ts.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
 _FERTILITY_FINAL = r"""
     SELECT lang,
            CAST(SUM(occ) AS BIGINT) AS n_words,
@@ -7543,6 +7622,8 @@ _VERIFY_FIRST = [
     "overdispersion_index",
     "residual_anomaly",
     "embedding_drift",
+    "top_session_paths",
+    "langid_confusion",
     # (3) New or re-implemented this round.
     "chunk_documents",
     "udtf_chunk_documents",
