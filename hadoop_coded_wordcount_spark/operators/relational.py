@@ -5519,3 +5519,292 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(topn)
     )
+
+
+def ks_test(orders: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on ``o_totalprice`` between
+    high-priority (1-URGENT/2-HIGH) and other orders — the standard
+    "did this segment's distribution shift?" gate, the continuous-
+    distribution companion to ``psi_drift``'s binned drift score.
+
+    D = max_v |F1(v) − F2(v)| over the pooled value grid. Exactness: the
+    comparison runs on the INTEGER lattice — at each distinct value,
+    |cum1·n2 − cum2·n1| is an exact BIGINT, its max divides n1·n2 only
+    in the final projection, so no float ever accumulates. The one-term
+    asymptotic p-value 2·exp(−2D²·n1n2/(n1+n2)) is computed FROM THE
+    6dp-ROUNDED D on both engines, keeping libm inputs identical.
+
+    Scale shape: one value-frequency histogram (map-side combined,
+    state bounded by distinct values), one cumulative window over that
+    histogram, one max-agg. The same bounded-state posture as
+    ``exact_percentiles_by_group`` — raw rows never reach a window.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    freq = orders.groupBy("o_totalprice").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = freq.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    m = cum.agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("d_num"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    d = F.round(
+        F.col("d_num").cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double"),
+        6,
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.col("d_num").cast("bigint").alias("d_num"),
+        d.alias("ks_d"),
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-2.0)
+                * d
+                * d
+                * (F.col("n1") * F.col("n2")).cast("double")
+                / (F.col("n1") + F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+def mann_whitney_u(orders: DataFrame) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) on ``o_totalprice``, same
+    segment split as :func:`ks_test` — the rank-based (outlier-immune)
+    location test next to the moment-based t machinery in
+    ``ab_test_conversion``.
+
+    Exactness: average ranks live on the HALF-INTEGER lattice, so the
+    whole computation is carried ×2 in BIGINT — for a distinct value
+    with group counts (c1, c2) and cum-before ``cb``, its doubled rank
+    sum contribution is c1·(2·cb + c + 1); 2·R1 and hence
+    2·U1 = 2·R1 − n1(n1+1) are exact integers. The tie-corrected normal
+    σ² assembles from the exact Σ(t³−t) integer; only the final
+    z = (2U1 − n1n2) / (2σ) rounds. sqrt over integers < 2⁵³ is
+    correctly-rounded IEEE on both engines, so z is stable at 6 dp.
+
+    Scale: identical bounded-state shape as :func:`ks_test` — histogram,
+    one window pass, one final agg.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    freq = orders.groupBy("o_totalprice").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("c2"),
+    )
+    c = F.col("c1") + F.col("c2")
+    w = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = freq.select(
+        "c1",
+        "c2",
+        c.alias("c"),
+        F.coalesce(F.sum(c).over(w), F.lit(0)).alias("cb"),
+    )
+    m = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("cb") + F.col("c") + F.lit(1))
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + F.lit(1))
+    var = (
+        (n1 * n2).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        )
+    )
+    return m.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        # all-tied degenerate input has sigma = 0: z is undefined -> NULL
+        # (try_divide), not an ANSI divide-by-zero crash
+        F.round(
+            F.try_divide(
+                (u1_x2 - n1 * n2).cast("double"),
+                F.lit(2.0) * F.sqrt(var),
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+def acf_hourly_counts(events: DataFrame, max_lag: int = 8) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1..``max_lag`` — the seasonality detector feeding window sizing for
+    ``seasonal_decompose`` / ``holt_forecast`` (a spike at lag 24 says
+    "daily cycle"; geometric decay says "short memory").
+
+    Exactness trick: with x̄ = S/n, the centered product
+    (x_t−x̄)(x_{t+k}−x̄) scaled by n² is (n·x_t−S)(n·x_{t+k}−S) — an
+    exact BIGINT on integer counts. r_k = Σu_t·u_{t+k} / Σu_t² divides
+    two exact integers once at the end; the n² scale cancels. Missing
+    hours are zero-filled from the min..max hour grid (sequence
+    explode), because an ACF is only defined on a regular grid.
+
+    Scale: the data-proportional work is one (hour)-grouped count; the
+    grid self-join is lag-bounded over the time-range-bounded series
+    (grid rows × max_lag pairs), the same grid-not-data cost argument
+    as ``holt_forecast``.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    filled = grid.join(hourly, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = filled.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    u = filled.crossJoin(F.broadcast(stats)).select(
+        "h", (F.col("n") * F.col("x") - F.col("s")).alias("u")
+    )
+    wlag = Window.orderBy("h")
+    lagged = u.select(
+        "u",
+        *[
+            F.lead("u", k).over(wlag).alias(f"u{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    denom = F.sum(F.col("u") * F.col("u"))
+    aggs = [
+        F.sum(F.col("u") * F.col(f"u{k}")).alias(f"num{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    m = lagged.agg(denom.alias("den"), *aggs)
+    rows = [
+        m.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.round(
+                F.col(f"num{k}").cast("double")
+                / F.col("den").cast("double"),
+                6,
+            ).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def sprt_conversion(events: DataFrame) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the purchase-
+    conversion stream — the always-valid sequential cousin of
+    ``ab_test_conversion``: walk events in arrival order (event_id),
+    accumulate the Bernoulli log-likelihood ratio for H1: p=0.08 vs
+    H0: p=0.05, and report the FIRST boundary crossing (accept/reject
+    at α=β=0.05) plus the end-of-stream state.
+
+    Exactness: the two LLR increments ln(p1/p0) and ln(q1/q0) are
+    constants rounded to 6 dp and carried as DECIMAL; the running LLR
+    is then increment-decimal × integer-count — exact, order-stable.
+    Boundaries ±ln(19) round the same way. The walk itself is a prefix
+    sum over (purchase?, 1) flags — one window over the event stream,
+    and at scale the two-phase range-partition running-sum route
+    documented on ``watermark_lateness`` applies unchanged.
+    """
+    import math
+
+    a_inc = round(math.log(0.08 / 0.05), 6)
+    b_inc = round(math.log(0.92 / 0.95), 6)
+    bound = round(math.log(19.0), 6)
+    flags = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("succ"),
+    )
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = flags.select(
+        "event_id",
+        F.sum("succ").over(w).alias("ns"),
+        F.count(F.lit(1)).over(w).alias("nt"),
+    ).select(
+        "event_id",
+        "ns",
+        "nt",
+        (
+            F.lit(a_inc).cast("decimal(18,6)") * F.col("ns")
+            + F.lit(b_inc).cast("decimal(18,6)")
+            * (F.col("nt") - F.col("ns"))
+        ).alias("llr"),
+    )
+    crossed = walk.where(
+        (F.col("llr") >= F.lit(bound).cast("decimal(18,6)"))
+        | (F.col("llr") <= F.lit(-bound).cast("decimal(18,6)"))
+    )
+    first = crossed.agg(F.min("event_id").alias("decision_event"))
+    last = walk.agg(F.max("nt").alias("n_total"))
+    dec = (
+        first.join(
+            walk.select(
+                F.col("event_id").alias("decision_event"),
+                F.col("nt").alias("n_at_decision"),
+                F.col("ns").alias("succ_at_decision"),
+                F.col("llr").alias("llr_at_decision"),
+            ),
+            "decision_event",
+            "left",
+        )
+    )
+    return dec.crossJoin(last).select(
+        "decision_event",
+        "n_at_decision",
+        "succ_at_decision",
+        F.col("llr_at_decision").cast("double").alias("llr_at_decision"),
+        F.when(
+            F.col("llr_at_decision")
+            >= F.lit(bound).cast("decimal(18,6)"),
+            F.lit("accept_h1"),
+        )
+        .when(
+            F.col("llr_at_decision")
+            <= F.lit(-bound).cast("decimal(18,6)"),
+            F.lit("accept_h0"),
+        )
+        .otherwise(F.lit("no_decision"))
+        .alias("decision"),
+        "n_total",
+    )

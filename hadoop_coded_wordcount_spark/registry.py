@@ -7519,6 +7519,184 @@ def q_session_bounce_rate(spark, sf_dir):
     return rel.session_bounce_rate(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "ks_test",
+    """
+    WITH freq AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+             MAX(n1) AS n1, MAX(n2) AS n2
+      FROM cum
+    ),
+    d AS (
+      SELECT n1, n2, d_num,
+             ROUND(CAST(d_num AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d
+      FROM m
+    )
+    SELECT n1, n2, d_num, ks_d,
+           ROUND(2.0 * EXP(-2.0 * ks_d * ks_d
+                           * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           / CAST(n1 + n2 AS DOUBLE)), 6) AS p_approx
+    FROM d
+    """,
+)
+def q_ks_test(spark, sf_dir):
+    return rel.ks_test(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "mann_whitney",
+    """
+    WITH freq AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             CAST(COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ROUND(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                 / (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                                  - CAST(tie_sum AS DOUBLE)
+                                    / (CAST(n1 + n2 AS DOUBLE)
+                                       * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)
+             AS z
+    FROM m
+    """,
+)
+def q_mann_whitney(spark, sf_dir):
+    return rel.mann_whitney_u(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "acf_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    filled AS (
+      SELECT g.h, COALESCE(x, 0) AS x
+      FROM grid g LEFT JOIN hourly USING (h)
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM filled
+    ),
+    u AS (SELECT h, n * x - s AS u FROM filled, st),
+    lagged AS (
+      SELECT u,
+             lead(u, 1) OVER (ORDER BY h) AS u1,
+             lead(u, 2) OVER (ORDER BY h) AS u2,
+             lead(u, 3) OVER (ORDER BY h) AS u3,
+             lead(u, 4) OVER (ORDER BY h) AS u4,
+             lead(u, 5) OVER (ORDER BY h) AS u5,
+             lead(u, 6) OVER (ORDER BY h) AS u6,
+             lead(u, 7) OVER (ORDER BY h) AS u7,
+             lead(u, 8) OVER (ORDER BY h) AS u8
+      FROM u
+    ),
+    m AS (
+      SELECT SUM(u * u) AS den,
+             SUM(u * u1) AS n1, SUM(u * u2) AS n2, SUM(u * u3) AS n3,
+             SUM(u * u4) AS n4, SUM(u * u5) AS n5, SUM(u * u6) AS n6,
+             SUM(u * u7) AS n7, SUM(u * u8) AS n8
+      FROM lagged
+    )
+    SELECT CAST(k AS INTEGER) AS lag,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+    FROM m, (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS ks(k),
+         LATERAL (SELECT CASE k WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
+                                WHEN 4 THEN n4 WHEN 5 THEN n5 WHEN 6 THEN n6
+                                WHEN 7 THEN n7 ELSE n8 END AS num) AS pick
+    """,
+)
+def q_acf_hourly(spark, sf_dir):
+    return rel.acf_hourly_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sprt_conversion",
+    """
+    WITH flags AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      FROM events
+    ),
+    walk AS (
+      SELECT event_id,
+             CAST(SUM(succ) OVER (ORDER BY event_id) AS BIGINT) AS ns,
+             CAST(COUNT(*) OVER (ORDER BY event_id) AS BIGINT) AS nt
+      FROM flags
+    ),
+    walk2 AS (
+      SELECT event_id, ns, nt,
+             CAST(0.470004 AS DECIMAL(18,6)) * ns
+             + CAST(-0.032088 AS DECIMAL(18,6)) * (nt - ns) AS llr
+      FROM walk
+    ),
+    first_cross AS (
+      SELECT MIN(event_id) AS decision_event
+      FROM walk2
+      WHERE llr >= CAST(2.944439 AS DECIMAL(18,6))
+         OR llr <= CAST(-2.944439 AS DECIMAL(18,6))
+    ),
+    last_row AS (SELECT MAX(nt) AS n_total FROM walk2)
+    SELECT f.decision_event,
+           w.nt AS n_at_decision,
+           w.ns AS succ_at_decision,
+           CAST(w.llr AS DOUBLE) AS llr_at_decision,
+           CASE WHEN w.llr >= CAST(2.944439 AS DECIMAL(18,6))
+                  THEN 'accept_h1'
+                WHEN w.llr <= CAST(-2.944439 AS DECIMAL(18,6))
+                  THEN 'accept_h0'
+                ELSE 'no_decision' END AS decision,
+           l.n_total
+    FROM first_cross f
+    LEFT JOIN walk2 w ON w.event_id = f.decision_event, last_row l
+    """,
+)
+def q_sprt_conversion(spark, sf_dir):
+    return rel.sprt_conversion(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — verification-first
 # ---------------------------------------------------------------------------

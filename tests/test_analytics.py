@@ -519,3 +519,116 @@ def test_overdispersion_separates_poisson_from_bursty(spark):
     assert got["steady"].fano == 0.0
     assert not got["steady"].is_overdispersed
     assert got["bursty"].is_overdispersed and got["bursty"].fano > 1
+
+
+def _orders_prices(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    )
+
+
+def test_ks_test_disjoint_supports_give_d_one(spark):
+    """High-priority prices all below, low all above: ECDFs separate
+    completely at the boundary, so D = 1 exactly."""
+    rows = [(i, "1-URGENT", float(i)) for i in range(1, 5)] + [
+        (i, "5-LOW", float(100 + i)) for i in range(1, 5)
+    ]
+    got = rel.ks_test(_orders_prices(spark, rows)).collect()[0]
+    assert (got.n1, got.n2) == (4, 4)
+    assert got.d_num == 16 and got.ks_d == 1.0
+
+
+def test_ks_test_identical_samples_give_d_zero(spark):
+    """The same values in both groups: the lattice difference
+    cum1*n2 - cum2*n1 is 0 at every step."""
+    rows = [(i, "1-URGENT", float(i % 3)) for i in range(3)] + [
+        (10 + i, "5-LOW", float(i % 3)) for i in range(3)
+    ]
+    got = rel.ks_test(_orders_prices(spark, rows)).collect()[0]
+    assert got.d_num == 0 and got.ks_d == 0.0 and got.p_approx == 2.0
+
+
+def test_mann_whitney_hand_ranks(spark):
+    """g1 = {1,2}, g2 = {3,4}: R1 = 1+2 = 3, U1 = 3 - 3 = 0, so
+    2*U1 = 0; z = (0 - 4)/(2*sqrt(4*5/12)) = -2/sqrt(5/3)."""
+    rows = [
+        (1, "1-URGENT", 1.0),
+        (2, "1-URGENT", 2.0),
+        (3, "5-LOW", 3.0),
+        (4, "5-LOW", 4.0),
+    ]
+    got = rel.mann_whitney_u(_orders_prices(spark, rows)).collect()[0]
+    assert (got.n1, got.n2, got.u1_x2) == (2, 2, 0)
+    assert got.z == round(-4 / (2 * (2 * 2 / 12 * 5) ** 0.5), 6)
+
+
+def test_mann_whitney_all_tied_u_is_half(spark):
+    """Every value equal: average ranks make R1 = n1*(n+1)/2, so
+    2*U1 = n1*n2 exactly (U at its null mean)."""
+    rows = [(i, "1-URGENT", 7.0) for i in range(2)] + [
+        (10 + i, "5-LOW", 7.0) for i in range(3)
+    ]
+    got = rel.mann_whitney_u(_orders_prices(spark, rows)).collect()[0]
+    assert got.u1_x2 == 2 * 3  # == n1*n2 -> numerator of z is 0
+
+
+def test_acf_alternating_series_is_minus_one_at_lag_one(spark):
+    """A strict two-state alternation has r1 = -1, r2 = +1 (up to the
+    truncated-endpoint correction; with 8 full periods the planted signs
+    dominate)."""
+    rows = []
+    for t in range(16):
+        n_ev = 3 if t % 2 == 0 else 1
+        for j in range(n_ev):
+            rows.append(
+                (t * 10 + j, f"2024-01-01 {t:02d}:15:00", 1, "view", 1.0)
+            )
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.lag: r.acf for r in rel.acf_hourly_counts(events, max_lag=2).collect()}
+    # exact rational: sum of u_t*u_{t+k} over truncated series / sum u^2
+    assert got[1] == round(-15 / 16, 6)
+    assert got[2] == round(14 / 16, 6)
+
+
+def test_acf_zero_fills_missing_hours(spark):
+    """A gap hour enters the grid as x=0 rather than being skipped:
+    series (2,_,2) over 3 hours -> mean 4/3, u = (2,-4,2)*3."""
+    rows = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:00"),
+            (3, "2024-01-01 02:00:00"), (4, "2024-01-01 02:30:00")]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string"
+    ).withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", F.lit(1).alias("user_id"),
+        F.lit("view").alias("event_type"), F.lit(1.0).alias("value")
+    )
+    got = {r.lag: r.acf for r in rel.acf_hourly_counts(events, max_lag=1).collect()}
+    # u = (2, -4, 2): r1 = (2*-4 + -4*2)/(4+16+4) = -16/24
+    assert got[1] == round(-16 / 24, 6)
+
+
+def test_sprt_crosses_up_on_pure_successes(spark):
+    """All purchases: llr climbs by 0.470004/trial and crosses ln(19)
+    at trial 7 (7*0.470004 = 3.290028 >= 2.944439)."""
+    events = _events(
+        spark,
+        [(i, None, 1, "purchase", 1.0) for i in range(1, 10)],
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")))
+    got = rel.sprt_conversion(events).collect()[0]
+    assert got.decision == "accept_h1"
+    assert got.n_at_decision == 7 and got.succ_at_decision == 7
+    assert got.n_total == 9
+
+
+def test_sprt_no_decision_on_short_mixed_stream(spark):
+    """Too few trials to cross either boundary: explicit no_decision
+    row with NULL decision point, not an empty frame."""
+    events = _events(
+        spark,
+        [(1, None, 1, "purchase", 1.0), (2, None, 1, "view", 1.0)],
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")))
+    got = rel.sprt_conversion(events).collect()
+    assert len(got) == 1
+    assert got[0].decision == "no_decision"
+    assert got[0].decision_event is None and got[0].n_total == 2
