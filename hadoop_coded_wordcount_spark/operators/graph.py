@@ -876,3 +876,148 @@ def modularity_by_nation(
             F.sum("q_term_d").over(w).cast("double").alias("modularity"),
         )
     )
+
+
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient cc(v) = 2·T(v) / d(v)(d(v)−1)
+    — the micro-scale companion of :func:`triangle_count`'s global
+    census: a supplier whose co-suppliers also co-occur with each other
+    (cc → 1) sits inside a cohesive ring, one whose neighborhood is a
+    star (cc → 0) is a pure broker.
+
+    Triangles are enumerated ONCE via the same degree-orientation wedge
+    join as :func:`triangle_count` (O(E^1.5) bound on skewed graphs; see
+    that docstring), keeping all three corners, then exploded to one row
+    per (triangle, corner) and counted per node — integer-exact. Degrees
+    ride a broadcast; the only division is the final cc projection.
+    Nodes with d < 2 emit cc = 0 (no possible triangle), so the output
+    is exactly the node set.
+
+    Input contract: undirected edges, one row per edge, src < dst.
+    Output: (node, degree, triangles, cc), node-sized.
+    """
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = edges.join(
+        F.broadcast(deg.select(F.col("v").alias("src"), F.col("d").alias("ds"))),
+        "src",
+    ).join(
+        F.broadcast(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd"))),
+        "dst",
+    )
+    lo_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(lo_first, F.col("dd")).otherwise(F.col("ds")).alias("dhi"),
+    ).persist()
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.lo") == F.col("w2.lo"))
+        .where(
+            (F.col("w1.dhi") < F.col("w2.dhi"))
+            | (
+                (F.col("w1.dhi") == F.col("w2.dhi"))
+                & (F.col("w1.hi") < F.col("w2.hi"))
+            )
+        )
+        .select(
+            F.col("w1.lo").alias("a"),
+            F.col("w1.hi").alias("b"),
+            F.col("w2.hi").alias("c"),
+        )
+    )
+    closing = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    per_node = (
+        triangles.select(F.col("a").alias("v"))
+        .unionAll(triangles.select(F.col("b").alias("v")))
+        .unionAll(triangles.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        deg.join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(F.col("d") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("t", F.lit(0)).cast("double")
+                    / (F.col("d") * (F.col("d") - 1)).cast("double"),
+                    6,
+                )
+            )
+            .alias("cc"),
+        )
+    )
+
+
+def adamic_adar(edges: DataFrame, topn: int = 25) -> DataFrame:
+    """Adamic–Adar link prediction: for non-adjacent pairs with common
+    neighbors, score = Σ_z 1/ln(d(z)) over shared neighbors z — the
+    rare-mutual-friend upgrade of :func:`link_prediction_jaccard` (a
+    shared low-degree neighbor is strong evidence; a shared hub is
+    weak), same candidate generation, different evidence weight.
+
+    Exactness: each neighbor's 1/ln(d) term is rounded to 6 dp and cast
+    DECIMAL before the per-pair sum, so the aggregate is order-exact
+    cross-engine (the module-wide transcendental rounding discipline).
+    d(z) ≥ 2 for any common neighbor (z touches both u and
+    v), so ln never sees 1. Wedge join bounds candidates to distance-2
+    pairs; degrees broadcast; output is TakeOrdered on the
+    (score desc, pair) total order.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # a degree-1 node can never be a SHARED neighbor (it has only one
+    # edge), so dropping d < 2 both prunes dead wedge fuel and keeps
+    # ln(d) away from ln(1) = 0 under ANSI division
+    nbr_w = sym.join(
+        F.broadcast(
+            deg.where(F.col("d") >= 2).select(
+                F.col("a").alias("b"), F.col("d").alias("dz")
+            )
+        ),
+        "b",
+    ).select(
+        "b",
+        F.col("a").alias("u"),
+        F.round(F.lit(1.0) / F.log(F.col("dz").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    w2 = sym.select(F.col("b").alias("b"), F.col("a").alias("v"))
+    scored = (
+        nbr_w.join(w2, (nbr_w["b"] == w2["b"]) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("term").alias("aa_dec"),
+        )
+    )
+    non_adjacent = scored.join(
+        edges,
+        (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")),
+        "left_anti",
+    )
+    return (
+        non_adjacent.select(
+            "u", "v", "cn", F.col("aa_dec").cast("double").alias("aa_score")
+        )
+        .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+        .limit(topn)
+    )

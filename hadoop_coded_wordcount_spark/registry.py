@@ -7519,6 +7519,119 @@ def q_session_bounce_rate(spark, sf_dir):
     return rel.session_bounce_rate(load_table(spark, sf_dir, "events"))
 
 
+# Shared oracle prefix: the degree-bounded supplier kNN co-occurrence
+# graph (k = 3) — the same sparsification replayed by the
+# triangle_count_suppliers oracle (see graph.supplier_knn_graph).
+_DUCK_KNN_EDGES = """
+    WITH p AS (
+      SELECT s, d, COUNT(*) AS c FROM (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey AS s, b.l_suppkey AS d
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      ) GROUP BY 1, 2
+    ),
+    sym0 AS (
+      SELECT s AS node, d AS partner, c FROM p
+      UNION ALL
+      SELECT d AS node, s AS partner, c FROM p
+    ),
+    kept AS (
+      SELECT node, partner FROM (
+        SELECT node, partner,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, partner) AS rn
+        FROM sym0
+      ) WHERE rn <= 3
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(node, partner) AS src,
+                      GREATEST(node, partner) AS dst
+      FROM kept
+    )"""
+
+
+@register(
+    "clustering_coefficient",
+    _DUCK_KNN_EDGES
+    + """,
+    deg AS MATERIALIZED (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0
+      ) GROUP BY v
+    ),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND src < dst)
+                  THEN src ELSE dst END AS lo,
+             CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND src < dst)
+                  THEN dst ELSE src END AS hi,
+             CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND src < dst)
+                  THEN dd.d ELSE ds.d END AS dhi
+      FROM e0 JOIN deg ds ON ds.v = e0.src JOIN deg dd ON dd.v = e0.dst
+    ),
+    tri AS (
+      SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+      FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+      WHERE (w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi))
+        AND EXISTS (SELECT 1 FROM o cl
+                    WHERE cl.lo = w1.hi AND cl.hi = w2.hi)
+    ),
+    pn AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.v AS node,
+           CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+           CASE WHEN d < 2 THEN 0.0
+                ELSE ROUND(2.0 * COALESCE(t, 0)
+                           / CAST(d * (d - 1) AS DOUBLE), 6) END AS cc
+    FROM deg LEFT JOIN pn ON pn.v = deg.v
+    """,
+)
+def q_clustering_coefficient(spark, sf_dir):
+    return gr.local_clustering_coefficient(
+        gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+@register(
+    "adamic_adar",
+    _DUCK_KNN_EDGES
+    + """,
+    symm AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e0
+      UNION ALL SELECT dst AS a, src AS b FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM symm GROUP BY a),
+    nbr AS (
+      SELECT s.b, s.a AS u,
+             CAST(ROUND(1.0 / LN(CAST(dz.d AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM symm s JOIN deg dz ON dz.a = s.b AND dz.d >= 2
+    ),
+    scored AS (
+      SELECT u, w2.a AS v, CAST(COUNT(*) AS BIGINT) AS cn,
+             SUM(term) AS aa_dec
+      FROM nbr JOIN symm w2 ON nbr.b = w2.b AND nbr.u < w2.a
+      GROUP BY 1, 2
+    ),
+    na AS (
+      SELECT u, v, cn, aa_dec FROM scored
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE src = u AND dst = v)
+    )
+    SELECT u, v, cn, CAST(aa_dec AS DOUBLE) AS aa_score
+    FROM na ORDER BY aa_score DESC, u, v LIMIT 25
+    """,
+)
+def q_adamic_adar(spark, sf_dir):
+    return gr.adamic_adar(
+        gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 @register(
     "ks_test",
     """

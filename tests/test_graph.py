@@ -350,3 +350,47 @@ def test_modularity_anti_community_is_negative(spark):
     ).collect()
     assert all(r.intra_edges == 0 for r in got)
     assert all(r.modularity == -0.5 for r in got)
+
+
+def test_clustering_coefficient_triangle_with_pendant(spark):
+    """K3 plus a pendant off node 3: cc(1)=cc(2)=1 (their whole
+    neighborhood is closed), cc(3)=2*1/(3*2)=1/3, pendant cc=0."""
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    got = {r.node: (r.degree, r.triangles, r.cc)
+           for r in gr.local_clustering_coefficient(e).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_k4_all_one(spark):
+    """Complete K4: every node sits in 3 of the 4 triangles and has
+    degree 3 -> cc = 2*3/(3*2) = 1 everywhere."""
+    e = _edges(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    got = gr.local_clustering_coefficient(e).collect()
+    assert len(got) == 4
+    assert all(r.cc == 1.0 and r.triangles == 3 for r in got)
+
+
+def test_adamic_adar_weights_rare_neighbor_higher(spark):
+    """Pairs (1,2) share low-degree z=10 (d=2); pairs (3,4) share hub
+    z=20 (d=4): AA must rank (1,2) above (3,4); both Jaccard-tie."""
+    e = _edges(
+        spark,
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 20), (6, 20)],
+    )
+    got = gr.adamic_adar(e).collect()
+    scores = {(r.u, r.v): r.aa_score for r in got}
+    aa_12 = scores[(1, 2)]
+    aa_34 = scores[(3, 4)]
+    assert aa_12 == round(1 / __import__("math").log(2), 6)
+    assert aa_34 == round(1 / __import__("math").log(4), 6)
+    assert aa_12 > aa_34
+
+
+def test_adamic_adar_excludes_adjacent_pairs(spark):
+    """Closed triangle: every 2-path endpoint pair is already an edge,
+    so no candidate survives the anti-join."""
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    assert gr.adamic_adar(e).collect() == []
