@@ -1424,3 +1424,193 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
         ).alias("share_of_lang"),
         (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )
+
+
+def bm25_topk(documents: DataFrame, n_query_terms: int = 5, k: int = 20) -> DataFrame:
+    """BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a deterministic
+    query — the top-``n_query_terms`` corpus terms by (df desc, term) —
+    returning the ``k`` best documents. The length-normalized,
+    saturating upgrade of ``tfidf_topk``: tf gains flatten past k1 and
+    long documents stop winning on bulk, which is why BM25 is the
+    lexical baseline every hybrid retrieval stack (see
+    ``hybrid_rrf_topk``) still includes.
+
+    Exactness: idf uses the Lucene form ln(1 + (N−df+½)/(df+½)),
+    rounded to 6 dp and carried as DECIMAL; the length factor is written
+    as the SAME expression tree on both engines — 0.25 + (0.75·dl·N)/S
+    with the integer product dl·N exact in double — so each per-term
+    score rounds identically before the order-exact decimal sum.
+
+    Shape: tf and dl come from ONE tokenize pass (dl = Σtf per doc);
+    the query-term table (n_query_terms rows) and the corpus stats
+    (1 row) broadcast; ranking is TakeOrdered on (score desc, doc_id).
+    """
+    from .dedup import tokens_col
+
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).crossJoin(dl.agg(F.sum("dl").alias("s_tok")))
+    qterms = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .select(
+            "term",
+            "df",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    norm = F.lit(0.25) + (
+        F.lit(0.75) * (F.col("dl") * F.col("n_docs")).cast("double")
+    ) / F.col("s_tok").cast("double")
+    factor = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf") + F.lit(1.2) * norm
+    )
+    per_term = scored.select(
+        "doc_id",
+        F.round(idf.cast("double") * factor, 6)
+        .cast("decimal(18,6)")
+        .alias("ts"),
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("ts").alias("score_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_matched",
+            F.col("score_dec").cast("double").alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def naive_bayes_langid(documents: DataFrame) -> DataFrame:
+    """Multinomial Naive Bayes language identifier, trained and scored
+    entirely in the engine — the LEARNED counterpart of the heuristic
+    ``lang_id`` (whose confusion matrix ``langid_confusion`` shows the
+    stopword vote collapsing on this synthetic corpus): Laplace-
+    smoothed token likelihoods per language from an 80% split
+    (doc_id % 5 ≠ 0), argmax posterior on the held-out 20%, output the
+    (label, prediction) confusion cells.
+
+    Exactness: every log term — prior ln(docs_l/docs) and likelihood
+    ln((c+1)/(T_l+V)) — is an ln of an exact integer ratio, rounded to
+    6 dp and carried DECIMAL; a document's posterior is then
+    prior + Σ tf·logp, an exact decimal dot product, and the argmax
+    ties break on (score desc, lang) — a total order, so the
+    prediction is engine-independent.
+
+    Shape: the model is vocabulary-bounded — (term, lang) counts and
+    the 5-row language table BROADCAST onto the test-token scan (at
+    100 TB the model side stays small while the scan distributes);
+    test docs with zero tokens still score via the prior-only left
+    join, so every held-out document is classified.
+    """
+    from .dedup import tokens_col
+
+    train = documents.where(F.col("doc_id") % 5 != 0)
+    test = documents.where(F.col("doc_id") % 5 == 0)
+    train_tok = train.select("lang", F.explode(tokens_col()).alias("term"))
+    model = (
+        train_tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    vocab = model.select("term").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    totals = model.groupBy("lang").agg(F.sum("c").alias("t_l"))
+    doc_counts = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l")
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    langs = (
+        doc_counts.join(totals, "lang")
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "t_l",
+            "v",
+            F.round(
+                F.log(
+                    F.col("n_l").cast("double")
+                    / F.col("n_docs").cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("prior_lp"),
+        )
+    )
+    test_tf = (
+        test.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    cand = test_tf.crossJoin(
+        F.broadcast(langs.select("lang", "t_l", "v"))
+    ).join(
+        F.broadcast(model.select("term", F.col("lang").alias("lang"), "c")),
+        ["term", "lang"],
+        "left",
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("t_l") + F.col("v")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    contrib = cand.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("tf") * lp).alias("like_dec")
+    )
+    scores = (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(langs.select("lang", "prior_lp")))
+        .join(contrib, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.col("prior_lp")
+                + F.coalesce(
+                    F.col("like_dec"), F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy(F.col("true_lang").alias("lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

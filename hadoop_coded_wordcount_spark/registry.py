@@ -7633,6 +7633,113 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "bm25_topk",
+    r"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    st AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS s_tok
+    ),
+    q AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 5),
+    per AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               CAST(CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                                        / (df + 0.5)), 6)
+                         AS DECIMAL(18,6)) AS DOUBLE)
+               * ((tf * 2.2)
+                  / (tf + 1.2 * (0.25 + (0.75 * CAST(dl * n_docs AS DOUBLE))
+                                        / CAST(s_tok AS DOUBLE)))), 6)
+                  AS DECIMAL(18,6)) AS ts
+      FROM tf JOIN q USING (term) JOIN dl USING (doc_id), st
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(ts) AS DOUBLE) AS bm25
+    FROM per GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    return ts.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "naive_bayes_langid",
+    r"""
+    WITH train AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ),
+    test AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    model AS MATERIALIZED (
+      SELECT lang, w AS term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM train
+      ) GROUP BY 1, 2
+    ),
+    voc AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM model),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM model GROUP BY 1),
+    dc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM train GROUP BY 1),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM train),
+    langs AS MATERIALIZED (
+      SELECT dc.lang, t_l, v,
+             CAST(ROUND(LN(CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS prior_lp
+      FROM dc JOIN tot ON tot.lang = dc.lang, nt, voc
+    ),
+    ttf AS MATERIALIZED (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM test
+      ) GROUP BY 1, 2
+    ),
+    contrib AS MATERIALIZED (
+      SELECT doc_id, l.lang,
+             SUM(tf * CAST(ROUND(LN(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+                                    / CAST(t_l + v AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS like_dec
+      FROM ttf CROSS JOIN langs l
+      LEFT JOIN model m ON m.term = ttf.term AND m.lang = l.lang
+      GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT t.doc_id, t.lang AS true_lang, l.lang,
+             prior_lp + COALESCE(like_dec, CAST(0 AS DECIMAL(18,6)))
+               AS score
+      FROM test t CROSS JOIN langs l
+      LEFT JOIN contrib ct ON ct.doc_id = t.doc_id AND ct.lang = l.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT true_lang AS lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_naive_bayes_langid(spark, sf_dir):
+    return ts.naive_bayes_langid(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ks_test",
     """
     WITH freq AS (

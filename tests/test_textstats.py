@@ -478,3 +478,74 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert r.n_words_fit == 40
     assert -1.05 < r.zipf_slope < -0.95
     assert r.r2 > 0.99
+
+
+def test_bm25_length_normalization_and_saturation(spark):
+    """Two docs with the same query-term tf: the shorter one scores
+    higher (length normalization); tripling tf does NOT triple the
+    score (k1 saturation)."""
+    rows = [
+        # pin the query: t1..t5 dominate the df ranking
+        *[(10 + i, "t1 t2 t3 t4 t5", "en", "s", 1) for i in range(6)],
+        (0, "t1 t1 pad0", "en", "s", 1),
+        (1, "t1 t1 pada padb padc padd pade padf", "en", "s", 1),
+        (2, "t1 t1 t1 t1 t1 t1 pad9", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {r.doc_id: r.bm25 for r in ts.bm25_topk(docs, k=20).collect()}
+    assert got[0] > got[1]  # same tf on every query term, shorter doc wins
+    # saturation: 3x the tf of doc 0's t1 must be < 3x its score
+    assert got[2] < 3 * got[0]
+
+
+def test_bm25_limits_to_k_with_doc_id_ties(spark):
+    rows = [(i, "q filler", "en", "s", 1) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = ts.bm25_topk(docs, k=5).collect()
+    # identical docs -> identical scores; tie broken by doc_id asc
+    assert [r.doc_id for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_naive_bayes_separable_vocab_is_diagonal(spark):
+    """Fully language-disjoint vocabularies: every held-out doc must be
+    classified correctly -> confusion matrix is diagonal."""
+    rows = []
+    vocab = {"en": "alpha beta gamma", "fr": "delta epsilon zeta"}
+    for i in range(20):
+        lang = "en" if i % 2 == 0 else "fr"
+        rows.append((i, vocab[lang], lang, "s", 1))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = ts.naive_bayes_langid(docs).collect()
+    assert all(r.lang == r.pred_lang for r in got)
+    # 4 held-out docs (ids 0,5,10,15): en ids 0,10; fr ids 5,15
+    assert {(r.lang, r.n_docs) for r in got} == {("en", 2), ("fr", 2)}
+
+
+def test_naive_bayes_prior_decides_oov_docs(spark):
+    """A held-out doc made of unseen tokens gets identical likelihoods
+    up to T_l; with balanced T_l the majority-prior class wins."""
+    rows = [
+        # train: 3 en docs, 1 fr doc, same token budget per doc
+        (1, "common tokens here now", "en", "s", 1),
+        (2, "common tokens here now", "en", "s", 1),
+        (3, "common tokens here now", "en", "s", 1),
+        (4, "autre jeton ici donc", "fr", "s", 1),
+        # test: all-OOV tokens
+        (5, "zzz yyy xxx www", "fr", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = ts.naive_bayes_langid(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    # T_en = 12 > T_fr = 4: smoothing gives fr HIGHER likelihood per OOV
+    # token (1/(T_l+V) larger), and prior ln(1/4) < ln(3/4) favors en;
+    # the likelihood margin dominates: 4*[ln(1/12+V) - ln(1/4+V)] vs prior
+    assert r.lang == "fr" and r.pred_lang == "fr"
