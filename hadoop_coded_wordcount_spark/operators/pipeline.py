@@ -475,3 +475,200 @@ def target_encoding(
             "fold_mean"
         ),
     )
+
+
+def quantile_normalize_sources(documents: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Quantile normalization of the per-source ``n_chars`` length
+    distributions — the cross-source calibration step before mixing
+    corpora (``mixture_weights`` decides HOW MUCH of each source;
+    this measures how much each source's length profile must SHIFT to
+    match the corpus-wide shape, bin by bin).
+
+    Per (source, decile): documents land in ``ntile(n_bins)`` order
+    buckets under the TOTAL order (n_chars, doc_id) — ntile over a
+    non-total order is layout-dependent, the tie-break is load-bearing
+    — then the reference distribution is the cross-source mean of the
+    per-source bin means, and the shift is reference − source. Means
+    are exact integer-sum / count decimals, divided once at the end.
+
+    Scale: one repartition-by-source window for the ntile (source count
+    is the parallelism bound — acceptable: sources are few and big, and
+    the window only ranks, carries 2 columns), then bin-level aggregates
+    whose state is (sources × bins), trivially broadcastable.
+    """
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    binned = documents.select(
+        "source",
+        "n_chars",
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    per_src = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+    )
+    # per-source bin mean: exact integer sum, ONE double division,
+    # rounded to 6 dp and re-anchored as DECIMAL so the cross-source
+    # reference sum below stays order-exact (a float window-AVG would
+    # drift with accumulation order between engines)
+    src_mean = per_src.select(
+        "source",
+        "bin",
+        "n_docs",
+        F.round(F.col("s").cast("double") / F.col("n_docs"), 6)
+        .cast("decimal(18,6)")
+        .alias("src_mean_d"),
+    )
+    wref = Window.partitionBy("bin")
+    ref_raw = F.sum("src_mean_d").over(wref).cast("double") / F.count(
+        F.lit(1)
+    ).over(wref).cast("double")
+    return src_mean.select(
+        "source",
+        "bin",
+        "n_docs",
+        F.col("src_mean_d").cast("double").alias("source_mean"),
+        F.round(ref_raw, 6).alias("ref_mean"),
+        F.round(ref_raw - F.col("src_mean_d").cast("double"), 6).alias(
+            "shift"
+        ),
+    )
+
+
+def dq_rule_battery(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Declarative data-quality rule battery over the warehouse tables —
+    the per-load acceptance gate (null rates, domains, ranges, key
+    uniqueness, referential integrity, freshness) evaluated as ONE
+    row per rule: (rule, n_checked, n_violations, pass).
+
+    Every rule is a filter-count — Catalyst fuses each table's rules
+    into a single scan with map-side-combined conditional aggregates
+    (one pass over orders, one over lineitem, one broadcast-anti FK
+    probe); no rule adds a shuffle of its own. The FK rule is the only
+    join and runs lineitem-anti-orders on the key, the same shape as
+    ``fk_integrity``.
+
+    Thresholded rules (e.g. null-rate) evaluate the COUNT, not a rate,
+    so pass/fail is integer-exact.
+    """
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_cust"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1000000),
+                1,
+            ).otherwise(0)
+        ).alias("bad_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_keys"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    > F.lit("2030-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("stale_date"),
+    )
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100), 1
+            ).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("bad_disc"),
+    )
+    orphan = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    rows = (
+        o.crossJoin(li.selectExpr(
+            "n as li_n", "bad_qty", "bad_disc"
+        ))
+        .crossJoin(orphan)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("orders.custkey_not_null").alias("rule"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("null_cust").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("orders.totalprice_in_range").alias("rule"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("bad_price").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("orders.status_in_domain").alias("rule"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("bad_status").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("orders.orderkey_unique").alias("rule"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("dup_keys").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("orders.orderdate_fresh").alias("rule"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("stale_date").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("lineitem.quantity_in_range").alias("rule"),
+                        F.col("li_n").cast("bigint").alias("n_checked"),
+                        F.col("bad_qty").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("lineitem.discount_in_range").alias("rule"),
+                        F.col("li_n").cast("bigint").alias("n_checked"),
+                        F.col("bad_disc").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("lineitem.orderkey_fk").alias("rule"),
+                        F.col("li_n").cast("bigint").alias("n_checked"),
+                        F.col("orphans").cast("bigint").alias(
+                            "n_violations"
+                        ),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.rule", "r.n_checked", "r.n_violations")
+        .withColumn("pass", F.col("n_violations") == 0)
+    )
+    return rows

@@ -5808,3 +5808,113 @@ def sprt_conversion(events: DataFrame) -> DataFrame:
         .alias("decision"),
         "n_total",
     )
+
+
+def gap_fill_interp(events: DataFrame) -> DataFrame:
+    """Linear-interpolation gap fill on the per-user hourly grid — the
+    between-anchors upgrade of :func:`gap_fill_locf` (carry-forward
+    answers "what was the state?", interpolation answers "what was the
+    trend passing through?"; a feature store needs both).
+
+    Semantics: per (user, hour) the anchor value is the latest event's
+    value in that hour (max_by(value, event_id)); missing grid hours
+    between two anchors get prev + (next−prev)·Δ/gap with Δ, gap in
+    exact integer hours; hours before the first / after the last anchor
+    stay NULL and are tagged ``edge``.
+
+    Exactness: a naive ``round(interp, 6)`` lands on .5·10⁻⁶ ties
+    whenever the hour ratio is a small fraction, and Spark
+    (BigDecimal shortest-string HALF_UP) and DuckDB (float-multiply
+    nearbyint) resolve those ties from DIFFERENT representations —
+    measured: 32.5578125 → .557813 vs .557812. So anchors are
+    quantized ONCE to DECIMAL(18,6) (the engine-agreed double→decimal
+    cast used by the ewma/ohlc family), lifted to integer MICRO-UNITS,
+    and the fill is the exact integer form
+    round((pvµ·(gap−Δ) + nvµ·Δ) / gap) / 10⁶ — one correctly-rounded
+    IEEE division each, bit-identical cross-engine by construction.
+
+    Scale shape: identical to locf — the event stream pre-aggregates to
+    (user, hour) BEFORE meeting the |users|×|hours| grid, the
+    prev/next windows run per user-slice bounded by grid width, and the
+    grid itself explodes from a broadcast 1-row bounds aggregate.
+    """
+    ts = F.col("ts").cast("timestamp")
+    hourly = (
+        events.select(
+            "user_id", F.date_trunc("hour", ts).alias("hr"), "event_id", "value"
+        )
+        .groupBy("user_id", "hr")
+        .agg(
+            F.max_by(
+                F.col("value").cast("decimal(18,6)"), "event_id"
+            ).alias("v")
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts)).alias("lo"),
+        F.date_trunc("hour", F.max(ts)).alias("hi"),
+    )
+    grid = (
+        events.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    hr_obs = F.when(F.col("v").isNotNull(), F.col("hr"))
+    span = joined.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(hr_obs, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(hr_obs, ignorenulls=True).over(wn).alias("nh"),
+    )
+    d_i = (
+        (F.unix_timestamp("hr") - F.unix_timestamp("ph")) / F.lit(3600)
+    ).cast("long")
+    gap = (
+        (F.unix_timestamp("nh") - F.unix_timestamp("ph")) / F.lit(3600)
+    ).cast("long")
+    pvu = (F.col("pv") * F.lit(1000000)).cast("long")
+    nvu = (F.col("nv") * F.lit(1000000)).cast("long")
+    num = pvu * (gap - d_i) + nvu * d_i
+    interp = (
+        F.round(num.cast("double") / gap.cast("double")).cast("long")
+        .cast("double")
+        / F.lit(1000000.0)
+    )
+    return span.select(
+        "user_id",
+        "hr",
+        F.col("v").cast("double").alias("v_obs"),
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            interp,
+        )
+        .alias("v_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.lit("interp"),
+        )
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
+    )

@@ -1614,3 +1614,46 @@ def naive_bayes_langid(documents: DataFrame) -> DataFrame:
         pred.groupBy(F.col("true_lang").alias("lang"), "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def feature_hashing(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """The hashing trick audited: project the corpus vocabulary into
+    ``n_buckets`` md5 buckets (the fixed-width feature space a linear
+    model would train on) and report, per bucket, how many distinct
+    terms collided into it and the token mass it carries — the
+    load-factor profile that decides whether the feature dimension is
+    big enough before anyone trains on it.
+
+    Bucket = first 13 md5 hex chars as a 52-bit integer, mod
+    ``n_buckets`` — the one hash both engines derive bit-identically
+    (Spark ``conv(substring(md5(t),1,13),16,10)`` ↔ DuckDB
+    ``CAST('0x'||substr(md5(t),1,13) AS BIGINT)``), so the projection
+    itself is externally verifiable, unlike a murmur3-based
+    ``HashingTF``. All outputs are integer-exact.
+
+    Shape: one tokenize pass → (term, tf) vocabulary aggregate
+    (map-side combined, vocabulary-bounded) → bucket aggregate of
+    ``n_buckets`` rows. The heavy explode never reaches the bucket
+    stage un-aggregated.
+    """
+    from .dedup import tokens_col
+
+    vocab = (
+        documents.select(F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 13), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    return (
+        vocab.select(bucket.alias("bucket"), "term", "tf")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("token_mass"),
+            F.max_by("term", F.struct("tf", "term")).alias("top_term"),
+        )
+    )

@@ -7633,6 +7633,192 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "gap_fill_interp",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             arg_max(CAST(value AS DECIMAL(18,6)), event_id) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM (SELECT DISTINCT user_id FROM events), bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.hr, h.v
+      FROM grid g LEFT JOIN hourly h
+        ON h.user_id = g.user_id AND h.hr = g.hr
+    ),
+    span AS (
+      SELECT user_id, hr, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    ),
+    micro AS (
+      SELECT user_id, hr, v, pv, nv,
+             CAST(pv * 1000000 AS BIGINT) AS pvu,
+             CAST(nv * 1000000 AS BIGINT) AS nvu,
+             CAST((epoch(hr) - epoch(ph)) / 3600 AS BIGINT) AS di,
+             CAST((epoch(nh) - epoch(ph)) / 3600 AS BIGINT) AS gap
+      FROM span
+    )
+    SELECT user_id, hr, CAST(v AS DOUBLE) AS v_obs,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  CAST(CAST(ROUND(CAST(pvu * (gap - di) + nvu * di
+                                       AS DOUBLE)
+                                  / CAST(gap AS DOUBLE)) AS BIGINT)
+                       AS DOUBLE) / 1000000.0
+           END AS v_filled,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS fill_kind
+    FROM micro
+    """,
+)
+def q_gap_fill_interp(spark, sf_dir):
+    return rel.gap_fill_interp(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "quantile_normalize",
+    """
+    WITH binned AS (
+      SELECT source, n_chars,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS bin
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS s
+      FROM binned GROUP BY 1, 2
+    ),
+    src_mean AS (
+      SELECT source, bin, n_docs,
+             CAST(ROUND(CAST(s AS DOUBLE) / n_docs, 6) AS DECIMAL(18,6))
+               AS src_mean_d
+      FROM per_src
+    )
+    SELECT source, bin, n_docs,
+           CAST(src_mean_d AS DOUBLE) AS source_mean,
+           ROUND(CAST(SUM(src_mean_d) OVER (PARTITION BY bin) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY bin) AS DOUBLE), 6)
+             AS ref_mean,
+           ROUND(CAST(SUM(src_mean_d) OVER (PARTITION BY bin) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY bin) AS DOUBLE)
+                 - CAST(src_mean_d AS DOUBLE), 6) AS shift
+    FROM src_mean
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    return pl.quantile_normalize_sources(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dq_rule_battery",
+    """
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_cust,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS dup_keys,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate > TIMESTAMP '2030-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stale_date
+      FROM orders
+    ),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS li_n,
+             CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+      FROM lineitem
+    ),
+    orph AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+      FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders)
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+    FROM o, li, orph, LATERAL (
+      VALUES ('orders.custkey_not_null', n, null_cust),
+             ('orders.totalprice_in_range', n, bad_price),
+             ('orders.status_in_domain', n, bad_status),
+             ('orders.orderkey_unique', n, dup_keys),
+             ('orders.orderdate_fresh', n, stale_date),
+             ('lineitem.quantity_in_range', li_n, bad_qty),
+             ('lineitem.discount_in_range', li_n, bad_disc),
+             ('lineitem.orderkey_fk', li_n, orphans)
+    ) AS r(rule, n_checked, n_violations)
+    """,
+)
+def q_dq_rule_battery(spark, sf_dir):
+    return pl.dq_rule_battery(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "feature_hashing",
+    r"""
+    WITH vocab AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(('0x' || substr(md5(term), 1, 13)) AS BIGINT) % 64
+               AS bucket,
+             term, tf
+      FROM vocab
+    ),
+    top AS (
+      SELECT bucket, term AS top_term FROM (
+        SELECT bucket, term,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY tf DESC, term DESC) AS rn
+        FROM b
+      ) WHERE rn = 1
+    )
+    SELECT a.bucket, a.n_terms, a.token_mass, top.top_term
+    FROM (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS token_mass
+      FROM b GROUP BY 1
+    ) a JOIN top USING (bucket)
+    """,
+)
+def q_feature_hashing(spark, sf_dir):
+    return ts.feature_hashing(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "bm25_topk",
     r"""
     WITH tf AS MATERIALIZED (

@@ -632,3 +632,103 @@ def test_sprt_no_decision_on_short_mixed_stream(spark):
     assert len(got) == 1
     assert got[0].decision == "no_decision"
     assert got[0].decision_event is None and got[0].n_total == 2
+
+
+def test_gap_fill_interp_linear_between_anchors(spark):
+    """Anchors at hours 0 and 3 with values 1.0 and 4.0: hours 1, 2
+    interpolate to 2.0, 3.0; no edge rows inside the span."""
+    events = _events(
+        spark,
+        [
+            (1, None, 7, "view", 1.0),
+            (2, None, 7, "view", 4.0),
+        ],
+    ).withColumn(
+        "ts",
+        F.when(F.col("event_id") == 1, F.to_timestamp(F.lit("2024-01-01 00:10:00")))
+        .otherwise(F.to_timestamp(F.lit("2024-01-01 03:20:00"))),
+    )
+    got = {r.hr.hour: r for r in rel.gap_fill_interp(events).collect()}
+    assert got[0].fill_kind == "obs" and got[0].v_filled == 1.0
+    assert got[1].fill_kind == "interp" and got[1].v_filled == 2.0
+    assert got[2].fill_kind == "interp" and got[2].v_filled == 3.0
+    assert got[3].fill_kind == "obs" and got[3].v_filled == 4.0
+
+
+def test_gap_fill_interp_edges_stay_null(spark):
+    """Two users sharing a global grid: user 8 has one event in the
+    middle hour, so its other grid hours are edges with NULL fill."""
+    events = _events(
+        spark,
+        [
+            (1, None, 7, "view", 1.0),
+            (2, None, 7, "view", 2.0),
+            (3, None, 8, "view", 9.0),
+        ],
+    ).withColumn(
+        "ts",
+        F.when(F.col("event_id") == 1, F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        .when(F.col("event_id") == 2, F.to_timestamp(F.lit("2024-01-01 02:00:00")))
+        .otherwise(F.to_timestamp(F.lit("2024-01-01 01:00:00"))),
+    )
+    got = {(r.user_id, r.hr.hour): r for r in rel.gap_fill_interp(events).collect()}
+    assert got[(8, 0)].fill_kind == "edge" and got[(8, 0)].v_filled is None
+    assert got[(8, 1)].fill_kind == "obs" and got[(8, 1)].v_filled == 9.0
+    assert got[(8, 2)].fill_kind == "edge"
+    assert got[(7, 1)].fill_kind == "interp" and got[(7, 1)].v_filled == 1.5
+
+
+def test_quantile_normalize_identical_sources_zero_shift(spark):
+    """Two sources with identical length distributions: every bin's
+    reference equals the source mean -> shift 0 everywhere."""
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    rows = [(i, "x", "en", "a", 10 * (i % 5)) for i in range(10)] + [
+        (100 + i, "x", "en", "b", 10 * (i % 5)) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = pl.quantile_normalize_sources(docs, n_bins=5).collect()
+    assert len(got) == 10
+    assert all(r.shift == 0.0 for r in got)
+
+
+def test_quantile_normalize_shift_direction(spark):
+    """Source b is uniformly 100 chars longer: its shift is -100 .. 0
+    ... exactly -50 per bin against the cross-source mean."""
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    rows = [(i, "x", "en", "a", 100 + i) for i in range(10)] + [
+        (100 + i, "x", "en", "b", 200 + i) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = pl.quantile_normalize_sources(docs, n_bins=5).collect()
+    for r in got:
+        assert r.shift == (50.0 if r.source == "a" else -50.0)
+
+
+def test_dq_rule_battery_flags_planted_violations(spark):
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 50.0, "2024-01-01", "1-URGENT"),
+            (1, 11, "F", -5.0, "2024-01-01", "1-URGENT"),  # dup key, bad price
+            (2, None, "X", 60.0, "1980-01-01", "1-URGENT"),  # null fk, bad status, stale
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    lineitem = spark.createDataFrame(
+        [(1, 5.0, 0.1), (99, 200.0, 1.5)],  # orphan with bad qty+disc
+        "l_orderkey bigint, l_quantity double, l_discount double",
+    )
+    got = {r.rule: r for r in pl.dq_rule_battery(orders, lineitem).collect()}
+    assert got["orders.custkey_not_null"].n_violations == 1
+    assert got["orders.totalprice_in_range"].n_violations == 1
+    assert got["orders.status_in_domain"].n_violations == 1
+    assert got["orders.orderkey_unique"].n_violations == 1
+    assert got["orders.orderdate_fresh"].n_violations == 1
+    assert got["lineitem.quantity_in_range"].n_violations == 1
+    assert got["lineitem.discount_in_range"].n_violations == 1
+    assert got["lineitem.orderkey_fk"].n_violations == 1
+    assert not got["lineitem.orderkey_fk"]["pass"]

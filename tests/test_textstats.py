@@ -549,3 +549,18 @@ def test_naive_bayes_prior_decides_oov_docs(spark):
     # token (1/(T_l+V) larger), and prior ln(1/4) < ln(3/4) favors en;
     # the likelihood margin dominates: 4*[ln(1/12+V) - ln(1/4+V)] vs prior
     assert r.lang == "fr" and r.pred_lang == "fr"
+
+
+def test_feature_hashing_partitions_vocabulary_exactly(spark):
+    """Bucket stats must partition the vocabulary: n_terms sums to the
+    distinct-term count and token_mass to the corpus token count; the
+    top term is the (tf, term)-max of its bucket."""
+    rows = [(0, "aa bb aa cc", "en", "s", 1), (1, "bb dd", "en", "s", 1)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = ts.feature_hashing(docs, n_buckets=4).collect()
+    assert sum(r.n_terms for r in got) == 4  # aa bb cc dd
+    assert sum(r.token_mass for r in got) == 6
+    for r in got:
+        assert 0 <= r.bucket < 4 and r.top_term
