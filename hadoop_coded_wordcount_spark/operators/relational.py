@@ -5918,3 +5918,223 @@ def gap_fill_interp(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("fill_kind"),
     )
+
+
+def holt_winters_daily(events: DataFrame, period: int = 7) -> DataFrame:
+    """Additive Holt–Winters (level + trend + weekly seasonality) over
+    the zero-filled daily event-count series per type — the seasonal
+    completion of :func:`holt_forecast` (which models level+trend only
+    and therefore lags every weekend dip ``seasonal_decompose`` showed
+    to be structural).
+
+    α = β = γ = 1/2 keeps every smoothing multiply an exact
+    power-of-two halving, and the season state initializes WITHOUT the
+    classic first-season mean (whose ÷7 is inexact in binary): at
+    t = m the level anchors to y_m, trend to 0, and s_i = y_i − y_m —
+    subtractions only. From there the recurrence
+
+        ℓ_t = ½(y_t − s_{t−m}) + ½(ℓ_{t−1} + b_{t−1})
+        b_t = ½(ℓ_t − ℓ_{t−1}) + ½ b_{t−1}
+        s_t = ½(y_t − ℓ_{t−1} − b_{t−1}) + ½ s_{t−m}
+
+    is a FIXED fold order of IEEE ops both engines execute identically
+    (the holt_forecast determinism argument, extended with a 7-slot
+    season ring carried in the fold accumulator), so outputs need no
+    rounding at all. Days before the first full season emit NULL state.
+
+    Scale: the data-proportional work is one (type, day) count + the
+    zero-fill grid join; the per-row prefix folds run over the DAY
+    GRID (time-range-bounded, ~30 here), the same grid-not-data cost
+    bound as holt_forecast/acf.
+    """
+    m = period
+    g = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    filled = grid.join(g, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vals = F.collect_list("x").over(w)
+    anchor = F.element_at(vals, m)
+    init = F.struct(
+        anchor.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(
+            F.slice(vals, 1, m), lambda v: v - anchor
+        ).alias("s"),
+    )
+    half = F.lit(0.5)
+
+    def step(acc, x):
+        l_new = half * (x - F.element_at(acc["s"], 1)) + half * (
+            acc["l"] + acc["b"]
+        )
+        b_new = half * (l_new - acc["l"]) + half * acc["b"]
+        s_t = half * (x - acc["l"] - acc["b"]) + half * F.element_at(
+            acc["s"], 1
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(s_t)).alias("s"),
+        )
+
+    state = F.aggregate(
+        F.slice(vals, m + 1, F.greatest(F.size(vals) - m, F.lit(0))),
+        init,
+        step,
+    )
+    guarded = F.when(F.size(vals) >= m, state)
+    staged = filled.select(
+        "event_type",
+        "day",
+        "x",
+        guarded["l"].alias("level"),
+        guarded["b"].alias("trend"),
+        F.element_at(guarded["s"], 1).alias("season_next"),
+        (
+            guarded["l"]
+            + guarded["b"]
+            + F.element_at(guarded["s"], 1)
+        ).alias("forecast_next"),
+    )
+    return staged.select(
+        "event_type",
+        # ISO string, not DATE: the gate's pandas canonicalizer maps
+        # Spark DATE and DuckDB DATE to different dtypes
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "level",
+        "trend",
+        "season_next",
+        "forecast_next",
+    )
+
+
+def permutation_test_price(orders: DataFrame, n_reps: int = 64) -> DataFrame:
+    """Permutation test for the high-vs-low-priority mean price gap —
+    the distribution-free significance check beside the parametric z of
+    ``ab_test_conversion`` and the rank-based :func:`mann_whitney_u`:
+    relabel rows under the null ``n_reps`` times and count relabelings
+    whose |mean gap| reaches the observed one.
+
+    Relabelings are the standard scalable approximation (independent
+    md5-uniform labels at the observed group proportion, not exact
+    n₁-sized permutations — an exact permutation needs a global shuffle
+    per rep; the docs are honest about this) and fully DETERMINISTIC:
+    row r's label in rep k is ``md5(orderkey # k) mod n < n1`` — exact
+    integer arithmetic, reproducible across engines, layouts and runs.
+
+    Exactness: group sums are DECIMAL over the quantized price, each
+    mean gap is one double division rounded to 6 dp, and the extreme
+    count compares ROUNDED values — integer-stable. Scale: the rep
+    fan-out is a projected explode (rows × n_reps) feeding one
+    map-side-combined aggregate keyed by rep; no shuffle carries the
+    fan-out, and the spread-before-explode guard keeps a single-file
+    scan from serializing it.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    base = ensure_parallelism(
+        orders.select(
+            "o_orderkey",
+            hi.alias("is_hi"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+        ),
+        key="o_orderkey",
+    ).persist()
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("is_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("is_hi"), F.col("p"))).alias("s1"),
+        F.sum(F.when(~F.col("is_hi"), F.col("p"))).alias("s2"),
+    )
+    obs = stats.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.round(
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s2").cast("double")
+            / (F.col("n") - F.col("n1")).cast("double"),
+            6,
+        ).alias("obs_diff"),
+    )
+    reps = base.select(
+        "o_orderkey",
+        "p",
+        F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("rep"),
+    ).crossJoin(F.broadcast(obs.select("n", "n1")))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("#", F.col("o_orderkey").cast("string"),
+                            F.col("rep").cast("string"))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    labeled = reps.select(
+        "rep", "p", ((u % F.col("n")) < F.col("n1")).alias("g1")
+    )
+    per_rep = labeled.groupBy("rep").agg(
+        F.sum(F.when(F.col("g1"), F.col("p"))).alias("s1"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(~F.col("g1"), F.col("p"))).alias("s2"),
+        F.sum(F.when(~F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    diffs = per_rep.select(
+        "rep",
+        F.round(
+            F.try_divide(F.col("s1").cast("double"), F.col("c1").cast("double"))
+            - F.try_divide(
+                F.col("s2").cast("double"), F.col("c2").cast("double")
+            ),
+            6,
+        ).alias("d"),
+    )
+    extreme = diffs.crossJoin(F.broadcast(obs.select("obs_diff"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps_done"),
+        F.sum(
+            F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_diff")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+    )
+    return obs.crossJoin(extreme).select(
+        "n1",
+        "n2",
+        "obs_diff",
+        F.col("n_reps_done").alias("n_reps"),
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_reps_done") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )

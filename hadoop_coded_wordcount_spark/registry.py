@@ -7633,6 +7633,131 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "permutation_test",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey,
+             o_orderpriority IN ('1-URGENT','2-HIGH') AS is_hi,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN is_hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             SUM(CASE WHEN is_hi THEN p END) AS s1,
+             SUM(CASE WHEN NOT is_hi THEN p END) AS s2
+      FROM base
+    ),
+    obs AS MATERIALIZED (
+      SELECT n, n1, n - n1 AS n2,
+             ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) / CAST(n - n1 AS DOUBLE), 6)
+               AS obs_diff
+      FROM stats
+    ),
+    labeled AS (
+      SELECT r.rep, b.p,
+             (CAST(('0x' || substr(md5(CAST(b.o_orderkey AS VARCHAR)
+                                       || '#'
+                                       || CAST(r.rep AS VARCHAR)), 1, 13))
+                   AS BIGINT) % o.n) < o.n1 AS g1
+      FROM base b, (SELECT unnest(range(1, 65)) AS rep) r, obs o
+    ),
+    per_rep AS (
+      SELECT rep,
+             SUM(CASE WHEN g1 THEN p END) AS s1,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             SUM(CASE WHEN NOT g1 THEN p END) AS s2,
+             CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM labeled GROUP BY rep
+    ),
+    diffs AS (
+      SELECT rep,
+             ROUND(CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) / CAST(c2 AS DOUBLE), 6) AS d
+      FROM per_rep
+    ),
+    extreme AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_reps_done,
+             CAST(SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM diffs, obs o
+    )
+    SELECT o.n1, o.n2, o.obs_diff,
+           e.n_reps_done AS n_reps, e.n_extreme,
+           ROUND(CAST(e.n_extreme + 1 AS DOUBLE)
+                 / CAST(e.n_reps_done + 1 AS DOUBLE), 6) AS p_value
+    FROM obs o, extreme e
+    """,
+)
+def q_permutation_test(spark, sf_dir):
+    return rel.permutation_test_price(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "holt_winters",
+    # Recursive-CTE replay of the α=β=γ=1/2 Holt-Winters recurrence with
+    # the 7-slot season ring as a LIST column (struct-accumulator
+    # list_reduce is off-limits — DuckDB v1.0.0 mis-evaluates chained
+    # struct folds — but recursive CTEs carry lists correctly).
+    """
+    WITH RECURSIVE g AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(d.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                          CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS day
+            FROM bounds) d
+    ),
+    series AS MATERIALIZED (
+      SELECT gr.event_type, gr.day, COALESCE(g.x, 0.0) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY gr.event_type
+                                     ORDER BY gr.day) AS BIGINT) AS rn
+      FROM grid gr LEFT JOIN g
+        ON g.event_type = gr.event_type AND g.day = gr.day
+    ),
+    first7 AS (
+      SELECT event_type, list(x ORDER BY rn) AS ys
+      FROM series WHERE rn <= 7 GROUP BY 1
+    ),
+    rec(event_type, rn, l, b, s) AS (
+      -- b must be DOUBLE from step 0: a bare 0.0 types the recursion's
+      -- b column DECIMAL(2,1) and silently truncates every later value
+      SELECT event_type, CAST(7 AS BIGINT), ys[7], CAST(0.0 AS DOUBLE),
+             list_transform(ys, v -> v - ys[7])
+      FROM first7
+      UNION ALL
+      SELECT r.event_type, sr.rn,
+             0.5 * (sr.x - r.s[1]) + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * (sr.x - r.s[1]) + 0.5 * (r.l + r.b)) - r.l)
+               + 0.5 * r.b,
+             list_append(r.s[2:7],
+                         0.5 * (sr.x - r.l - r.b) + 0.5 * r.s[1])
+      FROM rec r JOIN series sr
+        ON sr.event_type = r.event_type AND sr.rn = r.rn + 1
+    )
+    SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day, s.x,
+           r.l AS level, r.b AS trend,
+           r.s[1] AS season_next,
+           r.l + r.b + r.s[1] AS forecast_next
+    FROM series s LEFT JOIN rec r
+      ON r.event_type = s.event_type AND r.rn = s.rn
+    """,
+)
+def q_holt_winters(spark, sf_dir):
+    return rel.holt_winters_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "gap_fill_interp",
     """
     WITH hourly AS (

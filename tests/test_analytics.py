@@ -732,3 +732,76 @@ def test_dq_rule_battery_flags_planted_violations(spark):
     assert got["lineitem.discount_in_range"].n_violations == 1
     assert got["lineitem.orderkey_fk"].n_violations == 1
     assert not got["lineitem.orderkey_fk"]["pass"]
+
+
+def test_holt_winters_constant_series_is_flat(spark):
+    """A constant daily series: level = const, trend = 0, every season
+    component 0, forecast = const — for every day past the first
+    season; the first 6 days carry NULL state."""
+    rows = []
+    eid = 0
+    for d in range(1, 15):
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 10:00:00", 1, "view", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.day: r for r in rel.holt_winters_daily(events).collect()}
+    assert got["2024-01-03"].level is None
+    for d in range(7, 15):
+        r = got[f"2024-01-{d:02d}"]
+        assert (r.level, r.trend, r.season_next, r.forecast_next) == (
+            5.0, 0.0, 0.0, 5.0
+        )
+
+
+def test_holt_winters_tracks_planted_weekly_season(spark):
+    """Two identical weeks with a day-2 spike: by the end of week 2 the
+    one-step forecast for the next day-2 carries a positive seasonal
+    component (it learned the spike's phase)."""
+    rows = []
+    eid = 0
+    for d in range(1, 15):
+        n = 9 if d % 7 == 2 else 3
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 10:00:00", 1, "view", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.day: r for r in rel.holt_winters_daily(events).collect()}
+    # day 9 (phase 2) is a spike day: the state after day 8 predicts it
+    # with the learned positive seasonal component s_2 = y_2 - y_7 = 6
+    r = got["2024-01-08"]
+    assert r.season_next == 6.0
+    assert r.forecast_next > r.level
+
+
+def test_permutation_test_strong_effect_rejects(spark):
+    """Disjoint price supports: the observed gap tops every relabeled
+    gap, so p = 1/(R+1) exactly."""
+    rows = [(i, "1-URGENT", 1000.0 + i) for i in range(20)] + [
+        (100 + i, "5-LOW", 1.0 + i) for i in range(20)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    )
+    got = rel.permutation_test_price(orders).collect()[0]
+    assert (got.n1, got.n2, got.n_reps) == (20, 20, 64)
+    assert got.p_value == round((got.n_extreme + 1) / 65, 6)
+    assert got.p_value <= round(5 / 65, 6)  # at most a few flukes
+
+
+def test_permutation_test_null_effect_accepts(spark):
+    """Identical distributions in both groups: the observed gap is
+    ~zero and relabelings beat it often — p lands high."""
+    rows = [(i, "1-URGENT", float(100 + i % 10)) for i in range(20)] + [
+        (100 + i, "5-LOW", float(100 + i % 10)) for i in range(20)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    )
+    got = rel.permutation_test_price(orders).collect()[0]
+    assert got.obs_diff == 0.0
+    assert got.p_value == 1.0  # every |rep diff| >= 0
