@@ -346,3 +346,219 @@ def subsample_ci(orders: DataFrame, n_replicates: int = 64) -> DataFrame:
     return point.join(F.broadcast(band)).select(
         "n_orders", "point_mean", "n_replicates", "ci_lo", "ci_hi"
     )
+
+
+def _fit_cols(n, sx, sy, sxy, sxx):
+    """Closed-form OLS (slope, intercept), each rounded once to 6 dp —
+    the shared fit shape of the CV / conformal family (same moments
+    discipline as regression_by_group)."""
+    nd = n.cast("double")
+    slope = F.round(
+        (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+        / (nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")),
+        6,
+    )
+    intercept = F.round(
+        (sy.cast("double") - slope * sx.cast("double")) / nd, 6
+    )
+    return slope, intercept
+
+
+def cv_fold_metrics(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """k-fold cross-validated error of the price~quantity OLS fit — the
+    evaluation loop every in-engine model above (target encoding, NB,
+    the stump) should be judged by, run WITHOUT k passes over the data:
+    fold moments aggregate once, and each fold's training moments are
+    the TOTALS MINUS ITS OWN (exact decimal subtraction), so adding
+    folds costs nothing but a 5-row broadcast.
+
+    Folds are md5(rowkey) mod k — deterministic, layout- and
+    engine-independent. Per fold: slope/intercept from the closed form
+    (6-dp rounds), held-out residuals re-round to 6 dp DECIMAL before
+    |·| and square sums (order-exact), MAE/RMSE divide once at the end.
+
+    Scale: one moment aggregate + one residual aggregate, both
+    map-side combined; the per-fold model table is k rows, broadcast
+    onto the held-out scan.
+    """
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string")
+    )
+    fold = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
+        % k
+    ).alias("fold")
+    xd = F.col("l_quantity").cast("decimal(18,6)")
+    yd = F.col("l_extendedprice").cast("decimal(18,6)")
+    base = lineitem.select(
+        fold,
+        xd.alias("x"),
+        yd.alias("y"),
+        (xd * yd).cast("decimal(38,12)").alias("xy"),
+        (xd * xd).cast("decimal(38,12)").alias("xx"),
+    )
+    per_fold = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    tot = per_fold.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    train = per_fold.crossJoin(F.broadcast(tot))
+    slope, intercept = _fit_cols(
+        F.col("tn") - F.col("n"),
+        F.col("tsx") - F.col("sx"),
+        F.col("tsy") - F.col("sy"),
+        F.col("tsxy") - F.col("sxy"),
+        F.col("tsxx") - F.col("sxx"),
+    )
+    models = train.select(
+        "fold",
+        (F.col("tn") - F.col("n")).cast("bigint").alias("n_train"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    resid = F.round(
+        F.col("y").cast("double")
+        - (F.col("intercept") + F.col("slope") * F.col("x").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    scored = base.join(F.broadcast(models), "fold").select(
+        "fold",
+        "n_train",
+        "slope",
+        "intercept",
+        F.abs(resid).alias("ar"),
+        (resid * resid).cast("decimal(28,12)").alias("r2"),
+    )
+    return (
+        scored.groupBy("fold", "n_train", "slope", "intercept")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("ar").alias("sar"),
+            F.sum("r2").alias("sr2"),
+        )
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            "slope",
+            "intercept",
+            F.round(
+                F.col("sar").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sqrt(
+                    F.col("sr2").cast("double")
+                    / F.col("n_test").cast("double")
+                ),
+                6,
+            ).alias("rmse"),
+        )
+    )
+
+
+def conformal_interval(lineitem: DataFrame, q_pct: float = 0.9) -> DataFrame:
+    """Split conformal prediction for the per-returnflag price~quantity
+    fit: train on folds {0,1}, take the q90 of |residual| on the
+    calibration fold as the interval half-width, and report the
+    EMPIRICAL coverage that width achieves on the untouched test fold —
+    the distribution-free "how wrong is the model allowed to be"
+    guarantee (≈ q_pct by construction) that a prediction service
+    attaches to every output.
+
+    Determinism: folds are md5 mod 4; residuals round to 6 dp DECIMAL;
+    the calibration quantile is the bounded-state exact-percentile
+    histogram (``exact_percentiles_by_group`` — percentile_cont
+    semantics, so DuckDB's quantile_cont replays it bit-for-bit), and
+    coverage compares those exact doubles. Scale: two scans (moments +
+    residuals), histogram-bounded quantile state, k-row broadcasts.
+    """
+    from .relational import exact_percentiles_by_group
+
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string")
+    )
+    fold = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long") % 4
+    ).alias("fold")
+    xd = F.col("l_quantity").cast("decimal(18,6)")
+    yd = F.col("l_extendedprice").cast("decimal(18,6)")
+    base = lineitem.select(
+        "l_returnflag",
+        fold,
+        xd.alias("x"),
+        yd.alias("y"),
+        (xd * yd).cast("decimal(38,12)").alias("xy"),
+        (xd * xd).cast("decimal(38,12)").alias("xx"),
+    ).persist()
+    tr = base.where(F.col("fold") <= 1)
+    m = tr.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    slope, intercept = _fit_cols(
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    )
+    models = m.select(
+        "l_returnflag",
+        F.col("n").alias("n_train"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    resid_abs = F.abs(
+        F.round(
+            F.col("y").cast("double")
+            - (
+                F.col("intercept")
+                + F.col("slope") * F.col("x").cast("double")
+            ),
+            6,
+        )
+    )
+    calib = base.where(F.col("fold") == 2).join(
+        F.broadcast(models), "l_returnflag"
+    ).select("l_returnflag", resid_abs.alias("r"))
+    q = exact_percentiles_by_group(
+        calib, "l_returnflag", "r", [q_pct]
+    ).select("l_returnflag", F.col("p0").alias("q_resid"))
+    test = (
+        base.where(F.col("fold") == 3)
+        .join(F.broadcast(models), "l_returnflag")
+        .join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "n_train", "slope", "intercept", "q_resid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(resid_abs <= F.col("q_resid"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return test.select(
+        "l_returnflag",
+        "n_train",
+        "slope",
+        "intercept",
+        F.round("q_resid", 6).alias("q90_resid"),
+        "n_test",
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

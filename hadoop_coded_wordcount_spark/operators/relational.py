@@ -6138,3 +6138,182 @@ def permutation_test_price(orders: DataFrame, n_reps: int = 64) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+def theil_sen_monthly(orders: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of the monthly order-count series: the
+    MEDIAN of all pairwise slopes, reported next to the OLS slope the
+    ``regression_by_group`` closed form gives — one corrupted month
+    drags OLS arbitrarily but moves the pairwise-slope median by at
+    most one rank (breakdown point 29%), which is why monitoring
+    pipelines fit trends with it.
+
+    Exactness: x is the integer month index, y the integer count, each
+    pairwise slope rounds (Δy/Δx) once to 6 dp into DECIMAL, and the
+    median picks ranks ⌊(n+1)/2⌋/⌈(n+1)/2⌉ by VALUE order (rank ties
+    cannot move the selected values). OLS comes from exact decimal
+    moment sums. Scale: the pair lattice is built from the MONTH GRID
+    (time-range-bounded — 80 points → 3k pairs at any corpus size), so
+    the quadratic never touches row counts; the data-proportional work
+    is one month aggregate.
+    """
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    idx = monthly.select(
+        (
+            (F.year("mo") - F.lit(1995)) * 12 + F.month("mo") - F.lit(1)
+        ).cast("bigint").alias("x"),
+        "y",
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .select(
+            F.round(
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s")
+        )
+    )
+    wv = Window.orderBy("s")
+    ranked = slopes.select(
+        "s", F.row_number().over(wv).alias("rn")
+    )
+    n_pairs = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_pairs))
+        .where(
+            (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+        )
+        .agg(
+            (F.sum(F.col("s").cast("double")) / F.count(F.lit(1))).alias(
+                "ts_slope_raw"
+            )
+        )
+    )
+    d = F.col("y").cast("decimal(18,6)")
+    xd = F.col("x").cast("decimal(18,6)")
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(d).alias("sy"),
+        F.sum((xd * d).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,12)")).alias("sxx"),
+    )
+    ols = m.select(
+        "n",
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("ols_slope"),
+    )
+    return (
+        ols.crossJoin(n_pairs)
+        .crossJoin(med)
+        .select(
+            F.col("n").alias("n_months"),
+            F.col("np").alias("n_pairs"),
+            F.round("ts_slope_raw", 6).alias("theil_sen_slope"),
+            "ols_slope",
+        )
+    )
+
+
+def stump_split_priority(orders: DataFrame) -> DataFrame:
+    """Train a one-node decision stump — the best information-gain
+    threshold on ``o_totalprice`` separating high-priority orders —
+    entirely as a window pass: every distinct price is a candidate
+    split, and its class counts on both sides come from running sums
+    over the value-frequency histogram (the engine's take on the
+    classic decision-tree split search, the building block feature
+    stores use for supervised binning).
+
+    Exactness: counts are integers; each entropy term p·ln p (p an
+    exact integer ratio) rounds once to 6 dp into DECIMAL, entropies
+    and the weighted gain assemble from those decimals with the side
+    weights rounded the same way, and the argmax orders on the (gain,
+    value) total order — engine-independent. 0·ln 0 is defined as 0.
+
+    Scale: bounded-state like :func:`ks_test` — one histogram
+    aggregate, one cumulative window over distinct values, one
+    TakeOrdered(1).
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    hist = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("c0"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c0").over(w).alias("l0"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c0").over(wall).alias("n0"),
+    )
+
+    def t(c, n):
+        p = c.cast("double") / n.cast("double")
+        return F.when(c == 0, F.lit(0).cast("decimal(18,6)")).otherwise(
+            F.round(p * F.log(p), 6).cast("decimal(18,6)")
+        )
+
+    n = F.col("n1") + F.col("n0")
+    nl = F.col("l1") + F.col("l0")
+    nr = n - nl
+    r1 = F.col("n1") - F.col("l1")
+    r0 = F.col("n0") - F.col("l0")
+    hp = -(t(F.col("n1"), n) + t(F.col("n0"), n))
+    hl = -(t(F.col("l1"), nl) + t(F.col("l0"), nl))
+    hr = -(t(r1, nr) + t(r0, nr))
+    wl = F.round(nl.cast("double") / n.cast("double"), 6).cast(
+        "decimal(18,6)"
+    )
+    wr = F.round(nr.cast("double") / n.cast("double"), 6).cast(
+        "decimal(18,6)"
+    )
+    # cast each product before combining: left to its own devices Spark
+    # overflows decimal(38,12) on the sum and silently DROPS scale to 10
+    # (allowPrecisionLoss), truncating the gain the oracle keeps exact
+    ig = (
+        hp.cast("decimal(28,12)")
+        - (
+            (wl * hl).cast("decimal(28,12)")
+            + (wr * hr).cast("decimal(28,12)")
+        )
+    )
+    scored = cum.where(nr > 0).select(
+        "v",
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.col("l1").alias("hi_left"),
+        r1.alias("hi_right"),
+        ig.cast("decimal(28,12)").alias("ig_d"),
+    )
+    return (
+        scored.orderBy(F.desc("ig_d"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("v").alias("split_value"),
+            "n_left",
+            "n_right",
+            "hi_left",
+            "hi_right",
+            F.col("ig_d").cast("double").alias("info_gain"),
+        )
+    )

@@ -5347,8 +5347,10 @@ def q_clamped_running_balance(spark, sf_dir):
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS sx, SUM(y) AS sy,
-             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
-             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxx,
              SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
       FROM t
     )
@@ -7630,6 +7632,254 @@ def q_adamic_adar(spark, sf_dir):
     return gr.adamic_adar(
         gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
     )
+
+
+@register(
+    "cv_fold_metrics",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                      || CAST(l_linenumber AS VARCHAR)),
+                                  1, 13)) AS BIGINT) % 5 AS fold,
+             CAST(l_quantity AS DECIMAL(18,6)) AS x,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS y
+      FROM lineitem
+    ),
+    per_fold AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxx
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(sx) AS tsx,
+             SUM(sy) AS tsy, SUM(sxy) AS tsxy, SUM(sxx) AS tsxx
+      FROM per_fold
+    ),
+    models AS MATERIALIZED (
+      SELECT fold, CAST(tn - n AS BIGINT) AS n_train,
+             ROUND((CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+                    - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+                   / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                      - CAST(tsx - sx AS DOUBLE)
+                        * CAST(tsx - sx AS DOUBLE)), 6) AS slope,
+             ROUND((CAST(tsy - sy AS DOUBLE)
+                    - slope * CAST(tsx - sx AS DOUBLE))
+                   / CAST(tn - n AS DOUBLE), 6) AS intercept
+      FROM per_fold, tot
+    ),
+    scored AS (
+      SELECT b.fold, m.n_train, m.slope, m.intercept,
+             ABS(CAST(ROUND(CAST(y AS DOUBLE)
+                            - (m.intercept
+                               + m.slope * CAST(x AS DOUBLE)), 6)
+                      AS DECIMAL(18,6))) AS ar,
+             CAST(CAST(ROUND(CAST(y AS DOUBLE)
+                             - (m.intercept
+                                + m.slope * CAST(x AS DOUBLE)), 6)
+                       AS DECIMAL(19,6))
+                  * CAST(ROUND(CAST(y AS DOUBLE)
+                               - (m.intercept
+                                  + m.slope * CAST(x AS DOUBLE)), 6)
+                         AS DECIMAL(19,6)) AS DECIMAL(28,12)) AS r2
+      FROM base b JOIN models m ON m.fold = b.fold
+    )
+    SELECT fold, n_train, CAST(COUNT(*) AS BIGINT) AS n_test,
+           slope, intercept,
+           ROUND(CAST(SUM(ar) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(SQRT(CAST(SUM(r2) AS DOUBLE) / COUNT(*)), 6) AS rmse
+    FROM scored GROUP BY fold, n_train, slope, intercept
+    """,
+)
+def q_cv_fold_metrics(spark, sf_dir):
+    return ml.cv_fold_metrics(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "conformal_interval",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                      || CAST(l_linenumber AS VARCHAR)),
+                                  1, 13)) AS BIGINT) % 4 AS fold,
+             CAST(l_quantity AS DECIMAL(18,6)) AS x,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxx
+      FROM base WHERE fold <= 1 GROUP BY 1
+    ),
+    models AS MATERIALIZED (
+      SELECT l_returnflag, n AS n_train,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS slope,
+             ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) AS intercept
+      FROM m
+    ),
+    calib AS (
+      SELECT b.l_returnflag,
+             ABS(ROUND(CAST(y AS DOUBLE)
+                       - (m.intercept + m.slope * CAST(x AS DOUBLE)), 6))
+               AS r
+      FROM base b JOIN models m ON m.l_returnflag = b.l_returnflag
+      WHERE fold = 2
+    ),
+    q AS (
+      SELECT l_returnflag, quantile_cont(r, 0.9) AS q_resid
+      FROM calib GROUP BY 1
+    ),
+    test AS (
+      SELECT b.l_returnflag, m.n_train, m.slope, m.intercept, q.q_resid,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(ROUND(CAST(y AS DOUBLE)
+                                          - (m.intercept
+                                             + m.slope
+                                               * CAST(x AS DOUBLE)), 6))
+                             <= q.q_resid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM base b
+      JOIN models m ON m.l_returnflag = b.l_returnflag
+      JOIN q ON q.l_returnflag = b.l_returnflag
+      WHERE fold = 3
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT l_returnflag, n_train, slope, intercept,
+           ROUND(q_resid, 6) AS q90_resid, n_test, n_covered,
+           ROUND(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+             AS coverage
+    FROM test
+    """,
+)
+def q_conformal_interval(spark, sf_dir):
+    return ml.conformal_interval(load_table(spark, sf_dir, "lineitem"))
+
+
+def _entropy_term(c: str, n: str) -> str:
+    """p·ln p with p = c/n as an exact ratio, one 6-dp round, 0·ln 0 = 0
+    — the shared entropy-term shape of the stump-split oracle."""
+    p = f"(CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    return (
+        f"CASE WHEN {c} = 0 THEN CAST(0 AS DECIMAL(18,6)) "
+        f"ELSE CAST(ROUND({p} * LN({p}), 6) AS DECIMAL(18,6)) END"
+    )
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT CAST((year(mo) - 1995) * 12 + month(mo) - 1 AS BIGINT) AS x, y
+      FROM monthly
+    ),
+    slopes AS MATERIALIZED (
+      SELECT CAST(ROUND(CAST(b.y - a.y AS DOUBLE)
+                        / CAST(b.x - a.x AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS s
+      FROM idx a JOIN idx b ON a.x < b.x
+    ),
+    ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM slopes),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM slopes),
+    med AS (
+      SELECT SUM(CAST(s AS DOUBLE)) / COUNT(*) AS ts_raw
+      FROM ranked, np
+      WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS sxx
+      FROM idx
+    )
+    SELECT m.n AS n_months, np.np AS n_pairs,
+           ROUND(med.ts_raw, 6) AS theil_sen_slope,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS ols_slope
+    FROM m, np, med
+    """,
+)
+def q_theil_sen_trend(spark, sf_dir):
+    return rel.theil_sen_monthly(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "stump_split",
+    f"""
+    WITH hist AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c0
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS l1,
+             CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS l0,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c0) OVER () AS BIGINT) AS n0
+      FROM hist
+    ),
+    scored AS (
+      SELECT v,
+             l1 + l0 AS n_left,
+             (n1 + n0) - (l1 + l0) AS n_right,
+             l1 AS hi_left,
+             n1 - l1 AS hi_right,
+             CAST(
+               (-({_entropy_term('n1', '(n1 + n0)')}
+                  + {_entropy_term('n0', '(n1 + n0)')}))
+               - (CAST(ROUND(CAST(l1 + l0 AS DOUBLE)
+                             / CAST(n1 + n0 AS DOUBLE), 6)
+                       AS DECIMAL(18,6))
+                  * (-({_entropy_term('l1', '(l1 + l0)')}
+                       + {_entropy_term('l0', '(l1 + l0)')}))
+                  + CAST(ROUND(CAST((n1 + n0) - (l1 + l0) AS DOUBLE)
+                               / CAST(n1 + n0 AS DOUBLE), 6)
+                         AS DECIMAL(18,6))
+                    * (-({_entropy_term('(n1 - l1)',
+                                        '((n1 + n0) - (l1 + l0))')}
+                         + {_entropy_term('(n0 - l0)',
+                                          '((n1 + n0) - (l1 + l0))')})))
+               AS DECIMAL(28,12)) AS ig_d
+      FROM cum
+      WHERE (n1 + n0) - (l1 + l0) > 0
+    )
+    SELECT v AS split_value, n_left, n_right, hi_left, hi_right,
+           CAST(ig_d AS DOUBLE) AS info_gain
+    FROM scored
+    ORDER BY ig_d DESC, v
+    LIMIT 1
+    """,
+)
+def q_stump_split(spark, sf_dir):
+    return rel.stump_split_priority(load_table(spark, sf_dir, "orders"))
 
 
 @register(

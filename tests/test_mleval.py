@@ -115,3 +115,88 @@ def test_mutual_information_deterministic_pair(spark):
     assert got.h_type == 0.693148
     assert got.h_hour == 0.693148
     assert got.nmi == 1.0
+
+
+def test_cv_folds_perfect_linear_fit_has_zero_error(spark):
+    """y = 3 + 2x exactly: every fold recovers (slope 2, intercept 3)
+    and the held-out error is 0."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    rows = [
+        (i, 1 + i % 7, float(1 + (i * 13) % 40),
+         3.0 + 2.0 * float(1 + (i * 13) % 40))
+        for i in range(200)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_quantity double, l_extendedprice double",
+    )
+    got = ml.cv_fold_metrics(li).collect()
+    assert len(got) == 5
+    for r in got:
+        assert (r.slope, r.intercept, r.mae, r.rmse) == (2.0, 3.0, 0.0, 0.0)
+        assert r.n_train + r.n_test == 200
+
+
+def test_conformal_coverage_within_bounds(spark):
+    """Linear signal with bounded alternating noise: empirical test
+    coverage must be near the nominal 90% (within a small-sample
+    tolerance), never below the calibration guarantee floor."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    rows = []
+    for i in range(400):
+        x = float(1 + i % 50)
+        noise = (1.0 if i % 2 == 0 else -1.0) * float(i % 10)
+        rows.append((i, 1 + i % 7, "N", x, 5.0 + 3.0 * x + noise))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    got = ml.conformal_interval(li).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_test > 0 and 0.75 <= r.coverage <= 1.0
+
+
+def test_theil_sen_ignores_outlier_month(spark):
+    """Counts rise by exactly 2/month, but one month is corrupted 50x:
+    the pairwise-slope median stays 2.0 while OLS is dragged off it."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    rows = []
+    oid = 0
+    for mth in range(12):
+        n = 10 + 2 * mth
+        if mth == 6:
+            n = 500  # corrupted month
+        for _ in range(n):
+            oid += 1
+            rows.append((oid, f"1995-{mth + 1:02d}-15"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate string"
+    ).withColumn("o_orderdate", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("o_orderdate"))
+    got = rel.theil_sen_monthly(orders).collect()[0]
+    assert got.n_months == 12 and got.n_pairs == 66
+    assert got.theil_sen_slope == 2.0
+    assert abs(got.ols_slope - 2.0) > 1  # OLS dragged well off the trend
+
+
+def test_stump_split_separable_threshold(spark):
+    """Perfect separation at price 100: the stump finds the boundary
+    value and the split is pure (gain = parent entropy)."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+    import math
+
+    rows = [(i, "1-URGENT", 50.0 + i) for i in range(10)] + [
+        (100 + i, "5-LOW", 200.0 + i) for i in range(10)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    )
+    got = rel.stump_split_priority(orders).collect()[0]
+    assert got.split_value == 59.0  # last hi-class value
+    assert (got.n_left, got.n_right) == (10, 10)
+    assert (got.hi_left, got.hi_right) == (10, 0)
+    # pure split: gain == parent entropy == ln 2 (rounded per term)
+    assert got.info_gain == float(-2 * round(0.5 * math.log(0.5), 6))
