@@ -6317,3 +6317,165 @@ def stump_split_priority(orders: DataFrame) -> DataFrame:
             F.col("ig_d").cast("double").alias("info_gain"),
         )
     )
+
+
+def diff_in_diff(orders: DataFrame) -> DataFrame:
+    """Difference-in-differences estimator on the 2×2 (priority-
+    treatment × pre/post-1998) design: the causal-inference workhorse
+    for "did the policy move the treated group beyond the shared
+    trend" — here, did high-priority orders' mean value move
+    differently across the period boundary than everyone else's.
+
+    All four cell means come from exact DECIMAL sums with ONE double
+    division each; the DiD assembles from those unrounded doubles
+    (identical IEEE ops both engines) and rounds once. One scan, one
+    4-cell aggregate — nothing at data scale beyond the groupBy.
+    """
+    treat = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    post = F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    cells = orders.groupBy(
+        treat.alias("treated"), post.alias("post")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+    )
+    wide = cells.groupBy().pivot("treated", [True, False]).agg(
+        F.sum(F.when(F.col("post"), F.col("s"))).alias("s_post"),
+        F.sum(F.when(F.col("post"), F.col("n"))).alias("n_post"),
+        F.sum(F.when(~F.col("post"), F.col("s"))).alias("s_pre"),
+        F.sum(F.when(~F.col("post"), F.col("n"))).alias("n_pre"),
+    )
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    t_post = mean("true_s_post", "true_n_post")
+    t_pre = mean("true_s_pre", "true_n_pre")
+    c_post = mean("false_s_post", "false_n_post")
+    c_pre = mean("false_s_pre", "false_n_pre")
+    return wide.select(
+        F.col("true_n_pre").cast("bigint").alias("n_treat_pre"),
+        F.col("true_n_post").cast("bigint").alias("n_treat_post"),
+        F.col("false_n_pre").cast("bigint").alias("n_ctrl_pre"),
+        F.col("false_n_post").cast("bigint").alias("n_ctrl_post"),
+        F.round(t_pre, 6).alias("mean_treat_pre"),
+        F.round(t_post, 6).alias("mean_treat_post"),
+        F.round(c_pre, 6).alias("mean_ctrl_pre"),
+        F.round(c_post, 6).alias("mean_ctrl_post"),
+        F.round((t_post - t_pre) - (c_post - c_pre), 6).alias("did"),
+    )
+
+
+def item_item_cosine(lineitem: DataFrame, min_support: int = 3, topn: int = 25) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    parts over the order-basket incidence matrix,
+    cos(i,j) = co(i,j)/√(n(i)·n(j)) — the normalized upgrade of raw
+    ``market_basket_pairs`` support (a pair of blockbusters co-occurs
+    by volume alone; cosine asks whether they co-occur beyond their
+    popularity), the classic "customers also bought" primitive.
+
+    Counts are exact integers from the per-order distinct-part pair
+    expansion (one shuffle on orderkey); √ and the division run on
+    exact-integer doubles — identical cross-engine — and round once.
+    Output is TakeOrdered on (cosine desc, pair) with a support floor
+    that also bounds the pair fan-out at scale (the same threshold
+    knob as the co-occurrence graph builder).
+    """
+    per_order = lineitem.select("l_orderkey", "l_partkey").distinct()
+    cnt = per_order.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = per_order.alias("a"), per_order.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .where(F.col("co") >= min_support)
+    )
+    na = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("part_a"), F.asc("part_b"))
+        .limit(topn)
+    )
+
+
+def jarque_bera(lineitem: DataFrame) -> DataFrame:
+    """Jarque–Bera normality test per return flag: skewness and excess
+    kurtosis from EXACT central moments, JB = n/6·(S² + K²/4) — the
+    "is this metric still Gaussian enough for my z-thresholds" gate
+    that pairs with ``ks_test`` (distribution shift) and
+    ``benford_digits`` (fabrication).
+
+    The central-moment trick from ``acf_hourly`` at higher order: with
+    u = n·v − Σv (an exact integer), Σu², Σu³, Σu⁴ are exact DECIMAL
+    sums and every scale factor cancels in the ratios
+    S = (Σu³/n)/(Σu²/n)^{3/2}, K = n·Σu⁴/(Σu²)². Only the final
+    double ratios and one 6-dp round leave the integer lattice. One
+    histogram-free pass: moments are plain map-combined sums.
+    """
+    v = F.col("l_quantity").cast("decimal(18,6)")
+    pre = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("s"),
+    )
+    joined = lineitem.join(F.broadcast(pre), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("n") * F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            - F.col("s").cast("decimal(28,6)")
+        )
+        .cast("decimal(19,0)")
+        .alias("u"),
+    )
+    u = F.col("u")
+    m = joined.groupBy("l_returnflag", "n").agg(
+        F.sum((u * u).cast("decimal(38,0)")).alias("u2"),
+        F.sum(
+            ((u * u).cast("decimal(38,0)") * u.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        ).alias("u3"),
+        F.sum(
+            (
+                (u * u).cast("decimal(38,0)")
+                * (u * u).cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+        ).alias("u4"),
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("u2").cast("double") / nd
+    m3 = F.col("u3").cast("double") / nd
+    m4 = F.col("u4").cast("double") / nd
+    # m2^1.5 as m2*sqrt(m2): sqrt is correctly-rounded IEEE, pow is
+    # libm-dependent — the same reason tfidf avoids log
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            nd / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0)), 6
+        ).alias("jb_stat"),
+    )

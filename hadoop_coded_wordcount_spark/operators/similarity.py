@@ -1400,3 +1400,95 @@ def embedding_drift(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         ),
         F.round(F.sqrt(l2), 6).alias("centroid_l2"),
     )
+
+
+def pca_power_iteration(
+    embeddings: DataFrame, dims: int = 16, n_iter: int = 3
+) -> DataFrame:
+    """Dominant principal component of the embedding covariance by
+    power iteration — PCA's first axis computed INSIDE the engine (the
+    drift monitors above watch Σ's entries; this turns Σ into the
+    direction training pipelines whiten against), with the same
+    integer-scaled determinism pagerank uses for its iterative state.
+
+    State discipline: the 6-dp covariance (the externally-verified
+    ``embedding_covariance`` output) lifts to integer micro-units; each
+    iterate w = Σµ·v is an exact BIGINT matrix-vector product, and
+    normalization divides by the PIVOT component (max |w|, ties to the
+    smaller dim — argmax-by-struct, a total order) so the new iterate
+    is again integers in [−10⁶, 10⁶]: w < 2⁵³ keeps every
+    double conversion exact, the one division per component is
+    correctly-rounded IEEE on identical inputs, and the oracle replays
+    rounds bit-for-bit. Sign is pinned by the pivot (its loading is
+    +1.0), eliminating the eigenvector's sign ambiguity.
+
+    Scale: the corpus-proportional work is the ONE covariance scan;
+    iterations run on the d×d matrix (d² = 256 rows here) — driver-free
+    and constant-cost at any corpus size.
+    """
+    cov_ut = embedding_covariance(embeddings, dims=dims)
+    covu = cov_ut.select(
+        "i",
+        "j",
+        F.round(F.col("cov") * 1000000).cast("long").alias("c"),
+    )
+    sym = covu.unionAll(
+        covu.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).persist()
+    spark = embeddings.sparkSession
+    v = spark.range(1, dims + 1).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1000000).cast("long").alias("v"),
+    )
+    w = None
+    for _ in range(n_iter):
+        w = (
+            sym.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        pivot = (
+            w.orderBy(F.abs(F.col("w")).desc(), F.asc("i"))
+            .limit(1)
+            .select(F.col("w").alias("wp"))
+        )
+        v = (
+            w.crossJoin(F.broadcast(pivot))
+            .select(
+                F.col("i").alias("j"),
+                F.round(
+                    F.col("w").cast("double")
+                    / F.col("wp").cast("double")
+                    * F.lit(1000000.0)
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    w4 = (
+        sym.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+    )
+    pivot4 = (
+        w4.orderBy(F.abs(F.col("w")).desc(), F.asc("i"))
+        .limit(1)
+        .select(F.col("w").alias("wp"))
+    )
+    lam = pivot4.select(
+        F.round(F.col("wp").cast("double") / F.lit(1.0e12), 6).alias(
+            "eigenvalue_est"
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("v").cast("double") / F.lit(1000000.0), 6).alias(
+                "loading"
+            ),
+            "eigenvalue_est",
+        )
+    )

@@ -7635,6 +7635,202 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "diff_in_diff",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority IN ('1-URGENT','2-HIGH') AS treated,
+             o_orderdate >= TIMESTAMP '1998-01-01' AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated AND NOT post THEN n END) AS n_treat_pre,
+        MAX(CASE WHEN treated AND post THEN n END) AS n_treat_post,
+        MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_ctrl_pre,
+        MAX(CASE WHEN NOT treated AND post THEN n END) AS n_ctrl_post,
+        MAX(CASE WHEN treated AND NOT post THEN s END) AS s_treat_pre,
+        MAX(CASE WHEN treated AND post THEN s END) AS s_treat_post,
+        MAX(CASE WHEN NOT treated AND NOT post THEN s END) AS s_ctrl_pre,
+        MAX(CASE WHEN NOT treated AND post THEN s END) AS s_ctrl_post
+      FROM cells
+    )
+    SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+           ROUND(CAST(s_treat_pre AS DOUBLE) / CAST(n_treat_pre AS DOUBLE),
+                 6) AS mean_treat_pre,
+           ROUND(CAST(s_treat_post AS DOUBLE)
+                 / CAST(n_treat_post AS DOUBLE), 6) AS mean_treat_post,
+           ROUND(CAST(s_ctrl_pre AS DOUBLE) / CAST(n_ctrl_pre AS DOUBLE),
+                 6) AS mean_ctrl_pre,
+           ROUND(CAST(s_ctrl_post AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE),
+                 6) AS mean_ctrl_post,
+           ROUND((CAST(s_treat_post AS DOUBLE) / CAST(n_treat_post AS DOUBLE)
+                  - CAST(s_treat_pre AS DOUBLE) / CAST(n_treat_pre AS DOUBLE))
+                 - (CAST(s_ctrl_post AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE)
+                    - CAST(s_ctrl_pre AS DOUBLE)
+                      / CAST(n_ctrl_pre AS DOUBLE)), 6) AS did
+    FROM wide
+    """,
+)
+def q_diff_in_diff(spark, sf_dir):
+    return rel.diff_in_diff(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "item_item_cosine",
+    """
+    WITH po AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM po GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, co,
+           ROUND(CAST(co AS DOUBLE)
+                 / SQRT(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
+    FROM pairs
+    JOIN cnt na ON na.l_partkey = part_a
+    JOIN cnt nb ON nb.l_partkey = part_b
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def q_item_item_cosine(spark, sf_dir):
+    return rel.item_item_cosine(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "jarque_bera",
+    """
+    WITH pre AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT l.l_returnflag, n,
+             CAST(CAST(CAST(n * CAST(l_quantity AS DECIMAL(18,6))
+                            AS DECIMAL(28,6))
+                       - CAST(s AS DECIMAL(28,6)) AS DECIMAL(19,0))
+                  AS HUGEINT) AS u
+      FROM lineitem l JOIN pre USING (l_returnflag)
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             SUM(u * u) AS u2,
+             SUM(u * u * u) AS u3,
+             SUM(u * u * u * u) AS u4
+      FROM j GROUP BY 1, 2
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(u3 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * SQRT(CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS skewness,
+           ROUND((CAST(u4 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 6)
+             AS excess_kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6.0
+                 * (((CAST(u3 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / ((CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * SQRT(CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))))
+                    * ((CAST(u3 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / ((CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * SQRT(CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))))
+                    + ((CAST(u4 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / ((CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                       - 3.0)
+                      * ((CAST(u4 AS DOUBLE) / CAST(n AS DOUBLE))
+                         / ((CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(u2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         - 3.0) / 4.0), 6) AS jb_stat
+    FROM m
+    """,
+)
+def q_jarque_bera(spark, sf_dir):
+    return rel.jarque_bera(load_table(spark, sf_dir, "lineitem"))
+
+
+def _pca_round(prev_v: str, k: int) -> str:
+    """One integer power-iteration round: exact BIGINT mat-vec, pivot
+    pick on the (|w| desc, i) total order, one IEEE division per
+    component — mirrors similarity.pca_power_iteration step for step."""
+    return f""",
+    w{k} AS MATERIALIZED (
+      SELECT s.i, CAST(SUM(s.c * v.v) AS BIGINT) AS w
+      FROM sym s JOIN {prev_v} v ON v.j = s.j GROUP BY s.i
+    ),
+    p{k} AS (SELECT w AS wp FROM w{k} ORDER BY ABS(w) DESC, i LIMIT 1),
+    v{k} AS MATERIALIZED (
+      SELECT w{k}.i AS j,
+             CAST(ROUND(CAST(w AS DOUBLE) / CAST(wp AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS v
+      FROM w{k}, p{k}
+    )"""
+
+
+@register(
+    "pca_power_iteration",
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    d AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i, emb[i] AS x
+      FROM v, unnest(range(1, 17)) AS r(i)
+    ),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, a.x * b.x AS xx, a.x AS xi, b.x AS xj
+      FROM d a JOIN d b ON a.vec_id = b.vec_id AND b.i >= a.i
+    ),
+    covt AS (
+      SELECT i, j,
+             ROUND((SUM(xx) - SUM(xi) * SUM(xj) / COUNT(*)) / COUNT(*), 6)
+               AS cov
+      FROM pr GROUP BY i, j
+    ),
+    covm AS (
+      SELECT i, j, CAST(ROUND(cov * 1000000) AS BIGINT) AS c FROM covt
+    ),
+    sym AS MATERIALIZED (
+      SELECT i, j, c FROM covm
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM covm WHERE i <> j
+    ),
+    v0 AS (
+      SELECT CAST(u.i AS INTEGER) AS j, CAST(1000000 AS BIGINT) AS v
+      FROM (SELECT unnest(range(1, 17)) AS i) u
+    ){_pca_round('v0', 1)}{_pca_round('v1', 2)}{_pca_round('v2', 3)},
+    w4 AS (
+      SELECT s.i, CAST(SUM(s.c * v.v) AS BIGINT) AS w
+      FROM sym s JOIN v3 v ON v.j = s.j GROUP BY s.i
+    ),
+    p4 AS (SELECT w AS wp FROM w4 ORDER BY ABS(w) DESC, i LIMIT 1),
+    lam AS (
+      SELECT ROUND(CAST(wp AS DOUBLE) / 1000000000000.0, 6)
+               AS eigenvalue_est
+      FROM p4
+    )
+    SELECT v3.j AS dim,
+           ROUND(CAST(v3.v AS DOUBLE) / 1000000.0, 6) AS loading,
+           lam.eigenvalue_est
+    FROM v3, lam
+    """,
+)
+def q_pca_power_iteration(spark, sf_dir):
+    return sim.pca_power_iteration(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "cv_fold_metrics",
     """
     WITH base AS MATERIALIZED (

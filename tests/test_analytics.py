@@ -805,3 +805,71 @@ def test_permutation_test_null_effect_accepts(spark):
     got = rel.permutation_test_price(orders).collect()[0]
     assert got.obs_diff == 0.0
     assert got.p_value == 1.0  # every |rep diff| >= 0
+
+
+def _orders_did(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+
+
+def test_diff_in_diff_parallel_trends_give_zero(spark):
+    """Both groups shift +10 across the boundary: the shared trend
+    cancels, DiD = 0."""
+    rows = []
+    k = 0
+    for pri, base in [("1-URGENT", 100.0), ("5-LOW", 50.0)]:
+        for date, bump in [("1997-06-01", 0.0), ("1998-06-01", 10.0)]:
+            for i in range(5):
+                k += 1
+                rows.append((k, pri, base + bump + i, date))
+    got = rel.diff_in_diff(_orders_did(spark, rows)).collect()[0]
+    assert got.did == 0.0
+    assert got.mean_treat_post - got.mean_treat_pre == 10.0
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """Treated group gains an extra +7 beyond the shared +10 trend."""
+    rows = []
+    k = 0
+    for pri, base, extra in [("1-URGENT", 100.0, 7.0), ("5-LOW", 50.0, 0.0)]:
+        for date, bump in [("1997-06-01", 0.0), ("1998-06-01", 10.0)]:
+            for i in range(4):
+                k += 1
+                rows.append((k, pri, base + bump + (bump and extra) + i, date))
+    got = rel.diff_in_diff(_orders_did(spark, rows)).collect()[0]
+    assert got.did == 7.0
+
+
+def test_item_item_cosine_popularity_normalization(spark):
+    """Pairs with equal co-occurrence: the one between NICHE parts
+    outranks the one between popular parts."""
+    rows = []
+    # parts 1,2 co-occur 3x and appear ONLY together (cos = 1)
+    for o in (10, 11, 12):
+        rows += [(o, 1), (o, 2)]
+    # parts 3,4 co-occur 3x but each also appears alone 6x
+    for o in (20, 21, 22):
+        rows += [(o, 3), (o, 4)]
+    for o in range(30, 36):
+        rows.append((o, 3))
+    for o in range(40, 46):
+        rows.append((o, 4))
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    got = {(r.part_a, r.part_b): r.cosine for r in rel.item_item_cosine(li).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(3, 4)] == round(3 / 9, 6)
+
+
+def test_jarque_bera_symmetric_vs_skewed(spark):
+    """A symmetric quantity distribution has skewness 0; planting a
+    heavy right tail drives skewness and the JB statistic up."""
+    sym = [(i, "S", float(1 + i % 5)) for i in range(200)]
+    skw = [(i, "K", 1.0 if i % 10 else 50.0) for i in range(200)]
+    li = spark.createDataFrame(
+        sym + skw, "l_orderkey bigint, l_returnflag string, l_quantity double"
+    )
+    got = {r.l_returnflag: r for r in rel.jarque_bera(li).collect()}
+    assert got["S"].skewness == 0.0
+    assert got["K"].skewness > 2.0
+    assert got["K"].jb_stat > got["S"].jb_stat

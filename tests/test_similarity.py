@@ -508,3 +508,40 @@ def test_embedding_drift_identical_halves_and_shifted(spark):
     r2 = sim.embedding_drift(emb2).collect()[0]
     assert r2.centroid_l2 > 10  # +2 shift on 64 dims: sqrt(64*4) = 16
     assert r2.centroid_cosine < 1.0
+
+
+def test_pca_power_iteration_recovers_planted_axis(spark):
+    """Variance planted on dim 1 (values ±10), dims 2..16 constant: the
+    dominant component is e1 with eigenvalue = Var = 100; the pivot
+    convention pins loading(dim 1) = +1."""
+    rows = []
+    for i in range(40):
+        vec = [10.0 if i % 2 == 0 else -10.0] + [0.5] * 15
+        rows.append((i, vec, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.dim: r for r in sim.pca_power_iteration(emb).collect()}
+    assert len(got) == 16
+    assert got[1].loading == 1.0
+    assert all(got[d].loading == 0.0 for d in range(2, 17))
+    assert got[1].eigenvalue_est == 100.0
+
+
+def test_pca_power_iteration_mixed_axes_ranked(spark):
+    """Two planted axes with different variances: the iterate converges
+    to the HIGH-variance one (dim 2 at ±8 beats dim 5 at ±2); the weak
+    axis loading shrinks toward 0 after 3 rounds."""
+    rows = []
+    for i in range(48):
+        v2 = 8.0 if i % 2 == 0 else -8.0
+        v5 = 2.0 if i % 3 == 0 else (-1.0 if i % 3 == 1 else -1.0)
+        vec = [0.0, v2, 0.0, 0.0, v5] + [0.0] * 11
+        rows.append((i, vec, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.dim: r for r in sim.pca_power_iteration(emb).collect()}
+    assert got[2].loading == 1.0  # dominant axis is the pivot
+    assert abs(got[5].loading) < 0.05
+    assert got[2].eigenvalue_est > 50.0
