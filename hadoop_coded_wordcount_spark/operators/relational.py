@@ -6479,3 +6479,147 @@ def jarque_bera(lineitem: DataFrame) -> DataFrame:
             nd / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0)), 6
         ).alias("jb_stat"),
     )
+
+
+def ipw_ate(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stratified average treatment effect with inverse-propensity
+    weights: within each market-segment stratum the high-priority
+    "treatment" is as-good-as-random, so ATE = Σ_s share_s·(ȳ_ts − ȳ_cs)
+    — the observational-causal sibling of :func:`diff_in_diff` (which
+    needs a time boundary; this needs only strata). The per-stratum
+    propensity n_t/n is reported so a reader can see where overlap is
+    thin (p near 0/1 blows IPW up — the classic diagnostic).
+
+    One broadcast dim join for the stratum label, one 2×|strata|
+    aggregate of exact DECIMAL sums; every mean is one double division
+    and the ATE row assembles from the same exact components. Output:
+    one row per stratum plus the ``__ate__`` summary row.
+    """
+    treat = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cells = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(treat, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(
+            F.when(treat, F.col("o_totalprice").cast("decimal(18,6)"))
+        ).alias("st"),
+        F.sum(
+            F.when(~treat, F.col("o_totalprice").cast("decimal(18,6)"))
+        ).alias("sc"),
+    )
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    per = cells.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n",
+        "nt",
+        (F.col("n") - F.col("nt")).alias("nc"),
+        F.round(
+            F.col("nt").cast("double") / F.col("n").cast("double"), 6
+        ).alias("propensity"),
+        (
+            F.col("st").cast("double") / F.col("nt").cast("double")
+            - F.col("sc").cast("double")
+            / (F.col("n") - F.col("nt")).cast("double")
+        ).alias("gap_raw"),
+        (F.col("n").cast("double") / F.col("n_all").cast("double")).alias(
+            "share_raw"
+        ),
+    )
+    strata = per.select(
+        "c_mktsegment",
+        "n",
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        "propensity",
+        F.round("gap_raw", 6).alias("gap"),
+        F.round(
+            (F.col("share_raw") * F.col("gap_raw")), 6
+        ).alias("weighted_term"),
+    )
+    # exact-decimal total of the 6dp-rounded per-stratum terms: the
+    # summary is then a pure function of the rows above it
+    ate = strata.agg(
+        F.sum(F.col("n")).cast("bigint").alias("n"),
+        F.sum("n_treat").cast("bigint").alias("n_treat"),
+        F.sum("n_ctrl").cast("bigint").alias("n_ctrl"),
+        F.sum(
+            F.col("weighted_term").cast("decimal(18,6)")
+        ).cast("double").alias("ate"),
+    ).select(
+        F.lit("__ate__").alias("c_mktsegment"),
+        "n",
+        "n_treat",
+        "n_ctrl",
+        F.lit(None).cast("double").alias("propensity"),
+        F.lit(None).cast("double").alias("gap"),
+        F.col("ate").alias("weighted_term"),
+    )
+    return strata.unionAll(ate)
+
+
+def markov_next_event_eval(events: DataFrame) -> DataFrame:
+    """Held-out accuracy of the first-order Markov next-event model —
+    :func:`markov_transitions` scored the way ``naive_bayes_langid``
+    scores itself: train transition counts on even user_ids, predict
+    each odd-user transition with argmax P(next|current), report
+    per-current-state accuracy and support.
+
+    The user-level split keeps chains intact (an interleaved event
+    split would fabricate transitions). The predictor table is
+    |types|² counts with an argmax on the (count desc, type) total
+    order — broadcast onto the held-out pairs; unseen current states
+    fall back to the global-majority next type (same total order).
+    All counts integer; accuracy is one division, rounded.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    train = pairs.where(F.col("user_id") % 2 == 0)
+    test = pairs.where(F.col("user_id") % 2 == 1)
+    counts = train.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wbest = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        counts.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    global_best = (
+        train.groupBy("nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("nxt"))
+        .limit(1)
+        .select(F.col("nxt").alias("fallback"))
+    )
+    scored = (
+        test.join(F.broadcast(model), "cur", "left")
+        .crossJoin(F.broadcast(global_best))
+        .select(
+            "cur",
+            "nxt",
+            F.coalesce("pred", "fallback").alias("pred"),
+        )
+    )
+    return scored.groupBy("cur", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "cur",
+        "pred",
+        "n_pairs",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double")
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )

@@ -7635,6 +7635,104 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "ipw_ate",
+    """
+    WITH joined AS (
+      SELECT o.o_orderpriority, o.o_totalprice, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS st,
+             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS sc
+      FROM joined GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells),
+    strata AS MATERIALIZED (
+      SELECT c_mktsegment, n,
+             nt AS n_treat,
+             n - nt AS n_ctrl,
+             ROUND(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS propensity,
+             ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE), 6)
+               AS gap,
+             ROUND((CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE))
+                   * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                      - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE)), 6)
+               AS weighted_term
+      FROM cells, tot
+    )
+    SELECT c_mktsegment, n, CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl, propensity, gap,
+           weighted_term
+    FROM strata
+    UNION ALL
+    SELECT '__ate__', CAST(SUM(n) AS BIGINT), CAST(SUM(n_treat) AS BIGINT),
+           CAST(SUM(n_ctrl) AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           CAST(SUM(CAST(weighted_term AS DECIMAL(18,6))) AS DOUBLE)
+    FROM strata
+    """,
+)
+def q_ipw_ate(spark, sf_dir):
+    return rel.ipw_ate(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "markov_eval",
+    """
+    WITH pairs AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    p2 AS MATERIALIZED (SELECT * FROM pairs WHERE nxt IS NOT NULL),
+    train AS (SELECT * FROM p2 WHERE user_id % 2 = 0),
+    test AS (SELECT * FROM p2 WHERE user_id % 2 = 1),
+    counts AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT cur, nxt AS pred FROM (
+        SELECT cur, nxt,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY c DESC, nxt) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    gb AS (
+      SELECT nxt AS fallback FROM (
+        SELECT nxt, COUNT(*) AS c FROM train GROUP BY 1
+        ORDER BY c DESC, nxt LIMIT 1
+      )
+    ),
+    scored AS (
+      SELECT t.cur, t.nxt, COALESCE(m.pred, g.fallback) AS pred
+      FROM test t LEFT JOIN model m ON m.cur = t.cur, gb g
+    )
+    SELECT cur, pred, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_markov_eval(spark, sf_dir):
+    return rel.markov_next_event_eval(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "diff_in_diff",
     """
     WITH cells AS (

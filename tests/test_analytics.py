@@ -873,3 +873,68 @@ def test_jarque_bera_symmetric_vs_skewed(spark):
     assert got["S"].skewness == 0.0
     assert got["K"].skewness > 2.0
     assert got["K"].jb_stat > got["S"].jb_stat
+
+
+def test_ipw_ate_recovers_within_stratum_effect(spark):
+    """Confounded marginals (treatment concentrates in the high-value
+    stratum) but a constant +5 within-stratum effect: the stratified
+    ATE is exactly 5 while the naive pooled gap is inflated."""
+    rows = []
+    k = 0
+    # stratum A: base 100, 3 treated / 1 control
+    for pri in ["1-URGENT"] * 3 + ["5-LOW"]:
+        k += 1
+        rows.append((k, 1, pri, 100.0 + (5.0 if pri == "1-URGENT" else 0.0)))
+    # stratum B: base 10, 1 treated / 3 control
+    for pri in ["1-URGENT"] + ["5-LOW"] * 3:
+        k += 1
+        rows.append((k, 2, pri, 10.0 + (5.0 if pri == "1-URGENT" else 0.0)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderpriority string, o_totalprice double"
+    )
+    customer = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "c_custkey bigint, c_mktsegment string"
+    )
+    got = {r.c_mktsegment: r for r in rel.ipw_ate(orders, customer).collect()}
+    assert got["A"].gap == 5.0 and got["B"].gap == 5.0
+    assert got["__ate__"].weighted_term == 5.0
+    assert got["A"].propensity == 0.75 and got["B"].propensity == 0.25
+
+
+def test_markov_eval_learns_deterministic_chain(spark):
+    """Train users alternate view->click strictly; test users follow
+    the same rule -> accuracy 1.0 for both states."""
+    rows = []
+    eid = 0
+    for u in (2, 4, 3, 5):  # two train (even), two test (odd)
+        for t in range(6):
+            eid += 1
+            et = "view" if t % 2 == 0 else "click"
+            rows.append((eid, f"2024-01-01 00:{t:02d}:00", u, et, 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.cur: r for r in rel.markov_next_event_eval(events).collect()}
+    assert got["view"].pred == "click" and got["view"].accuracy == 1.0
+    assert got["click"].pred == "view" and got["click"].accuracy == 1.0
+
+
+def test_markov_eval_unseen_state_uses_fallback(spark):
+    """A current state absent from training predicts the train-majority
+    next type instead of dropping the pair."""
+    rows = [
+        # train user 2: view -> click -> view
+        (1, "2024-01-01 00:00:00", 2, "view", 1.0),
+        (2, "2024-01-01 00:01:00", 2, "click", 1.0),
+        (3, "2024-01-01 00:02:00", 2, "view", 1.0),
+        # test user 1: error (unseen cur) -> click
+        (4, "2024-01-01 00:00:00", 1, "error", 1.0),
+        (5, "2024-01-01 00:01:00", 1, "click", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.cur: r for r in rel.markov_next_event_eval(events).collect()}
+    # train nxt counts: click 1, view 1 -> tie broken to 'click'
+    assert got["error"].pred == "click"
+    assert got["error"].n_correct == 1
