@@ -6623,3 +6623,129 @@ def markov_next_event_eval(events: DataFrame) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+def hit_rate_at_k(lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """Hit-rate@k of the item-item recommender — :func:`item_item_cosine`
+    evaluated the only way that matters: hold one item out of each test
+    basket, recommend k neighbors from the items still in it (model
+    trained on DISJOINT md5 train baskets), and count how often the
+    held-out item is among them.
+
+    Determinism: the split is md5(orderkey) mod 5 (fold 4 tests); the
+    held-out item is the basket's max partkey; neighbor lists rank on
+    the (co-count desc, partkey) total order. Counts are integers
+    end-to-end; the rate divides once.
+
+    Scale: train pairs ride the one orderkey shuffle; the top-k window
+    runs on the vocabulary-sized pair table; scoring joins test items
+    to the (items × k)-bounded neighbor table and aggregates a
+    per-basket EXISTS — no per-basket loop, no collect.
+    """
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    tagged = po.select("l_orderkey", "l_partkey", fold.alias("fold"))
+    train = tagged.where(F.col("fold") <= 3)
+    test = tagged.where(F.col("fold") == 4)
+    a, b = train.alias("a"), train.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    wtop = Window.partitionBy("i").orderBy(F.desc("co"), F.asc("j"))
+    nbrs = (
+        co.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= k)
+        .select("i", "j")
+    )
+    held = test.groupBy("l_orderkey").agg(
+        F.max("l_partkey").alias("holdout"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+    ).where(F.col("sz") >= 2)
+    queries = test.join(held, "l_orderkey").where(
+        F.col("l_partkey") != F.col("holdout")
+    )
+    hits = (
+        queries.join(nbrs, queries["l_partkey"] == nbrs["i"])
+        .where(F.col("j") == F.col("holdout"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    n_test = held.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return n_test.crossJoin(n_hit).select(
+        "n_baskets",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_baskets").cast("double"),
+            6,
+        ).alias("hit_rate"),
+    )
+
+
+def forecast_eval_mase(events: DataFrame) -> DataFrame:
+    """Forecast-accuracy scoreboard for :func:`holt_winters_daily`: MAE
+    of its one-step-ahead forecasts vs the SEASONAL-NAIVE baseline
+    (y_{t−7}) over the same evaluation days, and their ratio — MASE,
+    the scale-free "is the model worth running" number (< 1 beats the
+    baseline the way a forecast must).
+
+    Evaluation days are those where both forecasts exist (t > period,
+    state warm). Errors |y_t − f_t| round once to 6 dp into DECIMAL
+    (f_t is the bit-exact dyadic HW forecast, y_t an integer), the two
+    MAEs divide exact sums once, and MASE divides the ROUNDED MAEs —
+    every step engine-stable. Cost: the HW pass plus one lag window on
+    the day grid.
+    """
+    hw = holt_winters_daily(events)
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = hw.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("forecast_next").over(w).alias("f_hw"),
+        F.lag("x", 7).over(w).alias("f_naive"),
+    ).where(F.col("f_hw").isNotNull() & F.col("f_naive").isNotNull())
+    err = scored.select(
+        "event_type",
+        F.abs(F.round(F.col("x") - F.col("f_hw"), 6))
+        .cast("decimal(18,6)")
+        .alias("e_hw"),
+        F.abs(F.round(F.col("x") - F.col("f_naive"), 6))
+        .cast("decimal(18,6)")
+        .alias("e_naive"),
+    )
+    agg = err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum("e_hw").alias("s_hw"),
+        F.sum("e_naive").alias("s_naive"),
+    )
+    mae_hw = F.round(
+        F.col("s_hw").cast("double") / F.col("n_eval").cast("double"), 6
+    )
+    mae_naive = F.round(
+        F.col("s_naive").cast("double") / F.col("n_eval").cast("double"), 6
+    )
+    return agg.select(
+        "event_type",
+        "n_eval",
+        mae_hw.alias("mae_hw"),
+        mae_naive.alias("mae_naive"),
+        # a perfectly-seasonal series has naive MAE 0: MASE undefined,
+        # NULL (try_divide), not an ANSI crash
+        F.round(F.try_divide(mae_hw, mae_naive), 6).alias("mase"),
+    )

@@ -8238,13 +8238,12 @@ def q_permutation_test(spark, sf_dir):
     return rel.permutation_test_price(load_table(spark, sf_dir, "orders"))
 
 
-@register(
-    "holt_winters",
-    # Recursive-CTE replay of the α=β=γ=1/2 Holt-Winters recurrence with
-    # the 7-slot season ring as a LIST column (struct-accumulator
-    # list_reduce is off-limits — DuckDB v1.0.0 mis-evaluates chained
-    # struct folds — but recursive CTEs carry lists correctly).
-    """
+# Recursive-CTE replay of the α=β=γ=1/2 Holt-Winters recurrence with
+# the 7-slot season ring as a LIST column (struct-accumulator
+# list_reduce is off-limits — DuckDB v1.0.0 mis-evaluates chained
+# struct folds — but recursive CTEs carry lists correctly). Shared by
+# holt_winters and its forecast_eval_mase scoreboard.
+_DUCK_HW_PREFIX = """
     WITH RECURSIVE g AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS DOUBLE) AS x
@@ -8288,7 +8287,13 @@ def q_permutation_test(spark, sf_dir):
                          0.5 * (sr.x - r.l - r.b) + 0.5 * r.s[1])
       FROM rec r JOIN series sr
         ON sr.event_type = r.event_type AND sr.rn = r.rn + 1
-    )
+    )"""
+
+
+@register(
+    "holt_winters",
+    _DUCK_HW_PREFIX
+    + """
     SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day, s.x,
            r.l AS level, r.b AS trend,
            r.s[1] AS season_next,
@@ -8299,6 +8304,100 @@ def q_permutation_test(spark, sf_dir):
 )
 def q_holt_winters(spark, sf_dir):
     return rel.holt_winters_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "forecast_eval_mase",
+    _DUCK_HW_PREFIX
+    + """,
+    scored AS (
+      SELECT s.event_type, s.day, s.x,
+             LAG(r.l + r.b + r.s[1]) OVER (PARTITION BY s.event_type
+                                           ORDER BY s.day) AS f_hw,
+             LAG(s.x, 7) OVER (PARTITION BY s.event_type
+                               ORDER BY s.day) AS f_naive
+      FROM series s LEFT JOIN rec r
+        ON r.event_type = s.event_type AND r.rn = s.rn
+    ),
+    err AS (
+      SELECT event_type,
+             ABS(CAST(ROUND(x - f_hw, 6) AS DECIMAL(18,6))) AS e_hw,
+             ABS(CAST(ROUND(x - f_naive, 6) AS DECIMAL(18,6))) AS e_naive
+      FROM scored WHERE f_hw IS NOT NULL AND f_naive IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             SUM(e_hw) AS s_hw, SUM(e_naive) AS s_naive
+      FROM err GROUP BY 1
+    )
+    SELECT event_type, n_eval,
+           ROUND(CAST(s_hw AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+             AS mae_hw,
+           ROUND(CAST(s_naive AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+             AS mae_naive,
+           ROUND(ROUND(CAST(s_hw AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+                 / NULLIF(ROUND(CAST(s_naive AS DOUBLE)
+                                / CAST(n_eval AS DOUBLE), 6), 0), 6)
+             AS mase
+    FROM agg
+    """,
+)
+def q_forecast_eval_mase(spark, sf_dir):
+    return rel.forecast_eval_mase(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "hit_rate_at_k",
+    """
+    WITH po AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tagged AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 5 AS fold
+      FROM po
+    ),
+    train AS MATERIALIZED (SELECT * FROM tagged WHERE fold <= 3),
+    test AS MATERIALIZED (SELECT * FROM tagged WHERE fold = 4),
+    co AS (
+      SELECT a.l_partkey AS i, b.l_partkey AS j,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM train a JOIN train b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    nbrs AS MATERIALIZED (
+      SELECT i, j FROM (
+        SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i
+                                        ORDER BY co DESC, j) AS rn
+        FROM co
+      ) WHERE rn <= 10
+    ),
+    held AS MATERIALIZED (
+      SELECT l_orderkey, MAX(l_partkey) AS holdout,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM test GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    queries AS (
+      SELECT t.l_orderkey, t.l_partkey, h.holdout
+      FROM test t JOIN held h ON h.l_orderkey = t.l_orderkey
+      WHERE t.l_partkey <> h.holdout
+    ),
+    hits AS (
+      SELECT DISTINCT q.l_orderkey
+      FROM queries q JOIN nbrs n
+        ON n.i = q.l_partkey AND n.j = q.holdout
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM held) AS n_baskets,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM held) AS DOUBLE), 6)
+             AS hit_rate
+    """,
+)
+def q_hit_rate_at_k(spark, sf_dir):
+    return rel.hit_rate_at_k(load_table(spark, sf_dir, "lineitem"))
 
 
 @register(

@@ -938,3 +938,40 @@ def test_markov_eval_unseen_state_uses_fallback(spark):
     # train nxt counts: click 1, view 1 -> tie broken to 'click'
     assert got["error"].pred == "click"
     assert got["error"].n_correct == 1
+
+
+def test_forecast_eval_mase_perfect_seasonal_series(spark):
+    """A strict weekly pattern: the seasonal-naive forecast is exact
+    (MAE 0) while HW's warm-up error is positive, so eval rows exist
+    and the naive MAE lower-bounds the comparison... on a noisy series
+    (spike every 3rd day breaks the weekly phase) the HW model must
+    beat naive: mase < 1."""
+    rows = []
+    eid = 0
+    for d in range(1, 29):
+        n = 4 + (3 if d % 7 == 0 else 0)
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 09:00:00", 1, "view", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = rel.forecast_eval_mase(events).collect()[0]
+    # weekly-exact series: naive is perfect from day 8 on
+    assert got.mae_naive == 0.0
+    assert got.n_eval == 21
+
+
+def test_hit_rate_counts_recoverable_baskets(spark):
+    """Parts 1,2 co-occur in every train basket: any test basket {1,2}
+    is a guaranteed hit; a test basket with a never-seen pairing
+    cannot hit. Output stays a single exact-ratio row."""
+    rows = []
+    # enough train baskets that some orderkeys land in folds 0-3
+    for o in range(1, 60):
+        rows += [(o, 1), (o, 2)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    got = rel.hit_rate_at_k(li).collect()[0]
+    # every test basket is {1,2}: holdout 2, query 1 -> neighbor hit
+    assert got.n_baskets > 0
+    assert got.n_hits == got.n_baskets and got.hit_rate == 1.0
