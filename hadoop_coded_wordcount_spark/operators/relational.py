@@ -6749,3 +6749,123 @@ def forecast_eval_mase(events: DataFrame) -> DataFrame:
         # NULL (try_divide), not an ANSI crash
         F.round(F.try_divide(mae_hw, mae_naive), 6).alias("mase"),
     )
+
+
+def funnel_significance(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test per funnel transition between the even/odd
+    user cohorts — the statistical wrapper the bare ``funnel_sequence``
+    counts need before anyone ships a conclusion: is cohort A's
+    view→click→purchase conversion actually different, step by step?
+
+    Funnels are per SESSION (30-min inactivity gap, the sessionize_events
+    boundary), not per user lifetime — on a dense stream every user
+    eventually does everything, which collapses every rate to 1 and the
+    z to 0/0; sessions keep the conversion question real. Step flags
+    collapse to one row per session (windows + one shuffle); each
+    transition contributes (reached, converted) counts per cohort, and
+    the pooled z assembles from exact integer ratios — divisions and
+    one √ on identical IEEE inputs, rounded once. Degenerate strata
+    (zero reached, pooled p ∈ {0,1}) yield NULL z via try_divide
+    rather than a crash.
+    """
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(sec).over(w)
+    opens = (prev.isNull() | (sec - prev > F.lit(1800))).cast("int")
+    sid = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessed = events.select("user_id", "ts", "event_id", "event_type").select(
+        "user_id", "event_type", sid.alias("sid")
+    )
+    flags = sessed.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "s_view"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "s_click"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("s_purchase"),
+    )
+    cohort = (F.col("user_id") % 2 == 0).alias("cohort_a")
+    per = flags.select(cohort, "s_view", "s_click", "s_purchase")
+
+    def step(name, reached, conv):
+        g = per.where(F.col(reached) == 1).groupBy().agg(
+            F.sum(F.when(F.col("cohort_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("cohort_a"), F.col(conv)))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(~F.col("cohort_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(~F.col("cohort_a"), F.col(conv)))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+        n2, c2 = F.col("n2").cast("double"), F.col("c2").cast("double")
+        p1, p2 = c1 / n1, c2 / n2
+        pp = (c1 + c2) / (n1 + n2)
+        se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+        return g.select(
+            F.lit(name).alias("transition"),
+            "n1",
+            "c1",
+            "n2",
+            "c2",
+            F.round(p1, 6).alias("rate_a"),
+            F.round(p2, 6).alias("rate_b"),
+            F.round(F.try_divide(p1 - p2, se), 6).alias("z"),
+        )
+
+    return step("view->click", "s_view", "s_click").unionAll(
+        step("click->purchase", "s_click", "s_purchase")
+    )
+
+
+def mde_power_analysis(events: DataFrame) -> DataFrame:
+    """Minimum detectable effect for the purchase-conversion A/B design
+    at α = 0.05 (two-sided) and 80% power, given the OBSERVED baseline
+    rate and the even/odd cohort sizes — the pre-registration number an
+    experimenter needs before trusting ``ab_test_conversion``'s verdict
+    ("could this test even see a 1-point lift?").
+
+    MDE = (z_{α/2}+z_β)·√(2·p̄(1−p̄)/n̄) with the z constants rounded
+    to 6 dp (1.959964, 0.841621) and n̄ the harmonic mean of the two
+    cohort sizes; every other input is an exact integer ratio, so the
+    closed form is engine-stable after its single rounding.
+    """
+    per = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    g = per.groupBy().agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n_h = F.lit(2.0) * na * nb / (na + nb)
+    mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / n_h
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("baseline_rate"),
+        F.round(n_h, 6).alias("harmonic_n"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(F.try_divide(mde, p), 6).alias("mde_rel"),
+    )

@@ -7635,6 +7635,136 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "funnel_significance",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) // 1000000
+                       - epoch_us(prev) // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    flags AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS s_view,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS s_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS s_purchase
+      FROM sess GROUP BY 1, 2
+    ),
+    per AS MATERIALIZED (
+      SELECT user_id % 2 = 0 AS cohort_a, s_view, s_click, s_purchase
+      FROM flags
+    ),
+    s1 AS (
+      SELECT CAST(SUM(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN cohort_a THEN s_click ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN NOT cohort_a THEN s_click ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM per WHERE s_view = 1
+    ),
+    s2 AS (
+      SELECT CAST(SUM(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN cohort_a THEN s_purchase ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN NOT cohort_a THEN s_purchase ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM per WHERE s_click = 1
+    ),
+    both_steps AS (
+      SELECT 'view->click' AS transition, * FROM s1
+      UNION ALL
+      SELECT 'click->purchase' AS transition, * FROM s2
+    )
+    SELECT transition, n1, c1, n2, c2,
+           ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_b,
+           ROUND((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / NULLIF(SQRT((CAST(c1 + c2 AS DOUBLE)
+                                / CAST(n1 + n2 AS DOUBLE))
+                               * (1.0 - CAST(c1 + c2 AS DOUBLE)
+                                        / CAST(n1 + n2 AS DOUBLE))
+                               * (1.0 / CAST(n1 AS DOUBLE)
+                                  + 1.0 / CAST(n2 AS DOUBLE))), 0), 6)
+             AS z
+    FROM both_steps
+    """,
+)
+def q_funnel_significance(spark, sf_dir):
+    return rel.funnel_significance(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "mde_power",
+    """
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(SUM(conv) AS BIGINT) AS n_conv,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS baseline_rate,
+           ROUND(2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 6)
+             AS harmonic_n,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(2.0 * (CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n_conv AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                        / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE)))), 6) AS mde_abs,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(2.0 * (CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n_conv AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                        / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE))))
+                 / NULLIF(CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE), 0),
+                 6) AS mde_rel
+    FROM g
+    """,
+)
+def q_mde_power(spark, sf_dir):
+    return rel.mde_power_analysis(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "ipw_ate",
     """
     WITH joined AS (

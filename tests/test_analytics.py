@@ -975,3 +975,48 @@ def test_hit_rate_counts_recoverable_baskets(spark):
     # every test basket is {1,2}: holdout 2, query 1 -> neighbor hit
     assert got.n_baskets > 0
     assert got.n_hits == got.n_baskets and got.hit_rate == 1.0
+
+
+def test_funnel_significance_planted_gap(spark):
+    """Cohort A sessions always click after view; cohort B never does:
+    rates 1.0 vs 0.0 and a strongly positive z."""
+    rows = []
+    eid = 0
+    for u in (2, 4, 6, 8, 1, 3, 5, 7):
+        for s in range(3):
+            eid += 1
+            rows.append((eid, f"2024-01-0{s+1} 10:00:00", u, "view", 1.0))
+            if u % 2 == 0:
+                eid += 1
+                rows.append((eid, f"2024-01-0{s+1} 10:05:00", u, "click", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.transition: r for r in rel.funnel_significance(events).collect()}
+    r = got["view->click"]
+    assert (r.rate_a, r.rate_b) == (1.0, 0.0)
+    assert (r.n1, r.n2) == (12, 12)
+    assert r.z > 4
+    # no session reaches click in cohort B -> purchase step still emits
+    assert got["click->purchase"].n2 == 0
+
+
+def test_mde_power_shrinks_with_sample_size(spark):
+    """Doubling the cohort sizes must shrink the detectable effect by
+    ~1/sqrt(2) at the same baseline rate."""
+    def mk(n_users):
+        rows = []
+        eid = 0
+        for u in range(n_users):
+            eid += 1
+            et = "purchase" if u % 5 == 0 else "view"
+            rows.append((eid, "2024-01-01 10:00:00", u, et, 1.0))
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    small = rel.mde_power_analysis(mk(100)).collect()[0]
+    big = rel.mde_power_analysis(mk(200)).collect()[0]
+    assert small.baseline_rate == big.baseline_rate == 0.2
+    assert big.mde_abs < small.mde_abs
+    assert abs(big.mde_abs / small.mde_abs - 2 ** -0.5) < 0.01
