@@ -9171,6 +9171,37 @@ _VERIFY_FIRST = [
     "gap_fill_locf",
     "snapshot_cdc",
     "try_funcs",
+    # (7) Round-5 late-session additions (stats-tests, graph, retrieval,
+    # ML-eval, causal, forecasting families) — never gate-checked; they
+    # queue behind the current window for the next rotation.
+    "ks_test",
+    "mann_whitney",
+    "acf_hourly",
+    "sprt_conversion",
+    "clustering_coefficient",
+    "adamic_adar",
+    "bm25_topk",
+    "naive_bayes_langid",
+    "gap_fill_interp",
+    "quantile_normalize",
+    "dq_rule_battery",
+    "feature_hashing",
+    "holt_winters",
+    "permutation_test",
+    "theil_sen_trend",
+    "stump_split",
+    "cv_fold_metrics",
+    "conformal_interval",
+    "pca_power_iteration",
+    "diff_in_diff",
+    "item_item_cosine",
+    "jarque_bera",
+    "ipw_ate",
+    "markov_eval",
+    "forecast_eval_mase",
+    "hit_rate_at_k",
+    "funnel_significance",
+    "mde_power",
 ]
 
 
