@@ -6869,3 +6869,148 @@ def mde_power_analysis(events: DataFrame) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(F.try_divide(mde, p), 6).alias("mde_rel"),
     )
+
+
+def market_concentration_hhi(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ share_s² (×10,000 in the antitrust
+    convention) plus the effective number of competitors 1/Σshare² —
+    the market-structure lens :func:`gini_lorenz`'s inequality curve
+    doesn't give (HHI weights the HEAD: one 50% supplier moves HHI far
+    more than many 2% ones).
+
+    Exactness: revenue sums are DECIMAL; each share is one double
+    division of exact decimals, squared and ROUNDED TO 10 dp into
+    DECIMAL before the Σ (order-exact; 10 dp because shares² live at
+    1e-4 scale and 6 dp would quantize small suppliers to zero). Scale:
+    one fact shuffle on suppkey, broadcast dims, nation-sized output.
+    """
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (
+                        F.lit(1).cast("decimal(18,6)")
+                        - F.col("l_discount").cast("decimal(18,6)")
+                    )
+                ).cast("decimal(38,12)")
+            ).alias("r")
+        )
+    )
+    dims = supplier.join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    per_sup = rev.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("n_name", "r")
+    tot = per_sup.groupBy("n_name").agg(F.sum("r").alias("t"))
+    share2 = (
+        per_sup.join(F.broadcast(tot), "n_name")
+        .select(
+            "n_name",
+            F.round(
+                (
+                    F.col("r").cast("double") / F.col("t").cast("double")
+                )
+                * (
+                    F.col("r").cast("double") / F.col("t").cast("double")
+                ),
+                10,
+            )
+            .cast("decimal(18,10)")
+            .alias("s2"),
+        )
+    )
+    return (
+        share2.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("s2").alias("sum_s2"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.round(F.col("sum_s2").cast("double") * 10000, 6).alias("hhi"),
+            F.round(
+                F.lit(1.0) / F.col("sum_s2").cast("double"), 6
+            ).alias("effective_competitors"),
+        )
+    )
+
+
+def retention_decay_fit(orders: DataFrame) -> DataFrame:
+    """Exponential-decay fit of customer-cohort retention: regress
+    ln(retention) on cohort age in months and report the decay rate
+    and half-life — the single-number summary of the whole
+    ``cohort_retention`` triangle ("we lose X%/month; half the cohort
+    is gone after H months").
+
+    Retention(cohort, age) = active/size from exact integer counts;
+    each ln(rate) rounds to 6 dp into DECIMAL (ages with zero actives
+    drop — ln undefined — and age 0 anchors at ln 1 = 0); the fit is
+    the closed-form decimal-moment regression pooled across cohorts.
+    One orders scan + a cohort×age aggregate; everything after is
+    triangle-sized.
+    """
+    base = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+    ).distinct()
+    first = base.groupBy("o_custkey").agg(F.min("mo").alias("cohort"))
+    aged = base.join(first, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("mo") - F.year("cohort")) * 12
+            + (F.month("mo") - F.month("cohort"))
+        ).cast("bigint").alias("age"),
+        "o_custkey",
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    cells = aged.groupBy("cohort", "age").agg(
+        F.countDistinct("o_custkey").alias("active")
+    )
+    rates = cells.join(F.broadcast(sizes), "cohort").select(
+        "age",
+        F.round(
+            F.log(
+                F.col("active").cast("double") / F.col("size").cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lnr"),
+    )
+    xd = F.col("age").cast("decimal(18,6)")
+    m = rates.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("lnr").alias("sy"),
+        F.sum((xd * F.col("lnr")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,12)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("decay_rate"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / nd,
+            6,
+        ).alias("intercept"),
+        F.round(F.lit(0.693147) / -slope, 6).alias("half_life_months"),
+    )

@@ -7635,6 +7635,107 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "market_concentration",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * (CAST(1 AS DECIMAL(19,6))
+                         - CAST(l_discount AS DECIMAL(19,6)))
+                      AS DECIMAL(38,12))) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    dims AS (
+      SELECT s_suppkey, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    per_sup AS (
+      SELECT d.n_name, r FROM rev JOIN dims d ON l_suppkey = s_suppkey
+    ),
+    tot AS (SELECT n_name, SUM(r) AS t FROM per_sup GROUP BY 1),
+    share2 AS (
+      SELECT p.n_name,
+             CAST(ROUND((CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+                        * (CAST(r AS DOUBLE) / CAST(t AS DOUBLE)), 10)
+                  AS DECIMAL(18,10)) AS s2
+      FROM per_sup p JOIN tot USING (n_name)
+    )
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(s2) AS DOUBLE) * 10000, 6) AS hhi,
+           ROUND(1.0 / CAST(SUM(s2) AS DOUBLE), 6)
+             AS effective_competitors
+    FROM share2 GROUP BY 1
+    """,
+)
+def q_market_concentration(spark, sf_dir):
+    return rel.market_concentration_hhi(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "retention_decay",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS mo
+      FROM orders
+    ),
+    frst AS MATERIALIZED (
+      SELECT o_custkey, MIN(mo) AS cohort FROM base GROUP BY 1
+    ),
+    aged AS (
+      SELECT f.cohort,
+             CAST((year(mo) - year(cohort)) * 12
+                  + (month(mo) - month(cohort)) AS BIGINT) AS age,
+             b.o_custkey
+      FROM base b JOIN frst f ON f.o_custkey = b.o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS sz FROM frst GROUP BY 1
+    ),
+    cells AS (
+      SELECT cohort, age, COUNT(DISTINCT o_custkey) AS active
+      FROM aged GROUP BY 1, 2
+    ),
+    rates AS (
+      SELECT age,
+             CAST(ROUND(LN(CAST(active AS DOUBLE) / CAST(sz AS DOUBLE)),
+                        6) AS DECIMAL(18,6)) AS lnr
+      FROM cells JOIN sizes USING (cohort)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(age AS DECIMAL(18,6))) AS sx,
+             SUM(lnr) AS sy,
+             SUM(CAST(CAST(age AS DECIMAL(19,6)) * CAST(lnr AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(age AS DECIMAL(19,6)) * CAST(age AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxx
+      FROM rates
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS sraw,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+      FROM m
+    )
+    SELECT n AS n_points,
+           ROUND(sraw, 6) AS decay_rate,
+           ROUND((syd - sraw * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(0.693147 / -sraw, 6) AS half_life_months
+    FROM fit
+    """,
+)
+def q_retention_decay(spark, sf_dir):
+    return rel.retention_decay_fit(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "funnel_significance",
     """
     WITH marked AS (
@@ -9202,6 +9303,8 @@ _VERIFY_FIRST = [
     "hit_rate_at_k",
     "funnel_significance",
     "mde_power",
+    "market_concentration",
+    "retention_decay",
 ]
 
 

@@ -1020,3 +1020,46 @@ def test_mde_power_shrinks_with_sample_size(spark):
     assert small.baseline_rate == big.baseline_rate == 0.2
     assert big.mde_abs < small.mde_abs
     assert abs(big.mde_abs / small.mde_abs - 2 ** -0.5) < 0.01
+
+
+def test_hhi_monopoly_vs_uniform(spark):
+    """One-supplier nation: HHI = 10000, effective competitors 1; a
+    4-equal-supplier nation: HHI = 2500, effective competitors 4."""
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0)] + [(10 + s, 25.0, 0.0) for s in range(4)],
+        "l_suppkey bigint, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 1)] + [(10 + s, 2) for s in range(4)],
+        "s_suppkey bigint, s_nationkey bigint",
+    )
+    nation = spark.createDataFrame(
+        [(1, "MONO"), (2, "QUAD")], "n_nationkey bigint, n_name string"
+    )
+    got = {r.n_name: r for r in
+           rel.market_concentration_hhi(li, supplier, nation).collect()}
+    assert got["MONO"].hhi == 10000.0
+    assert got["MONO"].effective_competitors == 1.0
+    assert got["QUAD"].hhi == 2500.0
+    assert got["QUAD"].effective_competitors == 4.0
+
+
+def test_retention_decay_recovers_planted_halving(spark):
+    """A cohort that halves every month: ln r = -ln2 * age exactly, so
+    the fitted decay is -ln2 and the half-life is 1 month."""
+    rows = []
+    k = 0
+    n0 = 32
+    for age in range(5):
+        active = n0 >> age  # 32,16,8,4,2
+        for c in range(active):
+            k += 1
+            rows.append((k, c, f"2020-{1 + age:02d}-10"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    got = rel.retention_decay_fit(orders).collect()[0]
+    import math
+    assert got.n_points == 5
+    assert abs(got.decay_rate - (-math.log(2))) < 1e-5
+    assert abs(got.half_life_months - 1.0) < 1e-4
