@@ -7014,3 +7014,133 @@ def retention_decay_fit(orders: DataFrame) -> DataFrame:
         ).alias("intercept"),
         F.round(F.lit(0.693147) / -slope, 6).alias("half_life_months"),
     )
+
+
+def user_burstiness(events: DataFrame) -> DataFrame:
+    """Goh–Barabási burstiness per user: B = (σ−μ)/(σ+μ) of the
+    inter-event gaps — −1 for a metronome, 0 for Poisson, →1 for
+    bursts — the per-entity companion of the population-level
+    ``overdispersion_index`` (a fleet can look Poisson while every
+    user inside it is bursty).
+
+    Gaps are exact integer seconds (epoch differences over the
+    (ts, event_id) total order); μ and σ come from exact decimal
+    moment sums per user — population σ, one √ on identical IEEE
+    inputs — and B is one more division, rounded. Users with < 2 gaps
+    are excluded (σ undefined). One window + one aggregate, both on
+    the user shuffle.
+    """
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id", sec.alias("s"))
+        .select(
+            "user_id", (F.col("s") - F.lag("s").over(w)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+    )
+    gd = F.col("g").cast("decimal(18,0)")
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(gd).alias("sg"),
+        F.sum((gd * gd).cast("decimal(38,0)")).alias("sgg"),
+    ).where(F.col("n_gaps") >= 2)
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / nd
+    var = F.col("sgg").cast("double") / nd - mu * mu
+    sig = F.sqrt(var)
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(F.try_divide(sig, mu), 6).alias("cv"),
+        F.round(F.try_divide(sig - mu, sig + mu), 6).alias("burstiness"),
+    )
+
+
+def cross_correlation_types(
+    events: DataFrame,
+    type_x: str = "error",
+    type_y: str = "purchase",
+    max_lag: int = 4,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event-type hourly series:
+    r_xy(k) for k in −max_lag..max_lag — positive-k peaks mean x LEADS
+    y by k hours (errors foreshadowing churn, views foreshadowing
+    purchases), the two-series completion of :func:`acf_hourly_counts`.
+
+    Same integer lattice: on the shared zero-filled hour grid,
+    u_t = n·x_t − Σx and v_t = n·y_t − Σy are exact BIGINTs, each
+    numerator Σ u_t·v_{t+k} is an exact integer, and the denominator
+    is √Σu²·√Σv² — two correctly-rounded √ on exact-integer doubles
+    (the product Σu²·Σv² could overflow the integer lattice; the
+    split-√ form never does). Grid-bounded cost, data-bounded only in
+    the one hourly aggregate.
+    """
+    hourly = (
+        events.where(F.col("event_type").isin(type_x, type_y))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .pivot("event_type", [type_x, type_y])
+        .agg(F.count(F.lit(1)))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        )
+    )
+    filled = grid.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce(type_x, F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce(type_y, F.lit(0)).cast("bigint").alias("y"),
+    )
+    st = filled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    uv = filled.crossJoin(F.broadcast(st)).select(
+        "h",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("u"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("v"),
+    )
+    wlag = Window.orderBy("h")
+    lags = list(range(-max_lag, max_lag + 1))
+    shifted = uv.select(
+        "u",
+        "v",
+        *[
+            F.lead("v", k).over(wlag).alias(f"vp{k}")
+            if k >= 0
+            else F.lag("v", -k).over(wlag).alias(f"vm{-k}")
+            for k in lags
+        ],
+    )
+    den_u = F.sum(F.col("u") * F.col("u"))
+    den_v = F.sum(F.col("v") * F.col("v"))
+    aggs = []
+    for k in lags:
+        col = f"vp{k}" if k >= 0 else f"vm{-k}"
+        aggs.append(F.sum(F.col("u") * F.col(col)).alias(f"num_{k + max_lag}"))
+    m = shifted.agg(den_u.alias("du"), den_v.alias("dv"), *aggs)
+    rows = [
+        m.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.round(
+                F.col(f"num_{k + max_lag}").cast("double")
+                / (
+                    F.sqrt(F.col("du").cast("double"))
+                    * F.sqrt(F.col("dv").cast("double"))
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+        for k in lags
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -7635,6 +7635,116 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             s - LAG(s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS g
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+        FROM events
+      )
+    ),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(CAST(g AS DECIMAL(18,0))) AS sg,
+             SUM(CAST(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sgg
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    d AS (
+      SELECT user_id, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+             SQRT(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                  - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+               AS sig
+      FROM m
+    )
+    SELECT user_id, n_gaps, ROUND(mu, 6) AS mean_gap_s,
+           ROUND(sig / NULLIF(mu, 0), 6) AS cv,
+           ROUND((sig - mu) / NULLIF(sig + mu, 0), 6) AS burstiness
+    FROM d
+    """,
+)
+def q_burstiness(spark, sf_dir):
+    return rel.user_burstiness(load_table(spark, sf_dir, "events"))
+
+
+_XCORR_NUMS = ",\n             ".join(
+    f"SUM(u * {'vp' + str(k) if k >= 0 else 'vm' + str(-k)}) AS n_{k + 4}"
+    for k in range(-4, 5)
+)
+_XCORR_SHIFTS = ",\n             ".join(
+    (
+        f"lead(v, {k}) OVER (ORDER BY h) AS vp{k}"
+        if k >= 0
+        else f"lag(v, {-k}) OVER (ORDER BY h) AS vm{-k}"
+    )
+    for k in range(-4, 5)
+)
+_XCORR_ROWS = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({k} AS INTEGER) AS lag,
+           ROUND(CAST(n_{k + 4} AS DOUBLE)
+                 / (SQRT(CAST(du AS DOUBLE)) * SQRT(CAST(dv AS DOUBLE))),
+                 6) AS xcorr FROM m"""
+    for k in range(-4, 5)
+)
+
+
+@register(
+    "xcorr_types",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('error', 'purchase') GROUP BY 1
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    filled AS (
+      SELECT g.h, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+      FROM grid g LEFT JOIN hourly USING (h)
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM filled
+    ),
+    uv AS (
+      SELECT h, n * x - sx AS u, n * y - sy AS v FROM filled, st
+    ),
+    shifted AS (
+      SELECT u, v,
+             {_XCORR_SHIFTS}
+      FROM uv
+    ),
+    m AS (
+      SELECT SUM(u * u) AS du, SUM(v * v) AS dv,
+             {_XCORR_NUMS}
+      FROM shifted
+    )
+{_XCORR_ROWS}
+    """,
+)
+def q_xcorr_types(spark, sf_dir):
+    return rel.cross_correlation_types(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "market_concentration",
     """
     WITH rev AS (
@@ -9305,6 +9415,8 @@ _VERIFY_FIRST = [
     "mde_power",
     "market_concentration",
     "retention_decay",
+    "burstiness",
+    "xcorr_types",
 ]
 
 

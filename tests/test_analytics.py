@@ -1063,3 +1063,53 @@ def test_retention_decay_recovers_planted_halving(spark):
     assert got.n_points == 5
     assert abs(got.decay_rate - (-math.log(2))) < 1e-5
     assert abs(got.half_life_months - 1.0) < 1e-4
+
+
+def test_burstiness_metronome_vs_bursty(spark):
+    """Equal gaps -> sigma=0 -> B=-1; a heavy-tailed gap mix pushes B
+    positive; a single-gap user is excluded."""
+    rows = []
+    eid = 0
+    # user 1: metronome, 5 events 60s apart
+    for t in range(5):
+        eid += 1
+        rows.append((eid, f"2024-01-01 10:{t:02d}:00", 1, "view", 1.0))
+    # user 2: bursty -- gaps 1,1,1,3600 seconds
+    for t, sec in enumerate([0, 1, 2, 3, 3603]):
+        eid += 1
+        rows.append((eid, None, 2, "view", 1.0))
+        rows[-1] = (eid, f"2024-01-01 {10 + sec // 3600:02d}:{(sec % 3600) // 60:02d}:{sec % 60:02d}", 2, "view", 1.0)
+    # user 3: one event only -> excluded
+    eid += 1
+    rows.append((eid, "2024-01-01 10:00:00", 3, "view", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r for r in rel.user_burstiness(events).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].burstiness == -1.0 and got[1].cv == 0.0
+    assert got[2].burstiness > 0.2  # (cv-1)/(cv+1) with cv=1.73
+
+
+def test_xcorr_planted_lead(spark):
+    """y is x shifted one hour later: the cross-correlation peaks at
+    lag +1 (x leads y) and is lower at lag 0."""
+    rows = []
+    eid = 0
+    for t in range(20):
+        n_err = 5 if t % 3 == 0 else 1
+        for _ in range(n_err):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {t:02d}:10:00", 1, "error", 1.0))
+    for t in range(20):
+        src = t - 1
+        n_p = 5 if src >= 0 and src % 3 == 0 else 1
+        for _ in range(n_p):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {t:02d}:40:00", 2, "purchase", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.lag: r.xcorr for r in rel.cross_correlation_types(events).collect()}
+    assert got[1] == max(got.values())
+    assert got[1] > 0.8 and got[1] > got[0]
