@@ -50,6 +50,9 @@ __all__ = [
     "triangle_count",
     "k_core",
     "link_prediction_jaccard",
+    "local_clustering_coefficient",
+    "adamic_adar",
+    "k_truss",
     "hits_ranking",
     "modularity_by_nation",
     "PR_SCALE",
@@ -1021,3 +1024,84 @@ def adamic_adar(edges: DataFrame, topn: int = 25) -> DataFrame:
         .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
         .limit(topn)
     )
+
+
+def k_truss(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """k-truss decomposition: iteratively drop edges supported by fewer
+    than k−2 triangles until stable — the EDGE-centric cohesion filter
+    that survives the hub-dominated cores :func:`k_core` keeps (a star
+    center has huge degree but zero triangles: cores keep it, trusses
+    don't). Returns the surviving edges with their in-truss support.
+
+    Each round recomputes common-neighbor counts with ONE wedge join on
+    the symmetrized edge list (the same join shape as
+    :func:`link_prediction_jaccard`'s candidate generation, bounded by
+    the kNN graph's degree cap), filters, and lazily checkpoints — the
+    k_core cadence. The peel is confluent (the fixpoint is unique), so
+    execution order cannot change the result; convergence is detected
+    by edge count (1 driver scalar per round) and a ``max_rounds``
+    guard RAISES rather than returning a non-fixpoint.
+    """
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    converged = prev_edges == 0
+    support = None
+    for _ in range(max_rounds):
+        if converged:
+            break
+        sym = cur.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).unionAll(
+            cur.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        w1 = sym.select(F.col("b").alias("n"), F.col("a").alias("u"))
+        w2 = sym.select(F.col("b").alias("n2"), F.col("a").alias("v"))
+        cn = (
+            w1.join(
+                w2, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v"))
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        )
+        support = (
+            cur.join(
+                cn,
+                (F.col("src") == F.col("u")) & (F.col("dst") == F.col("v")),
+                "left",
+            )
+            .select(
+                "src", "dst", F.coalesce("cn", F.lit(0)).alias("support")
+            )
+        )
+        nxt = (
+            support.where(F.col("support") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        converged = n == prev_edges
+        cur, prev_edges = nxt, n
+    if not converged:
+        raise RuntimeError(
+            f"k_truss: not converged after {max_rounds} rounds "
+            f"({prev_edges} edges remain)"
+        )
+    if prev_edges == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "src bigint, dst bigint, support bigint"
+        )
+    # one more support pass over the FIXPOINT edge set for the output
+    sym = cur.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(cur.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    w1 = sym.select(F.col("b").alias("n"), F.col("a").alias("u"))
+    w2 = sym.select(F.col("b").alias("n2"), F.col("a").alias("v"))
+    cn = (
+        w1.join(w2, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    return cur.join(
+        cn, (F.col("src") == F.col("u")) & (F.col("dst") == F.col("v"))
+    ).select("src", "dst", F.col("cn").alias("support"))

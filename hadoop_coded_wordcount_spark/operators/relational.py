@@ -7149,3 +7149,67 @@ def cross_correlation_types(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """View→purchase conversion-latency distribution: per user, the gap
+    from FIRST view to the first purchase AFTER it, summarized as
+    exact p50/p90/p99 over converting users plus the conversion share
+    — the "how long does the funnel take" number ``funnel_sequence``'s
+    step counts don't give.
+
+    Gaps are exact integer seconds; the percentiles come from the
+    bounded-state histogram formulation
+    (:func:`exact_percentiles_by_group` — percentile_cont semantics,
+    DuckDB's quantile_cont replays them). One user aggregate, one
+    histogram: nothing quadratic anywhere.
+    """
+    sec = F.col("ts").cast("timestamp").cast("long")
+    per = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", sec)).alias("v0"),
+    )
+    first_purchase = (
+        events.select("user_id", sec.alias("s"), "event_type")
+        .join(F.broadcast(per), "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("v0").isNotNull()
+            & (F.col("s") >= F.col("v0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("s").alias("p0"))
+    )
+    gaps = per.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        F.col("v0").isNotNull().alias("viewed"),
+        (F.col("p0") - F.col("v0")).alias("gap_s"),
+    )
+    base = gaps.where(F.col("viewed"))
+    counts = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+        F.sum(F.when(F.col("gap_s").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    pct_in = base.where(F.col("gap_s").isNotNull()).select(
+        F.lit(1).alias("g"), "gap_s"
+    )
+    pcts = exact_percentiles_by_group(
+        pct_in, "g", "gap_s", [0.5, 0.9, 0.99]
+    ).select(
+        F.col("p0").alias("p50_s"),
+        F.col("p1").alias("p90_s"),
+        F.col("p2").alias("p99_s"),
+    )
+    return counts.crossJoin(pcts).select(
+        "n_viewers",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_viewers").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        F.round("p50_s", 6).alias("p50_s"),
+        F.round("p90_s", 6).alias("p90_s"),
+        F.round("p99_s", 6).alias("p99_s"),
+    )

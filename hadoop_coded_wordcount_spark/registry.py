@@ -7634,6 +7634,91 @@ def q_adamic_adar(spark, sf_dir):
     )
 
 
+def _truss_round(i: int, k: int) -> str:
+    """One k-truss peel round: common-neighbor support per edge from a
+    wedge join on the symmetrized survivors, filter at k-2 — mirrors
+    graph.k_truss step for step; extra rounds are idempotent at the
+    fixpoint."""
+    return f""",
+    tsym{i} AS (
+      SELECT src AS a, dst AS b FROM e{i}
+      UNION ALL SELECT dst AS a, src AS b FROM e{i}
+    ),
+    tcn{i} AS (
+      SELECT s1.a AS u, s2.a AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM tsym{i} s1 JOIN tsym{i} s2 ON s1.b = s2.b AND s1.a < s2.a
+      GROUP BY 1, 2
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i} e
+      JOIN tcn{i} c ON c.u = e.src AND c.v = e.dst
+      WHERE c.cn >= {k - 2}
+    )"""
+
+
+@register(
+    "k_truss",
+    _DUCK_KNN_EDGES
+    + "".join(_truss_round(i, 3) for i in range(8))
+    + """
+    SELECT e.src, e.dst, c.cn AS support
+    FROM e8 e JOIN tcn7 c ON c.u = e.src AND c.v = e.dst
+    """,
+)
+def q_k_truss(spark, sf_dir):
+    return gr.k_truss(
+        gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+@register(
+    "time_to_convert",
+    """
+    WITH sec AS MATERIALIZED (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+      FROM events
+    ),
+    per AS MATERIALIZED (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN s END) AS v0
+      FROM sec GROUP BY 1
+    ),
+    fp AS (
+      SELECT sec.user_id, MIN(s) AS p0
+      FROM sec JOIN per ON per.user_id = sec.user_id
+      WHERE event_type = 'purchase' AND v0 IS NOT NULL AND s >= v0
+      GROUP BY 1
+    ),
+    gaps AS (
+      SELECT p.user_id, f.p0 - p.v0 AS gap_s
+      FROM per p LEFT JOIN fp f ON f.user_id = p.user_id
+      WHERE p.v0 IS NOT NULL
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+             CAST(SUM(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM gaps
+    ),
+    q AS (
+      SELECT quantile_cont(gap_s, 0.5) AS p50,
+             quantile_cont(gap_s, 0.9) AS p90,
+             quantile_cont(gap_s, 0.99) AS p99
+      FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT n_viewers, n_converted,
+           ROUND(CAST(n_converted AS DOUBLE) / CAST(n_viewers AS DOUBLE),
+                 6) AS conversion_rate,
+           ROUND(p50, 6) AS p50_s, ROUND(p90, 6) AS p90_s,
+           ROUND(p99, 6) AS p99_s
+    FROM counts, q
+    """,
+)
+def q_time_to_convert(spark, sf_dir):
+    return rel.time_to_convert(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "burstiness",
     """
@@ -9417,6 +9502,8 @@ _VERIFY_FIRST = [
     "retention_decay",
     "burstiness",
     "xcorr_types",
+    "k_truss",
+    "time_to_convert",
 ]
 
 

@@ -1113,3 +1113,29 @@ def test_xcorr_planted_lead(spark):
     got = {r.lag: r.xcorr for r in rel.cross_correlation_types(events).collect()}
     assert got[1] == max(got.values())
     assert got[1] > 0.8 and got[1] > got[0]
+
+
+def test_time_to_convert_hand_gaps(spark):
+    """3 viewers, 2 convert with gaps 60s and 180s; pre-view purchases
+    don't count; percentiles interpolate the 2-point set."""
+    rows = [
+        # user 1: view at t0, purchase 60s later
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 10:01:00", 1, "purchase", 1.0),
+        # user 2: purchase BEFORE view (ignored), then +180s after view
+        (3, "2024-01-01 09:00:00", 2, "purchase", 1.0),
+        (4, "2024-01-01 10:00:00", 2, "view", 1.0),
+        (5, "2024-01-01 10:03:00", 2, "purchase", 1.0),
+        # user 3: view only
+        (6, "2024-01-01 10:00:00", 3, "view", 1.0),
+        # user 4: purchase only -> not a viewer
+        (7, "2024-01-01 10:00:00", 4, "purchase", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = rel.time_to_convert(events).collect()[0]
+    assert (got.n_viewers, got.n_converted) == (3, 2)
+    assert got.conversion_rate == round(2 / 3, 6)
+    assert got.p50_s == 120.0  # midpoint of {60, 180}
+    assert got.p90_s == round(60 + 0.9 * 120, 6)

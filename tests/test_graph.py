@@ -394,3 +394,34 @@ def test_adamic_adar_excludes_adjacent_pairs(spark):
     so no candidate survives the anti-join."""
     e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
     assert gr.adamic_adar(e).collect() == []
+
+
+def test_k_truss_peels_pendants_and_keeps_triangles(spark):
+    """Triangle + pendant chain: the 3-truss is exactly the triangle
+    (every edge in 1 triangle); the pendant edges peel away."""
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+    got = {(r.src, r.dst): r.support for r in gr.k_truss(e, k=3).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_k_truss_star_is_empty_and_k4_survives(spark):
+    """A star has no triangles -> empty 3-truss; K4's edges each sit in
+    2 triangles -> the whole K4 survives k=4."""
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert gr.k_truss(star, k=3).collect() == []
+    k4 = _edges(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    got = gr.k_truss(k4, k=4).collect()
+    assert len(got) == 6 and all(r.support == 2 for r in got)
+
+
+def test_k_truss_bridge_between_triangles_peels(spark):
+    """Two disjoint triangles joined by a bridge edge: the bridge sits
+    in no triangle and peels; both triangles survive intact — and the
+    re-count after peeling leaves their supports at 1."""
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+    )
+    got = {(r.src, r.dst): r.support for r in gr.k_truss(e, k=3).collect()}
+    assert (3, 4) not in got
+    assert len(got) == 6 and all(v == 1 for v in got.values())
