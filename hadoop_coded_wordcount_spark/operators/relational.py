@@ -7213,3 +7213,240 @@ def time_to_convert(events: DataFrame) -> DataFrame:
         F.round("p90_s", 6).alias("p90_s"),
         F.round("p99_s", 6).alias("p99_s"),
     )
+
+
+def price_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Own-price elasticity of demand per brand: regress ln(quantity)
+    on ln(avg price) across a brand's parts — the log-log slope IS the
+    elasticity (−2 ⇒ 1% price rise costs 2% volume), the pricing-desk
+    summary none of the revenue rollups give.
+
+    Per part: exact integer total quantity and decimal price mean (one
+    double division); both ln terms round once to 6 dp into DECIMAL and
+    the per-brand slope/R² come from the closed-form decimal moments
+    (the ``zipf_fit`` discipline). Brands with < 3 parts drop (a 2-point
+    fit is noise). One fact aggregate keyed by partkey, broadcast dim,
+    brand-sized output.
+    """
+    per_part = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "sp"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    x = F.round(
+        F.log(
+            F.col("sp").cast("double") / F.col("n_lines").cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("q").cast("double")), 6).cast("decimal(18,6)")
+    t = per_part.select(
+        "p_brand",
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).cast("decimal(38,12)").alias("xy"),
+        (x * x).cast("decimal(38,12)").alias("xx"),
+        (y * y).cast("decimal(38,12)").alias("yy"),
+    )
+    m = t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    ).where(F.col("n_parts") >= 3)
+    nd = F.col("n_parts").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return m.select(
+        "p_brand",
+        "n_parts",
+        F.round(F.try_divide(cov, varx), 6).alias("elasticity"),
+        F.round(
+            F.try_divide(cov * cov, varx * vary), 6
+        ).alias("r2"),
+    )
+
+
+#: Monthly discount factors 0.95^age, age 0..84, quantized to 12 dp per
+#: step (one HALF_UP round per multiply) — ONE constant list feeds both
+#: the Spark join table and the DuckDB VALUES list, so the discounting
+#: is exact and identical by construction.
+DISCOUNT_POWERS = [
+    "1",
+    "0.950000000000",
+    "0.902500000000",
+    "0.857375000000",
+    "0.814506250000",
+    "0.773780937500",
+    "0.735091890625",
+    "0.698337296094",
+    "0.663420431289",
+    "0.630249409725",
+    "0.598736939239",
+    "0.568800092277",
+    "0.540360087663",
+    "0.513342083280",
+    "0.487674979116",
+    "0.463291230160",
+    "0.440126668652",
+    "0.418120335219",
+    "0.397214318458",
+    "0.377353602535",
+    "0.358485922408",
+    "0.340561626288",
+    "0.323533544974",
+    "0.307356867725",
+    "0.291989024339",
+    "0.277389573122",
+    "0.263520094466",
+    "0.250344089743",
+    "0.237826885256",
+    "0.225935540993",
+    "0.214638763943",
+    "0.203906825746",
+    "0.193711484459",
+    "0.184025910236",
+    "0.174824614724",
+    "0.166083383988",
+    "0.157779214789",
+    "0.149890254050",
+    "0.142395741348",
+    "0.135275954281",
+    "0.128512156567",
+    "0.122086548739",
+    "0.115982221302",
+    "0.110183110237",
+    "0.104673954725",
+    "0.099440256989",
+    "0.094468244140",
+    "0.089744831933",
+    "0.085257590336",
+    "0.080994710819",
+    "0.076944975278",
+    "0.073097726514",
+    "0.069442840188",
+    "0.065970698179",
+    "0.062672163270",
+    "0.059538555107",
+    "0.056561627352",
+    "0.053733545984",
+    "0.051046868685",
+    "0.048494525251",
+    "0.046069798988",
+    "0.043766309039",
+    "0.041577993587",
+    "0.039499093908",
+    "0.037524139213",
+    "0.035647932252",
+    "0.033865535639",
+    "0.032172258857",
+    "0.030563645914",
+    "0.029035463618",
+    "0.027583690437",
+    "0.026204505915",
+    "0.024894280619",
+    "0.023649566588",
+    "0.022467088259",
+    "0.021343733846",
+    "0.020276547154",
+    "0.019262719796",
+    "0.018299583806",
+    "0.017384604616",
+    "0.016515374385",
+    "0.015689605666",
+    "0.014905125383",
+    "0.014159869114",
+    "0.013451875658"
+]
+
+
+def npv_clv(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Discounted customer lifetime value per market segment: every
+    order's value is discounted by 0.95^age-in-months from the
+    customer's FIRST order, summed per customer, averaged per segment —
+    the net-present-value view the undiscounted ``clv_cohort`` curve
+    overstates for long-lived cohorts.
+
+    The discount power table is a PRECOMPUTED 85-row decimal constant
+    (module literal, one per-step HALF_UP quantize — no pow(), no libm)
+    broadcast onto the order scan; each discounted value is DECIMAL ×
+    DECIMAL rounded once to 6 dp, and the segment rollup sums exact
+    decimals. Ages beyond the table clamp to the last factor.
+    """
+    spark = orders.sparkSession
+    powers = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(DISCOUNT_POWERS)],
+        "age int, factor string",
+    ).select("age", F.col("factor").cast("decimal(16,12)").alias("factor"))
+    base = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+    )
+    first = base.groupBy("o_custkey").agg(F.min("mo").alias("m0"))
+    aged = base.join(first, "o_custkey").select(
+        "o_custkey",
+        "p",
+        F.least(
+            (
+                (F.year("mo") - F.year("m0")) * 12
+                + (F.month("mo") - F.month("m0"))
+            ).cast("int"),
+            F.lit(len(DISCOUNT_POWERS) - 1),
+        ).alias("age"),
+    )
+    disc = aged.join(F.broadcast(powers), "age").select(
+        "o_custkey",
+        "p",
+        F.round(F.col("p") * F.col("factor"), 6)
+        .cast("decimal(18,6)")
+        .alias("dp"),
+    )
+    per_cust = disc.groupBy("o_custkey").agg(
+        F.sum("p").alias("rev"), F.sum("dp").alias("npv")
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").alias("srev"),
+            F.sum("npv").alias("snpv"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(
+                F.col("srev").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("avg_revenue"),
+            F.round(
+                F.col("snpv").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("avg_npv"),
+            F.round(
+                F.col("snpv").cast("double") / F.col("srev").cast("double"),
+                6,
+            ).alias("discount_ratio"),
+        )
+    )

@@ -7634,6 +7634,109 @@ def q_adamic_adar(spark, sf_dir):
     )
 
 
+@register(
+    "price_elasticity",
+    """
+    WITH per_part AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sp,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT p_brand,
+             CAST(ROUND(LN(CAST(sp AS DOUBLE) / CAST(n_lines AS DOUBLE)),
+                        6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(LN(CAST(q AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM per_part JOIN part ON p_partkey = l_partkey
+    ),
+    m AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS syy
+      FROM t GROUP BY 1 HAVING COUNT(*) >= 3
+    )
+    SELECT p_brand, n_parts,
+           ROUND((CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS elasticity,
+           ROUND(((CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / NULLIF((CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n_parts AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                          0), 6) AS r2
+    FROM m
+    """,
+)
+def q_price_elasticity(spark, sf_dir):
+    return rel.price_elasticity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+_DUCK_POWERS = ",\n             ".join(
+    f"({i}, CAST('{v}' AS DECIMAL(16,12)))"
+    for i, v in enumerate(rel.DISCOUNT_POWERS)
+)
+
+
+@register(
+    "npv_clv",
+    f"""
+    WITH powers(age, factor) AS (
+      VALUES {_DUCK_POWERS}
+    ),
+    base AS MATERIALIZED (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS mo,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      FROM orders
+    ),
+    frst AS (SELECT o_custkey, MIN(mo) AS m0 FROM base GROUP BY 1),
+    aged AS (
+      SELECT b.o_custkey, p,
+             LEAST(CAST((year(mo) - year(m0)) * 12
+                        + (month(mo) - month(m0)) AS INTEGER), 84) AS age
+      FROM base b JOIN frst f ON f.o_custkey = b.o_custkey
+    ),
+    disc AS (
+      SELECT o_custkey, p,
+             CAST(ROUND(CAST(p AS DECIMAL(19,6))
+                        * CAST(factor AS DECIMAL(19,12)), 6)
+                  AS DECIMAL(18,6)) AS dp
+      FROM aged JOIN powers USING (age)
+    ),
+    per_cust AS (
+      SELECT o_custkey, SUM(p) AS rev, SUM(dp) AS npv
+      FROM disc GROUP BY 1
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6) AS avg_revenue,
+           ROUND(CAST(SUM(npv) AS DOUBLE) / COUNT(*), 6) AS avg_npv,
+           ROUND(CAST(SUM(npv) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6)
+             AS discount_ratio
+    FROM per_cust JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def q_npv_clv(spark, sf_dir):
+    return rel.npv_clv(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def _truss_round(i: int, k: int) -> str:
     """One k-truss peel round: common-neighbor support per edge from a
     wedge join on the symmetrized survivors, filter at k-2 — mirrors
@@ -9504,6 +9607,8 @@ _VERIFY_FIRST = [
     "xcorr_types",
     "k_truss",
     "time_to_convert",
+    "price_elasticity",
+    "npv_clv",
 ]
 
 

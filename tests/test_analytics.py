@@ -1139,3 +1139,47 @@ def test_time_to_convert_hand_gaps(spark):
     assert got.conversion_rate == round(2 / 3, 6)
     assert got.p50_s == 120.0  # midpoint of {60, 180}
     assert got.p90_s == round(60 + 0.9 * 120, 6)
+
+
+def test_price_elasticity_planted_slope(spark):
+    """Parts engineered on an exact log-log line with slope -2: the
+    regression recovers elasticity -2 with r2 = 1 (up to 6-dp term
+    rounding); a 2-part brand is excluded."""
+    import math
+    rows = []
+    part_rows = []
+    for i, price in enumerate([10.0, 20.0, 40.0, 80.0]):
+        pk = i + 1
+        part_rows.append((pk, "ELASTIC"))
+        # one line per part, fractional quantity exactly on the curve
+        rows.append((pk, math.exp(10) / price ** 2, price))
+    part_rows += [(100, "TINY"), (101, "TINY")]
+    rows += [(100, 1.0, 5.0), (101, 1.0, 6.0)]
+    li = spark.createDataFrame(
+        rows, "l_partkey bigint, l_quantity double, l_extendedprice double"
+    )
+    part = spark.createDataFrame(part_rows, "p_partkey bigint, p_brand string")
+    got = {r.p_brand: r for r in rel.price_elasticity(li, part).collect()}
+    assert set(got) == {"ELASTIC"}
+    assert abs(got["ELASTIC"].elasticity + 2.0) < 0.01
+    assert got["ELASTIC"].r2 > 0.999
+
+
+def test_npv_discounts_by_month_age(spark):
+    """Two orders: month 0 at 100 and month 1 at 100 -> NPV = 100 +
+    95; a single-order customer has ratio exactly 1."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 100.0, "2020-01-15"),
+            (2, 1, 100.0, "2020-02-15"),
+            (3, 2, 50.0, "2020-03-01"),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    customer = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "c_custkey bigint, c_mktsegment string"
+    )
+    got = {r.c_mktsegment: r for r in rel.npv_clv(orders, customer).collect()}
+    assert got["A"].avg_revenue == 200.0
+    assert got["A"].avg_npv == 195.0
+    assert got["B"].discount_ratio == 1.0
