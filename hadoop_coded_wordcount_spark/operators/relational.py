@@ -7450,3 +7450,223 @@ def npv_clv(orders: DataFrame, customer: DataFrame) -> DataFrame:
             ).alias("discount_ratio"),
         )
     )
+
+
+def spearman_correlation(lineitem: DataFrame) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag — Pearson on AVERAGE RANKS, so one monotone-but-nonlinear
+    relationship (or a few wild outliers) no longer hides from the
+    moment-based ``stats_moments`` correlation.
+
+    The :func:`mann_whitney_u` lattice at work twice: each value's
+    doubled average rank 2·cb + c + 1 is an exact BIGINT computed on
+    the per-group value HISTOGRAM and joined back to the rows, and the
+    correlation assembles from exact decimal moments of those doubled
+    ranks (the ×2 scale cancels in the ratio). Bounded-state: raw rows
+    never reach a window — two histograms, two joins, one moment
+    aggregate.
+    """
+
+    def ranks(col, alias):
+        hist = lineitem.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return hist.select(
+            "l_returnflag",
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + F.lit(1)
+            ).alias(alias),
+        )
+    rx = ranks("l_quantity", "rx2")
+    ry = ranks("l_extendedprice", "ry2")
+    joined = (
+        lineitem.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .join(rx, ["l_returnflag", "l_quantity"])
+        .join(ry, ["l_returnflag", "l_extendedprice"])
+    )
+    xd = F.col("rx2").cast("decimal(19,0)")
+    yd = F.col("ry2").cast("decimal(19,0)")
+    m = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.try_divide(
+                cov,
+                F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+def regression_discontinuity(
+    orders: DataFrame, cutoff: float = 150000.0, bandwidth: float = 50000.0
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: fit the high-priority
+    share against order value separately on each side of a cutoff
+    within a bandwidth, and report the JUMP of the two fits at the
+    boundary — the "did crossing the threshold change behavior" design
+    that completes the causal set (DiD needs time, IPW needs strata,
+    RD needs only a cutoff rule).
+
+    x is centered on the cutoff (exact decimal subtraction), y is the
+    0/1 priority flag; both local fits are the closed-form decimal-
+    moment regression, and the jump is intercept_right −
+    intercept_left (the fits' values AT the cutoff, where x = 0). On
+    this synthetic corpus priority is value-independent, so the honest
+    answer is a jump ≈ 0 — the estimator's null behavior is itself the
+    test. One bandwidth-filtered scan, two 6-moment aggregates.
+    """
+    x = (
+        F.col("o_totalprice").cast("decimal(18,6)")
+        - F.lit(cutoff).cast("decimal(18,6)")
+    )
+    y = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    base = orders.where(
+        (F.col("o_totalprice") >= cutoff - bandwidth)
+        & (F.col("o_totalprice") < cutoff + bandwidth)
+    ).select(
+        (F.col("o_totalprice") >= cutoff).alias("right_side"),
+        x.alias("x"),
+        y.cast("decimal(18,6)").alias("y"),
+    )
+    m = base.groupBy("right_side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,6)")
+                * F.col("y").cast("decimal(19,6)")
+            ).cast("decimal(38,12)")
+        ).alias("sxy"),
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,6)")
+                * F.col("x").cast("decimal(19,6)")
+            ).cast("decimal(38,12)")
+        ).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = F.round(
+        (
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        6,
+    )
+    intercept = F.round(
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / nd,
+        6,
+    )
+    sides = m.select(
+        "right_side", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+    l = sides.where(~F.col("right_side")).select(
+        F.col("n").alias("n_left"),
+        F.col("slope").alias("slope_left"),
+        F.col("intercept").alias("intercept_left"),
+    )
+    r = sides.where(F.col("right_side")).select(
+        F.col("n").alias("n_right"),
+        F.col("slope").alias("slope_right"),
+        F.col("intercept").alias("intercept_right"),
+    )
+    return l.crossJoin(r).select(
+        "n_left",
+        "n_right",
+        "slope_left",
+        "slope_right",
+        "intercept_left",
+        "intercept_right",
+        F.round(
+            F.col("intercept_right") - F.col("intercept_left"), 6
+        ).alias("rd_jump"),
+    )
+
+
+def cramers_v(orders: DataFrame) -> DataFrame:
+    """Cramér's V for the status×priority contingency table: the
+    normalized [0, 1] effect size the raw ``chi_square_independence``
+    statistic lacks (χ² grows with n; V answers "how strongly are
+    they associated" at any scale).
+
+    The χ² assembles from 6-dp-rounded per-cell terms (exact decimal
+    sum) over the COMPLETE r×c grid — a structural-zero cell still
+    contributes (0−E)²/E = E, and dropping it (the observed-cells
+    shortcut) understates χ² exactly when association is strongest —
+    and V = √(χ²/(n·min(r−1, c−1))) adds one √ on engine-identical
+    doubles. One cell aggregate plus margin-sized cross joins.
+    """
+    obs = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = obs.groupBy("o_orderstatus").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("o_orderpriority").agg(F.sum("o").alias("c"))
+    nt = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(nt))
+        .join(obs, ["o_orderstatus", "o_orderpriority"], "left")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        6,
+    ).cast("decimal(18,6)")
+    agg = cells.agg(
+        F.sum(term).alias("chi2_d"),
+        F.max("n").alias("n"),
+        (F.countDistinct("o_orderstatus") - 1).alias("r1"),
+        (F.countDistinct("o_orderpriority") - 1).alias("c1"),
+    )
+    return agg.select(
+        F.col("chi2_d").cast("double").alias("chi2"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_d").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.least("r1", "c1").cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -7635,6 +7635,164 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "spearman_corr",
+    """
+    WITH hx AS (
+      SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rx AS (
+      SELECT l_returnflag, l_quantity,
+             2 * COALESCE(SUM(c) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS rx2
+      FROM hx
+    ),
+    hy AS (
+      SELECT l_returnflag, l_extendedprice, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ry AS (
+      SELECT l_returnflag, l_extendedprice,
+             2 * COALESCE(SUM(c) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS ry2
+      FROM hy
+    ),
+    j AS (
+      SELECT l.l_returnflag, CAST(rx2 AS BIGINT) AS rx2,
+             CAST(ry2 AS BIGINT) AS ry2
+      FROM lineitem l
+      JOIN rx ON rx.l_returnflag = l.l_returnflag
+             AND rx.l_quantity = l.l_quantity
+      JOIN ry ON ry.l_returnflag = l.l_returnflag
+             AND ry.l_extendedprice = l.l_extendedprice
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+               AS sxy,
+             SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0)))
+               AS sxx,
+             SUM(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+               AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)), 0), 6)
+             AS spearman_rho
+    FROM m
+    """,
+)
+def q_spearman_corr(spark, sf_dir):
+    return rel.spearman_correlation(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "regression_discontinuity",
+    """
+    WITH base AS (
+      SELECT o_totalprice >= 150000.0 AS right_side,
+             CAST(o_totalprice AS DECIMAL(18,6))
+             - CAST(150000.0 AS DECIMAL(18,6)) AS x,
+             CAST(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END AS DECIMAL(18,6)) AS y
+      FROM orders
+      WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+    ),
+    m AS (
+      SELECT right_side, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                      AS DECIMAL(38,12))) AS sxx
+      FROM base GROUP BY 1
+    ),
+    sides AS (
+      SELECT right_side, n,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS slope,
+             ROUND((CAST(sy AS DOUBLE)
+                    - ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE)), 6)
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept
+      FROM m
+    )
+    SELECT l.n AS n_left, r.n AS n_right,
+           l.slope AS slope_left, r.slope AS slope_right,
+           l.intercept AS intercept_left, r.intercept AS intercept_right,
+           ROUND(r.intercept - l.intercept, 6) AS rd_jump
+    FROM sides l, sides r
+    WHERE NOT l.right_side AND r.right_side
+    """,
+)
+def q_regression_discontinuity(spark, sf_dir):
+    return rel.regression_discontinuity(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "cramers_v",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    rt AS (SELECT o_orderstatus, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT o_orderpriority, SUM(o) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT rt.o_orderstatus, ct.o_orderpriority,
+             COALESCE(obs.o, 0) AS o, rt.r, ct.c, nt.n
+      FROM rt CROSS JOIN ct CROSS JOIN nt
+      LEFT JOIN obs ON obs.o_orderstatus = rt.o_orderstatus
+                   AND obs.o_orderpriority = ct.o_orderpriority
+    ),
+    agg AS (
+      SELECT SUM(CAST(ROUND(
+               (CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS chi2_d,
+             CAST(MAX(n) AS BIGINT) AS n,
+             COUNT(DISTINCT o_orderstatus) - 1 AS r1,
+             COUNT(DISTINCT o_orderpriority) - 1 AS c1
+      FROM cells
+    )
+    SELECT CAST(chi2_d AS DOUBLE) AS chi2, n,
+           ROUND(SQRT(CAST(chi2_d AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(LEAST(r1, c1) AS DOUBLE))), 6)
+             AS cramers_v
+    FROM agg
+    """,
+)
+def q_cramers_v(spark, sf_dir):
+    return rel.cramers_v(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "price_elasticity",
     """
     WITH per_part AS (
@@ -9609,6 +9767,9 @@ _VERIFY_FIRST = [
     "time_to_convert",
     "price_elasticity",
     "npv_clv",
+    "spearman_corr",
+    "regression_discontinuity",
+    "cramers_v",
 ]
 
 

@@ -1183,3 +1183,63 @@ def test_npv_discounts_by_month_age(spark):
     assert got["A"].avg_revenue == 200.0
     assert got["A"].avg_npv == 195.0
     assert got["B"].discount_ratio == 1.0
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    """y = x^3 (monotone, nonlinear): Spearman 1.0 exactly; reversing
+    the order gives -1."""
+    up = [(i, "U", float(i), float(i) ** 3) for i in range(1, 21)]
+    dn = [(100 + i, "D", float(i), -(float(i) ** 3)) for i in range(1, 21)]
+    li = spark.createDataFrame(
+        up + dn,
+        "l_orderkey bigint, l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    got = {r.l_returnflag: r.spearman_rho
+           for r in rel.spearman_correlation(li).collect()}
+    assert got["U"] == 1.0 and got["D"] == -1.0
+
+
+def test_spearman_ties_average_ranks(spark):
+    """All-x-tied input: rank variance 0 -> rho NULL (undefined), not a
+    crash or a fake 0."""
+    li = spark.createDataFrame(
+        [(i, "T", 5.0, float(i)) for i in range(5)],
+        "l_orderkey bigint, l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    got = rel.spearman_correlation(li).collect()
+    assert got[0].spearman_rho is None
+
+
+def test_rd_detects_planted_jump(spark):
+    """Below the cutoff priority is rare (1 in 5), above it common
+    (4 in 5): the RD jump recovers ~+0.6 at the boundary."""
+    rows = []
+    k = 0
+    for i in range(200):
+        price = 100000.0 + i * 245.0  # left side, stays below the cutoff
+        k += 1
+        rows.append((k, "1-URGENT" if i % 5 == 0 else "5-LOW", price))
+    for i in range(200):
+        price = 150000.0 + i * 245.0  # right side
+        k += 1
+        rows.append((k, "5-LOW" if i % 5 == 0 else "1-URGENT", price))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    )
+    got = rel.regression_discontinuity(orders).collect()[0]
+    assert got.n_left == 200 and got.n_right == 200
+    assert 0.4 < got.rd_jump < 0.8
+
+
+def test_cramers_v_perfect_association(spark):
+    """Status fully determines priority: V = 1 for a square table."""
+    rows = []
+    for i in range(60):
+        status = ["O", "F", "P"][i % 3]
+        pri = {"O": "1-URGENT", "F": "3-MEDIUM", "P": "5-LOW"}[status]
+        rows.append((i, status, pri))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_orderpriority string"
+    )
+    got = rel.cramers_v(orders).collect()[0]
+    assert got.cramers_v == 1.0
