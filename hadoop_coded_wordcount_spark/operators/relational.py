@@ -7670,3 +7670,226 @@ def cramers_v(orders: DataFrame) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+def growth_accounting(orders: DataFrame) -> DataFrame:
+    """Monthly customer growth accounting — every month's active base
+    decomposed into NEW / RETAINED / RESURRECTED, with CHURNED counted
+    against the month they went silent and the quick ratio
+    (new+resurrected)/churned — the canonical "is growth healthy or
+    leaky" decomposition behind every growth dashboard.
+
+    Shape: one distinct (customer, month-index) projection; NEW joins
+    against the per-customer min month, RETAINED/RESURRECTED are one
+    self-join on (customer, m−1), CHURNED is an anti-join shifted one
+    month forward. All integer counts; the one ratio rounds once and
+    NULLs when churn is 0. Month indices are exact integers, so month
+    arithmetic never touches dates after the first projection.
+    """
+    base = orders.select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).cast("int").alias("m"),
+    ).distinct()
+    first = base.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    prev = base.select("o_custkey", (F.col("m") + 1).alias("m"))
+    flags = (
+        base.join(first, "o_custkey")
+        .join(
+            prev.withColumn("was_prev", F.lit(1)),
+            ["o_custkey", "m"],
+            "left",
+        )
+        .select(
+            "m",
+            (F.col("m") == F.col("m0")).alias("is_new"),
+            # isNotNull, not == 1: a left-join miss is NULL, and
+            # NULL == 1 is NULL — which silently zeroes the
+            # NOT-ret (resurrected) bucket instead of filling it
+            F.col("was_prev").isNotNull().alias("is_ret"),
+        )
+    )
+    active = flags.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(~F.col("is_new") & F.col("is_ret"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("is_ret"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        base.select("o_custkey", (F.col("m") + 1).alias("m"))
+        .join(base, ["o_custkey", "m"], "left_anti")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "m", "left")
+        .select(
+            "m",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias(
+                "n_churned"
+            ),
+            F.round(
+                F.try_divide(
+                    (F.col("n_new") + F.col("n_resurrected")).cast("double"),
+                    F.coalesce("n_churned", F.lit(0)).cast("double"),
+                ),
+                6,
+            ).alias("quick_ratio"),
+        )
+    )
+
+
+def dau_mau_stickiness(events: DataFrame) -> DataFrame:
+    """DAU/MAU stickiness per month: the mean daily-active count over
+    the month's days divided by the monthly-active count — the "how
+    often do actives come back" engagement ratio (1/30 = monthly
+    tourists, 1.0 = daily habit).
+
+    Exact: DAU per day and MAU per month are COUNT(DISTINCT) integers;
+    the mean DAU is an exact integer ratio (Σdau/days), and stickiness
+    divides it by MAU once, rounded. Two distinct aggregates, both
+    map-side-combinable on (day|month, user).
+    """
+    days = events.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("month", "ts").alias("mo"),
+        "user_id",
+    ).distinct()
+    dau = days.groupBy("mo", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = days.groupBy("mo").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    per_mo = dau.groupBy("mo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("s_dau"),
+    )
+    return (
+        per_mo.join(mau, "mo")
+        .select(
+            F.date_format("mo", "yyyy-MM").alias("month"),
+            "n_days",
+            F.round(
+                F.col("s_dau").cast("double") / F.col("n_days").cast("double"),
+                6,
+            ).alias("avg_dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(
+                F.col("s_dau").cast("double")
+                / F.col("n_days").cast("double")
+                / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+def rank_movers(
+    lineitem: DataFrame, part: DataFrame, topn: int = 15
+) -> DataFrame:
+    """Month-over-month revenue-rank movers among parts: rank every
+    part by revenue in the last two full months on record and surface
+    the biggest rank jumps — the "what's suddenly selling" dashboard
+    cut that absolute revenue deltas (``revenue_mom``) bury under big
+    sellers' noise.
+
+    The two month windows are data-derived (the two greatest month
+    indices with shipments); ranks are ``row_number`` on the exact
+    decimal revenue with a partkey tie-break (total order), the join is
+    FULL OUTER so risers from zero get ranked too (absent month = rank
+    beyond the field, delta vs worst+1), and the top-N orders on
+    (|delta| desc, part) — bounded TakeOrdered.
+    """
+    rev = (
+        lineitem.select(
+            "l_partkey",
+            (
+                (F.year("l_shipdate") - F.lit(1995)) * 12
+                + F.month("l_shipdate")
+                - F.lit(1)
+            ).cast("int").alias("m"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (
+                    F.lit(1).cast("decimal(18,6)")
+                    - F.col("l_discount").cast("decimal(18,6)")
+                )
+            ).cast("decimal(38,12)").alias("r"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("r").alias("rev"))
+    )
+    last2 = rev.select("m").distinct().orderBy(F.desc("m")).limit(2)
+    tagged = rev.join(F.broadcast(last2), "m")
+    mx = tagged.agg(F.max("m").alias("m_last"))
+    w = Window.partitionBy("m").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ranked = tagged.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(mx)
+    )
+    cur = ranked.where(F.col("m") == F.col("m_last")).select(
+        "l_partkey", F.col("rk").alias("rk_now"), F.col("rev").alias("rev_now")
+    )
+    prv = ranked.where(F.col("m") != F.col("m_last")).select(
+        "l_partkey",
+        F.col("rk").alias("rk_prev"),
+        F.col("rev").alias("rev_prev"),
+    )
+    worst_now = cur.agg((F.max("rk_now") + 1).alias("w_now"))
+    worst_prev = prv.agg((F.max("rk_prev") + 1).alias("w_prev"))
+    joined = (
+        cur.join(prv, "l_partkey", "full_outer")
+        .crossJoin(F.broadcast(worst_now))
+        .crossJoin(F.broadcast(worst_prev))
+        .select(
+            "l_partkey",
+            F.coalesce("rk_now", F.col("w_now")).alias("rk_now"),
+            F.coalesce("rk_prev", F.col("w_prev")).alias("rk_prev"),
+            F.coalesce(F.col("rev_now").cast("double"), F.lit(0.0)).alias(
+                "rev_now"
+            ),
+            F.coalesce(F.col("rev_prev").cast("double"), F.lit(0.0)).alias(
+                "rev_prev"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "rk_prev",
+            "rk_now",
+            (F.col("rk_prev") - F.col("rk_now")).alias("rank_gain"),
+            F.round("rev_prev", 6).alias("rev_prev"),
+            F.round("rev_now", 6).alias("rev_now"),
+        )
+    )
+    return (
+        joined.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_partkey",
+            "p_name",
+            "rk_prev",
+            "rk_now",
+            "rank_gain",
+            "rev_prev",
+            "rev_now",
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), F.asc("l_partkey"))
+        .limit(topn)
+    )

@@ -7635,6 +7635,138 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "growth_accounting",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT o_custkey,
+             CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+                  AS INTEGER) AS m
+      FROM orders
+    ),
+    frst AS (SELECT o_custkey, MIN(m) AS m0 FROM base GROUP BY 1),
+    flags AS (
+      SELECT b.m, b.m = f.m0 AS is_new,
+             (p.o_custkey IS NOT NULL) AS is_ret
+      FROM base b
+      JOIN frst f ON f.o_custkey = b.o_custkey
+      LEFT JOIN base p ON p.o_custkey = b.o_custkey AND p.m = b.m - 1
+    ),
+    active AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN NOT is_new AND is_ret THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN NOT is_new AND NOT is_ret
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM flags GROUP BY 1
+    ),
+    churn AS (
+      SELECT b.m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM base n
+                        WHERE n.o_custkey = b.o_custkey AND n.m = b.m + 1)
+      GROUP BY 1
+    )
+    SELECT a.m, n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+           ROUND(CAST(n_new + n_resurrected AS DOUBLE)
+                 / NULLIF(CAST(COALESCE(n_churned, 0) AS DOUBLE), 0), 6)
+             AS quick_ratio
+    FROM active a LEFT JOIN churn ON churn.m = a.m
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    return rel.growth_accounting(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "dau_mau_stickiness",
+    """
+    WITH days AS MATERIALIZED (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             date_trunc('month', ts) AS mo, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT mo, day, COUNT(DISTINCT user_id) AS dau
+      FROM days GROUP BY 1, 2
+    ),
+    mau AS (SELECT mo, COUNT(DISTINCT user_id) AS mau FROM days GROUP BY 1),
+    pm AS (
+      SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS s_dau
+      FROM dau GROUP BY 1
+    )
+    SELECT strftime(pm.mo, '%Y-%m') AS month, n_days,
+           ROUND(CAST(s_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS avg_dau,
+           CAST(mau AS BIGINT) AS mau,
+           ROUND(CAST(s_dau AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 / CAST(mau AS DOUBLE), 6) AS stickiness
+    FROM pm JOIN mau USING (mo)
+    """,
+)
+def q_dau_mau_stickiness(spark, sf_dir):
+    return rel.dau_mau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rank_movers",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1
+                  AS INTEGER) AS m,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * (CAST(1 AS DECIMAL(19,6))
+                         - CAST(l_discount AS DECIMAL(19,6)))
+                      AS DECIMAL(38,12))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    last2 AS (SELECT DISTINCT m FROM rev ORDER BY m DESC LIMIT 2),
+    tagged AS (SELECT r.* FROM rev r JOIN last2 USING (m)),
+    mx AS (SELECT MAX(m) AS m_last FROM tagged),
+    ranked AS (
+      SELECT l_partkey, m, rev,
+             ROW_NUMBER() OVER (PARTITION BY m
+                                ORDER BY rev DESC, l_partkey) AS rk
+      FROM tagged
+    ),
+    cur AS (
+      SELECT l_partkey, rk AS rk_now, rev AS rev_now
+      FROM ranked, mx WHERE m = m_last
+    ),
+    prv AS (
+      SELECT l_partkey, rk AS rk_prev, rev AS rev_prev
+      FROM ranked, mx WHERE m <> m_last
+    ),
+    wn AS (SELECT MAX(rk_now) + 1 AS w_now FROM cur),
+    wp AS (SELECT MAX(rk_prev) + 1 AS w_prev FROM prv),
+    j AS (
+      SELECT COALESCE(c.l_partkey, p.l_partkey) AS l_partkey,
+             CAST(COALESCE(rk_now, w_now) AS BIGINT) AS rk_now,
+             CAST(COALESCE(rk_prev, w_prev) AS BIGINT) AS rk_prev,
+             COALESCE(CAST(rev_now AS DOUBLE), 0.0) AS rev_now,
+             COALESCE(CAST(rev_prev AS DOUBLE), 0.0) AS rev_prev
+      FROM cur c FULL OUTER JOIN prv p ON p.l_partkey = c.l_partkey,
+           wn, wp
+    )
+    SELECT j.l_partkey, p_name, rk_prev, rk_now,
+           rk_prev - rk_now AS rank_gain,
+           ROUND(rev_prev, 6) AS rev_prev, ROUND(rev_now, 6) AS rev_now
+    FROM j JOIN part ON p_partkey = j.l_partkey
+    ORDER BY ABS(rk_prev - rk_now) DESC, j.l_partkey LIMIT 15
+    """,
+)
+def q_rank_movers(spark, sf_dir):
+    return rel.rank_movers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
     "spearman_corr",
     """
     WITH hx AS (
@@ -9770,6 +9902,9 @@ _VERIFY_FIRST = [
     "spearman_corr",
     "regression_discontinuity",
     "cramers_v",
+    "growth_accounting",
+    "dau_mau_stickiness",
+    "rank_movers",
 ]
 
 

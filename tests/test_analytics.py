@@ -1243,3 +1243,71 @@ def test_cramers_v_perfect_association(spark):
     )
     got = rel.cramers_v(orders).collect()[0]
     assert got.cramers_v == 1.0
+
+
+def test_growth_accounting_hand_lifecycle(spark):
+    """Customer A: months 0,1,3 (retained in 1, churn charged to 2,
+    resurrected in 3). Customer B: month 1 only (new in 1, churn in
+    2). Quick ratio NULL where churn is 0."""
+    rows = [
+        (1, 10, "2020-01-05"), (2, 10, "2020-02-05"), (3, 10, "2020-04-05"),
+        (4, 20, "2020-02-10"),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    got = {r.m: r for r in rel.growth_accounting(orders).collect()}
+    m0 = (2020 - 1995) * 12 + 0
+    assert got[m0].n_new == 1 and got[m0].n_churned == 0
+    assert got[m0].quick_ratio is None
+    assert got[m0 + 1].n_new == 1 and got[m0 + 1].n_retained == 1
+    assert got[m0 + 3].n_resurrected == 1 and got[m0 + 3].n_new == 0
+    # month 2 has no active rows -> absent; its churn of 2 customers is
+    # not reported (active-months-only contract, documented)
+    assert (m0 + 2) not in got
+    assert got[m0 + 3].n_churned == 0  # nobody active in m2 to churn
+
+
+def test_dau_mau_bounds(spark):
+    """A user active every day has stickiness contribution 1; one
+    active a single day dilutes it: avg_dau=(2+1*1)/2... verify exact
+    small case: 2 days, u1 both days, u2 day 1 only."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1), (2, "2024-01-02 10:00:00", 1),
+        (3, "2024-01-01 11:00:00", 2),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", "user_id", F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value")
+    )
+    got = rel.dau_mau_stickiness(events).collect()[0]
+    assert (got.n_days, got.mau) == (2, 2)
+    assert got.avg_dau == 1.5
+    assert got.stickiness == 0.75
+
+
+def test_rank_movers_detects_swap(spark):
+    """Two months, two parts swapping ranks, one new entrant: the
+    mover list carries the swap and ranks the absent-month entrant
+    from beyond the field."""
+    rows = [
+        # month m1: A=100, B=50 ; month m2: A=10, B=60, C=55
+        (1, 1, 100.0, 0.0, "2001-06-15"),
+        (2, 2, 50.0, 0.0, "2001-06-15"),
+        (3, 1, 10.0, 0.0, "2001-07-15"),
+        (4, 2, 60.0, 0.0, "2001-07-15"),
+        (5, 3, 55.0, 0.0, "2001-07-15"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double, l_discount double, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    part = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "p_partkey bigint, p_name string"
+    )
+    got = {r.l_partkey: r for r in rel.rank_movers(li, part).collect()}
+    assert got[1].rk_prev == 1 and got[1].rk_now == 3
+    assert got[2].rk_prev == 2 and got[2].rk_now == 1
+    assert got[3].rk_prev == 3 and got[3].rk_now == 2  # absent -> worst+1
