@@ -7893,3 +7893,134 @@ def rank_movers(
         .orderBy(F.abs(F.col("rank_gain")).desc(), F.asc("l_partkey"))
         .limit(topn)
     )
+
+
+def ab_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guard for the even/odd user split: χ²
+    goodness-of-fit of the observed cohort sizes against the designed
+    50/50 — the FIRST thing to check before reading any A/B readout
+    (``ab_test_conversion``/``mde_power`` are meaningless if the
+    randomizer is broken), flagged at the conventional p<0.001 χ²(1)
+    threshold (10.828).
+
+    Counts are integers; χ² = Σ(o−e)²/e is two exact-ratio terms
+    rounded once each. One user-level distinct + one 2-cell aggregate.
+    """
+    users = events.select("user_id").distinct()
+    g = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    e = n.cast("double") / F.lit(2.0)
+    chi = F.round(
+        (F.col("n_a").cast("double") - e) * (F.col("n_a").cast("double") - e)
+        / e,
+        6,
+    ).cast("decimal(18,6)") + F.round(
+        (F.col("n_b").cast("double") - e) * (F.col("n_b").cast("double") - e)
+        / e,
+        6,
+    ).cast("decimal(18,6)")
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_a").cast("double") / n.cast("double"), 6
+        ).alias("share_a"),
+        chi.cast("double").alias("srm_chi2"),
+        (chi >= F.lit(10.828).cast("decimal(18,6)")).alias("srm_flag"),
+    )
+
+
+def quantile_shift(orders: DataFrame) -> DataFrame:
+    """Distribution-shift bridge between the pre/post-1998 order-value
+    distributions: exact p10/p50/p90 per period plus their deltas —
+    the quantile-level story a mean delta flattens (did the whole
+    distribution move, or just one tail?), the descriptive sibling of
+    :func:`ks_test`'s yes/no verdict.
+
+    Both periods' quantiles come from the bounded-state histogram
+    percentile (one pass, percentile_cont semantics — quantile_cont
+    replays them); deltas subtract the ROUNDED quantiles so the bridge
+    is a pure function of the reported rows.
+    """
+    period = F.when(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+        F.lit("post"),
+    ).otherwise(F.lit("pre"))
+    base = orders.select(period.alias("period"), "o_totalprice")
+    q = exact_percentiles_by_group(
+        base, "period", "o_totalprice", [0.1, 0.5, 0.9]
+    ).select(
+        "period",
+        F.round("p0", 6).alias("p10"),
+        F.round("p1", 6).alias("p50"),
+        F.round("p2", 6).alias("p90"),
+    )
+    pre = q.where(F.col("period") == "pre").select(
+        F.col("p10").alias("pre_p10"),
+        F.col("p50").alias("pre_p50"),
+        F.col("p90").alias("pre_p90"),
+    )
+    post = q.where(F.col("period") == "post").select(
+        F.col("p10").alias("post_p10"),
+        F.col("p50").alias("post_p50"),
+        F.col("p90").alias("post_p90"),
+    )
+    return pre.crossJoin(post).select(
+        "pre_p10",
+        "post_p10",
+        F.round(F.col("post_p10") - F.col("pre_p10"), 6).alias("d_p10"),
+        "pre_p50",
+        "post_p50",
+        F.round(F.col("post_p50") - F.col("pre_p50"), 6).alias("d_p50"),
+        "pre_p90",
+        "post_p90",
+        F.round(F.col("post_p90") - F.col("pre_p90"), 6).alias("d_p90"),
+    )
+
+
+def session_depth_hist(events: DataFrame, cap: int = 10) -> DataFrame:
+    """Session-depth histogram: how many sessions contain exactly k
+    events (k capped, tail bucketed) with each bucket's share — the
+    full distribution behind ``session_bounce_rate``'s single bounce
+    number (a product with many 2-event sessions and a product with
+    deep sessions can share a bounce rate).
+
+    Sessions come from the standard 30-minute-gap windows; depths are
+    integer counts, the cap bucket keeps output bounded at any scale,
+    and shares divide exact integers once. One user-ordered window
+    pass + two aggregates.
+    """
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(sec).over(w)
+    opens = (prev.isNull() | (sec - prev > F.lit(1800))).cast("int")
+    sid = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessed = events.select("user_id", "ts", "event_id").select(
+        "user_id", sid.alias("sid")
+    )
+    depths = sessed.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("depth")
+    )
+    bucketed = depths.select(
+        F.least(F.col("depth"), F.lit(cap)).alias("depth_bucket")
+    )
+    counts = bucketed.groupBy("depth_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    tot = counts.agg(F.sum("n_sessions").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "depth_bucket",
+        "n_sessions",
+        F.round(
+            F.col("n_sessions").cast("double") / F.col("t").cast("double"), 6
+        ).alias("share"),
+    )

@@ -7635,6 +7635,117 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "ab_srm_check",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM users
+    ),
+    c AS (
+      SELECT n_a, n_b,
+             CAST(ROUND((CAST(n_a AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                        * (CAST(n_a AS DOUBLE)
+                           - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                        / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6)
+                  AS DECIMAL(18,6))
+             + CAST(ROUND((CAST(n_b AS DOUBLE)
+                           - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                          * (CAST(n_b AS DOUBLE)
+                             - CAST(n_a + n_b AS DOUBLE) / 2.0)
+                          / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6)
+                    AS DECIMAL(18,6)) AS chi
+      FROM g
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6)
+             AS share_a,
+           CAST(chi AS DOUBLE) AS srm_chi2,
+           chi >= CAST(10.828 AS DECIMAL(18,6)) AS srm_flag
+    FROM c
+    """,
+)
+def q_ab_srm_check(spark, sf_dir):
+    return rel.ab_srm_check(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "quantile_shift",
+    """
+    WITH base AS (
+      SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 'post' ELSE 'pre' END AS period, o_totalprice
+      FROM orders
+    ),
+    q AS (
+      SELECT period,
+             ROUND(quantile_cont(o_totalprice, 0.1), 6) AS p10,
+             ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+      FROM base GROUP BY 1
+    )
+    SELECT pre.p10 AS pre_p10, post.p10 AS post_p10,
+           ROUND(post.p10 - pre.p10, 6) AS d_p10,
+           pre.p50 AS pre_p50, post.p50 AS post_p50,
+           ROUND(post.p50 - pre.p50, 6) AS d_p50,
+           pre.p90 AS pre_p90, post.p90 AS post_p90,
+           ROUND(post.p90 - pre.p90, 6) AS d_p90
+    FROM (SELECT * FROM q WHERE period = 'pre') pre,
+         (SELECT * FROM q WHERE period = 'post') post
+    """,
+)
+def q_quantile_shift(spark, sf_dir):
+    return rel.quantile_shift(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "session_depth_hist",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) // 1000000
+                       - epoch_us(prev) // 1000000 > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    ),
+    depths AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS depth
+      FROM sess GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT LEAST(depth, 10) AS depth_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM depths GROUP BY 1
+    )
+    SELECT depth_bucket, n_sessions,
+           ROUND(CAST(n_sessions AS DOUBLE)
+                 / CAST((SELECT SUM(n_sessions) FROM counts) AS DOUBLE),
+                 6) AS share
+    FROM counts
+    """,
+)
+def q_session_depth_hist(spark, sf_dir):
+    return rel.session_depth_hist(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "growth_accounting",
     """
     WITH base AS MATERIALIZED (
@@ -9905,6 +10016,9 @@ _VERIFY_FIRST = [
     "growth_accounting",
     "dau_mau_stickiness",
     "rank_movers",
+    "ab_srm_check",
+    "quantile_shift",
+    "session_depth_hist",
 ]
 
 

@@ -1311,3 +1311,59 @@ def test_rank_movers_detects_swap(spark):
     assert got[1].rk_prev == 1 and got[1].rk_now == 3
     assert got[2].rk_prev == 2 and got[2].rk_now == 1
     assert got[3].rk_prev == 3 and got[3].rk_now == 2  # absent -> worst+1
+
+
+def test_srm_flags_broken_randomizer(spark):
+    """60/40 on 1000 users is a textbook SRM: chi2 = 40 >> 10.828."""
+    rows = []
+    eid = 0
+    for u in range(1, 1201):
+        # users 1..1200 odd/even would be 50/50; drop 200 odd users
+        if u % 2 == 1 and u > 800:
+            continue
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", u, "view", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = rel.ab_srm_check(events).collect()[0]
+    assert (got.n_a, got.n_b) == (600, 400)
+    assert got.srm_chi2 == 40.0 and bool(got.srm_flag)
+
+
+def test_quantile_shift_planted_tail_move(spark):
+    """Post period shifts ONLY the upper tail (+100 on the top half):
+    d_p10 = 0 while d_p90 = 100."""
+    rows = []
+    k = 0
+    for i in range(100):
+        k += 1
+        rows.append((k, float(100 + i), "1997-06-01"))
+    for i in range(100):
+        k += 1
+        v = 100 + i + (100.0 if i >= 50 else 0.0)
+        rows.append((k, float(v), "1998-06-01"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_totalprice double, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    got = rel.quantile_shift(orders).collect()[0]
+    assert got.d_p10 == 0.0
+    assert got.d_p90 == 100.0
+
+
+def test_session_depth_hist_caps_tail(spark):
+    """Sessions of depth 1, 3, and 14: the 14 lands in the cap-10
+    bucket; shares sum to 1."""
+    rows = []
+    eid = 0
+    for u, depth in [(1, 1), (2, 3), (3, 14)]:
+        for t in range(depth):
+            eid += 1
+            rows.append((eid, f"2024-01-01 10:{t:02d}:00", u, "view", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.depth_bucket: r for r in rel.session_depth_hist(events).collect()}
+    assert set(got) == {1, 3, 10}
+    assert got[10].n_sessions == 1
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 2e-6  # 6dp rounding
