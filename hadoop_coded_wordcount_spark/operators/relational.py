@@ -6695,8 +6695,12 @@ def hit_rate_at_k(lineitem: DataFrame, k: int = 10) -> DataFrame:
     return n_test.crossJoin(n_hit).select(
         "n_baskets",
         "n_hits",
+        # empty test fold -> 0 baskets: rate undefined, NULL not a crash
         F.round(
-            F.col("n_hits").cast("double") / F.col("n_baskets").cast("double"),
+            F.try_divide(
+                F.col("n_hits").cast("double"),
+                F.col("n_baskets").cast("double"),
+            ),
             6,
         ).alias("hit_rate"),
     )
