@@ -8028,3 +8028,248 @@ def session_depth_hist(events: DataFrame, cap: int = 10) -> DataFrame:
             F.col("n_sessions").cast("double") / F.col("t").cast("double"), 6
         ).alias("share"),
     )
+
+
+def rolling_7d_actives(events: DataFrame) -> DataFrame:
+    """Trailing-7-day distinct active users per day (W7AU) — the
+    smoothed engagement series between DAU's noise and MAU's lag, and
+    NOT derivable from daily counts (distinct doesn't sum): each day's
+    window must re-deduplicate users.
+
+    Exact shape: the (day, user) distinct projection joins to a
+    day-grid on a 7-day RANGE condition and re-counts distinct per
+    window-end day. The join is grid-bounded (days × 7 copies of the
+    per-day user sets), not data-bounded — at 100 TB the per-day user
+    sets are the only SF-proportional piece and they're already
+    deduplicated before fan-out. Integer counts only.
+    """
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    grid = du.select("day").distinct().select(
+        F.col("day").alias("end_day")
+    )
+    joined = grid.join(
+        du,
+        (F.col("day") <= F.col("end_day"))
+        & (F.col("day") > F.date_sub(F.col("end_day"), 7)),
+    )
+    return (
+        joined.groupBy("end_day")
+        .agg(
+            F.countDistinct("user_id").alias("w7au"),
+            F.countDistinct("day").cast("bigint").alias("days_in_window"),
+        )
+        .select(
+            F.date_format("end_day", "yyyy-MM-dd").alias("day"),
+            F.col("w7au").cast("bigint").alias("w7au"),
+            "days_in_window",
+        )
+    )
+
+
+def p_chart_errors(events: DataFrame) -> DataFrame:
+    """Shewhart p-chart of the daily error share: center line p̄ from
+    the pooled totals, per-day 3σ control limits
+    p̄ ± 3·√(p̄(1−p̄)/n_day), and an out-of-control flag — the SPC
+    discipline (is today's error rate special-cause or just binomial
+    noise?) that a bare daily error-rate series can't answer.
+
+    All inputs are exact integer ratios; each limit is one √ on
+    engine-identical doubles, rounded; the flag compares the ROUNDED
+    day share against the ROUNDED limits so the verdict is a pure
+    function of the reported row. One daily aggregate + a broadcast
+    1-row pooled total.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    tot = daily.agg(
+        F.sum("n").alias("tn"), F.sum("errs").alias("te")
+    )
+    pbar = F.col("te").cast("double") / F.col("tn").cast("double")
+    sigma = F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double")
+    )
+    share = F.round(
+        F.col("errs").cast("double") / F.col("n").cast("double"), 6
+    )
+    ucl = F.round(pbar + F.lit(3.0) * sigma, 6)
+    lcl = F.round(
+        F.greatest(pbar - F.lit(3.0) * sigma, F.lit(0.0)), 6
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "errs",
+            share.alias("p_day"),
+            F.round(pbar, 6).alias("p_bar"),
+            lcl.alias("lcl"),
+            ucl.alias("ucl"),
+            ((share > ucl) | (share < lcl)).alias("out_of_control"),
+        )
+    )
+
+
+def joint_histogram(lineitem: DataFrame, qty_bins: int = 10, price_bin: float = 10000.0) -> DataFrame:
+    """2-D joint histogram of (quantity, price) — the heatmap behind
+    "are big orders also expensive orders", with each cell's share and
+    its independence-expected share so excess concentration reads off
+    directly (cell lift, the binned cousin of ``mutual_information``).
+
+    Bins are integer floor indices (quantity is already integral;
+    price divides by a fixed width — `div` both engines); marginals
+    come from windows over the CELL GRID (bounded), and every share is
+    an exact integer ratio rounded once. One fact aggregate, grid-side
+    everything else.
+    """
+    # `div`, not `/`: Spark's / on bigints is double division (and
+    # DuckDB's twin is //) — the bin index must stay on the int lattice
+    qb = F.least(
+        F.expr(f"CAST(l_quantity AS BIGINT) * {qty_bins} div 51"),
+        F.lit(qty_bins - 1).cast("bigint"),
+    ).cast("bigint")
+    pb = F.floor(F.col("l_extendedprice") / F.lit(price_bin)).cast("bigint")
+    cells = lineitem.groupBy(
+        qb.alias("qty_bin"), pb.alias("price_bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wq = Window.partitionBy("qty_bin")
+    wp = Window.partitionBy("price_bin")
+    wall = Window.partitionBy()
+    return cells.select(
+        "qty_bin",
+        "price_bin",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wall).cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            (
+                F.sum("n").over(wq).cast("double")
+                / F.sum("n").over(wall).cast("double")
+            )
+            * (
+                F.sum("n").over(wp).cast("double")
+                / F.sum("n").over(wall).cast("double")
+            ),
+            6,
+        ).alias("expected_share"),
+    )
+
+
+def anova_hour_of_day(events: DataFrame) -> DataFrame:
+    """One-way ANOVA of hourly event counts across the 24 hour-of-day
+    groups: F = MS_between / MS_within — the significance test behind
+    ``seasonal_hourly``'s pattern ("is the diurnal cycle real or just
+    count noise?"), computed from exact integer moments.
+
+    The centered sums of squares use the integer lattice twice: SS_tot
+    from n·x−Σx over all cells, SS_between from the group totals —
+    both exact BIGINT/DECIMAL until the final two divisions. Hours
+    with data only (the grid is the observed (day, hour) cell set);
+    df are integers carried through.
+    """
+    cells = events.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    g = cells.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("sgg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum("sgg").cast("decimal(38,0)").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        # sg²/ng per group rounds to 6dp DECIMAL before the sum — a
+        # raw double Σ over the 24 groups would be engine-order
+        # dependent; sg² stays exact in double below 2^53 (documented
+        # bound: sg < 9.4e7 events per hour-of-day group)
+        F.sum(
+            F.round(
+                F.col("sg").cast("double") * F.col("sg").cast("double")
+                / F.col("ng").cast("double"),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("sb_raw"),
+    )
+    nd = F.col("n").cast("double")
+    ss_tot = F.col("ss").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double") / nd
+    )
+    ss_b = F.col("sb_raw").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double") / nd
+    )
+    ss_w = ss_tot - ss_b
+    df_b = (F.col("k") - 1).cast("double")
+    df_w = (F.col("n") - F.col("k")).cast("double")
+    # try_divide throughout: a zero within-group SS (or a single
+    # group) makes the ratio undefined — NULL, not an ANSI crash
+    return tot.select(
+        F.col("n").alias("n_cells"),
+        F.col("k").alias("n_groups"),
+        F.round(F.try_divide(ss_b, df_b), 6).alias("ms_between"),
+        F.round(F.try_divide(ss_w, df_w), 6).alias("ms_within"),
+        F.round(
+            F.try_divide(
+                F.try_divide(ss_b, df_b), F.try_divide(ss_w, df_w)
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+def open_order_age(orders: DataFrame) -> DataFrame:
+    """Open-order backlog ages: for still-open orders ('O'/'P'), days
+    since order date relative to the dataset's clock (max order date) —
+    count, mean and exact p50/p90 per status, the receivables-aging
+    question every ops dashboard carries.
+
+    Ages are exact integer days against a broadcast 1-row max;
+    percentiles ride the bounded-state histogram formulation; the mean
+    divides exact integers once. Nothing beyond one status-filtered
+    aggregate + the histogram.
+    """
+    mx = orders.agg(F.max("o_orderdate").alias("d_max"))
+    aged = (
+        orders.where(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderstatus",
+            F.datediff(F.to_date("d_max"), F.to_date("o_orderdate")).alias(
+                "age_d"
+            ),
+        )
+    )
+    stats = aged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_open"),
+        F.sum(F.col("age_d").cast("decimal(18,0)")).alias("s_age"),
+    )
+    q = exact_percentiles_by_group(
+        aged, "o_orderstatus", "age_d", [0.5, 0.9]
+    ).select(
+        "o_orderstatus",
+        F.round("p0", 6).alias("p50_age_d"),
+        F.round("p1", 6).alias("p90_age_d"),
+    )
+    return stats.join(q, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_open",
+        F.round(
+            F.col("s_age").cast("double") / F.col("n_open").cast("double"),
+            6,
+        ).alias("mean_age_d"),
+        "p50_age_d",
+        "p90_age_d",
+    )

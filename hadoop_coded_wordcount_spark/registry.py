@@ -7635,6 +7635,179 @@ def q_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "rolling_7d_actives",
+    """
+    WITH du AS MATERIALIZED (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    grid AS (SELECT DISTINCT day AS end_day FROM du),
+    j AS (
+      SELECT g.end_day, d.user_id, d.day
+      FROM grid g JOIN du d
+        ON d.day <= g.end_day AND d.day > g.end_day - 7
+    )
+    SELECT strftime(end_day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS w7au,
+           CAST(COUNT(DISTINCT j.day) AS BIGINT) AS days_in_window
+    FROM j GROUP BY end_day
+    """,
+)
+def q_rolling_7d_actives(spark, sf_dir):
+    return rel.rolling_7d_actives(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "p_chart_errors",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(errs) AS BIGINT) AS te
+      FROM daily
+    ),
+    lim AS (
+      SELECT day, n, errs,
+             ROUND(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_day,
+             ROUND(CAST(te AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS p_bar,
+             ROUND(GREATEST(
+               CAST(te AS DOUBLE) / CAST(tn AS DOUBLE)
+               - 3.0 * SQRT((CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
+                            * (1.0 - CAST(te AS DOUBLE)
+                                     / CAST(tn AS DOUBLE))
+                            / CAST(n AS DOUBLE)), 0.0), 6) AS lcl,
+             ROUND(CAST(te AS DOUBLE) / CAST(tn AS DOUBLE)
+                   + 3.0 * SQRT((CAST(te AS DOUBLE) / CAST(tn AS DOUBLE))
+                                * (1.0 - CAST(te AS DOUBLE)
+                                         / CAST(tn AS DOUBLE))
+                                / CAST(n AS DOUBLE)), 6) AS ucl
+      FROM daily, tot
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, errs, p_day, p_bar,
+           lcl, ucl,
+           (p_day > ucl OR p_day < lcl) AS out_of_control
+    FROM lim
+    """,
+)
+def q_p_chart_errors(spark, sf_dir):
+    return rel.p_chart_errors(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "joint_histogram",
+    """
+    WITH cells AS (
+      SELECT LEAST(CAST(l_quantity AS BIGINT) * 10 // 51,
+                   CAST(9 AS BIGINT)) AS qty_bin,
+             CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS price_bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT qty_bin, price_bin, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+             AS share,
+           ROUND((CAST(SUM(n) OVER (PARTITION BY qty_bin) AS DOUBLE)
+                  / CAST(SUM(n) OVER () AS DOUBLE))
+                 * (CAST(SUM(n) OVER (PARTITION BY price_bin) AS DOUBLE)
+                    / CAST(SUM(n) OVER () AS DOUBLE)), 6)
+             AS expected_share
+    FROM cells
+    """,
+)
+def q_joint_histogram(spark, sf_dir):
+    return rel.joint_histogram(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "anova_hour_of_day",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT hod, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS BIGINT) AS sg,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sgg
+      FROM cells GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(sgg) AS DECIMAL(38,0)) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                            / CAST(ng AS DOUBLE), 6)
+                      AS DECIMAL(28,6))) AS sb_raw
+      FROM g
+    )
+    SELECT n AS n_cells, k AS n_groups,
+           ROUND((CAST(sb_raw AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE), 6)
+             AS ms_between,
+           ROUND(((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  - (CAST(sb_raw AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))) / CAST(n - k AS DOUBLE), 6)
+             AS ms_within,
+           ROUND(((CAST(sb_raw AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                 / (((CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     - (CAST(sb_raw AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE)))
+                    / CAST(n - k AS DOUBLE)), 6) AS f_stat
+    FROM tot
+    """,
+)
+def q_anova_hour_of_day(spark, sf_dir):
+    return rel.anova_hour_of_day(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "open_order_age",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS d_max FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(d_max AS DATE)) AS age_d
+      FROM orders, mx WHERE o_orderstatus IN ('O', 'P')
+    ),
+    stats AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_open,
+             SUM(CAST(age_d AS DECIMAL(18,0))) AS s_age
+      FROM aged GROUP BY 1
+    ),
+    q AS (
+      SELECT o_orderstatus,
+             ROUND(quantile_cont(age_d, 0.5), 6) AS p50_age_d,
+             ROUND(quantile_cont(age_d, 0.9), 6) AS p90_age_d
+      FROM aged GROUP BY 1
+    )
+    SELECT s.o_orderstatus, n_open,
+           ROUND(CAST(s_age AS DOUBLE) / CAST(n_open AS DOUBLE), 6)
+             AS mean_age_d,
+           p50_age_d, p90_age_d
+    FROM stats s JOIN q USING (o_orderstatus)
+    """,
+)
+def q_open_order_age(spark, sf_dir):
+    return rel.open_order_age(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "ab_srm_check",
     """
     WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -10019,6 +10192,11 @@ _VERIFY_FIRST = [
     "ab_srm_check",
     "quantile_shift",
     "session_depth_hist",
+    "rolling_7d_actives",
+    "p_chart_errors",
+    "joint_histogram",
+    "anova_hour_of_day",
+    "open_order_age",
 ]
 
 

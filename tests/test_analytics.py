@@ -1367,3 +1367,106 @@ def test_session_depth_hist_caps_tail(spark):
     assert set(got) == {1, 3, 10}
     assert got[10].n_sessions == 1
     assert abs(sum(r.share for r in got.values()) - 1.0) < 2e-6  # 6dp rounding
+
+
+def test_rolling_7d_actives_dedups_across_window(spark):
+    """A user active on days 1 and 3 counts ONCE in day-3's 7-day
+    window; a user outside the trailing window drops out."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-03 10:00:00", 1),
+        (3, "2024-01-01 10:00:00", 2),
+        (4, "2024-01-09 10:00:00", 3),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint"
+    ).withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", "user_id", F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value")
+    )
+    got = {r.day: r for r in rel.rolling_7d_actives(events).collect()}
+    assert got["2024-01-03"].w7au == 2  # user 1 deduped, user 2 in window
+    assert got["2024-01-09"].w7au == 2  # day 3 (user 1) still in, day 1 out
+    assert got["2024-01-09"].days_in_window == 2
+
+
+def test_p_chart_flags_planted_spike(spark):
+    """9 calm days at 1% errors and one day at 50%: only the spike day
+    crosses the 3-sigma limit."""
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for i in range(100):
+            eid += 1
+            err = (i < 50) if d == 5 else (i < 1)
+            rows.append(
+                (eid, f"2024-01-{d:02d} 10:00:00", 1,
+                 "error" if err else "view", 1.0)
+            )
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.day: r for r in rel.p_chart_errors(events).collect()}
+    flagged = [d for d, r in got.items() if r.out_of_control]
+    assert flagged == ["2024-01-05"]
+    assert got["2024-01-05"].p_day == 0.5
+
+
+def test_joint_histogram_shares_and_independence(spark):
+    """Independent uniform bins: every cell share equals its expected
+    share; shares sum to 1."""
+    rows = []
+    k = 0
+    for qb in (5.0, 30.0):          # two qty bins
+        for pr in (5000.0, 15000.0):  # two price bins
+            for _ in range(10):
+                k += 1
+                rows.append((k, qb, pr))
+    li = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_quantity double, l_extendedprice double"
+    )
+    got = rel.joint_histogram(li).collect()
+    assert len(got) == 4
+    assert all(r.share == r.expected_share == 0.25 for r in got)
+
+
+def test_anova_separates_flat_from_diurnal(spark):
+    """A flat hourly series gives F ~ 0; a strong 2-level diurnal
+    pattern gives a large F."""
+    def mk(amplitude):
+        rows = []
+        eid = 0
+        for d in range(1, 11):
+            for h in range(0, 24, 2):
+                # day-parity jitter = within-group noise; amplitude =
+                # the hour-of-day (between-group) signal under test
+                n = 5 + (d % 2) + (amplitude if h < 12 else 0)
+                for _ in range(n):
+                    eid += 1
+                    rows.append((eid, f"2024-01-{d:02d} {h:02d}:00:00", 1, "view", 1.0))
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    flat = rel.anova_hour_of_day(mk(0)).collect()[0]
+    wavy = rel.anova_hour_of_day(mk(10)).collect()[0]
+    assert flat.ms_between == 0.0  # jitter is day-wise, not hour-wise
+    assert flat.f_stat == 0.0
+    assert wavy.f_stat > 100  # planted diurnal signal dwarfs the jitter
+
+
+def test_open_order_age_hand_ages(spark):
+    """Two open orders aged 10 and 30 days vs the dataset max date;
+    closed orders don't count but do set the clock."""
+    orders = spark.createDataFrame(
+        [
+            (1, "O", "2024-03-01"),
+            (2, "O", "2024-03-21"),
+            (3, "F", "2024-03-31"),  # closed, defines d_max
+        ],
+        "o_orderkey bigint, o_orderstatus string, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    got = {r.o_orderstatus: r for r in rel.open_order_age(orders).collect()}
+    assert got["O"].n_open == 2
+    assert got["O"].mean_age_d == 20.0
+    assert got["O"].p50_age_d == 20.0  # midpoint of {10, 30}
