@@ -8273,3 +8273,194 @@ def open_order_age(orders: DataFrame) -> DataFrame:
         "p50_age_d",
         "p90_age_d",
     )
+
+
+def wilson_ci_types(events: DataFrame, z: float = 1.96) -> DataFrame:
+    """Wilson score confidence interval for the user-level conversion
+    rate of each event type: of the distinct users who emitted the type,
+    what fraction also purchased — with the interval an A/B readout
+    would put around that rate (the z-test twins, funnel_significance /
+    ab_test_conversion, report point estimates; this adds the bounds).
+
+    Exactness: x and n are exact distinct counts, p = x/n is one IEEE
+    divide, and the Wilson terms use only +,·,/,sqrt — all
+    correctly-rounded IEEE ops — with the expression tree written
+    identically in the DuckDB oracle, so the 6dp final round is safe.
+
+    Scale: two distinct-user aggregates (shuffle keyed on user_id,
+    map-side combined) and a broadcast join of the per-type rows.
+    """
+    purchasers = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    base = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .join(purchasers.withColumn("conv", F.lit(1)), "user_id", "left")
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.coalesce(F.col("conv"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_conv").cast("double") / n
+    z2 = F.lit(z) * F.lit(z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_low"),
+        F.round((center + half) / denom, 6).alias("wilson_high"),
+    )
+
+
+def lift_gain_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Lift/cumulative-gain table: score customers by account balance
+    (ties broken by key so NTILE is total-ordered), label them by
+    whether they ever ordered, and report per-decile response rate,
+    cumulative capture of all converters, and lift vs the base rate —
+    the model-quality chart behind every targeting decision.
+
+    NTILE(10) remainder semantics (first buckets get the extra row)
+    match between Spark and DuckDB; everything else is exact integer
+    counts and single IEEE divides.
+
+    Scale: the label is a semi-join aggregate on o_custkey; the decile
+    assignment is one global sort of the (small) customer dim — for a
+    fact-sized scoring table this becomes a range-partitioned sort,
+    which Spark's window on an empty PARTITION BY already compiles to.
+    """
+    labeled = customer.select("c_custkey", "c_acctbal").join(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("label", F.lit(1)),
+        "c_custkey",
+        "left",
+    )
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    dec = labeled.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.coalesce(F.col("label"), F.lit(0)).alias("label"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    wc = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_pos = F.sum("n_pos").over(wc)
+    tot_pos = F.sum("n_pos").over(tot)
+    tot_n = F.sum("n").over(tot)
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base = tot_pos.cast("double") / tot_n.cast("double")
+    return agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("response_rate"),
+        F.round(
+            cum_pos.cast("double") / tot_pos.cast("double"), 6
+        ).alias("cum_capture"),
+        F.round(rate / base, 6).alias("lift"),
+    ).orderBy("decile")
+
+
+def order_lines_hist(lineitem: DataFrame) -> DataFrame:
+    """Distribution of line-items per order: for each order size k, how
+    many orders have exactly k lines, their share of orders, share of
+    line volume, and the cumulative order share — the basket-size
+    histogram that sizes batch/packing decisions downstream.
+
+    Exact integer counts; the only doubles are single divides.
+
+    Scale: one orderkey aggregate (map-side combined) then a k-bounded
+    (k ≤ 7 in TPC-H) second aggregate; the cumulative window runs over
+    those ≤ a-few-dozen rows.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    hist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.orderBy("n_lines").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_orders = F.sum("n_orders").over(tot)
+    tot_lines = F.sum(F.col("n_lines") * F.col("n_orders")).over(tot)
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / tot_orders.cast("double"),
+            6,
+        ).alias("order_share"),
+        F.round(
+            (F.col("n_lines") * F.col("n_orders")).cast("double")
+            / tot_lines.cast("double"),
+            6,
+        ).alias("line_share"),
+        F.round(
+            F.sum("n_orders").over(cum).cast("double")
+            / tot_orders.cast("double"),
+            6,
+        ).alias("cum_order_share"),
+    ).orderBy("n_lines")
+
+
+def user_type_entropy(events: DataFrame) -> DataFrame:
+    """Per-user behavioral entropy (nats) over the event-type
+    distribution: H = ln(n) − (Σ c·ln c)/n, with both transcendental
+    pieces rounded to 6dp and carried as DECIMAL before the final
+    combine (the repo's ln-discipline) — a user-diversity feature and a
+    bot-detection signal (near-zero entropy = single-action automation).
+
+    Scale: one (user, type) aggregate then a per-user aggregate — both
+    map-side combined, state bounded by users × 5 types; no window, no
+    explode.
+    """
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_user = ut.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("int").alias("distinct_types"),
+        F.sum(
+            F.round(
+                F.col("c").cast("double") * F.log(F.col("c").cast("double")),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("s_clnc"),
+    )
+    ln_n = F.round(F.log(F.col("n_events").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "distinct_types",
+        F.round(
+            ln_n.cast("double")
+            - F.col("s_clnc").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("entropy_nats"),
+    )

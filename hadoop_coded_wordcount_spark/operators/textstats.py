@@ -1657,3 +1657,90 @@ def feature_hashing(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
             F.max_by("term", F.struct("tf", "term")).alias("top_term"),
         )
     )
+
+
+def kl_js_divergence(documents: DataFrame) -> DataFrame:
+    """Distribution shift between two corpus slices: KL(A||B), KL(B||A)
+    and Jensen-Shannon divergence (nats) between the add-one-smoothed
+    unigram distributions of the even- and odd-``doc_id`` halves — the
+    drift check a pretraining pipeline runs when a new crawl snapshot
+    lands ("did the token distribution move?").
+
+    Cross-engine exactness: every smoothed probability is a ratio of
+    exact BIGINT products (counts ≤ 1e4, denominators ≤ 1e6 — far under
+    2^53, so the double divide is IEEE-identical in Spark and DuckDB),
+    and each transcendental term is rounded to 6dp and summed as
+    DECIMAL(28,6) before the single final divide, per the repo's
+    ln-discipline.  The p·ln(p/q) sum is factored as
+    (1/d_a)·Σ (c_a+1)·ln(ratio) so per-term magnitudes stay O(count) and
+    6dp rounding never flushes small terms to zero.  For JS, p/m is
+    rewritten as the integer ratio 2·a1·d2 / (a1·d2 + a2·d1).
+
+    Scale: one tokenize pass, one vocabulary-bounded (word → c_a, c_b)
+    aggregate with map-side combine, one broadcast 1-row totals join,
+    then a scalar aggregate.  Shuffle bytes are vocabulary-bounded, not
+    corpus-bounded.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    ex = ensure_parallelism(documents.select("doc_id", "text")).select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(tokens_col()).alias("word"),
+    )
+    counts = ex.groupBy("word").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    t = counts.join(F.broadcast(totals))
+    d_a = F.col("n_a") + F.col("v_size")  # smoothed denominator, side A
+    d_b = F.col("n_b") + F.col("v_size")
+    a1 = F.col("c_a") + F.lit(1)  # smoothed numerator, side A
+    a2 = F.col("c_b") + F.lit(1)
+
+    def term6(num, den, weight):
+        ln_ratio = F.log(num.cast("double") / den.cast("double"))
+        return F.sum(
+            F.round(weight.cast("double") * ln_ratio, 6).cast(
+                "decimal(28,6)"
+            )
+        )
+
+    agg = t.agg(
+        F.max("v_size").alias("v_size"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        # Σ (c_a+1)·ln( (c_a+1)·d_b / ((c_b+1)·d_a) )
+        term6(a1 * d_b, a2 * d_a, a1).alias("s_ab"),
+        term6(a2 * d_a, a1 * d_b, a2).alias("s_ba"),
+        # p/m = 2·a1·d_b / (a1·d_b + a2·d_a); q/m symmetric.
+        term6(F.lit(2) * a1 * d_b, a1 * d_b + a2 * d_a, a1).alias("s_am"),
+        term6(F.lit(2) * a2 * d_a, a1 * d_b + a2 * d_a, a2).alias("s_bm"),
+    )
+    da = F.col("n_a") + F.col("v_size")
+    db = F.col("n_b") + F.col("v_size")
+    return agg.select(
+        "v_size",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("s_ab").cast("double") / da.cast("double"), 6
+        ).alias("kl_ab"),
+        F.round(
+            F.col("s_ba").cast("double") / db.cast("double"), 6
+        ).alias("kl_ba"),
+        F.round(
+            0.5 * (F.col("s_am").cast("double") / da.cast("double"))
+            + 0.5 * (F.col("s_bm").cast("double") / db.cast("double")),
+            6,
+        ).alias("js_div"),
+    )

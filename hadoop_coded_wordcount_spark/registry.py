@@ -9982,6 +9982,223 @@ def q_sprt_conversion(spark, sf_dir):
 # gate lead; the long-green wordcount/join/TPC-H family (pinned by
 # tests/test_relational.py and the in-repo full-oracle sweep) trails.
 
+
+
+@register(
+    "kl_js_sources",
+    r"""
+    WITH ex AS (
+      SELECT (doc_id % 2 = 0) AS is_a,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      FROM ex GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v_size,
+             CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b
+      FROM counts
+    ),
+    t AS (SELECT * FROM counts CROSS JOIN tot),
+    agg AS (
+      SELECT MAX(v_size) AS v_size, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             SUM(CAST(ROUND(CAST(c_a + 1 AS DOUBLE)
+                   * LN(CAST((c_a + 1) * (n_b + v_size) AS DOUBLE)
+                        / CAST((c_b + 1) * (n_a + v_size) AS DOUBLE)), 6)
+                 AS DECIMAL(28,6))) AS s_ab,
+             SUM(CAST(ROUND(CAST(c_b + 1 AS DOUBLE)
+                   * LN(CAST((c_b + 1) * (n_a + v_size) AS DOUBLE)
+                        / CAST((c_a + 1) * (n_b + v_size) AS DOUBLE)), 6)
+                 AS DECIMAL(28,6))) AS s_ba,
+             SUM(CAST(ROUND(CAST(c_a + 1 AS DOUBLE)
+                   * LN(CAST(2 * (c_a + 1) * (n_b + v_size) AS DOUBLE)
+                        / CAST((c_a + 1) * (n_b + v_size)
+                               + (c_b + 1) * (n_a + v_size) AS DOUBLE)), 6)
+                 AS DECIMAL(28,6))) AS s_am,
+             SUM(CAST(ROUND(CAST(c_b + 1 AS DOUBLE)
+                   * LN(CAST(2 * (c_b + 1) * (n_a + v_size) AS DOUBLE)
+                        / CAST((c_a + 1) * (n_b + v_size)
+                               + (c_b + 1) * (n_a + v_size) AS DOUBLE)), 6)
+                 AS DECIMAL(28,6))) AS s_bm
+      FROM t
+    )
+    SELECT v_size, n_a, n_b,
+           ROUND(CAST(s_ab AS DOUBLE)
+                 / CAST(n_a + v_size AS DOUBLE), 6) AS kl_ab,
+           ROUND(CAST(s_ba AS DOUBLE)
+                 / CAST(n_b + v_size AS DOUBLE), 6) AS kl_ba,
+           ROUND(CAST(0.5 AS DOUBLE)
+                   * (CAST(s_am AS DOUBLE) / CAST(n_a + v_size AS DOUBLE))
+                 + CAST(0.5 AS DOUBLE)
+                   * (CAST(s_bm AS DOUBLE) / CAST(n_b + v_size AS DOUBLE)),
+                 6) AS js_div
+    FROM agg
+    """,
+)
+def q_kl_js_sources(spark, sf_dir):
+    return ts.kl_js_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "wilson_ci_types",
+    """
+    WITH purchasers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    base AS (SELECT DISTINCT event_type, user_id FROM events),
+    agg AS (
+      SELECT b.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_conv
+      FROM base b LEFT JOIN purchasers p USING (user_id)
+      GROUP BY 1
+    )
+    SELECT event_type, n_users, n_conv,
+           ROUND(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS conv_rate,
+           ROUND(((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                  + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / (CAST(2.0 AS DOUBLE) * CAST(n_users AS DOUBLE))
+                  - CAST(1.96 AS DOUBLE)
+                    * SQRT((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                           * (CAST(1.0 AS DOUBLE)
+                              - CAST(n_conv AS DOUBLE)
+                                / CAST(n_users AS DOUBLE))
+                           / CAST(n_users AS DOUBLE)
+                           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                             / (CAST(4.0 AS DOUBLE)
+                                * CAST(n_users AS DOUBLE)
+                                * CAST(n_users AS DOUBLE))))
+                 / (CAST(1.0 AS DOUBLE)
+                    + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                      / CAST(n_users AS DOUBLE)), 6) AS wilson_low,
+           ROUND(((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                  + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / (CAST(2.0 AS DOUBLE) * CAST(n_users AS DOUBLE))
+                  + CAST(1.96 AS DOUBLE)
+                    * SQRT((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                           * (CAST(1.0 AS DOUBLE)
+                              - CAST(n_conv AS DOUBLE)
+                                / CAST(n_users AS DOUBLE))
+                           / CAST(n_users AS DOUBLE)
+                           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                             / (CAST(4.0 AS DOUBLE)
+                                * CAST(n_users AS DOUBLE)
+                                * CAST(n_users AS DOUBLE))))
+                 / (CAST(1.0 AS DOUBLE)
+                    + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                      / CAST(n_users AS DOUBLE)), 6) AS wilson_high
+    FROM agg
+    """,
+)
+def q_wilson_ci_types(spark, sf_dir):
+    return rel.wilson_ci_types(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "lift_gain_deciles",
+    """
+    WITH labeled AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             CASE WHEN o.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey AS c_custkey FROM orders) o
+        USING (c_custkey)
+    ),
+    dec AS (
+      SELECT NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile,
+             label
+      FROM labeled
+    ),
+    agg AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM dec GROUP BY 1
+    )
+    SELECT decile, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS response_rate,
+           ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / CAST(SUM(n_pos) OVER () AS DOUBLE), 6) AS cum_capture,
+           ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(SUM(n_pos) OVER () AS DOUBLE)
+                    / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS lift
+    FROM agg ORDER BY decile
+    """,
+)
+def q_lift_gain_deciles(spark, sf_dir):
+    return rel.lift_gain_deciles(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "order_lines_hist",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+      SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM per_order GROUP BY 1
+    )
+    SELECT n_lines, n_orders,
+           ROUND(CAST(n_orders AS DOUBLE)
+                 / CAST(SUM(n_orders) OVER () AS DOUBLE), 6)
+             AS order_share,
+           ROUND(CAST(n_lines * n_orders AS DOUBLE)
+                 / CAST(SUM(n_lines * n_orders) OVER () AS DOUBLE), 6)
+             AS line_share,
+           ROUND(CAST(SUM(n_orders) OVER (ORDER BY n_lines
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / CAST(SUM(n_orders) OVER () AS DOUBLE), 6)
+             AS cum_order_share
+    FROM hist ORDER BY n_lines
+    """,
+)
+def q_order_lines_hist(spark, sf_dir):
+    return rel.order_lines_hist(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "user_type_entropy",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS INTEGER) AS distinct_types,
+             SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)), 6)
+                      AS DECIMAL(28,6))) AS s_clnc
+      FROM ut GROUP BY 1
+    )
+    SELECT user_id, n_events, distinct_types,
+           ROUND(CAST(CAST(ROUND(LN(CAST(n_events AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) AS DOUBLE)
+                 - CAST(s_clnc AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+             AS entropy_nats
+    FROM per_user
+    """,
+)
+def q_user_type_entropy(spark, sf_dir):
+    return rel.user_type_entropy(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -10197,6 +10414,11 @@ _VERIFY_FIRST = [
     "joint_histogram",
     "anova_hour_of_day",
     "open_order_age",
+    "kl_js_sources",
+    "wilson_ci_types",
+    "lift_gain_deciles",
+    "order_lines_hist",
+    "user_type_entropy",
 ]
 
 
