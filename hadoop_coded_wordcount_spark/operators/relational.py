@@ -8464,3 +8464,42 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+def weekday_seasonality(orders: DataFrame) -> DataFrame:
+    """Day-of-week seasonality of order flow: orders and revenue per
+    weekday (0 = Sunday, matching DuckDB's dayofweek), each as a share
+    of the total, plus the traffic index vs a uniform week — the
+    seasonality profile capacity planning reads before anything fancier
+    (its monthly sibling is revenue_mom; the hourly one, seasonal_hourly).
+
+    Revenue sums ride DECIMAL(18,2) casts (o_totalprice carries 2dp, so
+    the cast is exact and the sum order-independent); shares are single
+    IEEE divides; the index multiplies a share by an exact 7.
+
+    Scale: one 7-group aggregate, map-side combined; the share windows
+    run over 7 rows.
+    """
+    agg = orders.groupBy(
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    order_share = F.col("n_orders").cast("double") / F.sum(
+        "n_orders"
+    ).over(tot).cast("double")
+    rev_share = F.col("rev").cast("double") / F.sum("rev").over(tot).cast(
+        "double"
+    )
+    return agg.select(
+        "dow",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(order_share, 6).alias("order_share"),
+        F.round(rev_share, 6).alias("revenue_share"),
+        F.round(order_share * F.lit(7.0), 6).alias("traffic_index"),
+    ).orderBy("dow")

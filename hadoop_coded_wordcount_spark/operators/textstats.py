@@ -1744,3 +1744,179 @@ def kl_js_divergence(documents: DataFrame) -> DataFrame:
             6,
         ).alias("js_div"),
     )
+
+
+def ngram_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty of an incoming batch against a
+    reference corpus: treating even-``doc_id`` docs as the reference and
+    odd docs as the new crawl, the fraction of each new doc's distinct
+    word trigrams never seen in the reference — the freshness /
+    contamination-adjacent signal a pretraining pipeline uses to decide
+    whether a snapshot adds anything (near-zero novelty = recrawl).
+
+    Counts are exact integers over distinct shingles (the same trigram
+    construction as the dedup family, :func:`~..dedup.shingled`); the
+    only double is the final rate divide.
+
+    Scale: the reference gram set is a distinct aggregate
+    (vocabulary-bounded) and the membership probe is one equi-join on
+    the gram string — shuffled, not broadcast, since a web-scale
+    reference vocabulary outgrows any broadcast threshold; AQE will
+    broadcast it when it is actually small.
+    """
+    from .dedup import shingled
+
+    g = shingled(documents)
+    ref = (
+        g.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    inc = g.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    novel = F.sum(
+        F.when(F.col("seen").isNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        inc.join(ref, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+def ttr_by_lang(documents: DataFrame) -> DataFrame:
+    """Type-token ratio per language: distinct word types over total
+    tokens, plus mean tokens per document — the lexical-diversity
+    readout used to compare corpus slices (low TTR flags boilerplate or
+    template-heavy slices before they hit training).
+
+    Exact distinct/count aggregates; two final IEEE divides.
+
+    Scale: one tokenize pass into a (lang, word) distinct-aggregate —
+    both shuffles are keyed and map-side combined; output is
+    language-bounded.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    ex = ensure_parallelism(documents.select("lang", "text")).select(
+        "lang", F.explode(tokens_col()).alias("word")
+    )
+    toks = ex.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("word").cast("bigint").alias("n_types"),
+    )
+    docs = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return docs.join(toks, "lang").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("tokens_per_doc"),
+    )
+
+
+def token_coverage_topk(documents: DataFrame) -> DataFrame:
+    """Vocabulary coverage curve: the share of total token mass covered
+    by the top 1 / 10 / 100 / 1000 most frequent words (ties broken
+    lexicographically so the ranking is a total order) — the curve that
+    sizes a tokenizer vocabulary or a stopword list.
+
+    Conditional sums of exact integer counts; the shares are single
+    IEEE divides of exact doubles.
+
+    Scale: the rank is a global sort of the *vocabulary* aggregate, not
+    the corpus — vocabulary-bounded by construction; the final result is
+    one row.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    vocab = (
+        ensure_parallelism(documents.select("doc_id", "text"))
+        .select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("word"))
+    ranked = vocab.select(F.row_number().over(w).alias("rn"), "c")
+
+    def cov(k: int):
+        return F.sum(
+            F.when(F.col("rn") <= k, F.col("c")).otherwise(0)
+        ).cast("bigint")
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        cov(1).alias("m1"),
+        cov(10).alias("m10"),
+        cov(100).alias("m100"),
+        cov(1000).alias("m1000"),
+    )
+    tot = F.col("total_tokens").cast("double")
+    return agg.select(
+        "v_size",
+        "total_tokens",
+        F.round(F.col("m1").cast("double") / tot, 6).alias("cov_top1"),
+        F.round(F.col("m10").cast("double") / tot, 6).alias("cov_top10"),
+        F.round(F.col("m100").cast("double") / tot, 6).alias("cov_top100"),
+        F.round(F.col("m1000").cast("double") / tot, 6).alias(
+            "cov_top1000"
+        ),
+    )
+
+
+def dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate accounting per source: docs, distinct text
+    fingerprints, and the duplicate rate for each source — the per-feed
+    dedup scorecard that tells a crawl pipeline which feeds are
+    recrawling themselves (global dedup_exact answers "what survives";
+    this answers "who is responsible").
+
+    Fingerprints are md5 so the distinct-count is reproducible in any
+    engine; text itself never shuffles (32-byte digests do).
+
+    Scale: one per-source distinct aggregate, map-side combined;
+    output is source-bounded.
+    """
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

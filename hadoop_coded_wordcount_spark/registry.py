@@ -10199,6 +10199,146 @@ def q_user_type_entropy(spark, sf_dir):
     return rel.user_type_entropy(load_table(spark, sf_dir, "events"))
 
 
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH g AS ({_DUCK_SHINGLES}),
+    ref AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 2 = 0
+    ),
+    inc AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 1
+    )
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+    FROM inc i LEFT JOIN ref r USING (gram)
+    GROUP BY 1
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    return ts.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ttr_by_lang",
+    r"""
+    WITH ex AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    t AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+      FROM ex GROUP BY 1
+    ),
+    d AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, n_docs, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS ttr,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS tokens_per_doc
+    FROM d JOIN t USING (lang)
+    """,
+)
+def q_ttr_by_lang(spark, sf_dir):
+    return ts.ttr_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_coverage_topk",
+    r"""
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn, c FROM vocab
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v_size,
+             CAST(SUM(c) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN rn <= 1 THEN c ELSE 0 END) AS BIGINT)
+               AS m1,
+             CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT)
+               AS m10,
+             CAST(SUM(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS BIGINT)
+               AS m100,
+             CAST(SUM(CASE WHEN rn <= 1000 THEN c ELSE 0 END) AS BIGINT)
+               AS m1000
+      FROM ranked
+    )
+    SELECT v_size, total_tokens,
+           ROUND(CAST(m1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+             AS cov_top1,
+           ROUND(CAST(m10 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+             AS cov_top10,
+           ROUND(CAST(m100 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+             AS cov_top100,
+           ROUND(CAST(m1000 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+             AS cov_top1000
+    FROM agg
+    """,
+)
+def q_token_coverage_topk(spark, sf_dir):
+    return ts.token_coverage_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dup_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           ROUND(CAST(1.0 AS DOUBLE)
+                 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    return ts.dup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "weekday_seasonality",
+    """
+    WITH agg AS (
+      SELECT CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(n_orders AS DOUBLE)
+                 / CAST(SUM(n_orders) OVER () AS DOUBLE), 6)
+             AS order_share,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS revenue_share,
+           ROUND((CAST(n_orders AS DOUBLE)
+                  / CAST(SUM(n_orders) OVER () AS DOUBLE))
+                 * CAST(7.0 AS DOUBLE), 6) AS traffic_index
+    FROM agg ORDER BY dow
+    """,
+)
+def q_weekday_seasonality(spark, sf_dir):
+    return rel.weekday_seasonality(load_table(spark, sf_dir, "orders"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -10419,6 +10559,11 @@ _VERIFY_FIRST = [
     "lift_gain_deciles",
     "order_lines_hist",
     "user_type_entropy",
+    "ngram_novelty",
+    "ttr_by_lang",
+    "token_coverage_topk",
+    "dup_rate_by_source",
+    "weekday_seasonality",
 ]
 
 
