@@ -8503,3 +8503,282 @@ def weekday_seasonality(orders: DataFrame) -> DataFrame:
         F.round(rev_share, 6).alias("revenue_share"),
         F.round(order_share * F.lit(7.0), 6).alias("traffic_index"),
     ).orderBy("dow")
+
+
+def abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: rank parts by discounted revenue,
+    walk the cumulative revenue share, and bin A (first 80% of the
+    revenue mass), B (next 15%), C (tail) — the Pareto cut every
+    inventory/assortment review starts from. One summary row per class:
+    part count, class revenue, and the class's share of total revenue.
+
+    Per-part revenue is the exact DECIMAL sum of
+    extendedprice*(1-discount); the cumulative walk orders by
+    (revenue DESC, partkey) — a total order, so the class boundary is
+    deterministic. Shares are single IEEE divides of doubles cast from
+    identical decimals, so the <=0.80 / <=0.95 boundary comparisons
+    agree across engines bit-for-bit.
+
+    Scale: the quadratic-looking cumulative share runs over the *part
+    aggregate* (one row per part), not the fact table; the only
+    fact-table pass is one map-side-combined groupBy. The single-
+    partition window over parts is vocabulary-bounded (#parts), the
+    standard cap for a ranked-share walk; at true 100 TB part counts
+    the same walk runs on the two-level prefix-sum used by
+    global_row_number.
+    """
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC) - _dec("l_discount")
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(disc_price).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_share = F.sum("rev").over(w).cast("double") / F.sum("rev").over(
+        tot
+    ).cast("double")
+    classed = per_part.select(
+        "rev",
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    cls_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").alias("crev"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("crev").cast("double").alias("class_revenue"),
+            F.round(
+                F.col("crev").cast("double")
+                / F.sum("crev").over(cls_tot).cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def single_source_risk(lineitem: DataFrame) -> DataFrame:
+    """Single-source procurement risk: for each part with meaningful
+    volume (>= 5 lineitems), how concentrated its supply is — supplier
+    count, total revenue, the top supplier (by revenue, partkey-stable
+    tie-break) and that supplier's revenue share. Top 20 by share then
+    partkey: the parts a supply-chain review flags first.
+
+    Revenue is the exact DECIMAL discounted sum per (part, supplier);
+    the share is one IEEE divide of doubles cast from identical
+    decimals, so the ranking total order (share DESC, partkey) is
+    engine-independent.
+
+    Scale: one fact-table groupBy on the composite key (map-side
+    combined), then a per-part window over the *supplier-per-part*
+    aggregate — bounded by suppliers-per-part, never rows. The final
+    top-20 is a TakeOrdered, no global sort materialized.
+    """
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC) - _dec("l_discount")
+    )
+    per_ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(disc_price).alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    wp = Window.partitionBy("l_partkey")
+    wr = Window.partitionBy("l_partkey").orderBy(
+        F.col("rev").desc(), F.col("l_suppkey")
+    )
+    ranked = per_ps.select(
+        "l_partkey",
+        "l_suppkey",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_suppliers"),
+        F.sum("n_lines").over(wp).alias("n_lines"),
+        F.sum("rev").over(wp).alias("tot_rev"),
+        F.col("rev").alias("top_rev"),
+    ).where((F.col("rn") == 1) & (F.col("n_lines") >= 5))
+    # Rank and cut on the UNROUNDED share (identical doubles in any
+    # engine); round only in the final projection — 6dp rounding could
+    # otherwise merge distinct shares right at the top-20 boundary.
+    share = F.col("top_rev").cast("double") / F.col("tot_rev").cast("double")
+    return (
+        ranked.select(
+            F.col("l_partkey").alias("p_partkey"),
+            "n_suppliers",
+            "n_lines",
+            F.col("tot_rev").cast("double").alias("revenue"),
+            F.col("l_suppkey").alias("top_suppkey"),
+            share.alias("share_raw"),
+        )
+        .orderBy(F.col("share_raw").desc(), "p_partkey")
+        .limit(20)
+        .select(
+            "p_partkey",
+            "n_suppliers",
+            "n_lines",
+            "revenue",
+            "top_suppkey",
+            F.round(F.col("share_raw"), 6).alias("top_share"),
+        )
+    )
+
+
+def k_anonymity(customer: DataFrame) -> DataFrame:
+    """k-anonymity audit over the customer table: treating
+    (nation, market segment, account-balance band of 1000) as the
+    quasi-identifier, report the equivalence-class profile — class
+    count, the smallest class (the dataset's k), how many classes fall
+    below k=5 and k=10, and the share of customers sitting in a
+    sub-5 class — the first number a privacy review asks for before a
+    data release.
+
+    The band is floor(acctbal/1000): one IEEE divide plus floor,
+    identical across engines (negative balances land in band -1 in
+    both). Everything else is exact integer counting.
+
+    Scale: one groupBy on the QI triple (map-side combined,
+    cardinality-bounded by the QI domain) and one single-row summary
+    aggregate over the classes. No row-level data leaves the
+    executors.
+    """
+    qi = customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    return qi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("k").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_k_lt_5"),
+        F.sum(F.when(F.col("k") < 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_k_lt_10"),
+        F.sum("k").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("at_risk_share"),
+    )
+
+
+def ship_delay_percentiles(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order-to-ship latency SLA: exact p50/p90/p99 of the
+    (shipdate - orderdate) gap in days, per order priority — the
+    fulfilment latency scoreboard, computed with the bounded-state
+    exact-percentile histogram (exact_percentiles_by_group) rather
+    than the builtin's per-group value buffer.
+
+    The gap is an exact integer day count; the percentile
+    interpolation is the builtin Percentile evaluator's arithmetic on
+    those integers, so quantile_cont agrees bit-for-bit.
+
+    Scale: the orderkey equi-join is the canonical big-big shuffle
+    join (bucketing co-locates it in a real deployment; AQE handles
+    skew here); the percentile state is bounded by *distinct day
+    gaps* (a few thousand), not rows.
+    """
+    gaps = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    pct = exact_percentiles_by_group(
+        gaps, "o_orderpriority", "delay_days", [0.5, 0.9, 0.99]
+    )
+    return pct.select(
+        "o_orderpriority",
+        F.round(F.col("p0"), 6).alias("p50_days"),
+        F.round(F.col("p1"), 6).alias("p90_days"),
+        F.round(F.col("p2"), 6).alias("p99_days"),
+    )
+
+
+def repeat_purchase(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Repeat-purchase economics per market segment: customers, repeat
+    customers (>= 2 orders), repeat rate, mean orders per customer, and
+    the share of segment revenue arriving after each customer's first
+    order — the number that justifies (or kills) a retention budget.
+
+    A customer's order sequence is ranked by (orderdate, orderkey) — a
+    total order, so "first order" is deterministic. Revenue rides
+    DECIMAL(18,2) sums (o_totalprice carries 2dp); rates are single
+    IEEE divides.
+
+    Scale: one window over per-customer order sequences (bounded by
+    orders-per-customer), one segment aggregate; the customer join
+    broadcasts the dimension side at test scale and shuffles cleanly
+    beyond it.
+    """
+    wr = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    per_cust = seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price").alias("rev"),
+        F.sum(F.when(F.col("rn") >= 2, F.col("price"))).alias("repeat_rev"),
+    )
+    joined = per_cust.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        per_cust.o_custkey == F.col("c_custkey"),
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("repeat_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("rev").alias("rev"),
+        F.sum("repeat_rev").alias("repeat_rev"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "repeat_customers",
+        F.round(
+            F.col("repeat_customers").cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("orders_per_customer"),
+        F.round(
+            F.coalesce(F.col("repeat_rev"), F.lit(0).cast(DEC)).cast(
+                "double"
+            )
+            / F.col("rev").cast("double"),
+            6,
+        ).alias("repeat_revenue_share"),
+    )

@@ -10339,6 +10339,172 @@ def q_weekday_seasonality(spark, sf_dir):
     return rel.weekday_seasonality(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "abc_classification",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    walked AS (
+      SELECT rev,
+             CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+      FROM per_part
+    ),
+    classed AS (
+      SELECT rev,
+             CASE WHEN cum_share <= 0.80 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM walked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(SUM(SUM(rev)) OVER () AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_abc_classification(spark, sf_dir):
+    return rel.abc_classification(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "single_source_risk",
+    """
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY rev DESC, l_suppkey) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+               AS n_suppliers,
+             SUM(n_lines) OVER (PARTITION BY l_partkey) AS n_lines_tot,
+             SUM(rev) OVER (PARTITION BY l_partkey) AS tot_rev,
+             rev AS top_rev
+      FROM per_ps
+    )
+    SELECT l_partkey AS p_partkey, n_suppliers,
+           CAST(n_lines_tot AS BIGINT) AS n_lines,
+           CAST(tot_rev AS DOUBLE) AS revenue,
+           l_suppkey AS top_suppkey,
+           ROUND(CAST(top_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+             AS top_share
+    FROM ranked WHERE rn = 1 AND n_lines_tot >= 5
+    ORDER BY CAST(top_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) DESC,
+             p_partkey
+    LIMIT 20
+    """,
+)
+def q_single_source_risk(spark, sf_dir):
+    return rel.single_source_risk(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MIN(k) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_k_lt_5,
+           CAST(SUM(CASE WHEN k < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_k_lt_10,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS at_risk_share
+    FROM qi
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    return rel.k_anonymity(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "ship_delay_percentiles",
+    """
+    WITH gaps AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS delay_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(delay_days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(delay_days, 0.9), 6) AS p90_days,
+           ROUND(quantile_cont(delay_days, 0.99), 6) AS p99_days
+    FROM gaps GROUP BY 1
+    """,
+)
+def q_ship_delay_percentiles(spark, sf_dir):
+    return rel.ship_delay_percentiles(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "repeat_purchase",
+    """
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(price) AS rev,
+             SUM(CASE WHEN rn >= 2 THEN price END) AS repeat_rev
+      FROM seq GROUP BY 1
+    ),
+    agg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeat_customers,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+             SUM(rev) AS rev,
+             SUM(repeat_rev) AS repeat_rev
+      FROM per_cust JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT c_mktsegment, n_customers, repeat_customers,
+           ROUND(CAST(repeat_customers AS DOUBLE)
+                 / CAST(n_customers AS DOUBLE), 6) AS repeat_rate,
+           ROUND(CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+             AS orders_per_customer,
+           ROUND(CAST(COALESCE(repeat_rev, 0) AS DOUBLE)
+                 / CAST(rev AS DOUBLE), 6) AS repeat_revenue_share
+    FROM agg
+    """,
+)
+def q_repeat_purchase(spark, sf_dir):
+    return rel.repeat_purchase(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -10564,6 +10730,11 @@ _VERIFY_FIRST = [
     "token_coverage_topk",
     "dup_rate_by_source",
     "weekday_seasonality",
+    "abc_classification",
+    "single_source_risk",
+    "k_anonymity",
+    "ship_delay_percentiles",
+    "repeat_purchase",
 ]
 
 
