@@ -672,3 +672,87 @@ def dq_rule_battery(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .withColumn("pass", F.col("n_violations") == 0)
     )
     return rows
+
+
+def token_budget_waterfill(
+    documents: DataFrame, budget_frac_pct: int = 50
+) -> DataFrame:
+    """Data-mixing allocation under availability caps: given a total
+    token budget (``budget_frac_pct`` percent of the corpus, integer
+    arithmetic), water-fill it across sources so every source gets an
+    equal share L of tokens except sources too small to use it, which
+    contribute everything they have — the max-diversity mixture a
+    pretraining run uses when it wants sources weighted equally but
+    some are tiny. Returns per source: available tokens, allocation,
+    epochs over the source (allocation/available), and whether the
+    source saturated.
+
+    The fill level solves ``sum_i min(avail_i, L) = B`` by walking
+    sources in ascending-availability order: source i is saturated iff
+    ``cum_{i-1} + avail_i * (n - i + 1) <= B`` — all int64, so the
+    saturation frontier is exact — and then
+    ``L = (B - cum_saturated) / n_unsaturated`` is one IEEE divide of
+    exact integers, identical in any engine.
+
+    Scale: one tokenize aggregate per source (map-side combined), then
+    window math over the *source list* (tens of rows). Nothing about
+    the walk touches row-level data.
+    """
+    avail = (
+        documents.select("source", F.explode(tokens_col()).alias("w"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("avail_tokens"))
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = Window.orderBy("avail_tokens", "source")
+    cum_prev = F.coalesce(
+        F.sum("avail_tokens").over(
+            walk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    n = F.count(F.lit(1)).over(tot)
+    rn = F.row_number().over(walk)
+    budget = F.expr(
+        f"(sum(avail_tokens) OVER () * {budget_frac_pct}) DIV 100"
+    )
+    staged = avail.select(
+        "source",
+        "avail_tokens",
+        budget.alias("budget"),
+        (
+            cum_prev + F.col("avail_tokens") * (n - rn + 1) <= budget
+        ).alias("saturated"),
+    )
+    fill = staged.select(
+        "source",
+        "avail_tokens",
+        "budget",
+        "saturated",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("saturated"), F.col("avail_tokens"))
+            ).over(tot),
+            F.lit(0),
+        ).alias("cum_sat"),
+        F.sum(F.when(~F.col("saturated"), 1).otherwise(0))
+        .over(tot)
+        .alias("n_unsat"),
+    )
+    level = (F.col("budget") - F.col("cum_sat")).cast("double") / F.col(
+        "n_unsat"
+    ).cast("double")
+    alloc = F.when(
+        F.col("saturated"), F.col("avail_tokens").cast("double")
+    ).otherwise(level)
+    return fill.select(
+        "source",
+        "avail_tokens",
+        "saturated",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(
+            alloc / F.col("avail_tokens").cast("double"), 6
+        ).alias("epochs"),
+    )

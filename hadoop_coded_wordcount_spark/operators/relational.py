@@ -8782,3 +8782,53 @@ def repeat_purchase(orders: DataFrame, customer: DataFrame) -> DataFrame:
             6,
         ).alias("repeat_revenue_share"),
     )
+
+
+def decile_migration(orders: DataFrame) -> DataFrame:
+    """Customer spend-decile migration matrix between two consecutive
+    years (1997 -> 1998): rank customers active in each year by annual
+    spend, cut into deciles, and count the (from, to) transitions for
+    customers active in both — the movement matrix a retention /
+    upsell review reads (mass on the diagonal = stable book; below =
+    churn risk).
+
+    Annual spend is an exact DECIMAL(18,2) sum; the rank orders by
+    (spend DESC, custkey) — a total order on exact values — and the
+    decile is pure integer arithmetic ``(rn-1)*10 DIV n + 1``, so the
+    cut points are engine-independent (no ntile, whose tie placement
+    is implementation-defined).
+
+    Scale: one groupBy over two years of orders, two windows over the
+    per-(year, customer) aggregate, one self-join on custkey. The
+    matrix is <= 100 rows.
+    """
+    spend = (
+        orders.where(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            "o_custkey",
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+    )
+    deciled = spend.select(
+        "yr",
+        "o_custkey",
+        # Integer DIV keeps the decile cut exact — Spark's DIV is the
+        # bigint twin of DuckDB's // (no double divide in the path).
+        F.expr(
+            "(CAST(row_number() OVER (PARTITION BY yr ORDER BY spend DESC,"
+            " o_custkey) - 1 AS BIGINT) * 10)"
+            " DIV count(1) OVER (PARTITION BY yr) + 1"
+        ).alias("decile"),
+    )
+    a = deciled.where(F.col("yr") == 1997).select(
+        "o_custkey", F.col("decile").alias("decile_from")
+    )
+    b = deciled.where(F.col("yr") == 1998).select(
+        "o_custkey", F.col("decile").alias("decile_to")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

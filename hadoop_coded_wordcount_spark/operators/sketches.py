@@ -626,3 +626,63 @@ def bloom_prefilter(
             ).alias("fp_rate"),
         )
     )
+
+
+def misra_gries_heavy_hitters(
+    documents: DataFrame, k: int = 50, capacity: int = 200
+) -> DataFrame:
+    """Exact corpus heavy hitters via the canonical two-pass distributed
+    design: a bounded-memory Misra-Gries candidate pass, then an exact
+    recount of the (small) candidate set.
+
+    Pass 1 keeps a Misra-Gries summary of ``capacity`` counters per
+    partition (Arrow-batched ``mapInPandas``; batches merge with the
+    Agarwal et al. mergeable-summaries rule: add counts, subtract the
+    (capacity+1)-th largest, drop non-positive). MG guarantees every
+    token whose *partition* frequency exceeds n_p/(capacity+1) survives
+    its partition summary, and pigeonhole lifts that to the corpus: any
+    token with global count > N/(capacity+1) — in particular every
+    token above the N/k report threshold, since capacity >= k —
+    appears in at least one summary. The union of summaries is
+    therefore a SUPERSET of the true heavy hitters, at most
+    ``capacity`` rows per partition regardless of data size.
+
+    Pass 2 semi-joins the corpus back to that candidate set and counts
+    exactly; the final filter ``cnt * k > N`` is pure int64 arithmetic,
+    so the output — every token with frequency > N/k, with its exact
+    count — is deterministic and engine-independent no matter what the
+    sketch kept. (A one-pass MG alone reports *estimates* with error
+    up to N/capacity; the recount pass is what buys exactness, for one
+    extra scan.)
+
+    Scale: pass-1 state is capacity × |partitions| counters, the
+    candidate exchange carries <= capacity rows per partition, and the
+    recount shuffles only candidate tokens (a left-semi join prunes
+    the rest map-side). Nothing is ever collected to the driver.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    words = ensure_parallelism(documents.select("doc_id", "text")).select(
+        F.explode(tokens_col()).alias("word")
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["word"].value_counts(), fill_value=0)
+            if len(counters) > capacity:
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters.sub(cut)
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"word": counters.index.astype(str)})
+
+    cand = words.mapInPandas(mg, schema="word string").distinct()
+    counts = words.join(cand, "word", "left_semi").groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = words.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(k) > F.col("n_total"))
+        .select("word", "cnt")
+    )

@@ -10505,6 +10505,105 @@ def q_repeat_purchase(spark, sf_dir):
     )
 
 
+@register(
+    "mg_heavy_hitters",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, n
+    GROUP BY word, n_total
+    HAVING CAST(COUNT(*) AS BIGINT) * 50 > n_total
+    """,
+)
+def q_mg_heavy_hitters(spark, sf_dir):
+    return sk.misra_gries_heavy_hitters(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "token_budget_waterfill",
+    r"""
+    WITH avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS avail_tokens
+      FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    staged AS (
+      SELECT source, avail_tokens,
+             (SUM(avail_tokens) OVER () * 50) // 100 AS budget,
+             COALESCE(SUM(avail_tokens) OVER (
+               ORDER BY avail_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + avail_tokens
+               * (COUNT(*) OVER ()
+                  - ROW_NUMBER() OVER (ORDER BY avail_tokens, source) + 1)
+             <= (SUM(avail_tokens) OVER () * 50) // 100 AS saturated
+      FROM avail
+    ),
+    fill AS (
+      SELECT source, avail_tokens, budget, saturated,
+             COALESCE(SUM(CASE WHEN saturated THEN avail_tokens END)
+                      OVER (), 0) AS cum_sat,
+             SUM(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS n_unsat
+      FROM staged
+    )
+    SELECT source, avail_tokens, saturated,
+           ROUND(CASE WHEN saturated THEN CAST(avail_tokens AS DOUBLE)
+                      ELSE CAST(budget - cum_sat AS DOUBLE)
+                           / CAST(n_unsat AS DOUBLE) END, 6)
+             AS alloc_tokens,
+           ROUND(CASE WHEN saturated THEN CAST(avail_tokens AS DOUBLE)
+                      ELSE CAST(budget - cum_sat AS DOUBLE)
+                           / CAST(n_unsat AS DOUBLE) END
+                 / CAST(avail_tokens AS DOUBLE), 6) AS epochs
+    FROM fill
+    """,
+)
+def q_token_budget_waterfill(spark, sf_dir):
+    return pl.token_budget_waterfill(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "decile_migration",
+    """
+    WITH spend AS (
+      SELECT year(o_orderdate) AS yr, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders
+      WHERE year(o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ),
+    deciled AS (
+      SELECT yr, o_custkey,
+             (CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                                      ORDER BY spend DESC, o_custkey) - 1
+                   AS BIGINT) * 10)
+             // COUNT(*) OVER (PARTITION BY yr) + 1 AS decile
+      FROM spend
+    )
+    SELECT a.decile AS decile_from, b.decile AS decile_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM deciled a JOIN deciled b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1997 AND b.yr = 1998
+    GROUP BY 1, 2
+    """,
+)
+def q_decile_migration(spark, sf_dir):
+    return rel.decile_migration(load_table(spark, sf_dir, "orders"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -10735,6 +10834,9 @@ _VERIFY_FIRST = [
     "k_anonymity",
     "ship_delay_percentiles",
     "repeat_purchase",
+    "mg_heavy_hitters",
+    "token_budget_waterfill",
+    "decile_migration",
 ]
 
 
