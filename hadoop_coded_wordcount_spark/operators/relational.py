@@ -8832,3 +8832,41 @@ def decile_migration(orders: DataFrame) -> DataFrame:
         .groupBy("decile_from", "decile_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+def ucb_allocation(events: DataFrame) -> DataFrame:
+    """UCB1 bandit snapshot over event-type "arms": pulls, mean reward
+    (the event ``value``), and the UCB1 score
+    ``mean + sqrt(2 ln N / n)`` per arm — which arm an explore/exploit
+    allocator plays next given the log so far (the experimentation
+    family's bandit sibling to ab_test_conversion / mde_power).
+
+    Rewards sum as 6dp DECIMAL quantizations (order-independent); the
+    single ln(N) is rounded to 6dp before use — the transcendental
+    discipline — and the rest is sqrt/divide/add on identical doubles,
+    so the scores agree bit-for-bit across engines.
+
+    Scale: one map-side-combined aggregate over the fact table; the
+    arm list is event-type-bounded.
+    """
+    per_arm = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).alias(
+            "sv"
+        ),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_total = F.sum("n_pulls").over(tot)
+    ln_n = F.round(F.log(n_total.cast("double")), 6)
+    mean = F.col("sv").cast("double") / F.col("n_pulls").cast("double")
+    ucb = mean + F.sqrt(
+        F.lit(2.0) * ln_n / F.col("n_pulls").cast("double")
+    )
+    return per_arm.select(
+        "event_type",
+        "n_pulls",
+        F.round(mean, 6).alias("mean_reward"),
+        F.round(ucb, 6).alias("ucb_score"),
+    )

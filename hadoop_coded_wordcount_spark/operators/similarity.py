@@ -1499,3 +1499,76 @@ def pca_power_iteration(
             "eigenvalue_est",
         )
     )
+
+
+def embedding_quantization(embeddings: DataFrame) -> DataFrame:
+    """Int8 symmetric quantization quality per embedding: the absmax
+    scale, the round-trip MSE, and the cosine similarity between the
+    original vector and its dequantized twin — the audit an embedding
+    store runs before committing to int8 (4x smaller, but how much
+    recall does it cost?).
+
+    Per vector: ``scale = max|x|/127``; each component quantizes to
+    ``floor(x/scale + 0.5)`` (explicit half-up, identical IEEE ops in
+    any engine — never a library round) and dequantizes to
+    ``q*scale``. The error/dot/norm sums quantize each term to DECIMAL
+    before summing (the engine's transcendental-sum discipline), so
+    the per-vector aggregates are independent of component order and
+    partitioning; the final cosine is sqrt/divide on identical
+    doubles. All-zero vectors (scale 0) are excluded — they have no
+    int8 representation and no defined cosine.
+
+    Scale: posexplode + two keyed aggregates per vector — the same
+    component-sharded shape as the IVF family; no interpreted HOFs in
+    the hot path, no driver collection.
+    """
+    base = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xf")
+    ).select("vec_id", F.col("xf").cast("double").alias("x"))
+    sc = (
+        base.groupBy("vec_id")
+        .agg((F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale"))
+        .where(F.col("scale") > 0)
+    )
+    q = base.join(sc, "vec_id").select(
+        "vec_id",
+        "scale",
+        "x",
+        (
+            F.floor(F.col("x") / F.col("scale") + F.lit(0.5))
+            * F.col("scale")
+        ).alias("deq"),
+    )
+    e = F.col("x") - F.col("deq")
+    terms = q.select(
+        "vec_id",
+        "scale",
+        F.round(e * e, 14).cast("decimal(28,14)").alias("e2"),
+        F.round(F.col("x") * F.col("deq"), 12)
+        .cast("decimal(28,12)")
+        .alias("xd"),
+        F.round(F.col("x") * F.col("x"), 12)
+        .cast("decimal(28,12)")
+        .alias("xx"),
+        F.round(F.col("deq") * F.col("deq"), 12)
+        .cast("decimal(28,12)")
+        .alias("dd"),
+    )
+    agg = terms.groupBy("vec_id").agg(
+        F.max("scale").alias("scale"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("e2").cast("double").alias("se2"),
+        F.sum("xd").cast("double").alias("sxd"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("dd").cast("double").alias("sdd"),
+    )
+    return agg.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(F.col("se2") / F.col("n_dims").cast("double"), 6).alias(
+            "mse"
+        ),
+        F.round(
+            F.col("sxd") / F.sqrt(F.col("sxx") * F.col("sdd")), 6
+        ).alias("cos_sim"),
+    )

@@ -10604,6 +10604,74 @@ def q_decile_migration(spark, sf_dir):
     return rel.decile_migration(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "embedding_quantization",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings, UNNEST(embedding) AS u(x)
+    ),
+    sc AS (
+      SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale
+      FROM base GROUP BY 1 HAVING MAX(ABS(x)) / 127.0 > 0
+    ),
+    q AS (
+      SELECT b.vec_id, scale, x,
+             FLOOR(x / scale + 0.5) * scale AS deq
+      FROM base b JOIN sc USING (vec_id)
+    ),
+    terms AS (
+      SELECT vec_id, scale,
+             CAST(ROUND((x - deq) * (x - deq), 14) AS DECIMAL(28,14))
+               AS e2,
+             CAST(ROUND(x * deq, 12) AS DECIMAL(28,12)) AS xd,
+             CAST(ROUND(x * x, 12) AS DECIMAL(28,12)) AS xx,
+             CAST(ROUND(deq * deq, 12) AS DECIMAL(28,12)) AS dd
+      FROM q
+    ),
+    agg AS (
+      SELECT vec_id, MAX(scale) AS scale,
+             CAST(COUNT(*) AS BIGINT) AS n_dims,
+             CAST(SUM(e2) AS DOUBLE) AS se2,
+             CAST(SUM(xd) AS DOUBLE) AS sxd,
+             CAST(SUM(xx) AS DOUBLE) AS sxx,
+             CAST(SUM(dd) AS DOUBLE) AS sdd
+      FROM terms GROUP BY 1
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           ROUND(se2 / CAST(n_dims AS DOUBLE), 6) AS mse,
+           ROUND(sxd / SQRT(sxx * sdd), 6) AS cos_sim
+    FROM agg
+    """,
+)
+def q_embedding_quantization(spark, sf_dir):
+    return sim.embedding_quantization(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
+    "ucb_allocation",
+    """
+    WITH per_arm AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pulls,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS sv
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_pulls,
+           ROUND(CAST(sv AS DOUBLE) / CAST(n_pulls AS DOUBLE), 6)
+             AS mean_reward,
+           ROUND(CAST(sv AS DOUBLE) / CAST(n_pulls AS DOUBLE)
+                 + SQRT(2.0 * ROUND(LN(CAST(SUM(n_pulls) OVER ()
+                                             AS DOUBLE)), 6)
+                        / CAST(n_pulls AS DOUBLE)), 6) AS ucb_score
+    FROM per_arm
+    """,
+)
+def q_ucb_allocation(spark, sf_dir):
+    return rel.ucb_allocation(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -10837,6 +10905,8 @@ _VERIFY_FIRST = [
     "mg_heavy_hitters",
     "token_budget_waterfill",
     "decile_migration",
+    "embedding_quantization",
+    "ucb_allocation",
 ]
 
 
