@@ -1763,10 +1763,18 @@ def ngram_novelty(documents: DataFrame) -> DataFrame:
     the gram string — shuffled, not broadcast, since a web-scale
     reference vocabulary outgrows any broadcast threshold; AQE will
     broadcast it when it is actually small.
+
+    Single-pass discipline (the minhash_lsh_pairs pattern): the per-doc
+    gram frame is persisted PACKED — no explode before the cache.
+    Exploding first would let InferFiltersFromGenerate push the whole
+    shingle expression through the repartition into the single-task
+    scan stage (measured 10x on a one-file source); with the arrays
+    cached once, both the reference and incoming branches explode the
+    cached frame instead of re-shingling the corpus twice.
     """
     from .dedup import shingled
 
-    g = shingled(documents)
+    g = shingled(documents).select("doc_id", "grams").persist()
     ref = (
         g.where(F.col("doc_id") % 2 == 0)
         .select(F.explode("grams").alias("gram"))
