@@ -562,3 +562,77 @@ def conformal_interval(lineitem: DataFrame, q_pct: float = 0.9) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+def class_separability(embeddings: DataFrame) -> DataFrame:
+    """Pairwise class separability of the labeled embedding space: for
+    every label pair, the squared distance between class centroids and
+    the Fisher-style ratio of that distance to the summed within-class
+    variances — the screen that says whether a linear probe has any
+    chance before anyone trains one.
+
+    Per-dimension sums quantize each term to DECIMAL before adding
+    (order-independent), centroids and variances are single IEEE ops on
+    the exact sums, and the cross-dimension reductions re-apply the same
+    per-term quantize-then-decimal-sum discipline — so both numbers are
+    engine-exact.
+
+    Scale: one posexplode into a (label, dim) aggregate (bounded by
+    labels x dims, not rows), then a join over label pairs on the dim
+    key. Nothing row-level survives the first aggregate.
+    """
+    base = embeddings.select(
+        "label", F.posexplode("embedding").alias("d", "xf")
+    ).select("label", "d", F.col("xf").cast("double").alias("x"))
+    per = base.groupBy("label", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("x"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = F.col("sx") / F.col("n").cast("double")
+    stats = per.select(
+        "label",
+        "d",
+        m.alias("mean"),
+        (F.col("sxx") / F.col("n").cast("double") - m * m).alias("var"),
+    )
+    a = stats.select(
+        F.col("label").alias("label_a"),
+        "d",
+        F.col("mean").alias("ma"),
+        F.col("var").alias("va"),
+    )
+    b = stats.select(
+        F.col("label").alias("label_b"),
+        "d",
+        F.col("mean").alias("mb"),
+        F.col("var").alias("vb"),
+    )
+    diff = F.col("ma") - F.col("mb")
+    pairs = (
+        a.join(b, "d")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.round(diff * diff, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dist2"),
+            F.sum(
+                F.round(F.col("va") + F.col("vb"), 12).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("within"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dist2"), 6).alias("centroid_dist2"),
+        F.round(F.col("dist2") / F.col("within"), 6).alias("fisher_ratio"),
+    )

@@ -1572,3 +1572,100 @@ def embedding_quantization(embeddings: DataFrame) -> DataFrame:
             F.col("sxd") / F.sqrt(F.col("sxx") * F.col("sdd")), 6
         ).alias("cos_sim"),
     )
+
+
+def int8_recall(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_mod: int = 25,
+    dim: int = 64,
+    salts: int = 32,
+) -> DataFrame:
+    """Recall@k of int8 asymmetric search vs fp32 brute force — the
+    number embedding_quantization's MSE/cosine audit ultimately stands
+    in for: rank the corpus for a fixed bounded query set (every
+    ``query_mod``-th vector, fp32 queries against a dequantized-int8
+    corpus, the standard asymmetric setup) and report how much of the
+    exact fp32 top-k the int8 index retains. One summary row: queries,
+    mean recall@k, and the worst per-query recall.
+
+    Vectors stay PACKED (the embedding_neardup_pairs discipline): the
+    per-pair work is two :func:`dot_unrolled` codegen dots — never an
+    exploded join on the 64-value dim key, whose handful of hash
+    buckets cannot spread, and never an interpreted nested HOF on the
+    pair path. Scores fold left-to-right from a 0.0 seed, the exact
+    order DuckDB's ``list_reduce`` uses, so both top-k sets are
+    engine-identical with no tolerance; ids break score ties.
+
+    Scale: the bounded query set replicates to ``salts`` buckets and
+    the corpus equi-joins on its salt — queries x corpus pairs spread
+    over the cluster with no cartesian node and nothing collected.
+    Brute force over the corpus is the baseline tier; the IVF family
+    is the scale path for the index itself.
+    """
+    v = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    withs = v.withColumn(
+        "scale",
+        F.array_max(F.transform("emb", lambda x: F.abs(x))) / F.lit(127.0),
+    ).where(F.col("scale") > 0)
+    deq = withs.select(
+        F.col("vec_id").alias("c"),
+        F.col("emb").alias("xc"),
+        F.transform(
+            "emb",
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+            * F.col("scale"),
+        ).alias("qc"),
+    )
+    corpus = deq.select(
+        "c",
+        "xc",
+        "qc",
+        F.sqrt(_fold_sum(F.transform("xc", lambda x: x * x))).alias("nf"),
+        F.sqrt(_fold_sum(F.transform("qc", lambda x: x * x))).alias("n8"),
+        F.pmod(F.hash("c"), F.lit(salts)).alias("salt"),
+    ).repartition(64, "salt")
+    queries = v.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q"),
+        F.col("emb").alias("xq"),
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("salt"),
+    )
+    pairs = corpus.join(F.broadcast(queries), "salt").where(
+        F.col("q") != F.col("c")
+    )
+    scored = pairs.select(
+        "q",
+        "c",
+        (
+            dot_unrolled(F.col("xq"), F.col("xc"), dim) / F.col("nf")
+        ).alias("sf"),
+        (
+            dot_unrolled(F.col("xq"), F.col("qc"), dim) / F.col("n8")
+        ).alias("s8"),
+    )
+    wf = Window.partitionBy("q").orderBy(F.col("sf").desc(), F.col("c"))
+    w8 = Window.partitionBy("q").orderBy(F.col("s8").desc(), F.col("c"))
+    ranked = scored.select(
+        "q",
+        "c",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(w8).alias("r8"),
+    )
+    hits = ranked.groupBy("q").agg(
+        F.sum(
+            F.when((F.col("rf") <= k) & (F.col("r8") <= k), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hit")
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("hit").cast("double")
+            / (F.count(F.lit(1)) * F.lit(k)).cast("double"),
+            6,
+        ).alias("mean_recall_at_k"),
+        F.round(
+            F.min("hit").cast("double") / F.lit(k).cast("double"), 6
+        ).alias("min_recall_at_k"),
+    )

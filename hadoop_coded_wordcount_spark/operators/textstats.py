@@ -1928,3 +1928,48 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+def hapax_rate(documents: DataFrame) -> DataFrame:
+    """Hapax legomena profile per source: tokens, vocabulary size, the
+    number of words occurring exactly once in that source, and their
+    share of the vocabulary — a fast lexical-health probe (machine
+    gibberish and OCR noise push hapax share up; boilerplate pushes it
+    down; its corpus-wide siblings are ttr_by_lang and
+    token_coverage_topk).
+
+    Exact integer counting end to end; the share is one IEEE divide.
+
+    Scale: one tokenize pass into a (source, word) aggregate, then a
+    source-level rollup of the *frequency table* — both map-side
+    combined; nothing beyond the vocabulary ever shuffles.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    freq = (
+        ensure_parallelism(documents.select("doc_id", "source", "text"))
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(
+                F.col("hapax").cast("double") / F.col("vocab").cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+    )

@@ -10672,6 +10672,139 @@ def q_ucb_allocation(spark, sf_dir):
     return rel.ucb_allocation(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "hapax_rate",
+    r"""
+    WITH freq AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM freq GROUP BY 1
+    """,
+)
+def q_hapax_rate(spark, sf_dir):
+    return ts.hapax_rate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "class_separability",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT label, CAST(d AS INTEGER) - 1 AS d,
+             CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS r(d)
+    ),
+    per AS (
+      SELECT label, d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS sxx
+      FROM base GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT label, d, sx / CAST(n AS DOUBLE) AS mean,
+             sxx / CAST(n AS DOUBLE)
+             - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS var
+      FROM per
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(ROUND((a.mean - b.mean) * (a.mean - b.mean),
+                                 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS dist2,
+             CAST(SUM(CAST(ROUND(a.var + b.var, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS within
+      FROM stats a JOIN stats b ON a.d = b.d AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dist2, 6) AS centroid_dist2,
+           ROUND(dist2 / within, 6) AS fisher_ratio
+    FROM pairs
+    """,
+)
+def q_class_separability(spark, sf_dir):
+    return ml.class_separability(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "int8_recall",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, emb,
+             list_reduce(list_transform(emb, x -> abs(x)),
+                         (a, x) -> greatest(a, x)) / 127.0 AS scale
+      FROM v
+    ),
+    cn AS MATERIALIZED (
+      SELECT vec_id AS c, emb AS xc,
+             list_transform(emb, x -> floor(x / scale + 0.5) * scale)
+               AS qc,
+             sqrt(list_reduce(list_transform(emb, x -> x * x),
+                              (acc, x) -> acc + x)) AS nf
+      FROM sc WHERE scale > 0
+    ),
+    cn2 AS MATERIALIZED (
+      SELECT c, xc, qc, nf,
+             sqrt(list_reduce(list_transform(qc, x -> x * x),
+                              (acc, x) -> acc + x)) AS n8
+      FROM cn
+    ),
+    queries AS (
+      SELECT vec_id AS q, emb AS xq FROM v WHERE vec_id % 25 = 0
+    ),
+    scored AS MATERIALIZED (
+      SELECT q, c,
+             list_reduce(list_transform(range(1, len(xq) + 1),
+                                        i -> xq[i] * xc[i]),
+                         (acc, x) -> acc + x) / nf AS sf,
+             list_reduce(list_transform(range(1, len(xq) + 1),
+                                        i -> xq[i] * qc[i]),
+                         (acc, x) -> acc + x) / n8 AS s8
+      FROM queries JOIN cn2 ON q <> c
+    ),
+    ranked AS (
+      SELECT q, c,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY sf DESC, c) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY s8 DESC, c) AS r8
+      FROM scored
+    ),
+    hits AS (
+      SELECT q, CAST(SUM(CASE WHEN rf <= 10 AND r8 <= 10 THEN 1 ELSE 0
+                         END) AS BIGINT) AS hit
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(hit) AS DOUBLE)
+                 / CAST(COUNT(*) * 10 AS DOUBLE), 6) AS mean_recall_at_k,
+           ROUND(CAST(MIN(hit) AS DOUBLE) / 10.0, 6) AS min_recall_at_k
+    FROM hits
+    """,
+)
+def q_int8_recall(spark, sf_dir):
+    return sim.int8_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -10907,6 +11040,9 @@ _VERIFY_FIRST = [
     "decile_migration",
     "embedding_quantization",
     "ucb_allocation",
+    "hapax_rate",
+    "class_separability",
+    "int8_recall",
 ]
 
 
