@@ -1,0 +1,164 @@
+"""Fixture tests for the round-5 third-session additions: semantics
+pinned on hand-built inputs (the oracle sweep covers the real tables)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hadoop_coded_wordcount_spark.operators import (
+    pipeline as pl,
+    relational as rel,
+    similarity as sim,
+    sketches as sk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+# --- Misra-Gries two-pass heavy hitters ---------------------------------
+
+
+def test_mg_heavy_hitters_exact_output(spark):
+    """Output must equal the exact set {word: cnt*k > N} with exact
+    counts, regardless of what the sketch pass kept."""
+    rows = [(i, "a " * 30 + "b " * 10 + f"u{i}", "en", "s") for i in range(8)]
+    docs = _docs(spark, rows)
+    # N = 8*(30+10+1) = 328; k=4 -> threshold cnt > 82: only 'a' (240).
+    got = {
+        r.word: r.cnt
+        for r in sk.misra_gries_heavy_hitters(docs, k=4, capacity=8).collect()
+    }
+    assert got == {"a": 240}
+
+
+def test_mg_heavy_hitters_tiny_capacity_still_exact(spark):
+    """A capacity barely above k still yields the exact answer — the
+    recount pass, not the sketch accuracy, owns correctness."""
+    rows = [(i, "x " * 50 + f"w{i} y z", "en", "s") for i in range(6)]
+    docs = _docs(spark, rows)
+    # N = 6*53 = 318; k=3 -> threshold 106: only 'x' (300).
+    got = {
+        r.word: r.cnt
+        for r in sk.misra_gries_heavy_hitters(docs, k=3, capacity=4).collect()
+    }
+    assert got == {"x": 300}
+
+
+# --- Token-budget waterfilling ------------------------------------------
+
+
+def test_waterfill_allocation_conserves_budget(spark):
+    """sum(alloc) == budget, saturated sources contribute all they
+    have, unsaturated ones share one fill level."""
+    rows = []
+    sizes = {"tiny": 10, "small": 40, "big": 300, "huge": 650}
+    did = 0
+    for src, n in sizes.items():
+        rows.append((did, "t " * n, "en", src))
+        did += 1
+    out = {
+        r.source: r
+        for r in pl.token_budget_waterfill(_docs(spark, rows)).collect()
+    }
+    total = sum(sizes.values())  # 1000 -> budget 500
+    assert sum(r.alloc_tokens for r in out.values()) == total // 2
+    assert out["tiny"].saturated and out["tiny"].alloc_tokens == 10.0
+    assert out["small"].saturated and out["small"].alloc_tokens == 40.0
+    # remaining 450 splits evenly over the two unsaturated sources
+    assert not out["big"].saturated
+    assert out["big"].alloc_tokens == out["huge"].alloc_tokens == 225.0
+    assert out["huge"].epochs == round(225.0 / 650, 6)
+
+
+def test_waterfill_no_saturation_when_uniform(spark):
+    """Equal availabilities at a 50% budget: nobody saturates, every
+    source gets exactly half its tokens."""
+    rows = [(i, "t " * 100, "en", f"s{i}") for i in range(4)]
+    out = pl.token_budget_waterfill(_docs(spark, rows)).collect()
+    assert all(not r.saturated and r.alloc_tokens == 50.0 for r in out)
+
+
+# --- ABC classification ---------------------------------------------------
+
+
+def test_abc_classes_partition_all_parts(spark):
+    # Ranked desc: 400 (cum 0.4), 300 (0.7) -> A; 150 (0.85), 100
+    # (0.95) -> B; five 1% parts -> C.
+    revs = [400.0, 300.0, 100.0, 150.0] + [10.0] * 5
+    li = spark.createDataFrame(
+        [(1, i, r, 0.0) for i, r in enumerate(revs)],
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double,"
+        " l_discount double",
+    )
+    got = {r.abc_class: r for r in rel.abc_classification(li).collect()}
+    assert got["A"].n_parts == 2 and got["A"].class_revenue == 700.0
+    assert got["B"].n_parts == 2 and got["C"].n_parts == 5
+    assert sum(r.n_parts for r in got.values()) == len(revs)
+    assert abs(sum(r.revenue_share for r in got.values()) - 1.0) < 1e-6
+
+
+# --- k-anonymity -----------------------------------------------------------
+
+
+def test_k_anonymity_counts_small_classes(spark):
+    cust = spark.createDataFrame(
+        # band 0: 5 customers (nation 1, seg A); band -1: 1 customer.
+        [(i, 1, "A", 10.0 * i) for i in range(5)] + [(9, 2, "B", -5.0)],
+        "c_custkey bigint, c_nationkey int, c_mktsegment string,"
+        " c_acctbal double",
+    )
+    row = rel.k_anonymity(cust).collect()[0]
+    assert row.n_classes == 2 and row.min_k == 1
+    assert row.classes_k_lt_5 == 1 and row.n_customers == 6
+    assert row.at_risk_share == round(1 / 6, 6)
+
+
+# --- int8 recall -----------------------------------------------------------
+
+
+def test_int8_recall_bounds_and_self_exclusion(spark):
+    """Recall lies in [0,1]; identical-direction vectors rank exactly and
+    a query never retrieves itself."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    r = sim.int8_recall(emb, k=5, query_mod=10, dim=8, salts=4).collect()[0]
+    assert r.n_queries == 4
+    assert 0.0 <= r.min_recall_at_k <= r.mean_recall_at_k <= 1.0
+
+
+# --- decile migration ------------------------------------------------------
+
+
+def test_decile_migration_total_order_and_counts(spark):
+    import datetime
+
+    rows = []
+    for c in range(10):
+        rows.append(
+            (100 + c, c, 100.0 * (c + 1), datetime.datetime(1997, 3, 1))
+        )
+        # reverse the spend ranking in 1998 -> perfect anti-diagonal
+        rows.append(
+            (200 + c, c, 100.0 * (10 - c), datetime.datetime(1998, 3, 1))
+        )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+        " o_orderdate timestamp",
+    )
+    got = rel.decile_migration(orders).collect()
+    assert sum(r.n_customers for r in got) == 10
+    m = {(r.decile_from, r.decile_to) for r in got}
+    # customer with top 1997 spend (c=9) has the lowest 1998 spend
+    assert (1, 10) in m and (10, 1) in m
