@@ -8870,3 +8870,189 @@ def ucb_allocation(events: DataFrame) -> DataFrame:
         F.round(mean, 6).alias("mean_reward"),
         F.round(ucb, 6).alias("ucb_score"),
     )
+
+
+def return_rate_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Return-quality scorecard per brand: lineitems, returned lineitems
+    (``l_returnflag = 'R'``), the return rate, and the share of the
+    brand's discounted revenue that walked back out the door — the
+    merchandising view of returns (q10 gives the customer view).
+
+    Revenue rides exact DECIMAL sums; rates are single IEEE divides.
+
+    Scale: one fact-table aggregate after a broadcast join to the part
+    dimension; output is brand-bounded.
+    """
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC) - _dec("l_discount")
+    )
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        F.sum(disc_price).alias("rev"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", disc_price)
+        ).alias("ret_rev"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        F.round(
+            F.col("n_returned").cast("double")
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("return_rate"),
+        F.round(
+            F.coalesce(F.col("ret_rev"), F.lit(0).cast(DEC)).cast("double")
+            / F.col("rev").cast("double"),
+            6,
+        ).alias("returned_revenue_share"),
+    )
+
+
+def segment_spend_outliers(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Tukey-fence spend outliers per market segment: exact Q1/Q3 of
+    per-customer total spend (bounded-state percentile histogram), the
+    1.5·IQR upper fence, and how many customers sit above it — the
+    whale-detection readout segment planning starts from.
+
+    Spend is an exact DECIMAL sum cast once to double; the quartiles
+    reuse exact_percentiles_by_group (bit-identical to the builtin),
+    and the fence comparison runs on identical doubles in any engine.
+
+    Scale: one orders aggregate, a broadcast dimension join, quartiles
+    over the per-(segment, spend) histogram, and one summary aggregate.
+    """
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", F.col("spend").cast("double").alias("sp"))
+    )
+    q = exact_percentiles_by_group(
+        per_cust, "c_mktsegment", "sp", [0.25, 0.75]
+    ).select(
+        "c_mktsegment",
+        F.col("p0").alias("q1"),
+        F.col("p1").alias("q3"),
+    )
+    fenced = per_cust.join(q, "c_mktsegment")
+    fence = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    return (
+        fenced.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.max("q1").alias("q1r"),
+            F.max("q3").alias("q3r"),
+            F.sum(F.when(F.col("sp") > fence, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("sp").alias("top"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(F.col("q1r"), 6).alias("q1"),
+            F.round(F.col("q3r"), 6).alias("q3"),
+            "n_outliers",
+            F.round(F.col("top"), 6).alias("top_spend"),
+        )
+    )
+
+
+def discount_curve(lineitem: DataFrame) -> DataFrame:
+    """Discount effectiveness curve: for each discount level (integer
+    percent — the raw double is never a grouping key), line count, mean
+    quantity, discounted revenue, and the level's share of total
+    revenue — the curve a pricing review reads before touching the
+    discount ladder (price_elasticity fits the log-log slope; this is
+    the raw shape).
+
+    Quantities and revenue sum as exact DECIMALs; means and shares are
+    single IEEE divides.
+
+    Scale: one map-side-combined aggregate; the share window runs over
+    ~11 rows.
+    """
+    agg = lineitem.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias(
+            "discount_pct"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(_dec("l_quantity")).alias("sq"),
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        ).alias("rev"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "discount_pct",
+        "n_lines",
+        F.round(
+            F.col("sq").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("avg_qty"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(tot).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    ).orderBy("discount_pct")
+
+
+def sla_trend(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fulfilment SLA trend: per order month, the share of lineitems
+    shipped within 30 days of the order date — the time series an ops
+    review tracks (ship_delay_percentiles gives the distribution at a
+    point; this is its drift over time).
+
+    The gap is an exact integer day count and the share one IEEE
+    divide.
+
+    Scale: the orderkey equi-join is the canonical big-big shuffle
+    join; the monthly rollup is map-side combined and month-bounded.
+    """
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("gap"),
+    )
+    return (
+        j.groupBy("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("gap") <= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within"),
+        )
+        .select(
+            "yr",
+            "mo",
+            "n_lines",
+            "n_within",
+            F.round(
+                F.col("n_within").cast("double")
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("within_30d_share"),
+        )
+    )

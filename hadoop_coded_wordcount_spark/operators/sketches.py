@@ -61,6 +61,8 @@ __all__ = [
     "hll_sliding_users",
     "cms_estimate_counts",
     "theta_intersection_estimate",
+    "misra_gries_heavy_hitters",
+    "hll_set_ops",
     "DEFAULT_K",
 ]
 
@@ -685,4 +687,96 @@ def misra_gries_heavy_hitters(
         counts.crossJoin(F.broadcast(total))
         .where(F.col("cnt") * F.lit(k) > F.col("n_total"))
         .select("word", "cnt")
+    )
+
+
+def hll_set_ops(
+    events: DataFrame,
+    key: str = "user_id",
+    type_a: str = "view",
+    type_b: str = "purchase",
+    b: int = 6,
+) -> DataFrame:
+    """HLL sketch ALGEBRA: union two per-segment register sets by
+    register max-merge and estimate the audience overlap by
+    inclusion-exclusion (``E_a + E_b - E_union``) — the query a
+    marketing overlap / reach panel answers from sketches alone,
+    WITHOUT rescanning either side. Exact distinct counts ride along so
+    the row itself shows the sketch error.
+
+    Registers, estimator, and the dyadic-exact ``Z`` sum are exactly
+    :func:`hll_estimate_manual`'s (md5 basis, so every register is
+    reproducible in any engine); the union is the sketch-theoretic
+    max-merge, the ONLY lossless set operation HLL supports — the
+    intersection is derived arithmetic on three estimates, never a
+    register op, and its error is correspondingly larger (that is the
+    honest sketch trade-off this query makes visible).
+
+    Scale: per-type registers partial-aggregate map-side (≤ m rows per
+    type per partition); the union merges two ≤ m register sets; the
+    exact side is one distinct-flag aggregate. The final assembly
+    crossJoins four single-row frames (broadcast, constant size).
+    """
+    if b not in (4, 5, 6):
+        raise ValueError("b must be 4..6 so alpha_m is tabulated")
+    m = 1 << b
+    w = 52 - b
+    alpha = HLL_ALPHA[m]
+    h = F.md5(F.col(key).cast("string").cast("binary"))
+    x = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    idx = F.shiftright(x, w)
+    rest = x.bitwiseAND(F.lit((1 << w) - 1))
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    both = events.where(F.col("event_type").isin(type_a, type_b))
+    regs = (
+        both.select("event_type", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    ra = regs.where(F.col("event_type") == type_a).select("idx", "M")
+    rb = regs.where(F.col("event_type") == type_b).select("idx", "M")
+    ru = regs.groupBy("idx").agg(F.max("M").alias("M"))
+    ea = _estimate_from_registers(ra, [], m, alpha, "est_a").select("est_a")
+    eb = _estimate_from_registers(rb, [], m, alpha, "est_b").select("est_b")
+    eu = _estimate_from_registers(ru, [], m, alpha, "est_union").select(
+        "est_union"
+    )
+    flags = both.groupBy(key).agg(
+        F.max(F.when(F.col("event_type") == type_a, 1).otherwise(0)).alias(
+            "ha"
+        ),
+        F.max(F.when(F.col("event_type") == type_b, 1).otherwise(0)).alias(
+            "hb"
+        ),
+    )
+    exact = flags.agg(
+        F.sum("ha").cast("bigint").alias("exact_a"),
+        F.sum("hb").cast("bigint").alias("exact_b"),
+        F.sum(F.col("ha") * F.col("hb")).cast("bigint").alias(
+            "exact_intersect"
+        ),
+    )
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        exact.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_intersect",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(est_i, 6).alias("est_intersect"),
+            F.round(
+                (est_i - F.col("exact_intersect").cast("double"))
+                / F.col("exact_intersect").cast("double"),
+                6,
+            ).alias("rel_err_intersect"),
+        )
     )

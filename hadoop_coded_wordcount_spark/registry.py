@@ -10805,6 +10805,199 @@ def q_int8_recall(spark, sf_dir):
 
 
 
+_HLL_REGS_2TYPE = f"""
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS x
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    r AS (
+      SELECT event_type, x >> {_HLL_W} AS idx,
+             CASE WHEN (x & {_HLL_MASK}) = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(x & {_HLL_MASK})) END
+               AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, idx, MAX(rho) AS M FROM r GROUP BY 1, 2
+    )
+"""
+
+_HLL_EST_EXPR = (
+    f"CASE WHEN raw <= {2.5 * _HLL_M!r} AND ({_HLL_M} - v_set) > 0"
+    f" THEN {float(_HLL_M)!r}"
+    f" * ln({float(_HLL_M)!r} / CAST({_HLL_M} - v_set AS DOUBLE))"
+    f" ELSE raw END"
+)
+
+
+def _hll_est_cte(name, src_sql):
+    return f"""
+    {name}_agg AS (
+      SELECT COUNT(*) AS v_set, SUM(pow(2.0, -M)) AS z_set FROM {src_sql}
+    ),
+    {name} AS (
+      SELECT round({_HLL_EST_EXPR}, 6) AS {name}_val FROM (
+        SELECT v_set,
+               {_HLL_ALPHA_M2!r}
+               / (z_set + CAST({_HLL_M} - v_set AS DOUBLE)) AS raw
+        FROM {name}_agg
+      )
+    )
+    """
+
+
+@register(
+    "hll_set_ops",
+    f"""
+    WITH {_HLL_REGS_2TYPE},
+    ru AS (SELECT idx, MAX(M) AS M FROM regs GROUP BY 1),
+    {_hll_est_cte("ea", "(SELECT M FROM regs WHERE event_type = 'view')")},
+    {_hll_est_cte("eb",
+                  "(SELECT M FROM regs WHERE event_type = 'purchase')")},
+    {_hll_est_cte("eu", "ru")},
+    flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ha,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS hb
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(SUM(ha) AS BIGINT) AS exact_a,
+             CAST(SUM(hb) AS BIGINT) AS exact_b,
+             CAST(SUM(ha * hb) AS BIGINT) AS exact_intersect
+      FROM flags
+    )
+    SELECT exact_a, exact_b, exact_intersect,
+           ea_val AS est_a, eb_val AS est_b, eu_val AS est_union,
+           ROUND(ea_val + eb_val - eu_val, 6) AS est_intersect,
+           ROUND((ea_val + eb_val - eu_val
+                  - CAST(exact_intersect AS DOUBLE))
+                 / CAST(exact_intersect AS DOUBLE), 6)
+             AS rel_err_intersect
+    FROM exact, ea, eb, eu
+    """,
+)
+def q_hll_set_ops(spark, sf_dir):
+    return sk.hll_set_ops(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "return_rate_by_brand",
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS return_rate,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN
+                      CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2))) END), 0)
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE), 6) AS returned_revenue_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_return_rate_by_brand(spark, sf_dir):
+    return rel.return_rate_by_brand(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "segment_spend_outliers",
+    """
+    WITH per_cust AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sp
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ),
+    q AS (
+      SELECT c_mktsegment,
+             quantile_cont(sp, 0.25) AS q1,
+             quantile_cont(sp, 0.75) AS q3
+      FROM per_cust GROUP BY 1
+    )
+    SELECT p.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(MAX(q.q1), 6) AS q1,
+           ROUND(MAX(q.q3), 6) AS q3,
+           CAST(SUM(CASE WHEN p.sp > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(p.sp), 6) AS top_spend
+    FROM per_cust p JOIN q USING (c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def q_segment_spend_outliers(spark, sf_dir):
+    return rel.segment_spend_outliers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "discount_curve",
+    """
+    WITH agg AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS INTEGER) AS discount_pct,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT discount_pct, n_lines,
+           ROUND(CAST(sq AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+             AS avg_qty,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE),
+                 6) AS revenue_share
+    FROM agg ORDER BY discount_pct
+    """,
+)
+def q_discount_curve(spark, sf_dir):
+    return rel.discount_curve(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "sla_trend",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                        CAST(l_shipdate AS DATE)) <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+           ROUND(CAST(SUM(CASE WHEN date_diff('day',
+                                CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) <= 30
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS within_30d_share
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_sla_trend(spark, sf_dir):
+    return rel.sla_trend(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -11043,6 +11236,11 @@ _VERIFY_FIRST = [
     "hapax_rate",
     "class_separability",
     "int8_recall",
+    "hll_set_ops",
+    "return_rate_by_brand",
+    "segment_spend_outliers",
+    "discount_curve",
+    "sla_trend",
 ]
 
 
