@@ -9056,3 +9056,125 @@ def sla_trend(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             ).alias("within_30d_share"),
         )
     )
+
+
+def duplicate_orders(orders: DataFrame) -> DataFrame:
+    """Double-entry audit: customers who placed MORE THAN ONE order on
+    the same calendar day — the suspect groups a billing review walks
+    first (same buyer, same day: retries, double-submits, split
+    bookings). One row per (customer, day) group with the order count,
+    the summed amount, and the bracketing order keys (the DQ battery
+    checks schema rules; this checks the money).
+
+    Amounts sum as exact DECIMAL(18,2); the day key is the date value
+    itself, never a float.
+
+    Scale: one map-side-combined groupBy on the (customer, day) pair;
+    only groups with >1 order survive, so the output is anomaly-sized.
+    """
+    g = orders.groupBy(
+        "o_custkey",
+        F.col("o_orderdate").alias("odate"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("amount"),
+        F.min("o_orderkey").alias("first_orderkey"),
+        F.max("o_orderkey").alias("last_orderkey"),
+    )
+    return g.where(F.col("n_orders") > 1).select(
+        "o_custkey",
+        F.date_format("odate", "yyyy-MM-dd").alias("order_date"),
+        "n_orders",
+        F.col("amount").cast("double").alias("total_amount"),
+        "first_orderkey",
+        "last_orderkey",
+    )
+
+
+def session_type_lift(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Within-session event-type affinity: for every type pair, the
+    number of sessions containing both and the lift vs independence
+    (``P(a,b) / (P(a)·P(b))`` over sessions) — market-basket analysis
+    where the basket is a behavioral session rather than an order
+    (market_basket_pairs' clickstream twin).
+
+    Sessions split on >``gap_minutes`` inactivity via the lag-then-
+    cumsum idiom (integer epoch-second arithmetic, exact); pair/type
+    probabilities are exact integer counts over sessions with single
+    IEEE divides at the end.
+
+    Scale: sessionization is one user-keyed exchange; distinct types
+    per session bound the pair fan-out by |types|² per session; the
+    pair aggregate is map-side combined and type-bounded.
+    """
+    gap_s = gap_minutes * 60
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag(sec).over(w).isNull() | (sec - F.lag(sec).over(w) > gap_s), 1
+    ).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_type",
+        F.sum(new_sess)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_seq"),
+    )
+    st = sess.select("user_id", "session_seq", "event_type").distinct()
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_sessions = (
+        st.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"),
+                                       F.col("n_a").alias("ca"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"),
+                                       F.col("n_a").alias("cb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    lift = (
+        F.col("n_both").cast("double") * F.col("n_sessions").cast("double")
+    ) / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("support"),
+        F.round(lift, 6).alias("lift"),
+    )

@@ -1973,3 +1973,69 @@ def hapax_rate(documents: DataFrame) -> DataFrame:
             ).alias("hapax_share"),
         )
     )
+
+
+def token_drift_movers(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """Vocabulary drift movers: the words whose frequency SHARE moved
+    most between the even-``doc_id`` slice (reference) and the odd
+    slice (new crawl) — the word-level drilldown behind the
+    distribution-level drift gates (psi_drift / kl_js_sources say THAT
+    the corpus moved; this says WHICH words moved it). Words with
+    fewer than 50 total occurrences are excluded (share deltas on rare
+    words are noise).
+
+    Counts are exact integers from ONE conditional aggregate (no
+    self-join); shares are single IEEE divides and the movers rank on
+    the raw |delta| with the word as tie-break — a total order on
+    engine-identical doubles; rounding happens only in the final
+    projection.
+
+    Scale: one tokenize pass into a word-keyed aggregate
+    (vocabulary-bounded, map-side combined); the top-N is a
+    TakeOrdered over the vocabulary, never the corpus.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    ex = ensure_parallelism(documents.select("doc_id", "text")).select(
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.explode(tokens_col()).alias("word"),
+    )
+    per_word = ex.groupBy("word").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_new"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share_ref = F.col("cnt_ref").cast("double") / F.sum("cnt_ref").over(
+        tot
+    ).cast("double")
+    share_new = F.col("cnt_new").cast("double") / F.sum("cnt_new").over(
+        tot
+    ).cast("double")
+    staged = per_word.select(
+        "word",
+        "cnt_ref",
+        "cnt_new",
+        share_ref.alias("sr"),
+        share_new.alias("sn"),
+    ).where(F.col("cnt_ref") + F.col("cnt_new") >= 50)
+    return (
+        staged.orderBy(
+            F.abs(F.col("sn") - F.col("sr")).desc(), F.col("word")
+        )
+        .limit(top_n)
+        .select(
+            "word",
+            "cnt_ref",
+            "cnt_new",
+            F.round(F.col("sr"), 6).alias("share_ref"),
+            F.round(F.col("sn"), 6).alias("share_new"),
+            F.round(F.col("sn") - F.col("sr"), 6).alias("share_delta"),
+        )
+    )

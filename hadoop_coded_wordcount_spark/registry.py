@@ -10998,6 +10998,123 @@ def q_sla_trend(spark, sf_dir):
     )
 
 
+@register(
+    "duplicate_orders",
+    """
+    SELECT o_custkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_amount,
+           MIN(o_orderkey) AS first_orderkey,
+           MAX(o_orderkey) AS last_orderkey
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_duplicate_orders(spark, sf_dir):
+    return rel.duplicate_orders(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "session_type_lift",
+    """
+    WITH sec AS (
+      SELECT user_id, event_type, ts, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts, event_id, s,
+             CASE WHEN LAG(s) OVER w IS NULL
+                       OR s - LAG(s) OVER w > 1800 THEN 1 ELSE 0 END
+               AS new_sess
+      FROM sec
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ),
+    st AS MATERIALIZED (
+      SELECT DISTINCT user_id, session_seq, event_type FROM sess
+    ),
+    n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_seq FROM st)
+    ),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM st GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+             AS support,
+           ROUND(CAST(n_both AS DOUBLE) * CAST(n_sessions AS DOUBLE)
+                 / (CAST(sa.n_a AS DOUBLE) * CAST(sb.n_a AS DOUBLE)), 6)
+             AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    CROSS JOIN n
+    """,
+)
+def q_session_type_lift(spark, sf_dir):
+    return rel.session_type_lift(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "token_drift_movers",
+    r"""
+    WITH ex AS (
+      SELECT doc_id % 2 = 0 AS is_ref,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    per_word AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_ref,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+               AS cnt_new
+      FROM ex GROUP BY 1
+    ),
+    staged AS (
+      SELECT word, cnt_ref, cnt_new,
+             CAST(cnt_ref AS DOUBLE)
+             / CAST(SUM(cnt_ref) OVER () AS DOUBLE) AS sr,
+             CAST(cnt_new AS DOUBLE)
+             / CAST(SUM(cnt_new) OVER () AS DOUBLE) AS sn
+      FROM per_word
+    )
+    SELECT word, cnt_ref, cnt_new,
+           ROUND(sr, 6) AS share_ref,
+           ROUND(sn, 6) AS share_new,
+           ROUND(sn - sr, 6) AS share_delta
+    FROM staged
+    WHERE cnt_ref + cnt_new >= 50
+    ORDER BY ABS(sn - sr) DESC, word
+    LIMIT 20
+    """,
+)
+def q_token_drift_movers(spark, sf_dir):
+    return ts.token_drift_movers(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -11241,6 +11358,9 @@ _VERIFY_FIRST = [
     "segment_spend_outliers",
     "discount_curve",
     "sla_trend",
+    "duplicate_orders",
+    "session_type_lift",
+    "token_drift_movers",
 ]
 
 
