@@ -636,3 +636,92 @@ def class_separability(embeddings: DataFrame) -> DataFrame:
         F.round(F.col("dist2"), 6).alias("centroid_dist2"),
         F.round(F.col("dist2") / F.col("within"), 6).alias("fisher_ratio"),
     )
+
+
+def triplet_margin(
+    embeddings: DataFrame, anchor_mod: int = 10, dim: int = 64,
+    salts: int = 32,
+) -> DataFrame:
+    """Metric-learning health check per label: for a bounded anchor set
+    (every ``anchor_mod``-th vector), the mean cosine to same-label
+    vectors (positives, self excluded) vs other-label vectors
+    (negatives), and the mean margin between them — whether the label
+    structure is even visible to a cosine retriever, per class
+    (class_separability asks the centroid version; this asks the
+    retrieval version).
+
+    Vectors unit-normalize once per row, each pair is ONE unrolled
+    codegen dot (the neardup discipline — never an exploded dim-key
+    join), and every cross-row mean quantizes its terms to DECIMAL
+    before summing, so the per-label numbers are independent of pair
+    order and partitioning.
+
+    Scale: anchors replicate to ``salts`` buckets and the corpus
+    equi-joins its salt — no cartesian node; pair volume is
+    |anchors| x |corpus|, bounded by construction.
+    """
+    from .similarity_helpers import as_double_unit, dot_unrolled_cols
+
+    v = as_double_unit(embeddings)
+    anchors = v.where(F.col("vec_id") % anchor_mod == 0).select(
+        F.col("vec_id").alias("a"),
+        F.col("label").alias("la"),
+        F.col("ne").alias("na"),
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("salt"),
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("c"),
+        F.col("label").alias("lc"),
+        F.col("ne").alias("nc"),
+        F.pmod(F.hash("vec_id"), F.lit(salts)).alias("salt"),
+    ).repartition(64, "salt")
+    pairs = corpus.join(F.broadcast(anchors), "salt").where(
+        F.col("a") != F.col("c")
+    )
+    cos = dot_unrolled_cols(F.col("na"), F.col("nc"), dim)
+    terms = pairs.select(
+        "a",
+        "la",
+        (F.col("la") == F.col("lc")).alias("same"),
+        F.round(cos, 12).cast("decimal(28,12)").alias("cq"),
+    )
+    per_anchor = terms.groupBy("a", "la").agg(
+        F.sum(F.when(F.col("same"), F.col("cq"))).alias("sp"),
+        F.sum(F.when(F.col("same"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(~F.col("same"), F.col("cq"))).alias("sn"),
+        F.sum(F.when(~F.col("same"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn"),
+    ).where((F.col("np") > 0) & (F.col("nn") > 0))
+    pos = F.col("sp").cast("double") / F.col("np").cast("double")
+    neg = F.col("sn").cast("double") / F.col("nn").cast("double")
+    staged = per_anchor.select(
+        "la",
+        F.round(pos, 6).cast("decimal(18,6)").alias("pq"),
+        F.round(neg, 6).cast("decimal(18,6)").alias("nq"),
+        F.round(pos - neg, 6).cast("decimal(18,6)").alias("mq"),
+    )
+    agg = staged.groupBy("la").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum("pq").alias("spq"),
+        F.sum("nq").alias("snq"),
+        F.sum("mq").alias("smq"),
+    )
+    return agg.select(
+        F.col("la").alias("label"),
+        "n_anchors",
+        F.round(
+            F.col("spq").cast("double") / F.col("n_anchors").cast("double"),
+            6,
+        ).alias("mean_pos_cos"),
+        F.round(
+            F.col("snq").cast("double") / F.col("n_anchors").cast("double"),
+            6,
+        ).alias("mean_neg_cos"),
+        F.round(
+            F.col("smq").cast("double") / F.col("n_anchors").cast("double"),
+            6,
+        ).alias("mean_margin"),
+    )

@@ -9178,3 +9178,49 @@ def session_type_lift(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         ).alias("support"),
         F.round(lift, 6).alias("lift"),
     )
+
+
+def chisq_uniform_props(events: DataFrame) -> DataFrame:
+    """One-way chi-square goodness-of-fit of the JSON ``props.k`` field
+    against a uniform distribution over its mod-10 buckets — the DQ
+    probe that catches a skewed upstream id generator (the two-way
+    sibling, chi_square_independence, tests association between two
+    observed columns; this tests one column against a NULL MODEL).
+
+    The statistic is Σ (O-E)²/E with O exact integers and E = n/10 one
+    exact divide; terms quantize to DECIMAL before summing. The 5%
+    critical value for df=9 (16.919) is a literal, so the reject flag
+    is engine-independent (no chi-square CDF in either engine).
+
+    Scale: one JSON extraction + mod-10 aggregate, map-side combined;
+    the statistic folds 10 rows.
+    """
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    buckets = (
+        events.select(F.pmod(k, F.lit(10)).alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = F.sum("o").over(tot).cast("double") / F.lit(10.0)
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    staged = buckets.select(
+        "o",
+        F.round(term, 10).cast("decimal(28,10)").alias("tq"),
+    )
+    agg = staged.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("tq").cast("double").alias("chi2"),
+    )
+    return agg.select(
+        "n",
+        "n_buckets",
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        (F.col("chi2") > F.lit(16.919)).alias("reject_uniform_5pct"),
+    )

@@ -11115,6 +11115,100 @@ def q_token_drift_movers(spark, sf_dir):
     return ts.token_drift_movers(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "triplet_margin",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(emb, x -> x / nrm) AS ne
+      FROM (
+        SELECT vec_id, label, emb,
+               sqrt(list_reduce(list_transform(emb, y -> y * y),
+                                (acc, x) -> acc + x)) AS nrm
+        FROM v
+      ) WHERE nrm > 0
+    ),
+    terms AS (
+      SELECT a.vec_id AS a, a.label AS la,
+             a.label = c.label AS same,
+             CAST(ROUND(list_reduce(
+                    list_transform(range(1, len(a.ne) + 1),
+                                   i -> a.ne[i] * c.ne[i]),
+                    (acc, x) -> acc + x), 12) AS DECIMAL(28,12)) AS cq
+      FROM n a JOIN n c ON a.vec_id <> c.vec_id
+      WHERE a.vec_id % 10 = 0
+    ),
+    per_anchor AS (
+      SELECT a, la,
+             SUM(CASE WHEN same THEN cq END) AS sp,
+             CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             SUM(CASE WHEN NOT same THEN cq END) AS sn,
+             CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT)
+               AS nn
+      FROM terms GROUP BY 1, 2
+      HAVING CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) > 0
+         AND CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT) > 0
+    ),
+    staged AS (
+      SELECT la,
+             CAST(ROUND(CAST(sp AS DOUBLE) / CAST(np AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS pq,
+             CAST(ROUND(CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS nq,
+             CAST(ROUND(CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)
+                        - CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS mq
+      FROM per_anchor
+    )
+    SELECT la AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           ROUND(CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_pos_cos,
+           ROUND(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_neg_cos,
+           ROUND(CAST(SUM(mq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_margin
+    FROM staged GROUP BY 1
+    """,
+)
+def q_triplet_margin(spark, sf_dir):
+    return ml.triplet_margin(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "chisq_uniform_props",
+    """
+    WITH buckets AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS o FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                 AS b
+        FROM events
+      ) WHERE b IS NOT NULL GROUP BY 1
+    ),
+    staged AS (
+      SELECT o,
+             CAST(ROUND((CAST(o AS DOUBLE) - SUM(o) OVER () / 10.0)
+                        * (CAST(o AS DOUBLE) - SUM(o) OVER () / 10.0)
+                        / (SUM(o) OVER () / 10.0), 10)
+                  AS DECIMAL(28,10)) AS tq
+      FROM buckets
+    )
+    SELECT CAST(SUM(o) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(tq) AS DOUBLE), 6) AS chi2,
+           CAST(SUM(tq) AS DOUBLE) > 16.919 AS reject_uniform_5pct
+    FROM staged
+    """,
+)
+def q_chisq_uniform_props(spark, sf_dir):
+    return rel.chisq_uniform_props(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
@@ -11361,6 +11455,8 @@ _VERIFY_FIRST = [
     "duplicate_orders",
     "session_type_lift",
     "token_drift_movers",
+    "triplet_margin",
+    "chisq_uniform_props",
 ]
 
 
