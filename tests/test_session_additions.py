@@ -162,3 +162,95 @@ def test_decile_migration_total_order_and_counts(spark):
     m = {(r.decile_from, r.decile_to) for r in got}
     # customer with top 1997 spend (c=9) has the lowest 1998 spend
     assert (1, 10) in m and (10, 1) in m
+
+
+# --- HLL set algebra -------------------------------------------------------
+
+
+def test_hll_set_ops_union_bounds_and_exact_flags(spark):
+    """Union estimate >= each side's estimate (register max-merge can
+    only raise Z-mass); exact counts match the construction."""
+    rows = []
+    eid = 0
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    for u in range(40):
+        rows.append((eid, t, u, "view", 1.0)); eid += 1
+    for u in range(20, 60):
+        rows.append((eid, t, u, "purchase", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    from hadoop_coded_wordcount_spark.operators.sketches import hll_set_ops
+
+    r = hll_set_ops(ev).collect()[0]
+    assert r.exact_a == 40 and r.exact_b == 40 and r.exact_intersect == 20
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-6
+    assert abs(r.est_intersect - (r.est_a + r.est_b - r.est_union)) < 1e-6
+
+
+# --- Session-type lift -----------------------------------------------------
+
+
+def test_session_type_lift_perfect_cooccurrence(spark):
+    """Two types always together in every session -> lift = 1/support
+    relation: P(a,b)=P(a)=P(b)=1 so lift = 1.0."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = datetime.datetime(2024, 1, 1, 8, 0)
+        rows.append((eid, t, u, "view", 1.0)); eid += 1
+        rows.append(
+            (eid, t + datetime.timedelta(minutes=1), u, "click", 1.0)
+        ); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    got = rel.session_type_lift(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.type_a, r.type_b) == ("click", "view")
+    assert r.n_both == 5 and r.support == 1.0 and r.lift == 1.0
+
+
+def test_session_type_lift_gap_splits_sessions(spark):
+    """A >30 min gap separates the two types into different sessions —
+    no pair row survives."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 8, 0)
+    ev = spark.createDataFrame(
+        [
+            (0, t, 1, "view", 1.0),
+            (1, t + datetime.timedelta(minutes=45), 1, "click", 1.0),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    assert rel.session_type_lift(ev).count() == 0
+
+
+# --- Vocabulary drift movers ----------------------------------------------
+
+
+def test_token_drift_movers_flags_the_shifted_word(spark):
+    """A word present only in the new slice tops the movers; a word
+    with identical share in both slices shows ~zero delta."""
+    from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+    rows = []
+    for i in range(0, 40, 2):  # even = reference
+        rows.append((i, "base " * 50, "en", "s"))
+    for i in range(1, 40, 2):  # odd = new crawl
+        rows.append((i, "base " * 25 + "drifted " * 25, "en", "s"))
+    got = {r.word: r for r in ts.token_drift_movers(_docs(spark, rows)).collect()}
+    # mirror-image movers: 'base' lost exactly the share 'drifted' gained
+    assert got["drifted"].cnt_ref == 0 and got["drifted"].share_delta == 0.5
+    assert got["base"].share_delta == -0.5 and len(got) == 2
