@@ -39,6 +39,7 @@ __all__ = [
     "calibration_bins",
     "mutual_information",
     "subsample_ci",
+    "logistic_gd",
 ]
 
 
@@ -724,4 +725,96 @@ def triplet_margin(
             F.col("smq").cast("double") / F.col("n_anchors").cast("double"),
             6,
         ).alias("mean_margin"),
+    )
+
+
+def logistic_gd(orders: DataFrame, iters: int = 4) -> DataFrame:
+    """In-engine logistic-style classifier fit by full-batch gradient
+    descent — label = (o_orderstatus = 'F'), features = scaled order
+    total and priority rank plus an intercept — with the **hard
+    sigmoid** σ(z) = clamp(z/4 + ½, 0, 1) so every iteration is exact
+    integer arithmetic in micro-units (1e-6) up to ONE IEEE division
+    per step, making the whole descent bit-reproducible across engines
+    (the ``pca_power_iteration`` fixed-point discipline applied to an
+    optimizer; a smooth exp() sigmoid would pin the result to libm).
+
+    Scale shape: the feature frame is a single projection of orders,
+    persisted once; each of the ``iters`` rounds is one partial-agg
+    shuffle down to 3 gradient scalars + n, and the weight state is a
+    1-row broadcast frame — no driver collect, state size O(features),
+    rounds fixed. 100x the orders is 100x the same map-side-combined
+    scan, nothing else grows.
+    """
+    feat = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1000000)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("yu"),
+        F.lit(1000000).cast("bigint").alias("x0u"),
+        F.expr("CAST(ROUND(o_totalprice * 5.0) AS BIGINT)").alias("x1u"),
+        (
+            F.substring("o_orderpriority", 1, 1).cast("bigint") * 200000
+        ).alias("x2u"),
+    ).persist()
+    w = feat.sparkSession.range(1).select(
+        F.lit(0).cast("bigint").alias("w0"),
+        F.lit(0).cast("bigint").alias("w1"),
+        F.lit(0).cast("bigint").alias("w2"),
+    )
+    su = (
+        "LEAST(CAST(1000000 AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+        "CAST(ROUND((w0*x0u + w1*x1u + w2*x2u) / 4000000.0 + 500000.0) "
+        "AS BIGINT)))"
+    )
+    for _ in range(iters):
+        scored = feat.crossJoin(F.broadcast(w)).select(
+            "yu", "x0u", "x1u", "x2u", F.expr(su).alias("su")
+        )
+        g = scored.agg(
+            F.sum((F.col("su") - F.col("yu")) * F.col("x0u"))
+            .cast("bigint")
+            .alias("g0"),
+            F.sum((F.col("su") - F.col("yu")) * F.col("x1u"))
+            .cast("bigint")
+            .alias("g1"),
+            F.sum((F.col("su") - F.col("yu")) * F.col("x2u"))
+            .cast("bigint")
+            .alias("g2"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            F.expr(
+                "CAST(w0 - ROUND(g0 / (n * 1000000.0)) AS BIGINT)"
+            ).alias("w0"),
+            F.expr(
+                "CAST(w1 - ROUND(g1 / (n * 1000000.0)) AS BIGINT)"
+            ).alias("w1"),
+            F.expr(
+                "CAST(w2 - ROUND(g2 / (n * 1000000.0)) AS BIGINT)"
+            ).alias("w2"),
+        )
+    fit = feat.crossJoin(F.broadcast(w)).select(
+        "yu",
+        "w0",
+        "w1",
+        "w2",
+        F.expr("w0*x0u + w1*x1u + w2*x2u").alias("z12"),
+    )
+    return fit.groupBy("w0", "w1", "w2").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("z12") > 0) == (F.col("yu") == 1000000), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("train_accuracy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        F.round(F.col("w0") / F.lit(1000000.0), 6).alias("w_intercept"),
+        F.round(F.col("w1") / F.lit(1000000.0), 6).alias("w_price"),
+        F.round(F.col("w2") / F.lit(1000000.0), 6).alias("w_priority"),
+        "train_accuracy",
+        "n",
     )

@@ -9224,3 +9224,126 @@ def chisq_uniform_props(events: DataFrame) -> DataFrame:
         F.round(F.col("chi2"), 6).alias("chi2"),
         (F.col("chi2") > F.lit(16.919)).alias("reject_uniform_5pct"),
     )
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """Exact Shapley-value channel attribution: each non-purchase event
+    type is a marketing "channel", a user converts if they have >=1
+    purchase, and every channel's credit is its exact Shapley value over
+    the coalition game v(S) = observed conversion rate of users whose
+    touched-channel set is exactly S (unobserved subsets contribute
+    v = 0) — the fairness-axiomatic upgrade to the linear/position
+    attribution entries, computable exactly because the channel universe
+    is small (2^n coalition masks, n = distinct event types - 1).
+
+    Scale shape: users collapse to ONE bitmask row each (two narrow
+    aggregations), masks collapse to 2^n stat rows, and the Shapley sum
+    runs on the 2^n x n coalition lattice — data-size-independent after
+    the per-user rollup, so 100x the events is 100x a shuffle-light
+    pre-agg and the same tiny lattice join. Determinism: every term is
+    integer arithmetic (factorial weights, c/t count fractions kept as
+    BIGINT cross-products) up to ONE IEEE division, rounded to 9 and
+    summed as exact DECIMAL.
+    """
+    channels = (
+        events.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+        .select(
+            "channel",
+            (
+                F.row_number().over(Window.orderBy("channel")) - 1
+            ).cast("bigint").alias("idx"),
+        )
+    )
+    n1 = channels.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    touched = (
+        events.join(
+            F.broadcast(channels),
+            events["event_type"] == channels["channel"],
+        )
+        .select("user_id", "idx")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)"))
+            .cast("bigint")
+            .alias("mask")
+        )
+    )
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted")
+    )
+    mask_stats = (
+        users.join(touched, "user_id", "left")
+        .select(
+            F.coalesce(F.col("mask"), F.lit(0)).alias("mask"), "converted"
+        )
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+            F.sum("converted").cast("bigint").alias("c"),
+        )
+    )
+    all_masks = n1.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("CAST(pow(2, n) AS BIGINT) - 1"),
+            )
+        ).alias("mask")
+    )
+    v = all_masks.join(mask_stats, "mask", "left").select(
+        "mask",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        F.coalesce(F.col("t"), F.lit(1)).cast("bigint").alias("t"),
+    )
+    s = v.select(
+        F.col("mask").alias("s_mask"),
+        F.col("c").alias("s_c"),
+        F.col("t").alias("s_t"),
+    )
+    si = v.select(
+        F.col("mask").alias("si_mask"),
+        F.col("c").alias("si_c"),
+        F.col("t").alias("si_t"),
+    )
+    # coalition lattice: (channel i, mask S without i) -> S ∪ {i}; the
+    # whole frame is 2^n * n rows, so plain inner joins stay tiny
+    lattice = (
+        channels.crossJoin(F.broadcast(n1))
+        .join(
+            F.broadcast(s),
+            F.expr("(shiftright(s_mask, CAST(idx AS INT)) & 1) = 0"),
+        )
+        .join(
+            F.broadcast(si),
+            F.expr(
+                "si_mask = s_mask + shiftleft(CAST(1 AS BIGINT), idx)"
+            ),
+        )
+    )
+    term = F.round(
+        (
+            F.factorial(F.bit_count("s_mask").cast("int"))
+            * F.factorial(
+                (F.col("n") - 1 - F.bit_count("s_mask")).cast("int")
+            )
+            * (F.col("si_c") * F.col("s_t") - F.col("s_c") * F.col("si_t"))
+        ).cast("double")
+        / (
+            F.factorial(F.col("n").cast("int"))
+            * F.col("si_t")
+            * F.col("s_t")
+        ).cast("double"),
+        9,
+    ).cast("decimal(20,9)")
+    return (
+        lattice.select("channel", term.alias("term"))
+        .groupBy("channel")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("shapley_credit"))
+    )

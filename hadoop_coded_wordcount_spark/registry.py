@@ -11209,6 +11209,128 @@ def q_chisq_uniform_props(spark, sf_dir):
     return rel.chisq_uniform_props(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "shapley_attribution",
+    """
+    WITH ch AS (
+      SELECT channel,
+             CAST(ROW_NUMBER() OVER (ORDER BY channel) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type AS channel FROM events
+            WHERE event_type <> 'purchase')
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ch),
+    touched AS (
+      SELECT user_id,
+             CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << idx)) AS BIGINT) AS mask
+      FROM events e JOIN ch ON e.event_type = ch.channel
+      GROUP BY user_id
+    ),
+    users AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    ms AS (
+      SELECT COALESCE(t.mask, 0) AS mask,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(u.converted) AS BIGINT) AS c
+      FROM users u LEFT JOIN touched t USING (user_id)
+      GROUP BY 1
+    ),
+    allm AS (
+      -- range() rejects lateral column bounds: fixed 256-row span
+      -- (n <= 8 channels) filtered down to the true 2^n lattice
+      SELECT CAST(r.m AS BIGINT) AS mask
+      FROM range(0, 256) AS r(m), nn
+      WHERE r.m < CAST(POW(2, nn.n) AS BIGINT)
+    ),
+    v AS (
+      SELECT a.mask,
+             CAST(COALESCE(ms.c, 0) AS BIGINT) AS c,
+             CAST(COALESCE(ms.t, 1) AS BIGINT) AS t
+      FROM allm a LEFT JOIN ms USING (mask)
+    ),
+    terms AS (
+      SELECT ch.channel,
+             CAST(ROUND(
+               CAST(factorial(CAST(bit_count(s.mask) AS INTEGER))
+                    * factorial(CAST(nn.n - 1 - bit_count(s.mask) AS INTEGER))
+                    * (si.c * s.t - s.c * si.t) AS DOUBLE)
+               / CAST(factorial(CAST(nn.n AS INTEGER)) * si.t * s.t
+                      AS DOUBLE),
+               9) AS DECIMAL(20,9)) AS term
+      FROM ch, nn, v s, v si
+      WHERE ((s.mask >> ch.idx) & 1) = 0
+        AND si.mask = s.mask + (CAST(1 AS BIGINT) << ch.idx)
+    )
+    SELECT channel, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS shapley_credit
+    FROM terms GROUP BY channel
+    """,
+)
+def q_shapley_attribution(spark, sf_dir):
+    return rel.shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _lgd_round(prev: str, k: int) -> str:
+    """One hard-sigmoid GD round, mirroring mleval.logistic_gd step for
+    step: exact BIGINT mat-vec in micro-units, one IEEE division for the
+    sigmoid and one for the mean-gradient update."""
+    su = (
+        "LEAST(CAST(1000000 AS BIGINT), GREATEST(CAST(0 AS BIGINT), "
+        "CAST(ROUND((w.w0*x0u + w.w1*x1u + w.w2*x2u) / 4000000.0 "
+        "+ 500000.0) AS BIGINT)))"
+    )
+    return f""",
+    g{k} AS (
+      SELECT CAST(SUM((su - yu) * x0u) AS BIGINT) AS g0,
+             CAST(SUM((su - yu) * x1u) AS BIGINT) AS g1,
+             CAST(SUM((su - yu) * x2u) AS BIGINT) AS g2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT yu, x0u, x1u, x2u, {su} AS su FROM lgd_feat, {prev} w)
+    ),
+    w{k} AS (
+      SELECT CAST(w.w0 - ROUND(g.g0 / (g.n * 1000000.0)) AS BIGINT) AS w0,
+             CAST(w.w1 - ROUND(g.g1 / (g.n * 1000000.0)) AS BIGINT) AS w1,
+             CAST(w.w2 - ROUND(g.g2 / (g.n * 1000000.0)) AS BIGINT) AS w2
+      FROM {prev} w, g{k} g
+    )"""
+
+
+@register(
+    "logistic_gd",
+    f"""
+    WITH lgd_feat AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1000000 ELSE 0 END
+                  AS BIGINT) AS yu,
+             CAST(1000000 AS BIGINT) AS x0u,
+             CAST(ROUND(o_totalprice * 5.0) AS BIGINT) AS x1u,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 200000
+               AS x2u
+      FROM orders
+    ),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2)
+    {_lgd_round('w0', 1)}{_lgd_round('w1', 2)}{_lgd_round('w2', 3)}
+    {_lgd_round('w3', 4)},
+    fit AS (
+      SELECT yu, w.w0, w.w1, w.w2,
+             w.w0*x0u + w.w1*x1u + w.w2*x2u AS z12
+      FROM lgd_feat, w4 w
+    )
+    SELECT ROUND(w0 / 1000000.0, 6) AS w_intercept,
+           ROUND(w1 / 1000000.0, 6) AS w_price,
+           ROUND(w2 / 1000000.0, 6) AS w_priority,
+           ROUND(SUM(CASE WHEN (z12 > 0) = (yu = 1000000) THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS train_accuracy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM fit GROUP BY w0, w1, w2
+    """,
+)
+def q_logistic_gd(spark, sf_dir):
+    return ml.logistic_gd(load_table(spark, sf_dir, "orders"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -200,3 +200,59 @@ def test_stump_split_separable_threshold(spark):
     assert (got.hi_left, got.hi_right) == (10, 0)
     # pure split: gain == parent entropy == ln 2 (rounded per term)
     assert got.info_gain == float(-2 * round(0.5 * math.log(0.5), 6))
+
+
+# --- Hard-sigmoid logistic gradient descent -------------------------------
+
+
+def test_logistic_gd_learns_separable_labels(spark):
+    """Price-separable labels: 'F' iff the order total is large. Four
+    fixed-point GD rounds must produce a positive price weight and
+    classify the training set perfectly."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    rows = []
+    for i in range(20):
+        big = i % 2 == 0
+        rows.append(
+            (
+                i,
+                1,
+                "F" if big else "O",
+                400000.0 if big else 20000.0,
+                None,
+                "3-MEDIUM",
+            )
+        )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    r = ml.logistic_gd(orders).collect()[0]
+    assert r.train_accuracy == 1.0
+    assert r.w_price > 0
+    assert r.n == 20
+
+
+def test_logistic_gd_zero_iterations_predicts_negative(spark):
+    """With iters=0 the weights stay 0, z=0 is classified as the
+    negative class — accuracy equals the non-'F' share."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    rows = [
+        (0, 1, "F", 100.0, None, "1-URGENT"),
+        (1, 1, "O", 100.0, None, "1-URGENT"),
+        (2, 1, "P", 100.0, None, "1-URGENT"),
+        (3, 1, "O", 100.0, None, "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    r = ml.logistic_gd(orders, iters=0).collect()[0]
+    assert r.train_accuracy == 0.75
+    assert (r.w_intercept, r.w_price, r.w_priority) == (0.0, 0.0, 0.0)

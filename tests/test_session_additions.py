@@ -254,3 +254,54 @@ def test_token_drift_movers_flags_the_shifted_word(spark):
     # mirror-image movers: 'base' lost exactly the share 'drifted' gained
     assert got["drifted"].cnt_ref == 0 and got["drifted"].share_delta == 0.5
     assert got["base"].share_delta == -0.5 and len(got) == 2
+
+
+# --- Exact Shapley channel attribution ------------------------------------
+
+
+def test_shapley_attribution_hand_computed(spark):
+    """Two channels, hand-worked lattice: v(∅)=1, v({a})=1/2, v({b})=0,
+    v({a,b})=1 → φ(a)=0.25, φ(b)=-0.25 (Shapley terms written out in
+    the docstring math, weights ½ each)."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "a", 1.0),
+        (1, t, 1, "purchase", 1.0),
+        (2, t, 2, "a", 1.0),
+        (3, t, 3, "a", 1.0),
+        (4, t, 3, "b", 1.0),
+        (5, t, 3, "purchase", 1.0),
+        (6, t, 4, "b", 1.0),
+        (7, t, 5, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    got = {r.channel: r.shapley_credit for r in rel.shapley_attribution(ev).collect()}
+    assert got == {"a": 0.25, "b": -0.25}
+
+
+def test_shapley_attribution_single_channel_is_marginal(spark):
+    """One channel: φ = v({c}) - v(∅) exactly (the only coalition pair)."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "c", 1.0),
+        (1, t, 1, "purchase", 1.0),
+        (2, t, 2, "c", 1.0),
+        (3, t, 3, "purchase", 1.0),
+        (4, t, 4, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    got = {r.channel: r.shapley_credit for r in rel.shapley_attribution(ev).collect()}
+    # v({c}) = 1/2, v(∅) = 1 (both bare-purchase users convert)
+    assert got == {"c": -0.5}
