@@ -40,6 +40,7 @@ __all__ = [
     "mutual_information",
     "subsample_ci",
     "logistic_gd",
+    "ols_normal_equations",
 ]
 
 
@@ -818,3 +819,106 @@ def logistic_gd(orders: DataFrame, iters: int = 4) -> DataFrame:
         "train_accuracy",
         "n",
     )
+
+
+# determinant expansions for the 3x3 normal-equation system — ONE shared
+# expression text per determinant, evaluated verbatim by Spark (F.expr)
+# and by the DuckDB oracle, so both engines build the identical IEEE
+# expression tree (double mul/sub/add are deterministic given the tree)
+OLS_DET = (
+    "(n1*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+    " + s2*(s1*s12 - s11*s2))"
+)
+OLS_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+    " + s2*(s1y*s12 - s11*s2y))"
+)
+OLS_DET1 = (
+    "(n1*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+    " + s2*(s1*s2y - s1y*s2))"
+)
+OLS_DET2 = (
+    "(n1*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+    " + sy*(s1*s12 - s11*s2))"
+)
+
+
+def ols_normal_equations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Two-feature OLS fit entirely in-engine via the normal equations:
+    regress order total on (line count, total quantity) per order, solve
+    the 3x3 system by Cramer's rule, and report R² from a second pass —
+    multivariate regression as two aggregate scans, no driver linear
+    algebra beyond a fixed 3x3 expression.
+
+    Exactness: every Gram-matrix entry is an exact BIGINT sum of
+    integer features; the y-moment sums round per row to 4 dp and sum
+    as exact DECIMAL; the determinants are computed from those exact
+    sums with a shared expression string (``OLS_DET*``) so Spark and
+    the oracle evaluate the identical double expression tree.
+
+    Scale shape: one fact-fact shuffle on orderkey (the per-order
+    rollup), then two map-side-combined global aggregations over the
+    persisted joined frame; coefficients travel as a 1-row broadcast.
+    """
+    per_line = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum("l_quantity").cast("bigint").alias("x2"),
+    )
+    per_order = (
+        orders.join(per_line, orders["o_orderkey"] == per_line["okey"])
+        .select(
+            "x1",
+            "x2",
+            F.col("o_totalprice").alias("y"),
+        )
+        .persist()
+    )
+    sums = per_order.agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.round(F.col("y"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.round(F.col("x1") * F.col("y"), 4).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("s1y"),
+        F.sum(
+            F.round(F.col("x2") * F.col("y"), 4).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("s2y"),
+    )
+    coefs = sums.select(
+        F.expr(f"ROUND({OLS_DET0} / {OLS_DET}, 6)").alias("beta0"),
+        F.expr(f"ROUND({OLS_DET1} / {OLS_DET}, 6)").alias("beta_lines"),
+        F.expr(f"ROUND({OLS_DET2} / {OLS_DET}, 6)").alias("beta_qty"),
+        F.expr("sy / n1").alias("ybar"),
+        F.col("n1").cast("bigint").alias("n"),
+    )
+    # residuals squared by explicit self-multiplication — pow(x, 2) is a
+    # libm call whose last ulp is not pinned across engines; x*x is
+    resid = F.col("y") - (
+        (F.col("beta0") + F.col("beta_lines") * F.col("x1").cast("double"))
+        + F.col("beta_qty") * F.col("x2").cast("double")
+    )
+    dev = F.col("y") - F.col("ybar")
+    fit = per_order.crossJoin(F.broadcast(coefs)).select(
+        "beta0",
+        "beta_lines",
+        "beta_qty",
+        "n",
+        F.round(resid * resid, 4).cast("decimal(28,4)").alias("se"),
+        F.round(dev * dev, 4).cast("decimal(28,4)").alias("st"),
+    )
+    return fit.groupBy("beta0", "beta_lines", "beta_qty", "n").agg(
+        F.expr(
+            "ROUND(1.0 - CAST(SUM(se) AS DOUBLE)"
+            " / CAST(SUM(st) AS DOUBLE), 6)"
+        ).alias("r2")
+    ).select("beta0", "beta_lines", "beta_qty", "r2", "n")

@@ -11331,6 +11331,66 @@ def q_logistic_gd(spark, sf_dir):
     return ml.logistic_gd(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "ols_normal_equations",
+    f"""
+    WITH per_order AS (
+      SELECT x1, x2, o_totalprice AS y
+      FROM orders o
+      JOIN (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS x1,
+               CAST(SUM(l_quantity) AS BIGINT) AS x2
+        FROM lineitem GROUP BY l_orderkey
+      ) l ON o.o_orderkey = l.l_orderkey
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n1,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(x1*x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2*x2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x1*y, 4) AS DECIMAL(28,4))) AS DOUBLE)
+               AS s1y,
+             CAST(SUM(CAST(ROUND(x2*y, 4) AS DECIMAL(28,4))) AS DOUBLE)
+               AS s2y
+      FROM per_order
+    ),
+    coefs AS (
+      SELECT ROUND({ml.OLS_DET0} / {ml.OLS_DET}, 6) AS beta0,
+             ROUND({ml.OLS_DET1} / {ml.OLS_DET}, 6) AS beta_lines,
+             ROUND({ml.OLS_DET2} / {ml.OLS_DET}, 6) AS beta_qty,
+             sy / n1 AS ybar,
+             CAST(n1 AS BIGINT) AS n
+      FROM sums
+    ),
+    fit AS (
+      SELECT beta0, beta_lines, beta_qty, n,
+             CAST(ROUND(
+               (y - ((beta0 + beta_lines * CAST(x1 AS DOUBLE))
+                     + beta_qty * CAST(x2 AS DOUBLE)))
+               * (y - ((beta0 + beta_lines * CAST(x1 AS DOUBLE))
+                       + beta_qty * CAST(x2 AS DOUBLE))), 4)
+                  AS DECIMAL(28,4)) AS se,
+             CAST(ROUND((y - ybar) * (y - ybar), 4) AS DECIMAL(28,4)) AS st
+      FROM per_order, coefs
+    )
+    SELECT beta0, beta_lines, beta_qty,
+           ROUND(1.0 - CAST(SUM(se) AS DOUBLE) / CAST(SUM(st) AS DOUBLE), 6)
+             AS r2,
+           n
+    FROM fit GROUP BY beta0, beta_lines, beta_qty, n
+    """,
+)
+def q_ols_normal_equations(spark, sf_dir):
+    return ml.ols_normal_equations(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

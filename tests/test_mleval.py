@@ -256,3 +256,34 @@ def test_logistic_gd_zero_iterations_predicts_negative(spark):
     r = ml.logistic_gd(orders, iters=0).collect()[0]
     assert r.train_accuracy == 0.75
     assert (r.w_intercept, r.w_price, r.w_priority) == (0.0, 0.0, 0.0)
+
+
+def test_ols_normal_equations_recovers_exact_plane(spark):
+    """y = 10 + 2·lines + 3·qty exactly → Cramer solve returns the
+    plane and R² = 1 (zero residuals)."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    line_rows, order_rows = [], []
+    qty_plan = {0: [5], 1: [7, 2], 2: [1, 1, 20], 3: [9], 4: [4, 11], 5: [3, 3, 3]}
+    for okey, qtys in qty_plan.items():
+        x1, x2 = len(qtys), sum(qtys)
+        order_rows.append(
+            (okey, 1, "O", 10.0 + 2 * x1 + 3 * x2, None, "3-MEDIUM")
+        )
+        for j, q in enumerate(qtys):
+            line_rows.append((okey, 1, 1, j, float(q), 1.0, 0.0, 0.0, "N", "O", None))
+    orders = spark.createDataFrame(
+        order_rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        line_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    r = ml.ols_normal_equations(orders, lineitem).collect()[0]
+    assert (r.beta0, r.beta_lines, r.beta_qty) == (10.0, 2.0, 3.0)
+    assert r.r2 == 1.0 and r.n == 6
