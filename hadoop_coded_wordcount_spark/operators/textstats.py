@@ -2039,3 +2039,109 @@ def token_drift_movers(documents: DataFrame, top_n: int = 20) -> DataFrame:
             F.round(F.col("sn") - F.col("sr"), 6).alias("share_delta"),
         )
     )
+
+
+def boilerplate_ngrams(
+    documents: DataFrame, n: int = 2, df_frac: float = 0.25, min_docs: int = 5
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate detection: a word n-gram is
+    boilerplate for a source when it appears in at least ``df_frac`` of
+    that source's documents (sources under ``min_docs`` docs are too
+    small to call anything boilerplate). Reports, per source, how many
+    distinct grams crossed the bar and the mean share of each doc's
+    gram positions covered by them — the "how much of this crawl is
+    navigation chrome" dashboard a curation pipeline runs before
+    stripping.
+
+    Scale shape: document-frequency is one (source, gram) partial-agg
+    shuffle over per-doc DISTINCT grams; the boilerplate set is tiny by
+    construction (df bound) and re-joins the per-position stream as a
+    broadcast-eligible side. Per-doc shares round to 6 and sum as exact
+    DECIMAL — the usual cross-engine mean discipline.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    src = ensure_parallelism(
+        documents.select("doc_id", "source", "text")
+    ).select("doc_id", "source", tokens_col().alias("toks"))
+    # when() guard keeps the sequence expression total — predicates
+    # reorder freely and sequence(0, size-n) must never see size < n
+    # (the `shingled` InferFiltersFromGenerate hazard)
+    gram_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        src.where(F.size("toks") >= n)
+        .select("doc_id", "source", F.explode(gram_arr).alias("gram"))
+        .persist()
+    )
+    per_source = grams.select("source", "doc_id").distinct().groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    df_counts = (
+        grams.select("source", "doc_id", "gram")
+        .distinct()
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    boiler = (
+        df_counts.join(F.broadcast(per_source), "source")
+        .where(
+            (F.col("n_docs") >= min_docs)
+            & (
+                F.col("df").cast("double")
+                >= F.lit(df_frac) * F.col("n_docs").cast("double")
+            )
+        )
+        .select("source", "gram")
+    )
+    per_doc = (
+        grams.join(boiler.withColumn("is_boiler", F.lit(1)), ["source", "gram"], "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler_positions"),
+        )
+    )
+    shares = per_doc.select(
+        "source",
+        F.round(
+            F.col("n_boiler_positions").cast("double")
+            / F.col("n_positions").cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("share"),
+    )
+    n_boiler = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boiler_grams")
+    )
+    return (
+        shares.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("share").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_boiler_share"),
+        )
+        .join(n_boiler, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_boiler_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler_grams"),
+            "avg_boiler_share",
+        )
+    )

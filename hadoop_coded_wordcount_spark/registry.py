@@ -11391,6 +11391,70 @@ def q_ols_normal_equations(spark, sf_dir):
     )
 
 
+@register(
+    "boilerplate_ngrams",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM tk WHERE len(toks) >= 2
+    ),
+    ps AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1
+    ),
+    dfc AS (
+      SELECT source, gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM g GROUP BY 1, 2
+    ),
+    boiler AS (
+      SELECT dfc.source, gram
+      FROM dfc JOIN ps USING (source)
+      WHERE n_docs >= 5
+        AND CAST(df AS DOUBLE) >= 0.25 * CAST(n_docs AS DOUBLE)
+    ),
+    per_doc AS (
+      SELECT g.source, g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM g LEFT JOIN boiler b
+        ON g.source = b.source AND g.gram = b.gram
+      GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT source,
+             CAST(ROUND(CAST(n_b AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS share
+      FROM per_doc
+    ),
+    nb AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_boiler_grams
+      FROM boiler GROUP BY 1
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(CAST(SUM(share) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_boiler_share
+      FROM sh GROUP BY 1
+    )
+    SELECT a.source, a.n_docs,
+           CAST(COALESCE(nb.n_boiler_grams, 0) AS BIGINT) AS n_boiler_grams,
+           a.avg_boiler_share
+    FROM agg a LEFT JOIN nb USING (source)
+    """,
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    return ts.boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

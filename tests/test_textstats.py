@@ -564,3 +564,27 @@ def test_feature_hashing_partitions_vocabulary_exactly(spark):
     assert sum(r.token_mass for r in got) == 6
     for r in got:
         assert 0 <= r.bucket < 4 and r.top_term
+
+
+def test_boilerplate_ngrams_flags_shared_bigram(spark):
+    """'nav bar' appears in 5/6 docs of source s → boilerplate; every
+    other bigram is doc-unique (df=1 < 0.25·6). Source t has only 2
+    docs (< min_docs) → nothing flagged there."""
+    rows = []
+    for i in range(5):
+        rows.append((i, f"nav bar u{i}a u{i}b u{i}c", "en", "s"))
+    rows.append((5, "x1 x2 x3", "en", "s"))
+    rows.append((6, "nav bar nav bar", "en", "t"))
+    rows.append((7, "nav bar nav bar", "en", "t"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    got = {r.source: r for r in ts.boilerplate_ngrams(docs).collect()}
+    s = got["s"]
+    # 5 docs: 4 positions, 1 boilerplate ('nav bar') → share 0.25 each;
+    # the sixth doc shares none → mean = 1.25/6
+    assert s.n_boiler_grams == 1
+    assert s.n_docs == 6
+    assert s.avg_boiler_share == round(5 * 0.25 / 6, 6)
+    t = got["t"]
+    assert t.n_boiler_grams == 0 and t.avg_boiler_share == 0.0
