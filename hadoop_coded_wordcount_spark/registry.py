@@ -11455,6 +11455,18 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return ts.boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "minute_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+    FROM events
+    """,
+)
+def q_minute_dedup_events(spark, sf_dir):
+    return sw.minute_deduped_events(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -37,6 +37,7 @@ __all__ = [
     "watermarked_distinct_users",
     "click_view_attribution",
     "debounced_events",
+    "minute_deduped_events",
 ]
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -271,3 +272,38 @@ def click_view_attribution(
         "view_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
+
+
+def minute_deduped_events(
+    df: DataFrame, lateness: str = "30 minutes"
+) -> DataFrame:
+    """Streaming deduplication with bounded state: collapse each user's
+    repeated actions of one type within a calendar minute to a single
+    key row via ``dropDuplicatesWithinWatermark`` — the at-least-once →
+    effectively-once repair every event ingest needs.
+
+    Streaming shape: unlike plain ``dropDuplicates`` (whose key state
+    grows forever), the within-watermark variant expires a key's state
+    once the watermark passes its event time + lateness, so state is
+    bounded by the de-dup horizon, not stream history. Only the key
+    columns are projected — *which* physical duplicate survives is
+    arrival-order-dependent, the key set is not.
+
+    Batch twin (the oracled registry entry): SELECT DISTINCT over the
+    same key projection — on finite input the surviving key set is
+    identical (pinned in tests/test_streaming.py).
+    """
+    src = _as_event_time(df)
+    keyed = src.select(
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("minute", "ts"), _FMT).alias("minute"),
+        "ts",
+    )
+    if df.isStreaming:
+        return (
+            keyed.withWatermark("ts", lateness)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+            .select("user_id", "event_type", "minute")
+        )
+    return keyed.select("user_id", "event_type", "minute").distinct()

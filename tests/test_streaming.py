@@ -753,3 +753,51 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_attrib").collect()
     }
     assert got == batch
+
+
+def test_minute_dedup_within_watermark_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a finite AvailableNow run must
+    produce exactly the batch DISTINCT key set, including collapsing
+    injected same-minute duplicates."""
+    import datetime
+
+    t = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for k in range(4):  # 4 duplicates in the same minute
+            rows.append(
+                (eid, t + datetime.timedelta(seconds=10 * k), u, "click", 1.0)
+            )
+            eid += 1
+        rows.append(
+            (eid, t + datetime.timedelta(minutes=5 + u), u, "view", 1.0)
+        )
+        eid += 1
+    events = spark.createDataFrame(rows, _SCHEMA)
+    src = str(tmp_path / "dd_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = (
+        sw.minute_deduped_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_minute_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.event_type, r.minute)
+        for r in spark.sql("SELECT * FROM t_minute_dedup").collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.minute)
+        for r in sw.minute_deduped_events(events).collect()
+    }
+    # 5 users x (1 click-minute + 1 view-minute) = 10 keys from 25 rows
+    assert want and len(want) == 10
+    assert got == want
