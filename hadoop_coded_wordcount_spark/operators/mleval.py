@@ -41,6 +41,7 @@ __all__ = [
     "subsample_ci",
     "logistic_gd",
     "ols_normal_equations",
+    "silhouette_by_label",
 ]
 
 
@@ -922,3 +923,74 @@ def ols_normal_equations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             " / CAST(SUM(st) AS DOUBLE), 6)"
         ).alias("r2")
     ).select("beta0", "beta_lines", "beta_qty", "r2", "n")
+
+
+def silhouette_by_label(embeddings: DataFrame, dim: int = 16) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each vector,
+    a = euclidean distance to its own label centroid, b = distance to
+    the nearest other centroid, s = (b−a)/max(a,b) — the O(n·k)
+    cluster-quality score that replaces the O(n²) exact silhouette at
+    scale (same decision signal, Rousseeuw's own recommended
+    approximation for large n).
+
+    Determinism: centroid components are exact-DECIMAL means of per-row
+    rounded components (one IEEE division each); every distance is a
+    left-to-right unrolled fold over the ``dim`` components (bit-equal
+    to the oracle's list_reduce — the ``dot_unrolled`` discipline); s
+    rounds to 6 and label means sum as DECIMAL.
+
+    Scale shape: one label-keyed partial-agg shuffle for centroids
+    (k·dim scalars), centroids broadcast back, one n·k map-side expand,
+    one final label rollup. No pairwise joins anywhere.
+    """
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", "label", emb.alias("emb"))
+    cents = base.groupBy("label").agg(
+        *[
+            (
+                F.sum(
+                    F.round(F.col("emb")[d], 9).cast("decimal(28,9)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(f"c{d}")
+            for d in range(dim)
+        ]
+    )
+    centl = cents.select(
+        F.col("label").alias("clabel"),
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("cl"),
+    )
+    sq = F.lit(0.0)
+    for d in range(dim):
+        diff = F.col("emb")[d] - F.col("cl")[d]
+        sq = sq + diff * diff
+    dists = base.crossJoin(F.broadcast(centl)).select(
+        "vec_id",
+        F.col("label").alias("vlabel"),
+        "clabel",
+        F.sqrt(sq).alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "vlabel").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("vlabel"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("vlabel"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        F.col("vlabel").alias("label"),
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.expr("nullif(greatest(a, b), 0.0)"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("s"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_silhouette"),
+    )

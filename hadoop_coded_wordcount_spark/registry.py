@@ -11467,6 +11467,50 @@ def q_minute_dedup_events(spark, sf_dir):
     return sw.minute_deduped_events(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "silhouette_by_label",
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    cents AS (
+      SELECT label, CAST(r.i AS INTEGER) AS i,
+             CAST(SUM(CAST(ROUND(emb[i], 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM v, range(1, 17) AS r(i)
+      GROUP BY 1, 2
+    ),
+    centl AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cl FROM cents GROUP BY 1
+    ),
+    d AS (
+      SELECT v.vec_id, v.label AS vlabel, ct.clabel,
+             sqrt(list_reduce(
+               list_transform(range(1, 17),
+                              i -> (emb[i] - cl[i]) * (emb[i] - cl[i])),
+               (acc, x) -> acc + x)) AS dist
+      FROM v, centl ct
+    ),
+    ab AS (
+      SELECT vec_id, vlabel,
+             MAX(CASE WHEN clabel = vlabel THEN dist END) AS a,
+             MIN(CASE WHEN clabel <> vlabel THEN dist END) AS b
+      FROM d GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT vlabel AS label,
+             CAST(ROUND((b - a) / NULLIF(GREATEST(a, b), 0.0), 6)
+                  AS DECIMAL(18,6)) AS s
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def q_silhouette_by_label(spark, sf_dir):
+    return ml.silhouette_by_label(load_table(spark, sf_dir, "embeddings"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -287,3 +287,43 @@ def test_ols_normal_equations_recovers_exact_plane(spark):
     r = ml.ols_normal_equations(orders, lineitem).collect()[0]
     assert (r.beta0, r.beta_lines, r.beta_qty) == (10.0, 2.0, 3.0)
     assert r.r2 == 1.0 and r.n == 6
+
+
+def test_silhouette_by_label_separated_clusters(spark):
+    """Two tight, well-separated clusters → mean silhouette near 1 for
+    both labels; a point exactly between them scores ~0."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    def vec(x, rest=0.0):
+        return [float(x)] + [rest] * 15
+
+    rows = [
+        (0, vec(0.0), 0),
+        (1, vec(0.2), 0),
+        (2, vec(10.0), 1),
+        (3, vec(10.2), 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in ml.silhouette_by_label(emb).collect()}
+    # own-centroid distance 0.1, other-centroid distance ~10 → s ≈ 0.99
+    assert got[0].n == 2 and got[1].n == 2
+    assert got[0].mean_silhouette > 0.98
+    assert got[1].mean_silhouette > 0.98
+
+
+def test_silhouette_by_label_overlapping_clusters_score_low(spark):
+    """Identical label distributions → own and other centroid coincide,
+    s = 0 for every point."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    rows = []
+    for lab in (0, 1):
+        rows.append((lab * 2, [1.0] + [0.0] * 15, lab))
+        rows.append((lab * 2 + 1, [3.0] + [0.0] * 15, lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.label: r.mean_silhouette for r in ml.silhouette_by_label(emb).collect()}
+    assert got == {0: 0.0, 1: 0.0}
