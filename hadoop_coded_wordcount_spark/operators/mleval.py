@@ -42,6 +42,7 @@ __all__ = [
     "logistic_gd",
     "ols_normal_equations",
     "silhouette_by_label",
+    "davies_bouldin",
 ]
 
 
@@ -925,6 +926,41 @@ def ols_normal_equations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     ).select("beta0", "beta_lines", "beta_qty", "r2", "n")
 
 
+def _label_centroids(embeddings: DataFrame, dim: int):
+    """(base, centl): embeddings as double arrays plus one centroid
+    array row per label. Centroid components are exact-DECIMAL means of
+    per-row components rounded to 9 dp (one IEEE division each) — the
+    deterministic-mean discipline shared by the cluster-quality ops."""
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", "label", emb.alias("emb"))
+    cents = base.groupBy("label").agg(
+        *[
+            (
+                F.sum(
+                    F.round(F.col("emb")[d], 9).cast("decimal(28,9)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(f"c{d}")
+            for d in range(dim)
+        ]
+    )
+    centl = cents.select(
+        F.col("label").alias("clabel"),
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("cl"),
+    )
+    return base, centl
+
+
+def _unrolled_sqdist(a, b, dim: int):
+    """Left-to-right unrolled Σ(aᵢ−bᵢ)² from a 0.0 seed — the
+    dot_unrolled fold shape, bit-equal to the oracle's list_reduce."""
+    sq = F.lit(0.0)
+    for d in range(dim):
+        diff = a[d] - b[d]
+        sq = sq + diff * diff
+    return sq
+
+
 def silhouette_by_label(embeddings: DataFrame, dim: int = 16) -> DataFrame:
     """Simplified (centroid-based) silhouette per label: for each vector,
     a = euclidean distance to its own label centroid, b = distance to
@@ -943,32 +979,14 @@ def silhouette_by_label(embeddings: DataFrame, dim: int = 16) -> DataFrame:
     (k·dim scalars), centroids broadcast back, one n·k map-side expand,
     one final label rollup. No pairwise joins anywhere.
     """
-    emb = F.transform("embedding", lambda x: x.cast("double"))
-    base = embeddings.select("vec_id", "label", emb.alias("emb"))
-    cents = base.groupBy("label").agg(
-        *[
-            (
-                F.sum(
-                    F.round(F.col("emb")[d], 9).cast("decimal(28,9)")
-                ).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias(f"c{d}")
-            for d in range(dim)
-        ]
-    )
-    centl = cents.select(
-        F.col("label").alias("clabel"),
-        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("cl"),
-    )
-    sq = F.lit(0.0)
-    for d in range(dim):
-        diff = F.col("emb")[d] - F.col("cl")[d]
-        sq = sq + diff * diff
+    base, centl = _label_centroids(embeddings, dim)
     dists = base.crossJoin(F.broadcast(centl)).select(
         "vec_id",
         F.col("label").alias("vlabel"),
         "clabel",
-        F.sqrt(sq).alias("dist"),
+        F.sqrt(_unrolled_sqdist(F.col("emb"), F.col("cl"), dim)).alias(
+            "dist"
+        ),
     )
     ab = dists.groupBy("vec_id", "vlabel").agg(
         F.max(
@@ -994,3 +1012,71 @@ def silhouette_by_label(embeddings: DataFrame, dim: int = 16) -> DataFrame:
             F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_silhouette"),
     )
+
+
+def davies_bouldin(embeddings: DataFrame, dim: int = 16) -> DataFrame:
+    """Davies–Bouldin cluster-quality components per label: scatter
+    sᵢ = mean distance of label-i vectors to their centroid, and
+    dbᵢ = maxⱼ≠ᵢ (sᵢ+sⱼ)/‖cᵢ−cⱼ‖ — lower is better-separated. The
+    global DB index is avg(dbᵢ); emitting the per-label components
+    keeps the "which cluster is smeared" diagnostic the scalar hides.
+
+    Determinism: the silhouette centroid/fold discipline — per-point
+    distances are unrolled folds rounded to 6 and DECIMAL-summed into
+    sᵢ; centroid-pair distances are single unrolled folds; each ratio
+    is ONE IEEE division rounded to 6 before the max.
+
+    Scale shape: identical to :func:`silhouette_by_label` minus the n·k
+    expand — scatters need only each point's OWN centroid (one
+    broadcast join), and the ratio matrix is k², data-size-free.
+    """
+    base, centl = _label_centroids(embeddings, dim)
+    own = base.join(
+        F.broadcast(centl), base["label"] == centl["clabel"]
+    ).select(
+        "label",
+        F.round(
+            F.sqrt(_unrolled_sqdist(F.col("emb"), F.col("cl"), dim)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("d"),
+    )
+    scatter = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("d").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("s"),
+    )
+    a = scatter.select(
+        F.col("label").alias("li"),
+        F.col("n").alias("n_i"),
+        F.col("s").alias("s_i"),
+    ).join(
+        F.broadcast(centl.select(F.col("clabel").alias("li"), F.col("cl").alias("ci"))),
+        "li",
+    )
+    b = scatter.select(
+        F.col("label").alias("lj"), F.col("s").alias("s_j")
+    ).join(
+        F.broadcast(centl.select(F.col("clabel").alias("lj"), F.col("cl").alias("cj"))),
+        "lj",
+    )
+    ratios = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("li") != F.col("lj"))
+        .select(
+            "li",
+            "n_i",
+            "s_i",
+            F.round(
+                (F.col("s_i") + F.col("s_j"))
+                / F.sqrt(_unrolled_sqdist(F.col("ci"), F.col("cj"), dim)),
+                6,
+            ).alias("r"),
+        )
+    )
+    return ratios.groupBy("li").agg(
+        F.max("n_i").alias("n"),
+        F.round(F.max("s_i"), 6).alias("scatter"),
+        F.max("r").alias("db_component"),
+    ).select(F.col("li").alias("label"), "n", "scatter", "db_component")

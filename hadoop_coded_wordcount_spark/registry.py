@@ -11511,6 +11511,53 @@ def q_silhouette_by_label(spark, sf_dir):
     return ml.silhouette_by_label(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "davies_bouldin",
+    f"""
+    WITH v AS ({_DUCK_VECS}),
+    cents AS (
+      SELECT label, CAST(r.i AS INTEGER) AS i,
+             CAST(SUM(CAST(ROUND(emb[i], 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM v, range(1, 17) AS r(i)
+      GROUP BY 1, 2
+    ),
+    centl AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cl FROM cents GROUP BY 1
+    ),
+    own AS (
+      SELECT v.label,
+             CAST(ROUND(sqrt(list_reduce(
+               list_transform(range(1, 17),
+                              i -> (emb[i] - cl[i]) * (emb[i] - cl[i])),
+               (acc, x) -> acc + x)), 6) AS DECIMAL(18,6)) AS d
+      FROM v JOIN centl ct ON v.label = ct.clabel
+    ),
+    scatter AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS s
+      FROM own GROUP BY 1
+    ),
+    r AS (
+      SELECT a.label AS li, a.n AS n_i, a.s AS s_i,
+             ROUND((a.s + b.s) / sqrt(list_reduce(
+               list_transform(range(1, 17),
+                              i -> (ca.cl[i] - cb.cl[i])
+                                   * (ca.cl[i] - cb.cl[i])),
+               (acc, x) -> acc + x)), 6) AS r
+      FROM scatter a, scatter b, centl ca, centl cb
+      WHERE a.label <> b.label
+        AND ca.clabel = a.label AND cb.clabel = b.label
+    )
+    SELECT li AS label, MAX(n_i) AS n, ROUND(MAX(s_i), 6) AS scatter,
+           MAX(r) AS db_component
+    FROM r GROUP BY li
+    """,
+)
+def q_davies_bouldin(spark, sf_dir):
+    return ml.davies_bouldin(load_table(spark, sf_dir, "embeddings"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

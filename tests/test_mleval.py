@@ -327,3 +327,25 @@ def test_silhouette_by_label_overlapping_clusters_score_low(spark):
     )
     got = {r.label: r.mean_silhouette for r in ml.silhouette_by_label(emb).collect()}
     assert got == {0: 0.0, 1: 0.0}
+
+
+def test_davies_bouldin_well_separated_is_small(spark):
+    """Tight clusters far apart: scatter 0.1, centroid gap 10 → each
+    db_component = (0.1+0.1)/10 = 0.02 exactly."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    def vec(x):
+        return [float(x)] + [0.0] * 15
+
+    rows = [
+        (0, vec(-0.1), 0),
+        (1, vec(0.1), 0),
+        (2, vec(9.9), 1),
+        (3, vec(10.1), 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in ml.davies_bouldin(emb).collect()}
+    assert got[0].scatter == 0.1 and got[1].scatter == 0.1
+    assert got[0].db_component == 0.02 and got[1].db_component == 0.02
