@@ -2145,3 +2145,96 @@ def boilerplate_ngrams(
             "avg_boiler_share",
         )
     )
+
+
+def trigram_lm(documents: DataFrame) -> DataFrame:
+    """Jelinek–Mercer interpolated trigram LM over the corpus:
+    P̂(w3|w1,w2) = 0.6·P(w3|w1,w2) + 0.3·P(w3|w2) + 0.1·P(w3), each
+    maximum-likelihood component a ratio of exact integer counts from
+    its own order's full stream — the next LM rung above
+    :func:`bigram_lm`, and the smoothing shape CCNet-style perplexity
+    filters actually deploy (pure ML trigrams assign zero mass to
+    unseen continuations; the unigram floor keeps scores finite).
+
+    Determinism: counts are exact; each component is ONE IEEE division
+    of exact integers; the fixed-λ combination is a fixed-shape
+    expression tree rounded to 6 — no transcendentals anywhere.
+
+    Scale shape: the O(tokens) zipped-slice construction from bigram_lm
+    (never element_at-per-index); three map-side-combined count
+    aggregations, each vocabulary^k-bounded; context totals via
+    key-partitioned windows over the count frames (vocabulary-sized
+    keys parallelize); the lower-order tables join in broadcast-small.
+    """
+    toked = documents.select(tokens_col().alias("toks")).persist()
+    t = F.col("toks")
+    tri = F.when(
+        F.size(t) >= 3,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 2).alias("w1"),
+            F.slice(t, 2, F.size(t) - 2).alias("w2"),
+            F.slice(t, 3, F.size(t) - 2).alias("w3"),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    big = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w2"),
+            F.slice(t, 2, F.size(t) - 1).alias("w3"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w2:string,w3:string>>"))
+    c3 = (
+        toked.select(F.explode(tri).alias("g"))
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    c3x = c3.select(
+        "w1",
+        "w2",
+        "w3",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.partitionBy("w1", "w2"))
+        .cast("bigint")
+        .alias("ctx3"),
+    )
+    c2 = (
+        toked.select(F.explode(big).alias("g"))
+        .select("g.w2", "g.w3")
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt2"))
+    )
+    c2x = c2.select(
+        "w2",
+        "w3",
+        "cnt2",
+        F.sum("cnt2")
+        .over(Window.partitionBy("w2"))
+        .cast("bigint")
+        .alias("ctx2"),
+    )
+    unig = toked.select(F.explode("toks").alias("w3"))
+    c1 = unig.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt1")
+    )
+    nn = unig.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    p3 = F.col("cnt").cast("double") / F.col("ctx3").cast("double")
+    p2 = F.col("cnt2").cast("double") / F.col("ctx2").cast("double")
+    p1 = F.col("cnt1").cast("double") / F.col("n").cast("double")
+    return (
+        c3x.join(F.broadcast(c2x), ["w2", "w3"])
+        .join(F.broadcast(c1), "w3")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "cnt",
+            F.round(
+                F.lit(0.6) * p3 + F.lit(0.3) * p2 + F.lit(0.1) * p1, 6
+            ).alias("interp_p"),
+        )
+    )

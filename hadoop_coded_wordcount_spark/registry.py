@@ -11558,6 +11558,59 @@ def q_davies_bouldin(spark, sf_dir):
     return ml.davies_bouldin(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "trigram_lm",
+    r"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    pos3 AS (
+      SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ),
+    tri AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 FROM pos3
+    ),
+    pos2 AS (
+      SELECT toks, unnest(range(1, len(toks))) AS i
+      FROM tk WHERE len(toks) >= 2
+    ),
+    big AS (SELECT toks[i] AS w2, toks[i+1] AS w3 FROM pos2),
+    unig AS (SELECT unnest(toks) AS w3 FROM tk),
+    c3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tri GROUP BY ALL
+    ),
+    c3x AS (
+      SELECT *, CAST(SUM(cnt) OVER (PARTITION BY w1, w2) AS BIGINT) AS ctx3
+      FROM c3
+    ),
+    c2 AS (
+      SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt2
+      FROM big GROUP BY ALL
+    ),
+    c2x AS (
+      SELECT *, CAST(SUM(cnt2) OVER (PARTITION BY w2) AS BIGINT) AS ctx2
+      FROM c2
+    ),
+    c1 AS (
+      SELECT w3, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM unig GROUP BY ALL
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM unig)
+    SELECT w1, w2, w3, cnt,
+           ROUND(0.6 * (CAST(cnt AS DOUBLE) / CAST(ctx3 AS DOUBLE))
+                 + 0.3 * (CAST(cnt2 AS DOUBLE) / CAST(ctx2 AS DOUBLE))
+                 + 0.1 * (CAST(cnt1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS interp_p
+    FROM c3x JOIN c2x USING (w2, w3) JOIN c1 USING (w3), nn
+    """,
+)
+def q_trigram_lm(spark, sf_dir):
+    return ts.trigram_lm(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -588,3 +588,28 @@ def test_boilerplate_ngrams_flags_shared_bigram(spark):
     assert s.avg_boiler_share == round(5 * 0.25 / 6, 6)
     t = got["t"]
     assert t.n_boiler_grams == 0 and t.avg_boiler_share == 0.0
+
+
+def test_trigram_lm_interpolates_exact_ratios(spark):
+    """Tiny corpus 'a b c a b d': P(c|a,b)=1/2, P(c|b)=1/2, P(c)=1/6 →
+    interp = 0.6/2 + 0.3/2 + 0.1/6 round 6."""
+    docs = spark.createDataFrame(
+        [(0, "a b c a b d", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {
+        (r.w1, r.w2, r.w3): (r.cnt, r.interp_p)
+        for r in ts.trigram_lm(docs).collect()
+    }
+    # trigrams: (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    assert got[("a", "b", "c")] == (
+        1,
+        round(0.6 * 0.5 + 0.3 * 0.5 + 0.1 * (1 / 6), 6),
+    )
+    assert got[("a", "b", "d")][0] == 1
+    # P(a|b,c)=1, P(a|c)=1, P(a)=2/6
+    assert got[("b", "c", "a")] == (
+        1,
+        round(0.6 * 1.0 + 0.3 * 1.0 + 0.1 * (2 / 6), 6),
+    )
+    assert len(got) == 4
