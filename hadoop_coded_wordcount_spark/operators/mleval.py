@@ -43,6 +43,7 @@ __all__ = [
     "ols_normal_equations",
     "silhouette_by_label",
     "davies_bouldin",
+    "gbm_stumps",
 ]
 
 
@@ -1080,3 +1081,154 @@ def davies_bouldin(embeddings: DataFrame, dim: int = 16) -> DataFrame:
         F.round(F.max("s_i"), 6).alias("scatter"),
         F.max("r").alias("db_component"),
     ).select(F.col("li").alias("label"), "n", "scatter", "db_component")
+
+
+# shared per-round expression texts for the boosted-stump fit — evaluated
+# verbatim by Spark (F.expr) and the DuckDB oracle so the split score and
+# leaf values are identical IEEE expression trees in both engines
+GBS_SCORE = (
+    "(CAST(nl AS DOUBLE) * (CAST(sl AS DOUBLE)/CAST(nl AS DOUBLE))"
+    " * (CAST(sl AS DOUBLE)/CAST(nl AS DOUBLE))"
+    " + CAST(nt - nl AS DOUBLE)"
+    " * (CAST(st - sl AS DOUBLE)/CAST(nt - nl AS DOUBLE))"
+    " * (CAST(st - sl AS DOUBLE)/CAST(nt - nl AS DOUBLE)))"
+)
+GBS_ADDL = "ROUND(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)), 6)"
+GBS_ADDR = (
+    "ROUND(0.5 * (CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)), 6)"
+)
+
+
+def gbm_stumps(
+    orders: DataFrame, lineitem: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Gradient-boosted regression stumps fit entirely in-engine:
+    predict the order total from (line count, total quantity) by
+    ``rounds`` of least-squares boosting (shrinkage ν = 0.5), each
+    round an exhaustive exact split search over BOTH features' full
+    value grids — the "can the engine train, not just score" companion
+    to :func:`logistic_gd`, and the same statistic XGBoost's exact-mode
+    histogram computes per depth-1 tree.
+
+    Round anatomy (all shuffles vocabulary-of-feature-values bounded):
+    melt the two features into (feature, value) rows, aggregate
+    residual sums per value (exact DECIMAL of 4-dp-rounded residuals),
+    one cumulative window per feature gives every candidate split's
+    left/right stats, the variance-gain score ranks candidates with a
+    total (score DESC, feature, value) order, and the winning stump's
+    two leaf values (ν·mean, rounded to 6) update the running
+    prediction via a 1-row broadcast. Score and leaves evaluate the
+    shared ``GBS_*`` expression strings — bit-equal across engines, so
+    even argmax ties break identically.
+
+    Output: one row per round — chosen feature, threshold, both leaf
+    deltas, and the training MSE after applying the round.
+    """
+    per_line = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum("l_quantity").cast("bigint").alias("x2"),
+    )
+    base = (
+        orders.join(per_line, orders["o_orderkey"] == per_line["okey"])
+        .select("x1", "x2", F.col("o_totalprice").alias("y"))
+        .persist()
+    )
+    f0 = base.agg(
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(28,4))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE), 6)"
+        ).alias("fm")
+    )
+    po = base.crossJoin(F.broadcast(f0)).persist()
+    out = []
+    for k in range(1, rounds + 1):
+        melt = po.selectExpr(
+            "'x1' AS f", "CAST(x1 AS DOUBLE) AS v", "y", "fm"
+        ).unionAll(
+            po.selectExpr("'x2' AS f", "CAST(x2 AS DOUBLE) AS v", "y", "fm")
+        )
+        m = melt.groupBy("f", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nv"),
+            F.sum(
+                F.expr("CAST(ROUND(y - fm, 4) AS DECIMAL(28,4))")
+            ).alias("sv"),
+        )
+        wcum = (
+            Window.partitionBy("f")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy("f")
+        c = m.select(
+            "f",
+            "v",
+            F.sum("nv").over(wcum).cast("bigint").alias("nl"),
+            F.sum("sv").over(wcum).cast("decimal(28,4)").alias("sl"),
+            F.sum("nv").over(wtot).cast("bigint").alias("nt"),
+            F.sum("sv").over(wtot).cast("decimal(28,4)").alias("st"),
+        )
+        ranked = (
+            c.where(F.col("nl") < F.col("nt"))
+            .select(
+                "f",
+                "v",
+                F.expr(GBS_ADDL).alias("addl"),
+                F.expr(GBS_ADDR).alias("addr"),
+                F.expr(GBS_SCORE).alias("score"),
+            )
+            .select(
+                "f",
+                "v",
+                "addl",
+                "addr",
+                F.row_number()
+                .over(Window.orderBy(F.col("score").desc(), "f", "v"))
+                .alias("rk"),
+            )
+        )
+        best = ranked.where(F.col("rk") == 1).select(
+            F.col("f").alias("bf"),
+            F.col("v").alias("bt"),
+            "addl",
+            "addr",
+        )
+        po_next = po.crossJoin(F.broadcast(best)).select(
+            "x1",
+            "x2",
+            "y",
+            (
+                F.col("fm")
+                + F.when(
+                    F.when(F.col("bf") == "x1", F.col("x1").cast("double"))
+                    .otherwise(F.col("x2").cast("double"))
+                    <= F.col("bt"),
+                    F.col("addl"),
+                ).otherwise(F.col("addr"))
+            ).alias("fm"),
+            "bf",
+            "bt",
+            "addl",
+            "addr",
+        ).persist()
+        err = po_next.groupBy("bf", "bt", "addl", "addr").agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND((y - fm) * (y - fm), 4)"
+                " AS DECIMAL(38,4))) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("mse")
+        )
+        out.append(
+            err.select(
+                F.lit(k).cast("bigint").alias("round"),
+                F.col("bf").alias("feature"),
+                F.col("bt").alias("threshold"),
+                F.col("addl").alias("add_left"),
+                F.col("addr").alias("add_right"),
+                "mse",
+            )
+        )
+        po = po_next.select("x1", "x2", "y", "fm")
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res

@@ -11611,6 +11611,90 @@ def q_trigram_lm(spark, sf_dir):
     return ts.trigram_lm(load_table(spark, sf_dir, "documents"))
 
 
+def _gbs_round(k: int) -> str:
+    """One boosted-stump round, mirroring mleval.gbm_stumps step for
+    step — melt, per-value residual stats, cumulative split grid, pick
+    via the shared GBS_* expression trees, apply the stump."""
+    return f""",
+    m{k} AS (
+      SELECT f, v, CAST(COUNT(*) AS BIGINT) AS nv,
+             SUM(CAST(ROUND(y - fm, 4) AS DECIMAL(28,4))) AS sv
+      FROM (
+        SELECT 'x1' AS f, CAST(x1 AS DOUBLE) AS v, y, fm FROM po{k - 1}
+        UNION ALL
+        SELECT 'x2' AS f, CAST(x2 AS DOUBLE) AS v, y, fm FROM po{k - 1}
+      ) GROUP BY f, v
+    ),
+    c{k} AS (
+      SELECT f, v,
+             CAST(SUM(nv) OVER w AS BIGINT) AS nl,
+             CAST(SUM(sv) OVER w AS DECIMAL(28,4)) AS sl,
+             CAST(SUM(nv) OVER wt AS BIGINT) AS nt,
+             CAST(SUM(sv) OVER wt AS DECIMAL(28,4)) AS st
+      FROM m{k}
+      WINDOW w AS (PARTITION BY f ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wt AS (PARTITION BY f)
+    ),
+    b{k} AS (
+      SELECT f AS bf, v AS bt, addl, addr FROM (
+        SELECT f, v, {ml.GBS_ADDL} AS addl, {ml.GBS_ADDR} AS addr,
+               ROW_NUMBER() OVER (ORDER BY {ml.GBS_SCORE} DESC, f, v) AS rk
+        FROM c{k} WHERE nl < nt
+      ) WHERE rk = 1
+    ),
+    po{k} AS (
+      SELECT x1, x2, y,
+             fm + (CASE WHEN (CASE WHEN b.bf = 'x1'
+                              THEN CAST(x1 AS DOUBLE)
+                              ELSE CAST(x2 AS DOUBLE) END) <= b.bt
+                        THEN b.addl ELSE b.addr END) AS fm
+      FROM po{k - 1}, b{k} b
+    ),
+    e{k} AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND((y - fm) * (y - fm), 4)
+                                 AS DECIMAL(38,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS mse
+      FROM po{k}
+    )"""
+
+
+@register(
+    "gbm_stumps",
+    f"""
+    WITH per_line AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS x1,
+             CAST(SUM(l_quantity) AS BIGINT) AS x2
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS (
+      SELECT x1, x2, o_totalprice AS y
+      FROM orders o JOIN per_line l ON o.o_orderkey = l.l_orderkey
+    ),
+    po0 AS (
+      SELECT x1, x2, y,
+             (SELECT ROUND(CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(28,4)))
+                                AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 6) FROM base) AS fm
+      FROM base
+    ){_gbs_round(1)}{_gbs_round(2)}{_gbs_round(3)}
+    SELECT CAST(1 AS BIGINT) AS round, bf AS feature, bt AS threshold,
+           addl AS add_left, addr AS add_right, mse
+    FROM b1, e1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), bf, bt, addl, addr, mse FROM b2, e2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), bf, bt, addl, addr, mse FROM b3, e3
+    """,
+)
+def q_gbm_stumps(spark, sf_dir):
+    return ml.gbm_stumps(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -349,3 +349,38 @@ def test_davies_bouldin_well_separated_is_small(spark):
     got = {r.label: r for r in ml.davies_bouldin(emb).collect()}
     assert got[0].scatter == 0.1 and got[1].scatter == 0.1
     assert got[0].db_component == 0.02 and got[1].db_component == 0.02
+
+
+def test_gbm_stumps_perfect_split_halves_error(spark):
+    """x1≤2 → y=100, x1≥3 → y=200, x2 constant: every round must pick
+    the x1=2 split; with ν=0.5 each round halves the residual, so MSE
+    follows 2500·4⁻ᵏ."""
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    order_rows, line_rows = [], []
+    for okey, (x1, y) in enumerate([(1, 100.0), (2, 100.0), (3, 200.0), (4, 200.0)]):
+        order_rows.append((okey, 1, "O", y, None, "3-MEDIUM"))
+        for j in range(x1):
+            # qty chosen so x2 = 12 for every order (constant feature)
+            line_rows.append(
+                (okey, 1, 1, j, 12.0 / x1, 1.0, 0.0, 0.0, "N", "O", None)
+            )
+    orders = spark.createDataFrame(
+        order_rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        line_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    rows = {r.round: r for r in ml.gbm_stumps(orders, lineitem).collect()}
+    r1 = rows[1]
+    assert (r1.feature, r1.threshold) == ("x1", 2.0)
+    assert (r1.add_left, r1.add_right) == (-25.0, 25.0)
+    assert r1.mse == 625.0
+    assert rows[2].mse == 156.25
+    assert rows[3].mse == 39.0625
