@@ -44,6 +44,7 @@ __all__ = [
     "silhouette_by_label",
     "davies_bouldin",
     "gbm_stumps",
+    "isotonic_calibration",
 ]
 
 
@@ -1232,3 +1233,83 @@ def gbm_stumps(
     for o in out[1:]:
         res = res.unionAll(o)
     return res
+
+
+def isotonic_calibration(events: DataFrame) -> DataFrame:
+    """Exact isotonic regression of the high-spender rate on the click
+    score — the calibrator that turns a monotone-ish ranking signal
+    into non-decreasing probabilities (the production upgrade of
+    :func:`calibration_bins`' fixed deciles). Uses the minimax identity
+    iso(i) = max_{j≤i} min_{k≥i} avg(y over scores j..k), which needs
+    no sequential pool-adjacent-violators pass: on the distinct-score
+    histogram it is a bounded O(S³) lattice, embarrassingly parallel.
+
+    Scale shape: users collapse to the per-score histogram (one
+    shuffle, S = distinct scores rows); prefix sums over S rows give
+    every interval's exact integer (positives, total); the j≤i≤k
+    lattice is S³ — data-size-independent. At extreme S, bin scores
+    first (equi-depth) and run the same lattice on the bins.
+
+    Determinism: interval rates are ONE division of exact integers;
+    min/max over identical doubles; final rounding to 6.
+    """
+    hist = (
+        user_engagement_labels(events)
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    wp = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = hist.select(
+        "score",
+        "n",
+        "pos",
+        F.sum("n").over(wp).cast("bigint").alias("cn"),
+        F.sum("pos").over(wp).cast("bigint").alias("cp"),
+    )
+    j = pref.select(
+        F.col("score").alias("sj"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cp") - F.col("pos")).alias("cp_before"),
+    )
+    k = pref.select(
+        F.col("score").alias("sk"),
+        F.col("cn").alias("cn_k"),
+        F.col("cp").alias("cp_k"),
+    )
+    intervals = (
+        j.crossJoin(k)
+        .where(F.col("sj") <= F.col("sk"))
+        .select(
+            "sj",
+            "sk",
+            (
+                (F.col("cp_k") - F.col("cp_before")).cast("double")
+                / (F.col("cn_k") - F.col("cn_before")).cast("double")
+            ).alias("rate"),
+        )
+    )
+    lattice = intervals.join(
+        pref.select(F.col("score").alias("si")),
+        (F.col("sj") <= F.col("si")) & (F.col("si") <= F.col("sk")),
+    )
+    inner = lattice.groupBy("si", "sj").agg(F.min("rate").alias("mn"))
+    iso = inner.groupBy("si").agg(
+        F.round(F.max("mn"), 6).alias("iso_rate")
+    )
+    return (
+        pref.join(iso, pref["score"] == iso["si"])
+        .select(
+            "score",
+            "n",
+            "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            "iso_rate",
+        )
+    )

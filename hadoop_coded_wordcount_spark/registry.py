@@ -11695,6 +11695,54 @@ def q_gbm_stumps(spark, sf_dir):
     )
 
 
+@register(
+    "isotonic_calibration",
+    f"""
+    WITH {_MLEVAL_LABELS_SQL},
+    eng AS (
+      SELECT clicks AS score,
+             CASE WHEN CAST(pv AS DOUBLE) > thr THEN 1 ELSE 0 END AS label
+      FROM per_user CROSS JOIN thr
+    ),
+    hist AS (
+      SELECT CAST(score AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM eng GROUP BY score
+    ),
+    pref AS (
+      SELECT score, n, pos,
+             CAST(SUM(n) OVER w AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER w AS BIGINT) AS cp
+      FROM hist
+      WINDOW w AS (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    intervals AS (
+      SELECT j.score AS sj, k.score AS sk,
+             CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+             / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS rate
+      FROM pref j, pref k WHERE j.score <= k.score
+    ),
+    inner_min AS (
+      SELECT i.score AS si, v.sj, MIN(v.rate) AS mn
+      FROM intervals v JOIN pref i
+        ON v.sj <= i.score AND i.score <= v.sk
+      GROUP BY 1, 2
+    ),
+    iso AS (
+      SELECT si, ROUND(MAX(mn), 6) AS iso_rate FROM inner_min GROUP BY 1
+    )
+    SELECT p.score, p.n, p.pos,
+           ROUND(CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS raw_rate,
+           iso.iso_rate
+    FROM pref p JOIN iso ON p.score = iso.si
+    """,
+)
+def q_isotonic_calibration(spark, sf_dir):
+    return ml.isotonic_calibration(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -384,3 +384,42 @@ def test_gbm_stumps_perfect_split_halves_error(spark):
     assert r1.mse == 625.0
     assert rows[2].mse == 156.25
     assert rows[3].mse == 39.0625
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    """Construct scores with rates [1.0, 0.0] on equal weights: isotonic
+    fit pools the adjacent violators to [0.5, 0.5]; a higher clean
+    score stays at its own rate."""
+    import datetime
+    from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+    t = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def user(u, clicks, spender):
+        nonlocal eid
+        for _ in range(clicks):
+            rows.append((eid, t, u, "click", 1.0)); eid += 1
+        if spender:
+            rows.append((eid, t, u, "purchase", 100.0)); eid += 1
+        else:
+            rows.append((eid, t, u, "view", 1.0)); eid += 1
+
+    # score 1: both users spend (rate 1.0) — violator vs score 2's 0.0
+    user(1, 1, True); user(2, 1, True)
+    # score 2: neither spends (rate 0.0)
+    user(3, 2, False); user(4, 2, False)
+    # score 5: both spend (rate 1.0) — clean top
+    user(5, 5, True); user(6, 5, True)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    got = {r.score: r for r in ml.isotonic_calibration(ev).collect()}
+    assert got[1].raw_rate == 1.0 and got[2].raw_rate == 0.0
+    assert got[1].iso_rate == 0.5 and got[2].iso_rate == 0.5
+    assert got[5].iso_rate == 1.0
+    # monotone non-decreasing by construction
+    rates = [got[s].iso_rate for s in sorted(got)]
+    assert rates == sorted(rates)
