@@ -9347,3 +9347,98 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         .groupBy("channel")
         .agg(F.round(F.sum("term").cast("double"), 6).alias("shapley_credit"))
     )
+
+
+def eb_shrunk_return_rates(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-brand return
+    rates: fit the Beta prior by method-of-moments across brands, then
+    shrink each brand's raw rate toward the grand prior in proportion
+    to its evidence — small brands move a lot, big brands barely — the
+    ranking-stabilizer every marketplace "worst brands" report needs
+    (raw rates crown whichever small brand got unlucky).
+
+        m, v   = mean / variance of raw brand rates (rounded-decimal
+                 means — exact associative sums)
+        α+β    = m(1−m)/v − 1,  α = m·(α+β)
+        shrunk = (returns + α) / (n + α + β)
+
+    Scale shape: one brand join (part side broadcast), one brand-keyed
+    partial agg (25 rows), MoM scalars via a second tiny agg broadcast
+    back. Degenerate v = 0 (all brands identical) yields NULL shrink
+    via NULLIF rather than a divide-by-zero.
+    """
+    rated = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+        .select(
+            "p_brand",
+            "n",
+            "r",
+            F.round(
+                F.col("r").cast("double") / F.col("n").cast("double"), 6
+            ).alias("rate"),
+        )
+    )
+    m1 = rated.agg(
+        F.expr(
+            "CAST(SUM(CAST(rate AS DECIMAL(18,6))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    m2 = (
+        rated.crossJoin(F.broadcast(m1))
+        .select(
+            F.expr(
+                "CAST(ROUND((rate - m) * (rate - m), 12)"
+                " AS DECIMAL(28,12)) AS dv"
+            ),
+            "m",
+            "k",
+        )
+        .groupBy("m", "k")
+        .agg(
+            F.expr(
+                "CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("v")
+        )
+    )
+    prior = m2.select(
+        "m",
+        "v",
+        F.expr("m * (1.0 - m) / NULLIF(v, 0.0) - 1.0").alias("ab"),
+    ).select(
+        "m",
+        "v",
+        "ab",
+        F.expr("m * ab").alias("alpha"),
+    )
+    return (
+        rated.crossJoin(F.broadcast(prior))
+        .select(
+            "p_brand",
+            "n",
+            "r",
+            "rate",
+            F.round(F.col("alpha"), 6).alias("alpha"),
+            F.round(F.expr("ab - alpha"), 6).alias("beta"),
+            F.round(
+                F.expr(
+                    "(CAST(r AS DOUBLE) + alpha)"
+                    " / (CAST(n AS DOUBLE) + ab)"
+                ),
+                6,
+            ).alias("shrunk_rate"),
+        )
+    )

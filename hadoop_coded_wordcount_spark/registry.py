@@ -11743,6 +11743,50 @@ def q_isotonic_calibration(spark, sf_dir):
     return ml.isotonic_calibration(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "eb_shrunk_return_rates",
+    """
+    WITH rated AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r,
+             ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS rate
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p_brand
+    ),
+    m1 AS (
+      SELECT CAST(SUM(CAST(rate AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM rated
+    ),
+    m2 AS (
+      SELECT m, k,
+             CAST(SUM(CAST(ROUND((rate - m) * (rate - m), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS v
+      FROM rated, m1 GROUP BY m, k
+    ),
+    prior AS (
+      SELECT m, v, m * (1.0 - m) / NULLIF(v, 0.0) - 1.0 AS ab FROM m2
+    ),
+    prior2 AS (SELECT m, v, ab, m * ab AS alpha FROM prior)
+    SELECT p_brand, n, r, rate,
+           ROUND(alpha, 6) AS alpha,
+           ROUND(ab - alpha, 6) AS beta,
+           ROUND((CAST(r AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + ab), 6)
+             AS shrunk_rate
+    FROM rated, prior2
+    """,
+)
+def q_eb_shrunk_return_rates(spark, sf_dir):
+    return rel.eb_shrunk_return_rates(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

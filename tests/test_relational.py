@@ -817,3 +817,52 @@ def test_session_bounce_rate_fixture(spark):
     assert (r.n_sessions, r.n_bounces) == (2, 1)
     assert r.bounce_rate == 0.5
     assert r.mean_events_per_session == 1.5
+
+
+def test_eb_shrinkage_pulls_small_brands_harder(spark):
+    """Two big brands pin the prior near 0.5; a tiny brand with a raw
+    rate of 1.0 must shrink far toward 0.5 while the big brands barely
+    move."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    part_rows = [(1, "p", "BIG_A", "t", 1, 1.0), (2, "p", "BIG_B", "t", 1, 1.0),
+                 (3, "p", "TINY", "t", 1, 1.0)]
+    part = spark.createDataFrame(
+        part_rows,
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    line_rows = []
+    ln = 0
+
+    def add(pk, flag, times):
+        nonlocal ln
+        for _ in range(times):
+            line_rows.append(
+                (ln, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, flag, "O", None)
+            )
+            ln += 1
+
+    add(1, "R", 60); add(1, "N", 40)   # BIG_A rate 0.6, n=100
+    add(2, "R", 40); add(2, "N", 60)   # BIG_B rate 0.4, n=100
+    add(3, "R", 2)                     # TINY rate 1.0, n=2
+    lineitem = spark.createDataFrame(
+        line_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    got = {r.p_brand: r for r in rel.eb_shrunk_return_rates(lineitem, part).collect()}
+    tiny, a, b = got["TINY"], got["BIG_A"], got["BIG_B"]
+    assert tiny.rate == 1.0
+    # hand-checked MoM prior: m=2/3, v=0.062222 → α+β=2.571429,
+    # α=1.714286 → tiny shrinks to (2+α)/(2+α+β) = 0.8125 exactly
+    assert tiny.shrunk_rate == 0.8125
+    # shrinkage orders by evidence: tiny moves most, big brands least
+    assert abs(tiny.shrunk_rate - tiny.rate) > 0.15
+    assert abs(a.shrunk_rate - a.rate) < 0.05
+    assert abs(b.shrunk_rate - b.rate) < 0.05
+    # all shrunk rates remain probabilities
+    for rr in got.values():
+        assert 0.0 <= rr.shrunk_rate <= 1.0
