@@ -1105,3 +1105,110 @@ def k_truss(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     return cur.join(
         cn, (F.col("src") == F.col("u")) & (F.col("dst") == F.col("v"))
     ).select("src", "dst", F.col("cn").alias("support"))
+
+
+def landmark_bfs(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    n_landmarks: int = 4,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Bit-parallel multi-source BFS: distances from ``n_landmarks``
+    seed customers to every node of the trade graph in ONE joint
+    frontier expansion — each frontier row carries a landmark BITMASK,
+    so a round's edge join costs the same as single-source BFS while
+    advancing all landmarks at once (the HyperANF/landmark-embedding
+    trick; running L separate BFS would scan the edges L× per round).
+    Emits each node's per-landmark distance vector plus its harmonic
+    centrality estimate Σ 1/d over the landmark sample.
+
+    Round anatomy: frontier(node, mask of landmarks that FIRST reached
+    it this round) joins the edge list, ``bit_or`` aggregates candidate
+    masks per destination, an anti-mask (``& ~old``) keeps only new
+    bits, and newly set bits are exploded into (node, landmark, hop)
+    rows. State per node is one BIGINT mask — L ≤ 64 — and the loop
+    stops on the first round with no new bits (one driver scalar per
+    round, the BFS/star-CC early-stop discipline). Frontier and mask
+    state are checkpointed per round to keep plans flat.
+    """
+    edges = trade_edges(orders, lineitem).localCheckpoint(eager=True)
+    spark = orders.sparkSession
+    seeds = [(2 * (c + 1), c) for c in range(n_landmarks)]
+    visited = spark.createDataFrame(
+        [(n, l, 0) for n, l in seeds], "node bigint, lm int, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = spark.createDataFrame(
+        [(n, 1 << l) for n, l in seeds], "node bigint, mask bigint"
+    ).localCheckpoint(eager=True)
+    masks = frontier
+    new_bits = F.expr(
+        "filter(sequence(0, {L} - 1),"
+        " l -> (shiftright(mask, CAST(l AS INT)) & 1) = 1)".format(
+            L=n_landmarks
+        )
+    )
+    for hop in range(1, max_hops + 1):
+        cand = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("bit_or(mask)").cast("bigint").alias("cmask"))
+        )
+        nf = (
+            cand.join(
+                masks.select(
+                    F.col("node"), F.col("mask").alias("old")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.expr(
+                    "cmask & ~coalesce(old, CAST(0 AS BIGINT))"
+                ).alias("mask"),
+            )
+            .where(F.col("mask") != 0)
+            .localCheckpoint(eager=True)
+        )
+        if nf.limit(1).count() == 0:
+            break
+        visited = visited.union(
+            nf.select(
+                "node",
+                F.explode(new_bits).alias("lm"),
+                F.lit(hop).cast("int").alias("dist"),
+            )
+        ).localCheckpoint(eager=True)
+        masks = (
+            masks.join(nf.select("node", F.col("mask").alias("nm")), "node", "outer")
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(mask, CAST(0 AS BIGINT))"
+                    " | coalesce(nm, CAST(0 AS BIGINT))"
+                ).alias("mask"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = nf
+    pivoted = visited.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("lm") == l, F.col("dist"))).alias(f"d{l}")
+            for l in range(n_landmarks)
+        ]
+    )
+    harm = None
+    for l in range(n_landmarks):
+        term = F.when(
+            F.col(f"d{l}") > 0, F.lit(1.0) / F.col(f"d{l}").cast("double")
+        ).otherwise(F.lit(0.0))
+        harm = term if harm is None else harm + term
+    return pivoted.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_key"),
+        *[F.col(f"d{l}") for l in range(n_landmarks)],
+        F.round(harm, 6).alias("harmonic"),
+    )

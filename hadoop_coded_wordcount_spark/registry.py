@@ -11787,6 +11787,57 @@ def q_eb_shrunk_return_rates(spark, sf_dir):
     )
 
 
+@register(
+    "landmark_bfs",
+    # Four depth-bounded recursive BFS replayed as ONE recursive CTE
+    # seeded with (node, landmark) pairs; MIN(dist) per (node, lm)
+    # recovers the level-synchronous distance, MAX(CASE) pivots.
+    f"""
+    WITH RECURSIVE
+    {_DUCK_TRADE_EDGES},
+    reach(node, lm, dist) AS (
+        SELECT CAST(n AS BIGINT) AS node, CAST(l AS INT) AS lm, 0 AS dist
+        FROM (VALUES (2, 0), (4, 1), (6, 2), (8, 3)) AS s(n, l)
+      UNION
+        SELECT e.dst AS node, r.lm, r.dist + 1 AS dist
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 6
+    ),
+    md AS (
+      SELECT node, lm, CAST(MIN(dist) AS INT) AS dist
+      FROM reach GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT node,
+             MAX(CASE WHEN lm = 0 THEN dist END) AS d0,
+             MAX(CASE WHEN lm = 1 THEN dist END) AS d1,
+             MAX(CASE WHEN lm = 2 THEN dist END) AS d2,
+             MAX(CASE WHEN lm = 3 THEN dist END) AS d3
+      FROM md GROUP BY node
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           d0, d1, d2, d3,
+           ROUND(CASE WHEN d0 > 0 THEN 1.0 / CAST(d0 AS DOUBLE)
+                      ELSE 0.0 END
+                 + CASE WHEN d1 > 0 THEN 1.0 / CAST(d1 AS DOUBLE)
+                        ELSE 0.0 END
+                 + CASE WHEN d2 > 0 THEN 1.0 / CAST(d2 AS DOUBLE)
+                        ELSE 0.0 END
+                 + CASE WHEN d3 > 0 THEN 1.0 / CAST(d3 AS DOUBLE)
+                        ELSE 0.0 END, 6) AS harmonic
+    FROM piv
+    """,
+)
+def q_landmark_bfs(spark, sf_dir):
+    return gr.landmark_bfs(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -425,3 +425,44 @@ def test_k_truss_bridge_between_triangles_peels(spark):
     got = {(r.src, r.dst): r.support for r in gr.k_truss(e, k=3).collect()}
     assert (3, 4) not in got
     assert len(got) == 6 and all(v == 1 for v in got.values())
+
+
+def test_landmark_bfs_path_graph_distances(spark):
+    """Path graph c1—s1—c2—s2—c3 (via shared orders): landmark
+    customers 1 and 2 must see exact hop distances along the path, and
+    every landmark reaches itself at distance 0."""
+    from hadoop_coded_wordcount_spark.operators import graph as gr
+
+    # orders: order k belongs to customer k; lineitem links order k to
+    # suppliers forming the chain c1-s1-c2-s2-c3
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, None, "x"), (2, 2, "O", 1.0, None, "x"),
+         (3, 3, "O", 1.0, None, "x"), (4, 4, "O", 1.0, None, "x")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lines = [
+        (1, 1, 1, 1),  # c1 - s1
+        (2, 1, 1, 2),  # c2 - s1
+        (2, 2, 2, 2),  # c2 - s2
+        (3, 2, 3, 3),  # c3 - s2
+    ]
+    lineitem = spark.createDataFrame(
+        [(ok, 1, sk, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+         for ok, sk, ln, _ in lines],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    got = {r.node: r for r in gr.landmark_bfs(orders, lineitem).collect()}
+    c1, c2 = got[2], got[4]          # customer nodes = 2*custkey
+    s1 = got[3]                      # supplier node = 2*suppkey+1
+    assert c1.d0 == 0 and c2.d1 == 0
+    assert s1.d0 == 1 and s1.d1 == 1         # s1 adjacent to both c1, c2
+    assert c1.d1 == 2 and c2.d0 == 2         # c1 <-> c2 via s1
+    # harmonic of s1 from landmarks {c1:1, c2:1, c3? unreached beyond}:
+    # terms 1/1 + 1/1 + 1/d2 + 0; d2 = dist(c3? lm2 = customer 3) = 1? no:
+    # s2 links c2,c3; s1 to c3 = s1-c2-s2-c3 = 3 hops
+    assert s1.d2 == 3
+    assert s1.harmonic == round(1.0 + 1.0 + 1.0 / 3.0, 6)
