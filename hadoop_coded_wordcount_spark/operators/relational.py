@@ -9442,3 +9442,67 @@ def eb_shrunk_return_rates(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             ).alias("shrunk_rate"),
         )
     )
+
+
+def croston_intermittent(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Croston's method for intermittent demand, per part: exponential
+    smoothing of the non-zero demand SIZES (z) and of the gaps BETWEEN
+    demand days (p) — forecast rate = z/p — the supply-chain standard
+    for sparse series where plain EWMA collapses toward zero between
+    orders (most parts sell on a handful of days).
+
+    α = 1/2 keeps both recurrences dyadic-exact (the ``holt_forecast``
+    discipline): z folds over day-ordered demand sizes from z₁ = q₁,
+    p folds over inter-demand gaps from p₂ = i₂, every step an exact
+    add-and-halve — no libm, no rounding until the final z/p division.
+
+    Scale shape: one (part, day) partial agg, then one part-keyed
+    aggregation whose per-group state is that part's demand-DAY list —
+    bounded by the calendar, not order volume. Parts with a single
+    demand day have no interval and are excluded (no rate exists).
+    """
+    daily = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("q"))
+    )
+    grouped = daily.groupBy("p_partkey").agg(
+        F.array_sort(F.collect_list(F.struct("day", "q"))).alias("dq")
+    )
+    qarr = F.transform(F.col("dq"), lambda s: s["q"])
+    darr = F.transform(F.col("dq"), lambda s: s["day"])
+    k = F.size("dq")
+    arrs = grouped.select(
+        "p_partkey",
+        k.alias("n_demand_days"),
+        qarr.alias("qarr"),
+        F.zip_with(
+            F.slice(darr, 2, k - 1),
+            F.slice(darr, 1, k - 1),
+            lambda a, b: F.datediff(a, b).cast("double"),
+        ).alias("iarr"),
+    ).where(F.col("n_demand_days") >= 2)
+    halve = lambda acc, x: (x + acc) * F.lit(0.5)  # noqa: E731
+    z = F.aggregate(
+        F.slice("qarr", 2, F.col("n_demand_days") - 1),
+        F.element_at("qarr", 1),
+        halve,
+    )
+    p = F.aggregate(
+        F.slice("iarr", 2, F.col("n_demand_days") - 2),
+        F.element_at("iarr", 1),
+        halve,
+    )
+    return arrs.select(
+        "p_partkey",
+        "n_demand_days",
+        F.round(z, 6).alias("size_smooth"),
+        F.round(p, 6).alias("interval_smooth"),
+        F.round(z / p, 6).alias("demand_rate"),
+    )

@@ -866,3 +866,34 @@ def test_eb_shrinkage_pulls_small_brands_harder(spark):
     # all shrunk rates remain probabilities
     for rr in got.values():
         assert 0.0 <= rr.shrunk_rate <= 1.0
+
+
+def test_croston_dyadic_recurrence_by_hand(spark):
+    """Demand days 0, 2, 6 with sizes 4, 8, 2: z = ((8+4)/2 + 2)/2 = 4,
+    intervals (2, 4): p = (2+4)/2 = 3 → rate 4/3."""
+    import datetime
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d0 = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, 1, "O", 1.0, d0 + datetime.timedelta(days=d), "x")
+         for k, d in [(1, 0), (2, 2), (3, 6)]],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 7, 1, 1, 4.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (2, 7, 1, 1, 8.0, 1.0, 0.0, 0.0, "N", "O", None),
+         (3, 7, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    r = rel.croston_intermittent(orders, lineitem).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_demand_days == 3
+    assert row.size_smooth == 4.0
+    assert row.interval_smooth == 3.0
+    assert row.demand_rate == round(4.0 / 3.0, 6)
