@@ -9506,3 +9506,111 @@ def croston_intermittent(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.round(p, 6).alias("interval_smooth"),
         F.round(z / p, 6).alias("demand_rate"),
     )
+
+
+def matrix_profile_hourly(events: DataFrame, w: int = 24) -> DataFrame:
+    """Matrix-profile motif & discord discovery per event type: slide a
+    ``w``-hour window over the hourly count series, compute every
+    window's euclidean distance to every other window outside its
+    exclusion zone (|i−j| ≥ w, the standard trivial-match guard), and
+    report the closest pair (the MOTIF — the day-pattern that repeats
+    most exactly) and the window farthest from its own nearest
+    neighbour (the DISCORD — the most anomalous day) — the
+    matrix-profile primitive behind time-series anomaly mining, as two
+    joins instead of the sequential STAMP scan.
+
+    Scale shape: the series collapses to the bounded hourly grid first
+    (one partial-agg shuffle; the window count is calendar-bound, not
+    event-bound), subsequences materialize once via a 24-row window
+    collect, and the pair matrix is grid² — independent of event
+    volume. Distances are left-to-right folds of exact-count
+    differences (bit-equal to the oracle's list_reduce); winners are
+    picked with fully-ordered row_numbers so ties cannot flip.
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, w - 1)
+    )
+    idx = Window.partitionBy("event_type").orderBy("hour")
+    wins = (
+        hourly.select(
+            "event_type",
+            F.row_number().over(idx).alias("i"),
+            F.collect_list("x").over(frame).alias("arr"),
+        )
+        .where(F.size("arr") == w)
+        .persist()
+    )
+    a = wins.select(
+        F.col("event_type"), F.col("i").alias("ai"), F.col("arr").alias("aa")
+    )
+    b = wins.select(
+        F.col("event_type").alias("bt"),
+        F.col("i").alias("bi"),
+        F.col("arr").alias("ba"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("aa", "ba", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("bt"))
+            & (F.col("ai") + w <= F.col("bi")),
+        )
+        .select("event_type", "ai", "bi", d2.alias("d2"))
+        .persist()
+    )
+    motif = (
+        pairs.select(
+            "event_type",
+            "ai",
+            "bi",
+            "d2",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy("d2", "ai", "bi")
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ai").alias("motif_i"),
+            F.col("bi").alias("motif_j"),
+            F.round(F.sqrt("d2"), 6).alias("motif_dist"),
+        )
+    )
+    prof = (
+        pairs.select("event_type", F.col("ai").alias("i"), "d2")
+        .unionAll(pairs.select("event_type", F.col("bi").alias("i"), "d2"))
+        .groupBy("event_type", "i")
+        .agg(F.min("d2").alias("md"))
+    )
+    discord = (
+        prof.select(
+            "event_type",
+            "i",
+            "md",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("md").desc(), "i"
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("i").alias("discord_i"),
+            F.round(F.sqrt("md"), 6).alias("discord_dist"),
+        )
+    )
+    return motif.join(discord, "event_type")

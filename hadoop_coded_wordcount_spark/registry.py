@@ -11880,6 +11880,61 @@ def q_croston_intermittent(spark, sf_dir):
     )
 
 
+@register(
+    "matrix_profile_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    wins0 AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+                  AS INTEGER) AS i,
+             list(x) OVER (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS arr
+      FROM hourly
+    ),
+    wins AS (SELECT * FROM wins0 WHERE len(arr) = 24),
+    pairs AS (
+      SELECT a.event_type, a.i AS ai, b.i AS bi,
+             list_reduce(list_transform(range(1, 25),
+                         k -> (a.arr[k] - b.arr[k]) * (a.arr[k] - b.arr[k])),
+                         (acc, x) -> acc + x) AS d2
+      FROM wins a JOIN wins b
+        ON a.event_type = b.event_type AND a.i + 24 <= b.i
+    ),
+    motif AS (
+      SELECT event_type, ai AS motif_i, bi AS motif_j,
+             ROUND(sqrt(d2), 6) AS motif_dist
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY d2, ai, bi) AS rk
+            FROM pairs)
+      WHERE rk = 1
+    ),
+    prof AS (
+      SELECT event_type, i, MIN(d2) AS md FROM (
+        SELECT event_type, ai AS i, d2 FROM pairs
+        UNION ALL SELECT event_type, bi AS i, d2 FROM pairs
+      ) GROUP BY 1, 2
+    ),
+    discord AS (
+      SELECT event_type, i AS discord_i, ROUND(sqrt(md), 6) AS discord_dist
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY md DESC, i) AS rk
+            FROM prof)
+      WHERE rk = 1
+    )
+    SELECT m.event_type, motif_i, motif_j, motif_dist,
+           discord_i, discord_dist
+    FROM motif m JOIN discord USING (event_type)
+    """,
+)
+def q_matrix_profile_hourly(spark, sf_dir):
+    return rel.matrix_profile_hourly(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

@@ -897,3 +897,31 @@ def test_croston_dyadic_recurrence_by_hand(spark):
     assert row.size_smooth == 4.0
     assert row.interval_smooth == 3.0
     assert row.demand_rate == round(4.0 / 3.0, 6)
+
+
+def test_matrix_profile_finds_planted_motif_and_discord(spark):
+    """Hourly series: a repeating daily pattern everywhere except one
+    planted anomalous day. The motif pair must be two clean days
+    (distance 0) and the discord window must cover the anomaly."""
+    import datetime
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for h in range(24 * 6):  # six days
+        base = 2 + (h % 24 == 12)  # daily pattern: lunch-hour bump
+        n = 30 if (72 <= h < 96 and h % 24 == 3) else base  # day-4 3am spike
+        for k in range(n):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=k % 60), 1, "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    r = rel.matrix_profile_hourly(ev).collect()[0]
+    assert r.motif_dist == 0.0           # two identical clean days exist
+    # discord window must overlap hour index 76 (3am of day 4; windows
+    # are 1-based start indexes of 24-hour spans)
+    assert r.discord_i <= 76 <= r.discord_i + 23
+    assert r.discord_dist > 20.0
