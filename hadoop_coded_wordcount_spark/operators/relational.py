@@ -9614,3 +9614,134 @@ def matrix_profile_hourly(events: DataFrame, w: int = 24) -> DataFrame:
         )
     )
     return motif.join(discord, "event_type")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def correlation_matrix(lineitem: DataFrame) -> DataFrame:
+    """All-pairs Pearson correlation across the lineitem numeric
+    columns from ONE scan: every moment (Σx, Σx², Σxy) accumulates in
+    the same partial-aggregated pass, then the 6 pairwise correlations
+    assemble from the 1-row moment frame — the table-profiling step
+    before any feature selection, at scan cost independent of the pair
+    count.
+
+    Determinism: per-row products round to 4 dp and sum as exact
+    DECIMAL; each correlation is the textbook moment formula evaluated
+    on identical doubles with NULLIF guarding constant columns.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("n1")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(
+            F.sum(F.round(F.col(a), 4).cast("decimal(28,4)"))
+            .cast("double")
+            .alias(f"s{i}")
+        )
+        for j, b in enumerate(_CORR_COLS):
+            if j >= i:
+                aggs.append(
+                    F.sum(
+                        F.round(F.col(a) * F.col(b), 4).cast(
+                            "decimal(38,4)"
+                        )
+                    )
+                    .cast("double")
+                    .alias(f"s{i}{j}")
+                )
+    m = lineitem.agg(*aggs)
+    outs = []
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if j > i:
+                num = f"(n1 * s{i}{j} - s{i} * s{j})"
+                den = (
+                    f"(sqrt(n1 * s{i}{i} - s{i} * s{i})"
+                    f" * sqrt(n1 * s{j}{j} - s{j} * s{j}))"
+                )
+                outs.append(
+                    m.select(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.expr(
+                            f"ROUND({num} / NULLIF({den}, 0.0), 6)"
+                        ).alias("pearson_r"),
+                        F.col("n1").cast("bigint").alias("n"),
+                    )
+                )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def mann_kendall_trend(orders: DataFrame) -> DataFrame:
+    """Mann–Kendall non-parametric trend test on the daily order-count
+    series: S = Σ_{i<j} sign(xⱼ − xᵢ) over all day pairs, variance with
+    the tie correction, z = (S ∓ 1)/√Var — the distribution-free "is
+    this metric actually trending" gate that pairs with
+    ``theil_sen_trend``'s slope estimate (same series, test + size).
+
+    Scale shape: the series is calendar-bounded (one partial-agg
+    shuffle), the pair matrix is days² — data-size-free; S and both
+    variance terms stay exact integers until the final z division.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("bigint"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s",
+            F.expr(
+                "(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)"
+                " / 18.0) AS var_s"
+            ),
+        )
+        .select(
+            "n",
+            "s",
+            F.round(F.col("var_s"), 6).alias("var_s"),
+            F.round(
+                F.expr(
+                    "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)"
+                    " / sqrt(var_s)"
+                    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)"
+                    " / sqrt(var_s)"
+                    " ELSE 0.0 END"
+                ),
+                6,
+            ).alias("z"),
+        )
+        .select(
+            "n",
+            "s",
+            "var_s",
+            "z",
+            (F.abs(F.col("z")) > 1.96).alias("trending_5pct"),
+        )
+    )

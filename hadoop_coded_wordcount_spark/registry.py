@@ -11935,6 +11935,88 @@ def q_matrix_profile_hourly(spark, sf_dir):
     return rel.matrix_profile_hourly(load_table(spark, sf_dir, "events"))
 
 
+def _corr_oracle() -> str:
+    """Mirror of relational.correlation_matrix: one moment scan, six
+    UNION'd pair rows off the 1-row moment frame."""
+    cols = rel._CORR_COLS
+    aggs = ["CAST(COUNT(*) AS DOUBLE) AS n1"]
+    for i, a in enumerate(cols):
+        aggs.append(
+            f"CAST(SUM(CAST(ROUND({a}, 4) AS DECIMAL(28,4)))"
+            f" AS DOUBLE) AS s{i}"
+        )
+        for j, b in enumerate(cols):
+            if j >= i:
+                aggs.append(
+                    f"CAST(SUM(CAST(ROUND({a} * {b}, 4) AS DECIMAL(38,4)))"
+                    f" AS DOUBLE) AS s{i}{j}"
+                )
+    sel = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if j > i:
+                num = f"(n1 * s{i}{j} - s{i} * s{j})"
+                den = (
+                    f"(sqrt(n1 * s{i}{i} - s{i} * s{i})"
+                    f" * sqrt(n1 * s{j}{j} - s{j} * s{j}))"
+                )
+                sel.append(
+                    f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                    f" ROUND({num} / NULLIF({den}, 0.0), 6) AS pearson_r,"
+                    f" CAST(n1 AS BIGINT) AS n FROM m"
+                )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(sel)
+    )
+
+
+@register("correlation_matrix", _corr_oracle())
+def q_correlation_matrix(spark, sf_dir):
+    return rel.correlation_matrix(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+    ),
+    v AS (
+      SELECT n, s,
+             CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+               AS var_s
+      FROM s, nn, ties
+    ),
+    zed AS (
+      SELECT n, s, ROUND(var_s, 6) AS var_s,
+             ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                                        / sqrt(var_s)
+                        WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                                        / sqrt(var_s)
+                        ELSE 0.0 END, 6) AS z
+      FROM v
+    )
+    SELECT n, s, var_s, z, ABS(z) > 1.96 AS trending_5pct FROM zed
+    """,
+)
+def q_mann_kendall_trend(spark, sf_dir):
+    return rel.mann_kendall_trend(load_table(spark, sf_dir, "orders"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

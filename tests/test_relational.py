@@ -925,3 +925,47 @@ def test_matrix_profile_finds_planted_motif_and_discord(spark):
     # are 1-based start indexes of 24-hour spans)
     assert r.discord_i <= 76 <= r.discord_i + 23
     assert r.discord_dist > 20.0
+
+
+def test_correlation_matrix_perfect_and_zero(spark):
+    """qty == 2·price per row → r = 1 for that pair; a constant tax
+    column yields NULL r (zero variance guard)."""
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    rows = [
+        (i, 1, 1, 1, float(i + 1), 2.0 * (i + 1), 0.1 * (i % 3), 5.0, "N", "O", None)
+        for i in range(12)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    got = {(r.col_a, r.col_b): r.pearson_r for r in rel.correlation_matrix(li).collect()}
+    assert got[("l_quantity", "l_extendedprice")] == 1.0
+    assert got[("l_quantity", "l_tax")] is None  # constant column
+    assert len(got) == 6
+
+
+def test_mann_kendall_monotone_series_maxes_s(spark):
+    """Strictly increasing daily counts: S = C(n,2) exactly and the
+    trend flag fires."""
+    import datetime
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, k = [], 0
+    for d in range(10):
+        for _ in range(d + 1):  # day d has d+1 orders
+            rows.append((k, 1, "O", 1.0, d0 + datetime.timedelta(days=d), "x"))
+            k += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = rel.mann_kendall_trend(orders).collect()[0]
+    assert r.n == 10 and r.s == 45  # all 45 pairs increasing
+    assert r.trending_5pct
