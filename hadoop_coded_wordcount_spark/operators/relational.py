@@ -9745,3 +9745,184 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
             (F.abs(F.col("z")) > 1.96).alias("trending_5pct"),
         )
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame, gap_minutes: int = 30, iters: int = 12
+) -> DataFrame:
+    """Markov removal-effect attribution: model each session as a
+    first-order chain over channels with absorbing states CONVERSION
+    (first purchase — the session truncates there) and DROPOUT
+    (session end), estimate P(conversion | start) by ``iters`` rounds
+    of fixed-point value iteration, then re-estimate with each channel
+    REMOVED (its incoming mass becomes dropout) — the removal effect
+    1 − P₋c/P is the chain-based answer to "what would conversions be
+    without this channel", the counterfactual companion to
+    :func:`shapley_attribution`'s cooperative-game answer.
+
+    Exactness: transition counts are exact integers; one value-iteration
+    round per (variant, state) is ONE IEEE division of an exact-BIGINT
+    numerator (Σ c·v in micro-units + conversion mass) by the exact
+    out-degree — the ``logistic_gd`` fixed-point discipline — and BOTH
+    engines run the identical fixed horizon, so truncation error is
+    shared, not drift. All frames after the sessionized pair count are
+    vocabulary-sized: (channels+1)·variants rows per round.
+    """
+    gap_s = gap_minutes * 60
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    opens = (
+        F.lag(sec).over(w).isNull() | (sec - F.lag(sec).over(w) > gap_s)
+    ).cast("int")
+    seq = events.select(
+        "user_id", "ts", "event_id", "event_type", opens.alias("opens")
+    ).withColumn(
+        "sid",
+        F.sum("opens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wsall = Window.partitionBy("user_id", "sid")
+    pos = seq.select(
+        "user_id",
+        "sid",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(ws).alias("pos"),
+    ).withColumn(
+        "firstp",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).over(wsall),
+    )
+    kept = pos.where(
+        F.col("firstp").isNull() | (F.col("pos") <= F.col("firstp"))
+    )
+    wk = Window.partitionBy("user_id", "sid").orderBy("pos")
+    wkall = Window.partitionBy("user_id", "sid")
+    stepped = kept.select(
+        "user_id",
+        "sid",
+        "event_type",
+        "pos",
+        F.lead("event_type").over(wk).alias("nxt"),
+        F.max("pos").over(wkall).alias("lastpos"),
+    )
+    state = F.when(F.col("event_type") == "purchase", "__conv__").otherwise(
+        F.col("event_type")
+    )
+    nxt_state = F.when(F.col("nxt") == "purchase", "__conv__").otherwise(
+        F.col("nxt")
+    )
+    pairs = (
+        stepped.where(F.col("pos") == 1)
+        .select(F.lit("__start__").alias("src"), state.alias("dst"))
+        .unionAll(
+            stepped.where(
+                F.col("nxt").isNotNull()
+                & (F.col("event_type") != "purchase")
+            ).select(state.alias("src"), nxt_state.alias("dst"))
+        )
+        .unionAll(
+            stepped.where(
+                (F.col("pos") == F.col("lastpos"))
+                & (F.col("event_type") != "purchase")
+            ).select(state.alias("src"), F.lit("__end__").alias("dst"))
+        )
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    channels = (
+        counts.select(F.col("src").alias("variant"))
+        .where(~F.col("variant").isin("__start__"))
+        .distinct()
+    )
+    variants = channels.unionAll(
+        counts.sparkSession.createDataFrame(
+            [("__full__",)], "variant string"
+        )
+    )
+    # per-variant transition system: edges INTO the removed channel are
+    # dropped from the numerator (their mass absorbs into dropout); the
+    # out-degree denominator keeps the full outflow
+    tedges = (
+        variants.crossJoin(counts)
+        .where(
+            (~F.col("dst").isin("__conv__", "__end__"))
+            & (F.col("dst") != F.col("variant"))
+            & (F.col("src") != F.col("variant"))
+        )
+        .select("variant", "src", "dst", "c")
+        .persist()
+    )
+    bstates = (
+        variants.crossJoin(counts)
+        .where(F.col("src") != F.col("variant"))
+        .groupBy("variant", "src")
+        .agg(
+            F.sum(
+                F.when(F.col("dst") == "__conv__", F.col("c")).otherwise(0)
+            ).cast("bigint").alias("cc"),
+            F.sum("c").cast("bigint").alias("outc"),
+        )
+        .select(
+            "variant",
+            "src",
+            (F.col("cc") * 1000000).alias("cm"),
+            "outc",
+        )
+        .persist()
+    )
+    v = bstates.select(
+        "variant",
+        F.col("src").alias("state"),
+        F.lit(0).cast("bigint").alias("v"),
+    ).localCheckpoint(eager=True)
+    for k in range(iters):
+        msg = (
+            tedges.join(
+                v.select(
+                    "variant", F.col("state").alias("dst"), "v"
+                ),
+                ["variant", "dst"],
+            )
+            .groupBy("variant", "src")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("m"))
+        )
+        v = (
+            bstates.join(msg, ["variant", "src"], "left")
+            .select(
+                "variant",
+                F.col("src").alias("state"),
+                F.expr(
+                    "CAST(ROUND((COALESCE(m, CAST(0 AS BIGINT)) + cm)"
+                    " / CAST(outc AS DOUBLE)) AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+        if (k + 1) % 4 == 0:
+            v = v.localCheckpoint(eager=True)
+    starts = v.where(F.col("state") == "__start__")
+    full = starts.where(F.col("variant") == "__full__").select(
+        F.col("v").alias("vf")
+    )
+    return (
+        starts.where(F.col("variant") != "__full__")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("variant").alias("channel"),
+            F.round(F.col("vf") / F.lit(1000000.0), 6).alias("p_conv_full"),
+            F.round(F.col("v") / F.lit(1000000.0), 6).alias(
+                "p_conv_removed"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.col("v").cast("double")
+                / F.expr("NULLIF(CAST(vf AS DOUBLE), 0.0)"),
+                6,
+            ).alias("removal_effect"),
+        )
+    )

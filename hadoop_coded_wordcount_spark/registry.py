@@ -12017,6 +12017,117 @@ def q_mann_kendall_trend(spark, sf_dir):
     return rel.mann_kendall_trend(load_table(spark, sf_dir, "orders"))
 
 
+def _mra_round(k: int) -> str:
+    """One Markov value-iteration round, mirroring
+    relational.markov_removal_attribution: exact-BIGINT message sum in
+    micro-units, one IEEE division by the out-degree."""
+    return f""",
+    v{k} AS (
+      SELECT b.variant, b.src AS state,
+             CAST(ROUND((COALESCE(m.m, 0) + b.cm)
+                        / CAST(b.outc AS DOUBLE)) AS BIGINT) AS v
+      FROM bstates b LEFT JOIN (
+        SELECT t.variant, t.src, CAST(SUM(t.c * v.v) AS BIGINT) AS m
+        FROM tedges t JOIN v{k - 1} v
+          ON v.variant = t.variant AND v.state = t.dst
+        GROUP BY 1, 2
+      ) m ON m.variant = b.variant AND m.src = b.src
+    )"""
+
+
+@register(
+    "markov_removal_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT *,
+             SUM(CASE WHEN prev IS NULL
+                       OR epoch_us(ts) // 1000000
+                          - epoch_us(prev) // 1000000 > 1800
+                       THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    posd AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS pos
+      FROM s
+    ),
+    fp AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN pos END)
+                  OVER (PARTITION BY user_id, sid) AS firstp
+      FROM posd
+    ),
+    kept AS (SELECT * FROM fp WHERE firstp IS NULL OR pos <= firstp),
+    stepped AS (
+      SELECT user_id, sid, event_type, pos,
+             LEAD(event_type) OVER (PARTITION BY user_id, sid
+                                    ORDER BY pos) AS nxt,
+             MAX(pos) OVER (PARTITION BY user_id, sid) AS lastpos
+      FROM kept
+    ),
+    pairs AS (
+      SELECT '__start__' AS src,
+             CASE WHEN event_type = 'purchase' THEN '__conv__'
+                  ELSE event_type END AS dst
+      FROM stepped WHERE pos = 1
+      UNION ALL
+      SELECT event_type AS src,
+             CASE WHEN nxt = 'purchase' THEN '__conv__' ELSE nxt END AS dst
+      FROM stepped WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+      UNION ALL
+      SELECT event_type AS src, '__end__' AS dst
+      FROM stepped WHERE pos = lastpos AND event_type <> 'purchase'
+    ),
+    counts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2
+    ),
+    vars AS (
+      SELECT DISTINCT src AS variant FROM counts WHERE src <> '__start__'
+      UNION ALL SELECT '__full__'
+    ),
+    tedges AS (
+      SELECT v.variant, c.src, c.dst, c.c
+      FROM vars v, counts c
+      WHERE c.dst NOT IN ('__conv__', '__end__')
+        AND c.dst <> v.variant AND c.src <> v.variant
+    ),
+    bstates AS (
+      SELECT v.variant, c.src,
+             CAST(SUM(CASE WHEN c.dst = '__conv__' THEN c.c ELSE 0 END)
+                  AS BIGINT) * 1000000 AS cm,
+             CAST(SUM(c.c) AS BIGINT) AS outc
+      FROM vars v, counts c
+      WHERE c.src <> v.variant
+      GROUP BY 1, 2
+    ),
+    v0 AS (
+      SELECT variant, src AS state, CAST(0 AS BIGINT) AS v FROM bstates
+    )"""
+    + "".join(_mra_round(k) for k in range(1, 13))
+    + """,
+    starts AS (SELECT variant, v FROM v12 WHERE state = '__start__'),
+    fullv AS (SELECT v AS vf FROM starts WHERE variant = '__full__')
+    SELECT s.variant AS channel,
+           ROUND(f.vf / 1000000.0, 6) AS p_conv_full,
+           ROUND(s.v / 1000000.0, 6) AS p_conv_removed,
+           ROUND(1.0 - CAST(s.v AS DOUBLE)
+                 / NULLIF(CAST(f.vf AS DOUBLE), 0.0), 6) AS removal_effect
+    FROM starts s, fullv f WHERE s.variant <> '__full__'
+    """,
+)
+def q_markov_removal_attribution(spark, sf_dir):
+    return rel.markov_removal_attribution(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-5 priority, sized to the external gate's ~50-query window.
     # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).

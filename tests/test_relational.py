@@ -969,3 +969,29 @@ def test_mann_kendall_monotone_series_maxes_s(spark):
     r = rel.mann_kendall_trend(orders).collect()[0]
     assert r.n == 10 and r.s == 45  # all 45 pairs increasing
     assert r.trending_5pct
+
+
+def test_markov_removal_effect_sole_converting_channel(spark):
+    """click is the only route to purchase (5 click→purchase sessions,
+    5 view-only sessions): removing click kills all conversions
+    (effect 1.0); removing view changes nothing (effect 0.0)."""
+    import datetime
+    from hadoop_coded_wordcount_spark.operators import relational as rel
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    rows, eid = [], 0
+    for u in range(5):
+        rows.append((eid, t0, u, "click", 1.0)); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=1), u, "purchase", 9.0)); eid += 1
+    for u in range(5, 10):
+        rows.append((eid, t0, u, "view", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    )
+    got = {r.channel: r for r in rel.markov_removal_attribution(ev).collect()}
+    assert got["click"].p_conv_full == 0.5
+    assert got["click"].removal_effect == 1.0
+    assert got["view"].removal_effect == 0.0
+    assert got["view"].p_conv_removed == 0.5
