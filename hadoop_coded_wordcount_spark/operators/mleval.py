@@ -963,7 +963,7 @@ def _unrolled_sqdist(a, b, dim: int):
     return sq
 
 
-def silhouette_by_label(embeddings: DataFrame, dim: int = 16) -> DataFrame:
+def silhouette_by_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Simplified (centroid-based) silhouette per label: for each vector,
     a = euclidean distance to its own label centroid, b = distance to
     the nearest other centroid, s = (b−a)/max(a,b) — the O(n·k)
@@ -1016,7 +1016,7 @@ def silhouette_by_label(embeddings: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
-def davies_bouldin(embeddings: DataFrame, dim: int = 16) -> DataFrame:
+def davies_bouldin(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Davies–Bouldin cluster-quality components per label: scatter
     sᵢ = mean distance of label-i vectors to their centroid, and
     dbᵢ = maxⱼ≠ᵢ (sᵢ+sⱼ)/‖cᵢ−cⱼ‖ — lower is better-separated. The

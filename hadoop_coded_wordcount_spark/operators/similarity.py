@@ -1669,3 +1669,82 @@ def int8_recall(
             F.min("hit").cast("double") / F.lit(k).cast("double"), 6
         ).alias("min_recall_at_k"),
     )
+
+
+def dbscan_embeddings(
+    embeddings: DataFrame,
+    eps_sim: float = 0.2,
+    min_neighbors: int = 3,
+    block_on: str | None = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """DBSCAN density clustering over the embedding corpus, composed
+    from the engine's own primitives: the ε-neighborhood graph is
+    :func:`embedding_neardup_pairs` (cosine ≥ ``eps_sim`` inside the
+    blocking key, salted quadratic cells), core points are one degree
+    aggregation (≥ ``min_neighbors`` neighbors), core clusters are
+    ``dedup.connected_components_star`` over the core-core subgraph
+    (O(log n) rounds), borders attach to the MINIMUM cluster id among
+    their core neighbors (deterministic tie-break), and everything else
+    is noise — the full density-clustering story without a single new
+    join shape.
+
+    Output: one row per vector — role ∈ {core, border, noise} and the
+    cluster id (= the component's minimum vec_id; NULL for noise).
+
+    Scale: inherits the blocked-quadratic posture of the pair
+    generator (the documented LSH-candidate escape hatch applies
+    unchanged) plus star-contraction's logarithmic rounds; the degree
+    and attach steps are one shuffle each.
+    """
+    from . import dedup as dd
+
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=eps_sim, block_on=block_on, dim=dim
+    ).persist()
+    sym = pairs.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("n")
+    ).unionAll(
+        pairs.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("n"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    cores = deg.where(F.col("nn") >= min_neighbors).select("v").persist()
+    ca = cores.select(F.col("v").alias("vec_a"))
+    cb = cores.select(F.col("v").alias("vec_b"))
+    core_edges = (
+        pairs.join(ca, "vec_a").join(cb, "vec_b").select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    comp = dd.connected_components_star(core_edges)
+    core_lab = cores.join(
+        comp, cores["v"] == comp["doc_id"], "left"
+    ).select(
+        "v",
+        F.coalesce(F.col("cluster_id"), F.col("v")).alias("cluster_id"),
+    )
+    border_lab = (
+        sym.join(
+            core_lab.select(
+                F.col("v").alias("n"), F.col("cluster_id").alias("ncl")
+            ),
+            "n",
+        )
+        .join(cores.select(F.col("v")), "v", "left_anti")
+        .groupBy("v")
+        .agg(F.min("ncl").alias("cluster_id"))
+    )
+    labeled = core_lab.select(
+        "v", F.lit("core").alias("role"), "cluster_id"
+    ).unionAll(
+        border_lab.select("v", F.lit("border").alias("role"), "cluster_id")
+    )
+    return (
+        embeddings.select(F.col("vec_id"))
+        .join(labeled, embeddings["vec_id"] == labeled["v"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            "cluster_id",
+        )
+    )

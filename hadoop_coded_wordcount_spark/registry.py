@@ -11475,7 +11475,7 @@ def q_minute_dedup_events(spark, sf_dir):
       SELECT label, CAST(r.i AS INTEGER) AS i,
              CAST(SUM(CAST(ROUND(emb[i], 9) AS DECIMAL(28,9))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS c
-      FROM v, range(1, 17) AS r(i)
+      FROM v, range(1, 65) AS r(i)
       GROUP BY 1, 2
     ),
     centl AS (
@@ -11484,7 +11484,7 @@ def q_minute_dedup_events(spark, sf_dir):
     d AS (
       SELECT v.vec_id, v.label AS vlabel, ct.clabel,
              sqrt(list_reduce(
-               list_transform(range(1, 17),
+               list_transform(range(1, 65),
                               i -> (emb[i] - cl[i]) * (emb[i] - cl[i])),
                (acc, x) -> acc + x)) AS dist
       FROM v, centl ct
@@ -11519,7 +11519,7 @@ def q_silhouette_by_label(spark, sf_dir):
       SELECT label, CAST(r.i AS INTEGER) AS i,
              CAST(SUM(CAST(ROUND(emb[i], 9) AS DECIMAL(28,9))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS c
-      FROM v, range(1, 17) AS r(i)
+      FROM v, range(1, 65) AS r(i)
       GROUP BY 1, 2
     ),
     centl AS (
@@ -11528,7 +11528,7 @@ def q_silhouette_by_label(spark, sf_dir):
     own AS (
       SELECT v.label,
              CAST(ROUND(sqrt(list_reduce(
-               list_transform(range(1, 17),
+               list_transform(range(1, 65),
                               i -> (emb[i] - cl[i]) * (emb[i] - cl[i])),
                (acc, x) -> acc + x)), 6) AS DECIMAL(18,6)) AS d
       FROM v JOIN centl ct ON v.label = ct.clabel
@@ -11541,7 +11541,7 @@ def q_silhouette_by_label(spark, sf_dir):
     r AS (
       SELECT a.label AS li, a.n AS n_i, a.s AS s_i,
              ROUND((a.s + b.s) / sqrt(list_reduce(
-               list_transform(range(1, 17),
+               list_transform(range(1, 65),
                               i -> (ca.cl[i] - cb.cl[i])
                                    * (ca.cl[i] - cb.cl[i])),
                (acc, x) -> acc + x)), 6) AS r
@@ -12126,6 +12126,69 @@ def _mra_round(k: int) -> str:
 )
 def q_markov_removal_attribution(spark, sf_dir):
     return rel.markov_removal_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "dbscan_embeddings",
+    f"""
+    WITH RECURSIVE v AS ({_DUCK_VECS}),
+    withnorm AS (
+      SELECT vec_id, label, emb,
+             sqrt(list_reduce(list_transform(emb, y -> y * y),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ),
+    nv AS (
+      SELECT vec_id, label, list_transform(emb, x -> x / nrm) AS ne
+      FROM withnorm
+    ),
+    p AS (
+      -- normalize-first cosine: the SAME expression tree as the Spark
+      -- operator (unit vectors, then one dot) — dot/(na*nb) differs in
+      -- the last ulp and flips boundary pairs, cascading into clusters
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(range(1, len(a.ne) + 1),
+                                       i -> a.ne[i] * b.ne[i]),
+                        (acc, x) -> acc + x) >= 0.2
+    ),
+    sym AS (SELECT va AS v, vb AS n FROM p UNION ALL SELECT vb, va FROM p),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nn FROM sym GROUP BY 1),
+    cores AS (SELECT v FROM deg WHERE nn >= 3),
+    ce AS (
+      SELECT va, vb FROM p
+      JOIN cores c1 ON p.va = c1.v JOIN cores c2 ON p.vb = c2.v
+    ),
+    ces AS (
+      SELECT va AS a, vb AS b FROM ce UNION ALL SELECT vb AS a, va AS b
+      FROM ce
+    ),
+    closure(v, u) AS (
+      SELECT v, v FROM cores
+      UNION
+      SELECT c.v, e.b FROM closure c JOIN ces e ON e.a = c.u
+    ),
+    lab AS (
+      SELECT v, CAST(MIN(u) AS BIGINT) AS cluster_id FROM closure GROUP BY 1
+    ),
+    border AS (
+      SELECT s.v, MIN(l.cluster_id) AS cluster_id
+      FROM sym s JOIN lab l ON s.n = l.v
+      WHERE s.v NOT IN (SELECT v FROM cores)
+      GROUP BY 1
+    )
+    SELECT e.vec_id,
+           CASE WHEN l.v IS NOT NULL THEN 'core'
+                WHEN b.v IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(l.cluster_id, b.cluster_id) AS cluster_id
+    FROM embeddings e
+    LEFT JOIN lab l ON e.vec_id = l.v
+    LEFT JOIN border b ON e.vec_id = b.v
+    """,
+)
+def q_dbscan_embeddings(spark, sf_dir):
+    return sim.dbscan_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 _VERIFY_FIRST = [

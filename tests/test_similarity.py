@@ -545,3 +545,30 @@ def test_pca_power_iteration_mixed_axes_ranked(spark):
     assert got[2].loading == 1.0  # dominant axis is the pivot
     assert abs(got[5].loading) < 0.05
     assert got[2].eigenvalue_est > 50.0
+
+
+def test_dbscan_embeddings_cores_and_noise(spark):
+    """Four near-identical vectors form one core cluster labeled by the
+    minimum vec_id; an orthogonal vector has no ε-neighbors → noise."""
+    from hadoop_coded_wordcount_spark.operators import similarity as sim
+
+    def vec(axis, bump=0.0):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[10] = bump
+        return v
+
+    rows = [
+        (5, vec(0, 0.00), 0),
+        (6, vec(0, 0.01), 0),
+        (7, vec(0, 0.02), 0),
+        (8, vec(0, 0.03), 0),
+        (9, vec(1), 0),   # orthogonal → noise
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in sim.dbscan_embeddings(emb).collect()}
+    for v in (5, 6, 7, 8):
+        assert got[v].role == "core" and got[v].cluster_id == 5
+    assert got[9].role == "noise" and got[9].cluster_id is None
