@@ -295,7 +295,7 @@ def test_silhouette_by_label_separated_clusters(spark):
     from hadoop_coded_wordcount_spark.operators import mleval as ml
 
     def vec(x, rest=0.0):
-        return [float(x)] + [rest] * 15
+        return [float(x)] + [rest] * 63
 
     rows = [
         (0, vec(0.0), 0),
@@ -320,8 +320,8 @@ def test_silhouette_by_label_overlapping_clusters_score_low(spark):
 
     rows = []
     for lab in (0, 1):
-        rows.append((lab * 2, [1.0] + [0.0] * 15, lab))
-        rows.append((lab * 2 + 1, [3.0] + [0.0] * 15, lab))
+        rows.append((lab * 2, [1.0] + [0.0] * 63, lab))
+        rows.append((lab * 2 + 1, [3.0] + [0.0] * 63, lab))
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
     )
@@ -335,7 +335,7 @@ def test_davies_bouldin_well_separated_is_small(spark):
     from hadoop_coded_wordcount_spark.operators import mleval as ml
 
     def vec(x):
-        return [float(x)] + [0.0] * 15
+        return [float(x)] + [0.0] * 63
 
     rows = [
         (0, vec(-0.1), 0),
