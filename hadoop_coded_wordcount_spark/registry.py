@@ -12192,73 +12192,39 @@ def q_dbscan_embeddings(spark, sf_dir):
 
 
 _VERIFY_FIRST = [
-    # Round-5 priority, sized to the external gate's ~50-query window.
-    # (1) Never externally gate-checked across r1-r4 (VERDICT r4 item 2).
-    "global_sort",
-    "fuzzy_string_funcs",
-    "regexp_funcs",
-    "conditional_funcs",
-    "provenance_scan",
-    "semdedup_keep",
-    # (2) Hash basis re-based xxhash64 -> md5 this round: first external
-    # value-check ever possible for these (were rows-only / harness-error).
-    "minhash_signatures",
-    "simhash64",
-    "simhash_pairs",
-    "weighted_sample_orders",
-    # (2b) TPC-H completion set — new this round, never gate-checked.
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_latency_priority",
-    "q16_supplier_count",
-    "q20_excess_shippers",
-    # (2c) Analytics additions — new this round, never gate-checked.
-    "ab_test_conversion",
-    "fk_integrity",
-    "seasonal_hourly",
-    "rfm_segments",
-    "weighted_median_price",
-    "revenue_mom",
-    "market_basket_pairs",
-    "interpurchase_intervals",
-    "k_core_suppliers",
-    "sequence_match_users",
-    "psi_drift",
-    "multi_touch_attribution",
-    "benford_digits",
-    "link_prediction_jaccard",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "cusum_changepoint",
-    "rolling_correlation",
-    "dedup_incremental",
-    "tfidf_cosine_pairs",
-    "fuzzy_blocking_pairs",
-    "clv_cohort",
-    "personalized_pagerank",
-    "hybrid_rrf_topk",
-    "entity_resolution",
-    "sssp_weighted",
-    "kaplan_meier_churn",
-    "textrank_keywords",
-    "holt_forecast",
+    # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
+    # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
+    # key union vs the registry), headed by the highest-novelty unchecked
+    # ops named in the verdict, plus pq_topk / embedding_neardup_pairs
+    # which are behavior-touched this round (trained PQ codebook; LSH-
+    # backed neardup default) and warrant an external re-check.
+    "shapley_attribution",
+    "logistic_gd",
+    "gbm_stumps",
+    "ols_normal_equations",
+    "isotonic_calibration",
+    "markov_removal_attribution",
+    "dbscan_embeddings",
+    "landmark_bfs",
+    "croston_intermittent",
+    "matrix_profile_hourly",
+    "trigram_lm",
+    "boilerplate_ngrams",
+    "lsh_tuning_curve",
+    "ivf_pq_topk",
     "pq_topk",
-    "interval_coverage",
-    "time_decay_scores",
-    "cuped_adjustment",
-    "bloom_prefilter",
+    "embedding_neardup_pairs",
+    "ks_test",
+    "mann_whitney",
+    "holt_winters",
+    "auc_roc",
     "ann_recall_metrics",
     "topn_with_other",
     "gini_lorenz",
     "source_diversity",
     "revenue_bridge",
-    "ivf_pq_topk",
     "degree_assortativity",
     "source_overlap",
-    # (2d) Round-6 additions (ML-eval, warehouse, graph, retrieval
-    # families) — never gate-checked; queue directly behind the r5 window.
-    "auc_roc",
     "calibration_bins",
     "mutual_information",
     "subsample_ci",
@@ -12268,7 +12234,6 @@ _VERIFY_FIRST = [
     "hits_ranking",
     "modularity_nations",
     "ann_ndcg",
-    "lsh_tuning_curve",
     "association_rules",
     "tokenizer_fertility",
     "mmr_topk",
@@ -12288,19 +12253,11 @@ _VERIFY_FIRST = [
     "embedding_drift",
     "top_session_paths",
     "langid_confusion",
-    # (3) New or re-implemented this round.
     "chunk_documents",
-    "udtf_chunk_documents",
     "duplicate_spans",
     "bfs_trade",
     "degree_distribution",
     "debounce_events",
-    "percentile_agg",
-    "ohlc_hourly",
-    "similarity_topk_pandas",
-    # (3b) Round-5 additions: new operators and sketch-family oracle
-    # conversions (kmv/hll/cms md5 bases) — none ever gate-checked.
-    "kmv_distinct_custkeys",
     "hll_manual_users",
     "cms_manual_counts",
     "triangle_count_suppliers",
@@ -12318,46 +12275,12 @@ _VERIFY_FIRST = [
     "pareto_front",
     "concurrency_profile",
     "funnel_sequence",
-    "similarity_ivf_topk",
-    "embedding_lsh_pairs",
     "markov_transitions",
     "keyset_page",
     "abandoned_views",
     "sketch_join_cardinality",
     "dwell_time_stats",
     "cohort_matrix",
-    # (4) Consumers of internals changed this round (shingled's total-
-    # expression guard; exact_percentiles_by_group's null filter).
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "dedup_clusters_star",
-    "containment_pairs",
-    # (5) Rows-only family: one representative stays in-window for a
-    # clean no_oracle row (all nine were no_oracle-checked in r4).
-    "multimodal_features",
-    # (6) Streaming/events + Python-surface spot checks filling the
-    # window (green in r4; cheap re-confirmation on the rotated head).
-    "events_tumbling",
-    "events_session",
-    "sessionize_events",
-    "udf_grouped_k_stats",
-    "pagerank_trade",
-    "time_weighted_avg",
-    "regression_by_group",
-    "chi_square_independence",
-    "global_row_number",
-    "pack_sequences",
-    "bigram_lm",
-    "stratified_fixed_k",
-    "table_profile",
-    "gap_fill_locf",
-    "snapshot_cdc",
-    "try_funcs",
-    # (7) Round-5 late-session additions (stats-tests, graph, retrieval,
-    # ML-eval, causal, forecasting families) — never gate-checked; they
-    # queue behind the current window for the next rotation.
-    "ks_test",
-    "mann_whitney",
     "acf_hourly",
     "sprt_conversion",
     "clustering_coefficient",
@@ -12368,7 +12291,6 @@ _VERIFY_FIRST = [
     "quantile_normalize",
     "dq_rule_battery",
     "feature_hashing",
-    "holt_winters",
     "permutation_test",
     "theil_sen_trend",
     "stump_split",
@@ -12439,6 +12361,12 @@ _VERIFY_FIRST = [
     "token_drift_movers",
     "triplet_margin",
     "chisq_uniform_props",
+    "minute_dedup_events",
+    "silhouette_by_label",
+    "davies_bouldin",
+    "eb_shrunk_return_rates",
+    "correlation_matrix",
+    "mann_kendall_trend",
 ]
 
 
