@@ -6073,108 +6073,154 @@ def q_degree_assortativity(spark, sf_dir):
     )
 
 
-def _pq_subdist(a: str, b: str, j: int, sub: int = 8) -> str:
-    """Left-associated L2² over subspace j's dims (1-based lists) —
-    the same fold order as the operator's unrolled Spark expression."""
-    expr = "CAST(0 AS DOUBLE)"
-    for i in range(j * sub + 1, (j + 1) * sub + 1):
-        expr += f" + ({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
-    return f"({expr})"
+def _pq_isqd(a: str, b: str, sub: int = 8) -> str:
+    """Exact integer L2² over micro-unit subvector lists (1-based) —
+    BIGINT arithmetic, so no fold order needs pinning on either engine."""
+    return "(" + " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, sub + 1)
+    ) + ")"
 
 
-def _ivf_pq_oracle(m: int = 8, code_mod: int = 31, centroid_mod: int = 37,
-                   nprobe: int = 3, query_mod: int = 100,
-                   k: int = 10) -> str:
-    """Composed replay: the IVF assignment/probe CTEs (same max-struct
-    DESC / probe ASC tie-breaks as similarity_ivf_topk) feed the PQ
-    encode + decimal ADC chain (same stages as pq_topk), restricted to
-    probed-cell candidates."""
-    enc_cols = ", ".join(
-        f"min({{'d': {_pq_subdist('v.emb', 'cb.c_emb', j)}, "
-        f"'c': cb.code_id}})['c'] AS code_{j}"
+def _pq_train_ctes(m: int = 8, sub: int = 8, code_mod: int = 31,
+                   train_iters: int = 3) -> tuple:
+    """CTE list replaying operators/similarity._pq_train_codebook stage
+    for stage: micro-unit quantization, per-subspace id-sample init,
+    then train_iters unrolled Lloyd rounds (argmin = MIN(d) + MIN(code)
+    join-back == Spark's min-struct; centroid update = CAST(SUM AS
+    DOUBLE)/COUNT(*) rounded half-away to BIGINT — one correctly-rounded
+    IEEE division on identical exact inputs), ending with the encode of
+    every (vec, j) against the final codebook. Returns (ctes,
+    final_codebook_name)."""
+    parts = []
+    parts.append("""v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS e
+      FROM embeddings
+    )""")
+    sv_sel = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, e[{j * sub + 1}:{(j + 1) * sub}] AS sv "
+        "FROM v"
         for j in range(m)
     )
-    dt_cols = ", ".join(
-        f"CAST(ROUND({_pq_subdist('q.q_emb', 'cb.c_emb', j)}, 6) "
-        f"AS DECIMAL(18,6)) AS d{j}"
-        for j in range(m)
-    )
-    chain = [
-        """
-    c0 AS (
-      SELECT cand.query_id, cand.vec_id,
-             """ + ", ".join(f"cand.code_{j}" for j in range(1, m)) + """,
-             d.d0 AS s0
-      FROM cand JOIN dt d
-        ON cand.query_id = d.query_id AND cand.code_0 = d.code_id
-    )"""
-    ]
-    for j in range(1, m):
-        carry = ", ".join(f"c{j-1}.code_{i}" for i in range(j + 1, m))
-        carry = (carry + ",") if carry else ""
-        prev_s = ", ".join(f"c{j-1}.s{i}" for i in range(j))
-        chain.append(
-            f""",
-    c{j} AS (
-      SELECT c{j - 1}.query_id, c{j - 1}.vec_id, {carry}
-             {prev_s}, d.d{j} AS s{j}
-      FROM c{j - 1} JOIN dt d
-        ON c{j - 1}.query_id = d.query_id
-       AND c{j - 1}.code_{j} = d.code_id
-    )"""
+    parts.append(f"sv AS (\n      {sv_sel}\n    )")
+    parts.append(f"""cb0 AS (
+      SELECT j, vec_id AS code_id, sv AS cv FROM sv
+      WHERE vec_id % {code_mod} = 0
+    )""")
+    dist = _pq_isqd("s.sv", "c.cv", sub)
+    for r in range(train_iters):
+        mean_cols = ", ".join(
+            f"CAST(ROUND(CAST(SUM(s.sv[{i}]) AS DOUBLE) / COUNT(*)) "
+            "AS BIGINT)"
+            for i in range(1, sub + 1)
         )
-    ad = " + ".join(f"s{j}" for j in range(m))
-    return f"""
-    WITH v0 AS ({_DUCK_VECS}),
-    v AS (SELECT vec_id, emb FROM v0),
-    c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM v
-          WHERE vec_id % {centroid_mod} = 0),
-    asg AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT v.vec_id, c.cell_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY {_DUCK_COS.format(a="c_emb", b="emb")} DESC,
-                          c.cell_id DESC) AS rn
-        FROM v CROSS JOIN c
-      ) WHERE rn = 1
-    ),
-    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
-          WHERE vec_id % {query_mod} = 0),
-    probes AS (
-      SELECT query_id, cell_id FROM (
-        SELECT q.query_id, c.cell_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY {_DUCK_COS.format(a="c_emb", b="q_emb")} DESC,
-                          c.cell_id ASC) AS rn
-        FROM q CROSS JOIN c
-      ) WHERE rn <= {nprobe}
-    ),
-    cb AS (SELECT vec_id AS code_id, emb AS c_emb FROM v
-           WHERE vec_id % {code_mod} = 0),
-    enc AS (
-      SELECT v.vec_id, {enc_cols}
-      FROM v, cb GROUP BY v.vec_id
-    ),
-    dt AS (SELECT query_id, code_id, {dt_cols} FROM q, cb),
-    cand AS (
-      SELECT p.query_id, e.*
-      FROM probes p
-      JOIN asg a ON p.cell_id = a.cell_id
-      JOIN enc e ON e.vec_id = a.vec_id
-      WHERE a.vec_id <> p.query_id
-    ),
-    {"".join(chain)}
-    SELECT query_id, neighbor_id, rank, CAST(ad AS DOUBLE) AS pq_dist
+        parts.append(f"""d{r} AS (
+      SELECT s.vec_id, s.j, c.code_id, {dist} AS d
+      FROM sv s JOIN cb{r} c ON s.j = c.j
+    )""")
+        parts.append(f"""m{r} AS (
+      SELECT vec_id, j, MIN(d) AS md FROM d{r} GROUP BY 1, 2
+    )""")
+        parts.append(f"""a{r} AS (
+      SELECT d.vec_id, d.j, MIN(d.code_id) AS code_id
+      FROM d{r} d JOIN m{r} mm
+        ON d.vec_id = mm.vec_id AND d.j = mm.j AND d.d = mm.md
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""cb{r + 1} AS (
+      SELECT a.j, a.code_id, [{mean_cols}] AS cv
+      FROM a{r} a JOIN sv s ON s.vec_id = a.vec_id AND s.j = a.j
+      GROUP BY 1, 2
+    )""")
+    final = f"cb{train_iters}"
+    parts.append(f"""de AS (
+      SELECT s.vec_id, s.j, c.code_id, {dist} AS d
+      FROM sv s JOIN {final} c ON s.j = c.j
+    )""")
+    parts.append("""me AS (
+      SELECT vec_id, j, MIN(d) AS md FROM de GROUP BY 1, 2
+    )""")
+    parts.append("""enc AS (
+      SELECT de.vec_id, de.j, MIN(de.code_id) AS code_id
+      FROM de JOIN me
+        ON de.vec_id = me.vec_id AND de.j = me.j AND de.d = me.md
+      GROUP BY 1, 2
+    )""")
+    return parts, final
+
+
+_PQ_RANKED = """
+    SELECT query_id, neighbor_id, rank,
+           ROUND(CAST(ad AS DOUBLE) / 1000000000000.0, 6) AS pq_dist
     FROM (
-      SELECT query_id, vec_id AS neighbor_id, {ad} AS ad,
+      SELECT query_id, vec_id AS neighbor_id, ad,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY {ad} ASC, vec_id ASC)
+                                     ORDER BY ad ASC, vec_id ASC)
                   AS INT) AS rank
-      FROM c{m - 1}
+      FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
+                   centroid_mod: int = 37, nprobe: int = 3,
+                   query_mod: int = 100, k: int = 10,
+                   train_iters: int = 3) -> str:
+    """Composed replay: the IVF assignment/probe CTEs (same max-struct
+    DESC / probe ASC tie-breaks as similarity_ivf_topk, doubles) feed
+    the TRAINED integer-micro PQ encode + exact-BIGINT ADC sum."""
+    ctes, final = _pq_train_ctes(m, sub, code_mod, train_iters)
+    qdist = _pq_isqd("qs.qv", "c.cv", sub)
+    ctes.append(f"""vd AS ({_DUCK_VECS})""")
+    ctes.append(f"""c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM vd
+          WHERE vec_id % {centroid_mod} = 0)""")
+    ctes.append(f"""asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vd.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vd.vec_id
+                 ORDER BY {_DUCK_COS.format(a="c_emb", b="emb")} DESC,
+                          c.cell_id DESC) AS rn
+        FROM vd CROSS JOIN c
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""qv AS (SELECT vec_id AS query_id, emb AS q_emb FROM vd
+          WHERE vec_id % {query_mod} = 0)""")
+    ctes.append(f"""probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT qv.query_id, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qv.query_id
+                 ORDER BY {_DUCK_COS.format(a="c_emb", b="q_emb")} DESC,
+                          c.cell_id ASC) AS rn
+        FROM qv CROSS JOIN c
+      ) WHERE rn <= {nprobe}
+    )""")
+    ctes.append("""cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+      WHERE a.vec_id <> p.query_id
+    )""")
+    ctes.append(f"""qs AS (
+      SELECT vec_id AS query_id, j, sv AS qv FROM sv
+      WHERE vec_id % {query_mod} = 0
+    )""")
+    ctes.append(f"""dt AS (
+      SELECT qs.query_id, c.j, c.code_id, {qdist} AS d
+      FROM qs JOIN {final} c ON qs.j = c.j
+    )""")
+    ctes.append("""scored AS (
+      SELECT cand.query_id, cand.vec_id, SUM(dt.d) AS ad
+      FROM cand
+      JOIN enc e ON e.vec_id = cand.vec_id
+      JOIN dt ON dt.query_id = cand.query_id
+             AND dt.j = e.j AND dt.code_id = e.code_id
+      GROUP BY 1, 2
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + _PQ_RANKED.format(k=k)
 
 
 @register("ivf_pq_topk", _ivf_pq_oracle())
@@ -6681,60 +6727,29 @@ def q_interval_coverage(spark, sf_dir):
     )
 
 
-def _pq_oracle(m: int = 8, code_mod: int = 31, query_mod: int = 100,
-               k: int = 10) -> str:
-    """Stage-for-stage PQ replay: id-sampled codebook, per-subspace
-    min-struct assignment, decimal ADC table, m chained code joins."""
-    enc_cols = ", ".join(
-        f"min({{'d': {_pq_subdist('v.emb', 'cb.c_emb', j)}, "
-        f"'c': cb.code_id}})['c'] AS code_{j}"
-        for j in range(m)
-    )
-    dt_cols = ", ".join(
-        f"CAST(ROUND({_pq_subdist('q.q_emb', 'cb.c_emb', j)}, 6) "
-        f"AS DECIMAL(18,6)) AS d{j}"
-        for j in range(m)
-    )
-    chain = [
-        f"""
-    c0 AS (
-      SELECT e.*, d.query_id, d.d0 AS s0
-      FROM enc e JOIN dt d ON e.code_0 = d.code_id
-    )"""
-    ]
-    for j in range(1, m):
-        chain.append(
-            f""",
-    c{j} AS (
-      SELECT c{j - 1}.*, d.d{j} AS s{j}
-      FROM c{j - 1} JOIN dt d
-        ON c{j - 1}.query_id = d.query_id
-       AND c{j - 1}.code_{j} = d.code_id
-    )"""
-        )
-    ad = " + ".join(f"s{j}" for j in range(m))
-    return f"""
-    WITH v AS ({_DUCK_VECS}),
-    cb AS (SELECT vec_id AS code_id, emb AS c_emb FROM v
-           WHERE vec_id % {code_mod} = 0),
-    enc AS (
-      SELECT v.vec_id, {enc_cols}
-      FROM v, cb GROUP BY v.vec_id
-    ),
-    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
-          WHERE vec_id % {query_mod} = 0),
-    dt AS (SELECT query_id, code_id, {dt_cols} FROM q, cb),
-    {"".join(chain)}
-    SELECT query_id, neighbor_id, rank, CAST(ad AS DOUBLE) AS pq_dist
-    FROM (
-      SELECT query_id, vec_id AS neighbor_id, {ad} AS ad,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY {ad} ASC, vec_id ASC)
-                  AS INT) AS rank
-      FROM c{m - 1}
-      WHERE vec_id <> query_id
-    ) WHERE rank <= {k}
-    """
+def _pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
+               query_mod: int = 100, k: int = 10,
+               train_iters: int = 3) -> str:
+    """Stage-for-stage replay of the TRAINED PQ pipeline: micro-unit
+    quantization, per-subspace Lloyd rounds, integer encode, exact
+    BIGINT ADC sum over the m per-subspace lookups."""
+    ctes, final = _pq_train_ctes(m, sub, code_mod, train_iters)
+    qdist = _pq_isqd("q.qv", "c.cv", sub)
+    ctes.append(f"""q AS (
+      SELECT vec_id AS query_id, j, sv AS qv FROM sv
+      WHERE vec_id % {query_mod} = 0
+    )""")
+    ctes.append(f"""dt AS (
+      SELECT q.query_id, c.j, c.code_id, {qdist} AS d
+      FROM q JOIN {final} c ON q.j = c.j
+    )""")
+    ctes.append("""scored AS (
+      SELECT dt.query_id, e.vec_id, SUM(dt.d) AS ad
+      FROM enc e JOIN dt ON e.j = dt.j AND e.code_id = dt.code_id
+      WHERE e.vec_id <> dt.query_id
+      GROUP BY 1, 2
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + _PQ_RANKED.format(k=k)
 
 
 @register("pq_topk", _pq_oracle())

@@ -306,10 +306,12 @@ def test_hybrid_rrf_internal_consistency(spark):
 
 def test_pq_topk_planted_clusters_and_real_recall(spark):
     """PQ with a codebook containing the exact cluster prototypes must
-    rank same-cluster members (pq_dist 0) above all others; on the real
-    corpus the untrained id-sampled codebook still clears a recall
-    floor vs brute-force L2 (deterministic pipeline -> stable value,
-    measured 0.28)."""
+    rank same-cluster members (pq_dist 0) above all others (Lloyd
+    rounds on exact-copy members are a fixed point, so training keeps
+    the prototypes); on the real corpus the TRAINED codebook must beat
+    the untrained id-sample init on recall@10 vs brute-force L2
+    (deterministic pipelines -> stable values; measured 0.36 trained
+    vs 0.28 untrained at 3 Lloyd rounds)."""
     import numpy as np
     from collections import defaultdict
 
@@ -344,19 +346,25 @@ def test_pq_topk_planted_clusters_and_real_recall(spark):
     emb_rows = real.collect()
     ids = np.array([r.vec_id for r in emb_rows])
     X = np.array([r.embedding for r in emb_rows], dtype=np.float64)
-    res = defaultdict(set)
-    for r in sim.pq_topk(real).collect():
-        res[r.query_id].add(r.neighbor_id)
-    recalls = []
-    for q, neigh in res.items():
-        qi = int(np.where(ids == q)[0][0])
-        d = ((X - X[qi]) ** 2).sum(axis=1)
-        order = [
-            int(ids[i]) for i in np.argsort(d, kind="stable")
-            if ids[i] != q
-        ][:10]
-        recalls.append(len(neigh & set(order)) / 10)
-    assert sum(recalls) / len(recalls) >= 0.2
+    def mean_recall(df):
+        res = defaultdict(set)
+        for r in df.collect():
+            res[r.query_id].add(r.neighbor_id)
+        recalls = []
+        for q, neigh in res.items():
+            qi = int(np.where(ids == q)[0][0])
+            d = ((X - X[qi]) ** 2).sum(axis=1)
+            order = [
+                int(ids[i]) for i in np.argsort(d, kind="stable")
+                if ids[i] != q
+            ][:10]
+            recalls.append(len(neigh & set(order)) / 10)
+        return sum(recalls) / len(recalls)
+
+    r_untrained = mean_recall(sim.pq_topk(real, train_iters=0))
+    r_trained = mean_recall(sim.pq_topk(real))
+    assert r_trained > r_untrained, (r_trained, r_untrained)
+    assert r_trained >= 0.3
 
 
 def test_ann_recall_metrics_match_python_replay(spark):
