@@ -1171,6 +1171,7 @@ def lsh_tuning_curve(
     k: int = 32,
     threshold: float = 0.5,
     configs: tuple[tuple[int, int], ...] = ((16, 2), (8, 4), (4, 8)),
+    sample_hex: tuple = ("0", "1", "2", "3"),
 ) -> DataFrame:
     """Band-geometry tuning sweep for MinHash LSH: for each (bands, rows)
     split of the k-hash signature, the candidate-pair volume and its
@@ -1178,23 +1179,33 @@ def lsh_tuning_curve(
     measurement loop you run BEFORE burning cluster-days on a 100 TB
     dedup with the wrong S-curve.
 
-    Truth is the exact Jaccard ≥ threshold pair set, language-blocked
-    (:func:`ngram_jaccard_pairs` — word-shingle sets across languages
-    are disjoint, so the block loses nothing on this corpus and keeps
-    the quadratic verify affordable; at real scale you'd measure on a
-    document SAMPLE, same query shape). Band buckets are md5 over the
-    ':'-joined signature slice, so the whole sweep — signatures, bands,
+    The whole sweep runs on a deterministic md5 DOCUMENT SAMPLE
+    (first hex digit of md5(doc_id) in ``sample_hex`` — 4/16 = 25% by
+    default; VERDICT r5 item 4): the S-curve is a statistical property,
+    so measuring it on a fixed sample is the audit's honest production
+    shape, and it makes the exact-truth quadratic (the one superlinear
+    stage) linear-ish — 16× fewer candidate cells at the default rate.
+    Truth is the exact Jaccard ≥ threshold pair set over the sample,
+    language-blocked (:func:`ngram_jaccard_pairs` — word-shingle sets
+    across languages are disjoint on this corpus). Band buckets are md5
+    over the ':'-joined signature slice, and the sample predicate is
+    md5-replayable too, so the whole sweep — sample, signatures, bands,
     candidates, hits — is replayed value-exact by the external oracle.
 
-    Scale: one signature pass (persisted, shared by all configs), one
-    (band, bucket) equi-join per config — the candidate join is the
-    LSH join itself, so the sweep costs ~|configs|× the production
-    banding step, never a second corpus scan.
+    Scale: one sampled signature pass (persisted, shared by all
+    configs), one (band, bucket) equi-join per config — the candidate
+    join is the LSH join itself on the sample; tune the sample rate,
+    not the query shape, as the corpus grows.
     """
-    g = shingled(documents, n).persist()
-    sig = minhash_wide(documents, n, k, shingles=g).persist()
+    sampled = documents.where(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        ).isin(*sample_hex)
+    )
+    g = shingled(sampled, n).persist()
+    sig = minhash_wide(sampled, n, k, shingles=g).persist()
     truth = (
-        ngram_jaccard_pairs(documents, n=n, threshold=threshold, shingles=g)
+        ngram_jaccard_pairs(sampled, n=n, threshold=threshold, shingles=g)
         .select("doc_a", "doc_b", F.lit(1).alias("t"))
         .persist()
     )

@@ -9765,8 +9765,11 @@ def markov_removal_attribution(
     numerator (Σ c·v in micro-units + conversion mass) by the exact
     out-degree — the ``logistic_gd`` fixed-point discipline — and BOTH
     engines run the identical fixed horizon, so truncation error is
-    shared, not drift. All frames after the sessionized pair count are
-    vocabulary-sized: (channels+1)·variants rows per round.
+    shared, not drift. After the sessionized pair count every structure
+    is vocabulary-sized — (channels+2)² transition rows — so the fixed
+    point iterates driver-side on the collected matrix (a bounded
+    control-plane collect; the distributed rounds were measured pure
+    job-launch latency at any corpus size).
     """
     gap_s = gap_minutes * 60
     sec = F.col("ts").cast("timestamp").cast("long")
@@ -9834,78 +9837,61 @@ def markov_removal_attribution(
     )
     counts = pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).persist()
-    channels = (
-        counts.select(F.col("src").alias("variant"))
-        .where(~F.col("variant").isin("__start__"))
-        .distinct()
     )
-    variants = channels.unionAll(
-        counts.sparkSession.createDataFrame(
-            [("__full__",)], "variant string"
-        )
+
+    # The transition matrix is control-plane-sized — (channels+2)^2
+    # rows, the same class as the convergence probes — so after the one
+    # data-sized sessionization the fixed point runs DRIVER-SIDE
+    # (VERDICT r5 item 5: the 12 distributed rounds were pure job-launch
+    # latency, ~16.7 s at sf0.1 for a few-hundred-row state). The
+    # arithmetic is bit-identical to the replay: exact-int message sums
+    # (< 2^53, so the float conversion is exact), ONE IEEE division per
+    # (variant, state) per round, ties-away rounding back to micro-unit
+    # BIGINT (C-round semantics == Spark/DuckDB ROUND on these values).
+    import math
+
+    def _cround(x: float) -> int:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+
+    rows = counts.collect()
+    chans = sorted(
+        c
+        for c in {r.src for r in rows} | {r.dst for r in rows}
+        if c not in ("__start__", "__conv__", "__end__")
     )
-    # per-variant transition system: edges INTO the removed channel are
-    # dropped from the numerator (their mass absorbs into dropout); the
-    # out-degree denominator keeps the full outflow
-    tedges = (
-        variants.crossJoin(counts)
-        .where(
-            (~F.col("dst").isin("__conv__", "__end__"))
-            & (F.col("dst") != F.col("variant"))
-            & (F.col("src") != F.col("variant"))
-        )
-        .select("variant", "src", "dst", "c")
-        .persist()
+    vstart = {}
+    for variant in chans + ["__full__"]:
+        cm: dict = {}
+        outc: dict = {}
+        ted: dict = {}
+        for r in rows:
+            if r.src == variant:
+                continue
+            outc[r.src] = outc.get(r.src, 0) + r.c
+            if r.dst == "__conv__":
+                cm[r.src] = cm.get(r.src, 0) + r.c
+            elif r.dst != "__end__" and r.dst != variant:
+                ted.setdefault(r.src, []).append((r.dst, r.c))
+        v = {s: 0 for s in outc}
+        for _ in range(iters):
+            v = {
+                s: _cround(
+                    (
+                        sum(c * v.get(d, 0) for d, c in ted.get(s, ()))
+                        + cm.get(s, 0) * 1000000
+                    )
+                    / outc[s]
+                )
+                for s in outc
+            }
+        vstart[variant] = v.get("__start__", 0)
+
+    spark = events.sparkSession
+    starts = spark.createDataFrame(
+        [(va, vstart[va]) for va in chans + ["__full__"]],
+        "variant string, v long",
     )
-    bstates = (
-        variants.crossJoin(counts)
-        .where(F.col("src") != F.col("variant"))
-        .groupBy("variant", "src")
-        .agg(
-            F.sum(
-                F.when(F.col("dst") == "__conv__", F.col("c")).otherwise(0)
-            ).cast("bigint").alias("cc"),
-            F.sum("c").cast("bigint").alias("outc"),
-        )
-        .select(
-            "variant",
-            "src",
-            (F.col("cc") * 1000000).alias("cm"),
-            "outc",
-        )
-        .persist()
-    )
-    v = bstates.select(
-        "variant",
-        F.col("src").alias("state"),
-        F.lit(0).cast("bigint").alias("v"),
-    ).localCheckpoint(eager=True)
-    for k in range(iters):
-        msg = (
-            tedges.join(
-                v.select(
-                    "variant", F.col("state").alias("dst"), "v"
-                ),
-                ["variant", "dst"],
-            )
-            .groupBy("variant", "src")
-            .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("m"))
-        )
-        v = (
-            bstates.join(msg, ["variant", "src"], "left")
-            .select(
-                "variant",
-                F.col("src").alias("state"),
-                F.expr(
-                    "CAST(ROUND((COALESCE(m, CAST(0 AS BIGINT)) + cm)"
-                    " / CAST(outc AS DOUBLE)) AS BIGINT)"
-                ).alias("v"),
-            )
-        )
-        if (k + 1) % 4 == 0:
-            v = v.localCheckpoint(eager=True)
-    starts = v.where(F.col("state") == "__start__")
     full = starts.where(F.col("variant") == "__full__").select(
         F.col("v").alias("vf")
     )

@@ -457,54 +457,99 @@ def embedding_neardup_pairs(
     threshold: float = 0.3,
     block_on: str | None = "label",
     dim: int = 64,
+    cells: int = 16,
+    cell_iters: int = 1,
+    cell_block_min: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key.
+    """Embedding-cosine near-duplicate pairs within a blocking key —
+    EXACT at every scale, with the quadratic bounded adaptively
+    (VERDICT r5 item 3: fixed label blocks grow linearly with the
+    corpus, so their pair cells grow quadratically).
 
-    The embedding analog of ``dedup.ngram_jaccard_pairs``: exact cosine on
-    all pairs *within a block* (here the label column — in a real corpus a
-    shard/cluster key). Quadratic within the block by design; the
-    unblocked scale path generates candidates with a bit-sketch LSH first
-    (:func:`embedding_lsh_pairs`).
+    Blocks are routed by size: blocks under ``cell_block_min`` rows
+    run the salted quadratic directly (at that size the cell
+    machinery's fixed job-launch overhead exceeds the whole quadratic
+    — measured ~13 s of overhead vs 3.5 s total at sf0.1, even when
+    the cell path carries zero rows); larger blocks run CELL-BOUNDED
+    candidate generation. The routing decision reads the per-block
+    COUNTS — a bounded control-plane collect (one row per block key;
+    a blocking key is low-cardinality by construction — same class as
+    the convergence probes in dedup.connected_components_star), never
+    data. Both paths are exact, and they partition the blocks, so the
+    union is the exact pair set and the oracle stays pure ground truth
+    (brute-force within-block SQL), not a stage replay.
 
-    Why NOT an LSH prefilter inside this exact operator: at this data's
-    threshold the qualifying pairs are all *borderline* (measured: every
-    matching pair at sf0.01/sf0.1 has cosine in [0.3, 0.56] — none
-    higher), and sign-LSH banding at any bucket granularity coarse enough
-    to prune has material miss probability in that range (e.g. 16 bands ×
-    4 bits misses a cos=0.5 pair ~3% of the time). A prefilter would
-    silently drop true pairs and break exactness; the honest scale
-    escape hatch stays the separate, documented-approximate LSH operator.
+    The cell path is ball-bounded, not probabilistic: vectors are
+    k-means-partitioned on a cheap 8-term-per-dim chunk projection
+    (md5 :func:`rp_sign` signs; clustering quality only affects
+    PRUNING, never correctness — the bound holds for ANY partition),
+    then each cell gets a full-dim bounding box in ONE aggregate pass,
+    and a cell pair survives only if the min box-to-box distance is
+    <= eps = sqrt(2 - 2*threshold) (coordinate-wise boxes enclose the
+    members, so box distance lower-bounds every member-pair distance —
+    a theorem, not a tuning knob). Exact cosine then verifies the
+    candidates. Every true pair survives by construction; the planted
+    fixture test pins completeness THROUGH the cell path
+    (cell_block_min=0).
 
-    The hot path is instead made cheap where the cost actually is: the
-    per-PAIR dot product runs as :func:`dot_unrolled` codegen arithmetic
-    rather than an interpreted nested-HOF fold (~2.5× whole-query at
-    sf0.1). Per-ROW work keeps the HOF form (readability; negligible
-    cost). Also: vectors are unit-normalized once per row so the per-pair
-    work is one dot, and the low-cardinality block key is salted +
-    explicitly repartitioned to spread the quadratic cells over cores.
+    Why NOT a sign-LSH prefilter: at this threshold the qualifying
+    pairs are all borderline (measured: every matching pair at
+    sf0.01/sf0.1 has cosine in [0.3, 0.56]), where banding at any
+    pruning granularity has material miss probability. The
+    documented-approximate path stays :func:`embedding_lsh_pairs`.
+
+    Scale: near-uniform data defeats ANY exact pruning (the true
+    e-graph is itself dense) and there large blocks degrade to the
+    quadratic spread over cells² join cells; on clustered corpora the
+    box test prunes most cross-cell pairs, so cost tracks output size
+    rather than block size squared. Cell state (boxes) is
+    cells-per-block rows — never corpus-sized, never collected.
     """
+    import math
+
     norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
-    salts = 16
-    vecs = (
-        embeddings.select(
-            "vec_id",
-            F.col(block_on).alias("blk") if block_on else F.lit(0).alias("blk"),
-            _as_double("embedding").alias("emb"),
-        )
-        .withColumn("nrm", norm)
-        .select(
-            "vec_id",
-            "blk",
-            F.transform("emb", lambda x: x / F.col("nrm")).alias("ne"),
-        )
+    vecs = embeddings.select(
+        "vec_id",
+        F.col(block_on).alias("blk") if block_on else F.lit(0).alias("blk"),
+        _as_double("embedding").alias("emb"),
+    ).withColumn("nrm", norm).select(
+        "vec_id",
+        "blk",
+        F.transform("emb", lambda x: x / F.col("nrm")).alias("ne"),
     )
+    # bounded control-plane collect: one row per block key
+    big_blks = [
+        r.blk
+        for r in vecs.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("blkn"))
+        .where(F.col("blkn") >= cell_block_min)
+        .collect()
+    ]
+    if not big_blks:
+        return _neardup_quadratic(vecs, threshold, dim)
+    small = vecs.where(~F.col("blk").isin(big_blks))
+    big = vecs.where(F.col("blk").isin(big_blks))
+    return _neardup_quadratic(small, threshold, dim).unionAll(
+        _neardup_cells(big, threshold, dim, cells, cell_iters)
+    )
+
+
+def _neardup_quadratic(
+    vecs: DataFrame, threshold: float, dim: int, salts: int = 16
+) -> DataFrame:
+    """Salted within-block quadratic with exact unrolled-codegen cosine
+    — the direct path for blocks small enough that pair count is the
+    cheap part. The low-cardinality block key is salted + explicitly
+    repartitioned to spread the quadratic cells over cores."""
     a = (
         vecs.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(salts)))
         .repartition(64, "blk", "salt")
         .alias("a")
     )
     b = (
-        vecs.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        vecs.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+        )
         .repartition(64, "blk", "salt")
         .alias("b")
     )
@@ -514,6 +559,119 @@ def embedding_neardup_pairs(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+def _neardup_cells(
+    vecs: DataFrame,
+    threshold: float,
+    dim: int,
+    cells: int,
+    cell_iters: int,
+    proj_dim: int = 8,
+) -> DataFrame:
+    """Cell-bounded exact candidates for large blocks: chunk-projection
+    k-means cells, one-pass bounding boxes, box-distance pruning,
+    exact verify (see :func:`embedding_neardup_pairs`)."""
+    import math
+
+    sub = dim // proj_dim
+    proj = F.array(
+        *[
+            sum(
+                (
+                    F.col("ne")[d * sub + i] * float(rp_sign(d, d * sub + i))
+                    for i in range(1, sub)
+                ),
+                F.col("ne")[d * sub] * float(rp_sign(d, d * sub)),
+            )
+            for d in range(proj_dim)
+        ]
+    )
+    pvecs = vecs.withColumn("p", proj).localCheckpoint(eager=True)
+
+    wseed = Window.partitionBy("blk").orderBy("vec_id")
+    cents = (
+        pvecs.withColumn("cell_id", F.row_number().over(wseed))
+        .where(F.col("cell_id") <= cells)
+        .select("blk", "cell_id", F.col("p").alias("cp"))
+    )
+    pd2 = _pq_sqdist(F.col("p"), F.col("cp"), proj_dim)
+    for _ in range(cell_iters):
+        asg = (
+            pvecs.join(F.broadcast(cents), "blk")
+            .groupBy("vec_id", "blk")
+            .agg(
+                F.min(F.struct(pd2.alias("d"), F.col("cell_id"))).alias("b"),
+                F.first("p").alias("p"),
+            )
+            .select("blk", F.col("b.cell_id").alias("cell_id"), "p")
+        )
+        cents = asg.groupBy("blk", "cell_id").agg(
+            F.array(*[F.avg(F.col("p")[i]) for i in range(proj_dim)]).alias(
+                "cp"
+            )
+        )
+    assigned = (
+        pvecs.join(F.broadcast(cents), "blk")
+        .groupBy("vec_id", "blk")
+        .agg(
+            F.min(F.struct(pd2.alias("d"), F.col("cell_id"))).alias("b"),
+            F.first("ne").alias("ne"),
+        )
+        .select("vec_id", "blk", F.col("b.cell_id").alias("cell_id"), "ne")
+        .localCheckpoint(eager=True)
+    )
+
+    # ONE aggregate pass: per-cell coordinate bounding box
+    boxes = assigned.groupBy("blk", "cell_id").agg(
+        F.array(*[F.min(F.col("ne")[i]) for i in range(dim)]).alias("lo"),
+        F.array(*[F.max(F.col("ne")[i]) for i in range(dim)]).alias("hi"),
+    )
+
+    # min box-to-box distance lower-bounds every member-pair distance
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    gap = None
+    for i in range(dim):
+        g = F.greatest(
+            F.col("x.lo")[i] - F.col("y.hi")[i],
+            F.col("y.lo")[i] - F.col("x.hi")[i],
+            F.lit(0.0),
+        )
+        term = g * g
+        gap = term if gap is None else gap + term
+    cellpairs = (
+        boxes.alias("x")
+        .join(boxes.alias("y"), F.col("x.blk") == F.col("y.blk"))
+        .where(F.sqrt(gap) <= F.lit(eps))
+        .select(
+            F.col("x.blk").alias("cpblk"),
+            F.col("x.cell_id").alias("ca"),
+            F.col("y.cell_id").alias("cb"),
+        )
+    )
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+    return (
+        a.join(
+            F.broadcast(cellpairs),
+            (F.col("a.blk") == F.col("cpblk"))
+            & (F.col("a.cell_id") == F.col("ca")),
+        )
+        .join(
+            b,
+            (F.col("b.blk") == F.col("cpblk"))
+            & (F.col("b.cell_id") == F.col("cb"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(cos >= threshold)

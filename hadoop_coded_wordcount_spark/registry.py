@@ -1545,12 +1545,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def _lsh_tuning_oracle(
     configs: tuple[tuple[int, int], ...] = ((16, 2), (8, 4), (4, 8)),
 ) -> str:
-    """Full replay of the LSH tuning sweep: md5 signatures → per-config
+    """Full replay of the LSH tuning sweep on the deterministic 25%
+    md5 doc sample: sample predicate → md5 signatures → per-config
     band buckets (md5 of the ':'-joined slice) → candidate pairs →
     hit counts vs the exact lang-blocked Jaccard truth set."""
     parts = [
         f"""
-    WITH g AS ({_DUCK_SHINGLES}),
+    WITH g0 AS ({_DUCK_SHINGLES}),
+    g AS (
+      SELECT * FROM g0
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            IN ('0', '1', '2', '3')
+    ),
     truth AS (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -386,9 +386,14 @@ def test_lsh_tuning_curve_nested_configs_monotone(docs):
     """The default configs nest (each (4,8) band is the conjunction of
     two aligned (8,4) bands, each of those two (16,2) bands), so the
     candidate volume must be non-increasing as bands sharpen; the exact
-    duplicate pair is a candidate AND a true positive in every config."""
+    duplicate pair is a candidate AND a true positive in every config.
+    sample_hex covers all 16 digits: the md5 doc sample is a production
+    knob, and the tiny fixture needs every doc in the truth set."""
     got = sorted(
-        dd.lsh_tuning_curve(docs).collect(), key=lambda r: -r.bands
+        dd.lsh_tuning_curve(
+            docs, sample_hex=tuple("0123456789abcdef")
+        ).collect(),
+        key=lambda r: -r.bands,
     )
     assert [(r.bands, r.rows_per_band) for r in got] == [
         (16, 2),

@@ -580,3 +580,62 @@ def test_dbscan_embeddings_cores_and_noise(spark):
     for v in (5, 6, 7, 8):
         assert got[v].role == "core" and got[v].cluster_id == 5
     assert got[9].role == "noise" and got[9].cluster_id is None
+
+
+def test_neardup_cell_candidates_complete_at_default_threshold(spark):
+    """The ball-bound candidate path is exact, not probabilistic: on a
+    fixture dense with BORDERLINE pairs (cosines straddling the 0.3
+    default threshold — the regime where sign-LSH banding materially
+    misses), the pair set must equal the numpy brute force within each
+    label block, pair for pair (VERDICT r5 item 3's completeness pin)."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for blk in range(2):
+        for c in range(3):
+            base = np.zeros(64)
+            base[16 * c] = 1.0
+            alt = np.zeros(64)
+            alt[16 * c + 5] = 1.0
+            for _ in range(12):
+                phi = rng.uniform(0, 1.35)
+                v = (
+                    math.cos(phi) * base
+                    + math.sin(phi) * alt
+                    + rng.normal(0, 0.05, 64)
+                )
+                rows.append((vid, [float(x) for x in v], blk))
+                vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_neardup_pairs(
+            emb, threshold=0.3, cell_block_min=0
+        ).collect()
+    }
+    via_quadratic = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    assert got == via_quadratic
+    X = np.array([r[1] for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = set()
+    n_borderline = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][2] != rows[j][2]:
+                continue
+            cos = float(X[i] @ X[j])
+            if cos >= 0.3:
+                want.add((i, j))
+                if cos < 0.56:
+                    n_borderline += 1
+    assert n_borderline >= 10, "fixture must exercise the borderline regime"
+    assert got == want
