@@ -1,0 +1,56 @@
+"""The bench regression gate must be box-factor-blind (VERDICT r5
+'What's wrong' #2): a uniformly loaded box reports ~zero regressions,
+while a genuine per-query plan regression still flags."""
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+)
+
+
+def _load_find_regressions():
+    import ast
+
+    src = open(spec.origin).read()
+    tree = ast.parse(src)
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "find_regressions"
+    )
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns: dict = {}
+    exec(compile(mod, spec.origin, "exec"), ns)  # noqa: S102
+    return ns["find_regressions"]
+
+
+def test_uniform_box_load_reports_nothing():
+    find = _load_find_regressions()
+    prior = {"sf": 0.1, "queries": {f"q{i}": 1.0 + i % 5 for i in range(40)}}
+    loaded = {n: 2.1 * t for n, t in prior["queries"].items()}
+    assert find(prior, loaded, 0.1) == {}
+
+
+def test_real_plan_regression_still_flags_under_load():
+    find = _load_find_regressions()
+    prior = {"sf": 0.1, "queries": {f"q{i}": 1.0 + i % 5 for i in range(40)}}
+    loaded = {n: 2.0 * t for n, t in prior["queries"].items()}
+    loaded["q3"] = prior["queries"]["q3"] * 2.0 * 3.0  # 3x plan regression
+    got = find(prior, loaded, 0.1)
+    assert set(got) == {"q3"}
+
+
+def test_faster_box_never_excuses_a_slowdown():
+    find = _load_find_regressions()
+    prior = {"sf": 0.1, "queries": {f"q{i}": 2.0 for i in range(40)}}
+    now = {n: 1.0 for n in prior["queries"]}  # box got 2x faster
+    now["q7"] = 3.5  # 1.75x slower than prior in absolute terms
+    got = find(prior, now, 0.1)
+    assert set(got) == {"q7"}
+
+
+def test_sf_mismatch_is_silent():
+    find = _load_find_regressions()
+    prior = {"sf": 0.01, "queries": {"a": 1.0}}
+    assert find(prior, {"a": 9.0}, 0.1) == {}
