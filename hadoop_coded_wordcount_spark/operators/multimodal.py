@@ -7,12 +7,14 @@ alongside; decode/resize/frame-sample run as Arrow-batched Python over
 metadata) stays JVM-side so Catalyst can prune and push down *before* any
 byte reaches Python.
 
-``decode_media`` is REAL for the formats decodable with the stdlib alone —
-WAV (``wave``) and the netpbm image family PGM/PPM (P2/P3/P5/P6 header
-parse). Formats needing codec libraries absent from this environment
-(JPEG/PNG/mp3/mp4) fall through to an ``opaque`` row that still carries
-the deterministic bytes-math features, so the pipeline never drops an
-item on an unknown format — it routes it.
+``decode_media`` is REAL for everything the stdlib can parse — WAV
+(``wave``), the netpbm image family PGM/PPM (P2/P3/P5/P6), PNG (IHDR
+chunk), and JPEG (SOFn segment walk) — dimensions/channels/bit depth
+need only header reads, no pixel codec. Formats needing codec libraries
+absent from this environment (mp3/mp4, and actual pixel decoding) fall
+through to an ``opaque`` row that still carries the deterministic
+bytes-math features, so the pipeline never drops an item on an unknown
+format — it routes it.
 """
 
 from __future__ import annotations
@@ -106,6 +108,75 @@ def _netpbm_header(b: bytes) -> dict | None:
     }
 
 
+def _png_header(b: bytes) -> dict | None:
+    """Parse a PNG IHDR (pure stdlib; reference formats per the PNG
+    spec, RFC 2083): the 8-byte signature must be followed by the IHDR
+    chunk, whose payload carries width/height (big-endian u32), bit
+    depth, and color type — no codec needed for dimensions."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(b) < 33 or b[:8] != sig or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", b[16:24])
+    bit_depth = b[24]
+    color_type = b[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or width == 0 or height == 0:
+        return None
+    return {
+        "kind": "image/png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bit_depth,
+    }
+
+
+#: JPEG frame markers carrying dimensions (SOF0-SOF15 minus DHT/JPG/DAC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_header(b: bytes) -> dict | None:
+    """Walk JPEG segments to the first SOFn and read precision, height,
+    width, component count — the standard dimensions-without-decoding
+    scan (ITU T.81 B.2.2); stops at SOS/EOI or a malformed segment."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seglen < 2 or i + 2 + seglen > n:
+            return None
+        if marker in _JPEG_SOF:
+            if seglen < 8:
+                return None
+            precision = b[i + 4]
+            height, width = struct.unpack(">HH", b[i + 5 : i + 9])
+            channels = b[i + 9]
+            if width == 0 or height == 0:
+                return None
+            return {
+                "kind": "image/jpeg",
+                "width": width,
+                "height": height,
+                "channels": channels,
+                "bit_depth": precision,
+            }
+        i += 2 + seglen
+    return None
+
+
 def decode_media(payload: bytes, media_type: str | None = None) -> dict:
     """Decode a media payload's structural metadata with the stdlib only.
 
@@ -117,9 +188,13 @@ def decode_media(payload: bytes, media_type: str | None = None) -> dict:
     * WAV (RIFF/WAVE): channels, sample_rate, bit_depth, n_frames,
       duration_ms — via stdlib ``wave``.
     * PGM/PPM (P2/P3/P5/P6): width, height, maxval, channels, bit_depth.
+    * PNG: width, height, channels, bit_depth from the IHDR chunk.
+    * JPEG: width, height, channels, precision from the first SOFn
+      segment — header walks only, no pixel codec involved.
 
-    A real deployment extends the dispatch with PIL/ffmpeg decoders; the
-    mapInPandas plumbing in :func:`media_features` is unchanged by that.
+    A real deployment extends the dispatch with PIL/ffmpeg PIXEL
+    decoders; the mapInPandas plumbing in :func:`media_features` is
+    unchanged by that.
     """
     b = bytes(payload)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -138,9 +213,10 @@ def decode_media(payload: bytes, media_type: str | None = None) -> dict:
                 }
         except (wave.Error, EOFError, struct.error):
             return {"kind": "opaque"}
-    img = _netpbm_header(b)
-    if img is not None:
-        return img
+    for parse in (_netpbm_header, _png_header, _jpeg_header):
+        img = parse(b)
+        if img is not None:
+            return img
     return {"kind": "opaque"}
 
 

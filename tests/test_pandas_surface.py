@@ -131,7 +131,66 @@ def test_decode_media_netpbm():
     assert mm.decode_media(b"P2\n#c\n3 2 15\n0 1 2 3 4 5")["maxval"] == 15
 
 
+def _png_bytes(width=320, height=200, bit_depth=8, color_type=6) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk + b"\x00" * 8
+
+
+def _jpeg_bytes(width=640, height=480, channels=3, precision=8) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, precision, height, width, channels
+    ) + bytes(3 * channels)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_media_png_header():
+    d = mm.decode_media(_png_bytes(width=320, height=200, color_type=6))
+    assert d == {
+        "kind": "image/png",
+        "width": 320,
+        "height": 200,
+        "channels": 4,
+        "bit_depth": 8,
+    }
+    # grayscale 16-bit
+    d = mm.decode_media(_png_bytes(width=7, height=9, bit_depth=16,
+                                   color_type=0))
+    assert (d["channels"], d["bit_depth"]) == (1, 16)
+    # bad color type routes to opaque
+    assert mm.decode_media(_png_bytes(color_type=5)) == {"kind": "opaque"}
+
+
+def test_decode_media_jpeg_header():
+    d = mm.decode_media(_jpeg_bytes(width=640, height=480, channels=3))
+    assert d == {
+        "kind": "image/jpeg",
+        "width": 640,
+        "height": 480,
+        "channels": 3,
+        "bit_depth": 8,
+    }
+    # grayscale, 12-bit precision, SOF behind an extra APPn segment
+    d = mm.decode_media(_jpeg_bytes(width=31, height=17, channels=1,
+                                    precision=12))
+    assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (
+        31, 17, 1, 12,
+    )
+    # SOS before any SOF (no dimensions recoverable) routes to opaque
+    trunc = b"\xff\xd8\xff\xda\x00\x04\x00\x00"
+    assert mm.decode_media(trunc) == {"kind": "opaque"}
+
+
 def test_decode_media_unknown_is_opaque():
+    # a bare PNG signature with no IHDR is undecodable -> opaque
     assert mm.decode_media(b"\x89PNG\r\n\x1a\n", "image/png") == {
         "kind": "opaque"
     }
@@ -147,6 +206,8 @@ def test_media_features_decodes_planted_media(spark):
         (100, bytearray(_wav_bytes(rate=8000, n_frames=2000)), "audio/wav"),
         (101, bytearray(b"P6 2 2 255 " + bytes(12)), "image/ppm"),
         (102, bytearray(b"not media at all"), "application/octet-stream"),
+        (103, bytearray(_png_bytes(width=64, height=32)), "image/png"),
+        (104, bytearray(_jpeg_bytes(width=40, height=30)), "image/jpeg"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id bigint, payload binary, media_type string"
@@ -159,6 +220,11 @@ def test_media_features_decodes_planted_media(spark):
     assert img.kind == "image/ppm" and (img.width, img.height) == (2, 2)
     assert img.sample_rate is None
     assert out[102].kind == "opaque" and out[102].n_bytes == 16
+    png = out[103]
+    assert png.kind == "image/png" and (png.width, png.height) == (64, 32)
+    jpg = out[104]
+    assert jpg.kind == "image/jpeg" and (jpg.width, jpg.height) == (40, 30)
+    assert jpg.channels == 3 and jpg.sample_rate is None
 
 
 def test_row_udf_surface_matches_builtin(spark):
