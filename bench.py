@@ -158,11 +158,18 @@ def main() -> int:
     # so recorded rounds stay comparable.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     with_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS") == "1"
+    # SPARK_GRAFT_BENCH_ONLY="q1,q2" restricts the sweep — scaling runs
+    # (e.g. the sf1 decade proof) time a heavy subset, not all 350+.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    queries = QUERIES
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        queries = {n: QUERIES[n] for n in names if n in QUERIES}
 
     timings: dict[str, float] = {}
     comm: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in queries.items():
         best = None
         for _ in range(repeat):
             t0 = time.perf_counter()
@@ -203,7 +210,7 @@ def main() -> int:
     # changes. A query then regresses when it is both 1.5× slower
     # box-adjusted and +0.5 s absolute — the floor keeps sub-second
     # queries' scheduler noise out of the report.
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     regressions: dict[str, list[float]] = {}

@@ -775,16 +775,26 @@ def logistic_gd(orders: DataFrame, iters: int = 4) -> DataFrame:
         scored = feat.crossJoin(F.broadcast(w)).select(
             "yu", "x0u", "x1u", "x2u", F.expr(su).alias("su")
         )
+        # per-row cross products are ~2.5e12 micro²-units, so a BIGINT
+        # global sum would overflow near sf1-sf2 (Spark ANSI throws
+        # where DuckDB's SUM(BIGINT) promotes to HUGEINT). DECIMAL(38,0)
+        # accumulators keep the sum exact at any corpus size — the
+        # connected_components_star hash-sum discipline — and the one
+        # division per step converts decimal→double correctly rounded,
+        # same as DuckDB's hugeint→double.
         g = scored.agg(
-            F.sum((F.col("su") - F.col("yu")) * F.col("x0u"))
-            .cast("bigint")
-            .alias("g0"),
-            F.sum((F.col("su") - F.col("yu")) * F.col("x1u"))
-            .cast("bigint")
-            .alias("g1"),
-            F.sum((F.col("su") - F.col("yu")) * F.col("x2u"))
-            .cast("bigint")
-            .alias("g2"),
+            F.sum(
+                ((F.col("su") - F.col("yu")) * F.col("x0u"))
+                .cast("decimal(38,0)")
+            ).alias("g0"),
+            F.sum(
+                ((F.col("su") - F.col("yu")) * F.col("x1u"))
+                .cast("decimal(38,0)")
+            ).alias("g1"),
+            F.sum(
+                ((F.col("su") - F.col("yu")) * F.col("x2u"))
+                .cast("decimal(38,0)")
+            ).alias("g2"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
         w = w.crossJoin(F.broadcast(g)).select(

@@ -9527,9 +9527,25 @@ def matrix_profile_hourly(events: DataFrame, w: int = 24) -> DataFrame:
     differences (bit-equal to the oracle's list_reduce); winners are
     picked with fully-ordered row_numbers so ties cannot flip.
     """
-    hourly = events.groupBy(
+    # densified grid: hours with zero events are REAL zeros in the
+    # series, not gaps — otherwise a "24-hour" subsequence silently
+    # spans calendar holes on sparse event types and motif/discord
+    # semantics skew (ADVICE r5). sequence() between each type's min
+    # and max hour is calendar-bounded, so the grid stays tiny.
+    counted = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    grid = counted.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    ).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = grid.join(counted, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
     frame = (
         Window.partitionBy("event_type")
         .orderBy("hour")

@@ -2164,7 +2164,8 @@ def trigram_lm(documents: DataFrame) -> DataFrame:
     (never element_at-per-index); three map-side-combined count
     aggregations, each vocabulary^k-bounded; context totals via
     key-partitioned windows over the count frames (vocabulary-sized
-    keys parallelize); the lower-order tables join in broadcast-small.
+    keys parallelize); the lower-order count tables join un-hinted —
+    a bigram table is vocab²-sized, so AQE chooses from observed sizes.
     """
     toked = documents.select(tokens_col().alias("toks")).persist()
     t = F.col("toks")
@@ -2224,9 +2225,13 @@ def trigram_lm(documents: DataFrame) -> DataFrame:
     p3 = F.col("cnt").cast("double") / F.col("ctx3").cast("double")
     p2 = F.col("cnt2").cast("double") / F.col("ctx2").cast("double")
     p1 = F.col("cnt1").cast("double") / F.col("n").cast("double")
+    # c2x is bigram-vocabulary-sized (vocab², not "broadcast-small" at
+    # real corpus scale) and c1 vocabulary-sized — no broadcast hints;
+    # AQE picks the strategy from observed sizes. Only the 1-row corpus
+    # total nn is hinted.
     return (
-        c3x.join(F.broadcast(c2x), ["w2", "w3"])
-        .join(F.broadcast(c1), "w3")
+        c3x.join(c2x, ["w2", "w3"])
+        .join(c1, "w3")
         .crossJoin(F.broadcast(nn))
         .select(
             "w1",

@@ -11261,10 +11261,17 @@ def q_chisq_uniform_props(spark, sf_dir):
     ),
     allm AS (
       -- range() rejects lateral column bounds: fixed 256-row span
-      -- (n <= 8 channels) filtered down to the true 2^n lattice
+      -- filtered down to the true 2^n lattice. The n <= 8 assumption
+      -- fails LOUDLY (error()) instead of silently truncating the
+      -- lattice into an opaque hash mismatch if the events fixture
+      -- ever grows more non-purchase event types.
       SELECT CAST(r.m AS BIGINT) AS mask
       FROM range(0, 256) AS r(m), nn
-      WHERE r.m < CAST(POW(2, nn.n) AS BIGINT)
+      WHERE r.m < CAST(POW(2, CASE WHEN nn.n <= 8 THEN nn.n
+                 ELSE CAST(error('shapley_attribution oracle: fixed '
+                                 || '256-row lattice supports <= 8 '
+                                 || 'channels, got ' || nn.n)
+                           AS BIGINT) END) AS BIGINT)
     ),
     v AS (
       SELECT a.mask,
@@ -11904,10 +11911,21 @@ def q_croston_intermittent(spark, sf_dir):
 @register(
     "matrix_profile_hourly",
     """
-    WITH hourly AS (
+    WITH counted AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
              CAST(COUNT(*) AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(hour), MAX(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM counted GROUP BY event_type
+    ),
+    hourly AS (
+      SELECT g.event_type, g.hour, COALESCE(c.x, 0.0) AS x
+      FROM grid g LEFT JOIN counted c
+        ON g.event_type = c.event_type AND g.hour = c.hour
     ),
     wins0 AS (
       SELECT event_type,
