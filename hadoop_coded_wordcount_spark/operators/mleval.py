@@ -1323,3 +1323,46 @@ def isotonic_calibration(events: DataFrame) -> DataFrame:
             "iso_rate",
         )
     )
+
+
+def cohens_kappa(documents: DataFrame, tok_threshold: int = 60) -> DataFrame:
+    """Cohen's κ between two rule-based document raters — the
+    inter-annotator-agreement statistic every labeling/filtering
+    pipeline reports before trusting a cheap gate as a proxy for an
+    expensive one. Rater A: composite quality ≥ 0.5
+    (``textstats.quality_col``); rater B: whitespace token count ≥
+    ``tok_threshold``. κ = (p_o − p_e)/(1 − p_e) from the exact 2×2
+    confusion counts; one projection + one 1-row aggregate, every
+    input an exact integer until the closed-form doubles.
+    """
+    from .dedup import tokens_col
+    from .textstats import quality_col
+
+    toks = tokens_col()
+    rated = documents.select(
+        (quality_col() >= 0.5).cast("int").alias("ra"),
+        (F.size(toks) >= tok_threshold).cast("int").alias("rb"),
+    ).where(F.size(toks) > 0)
+    cm = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint").alias("n01"),
+    )
+    n = F.col("n").cast("double")
+    n11 = F.col("n11").cast("double")
+    n10 = F.col("n10").cast("double")
+    n01 = F.col("n01").cast("double")
+    n00 = n - n11 - n10 - n01
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    return cm.select(
+        F.col("n"),
+        F.col("n11"),
+        F.col("n10"),
+        F.col("n01"),
+        n00.cast("bigint").alias("n00"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

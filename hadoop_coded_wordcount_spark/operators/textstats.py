@@ -2243,3 +2243,206 @@ def trigram_lm(documents: DataFrame) -> DataFrame:
             ).alias("interp_p"),
         )
     )
+
+
+#: Fixed stopword probe list for the Gopher rule battery (Rae et al.
+#: 2021 use a comparable closed-class list; fixed so both engines see
+#: identical literals).
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """The Gopher/MassiveText rule battery (Rae et al. 2021 §A1.1) as
+    per-document boolean gates, aggregated per source: word-count
+    bounds, mean-word-length window, symbol ratio, ≥80% alphabetic
+    words, and a ≥2-distinct-stopwords probe — the filter stack LLM
+    data pipelines run before any model-based scoring, and a different
+    surface from :func:`quality_score` (a composite score) or
+    :func:`gopher_repetition` (the repetition leg).
+
+    Every rule is closed-form over token/char counts (exact integers;
+    one IEEE division for the two ratio rules), so the oracle replays
+    the battery rule for rule. Scale: one projection + one partial-agg
+    shuffle to source granularity.
+    """
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    # token chars = total minus the separators actually between tokens
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = tok_chars.cast("double") / n_tok.cast("double")
+    n_hash = n_chars - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = documents.select(
+        "source",
+        ((n_tok >= 50) & (n_tok <= 100000)).alias("r_wordcount"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("r_mean_word_len"),
+        (
+            n_hash.cast("double")
+            <= F.lit(0.1) * n_chars.cast("double")
+        ).alias("r_symbol_ratio"),
+        (
+            n_alpha_words.cast("double")
+            >= F.lit(0.8) * n_tok.cast("double")
+        ).alias("r_alpha_words"),
+        (n_stop >= 2).alias("r_stopwords"),
+    ).where(n_tok > 0)
+    rules = (
+        "r_wordcount",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_alpha_words",
+        "r_stopwords",
+    )
+    passed_all = None
+    for r in rules:
+        passed_all = F.col(r) if passed_all is None else passed_all & F.col(r)
+    return flags.withColumn("pass_all", passed_all).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.col(r).cast("int")).cast("bigint").alias(f"n_{r}")
+            for r in rules
+        ],
+        F.sum(F.col("pass_all").cast("int")).cast("bigint").alias(
+            "n_pass_all"
+        ),
+        F.round(
+            F.sum(F.col("pass_all").cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
+def vocab_overlap_sources(documents: DataFrame) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the mixture
+    diagnostic run before weighting corpora into a training blend
+    (two sources with ~identical vocabularies add diversity only by
+    volume). One distinct-(source, word) projection, then a self-join
+    on word with per-source vocabulary sizes broadcast back in; output
+    is source-pairs — tiny at any corpus size.
+    """
+    vocab = (
+        documents.select(
+            "source", F.explode(tokens_col()).alias("word")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("v").alias("va"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("v").alias("vb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "va",
+            "vb",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """Per-source dataset report card — the numbers a dataset datasheet
+    (Gebru et al. 2021) actually tabulates before a corpus enters a
+    training mix: volume (docs, whitespace tokens), shape (mean tokens
+    per doc), language spread (distinct langs), exact-duplicate load
+    (docs whose md5(text) repeats within the source), and mean
+    composite quality. One token projection feeds the volume columns;
+    the dup rate is one md5 group — both partial-agg shuffles to
+    source granularity.
+    """
+    toks = tokens_col()
+    base = documents.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        # rounded-to-6 quality lifts to DECIMAL so the mean's sum is
+        # exact in any aggregation order (the boilerplate-share trick)
+        quality_col().cast("decimal(18,6)").alias("q"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    dups = (
+        base.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(
+                F.sum("q").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_quality"),
+        )
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_tokens",
+            "n_langs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            "mean_quality",
+        )
+    )

@@ -12230,6 +12230,217 @@ def q_dbscan_embeddings(spark, sf_dir):
     return sim.dbscan_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: LLM-corpus governance (Gopher rule battery, vocabulary
+# overlap, dataset datasheet, rater agreement) + the band-join shape.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in ts.GOPHER_STOPWORDS)
+
+#: quality_col()'s exact expression text over (text, toks) — shared by the
+#: datasheet and rater-agreement oracles so all three replays are the one
+#: arithmetic tree quality_score already verifies.
+QUAL = ("round({w_len} * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)"
+        " + {w_dis} * (CAST(len(list_distinct(toks)) AS DOUBLE)"
+        " / CAST(len(toks) AS DOUBLE))"
+        " + {w_cln} * (1.0 - CAST(length(regexp_replace(text,"
+        " '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE)), 6)")
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS ({_DUCK_TOKS}),
+    f AS (
+      SELECT source,
+             (len(toks) >= 50 AND len(toks) <= 100000) AS r_wordcount,
+             (CAST(list_reduce(list_transform(toks, x -> len(x)),
+                               (a, b) -> a + b) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) >= 3.0
+              AND CAST(list_reduce(list_transform(toks, x -> len(x)),
+                                   (a, b) -> a + b) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) <= 10.0) AS r_mean_word_len,
+             (CAST(length(text) - length(replace(text, '#', ''))
+                   AS DOUBLE)
+              <= 0.1 * CAST(length(text) AS DOUBLE)) AS r_symbol_ratio,
+             (CAST(len(list_filter(toks,
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              >= 0.8 * CAST(len(toks) AS DOUBLE)) AS r_alpha_words,
+             (len(list_intersect(list_distinct(toks),
+                                 [{{_GS}}])) >= 2) AS r_stopwords
+      FROM (SELECT d.source, t.text, t.toks
+            FROM t JOIN documents d USING (doc_id))
+      WHERE len(toks) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r_wordcount,
+           CAST(SUM(CASE WHEN r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r_mean_word_len,
+           CAST(SUM(CASE WHEN r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r_symbol_ratio,
+           CAST(SUM(CASE WHEN r_alpha_words THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r_alpha_words,
+           CAST(SUM(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_r_stopwords,
+           CAST(SUM(CASE WHEN r_wordcount AND r_mean_word_len
+                          AND r_symbol_ratio AND r_alpha_words
+                          AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_all,
+           ROUND(CAST(SUM(CASE WHEN r_wordcount AND r_mean_word_len
+                          AND r_symbol_ratio AND r_alpha_words
+                          AND r_stopwords THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+    FROM f GROUP BY source
+    """.replace("{_GS}", _GOPHER_STOPS_SQL),
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    return ts.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_overlap_sources",
+    """
+    WITH v AS (
+      SELECT DISTINCT source, word FROM (
+        SELECT source, unnest(list_filter(
+                 string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           sa.v AS va, sb.v AS vb,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(sa.v + sb.v - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = inter.source_a
+    JOIN sz sb ON sb.source = inter.source_b
+    """,
+)
+def q_vocab_overlap_sources(spark, sf_dir):
+    return ts.vocab_overlap_sources(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_datasheet",
+    f"""
+    WITH t AS ({_DUCK_TOKS}),
+    base0 AS (
+      SELECT d.source, d.lang, t.text AS text, t.toks AS toks
+      FROM t JOIN documents d USING (doc_id)
+    ),
+    base AS (
+      SELECT source, lang,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST({QUAL.format(w_len=ts.QUALITY_WEIGHTS["len"],
+                               w_dis=ts.QUALITY_WEIGHTS["distinct"],
+                               w_cln=ts.QUALITY_WEIGHTS["clean"])}
+                  AS DECIMAL(18,6)) AS q,
+             md5(text) AS h
+      FROM base0
+    ),
+    dups AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_docs
+      FROM (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2)
+      GROUP BY source
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MAX(d.n_dup_docs) AS n_dup_docs,
+           ROUND(CAST(MAX(d.n_dup_docs) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+           ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_quality
+    FROM base b JOIN dups d USING (source)
+    GROUP BY b.source
+    """,
+)
+def q_corpus_datasheet(spark, sf_dir):
+    return ts.corpus_datasheet(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cohens_kappa",
+    f"""
+    WITH t AS ({_DUCK_TOKS}),
+    rated AS (
+      SELECT CASE WHEN {QUAL.format(w_len=ts.QUALITY_WEIGHTS["len"],
+                                    w_dis=ts.QUALITY_WEIGHTS["distinct"],
+                                    w_cln=ts.QUALITY_WEIGHTS["clean"])}
+                       >= 0.5 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END AS rb
+      FROM t WHERE len(toks) > 0
+    ),
+    cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ra * rb) AS BIGINT) AS n11,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01
+      FROM rated
+    )
+    SELECT n, n11, n10, n01,
+           CAST(CAST(n AS DOUBLE) - n11 - n10 - n01 AS BIGINT) AS n00,
+           ROUND((n11 + (CAST(n AS DOUBLE) - n11 - n10 - n01))
+                 / CAST(n AS DOUBLE), 6) AS p_observed,
+           ROUND(((n11 + n10) * (n11 + n01)
+                  + (n01 + (CAST(n AS DOUBLE) - n11 - n10 - n01))
+                    * (n10 + (CAST(n AS DOUBLE) - n11 - n10 - n01)))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS p_expected,
+           ROUND((((n11 + (CAST(n AS DOUBLE) - n11 - n10 - n01))
+                   / CAST(n AS DOUBLE))
+                  - (((n11 + n10) * (n11 + n01)
+                      + (n01 + (CAST(n AS DOUBLE) - n11 - n10 - n01))
+                        * (n10 + (CAST(n AS DOUBLE) - n11 - n10 - n01)))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 - (((n11 + n10) * (n11 + n01)
+                      + (n01 + (CAST(n AS DOUBLE) - n11 - n10 - n01))
+                        * (n10 + (CAST(n AS DOUBLE) - n11 - n10 - n01)))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6)
+             AS kappa
+    FROM cm
+    """,
+)
+def q_cohens_kappa(spark, sf_dir):
+    return ml.cohens_kappa(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "band_join_parts",
+    """
+    WITH p AS (
+      SELECT p_brand AS brand, p_partkey AS key, p_retailprice AS price,
+             CAST(FLOOR(p_retailprice / 0.25) AS BIGINT) AS bk
+      FROM part
+    )
+    SELECT a.brand, a.key AS key_a, b.key AS key_b,
+           ROUND(ABS(a.price - b.price), 6) AS price_diff
+    FROM p a JOIN p b
+      ON a.brand = b.brand AND a.key < b.key
+     AND b.bk BETWEEN a.bk - 1 AND a.bk + 1
+    WHERE ABS(a.price - b.price) <= 0.25
+    """,
+)
+def q_band_join_parts(spark, sf_dir):
+    return rel.band_join_parts(load_table(spark, sf_dir, "part"))
+
+
 _VERIFY_FIRST = [
     # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
     # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
