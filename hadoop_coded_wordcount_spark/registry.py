@@ -12617,6 +12617,13 @@ _VERIFY_FIRST = [
     "eb_shrunk_return_rates",
     "correlation_matrix",
     "mann_kendall_trend",
+    # Round-6 additions — never gate-checked; queue directly behind the
+    # rotated never-checked set.
+    "gopher_quality_flags",
+    "vocab_overlap_sources",
+    "corpus_datasheet",
+    "cohens_kappa",
+    "band_join_parts",
 ]
 
 
