@@ -252,7 +252,7 @@ def main() -> int:
         "n_errors": len(errors),
         "n_regressions": len(regressions),
         "queries": heaviest,
-        "detail_file": "bench_detail.json",
+        "detail_file": os.path.basename(detail_path),
     }
     # Exactly ONE compact JSON line on stdout: rounds 1-2 emitted the full
     # per-query dict inline and the capture window (~2.2 KB, keeps the tail)
