@@ -779,7 +779,7 @@ def kmeans_centroids(
 
 def semdedup(
     embeddings: DataFrame,
-    k: int = 24,
+    k: int | None = None,
     threshold: float = 0.95,
     iters: int = 4,
     dim: int = 64,
@@ -796,6 +796,11 @@ def semdedup(
     close vectors land in the same cell by construction, which is what
     makes intra-cluster-only comparison sound in practice.
 
+    ``k=None`` (default) scales the cell count with the corpus
+    (max(24, n/100)) so expected cell size — and the intra-cell
+    quadratic — stays constant as data grows; pass an explicit k to
+    pin it.
+
     Deterministic keep rule: a vector is dropped iff some SAME-cluster
     vector with a smaller ``vec_id`` sits within the threshold — an
     order-free predicate (no sequential greedy pass), so the kept set is
@@ -807,6 +812,14 @@ def semdedup(
     """
     from ..sources.catalog import ensure_parallelism
 
+    if k is None:
+        # SemDeDup's cluster count SCALES with the corpus (the paper
+        # runs ~110k cells on LAION): k ~ n/100 caps expected cell size
+        # — and so the intra-cell quadratic — at a constant as data
+        # grows (measured 11.3x wall at 10x data with k pinned to 24).
+        # One control-plane count; floor 24 keeps small-sf outputs
+        # (and the sf0.01 fixtures) exactly as before.
+        k = max(24, int(embeddings.count()) // 100)
     cents = kmeans_centroids(embeddings, k=k, iters=iters, dim=dim)
     norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
     vecs = (
@@ -1960,4 +1973,86 @@ def dbscan_embeddings(
             F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
             "cluster_id",
         )
+    )
+
+
+def l2_topk_exact(
+    embeddings: DataFrame,
+    query_mod: int = 100,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Exact brute-force L2 top-k in integer micro-units — the truth
+    ranking the PQ family approximates (PQ's ADC is L2², not cosine, so
+    :func:`cosine_topk` is the wrong yardstick for it). Distances are
+    exact BIGINT sums of the per-subspace integer L2² (the same
+    ``_pq_sqdist`` both PQ stages use), so ranking and ties are
+    bit-identical in any engine and at any parallelism.
+
+    Scale: queries broadcast against the corpus; per-candidate work is
+    one unrolled integer expression; only (query, neighbor, dist)
+    triples reach the top-k window.
+    """
+    sub = dim // m
+    svecs = _pq_subvecs(embeddings, m, dim)
+    q = svecs.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
+    )
+    d = _pq_sqdist(F.col("qv"), F.col("sv"), sub)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return (
+        svecs.join(F.broadcast(q), "j")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(d).alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("d2").cast("double") / F.lit(1.0e12), 6).alias(
+                "l2_dist"
+            ),
+        )
+    )
+
+
+def ivf_pq_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """End-to-end quality of the composed IVF-PQ index against the
+    EXACT integer-L2 truth (:func:`l2_topk_exact`): per query, hit
+    count, recall@k and MRR — the number a vector-store deployment
+    actually watches, compounding both the cell-pruning and the
+    quantization losses (ann_recall_metrics grades IVF alone, against
+    cosine truth). Both pipelines are deterministic, so the metrics
+    are exact values the oracle replays stage for stage.
+    """
+    truth = l2_topk_exact(embeddings, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    approx = ivf_pq_topk(embeddings, k=k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    per_q = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("is_true", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.min(
+                F.when(F.col("is_true").isNotNull(), F.col("rank"))
+            ).alias("first_hit"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, 6).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
+        ).alias("mrr"),
     )

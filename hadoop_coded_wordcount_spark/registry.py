@@ -12441,6 +12441,69 @@ def q_band_join_parts(spark, sf_dir):
     return rel.band_join_parts(load_table(spark, sf_dir, "part"))
 
 
+
+
+def _l2_truth_ctes(m: int = 8, sub: int = 8, query_mod: int = 100,
+                   k: int = 10) -> str:
+    """Exact integer-L2 truth ranking CTEs (mirrors
+    operators/similarity.l2_topk_exact): micro-unit subvectors, exact
+    BIGINT per-subspace sums, fully-ordered top-k."""
+    sv_sel = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, e[{j * sub + 1}:{(j + 1) * sub}] AS sv "
+        "FROM v_"
+        for j in range(m)
+    )
+    dist = _pq_isqd("s.sv", "q_.qv", sub)
+    return f"""v_ AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS e
+      FROM embeddings
+    ),
+    sv_ AS (\n      {sv_sel}\n    ),
+    q_ AS (
+      SELECT vec_id AS query_id, j, sv AS qv FROM sv_
+      WHERE vec_id % {query_mod} = 0
+    ),
+    td_ AS (
+      SELECT q_.query_id, s.vec_id AS neighbor_id, SUM({dist}) AS d2
+      FROM sv_ s JOIN q_ ON s.j = q_.j AND s.vec_id <> q_.query_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM td_
+      ) WHERE rank <= {k}
+    )"""
+
+
+@register(
+    "ivf_pq_recall",
+    f"""
+    WITH {_l2_truth_ctes()},
+    approx AS (SELECT * FROM ({_ivf_pq_oracle()}))
+    SELECT a.query_id,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6)
+             AS recall_at_k,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN t.neighbor_id IS NOT NULL
+                                         THEN a.rank END), 0.0), 6) AS mrr
+    FROM approx a
+    LEFT JOIN truth t
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id
+    """,
+)
+def q_ivf_pq_recall(spark, sf_dir):
+    return sim.ivf_pq_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 _VERIFY_FIRST = [
     # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
     # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
@@ -12624,6 +12687,7 @@ _VERIFY_FIRST = [
     "corpus_datasheet",
     "cohens_kappa",
     "band_join_parts",
+    "ivf_pq_recall",
 ]
 
 

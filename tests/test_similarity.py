@@ -639,3 +639,41 @@ def test_neardup_cell_candidates_complete_at_default_threshold(spark):
                     n_borderline += 1
     assert n_borderline >= 10, "fixture must exercise the borderline regime"
     assert got == want
+
+
+def test_l2_topk_exact_matches_numpy_and_ivf_pq_recall_bounds(spark):
+    """The integer-L2 truth ranking must equal a numpy recomputation on
+    the quantized vectors (same micro-unit rounding), and the composed
+    IVF-PQ recall metrics obey their bounds with at least one hit
+    somewhere (the index is better than random)."""
+    import numpy as np
+    from collections import defaultdict
+
+    real = load_table(spark, SF001, "embeddings")
+    rows = sorted(real.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    raw = np.array([r.embedding for r in rows], np.float64) * 1e6
+    # half-AWAY rounding (numpy's round is banker's; Spark/DuckDB round
+    # half away from zero)
+    X = np.sign(raw) * np.floor(np.abs(raw) + 0.5)
+    got = defaultdict(list)
+    for r in sorted(
+        sim.l2_topk_exact(real).collect(), key=lambda r: (r.query_id, r.rank)
+    ):
+        got[r.query_id].append(r.neighbor_id)
+    for q, neigh in got.items():
+        qi = int(np.where(ids == q)[0][0])
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        order = [
+            int(ids[i])
+            for i in np.argsort(d, kind="stable")
+            if ids[i] != q
+        ][:10]
+        # ties broken by neighbor_id in the operator; numpy argsort is
+        # stable over the vec_id-sorted input, so orders agree
+        assert neigh == order, q
+
+    mets = sim.ivf_pq_recall(real).collect()
+    assert mets and all(0 <= r.recall_at_k <= 1 and 0 <= r.mrr <= 1
+                        for r in mets)
+    assert sum(r.n_hits for r in mets) > 0
