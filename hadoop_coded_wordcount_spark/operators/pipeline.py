@@ -756,3 +756,124 @@ def token_budget_waterfill(
             alloc / F.col("avail_tokens").cast("double"), 6
         ).alias("epochs"),
     )
+
+
+def negative_sampling(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    k: int = 3,
+    pool_hex: str = "0",
+) -> DataFrame:
+    """Deterministic negative sampling for two-tower / embedding
+    training: per customer, ``k`` catalog parts the customer never
+    purchased, drawn by md5 rank — the negatives-mining step every
+    retrieval/recsys training pipeline runs next to its positives.
+
+    Two md5 disciplines keep it replayable AND bounded: the candidate
+    pool is the fixed md5-prefix slice of the catalog (``pool_hex`` —
+    1/16 by default, the "sample the catalog, not the user×catalog
+    cross" shape), and each (customer, part) candidate ranks by
+    md5(cust:part), so the k winners are a pure function of the keys.
+    Positives are removed with an anti-join BEFORE ranking.
+
+    Scale: the pool broadcasts (catalog-slice-sized); candidates are
+    customers × pool with rank windows per customer — never the full
+    user×catalog cross; positives anti-join on (cust, part).
+    """
+    pool = part.select(F.col("p_partkey").alias("partkey")).where(
+        F.substring(
+            F.md5(F.col("p_partkey").cast("string").cast("binary")), 1, 1
+        )
+        == pool_hex
+    )
+    customers = orders.select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    positives = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    rk = F.md5(
+        F.concat_ws(
+            ":", F.col("custkey").cast("string"),
+            F.col("partkey").cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy("custkey").orderBy("rk", "partkey")
+    return (
+        customers.join(F.broadcast(pool))
+        .join(positives, ["custkey", "partkey"], "left_anti")
+        .select("custkey", "partkey", rk.alias("rk"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("custkey", "partkey", "neg_rank")
+    )
+
+
+def preference_pairs(
+    documents: DataFrame, margin: float = 0.05
+) -> DataFrame:
+    """Preference-pair mining (the DPO/RLHF data-construction shape):
+    within each (source, lang) cell, pair the highest-quality document
+    (chosen) with the lowest (rejected), keeping only cells whose
+    quality gap clears ``margin`` — the deterministic skeleton of
+    best-vs-worst pair construction over a scored candidate pool.
+
+    Tie-breaks are total (quality desc/asc, then doc_id asc), so the
+    pair set is a pure function of the table. One projection + two
+    rank windows per cell; output is cell-count-sized.
+    """
+    scored = documents.select(
+        "source",
+        "lang",
+        "doc_id",
+        quality_col().alias("q"),
+    ).where(F.size(tokens_col()) > 0)
+    wb = Window.partitionBy("source", "lang").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    ww = Window.partitionBy("source", "lang").orderBy(
+        F.asc("q"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "lang",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("q").alias("chosen_q"),
+        )
+    )
+    worst = (
+        scored.withColumn("rn", F.row_number().over(ww))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "lang",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("q").alias("rejected_q"),
+        )
+    )
+    return (
+        best.join(worst, ["source", "lang"])
+        .where(
+            (F.col("chosen_q") - F.col("rejected_q")) >= margin
+        )
+        .select(
+            "source",
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias(
+                "quality_margin"
+            ),
+        )
+    )

@@ -12504,6 +12504,87 @@ def q_ivf_pq_recall(spark, sf_dir):
     return sim.ivf_pq_recall(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+@register(
+    "negative_sampling",
+    """
+    WITH pool AS (
+      SELECT p_partkey AS partkey FROM part
+      WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    customers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    positives AS (
+      SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    cand AS (
+      SELECT c.custkey, p.partkey,
+             md5(CAST(c.custkey AS VARCHAR) || ':'
+                 || CAST(p.partkey AS VARCHAR)) AS rk
+      FROM customers c CROSS JOIN pool p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM positives x
+        WHERE x.custkey = c.custkey AND x.partkey = p.partkey
+      )
+    )
+    SELECT custkey, partkey, neg_rank FROM (
+      SELECT custkey, partkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY custkey
+                                     ORDER BY rk, partkey) AS INT)
+               AS neg_rank
+      FROM cand
+    ) WHERE neg_rank <= 3
+    """,
+)
+def q_negative_sampling(spark, sf_dir):
+    return pl.negative_sampling(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "preference_pairs",
+    f"""
+    WITH t AS ({_DUCK_TOKS}),
+    s0 AS (
+      SELECT d.source, d.lang, d.doc_id, t.text AS text, t.toks AS toks
+      FROM t JOIN documents d USING (doc_id)
+    ),
+    scored AS (
+      SELECT source, lang, doc_id,
+             {QUAL.format(w_len=ts.QUALITY_WEIGHTS["len"],
+                          w_dis=ts.QUALITY_WEIGHTS["distinct"],
+                          w_cln=ts.QUALITY_WEIGHTS["clean"])} AS q
+      FROM s0
+      WHERE len(toks) > 0
+    ),
+    best AS (
+      SELECT source, lang, doc_id AS chosen_id, q AS chosen_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+                                     ORDER BY q DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    worst AS (
+      SELECT source, lang, doc_id AS rejected_id, q AS rejected_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+                                     ORDER BY q ASC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT b.source, b.lang, chosen_id, rejected_id,
+           ROUND(chosen_q - rejected_q, 6) AS quality_margin
+    FROM best b JOIN worst w ON b.source = w.source AND b.lang = w.lang
+    WHERE chosen_q - rejected_q >= 0.05
+    """,
+)
+def q_preference_pairs(spark, sf_dir):
+    return pl.preference_pairs(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
     # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
@@ -12688,6 +12769,8 @@ _VERIFY_FIRST = [
     "cohens_kappa",
     "band_join_parts",
     "ivf_pq_recall",
+    "negative_sampling",
+    "preference_pairs",
 ]
 
 

@@ -123,3 +123,60 @@ def test_band_join_crosses_bucket_boundaries(spark):
     assert set(got) == {(1, 2), (2, 3), (1, 3)}
     assert got[(1, 2)] == 0.02
     assert all(d <= 0.25 for d in got.values())
+
+
+def test_negative_sampling_excludes_positives_and_is_deterministic(spark):
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    out = pl.negative_sampling(orders, lineitem, part).collect()
+    assert out
+    positives = {
+        (r.custkey, r.partkey)
+        for r in orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .selectExpr("o_custkey AS custkey", "l_partkey AS partkey")
+        .distinct()
+        .collect()
+    }
+    per_cust = {}
+    for r in out:
+        assert (r.custkey, r.partkey) not in positives
+        per_cust.setdefault(r.custkey, []).append(r.neg_rank)
+    for ranks in per_cust.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # determinism: a second run returns the identical triple set
+    again = {
+        (r.custkey, r.partkey, r.neg_rank)
+        for r in pl.negative_sampling(orders, lineitem, part).collect()
+    }
+    assert again == {(r.custkey, r.partkey, r.neg_rank) for r in out}
+
+
+def test_preference_pairs_picks_extremes_with_margin(spark):
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+
+    rows = [
+        # cell (s1, en): clear quality spread -> one pair
+        (0, " ".join(f"word{i}" for i in range(60)), "en", "s1", 100),
+        (1, ";;; ::: !!!", "en", "s1", 11),
+        (2, "middle quality doc words here", "en", "s1", 29),
+        # cell (s2, en): two identical docs -> margin 0 -> filtered out
+        (10, "same text here", "en", "s2", 14),
+        (11, "same text here", "en", "s2", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    got = pl.preference_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.source, r.chosen_id, r.rejected_id) == ("s1", 0, 1)
+    assert r.quality_margin >= 0.05
