@@ -1212,3 +1212,55 @@ def landmark_bfs(
         *[F.col(f"d{l}") for l in range(n_landmarks)],
         F.round(harm, 6).alias("harmonic"),
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with TOTAL tie-breaks: labels start as node ids, and each
+    round every node adopts the most frequent label among its neighbors
+    (count desc, then smallest label) — the deterministic variant, so a
+    fixed round budget makes the whole run a pure function of the edge
+    list that the oracle replays round for round (async LPA's
+    visit-order dependence is exactly what it trades away).
+
+    Output: (node, community, community_size) — community = the final
+    label, sizes from one count per label.
+
+    Scale shape: per round, ONE join of the symmetric edge list against
+    the label frame (node-keyed) and two partial-agg'd groupBys; label
+    state is node-sized, checkpointed per round so the plan stays O(1)
+    deep (the pagerank cadence). kNN-sparsified input keeps edges at
+    k·|V|, so a round is O(k·|V|) at any corpus size.
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        )
+        counts = nb.groupBy(F.col("a").alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )

@@ -12585,6 +12585,82 @@ def q_preference_pairs(spark, sf_dir):
     return pl.preference_pairs(load_table(spark, sf_dir, "documents"))
 
 
+
+
+@register(
+    "label_propagation_suppliers",
+    _DUCK_KNN_EDGES + """,
+    sym AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e0
+      UNION ALL SELECT dst AS a, src AS b FROM e0
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+    n1 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM sym e JOIN l0 l ON l.node = e.b
+      GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n1
+      ) WHERE rn = 1
+    ),
+    n2 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM sym e JOIN l1 l ON l.node = e.b
+      GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n2
+      ) WHERE rn = 1
+    ),
+    n3 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM sym e JOIN l2 l ON l.node = e.b
+      GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n3
+      ) WHERE rn = 1
+    ),
+    n4 AS (
+      SELECT e.a AS node, l.label, COUNT(*) AS c
+      FROM sym e JOIN l3 l ON l.node = e.b
+      GROUP BY 1, 2
+    ),
+    l4 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n4
+      ) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM l4 GROUP BY label
+    )
+    SELECT node, l.label AS community, community_size
+    FROM l4 l JOIN sizes s ON l.label = s.label
+    """,
+)
+def q_label_propagation_suppliers(spark, sf_dir):
+    return gr.label_propagation(
+        gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 _VERIFY_FIRST = [
     # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
     # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
@@ -12771,6 +12847,7 @@ _VERIFY_FIRST = [
     "ivf_pq_recall",
     "negative_sampling",
     "preference_pairs",
+    "label_propagation_suppliers",
 ]
 
 

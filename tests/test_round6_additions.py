@@ -180,3 +180,23 @@ def test_preference_pairs_picks_extremes_with_margin(spark):
     r = got[0]
     assert (r.source, r.chosen_id, r.rejected_id) == ("s1", 0, 1)
     assert r.quality_margin >= 0.05
+
+
+def test_label_propagation_recovers_planted_cliques(spark):
+    from hadoop_coded_wordcount_spark.operators import graph as gr
+    from itertools import combinations
+
+    edges = [
+        *combinations([1, 2, 3, 4], 2),      # clique A
+        *combinations([10, 11, 12, 13], 2),  # clique B
+        (4, 10),                             # one bridge
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r.node: r for r in gr.label_propagation(df).collect()}
+    a = {out[n].community for n in (1, 2, 3, 4)}
+    b = {out[n].community for n in (10, 11, 12, 13)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert all(out[n].community_size == 4 for n in (1, 2, 3, 10, 11, 12))
+    # deterministic: rerun yields the identical labeling
+    again = {r.node: r.community for r in gr.label_propagation(df).collect()}
+    assert again == {n: r.community for n, r in out.items()}
