@@ -12510,23 +12510,32 @@ def q_ivf_pq_recall(spark, sf_dir):
     "negative_sampling",
     """
     WITH pool AS (
-      SELECT p_partkey AS partkey FROM part
+      SELECT p_partkey AS partkey,
+             CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hp
+      FROM part
       WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) = '0'
     ),
-    customers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    customers AS (
+      SELECT custkey,
+             CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hc
+      FROM (SELECT DISTINCT o_custkey AS custkey FROM orders)
+    ),
     positives AS (
       SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     cand AS (
-      SELECT c.custkey, p.partkey,
-             md5(CAST(c.custkey AS VARCHAR) || ':'
-                 || CAST(p.partkey AS VARCHAR)) AS rk
-      FROM customers c CROSS JOIN pool p
-      WHERE NOT EXISTS (
-        SELECT 1 FROM positives x
-        WHERE x.custkey = c.custkey AND x.partkey = p.partkey
-      )
+      SELECT cc.custkey, cc.partkey, cc.rk FROM (
+        SELECT c.custkey, p.partkey, xor(c.hc, p.hp) AS rk
+        FROM customers c CROSS JOIN pool p
+      ) cc
+      WHERE cc.rk % 16 = 0
+        AND NOT EXISTS (
+          SELECT 1 FROM positives x
+          WHERE x.custkey = cc.custkey AND x.partkey = cc.partkey
+        )
     )
     SELECT custkey, partkey, neg_rank FROM (
       SELECT custkey, partkey,
