@@ -263,3 +263,53 @@ def test_rfm_has_no_global_ntile_window(spark):
     never reappear."""
     plan = _plan(spark, "rfm_segments")
     assert "ntile" not in plan.lower()
+
+
+def test_band_join_is_equi_hash_not_cartesian(spark):
+    """The band join must run as an equi-join on (brand, bucket) — no
+    cartesian/nested-loop per brand, no sort-merge forced by a range
+    predicate (the |diff| <= delta filter applies post-join)."""
+    plan = _plan(spark, "band_join_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_negative_sampling_hashes_entities_not_pairs(spark):
+    """The rank basis is per-entity md5 XOR'd per pair: the plan may md5
+    the two key columns but must never md5 a concatenated pair key
+    (2e7 per-pair md5s measured 9 s of 13 s at sf0.1)."""
+    plan = _plan(spark, "negative_sampling")
+    assert "concat_ws" not in plan and "md5(concat" not in plan
+    assert " ^ " in plan  # the per-pair BIGINT xor
+    # pool side broadcasts; positives anti-join stays hash-based
+    assert "BroadcastNestedLoopJoin" in plan  # the (cust x pool) cross
+    assert "LeftAnti" in plan
+
+
+def test_gopher_flags_single_aggregation_exchange(spark):
+    """The rule battery is one projection + one partial-agg'd groupBy:
+    exactly one exchange pair (partial then final HashAggregate), and
+    the scan reads only (source, text)."""
+    plan = _plan(spark, "gopher_quality_flags")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" not in read and "lang" not in read
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+
+def test_neardup_default_routes_small_blocks_to_quadratic(spark):
+    """At sf0.01 every label block is under cell_block_min, so the
+    routed plan must be the salted quadratic ONLY — no k-means stages
+    (the cell path's fixed overhead exceeded the whole quadratic)."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    assert "cell_id" not in plan
+    assert "HashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_label_propagation_state_is_checkpointed(spark):
+    """Four LPA rounds must not stack into one deep plan: the label
+    state checkpoints per round, so the executed plan contains scans of
+    checkpointed RDDs rather than four nested join/agg pyramids."""
+    plan = _plan(spark, "label_propagation_suppliers")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("SortMergeJoin") <= 3
