@@ -1250,6 +1250,7 @@ def ivf_pq_topk(
     query_mod: int = 100,
     k: int = 10,
     train_iters: int = 3,
+    svecs: DataFrame | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ index — the architecture billion-scale
     vector stores actually deploy: IVF cell pruning bounds WHICH
@@ -1311,7 +1312,8 @@ def ivf_pq_topk(
     )
 
     # --- PQ stage: trained codebook, integer encode + ADC tables ---
-    svecs = _pq_subvecs(embeddings, m, dim)
+    if svecs is None:
+        svecs = _pq_subvecs(embeddings, m, dim)
     cb = _pq_train_codebook(svecs, code_mod, train_iters, sub)
     d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
     enc = (
@@ -1982,6 +1984,7 @@ def l2_topk_exact(
     k: int = 10,
     dim: int = 64,
     m: int = 8,
+    svecs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact brute-force L2 top-k in integer micro-units — the truth
     ranking the PQ family approximates (PQ's ADC is L2², not cosine, so
@@ -1995,7 +1998,8 @@ def l2_topk_exact(
     triples reach the top-k window.
     """
     sub = dim // m
-    svecs = _pq_subvecs(embeddings, m, dim)
+    if svecs is None:
+        svecs = _pq_subvecs(embeddings, m, dim)
     q = svecs.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
@@ -2028,12 +2032,14 @@ def ivf_pq_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
     actually watches, compounding both the cell-pruning and the
     quantization losses (ann_recall_metrics grades IVF alone, against
     cosine truth). Both pipelines are deterministic, so the metrics
-    are exact values the oracle replays stage for stage.
+    are exact values the oracle replays stage for stage. The micro
+    subvector frame builds ONCE and feeds both legs.
     """
-    truth = l2_topk_exact(embeddings, k=k).select(
+    svecs = _pq_subvecs(embeddings, 8, 64)
+    truth = l2_topk_exact(embeddings, k=k, svecs=svecs).select(
         "query_id", "neighbor_id", F.lit(1).alias("is_true")
     )
-    approx = ivf_pq_topk(embeddings, k=k).select(
+    approx = ivf_pq_topk(embeddings, k=k, svecs=svecs).select(
         "query_id", "neighbor_id", "rank"
     )
     per_q = (
