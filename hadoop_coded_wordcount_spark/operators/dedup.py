@@ -1277,3 +1277,71 @@ def lsh_tuning_curve(
             6,
         ).alias("precision"),
     )
+
+
+def dedup_token_impact(documents: DataFrame) -> DataFrame:
+    """Per-source dedup IMPACT report: how many whitespace tokens each
+    dedup tier would remove — the budget sheet a curation pipeline
+    reads before deciding which tiers to run at 100 TB (exact dedup is
+    ~free; the near tier costs an LSH pass — this query says what each
+    buys, per source).
+
+    Tiers (each independent; exact dups are usually a subset of the
+    near clusters, so the columns overlap by design and are reported
+    side by side, not summed):
+
+    * exact — a doc is removable when any smaller doc_id anywhere in
+      the corpus carries byte-identical text (md5 grouping; removal
+      attributes to the doc's OWN source).
+    * near — docs the keep-best rule drops
+      (:func:`keep_best_per_cluster`: LSH pairs → star components →
+      quality argmax per cluster).
+
+    Scale shape: one md5 window over (hash)-keyed groups, the
+    already-bounded keep-best composition, and one source-keyed
+    partial aggregate; nothing new shuffles document text.
+    """
+    toks = tokens_col()
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    wmin = Window.partitionBy("h")
+    exact_flag = (F.min("doc_id").over(wmin) < F.col("doc_id")).cast("int")
+    flagged = base.withColumn("exact_dup", exact_flag)
+    keep = keep_best_per_cluster(documents).select(
+        "doc_id", F.col("keep").cast("int").alias("keep")
+    )
+    return (
+        flagged.join(keep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("exact_dup") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("exact_removable_tokens"),
+            F.sum((1 - F.coalesce("keep", F.lit(1))) * F.col("n_tok"))
+            .cast("bigint")
+            .alias("near_removable_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "exact_removable_tokens",
+            "near_removable_tokens",
+            F.round(
+                F.col("exact_removable_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("exact_removable_pct"),
+            F.round(
+                F.col("near_removable_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("near_removable_pct"),
+        )
+    )

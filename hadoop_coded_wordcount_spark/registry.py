@@ -12670,6 +12670,99 @@ def q_label_propagation_suppliers(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "dedup_token_impact",
+    f"""
+    WITH RECURSIVE
+    g AS ({_DUCK_SHINGLES}),
+    e AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM e
+      UNION ALL SELECT doc_b, doc_a FROM e
+    ),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node
+    ),
+    lab0 AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk
+      GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             round({ts.QUALITY_WEIGHTS["len"]}
+                     * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                 + {ts.QUALITY_WEIGHTS["distinct"]}
+                   * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+                 + {ts.QUALITY_WEIGHTS["clean"]}
+                   * (1.0 - CAST(length(regexp_replace(text,
+                        '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)), 6) AS quality
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ) WHERE len(toks) > 0
+    ),
+    keepf AS (
+      SELECT doc_id,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY quality DESC, doc_id) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM (
+        SELECT q.doc_id, q.quality,
+               COALESCE(l.cluster_id, q.doc_id) AS cluster_id
+        FROM q LEFT JOIN lab0 l ON q.doc_id = l.doc_id
+      )
+    ),
+    base AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok,
+             md5(text) AS h
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, source, n_tok,
+             CASE WHEN MIN(doc_id) OVER (PARTITION BY h) < doc_id
+                  THEN 1 ELSE 0 END AS exact_dup
+      FROM base
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(exact_dup * n_tok) AS BIGINT)
+             AS exact_removable_tokens,
+           CAST(SUM((1 - COALESCE(k.keep, 1)) * n_tok) AS BIGINT)
+             AS near_removable_tokens,
+           ROUND(CAST(SUM(exact_dup * n_tok) AS DOUBLE)
+                 / CAST(SUM(n_tok) AS DOUBLE), 6)
+             AS exact_removable_pct,
+           ROUND(CAST(SUM((1 - COALESCE(k.keep, 1)) * n_tok) AS DOUBLE)
+                 / CAST(SUM(n_tok) AS DOUBLE), 6)
+             AS near_removable_pct
+    FROM flagged f LEFT JOIN keepf k ON f.doc_id = k.doc_id
+    GROUP BY f.source
+    """,
+)
+def q_dedup_token_impact(spark, sf_dir):
+    return dd.dedup_token_impact(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
     # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
@@ -12857,6 +12950,7 @@ _VERIFY_FIRST = [
     "negative_sampling",
     "preference_pairs",
     "label_propagation_suppliers",
+    "dedup_token_impact",
 ]
 
 

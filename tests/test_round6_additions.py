@@ -200,3 +200,29 @@ def test_label_propagation_recovers_planted_cliques(spark):
     # deterministic: rerun yields the identical labeling
     again = {r.node: r.community for r in gr.label_propagation(df).collect()}
     assert again == {n: r.community for n, r in out.items()}
+
+
+def test_dedup_token_impact_tiers(spark):
+    from hadoop_coded_wordcount_spark.operators import dedup as dd
+
+    rows = [
+        # s1: doc 1 is an exact copy of doc 0 (both exact- and
+        # near-removable); doc 2 is unique
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 48),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 48),
+        (2, "totally different words entirely here now", "en", "s1", 41),
+        # s2: unique doc only
+        (10, "one two three four five six", "en", "s2", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    got = {r.source: r for r in dd.dedup_token_impact(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_tokens) == (3, 22)
+    assert s1.exact_removable_tokens == 8   # doc 1 (8 tokens)
+    assert s1.near_removable_tokens >= 8    # near tier drops doc 1 too
+    s2 = got["s2"]
+    assert s2.exact_removable_tokens == 0
+    assert s2.near_removable_tokens == 0
