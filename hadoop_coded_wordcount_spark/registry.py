@@ -12764,62 +12764,13 @@ def q_dedup_token_impact(spark, sf_dir):
 
 
 _VERIFY_FIRST = [
-    # Round-6 rotation (VERDICT r5 item 1): the 167 queries never checked
-    # by the external gate across r1-r5 (computed from CORRECTNESS_r01-r05
-    # key union vs the registry), headed by the highest-novelty unchecked
-    # ops named in the verdict, plus pq_topk / embedding_neardup_pairs
-    # which are behavior-touched this round (trained PQ codebook; LSH-
-    # backed neardup default) and warrant an external re-check.
-    "shapley_attribution",
-    "logistic_gd",
-    "gbm_stumps",
-    "ols_normal_equations",
-    "isotonic_calibration",
-    "markov_removal_attribution",
-    "dbscan_embeddings",
-    "landmark_bfs",
-    "croston_intermittent",
-    "matrix_profile_hourly",
-    "trigram_lm",
-    "boilerplate_ngrams",
-    "lsh_tuning_curve",
-    "ivf_pq_topk",
-    "pq_topk",
-    "embedding_neardup_pairs",
-    "ks_test",
-    "mann_whitney",
-    "holt_winters",
-    "auc_roc",
-    "ann_recall_metrics",
-    "topn_with_other",
-    "gini_lorenz",
-    "source_diversity",
-    "revenue_bridge",
-    "degree_assortativity",
-    "source_overlap",
-    "calibration_bins",
-    "mutual_information",
-    "subsample_ci",
-    "target_encoding",
-    "scd2_compressed",
-    "merge_apply_changes",
-    "hits_ranking",
-    "modularity_nations",
-    "ann_ndcg",
-    "association_rules",
-    "tokenizer_fertility",
-    "mmr_topk",
-    "lateral_topn",
-    "running_distinct_types",
-    "session_bounce_rate",
-    "readability_scores",
-    "bigram_heldout_xent",
-    "vocab_growth_curve",
-    "watermark_lateness",
-    "seasonal_decompose",
-    "clamped_running_balance",
-    "zipf_fit",
-    "position_attribution",
+    # Round-7 rotation: the round-6 gate window draws ~50 queries from the
+    # head of the registry order, so the first 50 names of the round-6
+    # rotation (shapley_attribution .. position_attribution) are presumed
+    # externally checked by CORRECTNESS_r06 and re-queued at the BACK of
+    # this list.  The head below is the remainder of the never-externally-
+    # checked set (positions 51-177 of the round-6 rotation, still never
+    # seen by the gate), followed by the round-7 additions.
     "overdispersion_index",
     "residual_anomaly",
     "embedding_drift",
@@ -12951,6 +12902,60 @@ _VERIFY_FIRST = [
     "preference_pairs",
     "label_propagation_suppliers",
     "dedup_token_impact",
+    # --- round-7 additions are inserted here as they land ---
+    # Presumed checked by the round-6 gate window (head of the round-6
+    # rotation); re-queued last so they only re-run once everything above
+    # has been externally checked at least once.
+    "shapley_attribution",
+    "logistic_gd",
+    "gbm_stumps",
+    "ols_normal_equations",
+    "isotonic_calibration",
+    "markov_removal_attribution",
+    "dbscan_embeddings",
+    "landmark_bfs",
+    "croston_intermittent",
+    "matrix_profile_hourly",
+    "trigram_lm",
+    "boilerplate_ngrams",
+    "lsh_tuning_curve",
+    "ivf_pq_topk",
+    "pq_topk",
+    "embedding_neardup_pairs",
+    "ks_test",
+    "mann_whitney",
+    "holt_winters",
+    "auc_roc",
+    "ann_recall_metrics",
+    "topn_with_other",
+    "gini_lorenz",
+    "source_diversity",
+    "revenue_bridge",
+    "degree_assortativity",
+    "source_overlap",
+    "calibration_bins",
+    "mutual_information",
+    "subsample_ci",
+    "target_encoding",
+    "scd2_compressed",
+    "merge_apply_changes",
+    "hits_ranking",
+    "modularity_nations",
+    "ann_ndcg",
+    "association_rules",
+    "tokenizer_fertility",
+    "mmr_topk",
+    "lateral_topn",
+    "running_distinct_types",
+    "session_bounce_rate",
+    "readability_scores",
+    "bigram_heldout_xent",
+    "vocab_growth_curve",
+    "watermark_lateness",
+    "seasonal_decompose",
+    "clamped_running_balance",
+    "zipf_fit",
+    "position_attribution",
 ]
 
 
