@@ -893,3 +893,115 @@ def preference_pairs(
             ),
         )
     )
+
+
+def dsir_selection(
+    documents: DataFrame,
+    n_buckets: int = 128,
+    k_per_source: int = 5,
+    target_lang: str = "en",
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023) over hashed bigram features: score every document by
+    the log importance weight of its hashed-bigram counts under a
+    Laplace-smoothed *target* bucket distribution (here the ``en``
+    slice, standing in for the wiki-like target corpus) vs the *raw*
+    corpus distribution, then keep the top-``k_per_source`` documents
+    per source — the data-selection recipe used to pick pretraining
+    subsets that match a trusted domain.
+
+    Cross-engine exactness: bucket = first-13-md5-hex-chars of the
+    bigram as a 52-bit integer mod ``n_buckets`` (the repo's verifiable
+    hashing-trick basis, ``textstats.feature_hashing``). Each bucket's
+    log-ratio ``ln((k_t+1)(R+B) / ((k_r+1)(T+B)))`` is one ln() of a
+    ratio of exact integer products, rounded to 6dp; per-document
+    weights are Σ count·λ6 summed as DECIMAL(28,6) (the kl_js ln
+    discipline), so the ranking is a pure function of the table.
+
+    Scale: bigrams explode once into a (doc, bucket) partial aggregate
+    — shuffle volume is docs×B, not tokens. The bucket model is B rows
+    (broadcast), the totals 1 row; the per-source top-k window ranks
+    doc-count rows. Nothing quadratic, nothing driver-side.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    toked = ensure_parallelism(
+        documents.select("doc_id", "source", "lang", "text")
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("lang") == target_lang).alias("is_t"),
+        tokens_col().alias("toks"),
+    )
+    t = F.col("toks")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    per_doc = (
+        toked.where(F.size(t) >= 2)
+        .select("doc_id", "source", "is_t", F.explode(pairs).alias("p"))
+        .select("doc_id", "source", "is_t", bucket.alias("bucket"))
+        .groupBy("doc_id", "source", "is_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    per_bucket = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("k_t"),
+        F.sum("cnt").cast("bigint").alias("k_r"),
+    )
+    totals = per_bucket.agg(
+        F.sum("k_t").cast("bigint").alias("t_tot"),
+        F.sum("k_r").cast("bigint").alias("r_tot"),
+    )
+    lam = F.round(
+        F.log(
+            (
+                (F.col("k_t") + 1) * (F.col("r_tot") + n_buckets)
+            ).cast("double")
+            / (
+                (F.col("k_r") + 1) * (F.col("t_tot") + n_buckets)
+            ).cast("double")
+        ),
+        6,
+    )
+    model = per_bucket.join(F.broadcast(totals)).select(
+        "bucket", lam.alias("lam")
+    )
+    weights = (
+        per_doc.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.round(F.col("cnt").cast("double") * F.col("lam"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("w"),
+        )
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("w"), F.asc("doc_id"))
+    return (
+        weights.withColumn("sel_rank", F.row_number().over(rk))
+        .where(F.col("sel_rank") <= k_per_source)
+        .select(
+            "source",
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("w").cast("double"), 6).alias("dsir_weight"),
+            "sel_rank",
+        )
+    )

@@ -12763,6 +12763,71 @@ def q_dedup_token_impact(spark, sf_dir):
     return dd.dedup_token_impact(load_table(spark, sf_dir, "documents"))
 
 
+# DSIR importance-resampling selection (Xie et al. 2023): hashed-bigram
+# bucket model, target = the 'en' slice, Laplace smoothing, one ln() of
+# exact integer products per bucket rounded to 6dp, per-doc weights as
+# DECIMAL(28,6) sums, top-5 per source. The oracle replays the hashing,
+# the smoothed model, and the ranking end to end.
+@register(
+    "dsir_selection",
+    """
+    WITH toked AS (
+      SELECT doc_id, source, (lang = 'en') AS is_t,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, is_t,
+             CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 13)
+                  AS BIGINT) % 128 AS bucket
+      FROM toked, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, source, is_t, bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY doc_id, source, is_t, bucket
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS k_t,
+             CAST(SUM(cnt) AS BIGINT) AS k_r
+      FROM per_doc GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(k_t) AS BIGINT) AS t_tot,
+             CAST(SUM(k_r) AS BIGINT) AS r_tot
+      FROM per_bucket
+    ),
+    model AS (
+      SELECT bucket,
+             ROUND(ln(CAST((k_t + 1) * (r_tot + 128) AS DOUBLE)
+                      / CAST((k_r + 1) * (t_tot + 128) AS DOUBLE)), 6)
+               AS lam
+      FROM per_bucket CROSS JOIN tot
+    ),
+    w AS (
+      SELECT doc_id, source,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             SUM(CAST(ROUND(CAST(cnt AS DOUBLE) * lam, 6)
+                      AS DECIMAL(28,6))) AS w
+      FROM per_doc JOIN model USING (bucket)
+      GROUP BY doc_id, source
+    )
+    SELECT source, doc_id, n_bigrams, dsir_weight, sel_rank FROM (
+      SELECT source, doc_id, n_bigrams,
+             ROUND(CAST(w AS DOUBLE), 6) AS dsir_weight,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY w DESC, doc_id ASC) AS sel_rank
+      FROM w
+    ) WHERE sel_rank <= 5
+    """,
+)
+def q_dsir_selection(spark, sf_dir):
+    return pl.dsir_selection(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -12903,6 +12968,7 @@ _VERIFY_FIRST = [
     "label_propagation_suppliers",
     "dedup_token_impact",
     # --- round-7 additions are inserted here as they land ---
+    "dsir_selection",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

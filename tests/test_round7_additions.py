@@ -1,0 +1,57 @@
+"""Round-7 operator additions: DSIR selection and the data-selection /
+statistics wave."""
+
+from __future__ import annotations
+
+from hadoop_coded_wordcount_spark.operators import pipeline as pl
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+
+class TestDsirSelection:
+    def test_target_like_doc_outranks_raw_like(self, spark):
+        target_text = "alpha beta alpha beta alpha beta alpha beta"
+        noise_text = "zulu yankee zulu yankee zulu yankee zulu yankee"
+        rows = [
+            # the target slice (lang=en) is pure alpha/beta
+            *[(i, target_text, "en", "tgt", 40) for i in range(4)],
+            # the raw-only slice is pure zulu/yankee
+            *[(10 + i, noise_text, "de", "raw", 40) for i in range(4)],
+            # candidate source: one target-like doc, one raw-like doc
+            (100, target_text, "de", "cand", 40),
+            (101, noise_text, "de", "cand", 40),
+        ]
+        out = {
+            r.doc_id: r
+            for r in pl.dsir_selection(_docs(spark, rows)).collect()
+            if r.source == "cand"
+        }
+        assert out[100].dsir_weight > out[101].dsir_weight
+        assert out[100].sel_rank == 1 and out[101].sel_rank == 2
+
+    def test_per_source_k_and_rank_bounds(self, spark):
+        rows = [
+            (i, f"tok{i} tok{i + 1} tok{i + 2} tok{i + 3}", "en", "s", 30)
+            for i in range(8)
+        ]
+        out = pl.dsir_selection(_docs(spark, rows), k_per_source=3).collect()
+        assert len(out) == 3
+        assert sorted(r.sel_rank for r in out) == [1, 2, 3]
+        # weights are ranked descending with doc_id tiebreak
+        by_rank = sorted(out, key=lambda r: r.sel_rank)
+        ws = [(-r.dsir_weight, r.doc_id) for r in by_rank]
+        assert ws == sorted(ws)
+
+    def test_short_docs_drop(self, spark):
+        rows = [
+            (0, "solo", "en", "s", 4),  # <2 tokens: no bigram, dropped
+            (1, "two tokens here", "en", "s", 15),
+        ]
+        out = pl.dsir_selection(_docs(spark, rows)).collect()
+        assert [r.doc_id for r in out] == [1]
+        assert out[0].n_bigrams == 2
