@@ -1005,3 +1005,78 @@ def dsir_selection(
             "sel_rank",
         )
     )
+
+
+def coverage_greedy_selection(
+    documents: DataFrame, k: int = 8, n: int = 3
+) -> DataFrame:
+    """Submodular (facility-location / max-coverage) data selection: pick
+    ``k`` documents greedily, each round taking the document whose word
+    ``n``-gram set covers the most not-yet-covered grams (ties to the
+    smallest doc_id) — the classic 1-1/e coreset recipe for choosing a
+    small, *diverse* demonstration or eval subset from a corpus.
+
+    Greedy coverage is inherently sequential in ``k``, and that is the
+    scale story: per round ONE distributed scan of the persisted
+    (doc, gram) frame with a broadcast anti-join against the covered
+    set, whose size is bounded by the selection budget (≤ k × grams per
+    doc), never by the corpus. The winner row and its gram list are the
+    only collects — both control-plane-sized. Docs whose grams are
+    fully covered drop out of the gain aggregate by construction, so a
+    saturated corpus ends the loop early on both engines.
+
+    coverage_pct rounds via the markov ``_cround`` micro-unit
+    discipline (== Spark/DuckDB ROUND half-up on these values).
+    """
+    import math
+
+    from .dedup import shingled
+
+    def _cround(x: float) -> int:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+
+    spark = documents.sparkSession
+    sh = shingled(documents, n=n).select("doc_id", "grams").persist()
+    ex = sh.select("doc_id", F.explode("grams").alias("gram")).persist()
+    total = ex.select("gram").distinct().count()
+    covered: set = set()
+    selected: list = []
+    out_rows: list = []
+    for r in range(1, k + 1):
+        g = ex
+        if selected:
+            g = g.where(~F.col("doc_id").isin(selected))
+            cov_df = spark.createDataFrame(
+                [(x,) for x in sorted(covered)], "gram string"
+            )
+            g = g.join(F.broadcast(cov_df), "gram", "left_anti")
+        top = (
+            g.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        w = top[0]
+        winner_grams = sh.where(F.col("doc_id") == w.doc_id).collect()
+        covered.update(winner_grams[0].grams)
+        selected.append(w.doc_id)
+        out_rows.append(
+            (
+                r,
+                w.doc_id,
+                w.gain,
+                len(covered),
+                _cround(len(covered) * 1000000.0 / total) / 1e6,
+            )
+        )
+    sh.unpersist()
+    ex.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "sel_rank int, doc_id bigint, marginal_gain bigint, "
+        "covered_grams bigint, coverage_pct double",
+    )

@@ -12828,6 +12828,56 @@ def q_dsir_selection(spark, sf_dir):
     return pl.dsir_selection(load_table(spark, sf_dir, "documents"))
 
 
+def _coverage_greedy_oracle(k: int = 8) -> str:
+    """Unrolled greedy max-coverage replay: one (s_r, c_r) CTE pair per
+    round — s_r the argmax-gain winner over grams not yet in c_{r-1},
+    c_r the running covered-gram union (the BPE unrolled-merge-round
+    oracle pattern)."""
+    parts = [
+        f"g AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram"
+        f" FROM ({_DUCK_SHINGLES}))",
+        "t AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS total FROM g)",
+    ]
+    for r in range(1, k + 1):
+        cond = ""
+        if r > 1:
+            sel_union = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{i}" for i in range(1, r)
+            )
+            cond = (
+                f" WHERE doc_id NOT IN ({sel_union})"
+                f" AND gram NOT IN (SELECT gram FROM c{r - 1})"
+            )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain"
+            f" FROM g{cond} GROUP BY doc_id"
+            f" ORDER BY gain DESC, doc_id ASC LIMIT 1)"
+        )
+        prev = f"SELECT gram FROM c{r - 1} UNION " if r > 1 else ""
+        parts.append(
+            f"c{r} AS MATERIALIZED ({prev}SELECT DISTINCT gram FROM g"
+            f" WHERE doc_id = (SELECT doc_id FROM s{r}))"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS sel_rank, doc_id, gain AS marginal_gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_grams"
+        f" FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT sel_rank, doc_id, marginal_gain, covered_grams,"
+        " ROUND(CAST(covered_grams AS DOUBLE) / total, 6) AS coverage_pct"
+        f" FROM ({rows}) CROSS JOIN t"
+    )
+
+
+@register("coverage_greedy_selection", _coverage_greedy_oracle())
+def q_coverage_greedy_selection(spark, sf_dir):
+    return pl.coverage_greedy_selection(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -12969,6 +13019,7 @@ _VERIFY_FIRST = [
     "dedup_token_impact",
     # --- round-7 additions are inserted here as they land ---
     "dsir_selection",
+    "coverage_greedy_selection",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -55,3 +55,35 @@ class TestDsirSelection:
         out = pl.dsir_selection(_docs(spark, rows)).collect()
         assert [r.doc_id for r in out] == [1]
         assert out[0].n_bigrams == 2
+
+
+class TestCoverageGreedy:
+    def test_greedy_picks_marginal_not_total(self, spark):
+        # doc 0 covers grams A+B (6 tokens -> 4 grams); doc 1 covers A
+        # (3 grams); doc 2 covers disjoint C (3 grams). Greedy takes doc 0
+        # first, then doc 2 (marginal 3) over doc 1 (marginal 0).
+        rows = [
+            (0, "a b c d e f", "en", "s", 11),
+            (1, "a b c d", "en", "s", 7),
+            (2, "x y z w", "en", "s", 7),
+        ]
+        out = sorted(
+            pl.coverage_greedy_selection(_docs(spark, rows), k=3).collect(),
+            key=lambda r: r.sel_rank,
+        )
+        assert [r.doc_id for r in out[:2]] == [0, 2]
+        assert out[0].marginal_gain == 4 and out[1].marginal_gain == 2
+        # doc 1 contributes zero new grams -> saturated corpus ends early
+        assert len(out) == 2
+        assert out[1].covered_grams == 6 and out[1].coverage_pct == 1.0
+
+    def test_tie_breaks_to_smallest_doc_id(self, spark):
+        rows = [
+            (5, "p q r s", "en", "s", 7),
+            (3, "m n o t", "en", "s", 7),
+        ]
+        out = sorted(
+            pl.coverage_greedy_selection(_docs(spark, rows), k=2).collect(),
+            key=lambda r: r.sel_rank,
+        )
+        assert [r.doc_id for r in out] == [3, 5]
