@@ -9976,3 +9976,99 @@ def band_join_parts(part: DataFrame, delta: float = 0.25) -> DataFrame:
             ),
         )
     )
+
+
+#: Abramowitz–Stegun 26.2.17 normal-tail coefficients, shared verbatim with
+#: the DuckDB oracle (registry embeds repr() of these same floats so both
+#: engines evaluate an identical expression tree).
+AS_NORMAL_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978,
+               1.330274429)
+AS_NORMAL_P = 0.2316419
+INV_SQRT_2PI = 0.3989422804014327
+#: Binomial null for the hour-of-day uniformity probe: p0 = 1/24.
+BH_P0 = 1.0 / 24.0
+BH_VARF = BH_P0 * (1.0 - BH_P0)
+
+
+def _normal_upper_tail(az):
+    """1 - Φ(az) for az ≥ 0 via A&S 26.2.17 (|error| < 7.5e-8), written in
+    Horner form so the oracle's identically-parenthesized SQL reproduces
+    the same IEEE evaluation order."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(AS_NORMAL_P) * az)
+    b1, b2, b3, b4, b5 = AS_NORMAL_B
+    poly = t * (
+        F.lit(b1)
+        + t * (F.lit(b2) + t * (F.lit(b3) + t * (F.lit(b4) + t * F.lit(b5))))
+    )
+    return F.lit(INV_SQRT_2PI) * F.exp(-(az * az) / F.lit(2.0)) * poly
+
+
+def bh_fdr(events: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a battery of m = |types|×24
+    hour-of-day uniformity tests: for each (event_type, hour) cell, a
+    binomial z-test of the observed count against the uniform 1/24 share
+    of that type's events, p-values via the A&S normal-tail polynomial,
+    then the BH step-up rule (reject all hypotheses ranked ≤ the largest
+    i with p_(i) ≤ iα/m) — the multiple-testing correction any metrics
+    platform needs before reading 120 simultaneous "is this hour hot?"
+    probes.
+
+    Cross-engine exactness: counts are exact integers; z is one IEEE
+    (obs−np₀)/√(np₀q₀) rounded to 6dp BEFORE the tail evaluation, the
+    tail polynomial is Horner-form with literal coefficients embedded
+    verbatim in both engines, and p is rounded to 6dp before the BH
+    compare — so rank order and the cutoff comparison are pure functions
+    of the table. Ranking ties (equal 6dp p) break on (type, hour).
+
+    Scale: one (type, hour) partial aggregate — 120 rows out of any
+    event volume — then windows over that control-plane-sized frame.
+    """
+    cells = events.groupBy(
+        F.col("event_type"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    wt = Window.partitionBy("event_type")
+    cells = cells.withColumn(
+        "n_type", F.sum("obs").over(wt).cast("bigint")
+    )
+    n = F.col("n_type").cast("double")
+    z = F.round(
+        (F.col("obs").cast("double") - n * F.lit(BH_P0))
+        / F.sqrt(n * F.lit(BH_VARF)),
+        6,
+    )
+    cells = cells.withColumn("z_score", z)
+    az = F.abs(F.col("z_score"))
+    pval = F.round(
+        F.least(F.lit(1.0), F.lit(2.0) * _normal_upper_tail(az)), 6
+    )
+    cells = cells.withColumn("p_value", pval)
+    wr = Window.orderBy("p_value", "event_type", "hod")
+    wall = Window.partitionBy()
+    cells = (
+        cells.withColumn("p_rank", F.row_number().over(wr))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "bh_cutoff",
+            F.round(
+                F.lit(alpha) * F.col("p_rank").cast("double")
+                / F.col("m").cast("double"),
+                6,
+            ),
+        )
+    )
+    max_pass = F.max(
+        F.when(F.col("p_value") <= F.col("bh_cutoff"), F.col("p_rank"))
+    ).over(wall)
+    return cells.select(
+        "event_type",
+        "hod",
+        "n_type",
+        "obs",
+        "z_score",
+        "p_value",
+        "p_rank",
+        "bh_cutoff",
+        (F.col("p_rank") <= F.coalesce(max_pass, F.lit(0)))
+        .cast("int")
+        .alias("significant"),
+    )

@@ -12878,6 +12878,72 @@ def q_coverage_greedy_selection(spark, sf_dir):
     return pl.coverage_greedy_selection(load_table(spark, sf_dir, "documents"))
 
 
+# Benjamini–Hochberg FDR battery: the A&S normal-tail constants are embedded
+# via repr() of the SAME Python floats the Spark side uses, so both engines
+# parse identical literals and evaluate an identically-parenthesized tree.
+_BH_B1, _BH_B2, _BH_B3, _BH_B4, _BH_B5 = (repr(x) for x in rel.AS_NORMAL_B)
+
+
+@register(
+    "bh_fdr",
+    f"""
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    typed AS (
+      SELECT event_type, hod, obs,
+             CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_type
+      FROM cells
+    ),
+    zed AS (
+      SELECT *,
+             ROUND((CAST(obs AS DOUBLE)
+                    - CAST(n_type AS DOUBLE) * {rel.BH_P0!r})
+                   / sqrt(CAST(n_type AS DOUBLE) * {rel.BH_VARF!r}), 6)
+               AS z_score
+      FROM typed
+    ),
+    tt AS (
+      SELECT *, abs(z_score) AS az,
+             1.0 / (1.0 + {rel.AS_NORMAL_P!r} * abs(z_score)) AS t
+      FROM zed
+    ),
+    pv AS (
+      SELECT event_type, hod, n_type, obs, z_score,
+             ROUND(LEAST(1.0, 2.0 * ({rel.INV_SQRT_2PI!r}
+               * exp(-(az * az) / 2.0)
+               * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3}
+                  + t * ({_BH_B4} + t * {_BH_B5}))))))), 6) AS p_value
+      FROM tt
+    ),
+    rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p_value, event_type, hod)
+               AS p_rank,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    ct AS (
+      SELECT *,
+             ROUND(0.05 * CAST(p_rank AS DOUBLE) / CAST(m AS DOUBLE), 6)
+               AS bh_cutoff
+      FROM rk
+    )
+    SELECT event_type, hod, n_type, obs, z_score, p_value, p_rank,
+           bh_cutoff,
+           CAST(p_rank <= COALESCE(
+             MAX(CASE WHEN p_value <= bh_cutoff THEN p_rank END) OVER (),
+             0) AS INTEGER) AS significant
+    FROM ct
+    """,
+)
+def q_bh_fdr(spark, sf_dir):
+    return rel.bh_fdr(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -13020,6 +13086,7 @@ _VERIFY_FIRST = [
     # --- round-7 additions are inserted here as they land ---
     "dsir_selection",
     "coverage_greedy_selection",
+    "bh_fdr",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -87,3 +87,39 @@ class TestCoverageGreedy:
             key=lambda r: r.sel_rank,
         )
         assert [r.doc_id for r in out] == [3, 5]
+
+
+class TestBhFdr:
+    def test_planted_hot_hour_rejected_uniform_not(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        eid = 0
+        # type "hot": 240 events in hour 3, 10 in every other hour
+        for h in range(24):
+            for i in range(240 if h == 3 else 10):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i), 1,
+                             "hot", 0.0))
+                eid += 1
+        # type "flat": exactly uniform, 10 per hour
+        for h in range(24):
+            for i in range(10):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i), 2,
+                             "flat", 0.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        out = {(r.event_type, r.hod): r for r in rel.bh_fdr(ev).collect()}
+        assert len(out) == 48
+        assert out[("hot", 3)].significant == 1
+        assert out[("hot", 3)].p_rank == 1
+        assert all(r.significant == 0 for k, r in out.items()
+                   if k[0] == "flat")
+        # p-values are valid probabilities and ranks are a permutation
+        assert all(0.0 <= r.p_value <= 1.0 for r in out.values())
+        assert sorted(r.p_rank for r in out.values()) == list(range(1, 49))
