@@ -4311,26 +4311,12 @@ def entity_resolution(part: DataFrame, max_dist: int = 3) -> DataFrame:
     )
 
 
-def kaplan_meier_churn(
-    orders: DataFrame, churn_gap_days: int = 90
-) -> DataFrame:
-    """Kaplan–Meier survival curve for customer retention: time from a
-    customer's first order to churn (last order ≥ ``churn_gap_days``
-    before the observation-window end), right-censored at the window end
-    for still-active customers — the estimator behind every retention
-    curve with incomplete observation.
-
-    Grid: one row per 30-day duration bucket t with d (churn events),
-    c (censored), n at risk (standard life-table form; n falls by d+c
-    at each step). Survival S(t) = Π_{j≤t} (1 - d_j/n_j), computed as a
-    per-step-rounded left fold over the time-ordered factor list
-    (round(acc·f, 6) each step — the EWMA/BPE cross-engine-exact
-    recurrence discipline: window/product aggregation order is
-    engine-internal, an explicit fold is not). The grid is tiny (≤ the
-    duration range in months) so the one-row collect_list + O(k²)
-    prefix folds are driver-free and cheap; everything before the grid
-    is one per-customer shuffle.
-    """
+def _life_table_grid(orders: DataFrame, churn_gap_days: int) -> DataFrame:
+    """Shared life-table grid for the survival estimators (Kaplan–Meier
+    product-limit, Nelson–Aalen cumulative hazard): one row per 30-day
+    duration bucket t with d (churn events), c (censored), n_risk (at
+    risk; falls by d+c per step). One per-customer shuffle; the grid is
+    duration-range-sized."""
     per_cust = orders.groupBy("o_custkey").agg(
         F.min(F.to_date("o_orderdate")).alias("first_d"),
         F.max(F.to_date("o_orderdate")).alias("last_d"),
@@ -4360,7 +4346,7 @@ def kaplan_meier_churn(
         .join(F.broadcast(n_total))
     )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    grid = grid.select(
+    return grid.select(
         "t",
         "d",
         "c",
@@ -4369,6 +4355,29 @@ def kaplan_meier_churn(
             - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
         ).alias("n_risk"),
     )
+
+
+def kaplan_meier_churn(
+    orders: DataFrame, churn_gap_days: int = 90
+) -> DataFrame:
+    """Kaplan–Meier survival curve for customer retention: time from a
+    customer's first order to churn (last order ≥ ``churn_gap_days``
+    before the observation-window end), right-censored at the window end
+    for still-active customers — the estimator behind every retention
+    curve with incomplete observation.
+
+    Grid: one row per 30-day duration bucket t with d (churn events),
+    c (censored), n at risk (standard life-table form; n falls by d+c
+    at each step). Survival S(t) = Π_{j≤t} (1 - d_j/n_j), computed as a
+    per-step-rounded left fold over the time-ordered factor list
+    (round(acc·f, 6) each step — the EWMA/BPE cross-engine-exact
+    recurrence discipline: window/product aggregation order is
+    engine-internal, an explicit fold is not). The grid is tiny (≤ the
+    duration range in months) so the one-row collect_list + O(k²)
+    prefix folds are driver-free and cheap; everything before the grid
+    is one per-customer shuffle.
+    """
+    grid = _life_table_grid(orders, churn_gap_days)
     factor = F.round(
         F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"), 6
     )
@@ -10071,4 +10080,41 @@ def bh_fdr(events: DataFrame, alpha: float = 0.05) -> DataFrame:
         (F.col("p_rank") <= F.coalesce(max_pass, F.lit(0)))
         .cast("int")
         .alias("significant"),
+    )
+
+
+def nelson_aalen_churn(
+    orders: DataFrame, churn_gap_days: int = 90
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the same customer
+    life-table grid as :func:`kaplan_meier_churn`: H(t) = Σ_{j≤t} d_j/n_j
+    with the Klein variance Σ d_j/n_j² — the additive twin of the
+    product-limit curve, preferred when hazards get compared or fed to a
+    proportional-hazards fit.
+
+    Cross-engine exactness is SIMPLER than KM's fold: each increment is
+    rounded to 6dp and the cumulative sum runs over DECIMAL(18,6) — and
+    decimal addition is exact and order-independent, so a plain window
+    cumulative sum replaces the per-step-rounded product fold.
+
+    Scale: identical to KM — one per-customer shuffle, then windows over
+    the duration-range-sized grid.
+    """
+    grid = _life_table_grid(orders, churn_gap_days)
+    inc = F.round(
+        F.col("d").cast("double") / F.col("n_risk"), 6
+    ).cast("decimal(18,6)")
+    inc_var = F.round(
+        F.col("d").cast("double")
+        / (F.col("n_risk").cast("double") * F.col("n_risk")),
+        6,
+    ).cast("decimal(18,6)")
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        F.col("t").alias("t_months"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        F.sum(inc).over(wc).cast("double").alias("cum_hazard"),
+        F.sum(inc_var).over(wc).cast("double").alias("cum_hazard_var"),
     )

@@ -12944,6 +12944,58 @@ def q_bh_fdr(spark, sf_dir):
     return rel.bh_fdr(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "nelson_aalen",
+    # Same life-table grid as kaplan_meier_churn; the cumulative hazard is
+    # a window SUM over 6dp-rounded DECIMAL increments (exact, order-free).
+    """
+    WITH pc AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    we AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS wend FROM orders),
+    dur AS (
+      SELECT CASE WHEN date_diff('day', last_d, wend) > 90
+                  THEN 1 ELSE 0 END AS ev,
+             CAST(FLOOR(CASE WHEN date_diff('day', last_d, wend) > 90
+                        THEN date_diff('day', first_d, last_d)
+                        ELSE date_diff('day', first_d, wend)
+                        END / 30.0) AS BIGINT) AS t
+      FROM pc, we
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dur),
+    grid AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM dur GROUP BY t
+    ),
+    g2 AS (
+      SELECT t, d, c,
+             CAST(n_total - COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM grid, nt
+    )
+    SELECT t AS t_months, n_risk AS n_at_risk, d AS d_churned,
+           c AS c_censored,
+           CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 6)
+                         AS DECIMAL(18,6))) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cum_hazard,
+           CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE)
+                               / (CAST(n_risk AS DOUBLE) * n_risk), 6)
+                         AS DECIMAL(18,6))) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cum_hazard_var
+    FROM g2
+    """,
+)
+def q_nelson_aalen(spark, sf_dir):
+    return rel.nelson_aalen_churn(load_table(spark, sf_dir, "orders"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -13087,6 +13139,7 @@ _VERIFY_FIRST = [
     "dsir_selection",
     "coverage_greedy_selection",
     "bh_fdr",
+    "nelson_aalen",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
