@@ -10118,3 +10118,118 @@ def nelson_aalen_churn(
         F.sum(inc).over(wc).cast("double").alias("cum_hazard"),
         F.sum(inc_var).over(wc).cast("double").alias("cum_hazard_var"),
     )
+
+
+def yule_walker_ar2(events: DataFrame) -> DataFrame:
+    """AR(2) fit per event type via the Yule–Walker equations on the
+    ZERO-FILLED hourly count series (dense grid between each type's
+    first and last hour, the matrix_profile_hourly grid) — the classic
+    "how persistent is this metric?" autoregression behind capacity
+    forecasts and anomaly baselines.
+
+    Exact integer lattice: with S = Σx, the scaled autocovariance
+    L_k = N²·Σ x_t·x_{t+k} − N·S·(A_k + B_k) + (N−k)·S²  (A_k/B_k the
+    head/tail partial sums) equals N³·c_k exactly, carried in
+    DECIMAL(38,0) so the N³ scaling cancels in every ratio:
+    r_k = L_k/L_0, φ₁ = L_1(L_0−L_2)/(L_0²−L_1²),
+    φ₂ = (L_2·L_0 − L_1²)/(L_0²−L_1²) — each ONE double division of
+    exact decimals, rounded to 6dp. σ² recomputes from the same raw
+    double ratios with an identically-parenthesized tree in the oracle.
+
+    Scale: the dense grid is time-range-bounded (not event-bounded);
+    one (type, hour) partial aggregate reduces any event volume to grid
+    rows, then per-type windows and a grid-sized final aggregate.
+    """
+    counted = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    grid = (
+        counted.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = grid.join(counted, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    wd = Window.partitionBy("event_type").orderBy(F.desc("hour"))
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(wd).alias("rnd"),
+        F.lead("x", 1).over(w).alias("xn1"),
+        F.lead("x", 2).over(w).alias("xn2"),
+    )
+
+    def d19(c):
+        return c.cast("decimal(19,0)")
+
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(d19(F.col("x")) * d19(F.col("x"))).alias("sxx"),
+        F.sum(d19(F.col("x")) * d19(F.col("xn1"))).alias("sp1"),
+        F.sum(d19(F.col("x")) * d19(F.col("xn2"))).alias("sp2"),
+        F.sum(F.when(F.col("rn") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("rn") <= 2, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+        F.sum(F.when(F.col("rnd") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("l1"),
+        F.sum(F.when(F.col("rnd") <= 2, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("l2"),
+    )
+    n = d19(F.col("n_hours"))
+    s = d19(F.col("s"))
+    lat0 = n * n * F.col("sxx") - n * s * s
+    lat1 = (
+        n * n * F.col("sp1")
+        - n * s * (s - F.col("l1") + s - F.col("f1")).cast("decimal(19,0)")
+        + (n - 1) * s * s
+    )
+    lat2 = (
+        n * n * F.col("sp2")
+        - n * s * (s - F.col("l2") + s - F.col("f2")).cast("decimal(19,0)")
+        + (n - 2) * s * s
+    )
+    lt = agg.where(F.col("n_hours") >= 3).select(
+        "event_type",
+        "n_hours",
+        lat0.alias("lat0"),
+        lat1.alias("lat1"),
+        lat2.alias("lat2"),
+    ).where(F.col("lat0") != 0)
+    l0 = F.col("lat0").cast("double")
+    l1_ = F.col("lat1").cast("double")
+    l2_ = F.col("lat2").cast("double")
+    nd = F.col("n_hours").cast("double")
+    r1_raw = l1_ / l0
+    r2_raw = l2_ / l0
+    c0_raw = l0 / (nd * nd * nd)
+    den = l0 * l0 - l1_ * l1_
+    phi1_raw = l1_ * (l0 - l2_) / den
+    phi2_raw = (l2_ * l0 - l1_ * l1_) / den
+    return lt.select(
+        "event_type",
+        "n_hours",
+        F.round(c0_raw, 6).alias("c0"),
+        F.round(r1_raw, 6).alias("r1"),
+        F.round(r2_raw, 6).alias("r2"),
+        F.round(phi1_raw, 6).alias("phi1"),
+        F.round(phi2_raw, 6).alias("phi2"),
+        F.round(
+            c0_raw
+            * (F.lit(1.0) - phi1_raw * r1_raw - phi2_raw * r2_raw),
+            6,
+        ).alias("sigma2"),
+    )

@@ -12996,6 +12996,90 @@ def q_nelson_aalen(spark, sf_dir):
     return rel.nelson_aalen_churn(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "yule_walker_ar2",
+    # Exact HUGEINT lattice (== Spark's DECIMAL(38,0)): L_k = N³·c_k, so
+    # every ratio cancels the scaling; doubles only in the final divisions.
+    """
+    WITH counted AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(hour), MAX(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM counted GROUP BY event_type
+    ),
+    hourly AS (
+      SELECT g.event_type, g.hour, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counted c
+        ON g.event_type = c.event_type AND g.hour = c.hour
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER w AS rn,
+             ROW_NUMBER() OVER wd AS rnd,
+             LEAD(x, 1) OVER w AS xn1,
+             LEAD(x, 2) OVER w AS xn2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour),
+             wd AS (PARTITION BY event_type ORDER BY hour DESC)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * xn1) AS HUGEINT) AS sp1,
+             CAST(SUM(CAST(x AS HUGEINT) * xn2) AS HUGEINT) AS sp2,
+             CAST(SUM(CASE WHEN rn = 1 THEN x ELSE 0 END) AS HUGEINT)
+               AS f1,
+             CAST(SUM(CASE WHEN rn <= 2 THEN x ELSE 0 END) AS HUGEINT)
+               AS f2,
+             CAST(SUM(CASE WHEN rnd = 1 THEN x ELSE 0 END) AS HUGEINT)
+               AS l1,
+             CAST(SUM(CASE WHEN rnd <= 2 THEN x ELSE 0 END) AS HUGEINT)
+               AS l2
+      FROM lagged GROUP BY event_type
+      HAVING COUNT(*) >= 3
+    ),
+    lat AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_hours, n,
+             n * n * sxx - n * s * s AS lat0,
+             n * n * sp1 - n * s * ((s - l1) + (s - f1))
+               + (n - 1) * s * s AS lat1,
+             n * n * sp2 - n * s * ((s - l2) + (s - f2))
+               + (n - 2) * s * s AS lat2
+      FROM agg
+    ),
+    dd AS (
+      SELECT event_type, n_hours,
+             CAST(lat0 AS DOUBLE) AS l0,
+             CAST(lat1 AS DOUBLE) AS l1,
+             CAST(lat2 AS DOUBLE) AS l2,
+             CAST(n AS DOUBLE) AS nd
+      FROM lat WHERE lat0 <> 0
+    )
+    SELECT event_type, n_hours,
+           ROUND(l0 / (nd * nd * nd), 6) AS c0,
+           ROUND(l1 / l0, 6) AS r1,
+           ROUND(l2 / l0, 6) AS r2,
+           ROUND(l1 * (l0 - l2) / (l0 * l0 - l1 * l1), 6) AS phi1,
+           ROUND((l2 * l0 - l1 * l1) / (l0 * l0 - l1 * l1), 6) AS phi2,
+           ROUND((l0 / (nd * nd * nd))
+                 * (1.0 - (l1 * (l0 - l2) / (l0 * l0 - l1 * l1))
+                          * (l1 / l0)
+                        - ((l2 * l0 - l1 * l1) / (l0 * l0 - l1 * l1))
+                          * (l2 / l0)), 6) AS sigma2
+    FROM dd
+    """,
+)
+def q_yule_walker_ar2(spark, sf_dir):
+    return rel.yule_walker_ar2(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -13140,6 +13224,7 @@ _VERIFY_FIRST = [
     "coverage_greedy_selection",
     "bh_fdr",
     "nelson_aalen",
+    "yule_walker_ar2",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
