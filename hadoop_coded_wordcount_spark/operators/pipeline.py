@@ -1080,3 +1080,111 @@ def coverage_greedy_selection(
         "sel_rank int, doc_id bigint, marginal_gain bigint, "
         "covered_grams bigint, coverage_pct double",
     )
+
+
+def doremi_weights(
+    documents: DataFrame,
+    eta: float = 1.0,
+    smoothing: float = 0.05,
+    iters: int = 5,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., NeurIPS 2023, the
+    Group-DRO recipe): per-source excess loss drives ``iters`` rounds of
+    exponentiated-gradient updates on the domain mixture weights, mixed
+    with a uniform smoothing floor — the "which domains should the next
+    epoch over-sample?" knob of a pretraining pipeline. The loss proxy
+    is each source's mean token NLL under the corpus unigram LM
+    (add-one smoothing), standing in for the per-domain proxy-model
+    excess loss.
+
+    Cross-engine exactness: the per-word NLL is one ln() of exact
+    integers rounded to 6dp, per-source sums ride DECIMAL(28,6), and
+    ℓ_s rounds to 6dp. The fixed point then runs DRIVER-SIDE on the
+    |sources|-row frame (control-plane class, the markov precedent) in
+    integer micro-units: per-round mixture loss m = Σ round(w·ℓ, 6) is
+    integer-exact half-up (picos + 5e5 // 1e6), the exp() argument and
+    the weight updates reproduce the oracle's double expression tree
+    term for term, and every stored quantity re-rounds to 6dp, so the
+    DuckDB unrolled-round replay matches bit for bit.
+
+    Scale: one tokenize pass → vocabulary-bounded (word, count) →
+    per-source decimal sums; the iteration state is |sources| rows, a
+    constant, regardless of corpus size.
+    """
+    import math
+
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    def _cround(x: float) -> int:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+
+    spark = documents.sparkSession
+    ex = (
+        ensure_parallelism(documents.select("source", "text"))
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    vocab = ex.groupBy("word").agg(F.sum("cnt").cast("bigint").alias("c"))
+    totals = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("c").cast("bigint").alias("t"),
+    )
+    lam = F.round(
+        F.log(
+            (F.col("t") + F.col("v")).cast("double")
+            / (F.col("c") + 1).cast("double")
+        ),
+        6,
+    )
+    model = vocab.join(F.broadcast(totals)).select("word", lam.alias("lam"))
+    srcs = (
+        ex.join(F.broadcast(model), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("cnt").cast("double") * F.col("lam"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("s").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ell"),
+        )
+        .collect()
+    )
+    ex.unpersist()
+    k = len(srcs)
+    l_u = {r.source: _cround(r.ell * 1e6) for r in srcs}
+    n_tok = {r.source: r.n_tokens for r in srcs}
+    w_u = {s: _cround(1e6 / k) for s in l_u}
+    for _ in range(iters):
+        m_u = sum((w_u[s] * l_u[s] + 500000) // 1000000 for s in w_u)
+        e = {s: math.exp(eta * ((l_u[s] - m_u) / 1e6)) for s in w_u}
+        u_u = {s: _cround((w_u[s] / 1e6) * e[s] * 1e6) for s in w_u}
+        z_u = sum(u_u.values())
+        w_u = {
+            s: _cround(
+                (
+                    (1.0 - smoothing) * ((u_u[s] / 1e6) / (z_u / 1e6))
+                    + smoothing / k
+                )
+                * 1e6
+            )
+            for s in w_u
+        }
+    rows = [
+        (s, n_tok[s], l_u[s] / 1e6, w_u[s] / 1e6) for s in sorted(l_u)
+    ]
+    return spark.createDataFrame(
+        rows, "source string, n_tokens bigint, ell double, weight double"
+    )

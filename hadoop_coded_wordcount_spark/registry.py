@@ -13080,6 +13080,81 @@ def q_yule_walker_ar2(spark, sf_dir):
     return rel.yule_walker_ar2(load_table(spark, sf_dir, "events"))
 
 
+def _doremi_oracle(
+    eta: float = 1.0, smoothing: float = 0.05, iters: int = 5
+) -> str:
+    """Unrolled exponentiated-gradient replay of doremi_weights: one
+    (m, u, z, w) CTE quartet per round over the |sources|-row state.
+    All decimal steps are exact (micro-unit half-up == the driver-side
+    integer arithmetic); doubles appear only in the exp()/division
+    terms, with the same expression tree the Python loop evaluates."""
+    parts = [
+        """ex AS MATERIALIZED (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY source, word
+    )""",
+        """v AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS c
+           FROM ex GROUP BY word)""",
+        """tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs,
+                  CAST(SUM(c) AS BIGINT) AS t FROM v)""",
+        """model AS (SELECT word,
+                    ROUND(ln(CAST(t + vs AS DOUBLE)
+                             / CAST(c + 1 AS DOUBLE)), 6) AS lam
+             FROM v CROSS JOIN tot)""",
+        """srcs AS MATERIALIZED (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) * lam, 6)
+                                       AS DECIMAL(28,6))) AS DOUBLE)
+                        / CAST(SUM(cnt) AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS l
+      FROM ex JOIN model USING (word) GROUP BY source
+    )""",
+        "kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kd FROM srcs)",
+        """w0 AS MATERIALIZED (
+      SELECT source, n_tokens, l,
+             CAST(ROUND(1.0 / kd, 6) AS DECIMAL(18,6)) AS w
+      FROM srcs CROSS JOIN kk
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT SUM(CAST(ROUND(w * l, 6)"
+            f" AS DECIMAL(18,6))) AS m FROM w{i - 1})"
+        )
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT source, n_tokens, l,"
+            f" CAST(ROUND(CAST(w AS DOUBLE)"
+            f" * exp({eta!r} * CAST(l - m AS DOUBLE)), 6)"
+            f" AS DECIMAL(18,6)) AS u FROM w{i - 1} CROSS JOIN m{i})"
+        )
+        parts.append(
+            f"z{i} AS (SELECT CAST(SUM(u) AS DECIMAL(18,6)) AS z"
+            f" FROM u{i})"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT source, n_tokens, l,"
+            f" CAST(ROUND({1.0 - smoothing!r}"
+            f" * (CAST(u AS DOUBLE) / CAST(z AS DOUBLE))"
+            f" + {smoothing!r} / kd, 6) AS DECIMAL(18,6)) AS w"
+            f" FROM u{i} CROSS JOIN z{i} CROSS JOIN kk)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT source, n_tokens, CAST(l AS DOUBLE) AS ell,"
+        f" CAST(w AS DOUBLE) AS weight FROM w{iters} ORDER BY source"
+    )
+
+
+@register("doremi_weights", _doremi_oracle())
+def q_doremi_weights(spark, sf_dir):
+    return pl.doremi_weights(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -13225,6 +13300,7 @@ _VERIFY_FIRST = [
     "bh_fdr",
     "nelson_aalen",
     "yule_walker_ar2",
+    "doremi_weights",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -123,3 +123,25 @@ class TestBhFdr:
         # p-values are valid probabilities and ranks are a permutation
         assert all(0.0 <= r.p_value <= 1.0 for r in out.values())
         assert sorted(r.p_rank for r in out.values()) == list(range(1, 49))
+
+
+class TestDoremiWeights:
+    def test_rare_vocab_domain_upweighted(self, spark):
+        # "hard" uses rare tokens (high NLL under the corpus unigram LM);
+        # "easy" repeats the corpus-dominant token. DoReMi must push
+        # weight above uniform for hard, below for easy, and keep the
+        # smoothing floor.
+        common = "the the the the the the the the"
+        rows = [
+            *[(i, common, "en", "easy", 30) for i in range(6)],
+            (10, "qqq www rrr sss ttt uuu vvv xxx", "en", "hard", 30),
+        ]
+        out = {r.source: r for r in
+               pl.doremi_weights(_docs(spark, rows)).collect()}
+        assert set(out) == {"easy", "hard"}
+        assert out["hard"].ell > out["easy"].ell
+        assert out["hard"].weight > 0.5 > out["easy"].weight
+        floor = 0.05 / 2
+        assert out["easy"].weight >= floor
+        s = out["easy"].weight + out["hard"].weight
+        assert abs(s - 1.0) < 0.01  # smoothing mix keeps ~normalized
