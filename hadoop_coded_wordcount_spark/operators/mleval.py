@@ -1366,3 +1366,101 @@ def cohens_kappa(documents: DataFrame, tok_threshold: int = 60) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def psm_caliper_match(
+    customer: DataFrame, orders: DataFrame, caliper: float = 0.05
+) -> DataFrame:
+    """Propensity-score matching with a caliper: treat AUTOMOBILE-segment
+    customers as the "exposed" cohort, score everyone by the
+    percent-rank of account balance within their nation (the balancing
+    score a fitted propensity model would supply), match each treated
+    customer to its nearest control score in the SAME nation (exact
+    blocking, matching WITH replacement), drop pairs outside the
+    caliper, and report the per-nation ATT on total order spend — the
+    observational-causal workhorse when randomization isn't available.
+
+    Nearest-neighbor search is the 1-D sort trick, not a band join: one
+    window pass over the nation-blocked union ordered by (score,
+    custkey) carries last-control-before / first-control-after, so
+    candidate volume is O(n log n) at any block size (the asof-join
+    shape). Ties on distance take the lower-score (previous) control;
+    equal scores order by custkey — fully deterministic both engines.
+
+    Exactness: percent_rank is (rank−1)/(n−1), one IEEE divide, rounded
+    6dp; spend sums ride DECIMAL(18,2); ATT is one decimal-sum / count
+    divide rounded 6dp.
+    """
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    wpr = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    scored = (
+        customer.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("treated"),
+        )
+        .withColumn("score", F.round(F.percent_rank().over(wpr), 6))
+        .join(
+            spend.withColumnRenamed("o_custkey", "c_custkey"),
+            "c_custkey",
+            "left",
+        )
+        .withColumn(
+            "spend",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")),
+        )
+    )
+    ctrl_score = F.when(~F.col("treated"), F.col("score"))
+    ctrl_key = F.when(~F.col("treated"), F.col("c_custkey"))
+    ctrl_spend = F.when(~F.col("treated"), F.col("spend"))
+    wb = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("score", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("score", "c_custkey")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ranked = scored.select(
+        "c_nationkey",
+        "c_custkey",
+        "treated",
+        "score",
+        "spend",
+        F.last(ctrl_score, ignorenulls=True).over(wb).alias("ps"),
+        F.last(ctrl_key, ignorenulls=True).over(wb).alias("pk"),
+        F.last(ctrl_spend, ignorenulls=True).over(wb).alias("pv"),
+        F.first(ctrl_score, ignorenulls=True).over(wa).alias("ns"),
+        F.first(ctrl_key, ignorenulls=True).over(wa).alias("nk"),
+        F.first(ctrl_spend, ignorenulls=True).over(wa).alias("nv"),
+    ).where(F.col("treated"))
+    d_prev = F.abs(F.col("score") - F.col("ps"))
+    d_next = F.abs(F.col("ns") - F.col("score"))
+    take_prev = F.col("ps").isNotNull() & (
+        F.col("ns").isNull() | (d_prev <= d_next)
+    )
+    matched = ranked.select(
+        "c_nationkey",
+        "c_custkey",
+        "score",
+        "spend",
+        F.when(take_prev, F.col("ps")).otherwise(F.col("ns")).alias("ms"),
+        F.when(take_prev, F.col("pv")).otherwise(F.col("nv")).alias("mv"),
+    )
+    ok = F.col("ms").isNotNull() & (
+        F.abs(F.col("score") - F.col("ms")) <= caliper
+    )
+    return matched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.sum(ok.cast("int")).cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(F.when(ok, F.col("spend") - F.col("mv"))).cast("double")
+            / F.sum(ok.cast("int")).cast("double"),
+            6,
+        ).alias("att_spend"),
+    )

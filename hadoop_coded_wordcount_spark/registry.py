@@ -13155,6 +13155,70 @@ def q_doremi_weights(spark, sf_dir):
     return pl.doremi_weights(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "psm_caliper_match",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT c.c_custkey, c_nationkey,
+             (c_mktsegment = 'AUTOMOBILE') AS treated,
+             ROUND(PERCENT_RANK() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c.c_custkey), 6) AS score,
+             COALESCE(s.spend, CAST(0 AS DECIMAL(18,2))) AS spend
+      FROM customer c LEFT JOIN spend s USING (c_custkey)
+    ),
+    ranked AS (
+      SELECT c_nationkey, c_custkey, treated, score, spend,
+             LAST_VALUE(CASE WHEN NOT treated THEN score END IGNORE NULLS)
+               OVER wb AS ps,
+             LAST_VALUE(CASE WHEN NOT treated THEN spend END IGNORE NULLS)
+               OVER wb AS pv,
+             FIRST_VALUE(CASE WHEN NOT treated THEN score END IGNORE NULLS)
+               OVER wa AS ns,
+             FIRST_VALUE(CASE WHEN NOT treated THEN spend END IGNORE NULLS)
+               OVER wa AS nv
+      FROM scored
+      WINDOW wb AS (PARTITION BY c_nationkey ORDER BY score, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wa AS (PARTITION BY c_nationkey ORDER BY score, c_custkey
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    m AS (
+      SELECT c_nationkey, score, spend,
+             CASE WHEN ps IS NOT NULL
+                       AND (ns IS NULL OR abs(score - ps) <= abs(ns - score))
+                  THEN ps ELSE ns END AS ms,
+             CASE WHEN ps IS NOT NULL
+                       AND (ns IS NULL OR abs(score - ps) <= abs(ns - score))
+                  THEN pv ELSE nv END AS mv
+      FROM ranked WHERE treated
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(SUM(CASE WHEN ms IS NOT NULL AND abs(score - ms) <= 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           ROUND(CAST(SUM(CASE WHEN ms IS NOT NULL
+                               AND abs(score - ms) <= 0.05
+                               THEN spend - mv END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN ms IS NOT NULL
+                                 AND abs(score - ms) <= 0.05
+                                 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS att_spend
+    FROM m GROUP BY c_nationkey
+    """,
+)
+def q_psm_caliper_match(spark, sf_dir):
+    return ml.psm_caliper_match(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -13301,6 +13365,7 @@ _VERIFY_FIRST = [
     "nelson_aalen",
     "yule_walker_ar2",
     "doremi_weights",
+    "psm_caliper_match",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

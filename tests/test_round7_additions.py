@@ -145,3 +145,42 @@ class TestDoremiWeights:
         assert out["easy"].weight >= floor
         s = out["easy"].weight + out["hard"].weight
         assert abs(s - 1.0) < 0.01  # smoothing mix keeps ~normalized
+
+
+class TestPsmCaliperMatch:
+    def test_nearest_control_and_caliper(self, spark):
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        cust = spark.createDataFrame(
+            [
+                # nation 1: treated at score 0.5 (acctbal 50); controls at
+                # 0 (bal 10) and 1.0 (bal 90) equidistant -> tie takes the
+                # LOWER-score (prev) control.
+                (1, 1, 50.0, "AUTOMOBILE"),
+                (2, 1, 10.0, "BUILDING"),
+                (3, 1, 90.0, "BUILDING"),
+                # nation 2: lone treated, nearest control outside caliper
+                # by construction (scores 0 vs 1).
+                (4, 2, 5.0, "AUTOMOBILE"),
+                (5, 2, 99.0, "BUILDING"),
+            ],
+            "c_custkey bigint, c_nationkey bigint, c_acctbal double, "
+            "c_mktsegment string",
+        )
+        orders = spark.createDataFrame(
+            [(100, 1, 300.0), (101, 2, 100.0), (102, 3, 200.0)],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        )
+        out = {r.c_nationkey: r
+               for r in ml.psm_caliper_match(cust, orders).collect()}
+        # nation 1: tie -> matched to control 2 (spend 100); ATT = 200
+        # but caliper 0.05 < 0.5 distance -> unmatched. Use wide caliper.
+        out_wide = {r.c_nationkey: r
+                    for r in ml.psm_caliper_match(
+                        cust, orders, caliper=1.0).collect()}
+        n1 = out_wide[1]
+        assert n1.n_treated == 1 and n1.n_matched == 1
+        assert n1.att_spend == 200.0  # 300 (treated) - 100 (prev control)
+        # default caliper: both nations unmatched, ATT null
+        assert out[1].n_matched == 0 and out[1].att_spend is None
+        assert out[2].n_matched == 0 and out[2].att_spend is None
