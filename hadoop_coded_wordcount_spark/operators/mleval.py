@@ -1464,3 +1464,123 @@ def psm_caliper_match(
             6,
         ).alias("att_spend"),
     )
+
+
+def cox_ph_binary(
+    customer: DataFrame,
+    orders: DataFrame,
+    churn_gap_days: int = 90,
+    iters: int = 6,
+) -> DataFrame:
+    """Cox proportional-hazards fit (binary covariate, Breslow ties) on
+    customer churn: does the AUTOMOBILE segment churn at a different
+    hazard? The partial-likelihood Newton iteration needs only the
+    EVENT-TIME GRID — per 30-day bucket: churn count d_t, treated churn
+    count s1_t, and the at-risk counts n1_t/n0_t by group — so after one
+    per-customer shuffle the whole fit runs on a duration-range-sized
+    frame (control-plane class, the markov/doremi precedent), iterated
+    driver-side in integer micro-units.
+
+    Newton per round (β starts at 0, all stores 6dp):
+    p_t = n1·e^β/(n1·e^β+n0); U = S1 − Σ round(d·p, 6);
+    I = Σ round((d·p)(1−p), 6); β ← round(β + U/I, 6).
+    The DuckDB oracle replays the grid and every unrolled round with an
+    identically-parenthesized double tree, so the fit value-matches
+    bit for bit.
+    """
+    import math
+
+    def _cround(x: float) -> int:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+
+    spark = customer.sparkSession
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    wend = orders.agg(F.max(F.to_date("o_orderdate")).alias("wend"))
+    churned = F.datediff(F.col("wend"), F.col("last_d")) > churn_gap_days
+    durations = (
+        per_cust.join(F.broadcast(wend))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                (F.col("c_mktsegment") == "AUTOMOBILE")
+                .cast("int")
+                .alias("x"),
+            ),
+            "o_custkey",
+        )
+        .select(
+            "x",
+            churned.cast("int").alias("ev"),
+            F.floor(
+                F.when(
+                    churned, F.datediff("last_d", "first_d")
+                ).otherwise(F.datediff("wend", "first_d"))
+                / 30
+            ).alias("t"),
+        )
+    )
+    durations = durations.persist()
+    tot = durations.agg(
+        F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("tot1"),
+        F.coalesce(F.sum(1 - F.col("x")), F.lit(0))
+        .cast("bigint")
+        .alias("tot0"),
+    )
+    tot_row = tot.collect()[0]
+    cells = durations.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.col("ev") * F.col("x")).cast("bigint").alias("s1"),
+        F.sum("x").cast("bigint").alias("a1"),
+        F.sum(1 - F.col("x")).cast("bigint").alias("a0"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    grid = (
+        cells.join(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            "s1",
+            (
+                F.col("tot1")
+                - F.coalesce(F.sum("a1").over(wprev), F.lit(0))
+            ).alias("n1"),
+            (
+                F.col("tot0")
+                - F.coalesce(F.sum("a0").over(wprev), F.lit(0))
+            ).alias("n0"),
+            "tot1",
+            "tot0",
+        )
+        .where(F.col("d") > 0)
+        .collect()
+    )
+    durations.unpersist()
+    s1_tot = sum(r.s1 for r in grid)
+    d_tot = sum(r.d for r in grid)
+    tot1 = tot_row.tot1
+    tot0 = tot_row.tot0
+    b_u = 0
+    for _ in range(iters):
+        eb = math.exp(b_u / 1e6)
+        sdp_u = 0
+        sinfo_u = 0
+        for r in grid:
+            p = (r.n1 * eb) / (r.n1 * eb + r.n0)
+            sdp_u += _cround(r.d * p * 1e6)
+            sinfo_u += _cround((r.d * p) * (1.0 - p) * 1e6)
+        if sinfo_u == 0:
+            break
+        b_u = _cround(
+            (b_u / 1e6 + (s1_tot - sdp_u / 1e6) / (sinfo_u / 1e6)) * 1e6
+        )
+    beta = b_u / 1e6
+    hr_u = _cround(math.exp(beta) * 1e6)
+    return spark.createDataFrame(
+        [(beta, hr_u / 1e6, d_tot, s1_tot, tot1, tot0)],
+        "beta double, hazard_ratio double, n_events bigint, "
+        "s1_events bigint, n_treated bigint, n_control bigint",
+    )

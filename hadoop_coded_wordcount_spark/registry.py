@@ -13219,6 +13219,91 @@ def q_psm_caliper_match(spark, sf_dir):
     )
 
 
+def _cox_ph_oracle(iters: int = 6) -> str:
+    """Unrolled Newton replay of cox_ph_binary over the event-time grid:
+    per round one scalar (sdp, sinfo) aggregate and one β update, every
+    double expression parenthesized exactly as the driver-side loop."""
+    p_expr = (
+        "((n1 * exp(CAST(b AS DOUBLE)))"
+        " / (n1 * exp(CAST(b AS DOUBLE)) + n0))"
+    )
+    parts = [
+        """pc AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY o_custkey
+    )""",
+        "we AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS wend FROM orders)",
+        """dur AS (
+      SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS x,
+             CASE WHEN date_diff('day', last_d, wend) > 90
+                  THEN 1 ELSE 0 END AS ev,
+             CAST(FLOOR(CASE WHEN date_diff('day', last_d, wend) > 90
+                        THEN date_diff('day', first_d, last_d)
+                        ELSE date_diff('day', first_d, wend)
+                        END / 30.0) AS BIGINT) AS t
+      FROM pc, we, customer WHERE c_custkey = o_custkey
+    )""",
+        """tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tot1,
+                  CAST(SUM(1 - x) AS BIGINT) AS tot0 FROM dur)""",
+        """cells AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(ev * x) AS BIGINT) AS s1,
+             CAST(SUM(x) AS BIGINT) AS a1,
+             CAST(SUM(1 - x) AS BIGINT) AS a0
+      FROM dur GROUP BY t
+    )""",
+        """gf AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT t, d, s1,
+               CAST(tot1 - COALESCE(SUM(a1) OVER w, 0) AS BIGINT) AS n1,
+               CAST(tot0 - COALESCE(SUM(a0) OVER w, 0) AS BIGINT) AS n0
+        FROM cells CROSS JOIN tot
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+      ) WHERE d > 0
+    )""",
+        """s AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(s1), 0) AS BIGINT) AS s1_tot,
+             CAST(COALESCE(SUM(d), 0) AS BIGINT) AS d_tot FROM gf)""",
+        "b0 AS (SELECT CAST(0.0 AS DECIMAL(18,6)) AS b)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT"
+            f" SUM(CAST(ROUND(d * {p_expr}, 6) AS DECIMAL(18,6))) AS sdp,"
+            f" SUM(CAST(ROUND((d * {p_expr}) * (1 - {p_expr}), 6)"
+            f" AS DECIMAL(18,6))) AS sinfo,"
+            f" MAX(b) AS b FROM gf CROSS JOIN b{i - 1})"
+        )
+        parts.append(
+            f"b{i} AS (SELECT CASE WHEN sinfo IS NULL OR sinfo = 0"
+            f" THEN b ELSE CAST(ROUND(CAST(b AS DOUBLE)"
+            f" + (CAST(s1_tot AS DOUBLE) - CAST(sdp AS DOUBLE))"
+            f" / CAST(sinfo AS DOUBLE), 6) AS DECIMAL(18,6)) END AS b"
+            f" FROM n{i} CROSS JOIN s)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(b AS DOUBLE) AS beta,
+           ROUND(exp(CAST(b AS DOUBLE)), 6) AS hazard_ratio,
+           d_tot AS n_events, s1_tot AS s1_events,
+           tot1 AS n_treated, tot0 AS n_control
+    FROM b{iters} CROSS JOIN s CROSS JOIN tot"""
+    )
+
+
+@register("cox_ph_binary", _cox_ph_oracle())
+def q_cox_ph_binary(spark, sf_dir):
+    return ml.cox_ph_binary(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -13366,6 +13451,7 @@ _VERIFY_FIRST = [
     "yule_walker_ar2",
     "doremi_weights",
     "psm_caliper_match",
+    "cox_ph_binary",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -184,3 +184,52 @@ class TestPsmCaliperMatch:
         # default caliper: both nations unmatched, ATT null
         assert out[1].n_matched == 0 and out[1].att_spend is None
         assert out[2].n_matched == 0 and out[2].att_spend is None
+
+
+class TestCoxPh:
+    @staticmethod
+    def _frames(spark, treated_churns):
+        from datetime import date
+
+        cust, orders = [], []
+        okey = 0
+        for i in range(10):
+            # treated
+            cust.append((i, 0, 100.0, "AUTOMOBILE"))
+            okey += 1
+            orders.append((okey, i, 10.0, date(2024, 1, 1)))
+            if not treated_churns:
+                okey += 1
+                orders.append((okey, i, 10.0, date(2024, 12, 31)))
+            # control: active to window end
+            cust.append((100 + i, 0, 100.0, "BUILDING"))
+            okey += 1
+            orders.append((okey, 100 + i, 10.0, date(2024, 1, 1)))
+            okey += 1
+            orders.append((okey, 100 + i, 10.0, date(2024, 12, 31)))
+        c = spark.createDataFrame(
+            cust, "c_custkey bigint, c_nationkey bigint, c_acctbal double, "
+            "c_mktsegment string"
+        )
+        o = spark.createDataFrame(
+            orders, "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice double, o_orderdate date"
+        )
+        return c, o
+
+    def test_planted_hazard_detected(self, spark):
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        c, o = self._frames(spark, treated_churns=True)
+        row = ml.cox_ph_binary(c, o).collect()[0]
+        # all 10 treated churn (duration 0), all controls censored
+        assert row.n_events == 10 and row.s1_events == 10
+        assert row.beta > 1.0 and row.hazard_ratio > 3.0
+
+    def test_symmetric_null_stays_zero(self, spark):
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        c, o = self._frames(spark, treated_churns=False)
+        row = ml.cox_ph_binary(c, o).collect()[0]
+        assert row.n_events == 0 or row.beta == 0.0
+        assert row.n_treated == 10 and row.n_control == 10
