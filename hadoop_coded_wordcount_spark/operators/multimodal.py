@@ -131,6 +131,47 @@ def _png_header(b: bytes) -> dict | None:
     }
 
 
+def _gif_header(b: bytes) -> dict | None:
+    """Parse a GIF87a/89a logical-screen descriptor: width/height are
+    little-endian u16 right after the 6-byte signature; bit depth is the
+    color-resolution field of the packed byte (GIF89a spec §18)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    if width == 0 or height == 0:
+        return None
+    return {
+        "kind": "image/gif",
+        "width": width,
+        "height": height,
+        "channels": 1,  # palette-indexed
+        "bit_depth": ((packed >> 4) & 0x7) + 1,
+    }
+
+
+def _bmp_header(b: bytes) -> dict | None:
+    """Parse a BMP BITMAPINFOHEADER: signature 'BM', header size u32 at
+    offset 14 (≥40 for the INFO family), signed width/height and
+    bits-per-pixel little-endian (Windows BMP v3+)."""
+    if len(b) < 30 or b[:2] != b"BM":
+        return None
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    if width <= 0 or height == 0 or bpp == 0:
+        return None
+    return {
+        "kind": "image/bmp",
+        "width": width,
+        "height": abs(height),  # negative height = top-down rows
+        "channels": 3 if bpp >= 24 else 1,
+        "bit_depth": min(bpp, 8) if bpp < 24 else bpp // 3,
+    }
+
+
 #: JPEG frame markers carrying dimensions (SOF0-SOF15 minus DHT/JPG/DAC).
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
@@ -191,6 +232,9 @@ def decode_media(payload: bytes, media_type: str | None = None) -> dict:
     * PNG: width, height, channels, bit_depth from the IHDR chunk.
     * JPEG: width, height, channels, precision from the first SOFn
       segment — header walks only, no pixel codec involved.
+    * GIF: width, height, palette bit depth from the logical-screen
+      descriptor (GIF87a/89a).
+    * BMP: width, height, bits-per-pixel from BITMAPINFOHEADER.
 
     A real deployment extends the dispatch with PIL/ffmpeg PIXEL
     decoders; the mapInPandas plumbing in :func:`media_features` is
@@ -213,7 +257,8 @@ def decode_media(payload: bytes, media_type: str | None = None) -> dict:
                 }
         except (wave.Error, EOFError, struct.error):
             return {"kind": "opaque"}
-    for parse in (_netpbm_header, _png_header, _jpeg_header):
+    for parse in (_netpbm_header, _png_header, _jpeg_header,
+                  _gif_header, _bmp_header):
         img = parse(b)
         if img is not None:
             return img

@@ -276,3 +276,40 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     for bad in (4, 5, -1):
         with pytest.raises(ValueError, match="overlap"):
             pu.chunk_documents(docs, chunk_tokens=4, overlap=bad)
+
+
+def test_decode_media_gif_header():
+    import struct as _s
+
+    b = b"GIF89a" + _s.pack("<HH", 640, 480) + bytes([0b10100111, 0, 0])
+    d = mm.decode_media(b)
+    assert d == {
+        "kind": "image/gif",
+        "width": 640,
+        "height": 480,
+        "channels": 1,
+        "bit_depth": 3,  # color-resolution bits 0b010 + 1
+    }
+    assert mm.decode_media(b"GIF00a" + b"\x00" * 10) == {"kind": "opaque"}
+
+
+def test_decode_media_bmp_header():
+    import struct as _s
+
+    def bmp(width, height, bpp, hdr=40):
+        return (
+            b"BM"
+            + _s.pack("<IHHI", 0, 0, 0, 54)
+            + _s.pack("<Iii", hdr, width, height)
+            + _s.pack("<HH", 1, bpp)
+            + b"\x00" * 4
+        )
+
+    d = mm.decode_media(bmp(800, 600, 24))
+    assert (d["kind"], d["width"], d["height"], d["channels"],
+            d["bit_depth"]) == ("image/bmp", 800, 600, 3, 8)
+    # top-down BMP: negative height folds positive
+    assert mm.decode_media(bmp(10, -20, 8))["height"] == 20
+    assert mm.decode_media(bmp(10, -20, 8))["channels"] == 1
+    # BITMAPCOREHEADER (size 12) rejected -> opaque
+    assert mm.decode_media(bmp(10, 20, 8, hdr=12)) == {"kind": "opaque"}
