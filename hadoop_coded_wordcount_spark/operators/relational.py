@@ -10233,3 +10233,81 @@ def yule_walker_ar2(events: DataFrame) -> DataFrame:
             6,
         ).alias("sigma2"),
     )
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H test: do the event types draw their ``value``
+    from the same distribution? The k-group generalization of
+    mann_whitney — rank everything jointly (midranks for ties), compare
+    per-group rank sums, tie-correct — the nonparametric ANOVA a metrics
+    platform reaches for when normality is off the table.
+
+    Integer lattice: doubled midranks 2r = 2·(count below) + t + 1 are
+    exact integers per distinct value, per-group rank sums R2_g stay
+    BIGINT, and with H = 3·Σ R2_g²/n_g /(N(N+1)) − 3(N+1) the halves
+    cancel — R2² rides DECIMAL(38,0), each group term rounds to 6dp
+    into a DECIMAL(28,6) sum, and only the last few multiplies are
+    doubles with an oracle-identical tree. Tie mass Σ(t³−t) is exact
+    DECIMAL.
+
+    Scale: one (value → count) vocabulary-style aggregate carries the
+    whole ranking — the window walks DISTINCT values, not rows (swap in
+    the two-phase global-numbering shape past ~1e8 distincts); group
+    stats are a k-row frame.
+    """
+    vals = events.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    vals = vals.select(
+        "value",
+        "t",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(wv), F.lit(0))
+            + F.col("t")
+            + 1
+        ).alias("mr2"),
+    )
+    gv = events.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grp = (
+        gv.join(vals, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("mr2")).cast("bigint").alias("r2"),
+        )
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                (d19(F.col("r2")) * d19(F.col("r2"))).cast("double")
+                / F.col("n_g").cast("double"),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("s"),
+    )
+    ties = vals.agg(
+        F.sum(d19(F.col("t")) * d19(F.col("t")) * d19(F.col("t")) - d19(F.col("t")))
+        .cast("decimal(38,0)")
+        .alias("tm")
+    )
+    nd = F.col("n").cast("double")
+    h = (F.lit(3.0) * F.col("s").cast("double")) / (
+        nd * (nd + F.lit(1.0))
+    ) - F.lit(3.0) * (nd + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("tm").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return agg.join(F.broadcast(ties)).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(h / corr, 6).alias("h_adjusted"),
+    )

@@ -13296,6 +13296,65 @@ def _cox_ph_oracle(iters: int = 6) -> str:
     )
 
 
+@register(
+    "kruskal_wallis",
+    """
+    WITH vals AS (
+      SELECT value, CAST(COUNT(*) AS BIGINT) AS t
+      FROM events GROUP BY value
+    ),
+    mr AS (
+      SELECT value, t,
+             2 * COALESCE(SUM(t) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS mr2
+      FROM vals
+    ),
+    gv AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, value
+    ),
+    grp AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(c * mr2) AS BIGINT) AS r2
+      FROM gv JOIN mr USING (value) GROUP BY event_type
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(ROUND(CAST(CAST(r2 AS DECIMAL(19,0))
+                                 * CAST(r2 AS DECIMAL(19,0)) AS DOUBLE)
+                            / CAST(n_g AS DOUBLE), 6)
+                      AS DECIMAL(28,6))) AS s
+      FROM grp
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+                       * CAST(t AS DECIMAL(19,0)) - CAST(t AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS tm
+      FROM vals
+    )
+    SELECT n, k AS k_groups, CAST(k - 1 AS BIGINT) AS df,
+           ROUND((3.0 * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+           ROUND(1.0 - CAST(tm AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)), 6) AS tie_correction,
+           ROUND(((3.0 * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tm AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+             AS h_adjusted
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q_kruskal_wallis(spark, sf_dir):
+    return rel.kruskal_wallis(load_table(spark, sf_dir, "events"))
+
+
 @register("cox_ph_binary", _cox_ph_oracle())
 def q_cox_ph_binary(spark, sf_dir):
     return ml.cox_ph_binary(
@@ -13452,6 +13511,7 @@ _VERIFY_FIRST = [
     "doremi_weights",
     "psm_caliper_match",
     "cox_ph_binary",
+    "kruskal_wallis",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -233,3 +233,28 @@ class TestCoxPh:
         row = ml.cox_ph_binary(c, o).collect()[0]
         assert row.n_events == 0 or row.beta == 0.0
         assert row.n_treated == 10 and row.n_control == 10
+
+
+class TestKruskalWallis:
+    def test_hand_computed_tied_case(self, spark):
+        from datetime import datetime
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, t0, 1, "a", 1.0),
+                (2, t0, 1, "a", 1.0),
+                (3, t0, 1, "b", 2.0),
+                (4, t0, 1, "b", 2.0),
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        )
+        row = rel.kruskal_wallis(ev).collect()[0]
+        # midranks 1.5/1.5/3.5/3.5 -> H = 2.4; ties: C = 1-12/60 = 0.8
+        assert row.n == 4 and row.k_groups == 2 and row.df == 1
+        assert row.h_stat == 2.4
+        assert row.tie_correction == 0.8
+        assert row.h_adjusted == 3.0
