@@ -1584,3 +1584,95 @@ def cox_ph_binary(
         "beta double, hazard_ratio double, n_events bigint, "
         "s1_events bigint, n_treated bigint, n_control bigint",
     )
+
+
+def als_rank1(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    lam: float = 0.1,
+    rounds: int = 3,
+) -> DataFrame:
+    """Rank-1 ALS on the customer×brand purchase-count matrix — the
+    in-engine skeleton of collaborative filtering: alternate closed-form
+    least-squares solves u_c = Σr·v/(λ+Σv²) and v_b = Σr·u/(λ+Σu²)
+    over OBSERVED cells only, ``rounds`` times from v≡1.
+
+    Cross-engine exactness with NO per-term rounding: counts are BIGINT
+    and factors DECIMAL(18,6), so every product r·v and v² is an exact
+    decimal and the per-entity sums are exact DECIMAL(38,·); each solve
+    is then ONE double division rounded to 6dp. The λ ridge keeps
+    denominators positive.
+
+    Scale: the ratings table shuffles once per solve on its natural key
+    (customer resp. brand — the same equi-join ALS runs on a cluster);
+    the brand factor is a 25-row broadcast, the customer factor joins
+    data-sized on its key. No driver state at all — the iteration is
+    plan-chained, not collected.
+    """
+    ratings = (
+        lineitem.join(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .persist()
+    )
+    v = ratings.select("p_brand").distinct().select(
+        "p_brand", F.lit(1).cast("decimal(18,6)").alias("v")
+    )
+    u = None
+    for _ in range(rounds):
+        u = (
+            ratings.join(F.broadcast(v), "p_brand")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("r") * F.col("v")).alias("srv"),
+                F.sum(F.col("v") * F.col("v")).alias("svv"),
+            )
+            .select(
+                "o_custkey",
+                F.round(
+                    F.col("srv").cast("double")
+                    / (F.lit(lam) + F.col("svv").cast("double")),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("u"),
+            )
+        )
+        v = (
+            ratings.join(u, "o_custkey")
+            .groupBy("p_brand")
+            .agg(
+                F.sum(F.col("r") * F.col("u")).alias("sru"),
+                F.sum(F.col("u") * F.col("u")).alias("suu"),
+            )
+            .select(
+                "p_brand",
+                F.round(
+                    F.col("sru").cast("double")
+                    / (F.lit(lam) + F.col("suu").cast("double")),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("v"),
+            )
+        )
+    stats = ratings.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("r").cast("bigint").alias("n_ratings"),
+    )
+    return v.join(stats, "p_brand").select(
+        "p_brand",
+        F.col("v").cast("double").alias("v_factor"),
+        "n_custs",
+        "n_ratings",
+    )

@@ -13355,6 +13355,59 @@ def q_kruskal_wallis(spark, sf_dir):
     return rel.kruskal_wallis(load_table(spark, sf_dir, "events"))
 
 
+def _als_rank1_oracle(lam: float = 0.1, rounds: int = 3) -> str:
+    """Unrolled ALS replay: one (u_t, v_t) CTE pair per alternation over
+    the materialized ratings matrix; all products exact decimals, one
+    rounded double division per solve."""
+    parts = [
+        """ratings AS MATERIALIZED (
+      SELECT o_custkey, p_brand, CAST(COUNT(*) AS BIGINT) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+                    JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, p_brand
+    )""",
+        """v0 AS (SELECT DISTINCT p_brand, CAST(1 AS DECIMAL(18,6)) AS v
+           FROM ratings)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"u{t} AS MATERIALIZED (SELECT o_custkey,"
+            f" CAST(ROUND(CAST(SUM(r * v) AS DOUBLE)"
+            f" / ({lam!r} + CAST(SUM(v * v) AS DOUBLE)), 6)"
+            f" AS DECIMAL(18,6)) AS u"
+            f" FROM ratings JOIN v{t - 1} USING (p_brand)"
+            f" GROUP BY o_custkey)"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT p_brand,"
+            f" CAST(ROUND(CAST(SUM(r * u) AS DOUBLE)"
+            f" / ({lam!r} + CAST(SUM(u * u) AS DOUBLE)), 6)"
+            f" AS DECIMAL(18,6)) AS v"
+            f" FROM ratings JOIN u{t} USING (o_custkey)"
+            f" GROUP BY p_brand)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT p_brand, CAST(v AS DOUBLE) AS v_factor, n_custs, n_ratings
+    FROM v{rounds} JOIN (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_custs,
+             CAST(SUM(r) AS BIGINT) AS n_ratings
+      FROM ratings GROUP BY p_brand
+    ) USING (p_brand)"""
+    )
+
+
+@register("als_rank1", _als_rank1_oracle())
+def q_als_rank1(spark, sf_dir):
+    return ml.als_rank1(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 @register("cox_ph_binary", _cox_ph_oracle())
 def q_cox_ph_binary(spark, sf_dir):
     return ml.cox_ph_binary(
@@ -13512,6 +13565,7 @@ _VERIFY_FIRST = [
     "psm_caliper_match",
     "cox_ph_binary",
     "kruskal_wallis",
+    "als_rank1",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -258,3 +258,31 @@ class TestKruskalWallis:
         assert row.h_stat == 2.4
         assert row.tie_correction == 0.8
         assert row.h_adjusted == 3.0
+
+
+class TestAlsRank1:
+    def test_block_structure_recovered(self, spark):
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # two disjoint blocks: heavy raters on brand A, light on brand B.
+        # rank-1 v-factors must rank A above B.
+        orders = spark.createDataFrame(
+            [(k, k) for k in range(1, 7)],
+            "o_orderkey bigint, o_custkey bigint",
+        )
+        part = spark.createDataFrame(
+            [(1, "A"), (2, "B")], "p_partkey bigint, p_brand string"
+        )
+        li = []
+        for k in range(1, 4):  # custs 1-3: 5 purchases of A
+            li += [(k, 1)] * 5
+        for k in range(4, 7):  # custs 4-6: 1 purchase of B
+            li += [(k, 2)]
+        lineitem = spark.createDataFrame(
+            li, "l_orderkey bigint, l_partkey bigint"
+        )
+        out = {r.p_brand: r
+               for r in ml.als_rank1(orders, lineitem, part).collect()}
+        assert out["A"].v_factor > out["B"].v_factor > 0
+        assert out["A"].n_custs == 3 and out["A"].n_ratings == 15
+        assert out["B"].n_custs == 3 and out["B"].n_ratings == 3
