@@ -10311,3 +10311,60 @@ def kruskal_wallis(events: DataFrame) -> DataFrame:
         F.round(corr, 6).alias("tie_correction"),
         F.round(h / corr, 6).alias("h_adjusted"),
     )
+
+
+def l_diversity(customer: DataFrame) -> DataFrame:
+    """l-diversity audit, the companion to :func:`k_anonymity`: within
+    each quasi-identifier class (nation, acctbal band of 1000), how
+    diverse is the SENSITIVE attribute (market segment)? Reports
+    distinct l-diversity (min distinct sensitive values over classes),
+    the entropy-l-diversity floor exp(min class entropy), and how many
+    classes fail l=2 / l=3 — the follow-up question a privacy review
+    asks after k-anonymity passes, since a uniform class re-identifies
+    its members' attribute even at high k.
+
+    Entropy per class is the repo's ln-discipline: p = c/n is an exact
+    integer ratio, each −p·ln(p) term rounds to 6dp into a
+    DECIMAL(28,6) sum; the class minimum and the exp() at the end are
+    single deterministic ops.
+
+    Scale: two nested cardinality-bounded aggregates (QI×sensitive,
+    then QI), then a 1-row summary. No row-level egress.
+    """
+    cell = customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wq = Window.partitionBy("c_nationkey", "bal_band")
+    cls = (
+        cell.withColumn("n", F.sum("c").over(wq))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+            F.sum(
+                F.round(
+                    -(F.col("c").cast("double") / F.col("n").cast("double"))
+                    * F.log(
+                        F.col("c").cast("double") / F.col("n").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(28,6)")
+            ).alias("h"),
+        )
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l_distinct").alias("min_l_distinct"),
+        F.round(F.exp(F.min(F.col("h").cast("double"))), 6).alias(
+            "entropy_l"
+        ),
+        F.sum(F.when(F.col("l_distinct") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_l_lt_2"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_l_lt_3"),
+    )

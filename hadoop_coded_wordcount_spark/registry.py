@@ -13355,6 +13355,41 @@ def q_kruskal_wallis(spark, sf_dir):
     return rel.kruskal_wallis(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "l_diversity",
+    """
+    WITH cell AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT c_nationkey, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS l_distinct,
+             SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                      AS DECIMAL(28,6))) AS h
+      FROM (SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, bal_band)
+                        AS n
+            FROM cell)
+      GROUP BY c_nationkey, bal_band
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MIN(l_distinct) AS min_l_distinct,
+           ROUND(exp(CAST(MIN(CAST(h AS DOUBLE)) AS DOUBLE)), 6)
+             AS entropy_l,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_l_lt_2,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_l_lt_3
+    FROM cls
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    return rel.l_diversity(load_table(spark, sf_dir, "customer"))
+
+
 def _als_rank1_oracle(lam: float = 0.1, rounds: int = 3) -> str:
     """Unrolled ALS replay: one (u_t, v_t) CTE pair per alternation over
     the materialized ratings matrix; all products exact decimals, one
@@ -13566,6 +13601,7 @@ _VERIFY_FIRST = [
     "cox_ph_binary",
     "kruskal_wallis",
     "als_rank1",
+    "l_diversity",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
