@@ -2446,3 +2446,60 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
             "mean_quality",
         )
     )
+
+
+def ccnet_pipeline(documents: DataFrame) -> DataFrame:
+    """The CCNet curation recipe end to end (Wenzek et al., LREC 2020):
+    language split → LM-perplexity tiers (head/middle/tail, via
+    :func:`perplexity_buckets`) → exact dedup — reported as the per
+    (lang, tier) keep/drop budget a crawl-curation run publishes. This
+    is the composition operator: every stage is an already-verified
+    engine op, chained as ONE lazy plan.
+
+    Tokens-kept uses the keep-smallest-doc_id exact-dedup rule
+    (dedup_exact's semantics); mean NLL re-aggregates the 6dp per-doc
+    scores through a DECIMAL(28,6) sum so the tier means replay
+    exactly.
+
+    Scale: the LM scoring dominates (bigram join, vocabulary-bounded);
+    the dedup window shuffles on full text (at production scale swap
+    the key for the sha256 fingerprint, dedup_fingerprint's shape); the
+    final aggregate is |langs|×3 rows.
+    """
+    from .dedup import tokens_col as _tc
+
+    ppl = perplexity_buckets(documents)
+    base = documents.select(
+        "doc_id", "lang", "text", F.size(_tc()).alias("n_tok")
+    )
+    is_dup = (
+        F.min("doc_id").over(Window.partitionBy("text")) < F.col("doc_id")
+    ).cast("int")
+    flagged = base.withColumn("is_dup", is_dup)
+    j = flagged.join(
+        ppl.select("doc_id", "avg_nll", "ppl_bucket"), "doc_id"
+    )
+    tier = (
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.groupBy("lang", tier.alias("ppl_tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+            F.sum(1 - F.col("is_dup")).cast("bigint").alias("kept_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum((1 - F.col("is_dup")) * F.col("n_tok"))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum(
+                    F.col("avg_nll").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )

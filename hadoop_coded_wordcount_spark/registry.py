@@ -13356,6 +13356,70 @@ def q_kruskal_wallis(spark, sf_dir):
 
 
 @register(
+    "ccnet_pipeline",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, toks FROM toked WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t2, unnest(range(1, len(toks))) AS u(i)
+    ),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    lm1 AS (
+      SELECT w1, w2, c12, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM lm
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v_size
+      FROM (SELECT unnest(toks) AS t FROM t2)
+    ),
+    terms AS (
+      SELECT bg.doc_id,
+             -ln((c12 + 1) / CAST(c1 + v_size AS DOUBLE)) AS nll
+      FROM bg JOIN lm1 ON bg.w1 = lm1.w1 AND bg.w2 = lm1.w2
+      CROSS JOIN vocab
+    ),
+    scores AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll
+      FROM terms GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT doc_id, avg_nll,
+             NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS ppl_bucket
+      FROM scores
+    ),
+    base AS (
+      SELECT d.doc_id, d.lang,
+             len(list_filter(string_split_regex(d.text, '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             CASE WHEN MIN(d.doc_id) OVER (PARTITION BY d.text) < d.doc_id
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents d
+    )
+    SELECT lang,
+           CASE WHEN ppl_bucket = 1 THEN 'head'
+                WHEN ppl_bucket = 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(1 - is_dup) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM((1 - is_dup) * n_tok) AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_nll
+    FROM base JOIN bucketed USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_ccnet_pipeline(spark, sf_dir):
+    return ts.ccnet_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "l_diversity",
     """
     WITH cell AS (
@@ -13602,6 +13666,7 @@ _VERIFY_FIRST = [
     "kruskal_wallis",
     "als_rank1",
     "l_diversity",
+    "ccnet_pipeline",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
