@@ -1623,6 +1623,10 @@ def als_rank1(
         )
         .groupBy("o_custkey", "p_brand")
         .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        # pin the customer-keyed partitioning BEFORE caching: every u-solve
+        # groupBy and every v-solve join then reuses it instead of
+        # re-exchanging the ratings matrix once per round.
+        .repartition("o_custkey")
         .persist()
     )
     v = ratings.select("p_brand").distinct().select(

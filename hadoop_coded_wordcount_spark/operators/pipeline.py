@@ -1038,7 +1038,14 @@ def coverage_greedy_selection(
 
     spark = documents.sparkSession
     sh = shingled(documents, n=n).select("doc_id", "grams").persist()
-    ex = sh.select("doc_id", F.explode("grams").alias("gram")).persist()
+    # the per-round scan is scheduling-latency-bound at small SF: a
+    # handful of fat partitions beats 32 slivers for 8 tiny argmax jobs
+    # (the partition count scales back up with the data via shuffle conf).
+    ex = (
+        sh.select("doc_id", F.explode("grams").alias("gram"))
+        .coalesce(8)
+        .persist()
+    )
     total = ex.select("gram").distinct().count()
     covered: set = set()
     selected: list = []
