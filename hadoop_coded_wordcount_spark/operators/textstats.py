@@ -2503,3 +2503,77 @@ def ccnet_pipeline(documents: DataFrame) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+def source_loo_value(documents: DataFrame) -> DataFrame:
+    """Leave-one-out source valuation: what does each source UNIQUELY
+    contribute to the corpus — vocabulary types seen nowhere else, the
+    token mass carried by those exclusive types, and the source's share
+    of corpus singletons — the cheap data-valuation readout ("could we
+    drop this crawl?") that precedes any Shapley-style attribution.
+
+    One tokenize pass → (word → per-source count, source count) — a
+    vocabulary-bounded aggregate; a word with n_sources = 1 belongs
+    wholly to its only source (max(source) over the group IS that
+    source). Exact integer counting throughout; the share divisions are
+    single rounded doubles.
+
+    Scale: shuffle is vocabulary-bounded (word key), never token-bound;
+    the final frame is |sources| rows.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    ex = (
+        ensure_parallelism(documents.select("source", "text"))
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    per_word = ex.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.max("source").alias("only_source"),
+    )
+    base = ex.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("cnt").cast("bigint").alias("tokens"),
+    )
+    uniq = (
+        per_word.where(F.col("n_sources") == 1)
+        .groupBy(F.col("only_source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("unique_vocab"),
+            F.sum("tot").cast("bigint").alias("unique_tokens"),
+            F.sum(F.when(F.col("tot") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("corpus_hapax"),
+        )
+    )
+    out = base.join(uniq, "source", "left").select(
+        "source",
+        "vocab",
+        "tokens",
+        F.coalesce("unique_vocab", F.lit(0)).alias("unique_vocab"),
+        F.coalesce("unique_tokens", F.lit(0)).alias("unique_tokens"),
+        F.coalesce("corpus_hapax", F.lit(0)).alias("corpus_hapax"),
+    )
+    return out.select(
+        "source",
+        "vocab",
+        "tokens",
+        "unique_vocab",
+        "unique_tokens",
+        "corpus_hapax",
+        F.round(
+            F.col("unique_vocab").cast("double")
+            / F.col("vocab").cast("double"),
+            6,
+        ).alias("unique_vocab_share"),
+        F.round(
+            F.col("unique_tokens").cast("double")
+            / F.col("tokens").cast("double"),
+            6,
+        ).alias("unique_token_share"),
+    )

@@ -13356,6 +13356,51 @@ def q_kruskal_wallis(spark, sf_dir):
 
 
 @register(
+    "source_loo_value",
+    """
+    WITH ex AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY source, word
+    ),
+    pw AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(cnt) AS BIGINT) AS tot,
+             MAX(source) AS only_source
+      FROM ex GROUP BY word
+    ),
+    base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(cnt) AS BIGINT) AS tokens
+      FROM ex GROUP BY source
+    ),
+    uniq AS (
+      SELECT only_source AS source,
+             CAST(COUNT(*) AS BIGINT) AS unique_vocab,
+             CAST(SUM(tot) AS BIGINT) AS unique_tokens,
+             CAST(SUM(CASE WHEN tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS corpus_hapax
+      FROM pw WHERE n_sources = 1 GROUP BY only_source
+    )
+    SELECT source, vocab, tokens,
+           COALESCE(unique_vocab, 0) AS unique_vocab,
+           COALESCE(unique_tokens, 0) AS unique_tokens,
+           COALESCE(corpus_hapax, 0) AS corpus_hapax,
+           ROUND(CAST(COALESCE(unique_vocab, 0) AS DOUBLE)
+                 / CAST(vocab AS DOUBLE), 6) AS unique_vocab_share,
+           ROUND(CAST(COALESCE(unique_tokens, 0) AS DOUBLE)
+                 / CAST(tokens AS DOUBLE), 6) AS unique_token_share
+    FROM base LEFT JOIN uniq USING (source)
+    """,
+)
+def q_source_loo_value(spark, sf_dir):
+    return ts.source_loo_value(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ccnet_pipeline",
     """
     WITH toked AS (
@@ -13667,6 +13712,7 @@ _VERIFY_FIRST = [
     "als_rank1",
     "l_diversity",
     "ccnet_pipeline",
+    "source_loo_value",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
