@@ -10368,3 +10368,51 @@ def l_diversity(customer: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("classes_l_lt_3"),
     )
+
+
+def hot_key_audit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Join-skew diagnostics — the audit this engine runs on ITSELF
+    before shipping a plan to a cluster: for each shuffle key the fact
+    tables actually join on (l_orderkey, l_partkey, l_suppkey,
+    o_custkey), profile the per-key row mass — max/avg skew factor,
+    the hottest key's share, exact p99/p999 of key counts — the numbers
+    that decide between a plain shuffle join, AQE skew splitting, or
+    salting (SURVEY §6's skew playbook, measured instead of guessed).
+
+    Exact integer counting per key; percentiles are exact
+    interpolated quantiles over the KEY-COUNT frame (key-cardinality-
+    bounded, not row-bounded); the union of four per-key profiles is
+    one row per audited key.
+
+    Scale: each profile is a map-side-combinable count on the join key
+    itself, so the audit costs what ONE aggregation per key costs, and
+    its shuffle layout matches the join it predicts.
+    """
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return counts.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").alias("max_cnt"),
+            F.round(
+                F.max("c").cast("double")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("skew_max_over_avg"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top1_share"),
+            F.round(F.expr("percentile(c, 0.99D)"), 6).alias("p99_cnt"),
+            F.round(F.expr("percentile(c, 0.999D)"), 6).alias("p999_cnt"),
+        )
+    return (
+        profile(lineitem, "l_orderkey")
+        .unionAll(profile(lineitem, "l_partkey"))
+        .unionAll(profile(lineitem, "l_suppkey"))
+        .unionAll(profile(orders, "o_custkey"))
+    )

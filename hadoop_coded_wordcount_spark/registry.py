@@ -13356,6 +13356,46 @@ def q_kruskal_wallis(spark, sf_dir):
 
 
 @register(
+    "hot_key_audit",
+    """
+    WITH p AS (
+      SELECT 'l_orderkey' AS key_col, c FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+        GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'l_partkey', c FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+        GROUP BY l_partkey)
+      UNION ALL
+      SELECT 'l_suppkey', c FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+        GROUP BY l_suppkey)
+      UNION ALL
+      SELECT 'o_custkey', c FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders
+        GROUP BY o_custkey)
+    )
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           MAX(c) AS max_cnt,
+           ROUND(CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS skew_max_over_avg,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS top1_share,
+           ROUND(quantile_cont(c, 0.99), 6) AS p99_cnt,
+           ROUND(quantile_cont(c, 0.999), 6) AS p999_cnt
+    FROM p GROUP BY key_col
+    """,
+)
+def q_hot_key_audit(spark, sf_dir):
+    return rel.hot_key_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
     "source_loo_value",
     """
     WITH ex AS (
@@ -13713,6 +13753,7 @@ _VERIFY_FIRST = [
     "l_diversity",
     "ccnet_pipeline",
     "source_loo_value",
+    "hot_key_audit",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
