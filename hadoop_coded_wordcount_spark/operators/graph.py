@@ -1264,3 +1264,101 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         F.col("label").alias("community"),
         "community_size",
     )
+
+
+def spectral_bisection(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Spectral bisection of an undirected graph: estimate the Fiedler
+    vector (second-smallest Laplacian eigenvector) and split nodes by
+    its sign — the classic balanced-cut / community-split primitive
+    behind graph partitioners (METIS-style seeding, cluster detection).
+
+    Method: shifted power iteration on M = cI − L with c = max_degree+1
+    (so M's dominant eigenvector is the all-ones vector and its SECOND
+    is the Fiedler direction), deflating the trivial component by
+    subtracting the mean each round. The state discipline is
+    pca_power_iteration's, on the graph instead of the covariance:
+    v lives in integer micro-units, each iterate
+    w_i = (c−deg_i)·v_i + Σ_{j∼i} v_j is an exact BIGINT product-sum
+    over EDGES, the mean and the pivot normalization are one rounded
+    division each (Spark/DuckDB ROUND halves away from zero on the
+    same doubles), and sign is pinned by the pivot component — so the
+    DuckDB oracle replays every round bit for bit.
+
+    Scale: per round ONE edge-keyed join/agg (the pagerank shuffle
+    shape) plus two 1-row broadcast scalars; `localCheckpoint` caps
+    plan depth at one round (the pagerank/pca cadence). Edge volume is
+    k·|V| on the kNN graph — linear in nodes at any corpus size.
+    """
+    e = edges.localCheckpoint(eager=True)
+    sym = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(e.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    cc = deg.agg((F.max("deg") + 1).alias("c"))
+    v = deg.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, 1000000)
+        .otherwise(-1000000)
+        .cast("long")
+        .alias("v"),
+    )
+    for _ in range(rounds):
+        nb = (
+            sym.join(
+                v.select(F.col("node").alias("nbr"), F.col("v").alias("nv")),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.sum("nv").alias("nb"))
+        )
+        w = (
+            deg.join(v, "node")
+            .join(nb, "node")
+            .crossJoin(F.broadcast(cc))
+            .select(
+                "node",
+                (
+                    (F.col("c") - F.col("deg")) * F.col("v") + F.col("nb")
+                ).alias("w"),
+            )
+        )
+        m = w.agg(
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("m")
+        )
+        wc = w.crossJoin(F.broadcast(m)).select(
+            "node", (F.col("w") - F.col("m")).alias("w")
+        )
+        pivot = (
+            wc.orderBy(F.abs(F.col("w")).desc(), F.asc("node"))
+            .limit(1)
+            .select(F.col("w").alias("wp"))
+        )
+        v = (
+            wc.crossJoin(F.broadcast(pivot))
+            .select(
+                "node",
+                F.round(
+                    F.col("w").cast("double")
+                    / F.col("wp").cast("double")
+                    * F.lit(1000000.0)
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("node").alias("suppkey"),
+        F.round(F.col("v").cast("double") / F.lit(1000000.0), 6).alias(
+            "fiedler"
+        ),
+        (F.col("v") >= 0).cast("int").alias("side"),
+    )

@@ -13355,6 +13355,70 @@ def q_kruskal_wallis(spark, sf_dir):
     return rel.kruskal_wallis(load_table(spark, sf_dir, "events"))
 
 
+def _spectral_bisection_oracle(rounds: int = 6) -> str:
+    """Unrolled shifted-power-iteration replay of spectral_bisection on
+    the kNN supplier graph (per round: edge product-sum, mean deflate,
+    pivot normalize — each a MATERIALIZED CTE)."""
+    parts = [
+        """sym AS MATERIALIZED (
+      SELECT src AS node, dst AS nbr FROM e0
+      UNION ALL SELECT dst AS node, src AS nbr FROM e0
+    )""",
+        """deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY node)""",
+        "cc AS (SELECT MAX(deg) + 1 AS c FROM deg)",
+        """v0 AS (SELECT node,
+            CAST(CASE WHEN node % 2 = 0 THEN 1000000
+                      ELSE -1000000 END AS BIGINT) AS v FROM deg)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"wn{i} AS (SELECT s.node, SUM(p.v) AS nb FROM sym s"
+            f" JOIN v{i - 1} p ON s.nbr = p.node GROUP BY s.node)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT d.node,"
+            f" (c - d.deg) * v.v + wn.nb AS w"
+            f" FROM deg d JOIN v{i - 1} v USING (node)"
+            f" JOIN wn{i} wn USING (node) CROSS JOIN cc)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT CAST(ROUND(CAST(SUM(w) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m FROM w{i})"
+        )
+        parts.append(
+            f"wc{i} AS MATERIALIZED (SELECT node, w - m AS w"
+            f" FROM w{i} CROSS JOIN m{i})"
+        )
+        parts.append(
+            f"p{i} AS (SELECT w AS wp FROM wc{i}"
+            f" ORDER BY abs(w) DESC, node ASC LIMIT 1)"
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT node,"
+            f" CAST(ROUND(CAST(w AS DOUBLE) / CAST(wp AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT) AS v"
+            f" FROM wc{i} CROSS JOIN p{i})"
+        )
+    return (
+        _DUCK_KNN_EDGES
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+    SELECT node AS suppkey,
+           ROUND(CAST(v AS DOUBLE) / 1000000.0, 6) AS fiedler,
+           CAST(v >= 0 AS INTEGER) AS side
+    FROM v{rounds}"""
+    )
+
+
+@register("spectral_bisection_suppliers", _spectral_bisection_oracle())
+def q_spectral_bisection_suppliers(spark, sf_dir):
+    return gr.spectral_bisection(
+        gr.supplier_knn_graph(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 @register(
     "hot_key_audit",
     """
@@ -13754,6 +13818,7 @@ _VERIFY_FIRST = [
     "ccnet_pipeline",
     "source_loo_value",
     "hot_key_audit",
+    "spectral_bisection_suppliers",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -286,3 +286,25 @@ class TestAlsRank1:
         assert out["A"].v_factor > out["B"].v_factor > 0
         assert out["A"].n_custs == 3 and out["A"].n_ratings == 15
         assert out["B"].n_custs == 3 and out["B"].n_ratings == 3
+
+
+class TestSpectralBisection:
+    def test_two_cliques_separated(self, spark):
+        from hadoop_coded_wordcount_spark.operators import graph as gr
+
+        # two 4-cliques {0..3} and {10..13} joined by one bridge 3-10
+        edges = []
+        for grp in (range(4), range(10, 14)):
+            g = list(grp)
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    edges.append((g[i], g[j]))
+        edges.append((3, 10))
+        e = spark.createDataFrame(edges, "src bigint, dst bigint")
+        out = gr.spectral_bisection(e).collect()
+        side = {r.suppkey: r.side for r in out}
+        assert len({side[n] for n in range(4)}) == 1
+        assert len({side[n] for n in range(10, 14)}) == 1
+        assert side[0] != side[10]
+        # fiedler values are normalized to [-1, 1] by the pivot
+        assert all(abs(r.fiedler) <= 1.0 for r in out)
