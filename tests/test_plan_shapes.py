@@ -313,3 +313,31 @@ def test_label_propagation_state_is_checkpointed(spark):
     plan = _plan(spark, "label_propagation_suppliers")
     assert "Scan ExistingRDD" in plan
     assert plan.count("SortMergeJoin") <= 3
+
+
+def test_dsir_model_join_broadcasts(spark):
+    """The DSIR bucket model (≤ n_buckets rows) must broadcast to the
+    per-doc weight join — a sort-merge there would shuffle the per-doc
+    bucket counts twice."""
+    plan = _plan(spark, "dsir_selection")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_psm_nearest_search_is_one_nation_exchange(spark):
+    """PSM's prev/next control search is the 1-D asof trick: both window
+    frames ride the nation-keyed sort, and the only other exchange is the
+    spend aggregate — a band-join regression would add a cartesian or a
+    third exchange."""
+    plan = _plan(spark, "psm_caliper_match")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_spectral_bisection_plan_depth_is_checkpointed(spark):
+    """Six power-iteration rounds must NOT stack six joins in the final
+    plan — the localCheckpoint cadence (pagerank/pca discipline) keeps
+    the evaluated plan one round deep (a checkpoint scan + projection)."""
+    plan = _plan(spark, "spectral_bisection_suppliers")
+    assert "Scan ExistingRDD" in plan
+    assert len(plan) < 2000
