@@ -10416,3 +10416,47 @@ def hot_key_audit(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         .unionAll(profile(lineitem, "l_suppkey"))
         .unionAll(profile(orders, "o_custkey"))
     )
+
+
+def pacf_hourly(events: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Partial autocorrelation of the hourly event-count series at lags
+    1..``max_lag`` via the Durbin–Levinson recursion — the other half of
+    the Box–Jenkins identification pair (:func:`acf_hourly_counts` says
+    how far memory reaches; PACF says which AR order explains it, the
+    generalization of :func:`yule_walker_ar2` to any order).
+
+    The data-proportional work is exactly the ACF's one grid scan; the
+    recursion then runs DRIVER-SIDE on the ``max_lag``-element vector
+    (control-plane class). Integer-micro discipline throughout: every
+    φ and r lives in 6dp micros, per-term products round half-AWAY-from-
+    zero on exact pico integers (signed values — matching Spark/DuckDB
+    ROUND on the same decimals), and each reflection coefficient is one
+    double division of exact micro differences, so the unrolled DuckDB
+    replay matches bit for bit.
+    """
+    import math
+
+    def away_pico(p: int) -> int:
+        return (abs(p) + 500000) // 1000000 * (1 if p >= 0 else -1)
+
+    def away6(x: float) -> int:
+        return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+    spark = events.sparkSession
+    acf_rows = acf_hourly_counts(events, max_lag=max_lag).collect()
+    r = {row.lag: away6(row.acf) for row in acf_rows}
+    phi = {1: r[1]}
+    pacf = {1: r[1]}
+    for k in range(2, max_lag + 1):
+        snum = sum(away_pico(phi[j] * r[k - j]) for j in range(1, k))
+        sden = sum(away_pico(phi[j] * r[j]) for j in range(1, k))
+        kk = away6(((r[k] - snum) / 1e6) / ((1000000 - sden) / 1e6))
+        phi = {
+            j: away_pico(phi[j] * 1000000 - kk * phi[k - j])
+            for j in range(1, k)
+        } | {k: kk}
+        pacf[k] = kk
+    rows = [
+        (k, r[k] / 1e6, pacf[k] / 1e6) for k in range(1, max_lag + 1)
+    ]
+    return spark.createDataFrame(rows, "lag int, acf double, pacf double")

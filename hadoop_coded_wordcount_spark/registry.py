@@ -13355,6 +13355,91 @@ def q_kruskal_wallis(spark, sf_dir):
     return rel.kruskal_wallis(load_table(spark, sf_dir, "events"))
 
 
+def _pacf_oracle(max_lag: int = 6) -> str:
+    """Unrolled Durbin–Levinson replay of pacf_hourly: the acf_hourly
+    lag lattice feeds per-order (sn, sd, kk, phi) CTEs; signed decimal
+    rounding (half away from zero) matches the driver-side pico
+    integers."""
+    leads = ",\n             ".join(
+        f"lead(u, {k}) OVER (ORDER BY h) AS u{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ", ".join(
+        f"SUM(u * u{k}) AS n{k}" for k in range(1, max_lag + 1)
+    )
+    acf_rows = " UNION ALL ".join(
+        f"SELECT {k} AS lag, CAST(ROUND(CAST(n{k} AS DOUBLE)"
+        f" / CAST(den AS DOUBLE), 6) AS DECIMAL(18,6)) AS r FROM m"
+        for k in range(1, max_lag + 1)
+    )
+    parts = [
+        """hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    )""",
+        "bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly)",
+        """grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )""",
+        """filled AS (
+      SELECT g.h, COALESCE(x, 0) AS x
+      FROM grid g LEFT JOIN hourly USING (h)
+    )""",
+        """st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM filled
+    )""",
+        "u AS (SELECT h, n * x - s AS u FROM filled, st)",
+        f"lagged AS (\n      SELECT h, u,\n             {leads}\n      FROM u\n    )",
+        f"m AS (SELECT SUM(u * u) AS den, {nums} FROM lagged)",
+        f"acf AS MATERIALIZED ({acf_rows})",
+        "phi1 AS (SELECT 1 AS j, r AS phi FROM acf WHERE lag = 1)",
+    ]
+    for k in range(2, max_lag + 1):
+        parts.append(
+            f"sn{k} AS (SELECT SUM(CAST(ROUND(p.phi * a.r, 6)"
+            f" AS DECIMAL(18,6))) AS v FROM phi{k - 1} p"
+            f" JOIN acf a ON a.lag = {k} - p.j)"
+        )
+        parts.append(
+            f"sd{k} AS (SELECT SUM(CAST(ROUND(p.phi * a.r, 6)"
+            f" AS DECIMAL(18,6))) AS v FROM phi{k - 1} p"
+            f" JOIN acf a ON a.lag = p.j)"
+        )
+        parts.append(
+            f"kk{k} AS (SELECT CAST(ROUND(CAST((SELECT r FROM acf"
+            f" WHERE lag = {k}) - sn{k}.v AS DOUBLE)"
+            f" / CAST(1 - sd{k}.v AS DOUBLE), 6) AS DECIMAL(18,6)) AS kk"
+            f" FROM sn{k}, sd{k})"
+        )
+        parts.append(
+            f"phi{k} AS MATERIALIZED ("
+            f"SELECT p.j, CAST(ROUND(p.phi - kk * q.phi, 6)"
+            f" AS DECIMAL(18,6)) AS phi"
+            f" FROM phi{k - 1} p JOIN phi{k - 1} q ON q.j = {k} - p.j"
+            f" CROSS JOIN kk{k}"
+            f" UNION ALL SELECT {k} AS j, kk AS phi FROM kk{k})"
+        )
+    pacf_union = "SELECT 1 AS lag, phi AS pacf FROM phi1" + "".join(
+        f" UNION ALL SELECT {k} AS lag, kk AS pacf FROM kk{k}"
+        for k in range(2, max_lag + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(r AS DOUBLE) AS acf,
+           CAST(pacf AS DOUBLE) AS pacf
+    FROM acf JOIN ({pacf_union}) USING (lag)"""
+    )
+
+
+@register("pacf_hourly", _pacf_oracle())
+def q_pacf_hourly(spark, sf_dir):
+    return rel.pacf_hourly(load_table(spark, sf_dir, "events"))
+
+
 def _spectral_bisection_oracle(rounds: int = 6) -> str:
     """Unrolled shifted-power-iteration replay of spectral_bisection on
     the kNN supplier graph (per round: edge product-sum, mean deflate,
@@ -13819,6 +13904,7 @@ _VERIFY_FIRST = [
     "source_loo_value",
     "hot_key_audit",
     "spectral_bisection_suppliers",
+    "pacf_hourly",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -308,3 +308,35 @@ class TestSpectralBisection:
         assert side[0] != side[10]
         # fiedler values are normalized to [-1, 1] by the pivot
         assert all(abs(r.fiedler) <= 1.0 for r in out)
+
+
+class TestPacfHourly:
+    def test_ar1_series_pacf_cuts_off_after_lag1(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # deterministic AR(1)-flavored hourly counts: x_t alternates with
+        # strong lag-1 structure; PACF lag 1 must dominate lag >= 2.
+        t0 = datetime(2024, 1, 1)
+        xs = []
+        x = 20
+        for t in range(96):
+            x = 10 + (x % 7) * 3  # deterministic recurrence, lag-1 memory
+            xs.append(x)
+        rows = []
+        eid = 0
+        for t, x in enumerate(xs):
+            for i in range(x):
+                rows.append((eid, t0 + timedelta(hours=t, seconds=i),
+                             1, "a", 0.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        out = {r.lag: r for r in rel.pacf_hourly(ev).collect()}
+        assert set(out) == {1, 2, 3, 4, 5, 6}
+        assert out[1].pacf == out[1].acf  # Durbin-Levinson base case
+        assert abs(out[1].pacf) > abs(out[4].pacf)
+        assert all(abs(r.pacf) <= 1.0 for r in out.values())
