@@ -13435,6 +13435,58 @@ def _pacf_oracle(max_lag: int = 6) -> str:
     )
 
 
+@register(
+    "negbin_fit",
+    """
+    WITH counted AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(hour), MAX(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM counted GROUP BY event_type
+    ),
+    hourly AS (
+      SELECT g.event_type, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counted c
+        ON g.event_type = c.event_type AND g.hour = c.hour
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sxx,
+             CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zeros
+      FROM hourly GROUP BY event_type
+    ),
+    mm AS (
+      SELECT event_type, n, zeros,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+      FROM agg WHERE n >= 2
+    )
+    SELECT event_type, n AS n_hours,
+           ROUND(m, 6) AS mean_cnt,
+           ROUND(v, 6) AS var_cnt,
+           ROUND(v / m, 6) AS dispersion,
+           ROUND(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r_hat,
+           ROUND(CASE WHEN v > m THEN m / v END, 6) AS p_hat,
+           ROUND(CAST(zeros AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS zero_frac
+    FROM mm
+    """,
+)
+def q_negbin_fit(spark, sf_dir):
+    return rel.negbin_fit(load_table(spark, sf_dir, "events"))
+
+
 @register("pacf_hourly", _pacf_oracle())
 def q_pacf_hourly(spark, sf_dir):
     return rel.pacf_hourly(load_table(spark, sf_dir, "events"))
@@ -13905,6 +13957,7 @@ _VERIFY_FIRST = [
     "hot_key_audit",
     "spectral_bisection_suppliers",
     "pacf_hourly",
+    "negbin_fit",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -340,3 +340,32 @@ class TestPacfHourly:
         assert out[1].pacf == out[1].acf  # Durbin-Levinson base case
         assert abs(out[1].pacf) > abs(out[4].pacf)
         assert all(abs(r.pacf) <= 1.0 for r in out.values())
+
+
+class TestNegbinFit:
+    def test_overdispersed_series_fits_nb(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        # bursty: alternating 0 and 10 events per hour -> var >> mean
+        for h in range(48):
+            for i in range(10 if h % 2 == 0 else 0):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "bursty", 0.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        row = rel.negbin_fit(ev).collect()[0]
+        # dense grid spans first to last NON-EMPTY hour: 47 hours
+        assert row.n_hours == 47
+        assert row.dispersion > 1.0 and row.r_hat > 0
+        assert 0.0 < row.p_hat < 1.0
+        # MoM identity: r(1-p)/p == mean
+        m = row.r_hat * (1 - row.p_hat) / row.p_hat
+        assert abs(m - row.mean_cnt) < 1e-3
+        assert row.zero_frac == round(23 / 47, 6)
