@@ -2062,3 +2062,63 @@ def ivf_pq_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
             F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    prefix_dims: tuple = (16, 32),
+    k: int = 10,
+    query_mod: int = 100,
+    dim: int = 64,
+) -> DataFrame:
+    """Matryoshka-embedding truncation audit (Kusupati et al., NeurIPS
+    2022): how much retrieval quality survives when vectors are cut to
+    their first 16/32 dimensions? Recall@k of prefix-dim brute cosine
+    retrieval against the full-dim truth, per prefix width — the
+    decision table behind "store 64 dims, search 16, rerank 64".
+
+    Both legs are the engine's exact :func:`cosine_topk` (deterministic
+    ranking, neighbor-id ties), so the audit itself is oracle-
+    replayable — unlike sampled recall estimates. The full-dim truth is
+    computed ONCE and persisted; each prefix leg is a projection-only
+    rescan (column slice, no extra shuffle of the vectors).
+
+    Scale: identical to cosine_topk per leg — broadcast query set, one
+    corpus scan, per-query top-k windows on the score triples.
+    """
+    full = (
+        cosine_topk(embeddings, query_mod=query_mod, k=k, dim=dim)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    qs = full.select("query_id").distinct()
+    out = None
+    for d in prefix_dims:
+        trunc = embeddings.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        cand = cosine_topk(trunc, query_mod=query_mod, k=k, dim=d).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            cand.join(full, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+        )
+        rec = (
+            qs.join(hits, "query_id", "left")
+            .agg(
+                F.lit(d).cast("int").alias("prefix_dim"),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                    / (
+                        F.count(F.lit(1)).cast("double")
+                        * F.lit(float(k))
+                    ),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+        out = rec if out is None else out.unionAll(rec)
+    return out

@@ -13435,6 +13435,81 @@ def _pacf_oracle(max_lag: int = 6) -> str:
     )
 
 
+def _matryoshka_oracle(
+    prefix_dims: tuple = (16, 32), k: int = 10
+) -> str:
+    """Replay both retrieval legs exactly: full-dim truth ranking once,
+    then per prefix width a sliced-vector ranking, a semi-join overlap,
+    and the recall aggregate."""
+    legs = []
+    for d in prefix_dims:
+        legs.append(
+            f"""v{d} AS (SELECT vec_id,
+          list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+    q{d} AS (SELECT vec_id AS query_id, emb AS q_emb FROM v{d}
+             WHERE vec_id % 100 = 0),
+    cand{d} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+          FROM q{d} JOIN v{d} v ON v.vec_id <> q{d}.query_id
+        )
+      ) WHERE rnk <= {k}
+    ),
+    rec{d} AS (
+      SELECT {d} AS prefix_dim,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             ROUND(CAST(SUM(h) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * {float(k)!r}), 6)
+               AS recall_at_k
+      FROM (
+        SELECT q.query_id, COALESCE(hh.h, 0) AS h
+        FROM (SELECT DISTINCT query_id FROM truth) q
+        LEFT JOIN (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS h
+          FROM cand{d} c
+          WHERE EXISTS (SELECT 1 FROM truth t
+                        WHERE t.query_id = c.query_id
+                          AND t.neighbor_id = c.neighbor_id)
+          GROUP BY query_id
+        ) hh USING (query_id)
+      )
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM rec{d}" for d in prefix_dims
+    )
+    return (
+        f"""
+    WITH v AS ({_DUCK_VECS}),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+          WHERE vec_id % 100 = 0),
+    truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM (
+          SELECT query_id, v.vec_id AS neighbor_id,
+                 {_DUCK_COS.format(a="q_emb", b="emb")} AS cos
+          FROM q JOIN v ON v.vec_id <> q.query_id
+        )
+      ) WHERE rnk <= {k}
+    ),
+    """
+        + ",\n    ".join(legs)
+        + f"\n    {union}"
+    )
+
+
+@register("matryoshka_recall", _matryoshka_oracle())
+def q_matryoshka_recall(spark, sf_dir):
+    return sim.matryoshka_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "negbin_fit",
     """
@@ -13958,6 +14033,7 @@ _VERIFY_FIRST = [
     "spectral_bisection_suppliers",
     "pacf_hourly",
     "negbin_fit",
+    "matryoshka_recall",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
