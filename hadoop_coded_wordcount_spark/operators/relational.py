@@ -10518,3 +10518,105 @@ def negbin_fit(events: DataFrame) -> DataFrame:
         F.round(F.when(over, m / var), 6).alias("p_hat"),
         F.round(F.col("zeros").cast("double") / nd, 6).alias("zero_frac"),
     )
+
+
+#: Gumbel method-of-moments literals, shared verbatim with the oracle.
+GUMBEL_SQRT6_OVER_PI = 0.7796968012336761  # sqrt(6)/pi
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_extremes(events: DataFrame) -> DataFrame:
+    """Extreme-value analysis of daily PEAK load per event type: fit a
+    Gumbel distribution to the block maxima (max hourly count per day —
+    the classical Fisher–Tippett block-maximum setup) by method of
+    moments, and report the implied 30-day return level — the "what
+    peak should capacity planning expect monthly?" number.
+
+    MoM: β̂ = s·√6/π, μ̂ = m − γ·β̂, return level = μ̂ − β̂·ln(−ln(1−1/30)).
+    Moments ride the exact integer lattice (Σx, Σx² as DECIMAL over
+    daily maxima); the constants are module literals embedded verbatim
+    in the oracle, so the double trees match. The −ln(−ln(·)) factor of
+    the 30-day level is a Python-computed literal (pure math, no data).
+
+    Scale: (type, day, hour) partial agg → (type, day) max → type-row
+    moments. Grid-bounded everywhere.
+    """
+    import math
+
+    hourly = events.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    daily_max = hourly.groupBy("event_type", "day").agg(
+        F.max("x").alias("mx")
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = daily_max.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(d19(F.col("mx")) * d19(F.col("mx"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    var = (
+        nd * F.col("sxx").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (nd * (nd - F.lit(1.0)))
+    beta = F.lit(GUMBEL_SQRT6_OVER_PI) * F.sqrt(var)
+    mu = m - F.lit(EULER_GAMMA) * beta
+    # -ln(-ln(1 - 1/30)) as a data-free literal (same value both engines)
+    t30 = -math.log(-math.log(1.0 - 1.0 / 30.0))
+    return agg.where(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(m, 6).alias("mean_peak"),
+        F.round(beta, 6).alias("beta_hat"),
+        F.round(mu, 6).alias("mu_hat"),
+        F.round(mu + F.lit(t30) * beta, 6).alias("return_level_30d"),
+    )
+
+
+def newsvendor_quantile(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Newsvendor stocking levels per brand: with underage cost c_u = 3
+    and overage c_o = 1, the optimal stock is the q = c_u/(c_u+c_o) =
+    0.75 quantile of weekly demand — inventory theory's one-liner, run
+    as an exact interpolated quantile over the per-(brand, week) demand
+    series, with the mean and the 0.5 quantile alongside for the
+    service-level delta.
+
+    Scale: (brand, week) partial agg bounds the quantile input at
+    brands×weeks rows regardless of lineitem volume.
+    """
+    weekly = (
+        lineitem.join(
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .groupBy(
+            "p_brand",
+            F.weekofyear(F.to_date("o_orderdate")).alias("wk"),
+            F.year(F.to_date("o_orderdate")).alias("yr"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("demand"))
+    )
+    return weekly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.round(
+            F.sum("demand").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_demand"),
+        F.round(F.expr("percentile(demand, 0.5D)"), 6).alias("median_demand"),
+        F.round(F.expr("percentile(demand, 0.75D)"), 6).alias(
+            "stock_level_q75"
+        ),
+    )

@@ -13435,6 +13435,84 @@ def _pacf_oracle(max_lag: int = 6) -> str:
     )
 
 
+_GUMBEL_T30 = -__import__("math").log(
+    -__import__("math").log(1.0 - 1.0 / 30.0)
+)
+
+
+@register(
+    "gumbel_extremes",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    dm AS (
+      SELECT event_type, day, MAX(x) AS mx
+      FROM hourly GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS BIGINT) AS s,
+             SUM(CAST(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS sxx
+      FROM dm GROUP BY event_type
+    ),
+    mm AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             {rel.GUMBEL_SQRT6_OVER_PI!r}
+               * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               AS beta
+      FROM agg WHERE n >= 2
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(m, 6) AS mean_peak,
+           ROUND(beta, 6) AS beta_hat,
+           ROUND(m - {rel.EULER_GAMMA!r} * beta, 6) AS mu_hat,
+           ROUND((m - {rel.EULER_GAMMA!r} * beta)
+                 + {_GUMBEL_T30!r} * beta, 6) AS return_level_30d
+    FROM mm
+    """,
+)
+def q_gumbel_extremes(spark, sf_dir):
+    return rel.gumbel_extremes(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "newsvendor_quantile",
+    """
+    WITH weekly AS (
+      SELECT p_brand, weekofyear(CAST(o_orderdate AS DATE)) AS wk,
+             year(CAST(o_orderdate AS DATE)) AS yr,
+             CAST(SUM(l_quantity) AS BIGINT) AS demand
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           ROUND(CAST(SUM(demand) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_demand,
+           ROUND(quantile_cont(demand, 0.5), 6) AS median_demand,
+           ROUND(quantile_cont(demand, 0.75), 6) AS stock_level_q75
+    FROM weekly GROUP BY p_brand
+    """,
+)
+def q_newsvendor_quantile(spark, sf_dir):
+    return rel.newsvendor_quantile(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def _matryoshka_oracle(
     prefix_dims: tuple = (16, 32), k: int = 10
 ) -> str:
@@ -14034,6 +14112,8 @@ _VERIFY_FIRST = [
     "pacf_hourly",
     "negbin_fit",
     "matryoshka_recall",
+    "gumbel_extremes",
+    "newsvendor_quantile",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.
