@@ -1421,10 +1421,15 @@ def psm_caliper_match(
         .orderBy("score", "c_custkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "first control AFTER me" == "last control BEFORE me" in REVERSED
+    # order: Spark evaluates growing (UnboundedPreceding, -1) frames
+    # incrementally but recomputes shrinking (1, UnboundedFollowing)
+    # frames from scratch per row — O(n²) per nation, measured 17.7×
+    # wall at the 10× scale decade before this rewrite, ~linear after.
     wa = (
         Window.partitionBy("c_nationkey")
-        .orderBy("score", "c_custkey")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("score"), F.desc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranked = scored.select(
         "c_nationkey",
@@ -1435,9 +1440,9 @@ def psm_caliper_match(
         F.last(ctrl_score, ignorenulls=True).over(wb).alias("ps"),
         F.last(ctrl_key, ignorenulls=True).over(wb).alias("pk"),
         F.last(ctrl_spend, ignorenulls=True).over(wb).alias("pv"),
-        F.first(ctrl_score, ignorenulls=True).over(wa).alias("ns"),
-        F.first(ctrl_key, ignorenulls=True).over(wa).alias("nk"),
-        F.first(ctrl_spend, ignorenulls=True).over(wa).alias("nv"),
+        F.last(ctrl_score, ignorenulls=True).over(wa).alias("ns"),
+        F.last(ctrl_key, ignorenulls=True).over(wa).alias("nk"),
+        F.last(ctrl_spend, ignorenulls=True).over(wa).alias("nv"),
     ).where(F.col("treated"))
     d_prev = F.abs(F.col("score") - F.col("ps"))
     d_next = F.abs(F.col("ns") - F.col("score"))
