@@ -1685,3 +1685,106 @@ def als_rank1(
         "n_custs",
         "n_ratings",
     )
+
+
+def qte_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Quantile treatment effects: at each decile of the outcome
+    distribution, how far apart are the treated (AUTOMOBILE segment)
+    and control total-spend quantiles? The distributional companion to
+    the ATT — an effect concentrated in the upper deciles tells a
+    different story than a uniform shift, which a single mean
+    difference can't see.
+
+    Both sides' deciles are exact interpolated quantiles (one
+    `percentile(spend, array(...))` per group — quantile input is
+    customer-count-bounded) over the left-joined spend with zero
+    default; the QTE is one rounded subtraction per decile.
+    """
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp")
+    )
+    base = (
+        customer.select(
+            F.col("c_custkey"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("treated"),
+        )
+        .join(
+            spend.withColumnRenamed("o_custkey", "c_custkey"),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "treated",
+            F.coalesce(F.col("sp"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    qs = base.groupBy("treated").agg(
+        F.expr(
+            "percentile(spend, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+            " 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("qv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    t = qs.where(F.col("treated")).select(
+        F.posexplode("qv").alias("i", "qt"), F.col("n").alias("n_treated")
+    )
+    c = qs.where(~F.col("treated")).select(
+        F.posexplode("qv").alias("i", "qc"), F.col("n").alias("n_control")
+    )
+    return t.join(c, "i").select(
+        (F.col("i") + 1).cast("int").alias("decile"),
+        "n_treated",
+        "n_control",
+        F.round("qt", 6).alias("q_treated"),
+        F.round("qc", 6).alias("q_control"),
+        F.round(F.col("qt") - F.col("qc"), 6).alias("qte"),
+    )
+
+
+def ecod_outliers(orders: DataFrame, k: int = 20) -> DataFrame:
+    """ECOD-style unsupervised outlier scoring (Li et al., TKDE 2022)
+    over per-customer behavior: for each feature (total spend, order
+    count), the empirical tail probability from BOTH directions via
+    ``cume_dist``, and score = Σ_f −ln(min(left_tail, right_tail)) —
+    parameter-free, distribution-free anomaly detection with nothing
+    to train. Returns the top-``k`` outliers.
+
+    Exactness: cume_dist is a pure rank ratio (ties share a value in
+    both engines); each −ln term rounds to 6dp into a DECIMAL(18,6)
+    sum; ranking breaks ties on custkey. Scale: one per-customer
+    aggregate, then four global-sort windows over the customer-count-
+    bounded frame (range-partitioned sort at scale, the global_sort
+    shape) and a TakeOrdered top-k.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    out = per
+    score_terms = []
+    for feat in ("spend", "n_orders"):
+        left = F.cume_dist().over(Window.orderBy(F.col(feat)))
+        right = F.cume_dist().over(Window.orderBy(F.col(feat).desc()))
+        out = out.withColumn(f"l_{feat}", left).withColumn(
+            f"r_{feat}", right
+        )
+        score_terms.append(
+            F.round(
+                -F.log(F.least(F.col(f"l_{feat}"), F.col(f"r_{feat}"))), 6
+            ).cast("decimal(18,6)")
+        )
+    total = score_terms[0] + score_terms[1]
+    return (
+        out.select(
+            "o_custkey",
+            F.round("spend", 2).alias("spend"),
+            "n_orders",
+            total.cast("double").alias("ecod_score"),
+        )
+        .orderBy(F.desc("ecod_score"), F.asc("o_custkey"))
+        .limit(k)
+    )

@@ -10620,3 +10620,151 @@ def newsvendor_quantile(
             "stock_level_q75"
         ),
     )
+
+
+def logrank_segments(
+    customer: DataFrame, orders: DataFrame, churn_gap_days: int = 90
+) -> DataFrame:
+    """Two-sample log-rank (Mantel–Cox) test: does the AUTOMOBILE
+    segment churn on a different survival curve than everyone else?
+    The hypothesis test that completes the survival family — KM draws
+    the curves (:func:`kaplan_meier_churn`), Nelson–Aalen integrates
+    the hazard, and the log-rank test says whether two curves DIFFER,
+    censoring handled exactly (the comparison every retention A/B
+    readout should run instead of eyeballing curve gaps).
+
+    At each duration bucket t with d_t > 0 total events, the treated
+    group's expected events under H₀ (identical hazards) are
+    e₁ = d_t·n₁/n and the hypergeometric variance is
+    v = d_t·(n₁/n)·(n₀/n)·(n−d_t)/(n−1); the statistic is
+    χ² = (O₁−E₁)²/V with z = (O₁−E₁)/√V and a 1-df p-value via the
+    shared A&S normal tail (:func:`_normal_upper_tail`).
+
+    Cross-engine exactness: the life table is all integers; e₁ and v
+    round to 6dp into DECIMAL(18,6) sums (exact, order-free), the
+    final χ²/z are single IEEE expressions over those decimal sums
+    with identical parenthesization in the oracle, and the tail
+    polynomial shares repr() literals with the SQL.
+
+    Scale: one per-customer aggregate (min/max order date), one
+    customer-dimension join for the segment label, then everything
+    runs on the duration-range × 2 grid — control-plane-sized no
+    matter the order volume.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    wend = orders.agg(F.max(F.to_date("o_orderdate")).alias("wend"))
+    churned = F.datediff(F.col("wend"), F.col("last_d")) > churn_gap_days
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").cast("int").alias("g"),
+    )
+    dur = (
+        per_cust.join(F.broadcast(wend))
+        .join(seg, "o_custkey")
+        .select(
+            "g",
+            churned.cast("int").alias("ev"),
+            F.floor(
+                F.when(churned, F.datediff("last_d", "first_d"))
+                .otherwise(F.datediff("wend", "first_d"))
+                / 30
+            ).alias("t"),
+        )
+    )
+    totals = dur.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    counted = dur.groupBy("t", "g").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    # dense (t × group) grid so each group's at-risk count is defined at
+    # EVERY event time, including buckets where that group has no row
+    dense = (
+        counted.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+        .join(counted, ["t", "g"], "left")
+        .select(
+            "t",
+            "g",
+            "n_g",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = dense.withColumn(
+        "n_risk",
+        (
+            F.col("n_g")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0))
+        ).cast("bigint"),
+    )
+    g1 = at_risk.where(F.col("g") == 1).select(
+        "t", F.col("d").alias("d1"), F.col("n_risk").alias("n1")
+    )
+    g0 = at_risk.where(F.col("g") == 0).select(
+        "t", F.col("d").alias("d0"), F.col("n_risk").alias("n0")
+    )
+    j = g1.join(g0, "t").where(
+        (F.col("d1") + F.col("d0") > 0)
+        & (F.col("n1") + F.col("n0") > 1)
+        & (F.col("n1") > 0)
+        & (F.col("n0") > 0)
+    )
+    dtd = (F.col("d1") + F.col("d0")).cast("double")
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    ntd = (F.col("n1") + F.col("n0")).cast("double")
+    e1 = F.round(dtd * n1d / ntd, 6).cast("decimal(18,6)")
+    e0 = F.round(dtd * n0d / ntd, 6).cast("decimal(18,6)")
+    v = F.round(
+        dtd * (n1d / ntd) * (n0d / ntd) * ((ntd - dtd) / (ntd - 1.0)), 6
+    ).cast("decimal(18,6)")
+    sums = j.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("d0").cast("bigint").alias("o0"),
+        F.sum(e1).alias("e1"),
+        F.sum(e0).alias("e0"),
+        F.sum(v).alias("v"),
+    )
+    n1_tot = totals.where(F.col("g") == 1).select(
+        F.col("n_g").alias("n_treated")
+    )
+    n0_tot = totals.where(F.col("g") == 0).select(
+        F.col("n_g").alias("n_control")
+    )
+    o1d = F.col("o1").cast("double")
+    e1d = F.col("e1").cast("double")
+    vd = F.col("v").cast("double")
+    z = F.round((o1d - e1d) / F.sqrt(vd), 6)
+    chi2 = F.round((o1d - e1d) * (o1d - e1d) / vd, 6)
+    out = sums.crossJoin(F.broadcast(n1_tot)).crossJoin(
+        F.broadcast(n0_tot)
+    )
+    out = out.withColumn("z_score", z).withColumn("chi2", chi2)
+    pval = F.round(
+        F.least(
+            F.lit(1.0), F.lit(2.0) * _normal_upper_tail(F.abs(F.col("z_score")))
+        ),
+        6,
+    )
+    return out.select(
+        "n_treated",
+        "n_control",
+        F.col("o1").alias("o_treated"),
+        F.round(F.col("e1").cast("double"), 6).alias("e_treated"),
+        F.col("o0").alias("o_control"),
+        F.round(F.col("e0").cast("double"), 6).alias("e_control"),
+        "chi2",
+        "z_score",
+        pval.alias("p_value"),
+    )

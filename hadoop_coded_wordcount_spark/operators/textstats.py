@@ -2577,3 +2577,266 @@ def source_loo_value(documents: DataFrame) -> DataFrame:
             6,
         ).alias("unique_token_share"),
     )
+
+
+def bm25_prf_topk(
+    documents: DataFrame,
+    n_query_terms: int = 5,
+    n_fb_docs: int = 5,
+    n_exp_terms: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (Rocchio-style query
+    expansion): run :func:`bm25_topk`'s deterministic query, take the
+    top ``n_fb_docs`` documents as feedback, add the ``n_exp_terms``
+    terms most frequent among them (by feedback document frequency,
+    global-df idf, originals excluded, ties by term), and rescore —
+    the classic two-pass lexical retrieval upgrade.
+
+    Scoring expressions are IDENTICAL to bm25_topk's (same idf round,
+    same length-norm tree, same decimal sum), applied to both passes
+    via one shared closure over the persisted tf table — the corpus
+    tokenizes once, each pass is a broadcast-query-table join.
+    """
+    from .dedup import tokens_col
+
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).crossJoin(dl.agg(F.sum("dl").alias("s_tok")))
+
+    def score(qterms: DataFrame) -> DataFrame:
+        scored = (
+            tf.join(F.broadcast(qterms), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (
+                    F.col("n_docs").cast("double")
+                    - F.col("df")
+                    + F.lit(0.5)
+                )
+                / (F.col("df") + F.lit(0.5))
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        norm = F.lit(0.25) + (
+            F.lit(0.75) * (F.col("dl") * F.col("n_docs")).cast("double")
+        ) / F.col("s_tok").cast("double")
+        factor = (F.col("tf") * F.lit(2.2)) / (
+            F.col("tf") + F.lit(1.2) * norm
+        )
+        per_term = scored.select(
+            "doc_id",
+            F.round(idf.cast("double") * factor, 6)
+            .cast("decimal(18,6)")
+            .alias("ts"),
+        )
+        return per_term.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("ts").alias("score_dec"),
+        )
+
+    q0 = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term", "df")
+    )
+    fb = (
+        score(q0)
+        .orderBy(F.desc("score_dec"), F.asc("doc_id"))
+        .limit(n_fb_docs)
+        .select("doc_id")
+    )
+    exp = (
+        tf.join(F.broadcast(fb), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fb_df"))
+        .join(q0.select("term"), "term", "left_anti")
+        .join(df_, "term")
+        .orderBy(F.desc("fb_df"), F.asc("term"))
+        .limit(n_exp_terms)
+        .select("term", "df")
+    )
+    qfull = q0.unionAll(exp)
+    return (
+        score(qfull)
+        .orderBy(F.desc("score_dec"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_matched",
+            F.col("score_dec").cast("double").alias("bm25"),
+        )
+    )
+
+
+def keyness_terms(documents: DataFrame, top: int = 5) -> DataFrame:
+    """Corpus-linguistics keyness: for each source, the ``top`` terms
+    most OVER-represented vs the rest of the corpus by Dunning's
+    log-likelihood ratio G² (the 2×2 contingency test that behaves at
+    small counts where PMI explodes) — the "what is this crawl about?"
+    readout used to audit domain skew before mixing sources.
+
+    G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] over the (term-in-source,
+    term-elsewhere) split, computed only for over-represented
+    (a/s_tot > w_tot/N) terms. Each x·ln(x/E) term is one ln() of a
+    ratio of exact integer products rounded to 6dp into the DECIMAL
+    sum; zero cells contribute zero by the x·ln(x) → 0 convention.
+
+    Scale: (source, word) and word-marginal aggregates are vocabulary-
+    bounded; the final rank window is per source over its vocabulary.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    ex = (
+        ensure_parallelism(documents.select("source", "text"))
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .persist()
+    )
+    s_tot = ex.groupBy("source").agg(
+        F.sum("a").cast("bigint").alias("s_tot")
+    )
+    w_tot = ex.groupBy("word").agg(
+        F.sum("a").cast("bigint").alias("w_tot")
+    )
+    n_tot = ex.agg(F.sum("a").cast("bigint").alias("n"))
+    j = (
+        ex.join(w_tot, "word")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("w_tot") - F.col("a")).cast("double")
+    # a/E_a = a·N / (w_tot·s_tot); b/E_b = b·N / (w_tot·(N−s_tot))
+    ratio_a = (F.col("a") * F.col("n")).cast("double") / (
+        F.col("w_tot") * F.col("s_tot")
+    ).cast("double")
+    ratio_b = (
+        (F.col("w_tot") - F.col("a")) * F.col("n")
+    ).cast("double") / (
+        F.col("w_tot") * (F.col("n") - F.col("s_tot"))
+    ).cast("double")
+    term_a = F.round(a * F.log(ratio_a), 6).cast("decimal(18,6)")
+    term_b = F.when(
+        F.col("w_tot") > F.col("a"),
+        F.round(b * F.log(ratio_b), 6).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    over = (F.col("a") * F.col("n")) > (F.col("w_tot") * F.col("s_tot"))
+    scored = j.where(over).select(
+        "source",
+        "word",
+        "a",
+        "w_tot",
+        (F.lit(2) * (term_a + term_b)).cast("double").alias("g2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("word").alias("term"),
+            F.col("a").alias("cnt_in_source"),
+            F.col("w_tot").alias("cnt_corpus"),
+            F.round("g2", 6).alias("g2"),
+        )
+    )
+
+
+def qlm_dirichlet_topk(
+    documents: DataFrame,
+    n_query_terms: int = 5,
+    mu: float = 2000.0,
+    k: int = 20,
+) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing (Zhai & Lafferty 2001): score(Q,D) = Σ_{t∈Q}
+    ln((tf + μ·P(t|C)) / (|D| + μ)) with the collection model
+    P(t|C) = cf(t)/|C| — the probabilistic counterpart of
+    :func:`bm25_topk` (same deterministic top-df query), completing
+    the classic lexical-retrieval pair every IR stack ships.
+
+    Unlike BM25, EVERY query term scores every document (smoothing
+    gives zero-tf terms mass), so the scored frame is |docs|×|Q| —
+    built as a broadcast cross join of the per-doc length table with
+    the |Q|-row query, then a left join against tf. Each ln() term
+    rounds to 6dp into a DECIMAL(18,6) sum (exact, order-free); ties
+    break on doc_id.
+
+    Scale: the corpus tokenizes once into (doc_id, term, tf);
+    everything query-sized broadcasts; no quadratic anywhere.
+    """
+    from .dedup import tokens_col
+
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    s_tok = dl.agg(F.sum("dl").cast("bigint").alias("s_tok"))
+    q0 = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term", "cf")
+    )
+    dense = (
+        dl.crossJoin(F.broadcast(q0))
+        .join(tf, ["doc_id", "term"], "left")
+        .crossJoin(F.broadcast(s_tok))
+        .select(
+            "doc_id",
+            F.coalesce("tf", F.lit(0)).cast("bigint").alias("tf0"),
+            "dl",
+            "cf",
+            "s_tok",
+        )
+    )
+    term_score = F.round(
+        F.log(
+            (
+                F.col("tf0").cast("double")
+                + F.lit(mu)
+                * (F.col("cf").cast("double") / F.col("s_tok").cast("double"))
+            )
+            / (F.col("dl").cast("double") + F.lit(mu))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        dense.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("tf0") > 0).cast("int")).cast("bigint")
+            .alias("n_matched"),
+            F.sum(term_score).alias("score_dec"),
+        )
+        .orderBy(F.desc("score_dec"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_matched",
+            F.col("score_dec").cast("double").alias("qlm"),
+        )
+    )

@@ -13893,6 +13893,201 @@ def q_l_diversity(spark, sf_dir):
     return rel.l_diversity(load_table(spark, sf_dir, "customer"))
 
 
+@register(
+    "keyness_terms",
+    """
+    WITH ex AS MATERIALIZED (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY source, word
+    ),
+    s_tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s_tot
+              FROM ex GROUP BY 1),
+    w_tot AS (SELECT word, CAST(SUM(a) AS BIGINT) AS w_tot
+              FROM ex GROUP BY 1),
+    n_tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM ex),
+    j AS (
+      SELECT source, word, a, w_tot, s_tot, n
+      FROM ex JOIN w_tot USING (word) JOIN s_tot USING (source)
+      CROSS JOIN n_tot
+      WHERE a * n > w_tot * s_tot
+    ),
+    sc AS (
+      SELECT source, word, a, w_tot,
+             CAST(2 * (CAST(ROUND(CAST(a AS DOUBLE)
+                        * ln(CAST(a * n AS DOUBLE)
+                             / CAST(w_tot * s_tot AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))
+                  + CASE WHEN w_tot > a
+                         THEN CAST(ROUND(CAST(w_tot - a AS DOUBLE)
+                              * ln(CAST((w_tot - a) * n AS DOUBLE)
+                                   / CAST(w_tot * (n - s_tot) AS DOUBLE)),
+                              6) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS g2
+      FROM j
+    )
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, word AS term,
+           a AS cnt_in_source, w_tot AS cnt_corpus,
+           ROUND(g2, 6) AS g2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY g2 DESC, word) AS rnk
+          FROM sc)
+    WHERE rnk <= 5
+    """,
+)
+def q_keyness_terms(spark, sf_dir):
+    return ts.keyness_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ecod_outliers",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    cd AS (
+      SELECT o_custkey, spend, n_orders,
+             cume_dist() OVER (ORDER BY spend) AS l_spend,
+             cume_dist() OVER (ORDER BY spend DESC) AS r_spend,
+             cume_dist() OVER (ORDER BY n_orders) AS l_n,
+             cume_dist() OVER (ORDER BY n_orders DESC) AS r_n
+      FROM per
+    )
+    SELECT o_custkey, ROUND(spend, 2) AS spend, n_orders,
+           CAST(CAST(ROUND(-ln(LEAST(l_spend, r_spend)), 6)
+                     AS DECIMAL(18,6))
+                + CAST(ROUND(-ln(LEAST(l_n, r_n)), 6)
+                       AS DECIMAL(18,6)) AS DOUBLE) AS ecod_score
+    FROM cd
+    ORDER BY ecod_score DESC, o_custkey LIMIT 20
+    """,
+)
+def q_ecod_outliers(spark, sf_dir):
+    return ml.ecod_outliers(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "bm25_prf_topk",
+    r"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfx AS MATERIALIZED (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    st AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS s_tok
+    ),
+    q0 AS MATERIALIZED (
+      SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 5
+    ),
+    per0 AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               CAST(CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                                        / (df + 0.5)), 6)
+                         AS DECIMAL(18,6)) AS DOUBLE)
+               * ((tf * 2.2)
+                  / (tf + 1.2 * (0.25 + (0.75 * CAST(dl * n_docs AS DOUBLE))
+                                        / CAST(s_tok AS DOUBLE)))), 6)
+                  AS DECIMAL(18,6)) AS ts
+      FROM tf JOIN q0 USING (term) JOIN dl USING (doc_id), st
+    ),
+    fb AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id, SUM(ts) AS s FROM per0 GROUP BY doc_id
+      ) ORDER BY s DESC, doc_id LIMIT 5
+    ),
+    exp AS MATERIALIZED (
+      SELECT f.term, dfx.df FROM (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS fb_df
+        FROM tf WHERE doc_id IN (SELECT doc_id FROM fb)
+          AND term NOT IN (SELECT term FROM q0)
+        GROUP BY term
+      ) f JOIN dfx USING (term)
+      ORDER BY fb_df DESC, term LIMIT 5
+    ),
+    qf AS (SELECT * FROM q0 UNION ALL SELECT * FROM exp),
+    perf AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               CAST(CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                                        / (df + 0.5)), 6)
+                         AS DECIMAL(18,6)) AS DOUBLE)
+               * ((tf * 2.2)
+                  / (tf + 1.2 * (0.25 + (0.75 * CAST(dl * n_docs AS DOUBLE))
+                                        / CAST(s_tok AS DOUBLE)))), 6)
+                  AS DECIMAL(18,6)) AS ts
+      FROM tf JOIN qf USING (term) JOIN dl USING (doc_id), st
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(ts) AS DOUBLE) AS bm25
+    FROM perf GROUP BY doc_id
+    ORDER BY SUM(ts) DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_prf_topk(spark, sf_dir):
+    return ts.bm25_prf_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "qte_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT (c_mktsegment = 'AUTOMOBILE') AS treated,
+             CAST(COALESCE(sp, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM customer LEFT JOIN spend USING (c_custkey)
+    ),
+    qs AS (
+      SELECT treated,
+             quantile_cont(spend, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qv,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY treated
+    ),
+    t AS (
+      SELECT i - 1 AS i, qv[i] AS qt, n AS n_treated
+      FROM qs, unnest(range(1, 10)) AS u(i) WHERE treated
+    ),
+    c AS (
+      SELECT i - 1 AS i, qv[i] AS qc, n AS n_control
+      FROM qs, unnest(range(1, 10)) AS u(i) WHERE NOT treated
+    )
+    SELECT CAST(i + 1 AS INTEGER) AS decile, n_treated, n_control,
+           ROUND(qt, 6) AS q_treated,
+           ROUND(qc, 6) AS q_control,
+           ROUND(qt - qc, 6) AS qte
+    FROM t JOIN c USING (i)
+    """,
+)
+def q_qte_deciles(spark, sf_dir):
+    return ml.qte_deciles(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _als_rank1_oracle(lam: float = 0.1, rounds: int = 3) -> str:
     """Unrolled ALS replay: one (u_t, v_t) CTE pair per alternation over
     the materialized ratings matrix; all products exact decimals, one
@@ -13952,6 +14147,159 @@ def q_cox_ph_binary(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+@register(
+    "logrank_segments",
+    # Replays the grouped life table on the dense (t x group) grid, the
+    # 6dp-rounded DECIMAL(18,6) e/v sums, and the shared A&S tail
+    # (identical repr() literals, identical parenthesization).
+    f"""
+    WITH pc AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1
+    ),
+    we AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS wend FROM orders),
+    dur AS (
+      SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+               AS g,
+             CASE WHEN date_diff('day', last_d, wend) > 90
+                  THEN 1 ELSE 0 END AS ev,
+             CAST(FLOOR(CASE WHEN date_diff('day', last_d, wend) > 90
+                        THEN date_diff('day', first_d, last_d)
+                        ELSE date_diff('day', first_d, wend)
+                        END / 30.0) AS BIGINT) AS t
+      FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey, we
+    ),
+    tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM dur GROUP BY 1),
+    cnt AS (
+      SELECT t, g, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM dur GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT ts.t, tot.g, tot.n_g,
+             CAST(COALESCE(cnt.d, 0) AS BIGINT) AS d,
+             CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT t FROM cnt) ts
+      CROSS JOIN tot
+      LEFT JOIN cnt ON cnt.t = ts.t AND cnt.g = tot.g
+    ),
+    ar AS (
+      SELECT *,
+             CAST(n_g - COALESCE(SUM(d + c) OVER (
+               PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM dense
+    ),
+    j AS (
+      SELECT g1.t, g1.d AS d1, g1.n_risk AS n1,
+             g0.d AS d0, g0.n_risk AS n0
+      FROM (SELECT * FROM ar WHERE g = 1) g1
+      JOIN (SELECT * FROM ar WHERE g = 0) g0 USING (t)
+      WHERE g1.d + g0.d > 0 AND g1.n_risk + g0.n_risk > 1
+        AND g1.n_risk > 0 AND g0.n_risk > 0
+    ),
+    terms AS (
+      SELECT d1, d0,
+        CAST(ROUND(CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / CAST(n1 + n0 AS DOUBLE), 6) AS DECIMAL(18,6)) AS e1,
+        CAST(ROUND(CAST(d1 + d0 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                   / CAST(n1 + n0 AS DOUBLE), 6) AS DECIMAL(18,6)) AS e0,
+        CAST(ROUND(CAST(d1 + d0 AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                   * (CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                   * ((CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+                      / (CAST(n1 + n0 AS DOUBLE) - 1.0)), 6)
+             AS DECIMAL(18,6)) AS v
+      FROM j
+    ),
+    s AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(d0) AS BIGINT) AS o0,
+             SUM(e1) AS e1, SUM(e0) AS e0, SUM(v) AS v
+      FROM terms
+    ),
+    zc AS (
+      SELECT *,
+        ROUND((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+              / sqrt(CAST(v AS DOUBLE)), 6) AS z_score,
+        ROUND((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+              * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+              / CAST(v AS DOUBLE), 6) AS chi2
+      FROM s
+    ),
+    tt AS (
+      SELECT *, 1.0 / (1.0 + {rel.AS_NORMAL_P!r} * abs(z_score)) AS t
+      FROM zc
+    )
+    SELECT (SELECT n_g FROM tot WHERE g = 1) AS n_treated,
+           (SELECT n_g FROM tot WHERE g = 0) AS n_control,
+           o1 AS o_treated,
+           ROUND(CAST(e1 AS DOUBLE), 6) AS e_treated,
+           o0 AS o_control,
+           ROUND(CAST(e0 AS DOUBLE), 6) AS e_control,
+           chi2, z_score,
+           ROUND(LEAST(1.0, 2.0 * ({rel.INV_SQRT_2PI!r}
+             * exp(-(abs(z_score) * abs(z_score)) / 2.0)
+             * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3}
+                + t * ({_BH_B4} + t * {_BH_B5}))))))), 6) AS p_value
+    FROM tt
+    """,
+)
+def q_logrank_segments(spark, sf_dir):
+    return rel.logrank_segments(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "qlm_dirichlet_topk",
+    r"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS cf
+      FROM tf GROUP BY 1
+    ),
+    st AS (SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS s_tok),
+    q0 AS MATERIALIZED (
+      SELECT term, cf FROM dfx ORDER BY df DESC, term LIMIT 5
+    ),
+    dense AS (
+      SELECT dl.doc_id, COALESCE(tf.tf, 0) AS tf0, dl.dl, q0.cf, st.s_tok
+      FROM dl CROSS JOIN q0 CROSS JOIN st
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = q0.term
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+             SUM(CAST(ROUND(LN(
+               (CAST(tf0 AS DOUBLE)
+                + 2000.0 * (CAST(cf AS DOUBLE) / CAST(s_tok AS DOUBLE)))
+               / (CAST(dl AS DOUBLE) + 2000.0)), 6)
+               AS DECIMAL(18,6))) AS score_dec
+      FROM dense GROUP BY 1
+    )
+    SELECT doc_id, n_matched, CAST(score_dec AS DOUBLE) AS qlm
+    FROM per ORDER BY score_dec DESC, doc_id LIMIT 20
+    """,
+)
+def q_qlm_dirichlet_topk(spark, sf_dir):
+    return ts.qlm_dirichlet_topk(load_table(spark, sf_dir, "documents"))
 
 
 _VERIFY_FIRST = [
@@ -14114,6 +14462,12 @@ _VERIFY_FIRST = [
     "matryoshka_recall",
     "gumbel_extremes",
     "newsvendor_quantile",
+    "qte_deciles",
+    "bm25_prf_topk",
+    "ecod_outliers",
+    "keyness_terms",
+    "logrank_segments",
+    "qlm_dirichlet_topk",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -369,3 +369,244 @@ class TestNegbinFit:
         m = row.r_hat * (1 - row.p_hat) / row.p_hat
         assert abs(m - row.mean_cnt) < 1e-3
         assert row.zero_frac == round(23 / 47, 6)
+
+
+class TestKeynessTerms:
+    def test_overrepresented_term_tops_its_source(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        rows = [
+            (0, "apple apple apple banana", "en", "a", 24),
+            (1, "apple apple banana cherry", "en", "a", 25),
+            (2, "banana cherry cherry banana", "en", "b", 27),
+            (3, "cherry banana cherry cherry", "en", "b", 27),
+        ]
+        out = ts.keyness_terms(_docs(spark, rows)).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        a_top = min(by_src["a"], key=lambda r: r.rnk)
+        b_top = min(by_src["b"], key=lambda r: r.rnk)
+        # apple appears ONLY in source a; cherry is concentrated in b
+        assert a_top.term == "apple" and a_top.cnt_corpus == 5
+        assert b_top.term == "cherry"
+        assert all(r.g2 > 0 for r in out)
+
+    def test_only_overrepresented_terms_and_rank_bound(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        rows = [
+            (0, "x x x x y", "en", "a", 9),
+            (1, "y y y y x", "en", "b", 9),
+        ]
+        out = ts.keyness_terms(_docs(spark, rows), top=1).collect()
+        got = {(r.source, r.term) for r in out}
+        # each source surfaces only ITS over-used term at rank 1
+        assert got == {("a", "x"), ("b", "y")}
+        assert all(r.rnk == 1 for r in out)
+
+
+class TestEcodOutliers:
+    def _orders(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice decimal(18,2)"
+        )
+
+    def test_extreme_spender_scores_highest(self, spark):
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        rows = []
+        k = 0
+        # 10 ordinary customers: 2 orders of ~100 each
+        for c in range(10):
+            for _ in range(2):
+                rows.append((k, c, Decimal("100.00"))); k += 1
+        # customer 99: single massive order -> right-tail spend AND
+        # left-tail order count
+        rows.append((k, 99, Decimal("50000.00")))
+        out = ml.ecod_outliers(self._orders(spark, rows), k=3).collect()
+        assert out[0].o_custkey == 99
+        assert out[0].ecod_score >= out[1].ecod_score
+        assert len(out) == 3
+
+    def test_k_limit_and_tiebreak(self, spark):
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        rows = [(i, i, Decimal("10.00")) for i in range(6)]
+        out = ml.ecod_outliers(self._orders(spark, rows), k=4).collect()
+        assert len(out) == 4
+        # identical scores everywhere -> custkey ascending tiebreak
+        assert [r.o_custkey for r in out] == [0, 1, 2, 3]
+
+
+class TestBm25PrfTopk:
+    def test_expansion_retrieves_query_free_doc(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        # q1..q5 are the 5 highest-df terms -> the seed query. The top
+        # feedback docs all carry "expansion"; doc 100 contains ONLY
+        # "expansion", so pass 1 cannot see it but PRF must.
+        base = "q1 q2 q3 q4 q5"
+        rows = [
+            *[(i, f"{base} expansion", "en", "s", 30) for i in range(6)],
+            (100, "expansion expansion expansion", "en", "s", 30),
+            (101, "unrelated words only here", "en", "s", 25),
+        ]
+        out = ts.bm25_prf_topk(_docs(spark, rows), k=10).collect()
+        got = {r.doc_id: r for r in out}
+        assert 100 in got and got[100].n_matched == 1
+        assert 101 not in got
+        # feedback docs match all 5 seed terms + the expansion term
+        assert got[0].n_matched == 6
+
+    def test_scores_descend_and_k_bounds(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        rows = [
+            (i, "alpha beta gamma delta epsilon " + ("alpha " * i).strip(),
+             "en", "s", 40)
+            for i in range(8)
+        ]
+        out = ts.bm25_prf_topk(_docs(spark, rows), k=5).collect()
+        assert len(out) == 5
+        scores = [r.bm25 for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestQteDeciles:
+    def test_uniform_shift_shows_in_every_decile(self, spark):
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        cust = spark.createDataFrame(
+            [(i, "AUTOMOBILE" if i < 20 else "BUILDING")
+             for i in range(40)],
+            "c_custkey bigint, c_mktsegment string",
+        )
+        # treated spend = control spend + 50 at matching quantiles
+        rows, k = [], 0
+        for i in range(20):  # treated: 150..340
+            rows.append((k, i, Decimal(str(150 + 10 * i)))); k += 1
+        for i in range(20, 40):  # control: 100..290
+            rows.append((k, i, Decimal(str(100 + 10 * (i - 20))))); k += 1
+        orders = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice decimal(18,2)"
+        )
+        out = sorted(ml.qte_deciles(cust, orders).collect(),
+                     key=lambda r: r.decile)
+        assert [r.decile for r in out] == list(range(1, 10))
+        assert all(r.n_treated == 20 and r.n_control == 20 for r in out)
+        assert all(abs(r.qte - 50.0) < 1e-6 for r in out)
+
+    def test_customers_without_orders_count_as_zero(self, spark):
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        cust = spark.createDataFrame(
+            [(0, "AUTOMOBILE"), (1, "AUTOMOBILE"), (2, "BUILDING"),
+             (3, "BUILDING")],
+            "c_custkey bigint, c_mktsegment string",
+        )
+        orders = spark.createDataFrame(
+            [(0, 0, Decimal("100.00")), (1, 2, Decimal("100.00"))],
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice decimal(18,2)",
+        )
+        out = ml.qte_deciles(cust, orders).collect()
+        # both arms are {0, 100}: identical distributions -> QTE 0
+        assert all(r.qte == 0.0 for r in out)
+        assert all(r.n_treated == 2 and r.n_control == 2 for r in out)
+
+
+class TestLogrankSegments:
+    def _frames(self, spark, cust_rows, order_rows):
+        cust = spark.createDataFrame(
+            cust_rows, "c_custkey bigint, c_mktsegment string"
+        )
+        orders = spark.createDataFrame(
+            order_rows, "o_orderkey bigint, o_custkey bigint, "
+            "o_orderdate date"
+        )
+        return cust, orders
+
+    def test_fast_churning_treated_arm_flags(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        cust_rows = [(i, "AUTOMOBILE") for i in range(1, 6)] + [
+            (i, "BUILDING") for i in range(11, 17)
+        ]
+        rows, k = [], 0
+        # treated: first 01-01, last 01-15 -> churned at t=0
+        for c in range(1, 6):
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 1, 15))); k += 1
+        # control: active through year end -> censored at t=12
+        for c in range(11, 16):
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 12, 20))); k += 1
+        rows.append((k, 16, date(2024, 12, 31)))  # pins window end
+        cust, orders = self._frames(spark, cust_rows, rows)
+        r = rel.logrank_segments(cust, orders).collect()[0]
+        assert r.n_treated == 5 and r.n_control == 6
+        assert r.o_treated == 5 and r.e_treated < 3
+        assert r.chi2 > 6 and r.z_score > 0
+        assert r.p_value < 0.01
+
+    def test_identical_arms_accept_null(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        cust_rows = [(1, "AUTOMOBILE"), (2, "AUTOMOBILE"),
+                     (3, "AUTOMOBILE"), (11, "BUILDING"),
+                     (12, "BUILDING"), (13, "BUILDING")]
+        rows, k = [], 0
+        for c in (1, 2, 11, 12):  # churn at t=0 in both arms
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 1, 10))); k += 1
+        for c in (3, 13):  # censored, pin the window end
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 12, 31))); k += 1
+        cust, orders = self._frames(spark, cust_rows, rows)
+        r = rel.logrank_segments(cust, orders).collect()[0]
+        assert r.o_treated == 2 and r.e_treated == 2.0
+        assert r.chi2 == 0.0 and r.z_score == 0.0
+        assert r.p_value > 0.99
+
+
+class TestQlmDirichletTopk:
+    def test_smoothing_scores_zero_tf_docs_and_ranks_by_density(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        # q1..q5 dominate df -> the query. doc 0 is dense in q1 (short),
+        # doc 1 has the same tf but is diluted, doc 50 never mentions a
+        # query term yet must still receive a (collection-smoothed) score.
+        rows = [
+            (0, "q1 q2 q3 q4 q5 q1 q1", "en", "s", 30),
+            (1, "q1 q2 q3 q4 q5 q1 q1 " + "pad " * 40, "en", "s", 200),
+            *[(2 + i, "q1 q2 q3 q4 q5", "en", "s", 20) for i in range(4)],
+            (50, "nothing relevant at all", "en", "s", 23),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        out = ts.qlm_dirichlet_topk(docs, k=10).collect()
+        got = {r.doc_id: r for r in out}
+        assert 50 in got and got[50].n_matched == 0
+        assert got[50].qlm < got[0].qlm
+        # same query-term tf, shorter doc wins (length normalization)
+        assert got[0].qlm > got[1].qlm
+        # scores descend, doc_id breaks ties
+        scores = [(r.qlm, r.doc_id) for r in out]
+        assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
