@@ -1788,3 +1788,142 @@ def ecod_outliers(orders: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("ecod_score"), F.asc("o_custkey"))
         .limit(k)
     )
+
+
+def huber_irls(lineitem: DataFrame, rounds: int = 3) -> DataFrame:
+    """Huber robust regression (price ~ quantity) by IRLS: start from
+    the OLS fit (:func:`~..relational.regression_by_group` moments),
+    set the Huber threshold δ = 1.345·(1.4826·median|r₀|) from the
+    initial residuals (the standard 95%-efficiency tuning on the MAD
+    scale), then ``rounds`` reweighted fits with w = min(1, δ/|r|) —
+    the M-estimator that keeps OLS efficiency on clean data while
+    capping any single outlier row's leverage. Emits one row per
+    iteration (iter 0 = OLS) so the convergence path is inspectable;
+    ``n_downweighted`` counts rows with |r| > δ entering that fit.
+
+    Exactness: OLS moments are exact DECIMAL sums; the MAD scale is an
+    exact interpolated percentile; every weighted moment rounds
+    w·x-style products to 6dp into DECIMAL(28,6) sums (order-free);
+    slope/intercept are single identically-parenthesized IEEE
+    expressions over those sums, rounded to 6dp before the next round
+    — so all ``rounds`` iterations replay bit-exact in the oracle.
+
+    Scale: the (x, y) projection persists once; each iteration is ONE
+    map-side-combinable aggregate over it (no window, no join on the
+    fact side — parameters ride a 1-row broadcast). Row count never
+    re-shuffles; state is O(1) per round, the logistic_gd shape.
+    """
+    from ..sources.catalog import ensure_parallelism
+
+    feat = ensure_parallelism(
+        lineitem.select(
+            F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("y"),
+            F.col("l_orderkey").alias("k"),
+        ),
+        key="k",
+    ).drop("k").persist()
+    agg0 = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope0 = (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+    # each round's params are a 1-row frame feeding the NEXT round's
+    # weights; localCheckpoint truncates the chained lineage so round i
+    # re-reads one cached scan, not i re-derivations (the
+    # pca_power_iteration cadence)
+    p = agg0.select(
+        F.round(slope0, 6).alias("b"),
+        F.round((syd - F.round(slope0, 6) * sxd) / n, 6).alias("a"),
+    ).localCheckpoint(eager=True)
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    absr = F.abs(yd - (F.col("a") + F.col("b") * xd))
+    sc = (
+        feat.crossJoin(F.broadcast(p))
+        .agg(
+            F.round(
+                F.lit(1.4826) * F.expr(
+                    "percentile(abs(CAST(y AS DOUBLE) "
+                    "- (a + b * CAST(x AS DOUBLE))), 0.5D)"
+                ),
+                6,
+            ).alias("s0")
+        )
+        .select("s0", F.round(F.lit(1.345) * F.col("s0"), 6).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    out_rows = [
+        p.crossJoin(F.broadcast(sc)).select(
+            F.lit(0).cast("int").alias("iter"),
+            F.col("a").alias("intercept"),
+            F.col("b").alias("slope"),
+            F.lit(0).cast("bigint").alias("n_downweighted"),
+            "s0",
+            "delta",
+        )
+    ]
+    for i in range(1, rounds + 1):
+        w = F.least(
+            F.lit(1.0),
+            F.col("delta") / F.greatest(absr, F.lit(1e-9)),
+        )
+        ws = (
+            feat.crossJoin(F.broadcast(p))
+            .crossJoin(F.broadcast(sc))
+            .agg(
+                F.sum(F.round(w, 6).cast("decimal(28,6)")).alias("sw"),
+                F.sum(F.round(w * xd, 6).cast("decimal(28,6)")).alias(
+                    "swx"
+                ),
+                F.sum(F.round(w * yd, 6).cast("decimal(28,6)")).alias(
+                    "swy"
+                ),
+                F.sum(
+                    F.round(w * (xd * yd), 6).cast("decimal(28,6)")
+                ).alias("swxy"),
+                F.sum(
+                    F.round(w * (xd * xd), 6).cast("decimal(28,6)")
+                ).alias("swxx"),
+                F.sum((absr > F.col("delta")).cast("int"))
+                .cast("bigint")
+                .alias("n_down"),
+                F.min("s0").alias("s0"),
+                F.min("delta").alias("delta"),
+            )
+        )
+        swd = F.col("sw").cast("double")
+        swxd, swyd = F.col("swx").cast("double"), F.col("swy").cast(
+            "double"
+        )
+        swxyd, swxxd = F.col("swxy").cast("double"), F.col("swxx").cast(
+            "double"
+        )
+        bi = (swd * swxyd - swxd * swyd) / (swd * swxxd - swxd * swxd)
+        fitted = ws.select(
+            F.round(bi, 6).alias("b"),
+            F.round((swyd - F.round(bi, 6) * swxd) / swd, 6).alias("a"),
+            "n_down",
+            "s0",
+            "delta",
+        ).localCheckpoint(eager=True)
+        out_rows.append(
+            fitted.select(
+                F.lit(i).cast("int").alias("iter"),
+                F.col("a").alias("intercept"),
+                F.col("b").alias("slope"),
+                F.col("n_down").alias("n_downweighted"),
+                "s0",
+                "delta",
+            )
+        )
+        p = fitted.select("a", "b")
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionAll(r)
+    return out

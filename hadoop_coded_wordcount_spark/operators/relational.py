@@ -10768,3 +10768,212 @@ def logrank_segments(
         "z_score",
         pval.alias("p_value"),
     )
+
+
+#: Candidate cycle lengths (hours) probed by :func:`periodogram_hourly`.
+PERIODOGRAM_PERIODS = (24, 12, 8, 6)
+
+
+def periodogram_trig_table() -> list:
+    """(period, residue, cos, sin) rows for every phase the periodogram
+    can touch — plain Python floats, embedded as literals in BOTH the
+    Spark plan (F.lit) and the DuckDB oracle (repr()), so neither engine
+    ever calls its own trig library on the hot path and the two
+    expression trees see bit-identical constants."""
+    import math
+
+    rows = []
+    for p in PERIODOGRAM_PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append((p, r, math.cos(ang), math.sin(ang)))
+    return rows
+
+
+def periodogram_hourly(events: DataFrame) -> DataFrame:
+    """Periodogram probe: per event type, the DFT power of the
+    ZERO-FILLED hourly count series at the candidate cycle lengths a
+    metrics platform actually cares about (24 h daily, 12/8/6 h
+    harmonics) — "which rhythm dominates this event stream?" without a
+    full FFT. The spectral companion of :func:`acf_hourly` /
+    :func:`seasonal_hourly`: those measure self-similarity at a lag,
+    this measures energy at a frequency, mean-removed so the DC bulk
+    can't drown the cycle.
+
+    Exactness: the dense grid and counts are integers; cos/sin come
+    from the shared literal table (:func:`periodogram_trig_table` — no
+    libm divergence possible); each x·cosθ product rounds to 6dp into
+    a DECIMAL(18,6) sum, the mean correction C' = C − (Σx/n)·Σcosθ and
+    power (C'² + S'²)/n are single identically-parenthesized IEEE
+    expressions over those decimal sums.
+
+    Scale: one (type, hour) partial aggregate bounds everything at the
+    calendar grid; the explode is grid × 4 periods; the trig join is a
+    |periods·max_period|-row broadcast. Nothing grows with event
+    volume.
+    """
+    counted = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    grid = (
+        counted.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            "h0",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = grid.join(counted, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.expr("timestampdiff(HOUR, h0, hour)")
+        .cast("bigint")
+        .alias("h_idx"),
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    spark = events.sparkSession
+    trig = F.broadcast(
+        spark.createDataFrame(
+            periodogram_trig_table(),
+            "period int, r int, cv double, sv double",
+        )
+    )
+    periods = F.broadcast(
+        spark.createDataFrame(
+            [(p,) for p in PERIODOGRAM_PERIODS], "period int"
+        )
+    )
+    rowed = (
+        hourly.crossJoin(periods)
+        .withColumn("r", (F.col("h_idx") % F.col("period")).cast("int"))
+        .join(trig, ["period", "r"])
+    )
+    xd = F.col("x").cast("double")
+    sums = rowed.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.round(xd * F.col("cv"), 6).cast("decimal(18,6)")).alias(
+            "c"
+        ),
+        F.sum(F.round(xd * F.col("sv"), 6).cast("decimal(18,6)")).alias(
+            "s"
+        ),
+        F.sum(F.round(F.col("cv"), 6).cast("decimal(18,6)")).alias("kc"),
+        F.sum(F.round(F.col("sv"), 6).cast("decimal(18,6)")).alias("ks"),
+    )
+    nd = F.col("n_hours").cast("double")
+    m = F.col("sx").cast("double") / nd
+    cc = F.col("c").cast("double") - m * F.col("kc").cast("double")
+    ss = F.col("s").cast("double") - m * F.col("ks").cast("double")
+    powered = sums.select(
+        "event_type",
+        "period",
+        "n_hours",
+        F.round(((cc * cc) + (ss * ss)) / nd, 6).alias("power"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("power"), F.asc("period")
+    )
+    return powered.select(
+        "event_type",
+        "period",
+        "n_hours",
+        "power",
+        F.row_number().over(wr).cast("int").alias("power_rank"),
+    )
+
+
+def pairwise_welch_bonferroni(events: DataFrame) -> DataFrame:
+    """Post-hoc pairwise comparisons for the event-type means that a
+    significant ANOVA leaves unanswered: every unordered type pair gets
+    a Welch (unequal-variance) large-sample z-test on ``value``, then
+    Bonferroni correction over the k·(k−1)/2 family — the "WHICH groups
+    differ?" readout behind :func:`anova_hour_of_day`'s "do any?".
+
+    Exactness: per-type moments are 6dp-rounded DECIMAL(28,6) sums of
+    value and value² (order-free); mean and variance are single IEEE
+    expressions over those sums rounded to 6dp; z, the A&S-tail
+    p-value (shared literal polynomial), and the Bonferroni product
+    are each rounded before comparison, so the significance bits are
+    pure functions of the table. Large-sample normal reference (the
+    per-type n here is thousands), stated in lieu of a t CDF.
+
+    Scale: one partial-agg shuffle to |types| rows; the pair join and
+    every window run on that control-plane-sized frame.
+    """
+    vd = F.col("value").cast("double")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(vd, 6).cast("decimal(28,6)")).alias("sv"),
+        F.sum(F.round(vd * vd, 6).cast("decimal(28,6)")).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    svd, svvd = F.col("sv").cast("double"), F.col("svv").cast("double")
+    summ = g.select(
+        "event_type",
+        "n",
+        F.round(svd / nd, 6).alias("m"),
+        F.round((svvd - (svd * svd) / nd) / (nd - F.lit(1.0)), 6).alias(
+            "v"
+        ),
+    )
+    a = summ.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("mean_a"),
+        F.col("v").alias("var_a"),
+    )
+    b = summ.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("mean_b"),
+        F.col("v").alias("var_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    z = F.round(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(
+            F.col("var_a") / F.col("n_a").cast("double")
+            + F.col("var_b") / F.col("n_b").cast("double")
+        ),
+        6,
+    )
+    pairs = pairs.withColumn("z_score", z)
+    pval = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0) * _normal_upper_tail(F.abs(F.col("z_score"))),
+        ),
+        6,
+    )
+    wall = Window.partitionBy()
+    out = (
+        pairs.withColumn("p_value", pval)
+        .withColumn("n_tests", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "p_bonferroni",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("p_value") * F.col("n_tests").cast("double"),
+                ),
+                6,
+            ),
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        "z_score",
+        "p_value",
+        F.col("n_tests").cast("bigint").alias("n_tests"),
+        "p_bonferroni",
+        (F.col("p_bonferroni") < 0.05).cast("int").alias("significant"),
+    )

@@ -14302,6 +14302,247 @@ def q_qlm_dirichlet_topk(spark, sf_dir):
     return ts.qlm_dirichlet_topk(load_table(spark, sf_dir, "documents"))
 
 
+_TRIG_ROWS = ",\n           ".join(
+    f"({p}, {r}, {cv!r}, {sv!r})"
+    for p, r, cv, sv in rel.periodogram_trig_table()
+)
+
+
+@register(
+    "periodogram_hourly",
+    # Replays the dense hourly grid, the shared literal trig table (same
+    # repr() floats the Spark plan embeds via F.lit), the 6dp-rounded
+    # DECIMAL(18,6) moment sums, and the identically-parenthesized
+    # mean-removal / power expressions.
+    f"""
+    WITH counted AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM counted GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, h0, unnest(generate_series(h0, h1,
+             INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    hourly AS (
+      SELECT g.event_type,
+             CAST(date_diff('hour', g.h0, g.hour) AS BIGINT) AS h_idx,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counted c
+        ON c.event_type = g.event_type AND c.hour = g.hour
+    ),
+    trig(period, r, cv, sv) AS (
+      VALUES {_TRIG_ROWS}
+    ),
+    rowed AS (
+      SELECT h.event_type, t.period, h.x, t.cv, t.sv
+      FROM hourly h
+      JOIN trig t ON t.r = h.h_idx % t.period
+    ),
+    sums AS (
+      SELECT event_type, period,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(ROUND(CAST(x AS DOUBLE) * cv, 6)
+                 AS DECIMAL(18,6))) AS c,
+             SUM(CAST(ROUND(CAST(x AS DOUBLE) * sv, 6)
+                 AS DECIMAL(18,6))) AS s,
+             SUM(CAST(ROUND(cv, 6) AS DECIMAL(18,6))) AS kc,
+             SUM(CAST(ROUND(sv, 6) AS DECIMAL(18,6))) AS ks
+      FROM rowed GROUP BY 1, 2
+    ),
+    powered AS (
+      SELECT event_type, period, n_hours,
+             ROUND((((CAST(c AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                        * CAST(kc AS DOUBLE))
+                     * (CAST(c AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                        * CAST(kc AS DOUBLE)))
+                    + ((CAST(s AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                        * CAST(ks AS DOUBLE))
+                     * (CAST(s AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                        * CAST(ks AS DOUBLE))))
+                   / CAST(n_hours AS DOUBLE), 6) AS power
+      FROM sums
+    )
+    SELECT event_type, period, n_hours, power,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY power DESC, period) AS INTEGER) AS power_rank
+    FROM powered
+    """,
+)
+def q_periodogram_hourly(spark, sf_dir):
+    return rel.periodogram_hourly(load_table(spark, sf_dir, "events"))
+
+
+def _huber_irls_oracle(rounds: int = 3) -> str:
+    """Unrolled IRLS replay: OLS moments, the MAD-scaled Huber delta,
+    then one (r, m, b, p) CTE quartet per reweighted round — every
+    rounded quantity matches the Spark side's 6dp/DECIMAL discipline."""
+    parts = ["""
+    WITH feat AS MATERIALIZED (
+      SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+      FROM lineitem
+    ),
+    m0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+             SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx
+      FROM feat
+    ),
+    b0 AS (
+      SELECT n, sx, sy,
+             ROUND((n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS b
+      FROM m0
+    ),
+    p0 AS (
+      SELECT b,
+             ROUND((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n, 6)
+               AS a
+      FROM b0
+    ),
+    sc AS (
+      SELECT s0, ROUND(1.345 * s0, 6) AS delta FROM (
+        SELECT ROUND(1.4826 * quantile_cont(
+                 abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))),
+                 0.5), 6) AS s0
+        FROM feat, p0
+      )
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    r{i} AS (
+      SELECT CAST(x AS DOUBLE) AS xd, CAST(y AS DOUBLE) AS yd,
+             abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+               AS absr,
+             LEAST(1.0, delta / GREATEST(
+               abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))),
+               1e-09)) AS w,
+             delta
+      FROM feat, p{i - 1}, sc
+    ),
+    m{i} AS (
+      SELECT SUM(CAST(ROUND(w, 6) AS DECIMAL(28,6))) AS sw,
+             SUM(CAST(ROUND(w * xd, 6) AS DECIMAL(28,6))) AS swx,
+             SUM(CAST(ROUND(w * yd, 6) AS DECIMAL(28,6))) AS swy,
+             SUM(CAST(ROUND(w * (xd * yd), 6) AS DECIMAL(28,6)))
+               AS swxy,
+             SUM(CAST(ROUND(w * (xd * xd), 6) AS DECIMAL(28,6)))
+               AS swxx,
+             CAST(SUM(CASE WHEN absr > delta THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_down
+      FROM r{i}
+    ),
+    b{i} AS (
+      SELECT sw, swx, swy, n_down,
+             ROUND((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                   / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
+               AS b
+      FROM m{i}
+    ),
+    p{i} AS (
+      SELECT b,
+             ROUND((CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE))
+                   / CAST(sw AS DOUBLE), 6) AS a,
+             n_down
+      FROM b{i}
+    )""")
+    sel = ["""
+    SELECT CAST(0 AS INTEGER) AS iter, a AS intercept, b AS slope,
+           CAST(0 AS BIGINT) AS n_downweighted, s0, delta
+    FROM p0, sc"""]
+    for i in range(1, rounds + 1):
+        sel.append(f"""
+    SELECT CAST({i} AS INTEGER), a, b, n_down, s0, delta
+    FROM p{i}, sc""")
+    return "".join(parts) + "\n    UNION ALL".join(sel)
+
+
+@register("huber_irls", _huber_irls_oracle())
+def q_huber_irls(spark, sf_dir):
+    return ml.huber_irls(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "pairwise_welch_bonferroni",
+    # Replays the 6dp DECIMAL(28,6) moment sums, the Welch z on rounded
+    # mean/var, the shared A&S tail, and the Bonferroni product.
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                 AS DECIMAL(28,6))) AS sv,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE)
+                            * CAST(value AS DOUBLE), 6)
+                 AS DECIMAL(28,6))) AS svv
+      FROM events GROUP BY 1
+    ),
+    summ AS (
+      SELECT event_type, n,
+             ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m,
+             ROUND((CAST(svv AS DOUBLE)
+                    - (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 6) AS v
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b, a.m AS mean_a, b.m AS mean_b,
+             a.v AS var_a, b.v AS var_b
+      FROM summ a JOIN summ b ON a.event_type < b.event_type
+    ),
+    zed AS (
+      SELECT *,
+             ROUND((mean_a - mean_b)
+                   / sqrt(var_a / CAST(n_a AS DOUBLE)
+                          + var_b / CAST(n_b AS DOUBLE)), 6) AS z_score
+      FROM pairs
+    ),
+    tt AS (
+      SELECT *, 1.0 / (1.0 + {rel.AS_NORMAL_P!r} * abs(z_score)) AS t
+      FROM zed
+    ),
+    pv AS (
+      SELECT type_a, type_b, n_a, n_b, mean_a, mean_b, var_a, var_b,
+             z_score,
+             ROUND(LEAST(1.0, 2.0 * ({rel.INV_SQRT_2PI!r}
+               * exp(-(abs(z_score) * abs(z_score)) / 2.0)
+               * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3}
+                  + t * ({_BH_B4} + t * {_BH_B5}))))))), 6) AS p_value,
+             COUNT(*) OVER () AS n_tests
+      FROM tt
+    )
+    SELECT type_a, type_b, n_a, n_b, mean_a, mean_b,
+           ROUND(mean_a - mean_b, 6) AS mean_diff, z_score, p_value,
+           CAST(n_tests AS BIGINT) AS n_tests,
+           ROUND(LEAST(1.0, p_value * CAST(n_tests AS DOUBLE)), 6)
+             AS p_bonferroni,
+           CAST(ROUND(LEAST(1.0, p_value * CAST(n_tests AS DOUBLE)), 6)
+                < 0.05 AS INTEGER) AS significant
+    FROM pv
+    """,
+)
+def q_pairwise_welch_bonferroni(spark, sf_dir):
+    return rel.pairwise_welch_bonferroni(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -14468,6 +14709,9 @@ _VERIFY_FIRST = [
     "keyness_terms",
     "logrank_segments",
     "qlm_dirichlet_topk",
+    "periodogram_hourly",
+    "huber_irls",
+    "pairwise_welch_bonferroni",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -610,3 +610,104 @@ class TestQlmDirichletTopk:
         # scores descend, doc_id breaks ties
         scores = [(r.qlm, r.doc_id) for r in out]
         assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+
+
+class TestPeriodogramHourly:
+    def test_daily_cycle_dominates(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        import math
+
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h in range(240):  # 10 days
+            # "daily": smooth cosine intensity, period 24 h (an impulse
+            # train would split energy equally across ALL harmonics)
+            n_daily = 5 + round(4 * math.cos(2 * math.pi * h / 24))
+            for i in range(n_daily):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "daily", 0.0)); eid += 1
+            # "flat": constant 3/hour -> no cycle at any period
+            for i in range(3):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "flat", 0.0)); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        out = rel.periodogram_hourly(ev).collect()
+        by = {(r.event_type, r.period): r for r in out}
+        # 4 candidate periods per type, grid = 240 hours
+        assert {r.period for r in out} == {24, 12, 8, 6}
+        assert all(r.n_hours == 240 for r in out)
+        daily_top = [r for r in out
+                     if r.event_type == "daily" and r.power_rank == 1]
+        assert daily_top[0].period == 24
+        # the 24h line carries far more energy than any flat-series line
+        flat_max = max(r.power for r in out if r.event_type == "flat")
+        assert by[("daily", 24)].power > 10 * max(flat_max, 1e-9)
+
+
+class TestHuberIrls:
+    def test_outlier_downweighted_and_fit_recovers(self, spark):
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # clean line y = 2x + 10 with mild alternating noise, plus one
+        # gross outlier that drags the OLS slope
+        rows = []
+        for i in range(1, 41):
+            noise = 1 if i % 2 == 0 else -1
+            rows.append((i, Decimal(i), Decimal(2 * i + 10 + noise)))
+        rows.append((99, Decimal(50), Decimal(5000)))
+        li = spark.createDataFrame(
+            rows, "l_orderkey bigint, l_quantity decimal(12,2), "
+            "l_extendedprice decimal(12,2)"
+        )
+        out = {r.iter: r for r in ml.huber_irls(li).collect()}
+        assert sorted(out) == [0, 1, 2, 3]
+        # OLS is dragged far above the true slope; IRLS walks it back
+        assert out[0].slope > 2.5
+        assert abs(out[3].slope - 2.0) < abs(out[0].slope - 2.0)
+        assert out[3].slope < out[0].slope
+        # the gross outlier sits beyond delta in every reweighted round
+        assert out[1].n_downweighted >= 1
+        assert out[3].n_downweighted >= 1
+        assert out[0].n_downweighted == 0
+        assert out[1].delta == round(1.345 * out[1].s0, 6)
+
+
+class TestPairwiseWelch:
+    def test_shifted_type_flags_only_against_others(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for i in range(200):
+            v = 10.0 + (0.1 if i % 2 == 0 else -0.1)
+            rows.append((eid, t0 + timedelta(seconds=eid), 1, "a", v))
+            eid += 1
+            rows.append((eid, t0 + timedelta(seconds=eid), 1, "b", v))
+            eid += 1
+            # "c" is shifted far above a and b
+            rows.append((eid, t0 + timedelta(seconds=eid), 1, "c", v + 5))
+            eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        out = {(r.type_a, r.type_b): r
+               for r in rel.pairwise_welch_bonferroni(ev).collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert all(r.n_tests == 3 for r in out.values())
+        assert out[("a", "b")].significant == 0
+        assert out[("a", "c")].significant == 1
+        assert out[("b", "c")].significant == 1
+        assert out[("a", "c")].mean_diff == -5.0
+        # Bonferroni never lowers a p-value
+        assert all(r.p_bonferroni >= r.p_value for r in out.values())
