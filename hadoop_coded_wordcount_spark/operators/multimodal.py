@@ -172,6 +172,61 @@ def _bmp_header(b: bytes) -> dict | None:
     }
 
 
+def _tiff_header(b: bytes) -> dict | None:
+    """Parse a baseline TIFF (TIFF 6.0 §2): byte-order mark II/MM, magic
+    42, then walk the first IFD's 12-byte entries for ImageWidth (256),
+    ImageLength (257), BitsPerSample (258) and SamplesPerPixel (277).
+    SHORT values sit inline in the 4-byte value field; a BitsPerSample
+    with count > 1 (per-channel list) is read through its offset when it
+    lands in the payload, else defaults to 8."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    ifd = struct.unpack(e + "I", b[4:8])[0]
+    if ifd + 2 > len(b):
+        return None
+    n_entries = struct.unpack(e + "H", b[ifd : ifd + 2])[0]
+    width = height = None
+    channels, bits = 1, 8
+    for k in range(n_entries):
+        o = ifd + 2 + 12 * k
+        if o + 12 > len(b):
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", b[o : o + 8])
+        val = b[o + 8 : o + 12]
+        if typ == 3:  # SHORT: inline in the first two value bytes
+            v = struct.unpack(e + "H", val[:2])[0]
+        elif typ == 4:  # LONG
+            v = struct.unpack(e + "I", val)[0]
+        else:
+            continue
+        if tag == 256:
+            width = v
+        elif tag == 257:
+            height = v
+        elif tag == 277:
+            channels = v
+        elif tag == 258:
+            if cnt == 1:
+                bits = v
+            elif typ == 3 and v + 2 <= len(b):
+                bits = struct.unpack(e + "H", b[v : v + 2])[0]
+    if not width or not height:
+        return None
+    return {
+        "kind": "image/tiff",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bits,
+    }
+
+
 #: JPEG frame markers carrying dimensions (SOF0-SOF15 minus DHT/JPG/DAC).
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
@@ -235,6 +290,8 @@ def decode_media(payload: bytes, media_type: str | None = None) -> dict:
     * GIF: width, height, palette bit depth from the logical-screen
       descriptor (GIF87a/89a).
     * BMP: width, height, bits-per-pixel from BITMAPINFOHEADER.
+    * TIFF: width, height, samples/bit depth from the first IFD
+      (both byte orders, TIFF 6.0 baseline tags).
 
     A real deployment extends the dispatch with PIL/ffmpeg PIXEL
     decoders; the mapInPandas plumbing in :func:`media_features` is
@@ -258,7 +315,7 @@ def decode_media(payload: bytes, media_type: str | None = None) -> dict:
         except (wave.Error, EOFError, struct.error):
             return {"kind": "opaque"}
     for parse in (_netpbm_header, _png_header, _jpeg_header,
-                  _gif_header, _bmp_header):
+                  _gif_header, _bmp_header, _tiff_header):
         img = parse(b)
         if img is not None:
             return img

@@ -313,3 +313,49 @@ def test_decode_media_bmp_header():
     assert mm.decode_media(bmp(10, -20, 8))["channels"] == 1
     # BITMAPCOREHEADER (size 12) rejected -> opaque
     assert mm.decode_media(bmp(10, 20, 8, hdr=12)) == {"kind": "opaque"}
+
+
+def test_decode_media_tiff_header():
+    import struct as _s
+
+    def tiff(endian, width, height, channels=3, bits=8):
+        e = "<" if endian == "II" else ">"
+        sig = b"II*\x00" if endian == "II" else b"MM\x00*"
+        entries = [
+            (256, 3, 1, width),  # ImageWidth SHORT
+            (257, 4, 1, height),  # ImageLength LONG
+            (258, 3, 1, bits),
+            (277, 3, 1, channels),
+        ]
+        ifd = _s.pack(e + "H", len(entries))
+        for tag, typ, cnt, v in entries:
+            if typ == 3:
+                val = _s.pack(e + "H", v) + b"\x00\x00"
+            else:
+                val = _s.pack(e + "I", v)
+            ifd += _s.pack(e + "HHI", tag, typ, cnt) + val
+        ifd += b"\x00" * 4  # next-IFD pointer
+        return sig + _s.pack(e + "I", 8) + ifd
+
+    for endian in ("II", "MM"):
+        d = mm.decode_media(tiff(endian, 1024, 768))
+        assert (d["kind"], d["width"], d["height"], d["channels"],
+                d["bit_depth"]) == ("image/tiff", 1024, 768, 3, 8)
+    # per-channel BitsPerSample list read through its offset
+    e = "<"
+    entries = (
+        _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "H", 64) + b"\x00\x00"
+    )
+    entries += (
+        _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "H", 32) + b"\x00\x00"
+    )
+    off = 8 + 2 + 3 * 12 + 4  # right after the IFD block
+    entries += _s.pack(e + "HHI", 258, 3, 3) + _s.pack(e + "I", off)
+    body = (b"II*\x00" + _s.pack(e + "I", 8) + _s.pack(e + "H", 3)
+            + entries + b"\x00" * 4 + _s.pack(e + "HHH", 16, 16, 16))
+    d = mm.decode_media(body)
+    assert d["kind"] == "image/tiff" and d["bit_depth"] == 16
+    # truncated IFD -> opaque
+    assert mm.decode_media(b"II*\x00" + _s.pack("<I", 9999)) == {
+        "kind": "opaque"
+    }
