@@ -10911,6 +10911,9 @@ def pairwise_welch_bonferroni(events: DataFrame) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     svd, svvd = F.col("sv").cast("double"), F.col("svv").cast("double")
+    # the summary is |types| rows used by BOTH self-join legs; an eager
+    # localCheckpoint materializes it once so the events fact table is
+    # scanned/aggregated a single time, not once per leg
     summ = g.select(
         "event_type",
         "n",
@@ -10918,7 +10921,7 @@ def pairwise_welch_bonferroni(events: DataFrame) -> DataFrame:
         F.round((svvd - (svd * svd) / nd) / (nd - F.lit(1.0)), 6).alias(
             "v"
         ),
-    )
+    ).localCheckpoint(eager=True)
     a = summ.select(
         F.col("event_type").alias("type_a"),
         F.col("n").alias("n_a"),

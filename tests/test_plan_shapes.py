@@ -341,3 +341,33 @@ def test_spectral_bisection_plan_depth_is_checkpointed(spark):
     plan = _plan(spark, "spectral_bisection_suppliers")
     assert "Scan ExistingRDD" in plan
     assert len(plan) < 2000
+
+
+def test_periodogram_trig_table_broadcasts(spark):
+    """The trig table (50 literal rows) and the period spine must ride
+    broadcast joins against the grid — a sort-merge would shuffle the
+    calendar-bounded frame for nothing — and no cartesian may appear."""
+    plan = _plan(spark, "periodogram_hourly")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_huber_final_plan_is_checkpoint_only(spark):
+    """Every IRLS round resolves during its eager localCheckpoint, so
+    the FINAL evaluated plan must be pure control plane: union of
+    checkpoint scans, no parquet re-scan, no sort-merge anywhere."""
+    plan = _plan(spark, "huber_irls")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pairwise_welch_runs_on_type_summary(spark):
+    """The pair join must happen AFTER the per-type aggregate: the
+    checkpointed |types|-row summary feeds both self-join legs, so the
+    final plan never re-scans events and never sort-merges."""
+    plan = _plan(spark, "pairwise_welch_bonferroni")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
