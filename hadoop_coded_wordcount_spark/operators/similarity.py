@@ -2122,3 +2122,54 @@ def matryoshka_recall(
         )
         out = rec if out is None else out.unionAll(rec)
     return out
+
+
+def ann_map_at_k(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """MAP@k for the ANN index — the order-sensitive companion of
+    :func:`ann_recall_metrics`: average precision rewards putting the
+    true neighbors EARLY in the approximate list, so two indexes with
+    identical recall@k still separate by ranking quality. AP@k =
+    (1/k)·Σ_{hit at approx rank r} P@r with P@r = hits-so-far/r (the
+    exact brute-force top-k as the relevance set).
+
+    Both rankings are deterministic pipelines, so AP is an exact value:
+    each P@r rounds to 6dp into a DECIMAL(18,6) sum (order-free), and
+    the oracle replays rankings, window, and sum identically. Scale:
+    two bounded top-k pipelines and one k-rows-per-query join — the
+    ann_recall_metrics shape plus one window over k-row partitions.
+    """
+    exact = cosine_topk(embeddings, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    approx = cosine_ivf_topk(embeddings, k=k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    j = approx.join(exact, ["query_id", "neighbor_id"], "left").withColumn(
+        "hit", F.coalesce("is_true", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec = F.when(
+        F.col("hit") == 1,
+        F.round(
+            F.sum("hit").over(w).cast("double") / F.col("rank"), 6
+        ).cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    per_q = (
+        j.select("query_id", "hit", prec.alias("p"))
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.sum("p").alias("sum_p"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("sum_p").cast("double") / F.lit(float(k)), 6).alias(
+            "ap_at_k"
+        ),
+    )

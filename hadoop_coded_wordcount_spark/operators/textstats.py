@@ -2840,3 +2840,131 @@ def qlm_dirichlet_topk(
             F.col("score_dec").cast("double").alias("qlm"),
         )
     )
+
+
+def encoding_anomaly(documents: DataFrame) -> DataFrame:
+    """Encoding-health audit per source — the check a crawl pipeline
+    runs BEFORE any language/quality model sees the text: counts of
+    U+FFFD replacement characters (decoder already gave up), stray C0
+    control bytes (binary bleed; tab/newline/CR excluded), and the two
+    classic UTF-8-read-as-Latin-1 mojibake signatures ("Ã", "â€"),
+    rolled up to per-source document fractions and per-10k-char rates.
+
+    Exactness: regexp_count over fixed patterns (identical RE2/Java
+    semantics for these literal classes), integer sums, and one rounded
+    division per rate — no floats until the final rates.
+
+    Scale: one projection + one partial-agg'd groupBy(source); patterns
+    run scan-side, so the shuffle carries |sources| rows.
+    """
+    repl = F.regexp_count(F.col("text"), F.lit("�"))
+    ctrl = F.regexp_count(
+        F.col("text"), F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    )
+    moji = F.regexp_count(F.col("text"), F.lit("Ã|â€"))
+    per_doc = documents.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        repl.cast("bigint").alias("n_repl"),
+        ctrl.cast("bigint").alias("n_ctrl"),
+        moji.cast("bigint").alias("n_moji"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("n_repl").cast("bigint").alias("sum_repl"),
+        F.sum("n_ctrl").cast("bigint").alias("sum_ctrl"),
+        F.sum("n_moji").cast("bigint").alias("sum_moji"),
+        F.sum(
+            ((F.col("n_repl") + F.col("n_ctrl") + F.col("n_moji")) > 0)
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+    nd = F.col("n_docs").cast("double")
+    cd = F.col("sum_chars").cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        F.round(F.col("n_flagged").cast("double") / nd, 6).alias(
+            "frac_flagged"
+        ),
+        "sum_repl",
+        "sum_ctrl",
+        "sum_moji",
+        F.round(
+            F.lit(10000.0) * F.col("sum_repl").cast("double") / cd, 6
+        ).alias("repl_per_10k"),
+        F.round(
+            F.lit(10000.0) * F.col("sum_ctrl").cast("double") / cd, 6
+        ).alias("ctrl_per_10k"),
+        F.round(
+            F.lit(10000.0) * F.col("sum_moji").cast("double") / cd, 6
+        ).alias("moji_per_10k"),
+    )
+
+
+def kneser_ney_bigram(documents: DataFrame) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (d = 0.75) — the smoothing
+    that actually ships in n-gram LMs: discount mass from every seen
+    bigram and back off to the CONTINUATION unigram P_cont(w2) =
+    |{w1 : c(w1,w2)>0}| / |bigram types| (how many contexts a word
+    completes, not how often it occurs — the "San Francisco" fix).
+    Emits, per observed bigram, the MLE and KN conditional
+    probabilities side by side so the discount's effect is auditable.
+
+    Exactness: every input to the formula is an integer count except
+    the discount 0.75 — an exact binary fraction — so the single
+    identically-parenthesized IEEE expression matches bit-for-bit
+    cross-engine after the 6dp round; no smoothing hyperparameter
+    search, no transcendental.
+
+    Scale: pair construction is the bigram_lm shape (one array
+    projection, one explode, map-side-combined count); the three
+    normalizers are two windows over the vocabulary²-bounded pair
+    table (w1- and w2-partitioned — parallel, key-bounded) and one
+    1-row broadcast total. Nothing is corpus-sized after the count.
+    """
+    toked = documents.select(tokens_col().alias("toks"))
+    t = F.col("toks")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        toked.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    bt = counts.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    enriched = counts.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.sum("cnt").over(w1w).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).over(w1w).cast("bigint").alias("t1"),
+        F.count(F.lit(1)).over(w2w).cast("bigint").alias("l2"),
+    ).crossJoin(F.broadcast(bt))
+    cntd = F.col("cnt").cast("double")
+    c1d = F.col("c1").cast("double")
+    t1d = F.col("t1").cast("double")
+    l2d = F.col("l2").cast("double")
+    btd = F.col("bt").cast("double")
+    kn = (cntd - F.lit(0.75)) / c1d + (
+        (F.lit(0.75) * t1d) / c1d
+    ) * (l2d / btd)
+    return enriched.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.round(cntd / c1d, 6).alias("cond_p_mle"),
+        F.round(kn, 6).alias("cond_p_kn"),
+    )

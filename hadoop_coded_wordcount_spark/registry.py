@@ -14543,6 +14543,121 @@ def q_pairwise_welch_bonferroni(spark, sf_dir):
     return rel.pairwise_welch_bonferroni(load_table(spark, sf_dir, "events"))
 
 
+def _register_ann_map_at_k() -> None:
+    """Embed-the-replays construction (ann_recall_metrics pattern): the
+    MAP oracle is both rankings + a hit-prefix window + one aggregate."""
+
+    @register(
+        "ann_map_at_k",
+        f"""
+    WITH approx AS ({ORACLES["similarity_ivf_topk"]}),
+    exact AS ({ORACLES["similarity_topk"]}),
+    hits AS (
+      SELECT a.query_id, a.rank,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM approx a LEFT JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    ),
+    prec AS (
+      SELECT query_id, hit,
+             CASE WHEN hit = 1 THEN
+               CAST(ROUND(CAST(SUM(hit) OVER (PARTITION BY query_id
+                      ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) / rank, 6)
+                    AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END AS p
+      FROM hits
+    )
+    SELECT query_id,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(p) AS DOUBLE) / 10.0, 6) AS ap_at_k
+    FROM prec GROUP BY query_id
+    """,
+    )
+    def q_ann_map_at_k(spark, sf_dir):
+        return sim.ann_map_at_k(load_table(spark, sf_dir, "embeddings"))
+
+
+_register_ann_map_at_k()
+
+
+@register(
+    "encoding_anomaly",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\ufffd')) AS BIGINT)
+               AS n_repl,
+             CAST(len(regexp_extract_all(text,
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT)
+               AS n_ctrl,
+             CAST(len(regexp_extract_all(text, '\u00c3|\u00e2\u20ac'))
+                  AS BIGINT) AS n_moji
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl + n_ctrl + n_moji > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN n_repl + n_ctrl + n_moji > 0
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_flagged,
+           CAST(SUM(n_repl) AS BIGINT) AS sum_repl,
+           CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl,
+           CAST(SUM(n_moji) AS BIGINT) AS sum_moji,
+           ROUND(10000.0 * CAST(SUM(n_repl) AS DOUBLE)
+                 / CAST(SUM(n_chars) AS DOUBLE), 6) AS repl_per_10k,
+           ROUND(10000.0 * CAST(SUM(n_ctrl) AS DOUBLE)
+                 / CAST(SUM(n_chars) AS DOUBLE), 6) AS ctrl_per_10k,
+           ROUND(10000.0 * CAST(SUM(n_moji) AS DOUBLE)
+                 / CAST(SUM(n_chars) AS DOUBLE), 6) AS moji_per_10k
+    FROM per GROUP BY source
+    """,
+)
+def q_encoding_anomaly(spark, sf_dir):
+    return ts.encoding_anomaly(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "kneser_ney_bigram",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c),
+    w AS (
+      SELECT w1, w2, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+             CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS t1,
+             CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS l2
+      FROM c
+    )
+    SELECT w1, w2, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE), 6)
+             AS cond_p_mle,
+           ROUND((CAST(cnt AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+                 + ((0.75 * CAST(t1 AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                   * (CAST(l2 AS DOUBLE) / CAST(bt AS DOUBLE)), 6)
+             AS cond_p_kn
+    FROM w, tot
+    """,
+)
+def q_kneser_ney_bigram(spark, sf_dir):
+    return ts.kneser_ney_bigram(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -14712,6 +14827,9 @@ _VERIFY_FIRST = [
     "periodogram_hourly",
     "huber_irls",
     "pairwise_welch_bonferroni",
+    "ann_map_at_k",
+    "encoding_anomaly",
+    "kneser_ney_bigram",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -711,3 +711,77 @@ class TestPairwiseWelch:
         assert out[("a", "c")].mean_diff == -5.0
         # Bonferroni never lowers a p-value
         assert all(r.p_bonferroni >= r.p_value for r in out.values())
+
+
+class TestAnnMapAtK:
+    def test_ap_bounded_by_recall_and_valid(self, spark):
+        from hadoop_coded_wordcount_spark.operators import similarity as sim
+        from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        ap = {r.query_id: r for r in sim.ann_map_at_k(emb).collect()}
+        rc = {r.query_id: r
+              for r in sim.ann_recall_metrics(emb).collect()}
+        assert set(ap) == set(rc) and ap
+        for qid, r in ap.items():
+            assert 0.0 <= r.ap_at_k <= 1.0
+            # each P@r term is <= 1, so AP <= n_hits/k = recall@k
+            assert r.ap_at_k <= rc[qid].recall_at_k + 1e-9
+            assert r.n_hits == rc[qid].n_hits
+            # a first-rank hit implies AP gets the full P@1 = 1 term
+            if rc[qid].mrr == 1.0:
+                assert r.ap_at_k >= round(1.0 / 10, 6)
+
+
+class TestEncodingAnomaly:
+    def test_planted_anomalies_counted_per_source(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        rows = [
+            (0, "clean text here", "en", "good", 15),
+            (1, "more clean text", "en", "good", 15),
+            (2, "broken �� char", "en", "bad", 16),
+            (3, "ctrl\x01byte", "en", "bad", 9),
+            (4, "mojibake Ã© and â€œquotesâ€\x9d", "en", "bad", 25),
+        ]
+        out = {r.source: r
+               for r in ts.encoding_anomaly(_docs(spark, rows)).collect()}
+        good, bad = out["good"], out["bad"]
+        assert good.n_flagged == 0 and good.frac_flagged == 0.0
+        assert good.sum_repl == good.sum_ctrl == good.sum_moji == 0
+        assert bad.n_flagged == 3 and bad.frac_flagged == 1.0
+        assert bad.sum_repl == 2 and bad.sum_ctrl == 1
+        assert bad.sum_moji == 3  # one A-tilde + two a-circumflex-euro
+        # \x9d is C1, not C0: deliberately NOT counted as a ctrl byte
+        assert bad.repl_per_10k > 0 and good.repl_per_10k == 0.0
+
+
+class TestKneserNeyBigram:
+    def test_continuation_penalty_and_formula(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        # "francisco" always follows "san" (single context); "the"
+        # follows many distinct contexts with the same pair counts.
+        text = ("san francisco san francisco san francisco "
+                "a the b the c the")
+        rows = [(0, text, "en", "s", len(text))]
+        out = {(r.w1, r.w2): r
+               for r in ts.kneser_ney_bigram(_docs(spark, rows)).collect()}
+        bt = len(out)  # bigram types
+        for (w1, w2), r in out.items():
+            c1 = sum(x.cnt for (a, _), x in out.items() if a == w1)
+            t1 = sum(1 for (a, _) in out if a == w1)
+            l2 = sum(1 for (_, b) in out if b == w2)
+            expect = round((r.cnt - 0.75) / c1
+                           + ((0.75 * t1) / c1) * (l2 / bt), 6)
+            assert abs(r.cond_p_kn - expect) < 1e-9, (w1, w2)
+            assert r.cond_p_mle == round(r.cnt / c1, 6)
+        # the continuation model: "the" completes 3 contexts,
+        # "francisco" only 1 -> the redistributed backoff mass (kn minus
+        # the discounted MLE term) favors "the"
+        def backoff(key):
+            r = out[key]
+            c1 = sum(x.cnt for (a, _), x in out.items() if a == key[0])
+            return r.cond_p_kn - (r.cnt - 0.75) / c1
+
+        assert backoff(("a", "the")) > backoff(("san", "francisco"))
