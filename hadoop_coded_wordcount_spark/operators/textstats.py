@@ -2968,3 +2968,119 @@ def kneser_ney_bigram(documents: DataFrame) -> DataFrame:
         F.round(cntd / c1d, 6).alias("cond_p_mle"),
         F.round(kn, 6).alias("cond_p_kn"),
     )
+
+
+def burrows_delta(documents: DataFrame, m: int = 20) -> DataFrame:
+    """Burrows' Delta — the standard stylometric distance between text
+    collections: take the ``m`` most frequent corpus words, express
+    each source's usage as a z-score against the cross-source
+    distribution of relative frequencies, and score each source pair
+    by the mean absolute z difference. Low delta = same "stylistic
+    fingerprint" (function-word habits), the authorship/register signal
+    that survives topic shift — here a source-provenance audit: which
+    crawls write alike?
+
+    Exactness: relative frequencies round to 6dp decimals; per-word
+    mean/std across sources are single IEEE expressions over decimal
+    sums (rounded); z and each |z_a − z_b| term round before the
+    decimal pair sum. Words with zero cross-source variance are
+    excluded (z undefined) — deterministically, in both engines.
+
+    Scale: after the (source, word) aggregate everything is
+    |sources| × m rows — control-plane-sized; the pair join is over
+    the z-table, never the corpus.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    ex = (
+        ensure_parallelism(documents.select("source", "text"))
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    s_tot = ex.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("s_tot")
+    )
+    top = (
+        ex.groupBy("word")
+        .agg(F.sum("cnt").cast("bigint").alias("w_tot"))
+        .orderBy(F.desc("w_tot"), F.asc("word"))
+        .limit(m)
+        .select("word")
+    )
+    dense = (
+        s_tot.crossJoin(F.broadcast(top))
+        .join(ex, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.round(
+                F.coalesce("cnt", F.lit(0)).cast("double")
+                / F.col("s_tot").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("f"),
+        )
+    )
+    fd = F.col("f").cast("double")
+    stats = dense.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.sum("f").alias("sf"),
+        F.sum(F.round(fd * fd, 6).cast("decimal(18,6)")).alias("sff"),
+    )
+    nd = F.col("n_src").cast("double")
+    sfd, sffd = F.col("sf").cast("double"), F.col("sff").cast("double")
+    stats = stats.select(
+        "word",
+        F.round(sfd / nd, 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (sffd - (sfd * sfd) / nd) / (nd - F.lit(1.0))
+            ),
+            6,
+        ).alias("sigma"),
+    ).where(F.col("sigma") > 0)
+    z = dense.join(F.broadcast(stats), "word").select(
+        "source",
+        "word",
+        F.round((fd - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    za = z.select(
+        F.col("source").alias("source_a"),
+        "word",
+        F.col("z").alias("z_a"),
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"),
+        "word",
+        F.col("z").alias("z_b"),
+    )
+    pairs = za.join(zb, "word").where(
+        F.col("source_a") < F.col("source_b")
+    )
+    term = F.round(F.abs(F.col("z_a") - F.col("z_b")), 6).cast(
+        "decimal(18,6)"
+    )
+    g = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(term).alias("sum_absz"),
+    )
+    # the mean of 6dp decimals can land EXACTLY on a rounding tie
+    # (observed: 22.783350/20 = 1.1391675), where engines break the
+    # double-rounding differently — so the mean is taken in exact
+    # integer micro-units with half-up integer division instead
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_words",
+        (
+            F.expr(
+                "(CAST(sum_absz * 1000000 AS BIGINT) * 2 + n_words) "
+                "DIV (2 * n_words)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("delta"),
+    )

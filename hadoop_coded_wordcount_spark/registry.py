@@ -14658,6 +14658,72 @@ def q_kneser_ney_bigram(spark, sf_dir):
     return ts.kneser_ney_bigram(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "burrows_delta",
+    """
+    WITH ex AS MATERIALIZED (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    s_tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_tot
+              FROM ex GROUP BY 1),
+    top AS (
+      SELECT word FROM (
+        SELECT word, CAST(SUM(cnt) AS BIGINT) AS w_tot
+        FROM ex GROUP BY 1
+      ) ORDER BY w_tot DESC, word LIMIT 20
+    ),
+    dense AS (
+      SELECT s.source, t.word,
+             CAST(ROUND(CAST(COALESCE(e.cnt, 0) AS DOUBLE)
+                        / CAST(s.s_tot AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS f
+      FROM s_tot s CROSS JOIN top t
+      LEFT JOIN ex e ON e.source = s.source AND e.word = t.word
+    ),
+    st AS (
+      SELECT word,
+             ROUND(CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mu,
+             ROUND(sqrt((CAST(SUM(CAST(ROUND(CAST(f AS DOUBLE)
+                                             * CAST(f AS DOUBLE), 6)
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         - (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE))
+                           / CAST(COUNT(*) AS DOUBLE))
+                        / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS sigma
+      FROM dense GROUP BY 1
+    ),
+    z AS (
+      SELECT d.source, d.word,
+             ROUND((CAST(f AS DOUBLE) - mu) / sigma, 6) AS z
+      FROM dense d JOIN st USING (word)
+      WHERE sigma > 0
+    )
+    , g AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             SUM(CAST(ROUND(abs(a.z - b.z), 6) AS DECIMAL(18,6)))
+               AS sum_absz
+      FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    -- half-up integer division in micro-units: the mean of 6dp
+    -- decimals can land exactly on a rounding tie where double
+    -- ROUND() breaks differently across engines
+    SELECT source_a, source_b, n_words,
+           CAST((CAST(sum_absz * 1000000 AS BIGINT) * 2 + n_words)
+                // (2 * n_words) AS DOUBLE) / 1000000.0 AS delta
+    FROM g
+    """,
+)
+def q_burrows_delta(spark, sf_dir):
+    return ts.burrows_delta(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -14830,6 +14896,7 @@ _VERIFY_FIRST = [
     "ann_map_at_k",
     "encoding_anomaly",
     "kneser_ney_bigram",
+    "burrows_delta",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -785,3 +785,24 @@ class TestKneserNeyBigram:
             return r.cond_p_kn - (r.cnt - 0.75) / c1
 
         assert backoff(("a", "the")) > backoff(("san", "francisco"))
+
+
+class TestBurrowsDelta:
+    def test_same_style_sources_are_close(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        # a and b share the same function-word profile; c inverts it
+        style1 = "the of and the of the a a of the"
+        style2 = "zz zz zz zz qq qq qq ww ww ee"
+        rows = [
+            *[(i, style1, "en", "a", 30) for i in range(3)],
+            *[(10 + i, style1, "en", "b", 30) for i in range(3)],
+            *[(20 + i, style2, "en", "c", 30) for i in range(3)],
+        ]
+        out = {(r.source_a, r.source_b): r
+               for r in ts.burrows_delta(_docs(spark, rows)).collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert out[("a", "b")].delta == 0.0
+        assert out[("a", "c")].delta > 1.0
+        assert out[("b", "c")].delta == out[("a", "c")].delta
+        assert all(r.n_words >= 1 for r in out.values())
