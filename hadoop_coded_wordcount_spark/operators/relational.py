@@ -10980,3 +10980,167 @@ def pairwise_welch_bonferroni(events: DataFrame) -> DataFrame:
         "p_bonferroni",
         (F.col("p_bonferroni") < 0.05).cast("int").alias("significant"),
     )
+
+
+def t_closeness(customer: DataFrame) -> DataFrame:
+    """t-closeness audit completing the k-anonymity / l-diversity
+    privacy trio: for each quasi-identifier class (nation, acctbal
+    band), the distance between the class's sensitive-attribute
+    (market segment) distribution and the GLOBAL one — for a
+    categorical attribute the EMD reduces to total variation,
+    t = ½·Σ_c |p_class(c) − p_global(c)|. High-k, high-l classes can
+    still leak when their distribution skews far from the table's;
+    this is the check that catches it. Reports the worst class t, the
+    violating-class counts at the standard 0.2/0.3 thresholds, and the
+    share of customers sitting in a t > 0.2 class.
+
+    Exactness: every probability is an exact integer ratio; each
+    |p−q| rounds to 6dp into a DECIMAL(18,6) class sum; t is the exact
+    binary ½-scaling of that sum rounded once. Missing segments
+    contribute their full global mass via the dense class × segment
+    grid (zero-filled), in both engines.
+
+    Scale: aggregates bounded by QI × |segments|; the dense grid is a
+    broadcast of the 5-row segment list; the summary is one row.
+    """
+    seg_glob = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gc")
+    )
+    n_tot = customer.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cell = customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cls = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").cast("bigint").alias("n_cls")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(seg_glob))
+        .join(cell, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "n_cls",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+            "gc",
+            "n",
+        )
+    )
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("n_cls").cast("double")
+            - F.col("gc").cast("double") / F.col("n").cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    per_cls = dense.groupBy("c_nationkey", "bal_band", "n_cls").agg(
+        F.round(F.lit(0.5) * F.sum(term).cast("double"), 6).alias("t")
+    )
+    return per_cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.max("t").alias("max_t"),
+        F.sum(F.when(F.col("t") > 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_t_gt_02"),
+        F.sum(F.when(F.col("t") > 0.3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_t_gt_03"),
+        F.round(
+            F.sum(F.when(F.col("t") > 0.2, F.col("n_cls")).otherwise(0))
+            .cast("double")
+            / F.sum("n_cls").cast("double"),
+            6,
+        ).alias("frac_customers_exposed"),
+    )
+
+
+def levene_bf(events: DataFrame) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test of variance
+    homogeneity across event types — the assumption check that belongs
+    BEFORE :func:`anova_hour_of_day` / `pairwise_welch_bonferroni`
+    readings: are the group spreads even comparable? Robust to
+    non-normality because deviations are taken from the group MEDIAN.
+
+    W = ((N−k)/(k−1)) · Σ n_g(z̄_g − z̄)² / Σ_g Σ_i (z_gi − z̄_g)² over
+    z = |value − median_g|.
+
+    Exactness: medians are exact interpolated percentiles; z moments
+    are 6dp-rounded DECIMAL(28,6) sums; group means, the within/between
+    terms (each rounded per group into decimal sums), and the final W
+    are identically-parenthesized IEEE expressions in both engines.
+
+    Scale: one |types|-row median aggregate broadcast back, one
+    map-side-combined moment aggregate, then control-plane math.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    z = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value").cast("double") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.round(F.col("z"), 6).cast("decimal(28,6)")).alias("sz"),
+        F.sum(
+            F.round(F.col("z") * F.col("z"), 6).cast("decimal(28,6)")
+        ).alias("szz"),
+    )
+    nd = F.col("n_g").cast("double")
+    szd, szzd = F.col("sz").cast("double"), F.col("szz").cast("double")
+    mg = F.round(szd / nd, 6)
+    g2 = g.select(
+        "event_type",
+        "n_g",
+        "sz",
+        mg.alias("m_g"),
+        F.round(szzd - nd * (mg * mg), 6)
+        .cast("decimal(28,6)")
+        .alias("within_d"),
+    )
+    tot = g2.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sz").alias("sz_all"),
+        F.sum("within_d").alias("within"),
+    ).select(
+        "n",
+        "k",
+        "within",
+        F.round(
+            F.col("sz_all").cast("double") / F.col("n").cast("double"), 6
+        ).alias("gm"),
+    )
+    bterm = F.round(
+        F.col("n_g").cast("double")
+        * ((F.col("m_g") - F.col("gm")) * (F.col("m_g") - F.col("gm"))),
+        6,
+    ).cast("decimal(28,6)")
+    btw = (
+        g2.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k", "within", "gm")
+        .agg(F.sum(bterm).alias("between"))
+    )
+    ndt, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    # a group set with zero pooled within-variance (constant |z| in
+    # every group) makes W undefined; emit NULL instead of an ANSI
+    # divide-by-zero so one degenerate event type can't kill the audit
+    w = F.when(
+        F.col("within") > 0,
+        F.round(
+            ((ndt - kd) * F.col("between").cast("double"))
+            / ((kd - F.lit(1.0)) * F.col("within").cast("double")),
+            6,
+        ),
+    )
+    return btw.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        w.alias("w_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+    )

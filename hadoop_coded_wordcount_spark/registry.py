@@ -14724,6 +14724,118 @@ def q_burrows_delta(spark, sf_dir):
     return ts.burrows_delta(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "t_closeness",
+    """
+    WITH segg AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gc
+      FROM customer GROUP BY 1
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+    cell AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT c_nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS n_cls
+      FROM cell GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT cls.c_nationkey, cls.bal_band, cls.n_cls,
+             CAST(COALESCE(cell.c, 0) AS BIGINT) AS c, segg.gc, nt.n
+      FROM cls CROSS JOIN segg CROSS JOIN nt
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+        AND cell.bal_band = cls.bal_band
+        AND cell.c_mktsegment = segg.c_mktsegment
+    ),
+    per_cls AS (
+      SELECT c_nationkey, bal_band, n_cls,
+             ROUND(0.5 * CAST(SUM(CAST(ROUND(abs(
+               CAST(c AS DOUBLE) / CAST(n_cls AS DOUBLE)
+               - CAST(gc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS t
+      FROM dense GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MAX(t) AS max_t,
+           CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_t_gt_02,
+           CAST(SUM(CASE WHEN t > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_t_gt_03,
+           ROUND(CAST(SUM(CASE WHEN t > 0.2 THEN n_cls ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(n_cls) AS DOUBLE), 6)
+             AS frac_customers_exposed
+    FROM per_cls
+    """,
+)
+def q_t_closeness(spark, sf_dir):
+    return rel.t_closeness(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "levene_bf",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_type,
+             abs(CAST(value AS DOUBLE) - med) AS z
+      FROM events e JOIN med USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(ROUND(z, 6) AS DECIMAL(28,6))) AS sz,
+             SUM(CAST(ROUND(z * z, 6) AS DECIMAL(28,6))) AS szz
+      FROM z GROUP BY 1
+    ),
+    g2 AS (
+      SELECT event_type, n_g, sz,
+             ROUND(CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS m_g,
+             CAST(ROUND(CAST(szz AS DOUBLE)
+                        - CAST(n_g AS DOUBLE)
+                          * (ROUND(CAST(sz AS DOUBLE)
+                                   / CAST(n_g AS DOUBLE), 6)
+                             * ROUND(CAST(sz AS DOUBLE)
+                                     / CAST(n_g AS DOUBLE), 6)), 6)
+                  AS DECIMAL(28,6)) AS within_d
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(within_d) AS within,
+             ROUND(CAST(SUM(sz) AS DOUBLE)
+                   / CAST(CAST(SUM(n_g) AS BIGINT) AS DOUBLE), 6) AS gm
+      FROM g2
+    ),
+    btw AS (
+      SELECT n, k, within, gm,
+             SUM(CAST(ROUND(CAST(n_g AS DOUBLE)
+                 * ((m_g - gm) * (m_g - gm)), 6)
+                 AS DECIMAL(28,6))) AS between_d
+      FROM g2 CROSS JOIN tot
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT k AS k_groups, n,
+           CASE WHEN within > 0 THEN
+             ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                    * CAST(between_d AS DOUBLE))
+                   / ((CAST(k AS DOUBLE) - 1.0)
+                    * CAST(within AS DOUBLE)), 6)
+           END AS w_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2
+    FROM btw
+    """,
+)
+def q_levene_bf(spark, sf_dir):
+    return rel.levene_bf(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -14897,6 +15009,8 @@ _VERIFY_FIRST = [
     "encoding_anomaly",
     "kneser_ney_bigram",
     "burrows_delta",
+    "t_closeness",
+    "levene_bf",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

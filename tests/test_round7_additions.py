@@ -806,3 +806,84 @@ class TestBurrowsDelta:
         assert out[("a", "c")].delta > 1.0
         assert out[("b", "c")].delta == out[("a", "c")].delta
         assert all(r.n_words >= 1 for r in out.values())
+
+
+class TestTCloseness:
+    def test_skewed_class_raises_t(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        rows = []
+        k = 0
+        # nations 1 and 2: 50/50 mixes dominating the global; nation 3:
+        # a small all-"A" class far from the global distribution
+        for nat in (1, 2):
+            for seg in ("A", "B") * 10:
+                rows.append((k, nat, float(k % 3), seg)); k += 1
+        for _ in range(4):
+            rows.append((k, 3, float(k % 3), "A")); k += 1
+        cust = spark.createDataFrame(
+            rows, "c_custkey bigint, c_nationkey bigint, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        r = rel.t_closeness(cust).collect()[0]
+        assert r.n_classes == 3
+        # global = 24A/20B; the all-A class: t = |1-24/44|/2+|0-20/44|/2
+        assert r.max_t == 0.454545
+        assert r.classes_t_gt_02 == 1 and r.classes_t_gt_03 == 1
+        assert r.frac_customers_exposed == round(4 / 44, 6)
+
+    def test_uniform_classes_pass(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        rows = [(i, i % 3, 0.0, "A" if i % 2 == 0 else "B")
+                for i in range(60)]
+        cust = spark.createDataFrame(
+            rows, "c_custkey bigint, c_nationkey bigint, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        r = rel.t_closeness(cust).collect()[0]
+        assert r.max_t == 0.0 and r.classes_t_gt_02 == 0
+        assert r.frac_customers_exposed == 0.0
+
+
+class TestLeveneBf:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def test_unequal_spread_inflates_w(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, k = [], 0
+        for i in range(60):
+            # tight group: deviations 1/-1/3 around 100
+            rows.append((k, t0 + timedelta(seconds=k), 1, "tight",
+                         100.0 + (1.0, -1.0, 3.0)[i % 3])); k += 1
+            # wide group: deviations 50/-50/70
+            rows.append((k, t0 + timedelta(seconds=k), 1, "wide",
+                         100.0 + (50.0, -50.0, 70.0)[i % 3])); k += 1
+        r = rel.levene_bf(self._ev(spark, rows)).collect()[0]
+        assert r.k_groups == 2 and r.n == 120
+        assert r.df1 == 1 and r.df2 == 118
+        # mean |z|: ~1.67 vs ~56.7, F crit at these dfs is ~3.9
+        assert r.w_stat > 30
+
+    def test_equal_spread_w_near_zero(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, k = [], 0
+        for i in range(42):
+            v = (5.0, -5.0, 15.0)[i % 3]
+            rows.append((k, t0 + timedelta(seconds=k), 1, "a", 10.0 + v)); k += 1
+            rows.append((k, t0 + timedelta(seconds=k), 1, "b", 90.0 + v)); k += 1
+        r = rel.levene_bf(self._ev(spark, rows)).collect()[0]
+        # identical spreads, different means: Levene sees NO difference
+        assert r.w_stat == 0.0
