@@ -1927,3 +1927,127 @@ def huber_irls(lineitem: DataFrame, rounds: int = 3) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def synthetic_control(
+    customer: DataFrame,
+    orders: DataFrame,
+    treated_nation: int = 0,
+    pre_frac: float = 0.5,
+) -> DataFrame:
+    """Synthetic-control panel for one treated unit: rebuild nation
+    ``treated_nation``'s monthly order-count series as a weighted blend
+    of the other nations (donor pool), with weights fit on the PRE
+    period and the post-period gap read as the effect — the
+    comparative-case-study design behind policy/launch analyses, in its
+    deterministic inverse-distance flavor: w_j ∝ 1/(d_j + 1) with
+    d_j = Σ_pre (y_treated − y_j)² (exact integers; the +1 keeps a
+    perfect pre-match finite, documented rather than hidden).
+
+    Exactness: counts and distances are exact integers on the dense
+    nation × month grid; each raw weight rounds to 6dp into the decimal
+    normalizer; each w_j·y_jm term rounds to 6dp into the per-month
+    decimal sum; gap is one rounded subtraction.
+
+    Scale: one fact aggregate to the |nations| × |months| panel, then
+    everything is control-plane-sized; the donor weighting is a
+    broadcast join against a |nations|-row frame.
+    """
+    nat = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    cells = (
+        orders.join(nat, "o_custkey")
+        .groupBy(
+            "nation", F.date_trunc("month", F.to_date("o_orderdate")).alias("month")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    months = (
+        cells.select("month")
+        .distinct()
+        .withColumn(
+            "month_idx",
+            F.row_number().over(Window.orderBy("month")).cast("int"),
+        )
+    )
+    n_months = months.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nm")
+    )
+    nations = cells.select("nation").distinct()
+    dense = (
+        nations.crossJoin(F.broadcast(months))
+        .join(cells, ["nation", "month"], "left")
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "nation",
+            "month",
+            "month_idx",
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+            (
+                F.col("month_idx")
+                <= F.floor(F.col("nm").cast("double") * F.lit(pre_frac))
+            ).alias("is_pre"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    treated = dense.where(F.col("nation") == treated_nation).select(
+        "month", "month_idx", "is_pre", F.col("y").alias("y0")
+    )
+    donors = dense.where(F.col("nation") != treated_nation)
+    d = (
+        donors.join(F.broadcast(treated), ["month", "month_idx", "is_pre"])
+        .where(F.col("is_pre"))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                (F.col("y0") - F.col("y")) * (F.col("y0") - F.col("y"))
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    wraw = d.select(
+        "nation",
+        F.round(
+            F.lit(1.0) / (F.col("d").cast("double") + F.lit(1.0)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("wr"),
+    )
+    wsum = wraw.agg(F.sum("wr").alias("ws"))
+    weights = wraw.crossJoin(F.broadcast(wsum)).select(
+        "nation",
+        F.round(
+            F.col("wr").cast("double") / F.col("ws").cast("double"), 6
+        ).alias("w"),
+    )
+    synth = (
+        donors.join(F.broadcast(weights), "nation")
+        .groupBy("month", "month_idx", "is_pre")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("y").cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("synth_d")
+        )
+    )
+    return (
+        treated.join(synth, ["month", "month_idx", "is_pre"])
+        .select(
+            "month_idx",
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.when(F.col("is_pre"), "pre").otherwise("post").alias(
+                "period"
+            ),
+            F.col("y0").alias("actual"),
+            F.col("synth_d").cast("double").alias("synthetic"),
+            F.round(
+                F.col("y0").cast("double")
+                - F.col("synth_d").cast("double"),
+                6,
+            ).alias("gap"),
+        )
+    )

@@ -14836,6 +14836,83 @@ def q_levene_bf(spark, sf_dir):
     return rel.levene_bf(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "synthetic_control",
+    """
+    WITH cells AS (
+      SELECT c.c_nationkey AS nation,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    months AS (
+      SELECT month,
+             CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER)
+               AS month_idx
+      FROM (SELECT DISTINCT month FROM cells)
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM months),
+    dense AS (
+      SELECT n.nation, m.month, m.month_idx,
+             CAST(COALESCE(c.y, 0) AS BIGINT) AS y,
+             m.month_idx <= FLOOR(CAST(nm.nm AS DOUBLE) * 0.5) AS is_pre
+      FROM (SELECT DISTINCT nation FROM cells) n
+      CROSS JOIN months m CROSS JOIN nm
+      LEFT JOIN cells c ON c.nation = n.nation AND c.month = m.month
+    ),
+    treated AS (
+      SELECT month, month_idx, is_pre, y AS y0 FROM dense
+      WHERE nation = 0
+    ),
+    donors AS (SELECT * FROM dense WHERE nation <> 0),
+    d AS (
+      SELECT dn.nation,
+             CAST(SUM((t.y0 - dn.y) * (t.y0 - dn.y)) AS BIGINT) AS d
+      FROM donors dn JOIN treated t
+        ON t.month = dn.month AND t.month_idx = dn.month_idx
+       AND t.is_pre = dn.is_pre
+      WHERE dn.is_pre
+      GROUP BY 1
+    ),
+    wraw AS (
+      SELECT nation,
+             CAST(ROUND(1.0 / (CAST(d AS DOUBLE) + 1.0), 6)
+                  AS DECIMAL(18,6)) AS wr
+      FROM d
+    ),
+    ws AS (SELECT SUM(wr) AS ws FROM wraw),
+    weights AS (
+      SELECT nation,
+             ROUND(CAST(wr AS DOUBLE) / CAST(ws AS DOUBLE), 6) AS w
+      FROM wraw, ws
+    ),
+    synth AS (
+      SELECT dn.month, dn.month_idx, dn.is_pre,
+             SUM(CAST(ROUND(w.w * CAST(dn.y AS DOUBLE), 6)
+                 AS DECIMAL(18,6))) AS synth_d
+      FROM donors dn JOIN weights w ON w.nation = dn.nation
+      GROUP BY 1, 2, 3
+    )
+    SELECT t.month_idx,
+           strftime(t.month, '%Y-%m') AS month,
+           CASE WHEN t.is_pre THEN 'pre' ELSE 'post' END AS period,
+           t.y0 AS actual,
+           CAST(synth_d AS DOUBLE) AS synthetic,
+           ROUND(CAST(t.y0 AS DOUBLE) - CAST(synth_d AS DOUBLE), 6)
+             AS gap
+    FROM treated t JOIN synth s
+      ON s.month = t.month AND s.month_idx = t.month_idx
+     AND s.is_pre = t.is_pre
+    """,
+)
+def q_synthetic_control(spark, sf_dir):
+    return ml.synthetic_control(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15011,6 +15088,7 @@ _VERIFY_FIRST = [
     "burrows_delta",
     "t_closeness",
     "levene_bf",
+    "synthetic_control",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

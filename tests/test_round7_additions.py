@@ -887,3 +887,41 @@ class TestLeveneBf:
         r = rel.levene_bf(self._ev(spark, rows)).collect()[0]
         # identical spreads, different means: Levene sees NO difference
         assert r.w_stat == 0.0
+
+
+class TestSyntheticControl:
+    def test_matching_donor_dominates_and_gap_reads_effect(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # nations: 0 = treated, 1 = perfect pre-period twin, 2 = far off.
+        # Post-period: treated jumps by +8/month; donors stay flat.
+        cust = spark.createDataFrame(
+            [(i, i) for i in range(3)],
+            "c_custkey bigint, c_nationkey bigint",
+        )
+        rows, k = [], 0
+        for m in range(1, 13):  # 12 months of 2024
+            base = 4 + (m % 2)  # 5,4,5,4,... per month
+            lift = 8 if m > 6 else 0
+            for _ in range(base + lift):  # nation 0
+                rows.append((k, 0, date(2024, m, 1))); k += 1
+            for _ in range(base):  # nation 1: twin pre AND post
+                rows.append((k, 1, date(2024, m, 1))); k += 1
+            for _ in range(base + 20):  # nation 2: distant donor
+                rows.append((k, 2, date(2024, m, 1))); k += 1
+        orders = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date"
+        )
+        out = {r.month_idx: r
+               for r in ml.synthetic_control(cust, orders).collect()}
+        assert len(out) == 12
+        assert all(out[i].period == "pre" for i in range(1, 7))
+        assert all(out[i].period == "post" for i in range(7, 13))
+        # pre-period: twin matches exactly, far donor carries ~0 weight
+        for i in range(1, 7):
+            assert abs(out[i].gap) < 0.1
+        # post-period gap reads the planted +8 lift
+        for i in range(7, 13):
+            assert 7.5 < out[i].gap < 8.5
