@@ -2051,3 +2051,141 @@ def synthetic_control(
             ).alias("gap"),
         )
     )
+
+
+def fellegi_sunter_em(customer: DataFrame, rounds: int = 3) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage with EM-fitted
+    match/unmatch probabilities — the statistical layer entity
+    resolution actually ships (unsupervised: no labeled pairs needed).
+    Candidate customer pairs come from (nation, 100-unit balance band)
+    blocking; each pair's agreement vector γ = (same market segment,
+    same 10-unit balance band, same name-suffix character) collapses to
+    one of 8 patterns, and EM iterates m_i = P(γ_i | match),
+    u_i = P(γ_i | non-match), π = P(match) on the 8-row pattern table.
+    Output: one row per pattern with its pair count, fitted posterior
+    match probability, and the ≥0.5 link decision, plus the fitted
+    parameters.
+
+    Exactness: pattern counts are exact integers; each EM round is a
+    fixed expression tree — per-pattern likelihood products (3 explicit
+    factors), the posterior w rounded to 6dp, M-step sums of
+    round(w·n, 6) decimals and single rounded divisions — unrolled
+    round by round in the oracle, logistic_gd-style.
+
+    Scale: the only data-sized work is the blocked pair scan feeding
+    ONE aggregate down to ≤8 rows; block keys bound cell sizes (the
+    fuzzy_blocking discipline), and every EM round runs on the 8-row
+    frame with 1-row checkpointed params.
+    """
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(100.0))
+        .cast("bigint")
+        .alias("blk"),
+        F.floor(F.col("c_acctbal") / F.lit(10.0))
+        .cast("bigint")
+        .alias("fine"),
+        F.expr("right(c_name, 1)").alias("nm1"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("int")
+        .alias("g1"),
+        (F.col("a.fine") == F.col("b.fine")).cast("int").alias("g2"),
+        (F.col("a.nm1") == F.col("b.nm1")).cast("int").alias("g3"),
+    )
+    pat = pairs.groupBy("g1", "g2", "g3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).localCheckpoint(eager=True)
+    spark = customer.sparkSession
+    params = spark.range(1).select(
+        F.lit(0.1).alias("pi"),
+        F.lit(0.9).alias("m1"),
+        F.lit(0.9).alias("m2"),
+        F.lit(0.9).alias("m3"),
+        F.lit(0.1).alias("u1"),
+        F.lit(0.1).alias("u2"),
+        F.lit(0.1).alias("u3"),
+    )
+
+    def lik(prefix):
+        f = F.lit(1.0)
+        for i in (1, 2, 3):
+            p = F.col(f"{prefix}{i}")
+            g = F.col(f"g{i}")
+            f = f * F.when(g == 1, p).otherwise(F.lit(1.0) - p)
+        return f
+
+    for _ in range(rounds):
+        j = pat.crossJoin(F.broadcast(params))
+        num = F.col("pi") * lik("m")
+        den = num + (F.lit(1.0) - F.col("pi")) * lik("u")
+        w = F.round(num / den, 6)
+        scored = j.withColumn("w", w)
+        nd = F.col("n_pairs").cast("double")
+        aggs = [
+            F.sum(F.round(F.col("w") * nd, 6).cast("decimal(28,6)")).alias(
+                "sw"
+            ),
+            F.sum("n_pairs").cast("bigint").alias("n"),
+        ]
+        for i in (1, 2, 3):
+            gi = F.col(f"g{i}").cast("double")
+            aggs.append(
+                F.sum(
+                    F.round(F.col("w") * nd * gi, 6).cast("decimal(28,6)")
+                ).alias(f"swg{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.round((F.lit(1.0) - F.col("w")) * nd * gi, 6).cast(
+                        "decimal(28,6)"
+                    )
+                ).alias(f"sug{i}")
+            )
+        m = scored.agg(*aggs)
+        swd = F.col("sw").cast("double")
+        ndt = F.col("n").cast("double")
+        sel = [F.round(swd / ndt, 6).alias("pi")]
+        for i in (1, 2, 3):
+            sel.append(
+                F.round(F.col(f"swg{i}").cast("double") / swd, 6).alias(
+                    f"m{i}"
+                )
+            )
+        for i in (1, 2, 3):
+            sel.append(
+                F.round(
+                    F.col(f"sug{i}").cast("double") / (ndt - swd), 6
+                ).alias(f"u{i}")
+            )
+        params = m.select(*sel).localCheckpoint(eager=True)
+
+    j = pat.crossJoin(F.broadcast(params))
+    num = F.col("pi") * lik("m")
+    den = num + (F.lit(1.0) - F.col("pi")) * lik("u")
+    w = F.round(num / den, 6)
+    return j.select(
+        "g1",
+        "g2",
+        "g3",
+        "n_pairs",
+        w.alias("posterior"),
+        (w >= 0.5).cast("int").alias("is_match"),
+        "pi",
+        "m1",
+        "m2",
+        "m3",
+        "u1",
+        "u2",
+        "u3",
+    )

@@ -14913,6 +14913,83 @@ def q_synthetic_control(spark, sf_dir):
     )
 
 
+def _fs_lik(prefix: str) -> str:
+    """The 3-factor agreement likelihood with Spark's exact tree:
+    ((1.0 * f1) * f2) * f3, fi = CASE on the pattern bit."""
+    out = "1.0"
+    for i in (1, 2, 3):
+        out += (f" * CASE WHEN g{i} = 1 THEN {prefix}{i}"
+                f" ELSE 1.0 - {prefix}{i} END")
+    return "(" + out + ")"
+
+
+def _fs_round(prev: str, r: int) -> str:
+    """One EM round: posterior per pattern, M-step sums, new params."""
+    num = f"(pi * {_fs_lik('m')})"
+    den = f"({num} + ((1.0 - pi) * {_fs_lik('u')}))"
+    sums = ["SUM(CAST(ROUND(w * CAST(n_pairs AS DOUBLE), 6)"
+            " AS DECIMAL(28,6))) AS sw",
+            "CAST(SUM(n_pairs) AS BIGINT) AS n"]
+    for i in (1, 2, 3):
+        sums.append(
+            f"SUM(CAST(ROUND(w * CAST(n_pairs AS DOUBLE)"
+            f" * CAST(g{i} AS DOUBLE), 6) AS DECIMAL(28,6))) AS swg{i}")
+        sums.append(
+            f"SUM(CAST(ROUND((1.0 - w) * CAST(n_pairs AS DOUBLE)"
+            f" * CAST(g{i} AS DOUBLE), 6) AS DECIMAL(28,6))) AS sug{i}")
+    ps = ["ROUND(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pi"]
+    for i in (1, 2, 3):
+        ps.append(f"ROUND(CAST(swg{i} AS DOUBLE) / CAST(sw AS DOUBLE), 6)"
+                  f" AS m{i}")
+    for i in (1, 2, 3):
+        ps.append(f"ROUND(CAST(sug{i} AS DOUBLE) / (CAST(n AS DOUBLE)"
+                  f" - CAST(sw AS DOUBLE)), 6) AS u{i}")
+    return f""",
+    e{r} AS (
+      SELECT g1, g2, g3, n_pairs, ROUND({num} / {den}, 6) AS w
+      FROM pat, {prev}
+    ),
+    s{r} AS (SELECT {", ".join(sums)} FROM e{r}),
+    p{r} AS (SELECT {", ".join(ps)} FROM s{r})"""
+
+
+def _fellegi_sunter_oracle(rounds: int = 3) -> str:
+    head = """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS blk,
+             CAST(FLOOR(c_acctbal / 10.0) AS BIGINT) AS fine,
+             right(c_name, 1) AS nm1
+      FROM customer
+    ),
+    pat AS MATERIALIZED (
+      SELECT CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS g1,
+             CAST(a.fine = b.fine AS INT) AS g2,
+             CAST(a.nm1 = b.nm1 AS INT) AS g3,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        AND a.blk = b.blk AND a.c_custkey < b.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    p0 AS (SELECT 0.1 AS pi, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                  0.1 AS u1, 0.1 AS u2, 0.1 AS u3)"""
+    body = "".join(_fs_round(f"p{r - 1}", r) for r in range(1, rounds + 1))
+    num = f"(pi * {_fs_lik('m')})"
+    den = f"({num} + ((1.0 - pi) * {_fs_lik('u')}))"
+    tail = f"""
+    SELECT g1, g2, g3, n_pairs,
+           ROUND({num} / {den}, 6) AS posterior,
+           CAST(ROUND({num} / {den}, 6) >= 0.5 AS INT) AS is_match,
+           pi, m1, m2, m3, u1, u2, u3
+    FROM pat, p{rounds}"""
+    return head + body + tail
+
+
+@register("fellegi_sunter_em", _fellegi_sunter_oracle())
+def q_fellegi_sunter_em(spark, sf_dir):
+    return ml.fellegi_sunter_em(load_table(spark, sf_dir, "customer"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15089,6 +15166,7 @@ _VERIFY_FIRST = [
     "t_closeness",
     "levene_bf",
     "synthetic_control",
+    "fellegi_sunter_em",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -925,3 +925,37 @@ class TestSyntheticControl:
         # post-period gap reads the planted +8 lift
         for i in range(7, 13):
             assert 7.5 < out[i].gap < 8.5
+
+
+class TestFellegiSunterEm:
+    def test_em_separates_planted_duplicates(self, spark):
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # 10 "duplicate" pairs agree on everything; background pairs in
+        # the same blocks agree on nothing beyond the block key
+        rows = []
+        k = 0
+        for i in range(10):
+            # dup twins: same segment, same fine band, same name suffix
+            rows.append((k, f"Customer#00{i}7", i, 100.0 + i * 0.5, "AUTO")); k += 1
+            rows.append((k, f"Customer#01{i}7", i, 100.0 + i * 0.5, "AUTO")); k += 1
+            # a non-matching third record in the same (nation, blk)
+            rows.append((k, f"Customer#02{i}3", i, 150.0 + i, "BLDG")); k += 1
+        cust = spark.createDataFrame(
+            rows, "c_custkey bigint, c_name string, c_nationkey bigint, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        out = ml.fellegi_sunter_em(cust).collect()
+        by = {(r.g1, r.g2, r.g3): r for r in out}
+        full = by[(1, 1, 1)]
+        none = by.get((0, 0, 0)) or by.get((0, 0, 1)) or by.get((0, 1, 0))
+        assert full.n_pairs == 10
+        assert full.is_match == 1 and full.posterior > 0.9
+        assert none is not None and none.is_match == 0
+        assert none.posterior < 0.1
+        r0 = out[0]
+        # fitted parameters are shared across rows and are probabilities
+        assert all(0.0 <= v <= 1.0 for v in
+                   (r0.pi, r0.m1, r0.m2, r0.m3, r0.u1, r0.u2, r0.u3))
+        # match class learned HIGHER agreement rates than non-match
+        assert r0.m1 > r0.u1 and r0.m2 > r0.u2
