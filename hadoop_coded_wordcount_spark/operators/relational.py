@@ -10444,7 +10444,17 @@ def pacf_hourly(events: DataFrame, max_lag: int = 6) -> DataFrame:
 
     spark = events.sparkSession
     acf_rows = acf_hourly_counts(events, max_lag=max_lag).collect()
-    r = {row.lag: away6(row.acf) for row in acf_rows}
+    r = {
+        row.lag: away6(row.acf)
+        for row in acf_rows
+        if row.acf is not None
+    }
+    if any(k not in r for k in range(1, max_lag + 1)):
+        # empty/degenerate series (no events, or a constant grid whose
+        # ACF is undefined): emit the empty frame, don't crash the audit
+        return spark.createDataFrame(
+            [], "lag int, acf double, pacf double"
+        )
     phi = {1: r[1]}
     pacf = {1: r[1]}
     for k in range(2, max_lag + 1):
@@ -11143,4 +11153,108 @@ def levene_bf(events: DataFrame) -> DataFrame:
         w.alias("w_stat"),
         (F.col("k") - 1).cast("bigint").alias("df1"),
         (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+    )
+
+
+def cmh_test(
+    customer: DataFrame, orders: DataFrame, churn_gap_days: int = 90
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of segment → churn association
+    CONTROLLING for nation: per-nation 2×2 tables (AUTOMOBILE vs rest ×
+    churned vs active, the :func:`logrank_segments` churn definition),
+    combined into one continuity-corrected χ²(1) and the
+    Mantel–Haenszel pooled odds ratio. The stratified design kills the
+    confounding a naive pooled 2×2 invites (Simpson's-paradox
+    insurance) — the partner readout to the log-rank curve comparison.
+
+    Exactness: all cell counts are integers; per-stratum E = n1·m1/T
+    and the hypergeometric V round to 6dp into decimal sums; the
+    statistic, the A&S-tail p-value, and the MH odds ratio are single
+    identically-parenthesized IEEE expressions over those sums.
+    Strata with T < 2 (V undefined) are excluded — in both engines.
+
+    Scale: one per-customer aggregate + one dimension join, then a
+    |nations|-row frame does everything else.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d")
+    )
+    wend = orders.agg(F.max(F.to_date("o_orderdate")).alias("wend"))
+    flags = (
+        per_cust.join(F.broadcast(wend))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_nationkey",
+                (F.col("c_mktsegment") == "AUTOMOBILE")
+                .cast("int")
+                .alias("x"),
+            ),
+            "o_custkey",
+        )
+        .select(
+            "c_nationkey",
+            "x",
+            (F.datediff(F.col("wend"), F.col("last_d")) > churn_gap_days)
+            .cast("int")
+            .alias("y"),
+        )
+    )
+    cells = flags.groupBy("c_nationkey").agg(
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("x") * (1 - F.col("y"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("x")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("x")) * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    t = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    m0 = (F.col("b") + F.col("d")).cast("double")
+    e = F.round(n1 * m1 / t, 6).cast("decimal(18,6)")
+    v = F.round(
+        ((n1 * n0) * (m1 * m0)) / ((t * t) * (t - F.lit(1.0))), 6
+    ).cast("decimal(18,6)")
+    or_num = F.round(
+        F.col("a").cast("double") * F.col("d").cast("double") / t, 6
+    ).cast("decimal(18,6)")
+    or_den = F.round(
+        F.col("b").cast("double") * F.col("c").cast("double") / t, 6
+    ).cast("decimal(18,6)")
+    sums = cells.where(
+        F.col("a") + F.col("b") + F.col("c") + F.col("d") >= 2
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(e).alias("sum_e"),
+        F.sum(v).alias("sum_v"),
+        F.sum(or_num).alias("orn"),
+        F.sum(or_den).alias("ord"),
+    )
+    ad = F.col("sum_a").cast("double")
+    ed = F.col("sum_e").cast("double")
+    vd = F.col("sum_v").cast("double")
+    dev = F.abs(ad - ed) - F.lit(0.5)
+    cmh = F.when(vd > 0, F.round((dev * dev) / vd, 6))
+    out = sums.withColumn("cmh", cmh)
+    z = F.sqrt(F.col("cmh"))
+    pval = F.round(
+        F.least(F.lit(1.0), F.lit(2.0) * _normal_upper_tail(z)), 6
+    )
+    return out.select(
+        "n_strata",
+        "sum_a",
+        F.round(ed, 6).alias("sum_e"),
+        F.round(vd, 6).alias("sum_v"),
+        "cmh",
+        F.when(F.col("cmh").isNotNull(), pval).alias("p_value"),
+        F.when(
+            F.col("ord").cast("double") > 0,
+            F.round(
+                F.col("orn").cast("double") / F.col("ord").cast("double"),
+                6,
+            ),
+        ).alias("or_mh"),
     )

@@ -3084,3 +3084,101 @@ def burrows_delta(documents: DataFrame, m: int = 20) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("delta"),
     )
+
+
+def text_tiling_cohesion(documents: DataFrame, block: int = 20) -> DataFrame:
+    """TextTiling-style topic-shift profile per document: split tokens
+    into fixed ``block``-token blocks, score every adjacent block pair
+    by term-vector cosine, and report each document's boundary profile
+    — block count, weakest boundary (position + cohesion) and mean
+    cohesion. A low minimum marks a topic seam (where a chunker should
+    cut); a low mean marks incoherent/boilerplate-stitched text — the
+    segmentation signal behind passage chunking for retrieval.
+
+    Exactness: block term counts are integers, so dot products and
+    squared norms are exact; each boundary cosine is one rounded IEEE
+    expression; the per-doc mean runs in integer micro-units with
+    half-up division (the burrows_delta tie lesson). Boundaries whose
+    blocks share no term are REAL zeros via the dense boundary spine.
+
+    Scale: everything keys on (doc_id, block) — the explode is
+    token-count-sized but aggregates immediately; no cross-document
+    work anywhere, so the operator partitions perfectly by document.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    tok = ensure_parallelism(documents.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(tokens_col()).alias("i", "word")
+    )
+    blk = (
+        tok.select(
+            "doc_id", F.expr("i DIV " + str(block)).alias("b"), "word"
+        )
+        .groupBy("doc_id", "b", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    norms = blk.groupBy("doc_id", "b").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss")
+    )
+    na = norms.select(
+        "doc_id", F.col("b").alias("bd"), F.col("ss").alias("ss_a")
+    )
+    nb = norms.select(
+        "doc_id", (F.col("b") - 1).alias("bd"), F.col("ss").alias("ss_b")
+    )
+    spine = na.join(nb, ["doc_id", "bd"])
+    la = blk.select(
+        "doc_id", F.col("b").alias("bd"), "word", F.col("cnt").alias("ca")
+    )
+    lb = blk.select(
+        "doc_id",
+        (F.col("b") - 1).alias("bd"),
+        "word",
+        F.col("cnt").alias("cb"),
+    )
+    dots = (
+        la.join(lb, ["doc_id", "bd", "word"])
+        .groupBy("doc_id", "bd")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    coh = spine.join(dots, ["doc_id", "bd"], "left").select(
+        "doc_id",
+        "bd",
+        F.round(
+            F.coalesce("dot", F.lit(0)).cast("double")
+            / (
+                F.sqrt(F.col("ss_a").cast("double"))
+                * F.sqrt(F.col("ss_b").cast("double"))
+            ),
+            6,
+        ).alias("c"),
+    )
+    blocks = norms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks")
+    )
+    per_doc = coh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        F.min("c").alias("min_cohesion"),
+        F.min_by(F.col("bd"), F.struct(F.col("c"), F.col("bd")))
+        .cast("bigint")
+        .alias("weakest_boundary"),
+        F.sum(F.col("c").cast("decimal(18,6)")).alias("sum_c"),
+    )
+    return (
+        per_doc.join(blocks, "doc_id")
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_boundaries",
+            "min_cohesion",
+            "weakest_boundary",
+            (
+                F.expr(
+                    "(CAST(sum_c * 1000000 AS BIGINT) * 2 + n_boundaries)"
+                    " DIV (2 * n_boundaries)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_cohesion"),
+        )
+    )

@@ -14990,6 +14990,166 @@ def q_fellegi_sunter_em(spark, sf_dir):
     return ml.fellegi_sunter_em(load_table(spark, sf_dir, "customer"))
 
 
+@register(
+    "text_tiling_cohesion",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) // 20 AS b, toks[i + 1] AS word
+      FROM t, unnest(range(0, len(toks))) AS u(i)
+    ),
+    blk AS MATERIALIZED (
+      SELECT doc_id, b, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    norms AS MATERIALIZED (
+      SELECT doc_id, b, CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      FROM blk GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT a.doc_id, a.b AS bd, a.ss AS ss_a, c.ss AS ss_b
+      FROM norms a JOIN norms c
+        ON c.doc_id = a.doc_id AND c.b = a.b + 1
+    ),
+    dots AS (
+      SELECT la.doc_id, la.b AS bd,
+             CAST(SUM(la.cnt * lb.cnt) AS BIGINT) AS dot
+      FROM blk la JOIN blk lb
+        ON lb.doc_id = la.doc_id AND lb.b = la.b + 1
+       AND lb.word = la.word
+      GROUP BY 1, 2
+    ),
+    coh AS (
+      SELECT s.doc_id, s.bd,
+             ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                   / (sqrt(CAST(ss_a AS DOUBLE))
+                      * sqrt(CAST(ss_b AS DOUBLE))), 6) AS c
+      FROM spine s LEFT JOIN dots d
+        ON d.doc_id = s.doc_id AND d.bd = s.bd
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM norms GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY c, bd) AS rn
+      FROM coh
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+             MIN(c) AS min_cohesion,
+             CAST(MAX(CASE WHEN rn = 1 THEN bd END) AS BIGINT)
+               AS weakest_boundary,
+             SUM(CAST(c AS DECIMAL(18,6))) AS sum_c
+      FROM ranked GROUP BY 1
+    )
+    SELECT p.doc_id, b.n_blocks, p.n_boundaries, p.min_cohesion,
+           p.weakest_boundary,
+           CAST((CAST(sum_c * 1000000 AS BIGINT) * 2 + n_boundaries)
+                // (2 * n_boundaries) AS DOUBLE) / 1000000.0
+             AS mean_cohesion
+    FROM per_doc p JOIN blocks b USING (doc_id)
+    """,
+)
+def q_text_tiling_cohesion(spark, sf_dir):
+    return ts.text_tiling_cohesion(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cmh_test",
+    f"""
+    WITH pc AS (
+      SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1
+    ),
+    we AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS wend FROM orders),
+    flags AS (
+      SELECT c.c_nationkey,
+             CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+               AS x,
+             CASE WHEN date_diff('day', last_d, wend) > 90
+                  THEN 1 ELSE 0 END AS y
+      FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey, we
+    ),
+    cells AS (
+      SELECT c_nationkey,
+             CAST(SUM(x * y) AS BIGINT) AS a,
+             CAST(SUM(x * (1 - y)) AS BIGINT) AS b,
+             CAST(SUM((1 - x) * y) AS BIGINT) AS c,
+             CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS d
+      FROM flags GROUP BY 1
+    ),
+    terms AS (
+      SELECT a,
+             CAST(ROUND(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS e,
+             CAST(ROUND(((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+                         * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))
+                        / ((CAST(a + b + c + d AS DOUBLE)
+                            * CAST(a + b + c + d AS DOUBLE))
+                           * (CAST(a + b + c + d AS DOUBLE) - 1.0)), 6)
+                  AS DECIMAL(18,6)) AS v,
+             CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS orn,
+             CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS ord
+      FROM cells WHERE a + b + c + d >= 2
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             SUM(e) AS sum_e, SUM(v) AS sum_v,
+             SUM(orn) AS orn, SUM(ord) AS ord
+      FROM terms
+    ),
+    zc AS (
+      SELECT n_strata, sum_a,
+             ROUND(CAST(sum_e AS DOUBLE), 6) AS sum_e,
+             ROUND(CAST(sum_v AS DOUBLE), 6) AS sum_v,
+             CASE WHEN CAST(sum_v AS DOUBLE) > 0 THEN
+               ROUND(((abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
+                       - 0.5)
+                      * (abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
+                         - 0.5))
+                     / CAST(sum_v AS DOUBLE), 6)
+             END AS cmh,
+             CASE WHEN CAST(ord AS DOUBLE) > 0 THEN
+               ROUND(CAST(orn AS DOUBLE) / CAST(ord AS DOUBLE), 6)
+             END AS or_mh
+      FROM s
+    ),
+    tt AS (
+      SELECT *, 1.0 / (1.0 + {rel.AS_NORMAL_P!r} * sqrt(cmh)) AS t
+      FROM zc
+    )
+    SELECT n_strata, sum_a, sum_e, sum_v, cmh,
+           CASE WHEN cmh IS NOT NULL THEN
+             ROUND(LEAST(1.0, 2.0 * ({rel.INV_SQRT_2PI!r}
+               * exp(-(sqrt(cmh) * sqrt(cmh)) / 2.0)
+               * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3}
+                  + t * ({_BH_B4} + t * {_BH_B5}))))))), 6)
+           END AS p_value,
+           or_mh
+    FROM tt
+    """,
+)
+def q_cmh_test(spark, sf_dir):
+    return rel.cmh_test(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15167,6 +15327,8 @@ _VERIFY_FIRST = [
     "levene_bf",
     "synthetic_control",
     "fellegi_sunter_em",
+    "text_tiling_cohesion",
+    "cmh_test",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

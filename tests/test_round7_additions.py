@@ -959,3 +959,92 @@ class TestFellegiSunterEm:
                    (r0.pi, r0.m1, r0.m2, r0.m3, r0.u1, r0.u2, r0.u3))
         # match class learned HIGHER agreement rates than non-match
         assert r0.m1 > r0.u1 and r0.m2 > r0.u2
+
+
+class TestTextTilingCohesion:
+    def test_topic_seam_is_weakest_boundary(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        # doc 0: 3 blocks of 20 tokens — blocks 0/1 share vocabulary,
+        # block 2 is a disjoint topic -> boundary 1 is the seam (cos 0)
+        b_a = ("alpha beta gamma delta " * 5).strip()
+        b_c = ("omega psi chi phi " * 5).strip()
+        doc0 = f"{b_a} {b_a} {b_c}"
+        # doc 1: homogeneous -> high cohesion everywhere
+        doc1 = ("alpha beta " * 30).strip()
+        rows = [(0, doc0, "en", "s", len(doc0)),
+                (1, doc1, "en", "s", len(doc1))]
+        out = {r.doc_id: r
+               for r in ts.text_tiling_cohesion(_docs(spark, rows)).collect()}
+        d0 = out[0]
+        assert d0.n_blocks == 3 and d0.n_boundaries == 2
+        assert d0.weakest_boundary == 1 and d0.min_cohesion == 0.0
+        d1 = out[1]
+        assert d1.n_blocks == 3 and d1.min_cohesion == 1.0
+        assert d1.mean_cohesion == 1.0
+        # doc with a seam has lower mean than the homogeneous doc
+        assert d0.mean_cohesion < 1.0
+
+
+class TestCmhTest:
+    def _frames(self, spark, cust_rows, order_rows):
+        cust = spark.createDataFrame(
+            cust_rows, "c_custkey bigint, c_nationkey bigint, "
+            "c_mktsegment string"
+        )
+        orders = spark.createDataFrame(
+            order_rows, "o_orderkey bigint, o_custkey bigint, "
+            "o_orderdate date"
+        )
+        return cust, orders
+
+    def test_consistent_association_flags(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # two nations; in BOTH, AUTOMOBILE churns far more often
+        cust_rows, order_rows, k, cid = [], [], 0, 0
+        for nat in (1, 2):
+            for seg, churned, n in (("AUTOMOBILE", 1, 8),
+                                    ("AUTOMOBILE", 0, 2),
+                                    ("BUILDING", 1, 2),
+                                    ("BUILDING", 0, 8)):
+                for _ in range(n):
+                    cust_rows.append((cid, nat, seg))
+                    last = date(2024, 1, 10) if churned else date(2024, 12, 28)
+                    order_rows.append((k, cid, date(2024, 1, 1))); k += 1
+                    order_rows.append((k, cid, last)); k += 1
+                    cid += 1
+        order_rows.append((k, 9999, date(2024, 12, 31)))  # pin window end
+        cust_rows.append((9999, 1, "BUILDING"))
+        cust, orders = self._frames(spark, cust_rows, order_rows)
+        r = rel.cmh_test(cust, orders).collect()[0]
+        assert r.n_strata == 2
+        assert r.sum_a == 16  # 8 exposed churners per nation
+        assert r.sum_a > r.sum_e
+        assert r.cmh > 3.84 and r.p_value < 0.05  # chi2(1) 5% crit
+        assert r.or_mh > 4
+
+    def test_no_association_accepts_null(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        cust_rows, order_rows, k, cid = [], [], 0, 0
+        for nat in (1, 2):
+            for seg in ("AUTOMOBILE", "BUILDING"):
+                for churned in (1, 0):
+                    for _ in range(5):  # perfectly balanced
+                        cust_rows.append((cid, nat, seg))
+                        last = (date(2024, 1, 10) if churned
+                                else date(2024, 12, 28))
+                        order_rows.append((k, cid, date(2024, 1, 1))); k += 1
+                        order_rows.append((k, cid, last)); k += 1
+                        cid += 1
+        order_rows.append((k, 9999, date(2024, 12, 31)))
+        cust_rows.append((9999, 1, "BUILDING"))
+        cust, orders = self._frames(spark, cust_rows, order_rows)
+        r = rel.cmh_test(cust, orders).collect()[0]
+        assert r.p_value > 0.5
+        assert 0.5 < r.or_mh < 2.0
