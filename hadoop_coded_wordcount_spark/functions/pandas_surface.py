@@ -209,3 +209,48 @@ def chunk_documents(
     return spark.sql(
         f"SELECT c.* FROM {view}, LATERAL chunk_documents_udtf(doc_id, text) c"
     )
+
+
+def compression_ratio_quality(documents) -> "DataFrame":
+    """Compression-ratio quality signal (the Gopher-family repetition
+    filter): zlib-deflate each document (level 6, fixed) and report
+    bytes_out/bytes_in plus the keep verdict at the published ~0.3
+    floor — highly repetitive/templated text compresses far below
+    normal prose, and the ratio needs no tokenizer, no LM, no
+    vocabulary. stdlib zlib is deterministic for a fixed level and
+    input, but no SQL engine can replay DEFLATE, so this rides the
+    rows-only gate with planted-fixture tests (the multimodal_features
+    precedent).
+
+    Runs as an Arrow-batched pandas UDF — bytes never leave the
+    executor, one pass, embarrassingly parallel.
+    """
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    scored = documents.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        ratio(F.col("text")).alias("compression_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "compression_ratio",
+        (F.col("compression_ratio") >= 0.3).cast("int").alias("keep"),
+    )

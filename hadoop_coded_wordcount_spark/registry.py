@@ -15150,6 +15150,57 @@ def q_cmh_test(spark, sf_dir):
     )
 
 
+@register(
+    "wasserstein_source_lengths",
+    """
+    WITH lens AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    qs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             quantile_cont(n_tok, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qv
+      FROM lens GROUP BY 1
+    ),
+    ex AS (
+      SELECT source, n_docs, CAST(i AS INTEGER) - 1 AS i, qv[i] AS q
+      FROM qs, unnest(range(1, 10)) AS u(i)
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+             CAST(ROUND(abs(a.q - b.q), 6) AS DECIMAL(18,6)) AS d
+      FROM ex a JOIN ex b ON a.i = b.i AND a.source < b.source
+    ),
+    g AS (
+      SELECT source_a, source_b, n_docs_a, n_docs_b,
+             CAST(COUNT(*) AS BIGINT) AS n_q, SUM(d) AS sum_d
+      FROM pairs GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b, n_docs_a, n_docs_b,
+           CAST((CAST(sum_d * 1000000 AS BIGINT) * 2 + n_q)
+                // (2 * n_q) AS DOUBLE) / 1000000.0 AS w1_tokens
+    FROM g
+    """,
+)
+def q_wasserstein_source_lengths(spark, sf_dir):
+    return ts.wasserstein_source_lengths(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+# rows-only: DEFLATE has no SQL replay; fixture-tested instead
+# (tests/test_round7_additions.py plants repetitive vs prose docs).
+@register("compression_ratio_quality", None)
+def q_compression_ratio_quality(spark, sf_dir):
+    return pu.compression_ratio_quality(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15329,6 +15380,8 @@ _VERIFY_FIRST = [
     "fellegi_sunter_em",
     "text_tiling_cohesion",
     "cmh_test",
+    "wasserstein_source_lengths",
+    "compression_ratio_quality",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

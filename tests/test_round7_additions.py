@@ -1048,3 +1048,49 @@ class TestCmhTest:
         r = rel.cmh_test(cust, orders).collect()[0]
         assert r.p_value > 0.5
         assert 0.5 < r.or_mh < 2.0
+
+
+class TestWassersteinSourceLengths:
+    def test_shifted_lengths_measured_in_tokens(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        rows = []
+        k = 0
+        for n in (10, 20, 30, 40, 50):
+            rows.append((k, "w " * n, "en", "short", 2 * n)); k += 1
+            # long: exactly +100 tokens at matching quantiles
+            rows.append((k, "w " * (n + 100), "en", "long", 2 * n)); k += 1
+            rows.append((k, "w " * n, "en", "same", 2 * n)); k += 1
+        out = {(r.source_a, r.source_b): r
+               for r in ts.wasserstein_source_lengths(
+                   _docs(spark, rows)).collect()}
+        assert out[("long", "short")].w1_tokens == 100.0
+        assert out[("same", "short")].w1_tokens == 0.0
+        assert out[("long", "same")].w1_tokens == 100.0
+        assert all(r.n_docs_a == 5 and r.n_docs_b == 5
+                   for r in out.values())
+
+
+class TestCompressionRatioQuality:
+    def test_repetitive_text_compresses_below_prose(self, spark):
+        from hadoop_coded_wordcount_spark.functions import (
+            pandas_surface as pu,
+        )
+
+        rep = "spam " * 400
+        prose = " ".join(
+            f"w{i}x{i * 7 % 13}q{i * 11 % 17}" for i in range(400)
+        )
+        rows = [(0, rep, "en", "s", len(rep)),
+                (1, prose, "en", "s", len(prose)),
+                (2, "", "en", "s", 0)]
+        out = {r.doc_id: r
+               for r in pu.compression_ratio_quality(
+                   _docs(spark, rows)).collect()}
+        assert out[0].compression_ratio < 0.05 and out[0].keep == 0
+        assert out[1].compression_ratio > 0.3 and out[1].keep == 1
+        assert out[2].compression_ratio is None
+        # determinism: fixed zlib level -> exact repeatable value
+        import zlib
+        exp = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
+        assert out[0].compression_ratio == exp
