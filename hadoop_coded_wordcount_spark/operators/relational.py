@@ -11258,3 +11258,99 @@ def cmh_test(
             ),
         ).alias("or_mh"),
     )
+
+
+#: N(0,1) quartile breakpoints for the 4-letter SAX alphabet (Lin et
+#: al. 2003), shared verbatim with the oracle via repr().
+SAX_BREAKPOINTS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_hourly(events: DataFrame, seg_hours: int = 4) -> DataFrame:
+    """SAX symbolic representation of each event type's hourly count
+    series: z-normalize on the dense grid, average into
+    ``seg_hours``-hour PAA segments, quantize against the N(0,1)
+    quartile breakpoints into the 4-letter alphabet a<b<c<d, and emit
+    the per-type symbol string — the discretization behind symbolic
+    motif mining, and a 6-hours-to-1-char sketch a human can read in a
+    dashboard ("aaaddd" = quiet night, busy day).
+
+    Exactness: grid counts are integers; mean/std come from exact
+    decimal sums (rounded 6dp); each PAA mean divides an exact integer
+    sum by the true segment length; the z-quantization compares a
+    rounded double against literal breakpoints; the string is an
+    ordered aggregation with a full ORDER BY. All replayed in SQL.
+
+    Scale: calendar-bounded after one (type, hour) partial aggregate.
+    """
+    counted = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    grid = (
+        counted.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            "h0",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = grid.join(counted, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.expr("timestampdiff(HOUR, h0, hour)").cast("bigint").alias("h"),
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    stats = stats.select(
+        "event_type",
+        F.round(sxd / nd, 6).alias("m"),
+        F.round(
+            F.sqrt((sxxd - (sxd * sxd) / nd) / nd), 6
+        ).alias("s"),
+    ).where(F.col("s") > 0)
+    seg = (
+        hourly.select(
+            "event_type",
+            F.expr(f"h DIV {seg_hours}").alias("seg"),
+            "x",
+        )
+        .groupBy("event_type", "seg")
+        .agg(
+            F.sum("x").cast("bigint").alias("sx_seg"),
+            F.count(F.lit(1)).cast("bigint").alias("len_seg"),
+        )
+    )
+    paa = seg.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "seg",
+        F.round(
+            (
+                F.col("sx_seg").cast("double")
+                / F.col("len_seg").cast("double")
+                - F.col("m")
+            )
+            / F.col("s"),
+            6,
+        ).alias("pz"),
+    )
+    b1, b2, b3 = SAX_BREAKPOINTS
+    sym = (
+        F.when(F.col("pz") < F.lit(b1), "a")
+        .when(F.col("pz") < F.lit(b2), "b")
+        .when(F.col("pz") < F.lit(b3), "c")
+        .otherwise("d")
+    )
+    lettered = paa.select("event_type", "seg", sym.alias("sym"))
+    return lettered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.concat_ws(
+            "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
+        ).alias("sax"),
+    )

@@ -15201,6 +15201,72 @@ def q_compression_ratio_quality(spark, sf_dir):
     )
 
 
+@register(
+    "sax_hourly",
+    f"""
+    WITH counted AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM counted GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, h0,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    hourly AS (
+      SELECT g.event_type,
+             CAST(date_diff('hour', g.h0, g.hour) AS BIGINT) AS h,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counted c
+        ON c.event_type = g.event_type AND c.hour = g.hour
+    ),
+    stats AS (
+      SELECT event_type,
+             ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS m,
+             ROUND(sqrt((CAST(SUM(x * x) AS DOUBLE)
+                         - (CAST(SUM(x) AS DOUBLE)
+                            * CAST(SUM(x) AS DOUBLE))
+                           / CAST(COUNT(*) AS DOUBLE))
+                        / CAST(COUNT(*) AS DOUBLE)), 6) AS s
+      FROM hourly GROUP BY 1
+    ),
+    seg AS (
+      SELECT event_type, h // 4 AS seg,
+             CAST(SUM(x) AS BIGINT) AS sx_seg,
+             CAST(COUNT(*) AS BIGINT) AS len_seg
+      FROM hourly GROUP BY 1, 2
+    ),
+    paa AS (
+      SELECT sg.event_type, sg.seg,
+             ROUND((CAST(sx_seg AS DOUBLE) / CAST(len_seg AS DOUBLE)
+                    - st.m) / st.s, 6) AS pz
+      FROM seg sg JOIN stats st USING (event_type)
+      WHERE st.s > 0
+    ),
+    lettered AS (
+      SELECT event_type, seg,
+             CASE WHEN pz < {rel.SAX_BREAKPOINTS[0]!r} THEN 'a'
+                  WHEN pz < {rel.SAX_BREAKPOINTS[1]!r} THEN 'b'
+                  WHEN pz < {rel.SAX_BREAKPOINTS[2]!r} THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM paa
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           string_agg(sym, '' ORDER BY seg) AS sax
+    FROM lettered GROUP BY 1
+    """,
+)
+def q_sax_hourly(spark, sf_dir):
+    return rel.sax_hourly(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15382,6 +15448,7 @@ _VERIFY_FIRST = [
     "cmh_test",
     "wasserstein_source_lengths",
     "compression_ratio_quality",
+    "sax_hourly",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1094,3 +1094,44 @@ class TestCompressionRatioQuality:
         import zlib
         exp = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
         assert out[0].compression_ratio == exp
+
+
+class TestSaxHourly:
+    def test_diurnal_pattern_reads_as_symbols(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        # 48 hours: 12 quiet hours (1/h) then 12 busy (9/h), repeated
+        for h in range(48):
+            n = 1 if (h // 12) % 2 == 0 else 9
+            for i in range(n):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "diurnal", 0.0)); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        r = rel.sax_hourly(ev).collect()[0]
+        # 48 hours / 4-hour segments = 12 symbols
+        assert r.n_segments == 12
+        assert len(r.sax) == 12
+        # quiet half maps below the mean (a), busy half above (d)
+        assert r.sax == "aaadddaaaddd"
+
+    def test_constant_series_is_excluded(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(i, t0 + timedelta(hours=i), 1, "flat", 0.0)
+                for i in range(24)]
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        # zero variance -> no defined z-quantization -> no row
+        assert rel.sax_hourly(ev).collect() == []
