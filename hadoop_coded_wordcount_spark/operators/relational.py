@@ -11354,3 +11354,164 @@ def sax_hourly(events: DataFrame, seg_hours: int = 4) -> DataFrame:
             "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
         ).alias("sax"),
     )
+
+
+def hurst_hourly(events: DataFrame) -> DataFrame:
+    """Hurst exponent per event type by the aggregated-variance method:
+    block-average the dense hourly count series at sizes m ∈ {1,2,4,8,
+    16}, regress ln Var(m) on ln m (Var(m) ~ m^(2H−2) for a
+    self-similar process) and report H = 1 + slope/2 — the long-range-
+    dependence readout that says whether a load series is bursty at
+    EVERY horizon (H→1, capacity planning pain) or averages out like
+    iid noise (H≈0.5). Complements ACF/PACF, which only see fixed lags.
+
+    Exactness: block sums are integers, so each Var(m) is one IEEE
+    expression over exact sums (rounded 6dp); its ln rounds to 6dp;
+    the 5-point OLS runs on DECIMAL sums of those rounded logs with a
+    single rounded slope division. Types with any non-positive Var(m)
+    (degenerate) drop, in both engines.
+
+    Scale: calendar-bounded — one (type, hour) partial aggregate, then
+    5 block aggregations of the grid and a 5-row regression per type.
+    """
+    counted = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    grid = (
+        counted.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            "h0",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = grid.join(counted, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.expr("timestampdiff(HOUR, h0, hour)").cast("bigint").alias("h"),
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    sizes = F.broadcast(
+        events.sparkSession.createDataFrame(
+            [(1,), (2,), (4,), (8,), (16,)], "m int"
+        )
+    )
+    blocks = (
+        hourly.crossJoin(sizes)
+        .groupBy(
+            "event_type", "m", F.expr("h DIV m").alias("blk")
+        )
+        .agg(
+            F.sum("x").cast("bigint").alias("sb"),
+            F.count(F.lit(1)).cast("bigint").alias("lb"),
+        )
+        .where(F.col("lb") == F.col("m"))  # full blocks only
+    )
+    bm = F.col("sb").cast("double") / F.col("m").cast("double")
+    vstats = blocks.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(F.round(bm, 6).cast("decimal(28,6)")).alias("s1"),
+        F.sum(F.round(bm * bm, 6).cast("decimal(28,6)")).alias("s2"),
+    )
+    nbd = F.col("nb").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    varm = F.round((s2d - (s1d * s1d) / nbd) / nbd, 6)
+    pts = vstats.where(F.col("nb") >= 2).select(
+        "event_type",
+        "m",
+        varm.alias("v"),
+    ).where(F.col("v") > 0)
+    lx = F.round(F.log(F.col("m").cast("double")), 6)
+    ly = F.round(F.log(F.col("v")), 6)
+    reg = pts.select(
+        "event_type",
+        lx.cast("decimal(18,6)").alias("lx"),
+        ly.cast("decimal(18,6)").alias("ly"),
+        F.round(lx * ly, 6).cast("decimal(18,6)").alias("lxy"),
+        F.round(lx * lx, 6).cast("decimal(18,6)").alias("lxx"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum("lxy").alias("sxy"),
+        F.sum("lxx").alias("sxx"),
+    ).where(F.col("k") >= 3)
+    kd = F.col("k").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = F.round(
+        (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd), 6
+    )
+    return reg.select(
+        "event_type",
+        F.col("k").alias("n_scales"),
+        slope.alias("var_slope"),
+        F.round(F.lit(1.0) + slope / F.lit(2.0), 6).alias("hurst"),
+    )
+
+
+def ljung_box(events: DataFrame, max_lag: int = 8) -> DataFrame:
+    """Ljung–Box portmanteau test on the hourly event-count series: is
+    there ANY autocorrelation in the first ``max_lag`` lags, jointly?
+    Q = n(n+2)·Σ r_k²/(n−k) against χ²(m) — the one-number "is this
+    series white noise?" gate that should precede fitting AR models
+    (:func:`yule_walker_ar2`) or reading ACF spikes one at a time.
+
+    The χ²(m) p-value uses the Wilson–Hilferty cube-root normal
+    approximation into the shared A&S tail; the cube root is rounded
+    to 6dp before use (the module's transcendental discipline).
+    r_k come from :func:`acf_hourly_counts` — exact integer lattices.
+
+    Scale: the ACF's one grid scan; everything after is a ≤max_lag-row
+    frame.
+    """
+    acf = acf_hourly_counts(events, max_lag=max_lag)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    n_row = bounds.select(
+        (F.expr("timestampdiff(HOUR, h0, h1)") + 1)
+        .cast("bigint")
+        .alias("n")
+    )
+    j = acf.crossJoin(F.broadcast(n_row))
+    nd = F.col("n").cast("double")
+    kd = F.col("lag").cast("double")
+    term = F.round(
+        (F.col("acf") * F.col("acf")) / (nd - kd), 6
+    ).cast("decimal(18,6)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.min("n").alias("n"),
+        F.sum(term).alias("st"),
+    )
+    nd2 = F.col("n").cast("double")
+    q = F.round(
+        (nd2 * (nd2 + F.lit(2.0))) * F.col("st").cast("double"), 6
+    )
+    s = s.withColumn("q_stat", q)
+    md = F.col("m").cast("double")
+    cb = F.round(F.cbrt(F.col("q_stat") / md), 6)
+    z = F.round(
+        (cb - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * md)))
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * md)),
+        6,
+    )
+    s = s.withColumn("z_wh", z)
+    tail = _normal_upper_tail(F.abs(F.col("z_wh")))
+    p = F.round(
+        F.when(F.col("z_wh") >= 0, tail).otherwise(F.lit(1.0) - tail), 6
+    )
+    return s.select(
+        F.col("m").alias("n_lags"),
+        "n",
+        "q_stat",
+        "z_wh",
+        p.alias("p_value"),
+        (p < 0.05).cast("int").alias("reject_white_noise"),
+    )

@@ -15267,6 +15267,147 @@ def q_sax_hourly(spark, sf_dir):
     return rel.sax_hourly(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "hurst_hourly",
+    """
+    WITH counted AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM counted GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, h0,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    hourly AS (
+      SELECT g.event_type,
+             CAST(date_diff('hour', g.h0, g.hour) AS BIGINT) AS h,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counted c
+        ON c.event_type = g.event_type AND c.hour = g.hour
+    ),
+    blocks AS (
+      SELECT event_type, m, h // m AS blk,
+             CAST(SUM(x) AS BIGINT) AS sb,
+             CAST(COUNT(*) AS BIGINT) AS lb
+      FROM hourly, (VALUES (1), (2), (4), (8), (16)) AS sz(m)
+      GROUP BY 1, 2, 3
+    ),
+    vstats AS (
+      SELECT event_type, m,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             SUM(CAST(ROUND(CAST(sb AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                 AS DECIMAL(28,6))) AS s1,
+             SUM(CAST(ROUND((CAST(sb AS DOUBLE) / CAST(m AS DOUBLE))
+                            * (CAST(sb AS DOUBLE) / CAST(m AS DOUBLE)),
+                            6) AS DECIMAL(28,6))) AS s2
+      FROM blocks WHERE lb = m
+      GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type, m,
+             ROUND((CAST(s2 AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / CAST(nb AS DOUBLE)) / CAST(nb AS DOUBLE), 6)
+               AS v
+      FROM vstats WHERE nb >= 2
+    ),
+    logs AS (
+      SELECT event_type,
+             ROUND(LN(CAST(m AS DOUBLE)), 6) AS lx,
+             ROUND(LN(v), 6) AS ly
+      FROM pts WHERE v > 0
+    ),
+    reg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(lx AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(ly AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(ROUND(lx * ly, 6) AS DECIMAL(18,6))) AS sxy,
+             SUM(CAST(ROUND(lx * lx, 6) AS DECIMAL(18,6))) AS sxx
+      FROM logs GROUP BY 1
+      HAVING COUNT(*) >= 3
+    ),
+    sl AS (
+      SELECT event_type, k,
+             ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS var_slope
+      FROM reg
+    )
+    SELECT event_type, k AS n_scales, var_slope,
+           ROUND(1.0 + var_slope / 2.0, 6) AS hurst
+    FROM sl
+    """,
+)
+def q_hurst_hourly(spark, sf_dir):
+    return rel.hurst_hourly(load_table(spark, sf_dir, "events"))
+
+
+def _register_ljung_box() -> None:
+    """Embed the registered ACF replay (ann_recall_metrics pattern) and
+    add the portmanteau sum + Wilson-Hilferty tail on top."""
+
+    @register(
+        "ljung_box",
+        f"""
+    WITH acf AS ({ORACLES["acf_hourly"]}),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h FROM events GROUP BY 1
+    ),
+    nn AS (
+      SELECT CAST(date_diff('hour', MIN(h), MAX(h)) + 1 AS BIGINT) AS n
+      FROM hourly
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m, MIN(n) AS n,
+             SUM(CAST(ROUND((acf * acf)
+                 / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS st
+      FROM acf, nn
+    ),
+    qq AS (
+      SELECT m, n,
+             ROUND((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0))
+                   * CAST(st AS DOUBLE), 6) AS q_stat
+      FROM s
+    ),
+    zz AS (
+      SELECT m, n, q_stat,
+             ROUND((ROUND(cbrt(q_stat / CAST(m AS DOUBLE)), 6)
+                    - (1.0 - 2.0 / (9.0 * CAST(m AS DOUBLE))))
+                   / sqrt(2.0 / (9.0 * CAST(m AS DOUBLE))), 6) AS z_wh
+      FROM qq
+    ),
+    tt AS (
+      SELECT *, 1.0 / (1.0 + {rel.AS_NORMAL_P!r} * abs(z_wh)) AS t
+      FROM zz
+    ),
+    pv AS (
+      SELECT m, n, q_stat, z_wh,
+             ROUND(CASE WHEN z_wh >= 0 THEN ({rel.INV_SQRT_2PI!r} * exp(-(abs(z_wh) * abs(z_wh)) / 2.0) * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3} + t * ({_BH_B4} + t * {_BH_B5}))))))
+                   ELSE 1.0 - ({rel.INV_SQRT_2PI!r} * exp(-(abs(z_wh) * abs(z_wh)) / 2.0) * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3} + t * ({_BH_B4} + t * {_BH_B5})))))) END, 6) AS p_value
+      FROM tt
+    )
+    SELECT m AS n_lags, n, q_stat, z_wh, p_value,
+           CAST(p_value < 0.05 AS INT) AS reject_white_noise
+    FROM pv
+    """,
+    )
+    def q_ljung_box(spark, sf_dir):
+        return rel.ljung_box(load_table(spark, sf_dir, "events"))
+
+
+_register_ljung_box()
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15449,6 +15590,8 @@ _VERIFY_FIRST = [
     "wasserstein_source_lengths",
     "compression_ratio_quality",
     "sax_hourly",
+    "hurst_hourly",
+    "ljung_box",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1135,3 +1135,74 @@ class TestSaxHourly:
         )
         # zero variance -> no defined z-quantization -> no row
         assert rel.sax_hourly(ev).collect() == []
+
+
+class TestHurstHourly:
+    def test_trending_series_is_persistent_noise_is_not(self, spark):
+        import hashlib
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h in range(128):
+            # "trend": counts ramp 1..128 -> block means keep diverging
+            for i in range(h + 1):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "trend", 0.0)); eid += 1
+            # "noise": deterministic hash in 1..8, no memory
+            n = int(hashlib.md5(str(h).encode()).hexdigest(), 16) % 8 + 1
+            for i in range(n):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "noise", 0.0)); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        out = {r.event_type: r for r in rel.hurst_hourly(ev).collect()}
+        assert out["trend"].n_scales == 5
+        assert out["noise"].n_scales == 5
+        # ramping series: variance of block means barely decays -> H ~ 1
+        assert out["trend"].hurst > 0.85
+        # memoryless series: Var(m) ~ 1/m -> H ~ 0.5
+        assert 0.3 < out["noise"].hurst < 0.7
+        assert out["trend"].hurst > out["noise"].hurst
+        for r in out.values():
+            assert r.hurst == round(1.0 + r.var_slope / 2.0, 6)
+
+
+class TestLjungBox:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def test_cyclic_series_rejects_noise_does_not(self, spark):
+        import hashlib
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        cyc, eid = [], 0
+        for h in range(96):
+            n = 10 if h % 4 < 2 else 2  # strong lag-4 cycle
+            for i in range(n):
+                cyc.append((eid, t0 + timedelta(hours=h, seconds=i),
+                            1, "e", 0.0)); eid += 1
+        r1 = rel.ljung_box(self._ev(spark, cyc)).collect()[0]
+        assert r1.n_lags == 8 and r1.n == 96
+        assert r1.q_stat > 20 and r1.reject_white_noise == 1
+        assert r1.p_value < 0.01
+
+        noise, eid = [], 0
+        for h in range(96):
+            n = int(hashlib.md5(str(h).encode()).hexdigest(), 16) % 6 + 1
+            for i in range(n):
+                noise.append((eid, t0 + timedelta(hours=h, seconds=i),
+                              1, "e", 0.0)); eid += 1
+        r2 = rel.ljung_box(self._ev(spark, noise)).collect()[0]
+        assert r2.q_stat < r1.q_stat
+        assert r2.reject_white_noise == 0
