@@ -11515,3 +11515,88 @@ def ljung_box(events: DataFrame, max_lag: int = 8) -> DataFrame:
         p.alias("p_value"),
         (p < 0.05).cast("int").alias("reject_white_noise"),
     )
+
+
+def two_pass_exact_median(lineitem: DataFrame) -> DataFrame:
+    """EXACT global median of l_extendedprice by the two-pass histogram
+    trick — the way you take an exact order statistic over 100 TB
+    without ever sorting (or collecting) the column: pass 1 builds a
+    coarse bucket histogram (map-side combined, |buckets| rows out);
+    the cumulative histogram locates which bucket holds each median
+    rank; pass 2 sorts ONLY inside the hit buckets (a vanishing
+    fraction of the data) to extract the order statistics. Spark's own
+    ``percentile`` is exact but buffers every group value on one
+    reducer — fine at test scale, impossible at corpus scale; this is
+    the production substitute, and the oracle proves it equals the
+    one-shot interpolated median bit-for-bit.
+
+    Median semantics match ``percentile(x, 0.5)``: for odd n the
+    middle value, for even n the midpoint of the two central order
+    statistics (one IEEE (a+b)/2).
+
+    Scale: two scans, both fully parallel; the only sort touches rows
+    inside the 1-2 hit buckets; the cumulative walk is over the
+    |buckets|-row histogram.
+    """
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    vals = lineitem.select(x.alias("v"))
+    hist = (
+        vals.groupBy(F.floor(F.col("v") / F.lit(1000.0)).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "b",
+        "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("before"),
+    ).localCheckpoint(eager=True)
+    n_row = cum.agg(
+        F.sum("c").cast("bigint").alias("n")
+    ).select(
+        "n",
+        F.expr("(n + 1) DIV 2").cast("bigint").alias("k_lo"),
+        F.expr("n DIV 2 + 1").cast("bigint").alias("k_hi"),
+    )
+    hit = cum.crossJoin(F.broadcast(n_row)).where(
+        (
+            (F.col("before") < F.col("k_lo"))
+            & (F.col("k_lo") <= F.col("before") + F.col("c"))
+        )
+        | (
+            (F.col("before") < F.col("k_hi"))
+            & (F.col("k_hi") <= F.col("before") + F.col("c"))
+        )
+    )
+    # pass 2: rank only within the (at most two) hit buckets
+    in_hit = vals.join(
+        F.broadcast(hit.select("b", "before", "k_lo", "k_hi")),
+        F.floor(F.col("v") / F.lit(1000.0)) == F.col("b"),
+    )
+    wrank = Window.partitionBy("b").orderBy("v")
+    ranked = in_hit.withColumn(
+        "r", F.row_number().over(wrank).cast("bigint") + F.col("before")
+    )
+    stats = ranked.agg(
+        F.min("k_lo").alias("k_lo"),
+        F.max(F.when(F.col("r") == F.col("k_lo"), F.col("v"))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("r") == F.col("k_hi"), F.col("v"))).alias(
+            "v_hi"
+        ),
+    ).crossJoin(F.broadcast(n_row.select("n")))
+    return stats.select(
+        "n",
+        F.round(
+            (
+                F.col("v_lo").cast("double")
+                + F.col("v_hi").cast("double")
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("median"),
+    )

@@ -15408,6 +15408,36 @@ def _register_ljung_box() -> None:
 _register_ljung_box()
 
 
+@register(
+    "two_pass_exact_median",
+    # ground truth is the DIRECT full-sort order statistics — a
+    # different algorithm than the two-pass histogram, same semantics
+    """
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v FROM lineitem
+    ),
+    nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k_lo,
+             CAST(COUNT(*) // 2 + 1 AS BIGINT) AS k_hi
+      FROM v
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM v),
+    sel AS (
+      SELECT MAX(CASE WHEN rr.r = nn.k_lo THEN rr.v END) AS lo,
+             MAX(CASE WHEN rr.r = nn.k_hi THEN rr.v END) AS hi
+      FROM r rr, nn
+    )
+    SELECT nn.n,
+           ROUND((CAST(lo AS DOUBLE) + CAST(hi AS DOUBLE)) / 2.0, 6)
+             AS median
+    FROM sel, nn
+    """,
+)
+def q_two_pass_exact_median(spark, sf_dir):
+    return rel.two_pass_exact_median(load_table(spark, sf_dir, "lineitem"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15592,6 +15622,7 @@ _VERIFY_FIRST = [
     "sax_hourly",
     "hurst_hourly",
     "ljung_box",
+    "two_pass_exact_median",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

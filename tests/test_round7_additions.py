@@ -1206,3 +1206,29 @@ class TestLjungBox:
         r2 = rel.ljung_box(self._ev(spark, noise)).collect()[0]
         assert r2.q_stat < r1.q_stat
         assert r2.reject_white_noise == 0
+
+
+class TestTwoPassExactMedian:
+    def _li(self, spark, vals):
+        from decimal import Decimal
+
+        return spark.createDataFrame(
+            [(i, Decimal(str(v))) for i, v in enumerate(vals)],
+            "l_orderkey bigint, l_extendedprice decimal(12,2)",
+        )
+
+    def test_odd_and_even_and_bucket_boundary(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # odd n: exact middle value
+        r = rel.two_pass_exact_median(
+            self._li(spark, [10, 5000, 99999, 3, 7])).collect()[0]
+        assert r.n == 5 and r.median == 10.0
+        # even n with the two central stats in DIFFERENT 1000-buckets
+        r = rel.two_pass_exact_median(
+            self._li(spark, [100, 900, 1100, 2000])).collect()[0]
+        assert r.n == 4 and r.median == (900 + 1100) / 2
+        # all values equal
+        r = rel.two_pass_exact_median(
+            self._li(spark, [42] * 6)).collect()[0]
+        assert r.median == 42.0
