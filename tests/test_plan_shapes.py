@@ -371,3 +371,34 @@ def test_pairwise_welch_runs_on_type_summary(spark):
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fellegi_em_final_plan_is_pattern_table_only(spark):
+    """The EM rounds resolve during their eager checkpoints, so the
+    final plan must join the 8-row pattern checkpoint with the 1-row
+    param checkpoint — no parquet re-scan, no sort-merge."""
+    plan = _plan(spark, "fellegi_sunter_em")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_two_pass_median_sorts_only_hit_buckets(spark):
+    """Pass 2 must rank inside the hit buckets only: the bucket filter
+    rides a broadcast join (no shuffle of the fact side for the
+    histogram lookup) and the only Window sort is bucket-partitioned."""
+    plan = _plan(spark, "two_pass_exact_median")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the ranking window is partitioned by bucket, never global
+    assert "row_number" in plan
+    assert plan.count("Window") >= 1
+
+
+def test_synthetic_control_panel_is_checkpointed(spark):
+    """The dense panel materializes once (eager checkpoint) and feeds
+    treated/donor/weights legs from the checkpoint scan — the fact
+    aggregate must not recompute per leg."""
+    plan = _plan(spark, "synthetic_control")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
