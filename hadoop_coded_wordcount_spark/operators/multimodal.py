@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["to_multimodal", "decode_media", "media_features", "media_integrity"]
 
@@ -381,4 +381,165 @@ def media_integrity(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.length("payload")).alias("total_bytes"),
         F.count_distinct(F.sha2("payload", 256)).alias("distinct_payloads"),
+    )
+
+
+def synth_pgm_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic 16×16 PGM image per document — the image-corpus
+    stand-in this environment can't download: pixel (r, c) is byte c of
+    md5(f"{base}:{r}"), where base folds doc_id % 10 == 1 onto its
+    predecessor and perturbs ONE pixel (+1 mod 256) — planting a
+    near-duplicate image pair per decade of doc_ids. Payloads are real
+    binary P5 files (header + raw bytes), built in Arrow batches.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d - 1 if d % 10 == 1 else d
+                px = bytearray()
+                for r in range(16):
+                    px += hashlib.md5(f"{base}:{r}".encode()).digest()
+                if d % 10 == 1:
+                    px[0] = (px[0] + 1) % 256
+                payloads.append(b"P5\n16 16\n255\n" + bytes(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def pgm_pixels(images: DataFrame) -> DataFrame:
+    """Decode P5 PGM payloads to a pixel array column — REAL binary
+    parsing (header walk + raw-byte extraction) in Arrow batches; the
+    downstream aHash math then runs JVM-side on the exploded array."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                hdr = _netpbm_header(b)
+                if not hdr or hdr["kind"] != "image/pgm":
+                    out_px.append(None)
+                    continue
+                # walk past the 3 header ints to the raw pixel block
+                vals, i, n = 0, 2, len(b)
+                while i < n and vals < 3:
+                    c = b[i : i + 1]
+                    if c == b"#":
+                        while i < n and b[i : i + 1] not in (b"\n", b"\r"):
+                            i += 1
+                    elif c.isspace():
+                        i += 1
+                    elif c.isdigit():
+                        while i < n and b[i : i + 1].isdigit():
+                            i += 1
+                        vals += 1
+                    else:
+                        break
+                i += 1  # single whitespace after maxval
+                w, h = hdr["width"], hdr["height"]
+                out_px.append(list(b[i : i + w * h]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pixels": out_px}
+            )
+
+    return images.mapInPandas(
+        decode, schema="doc_id long, pixels array<int>"
+    )
+
+
+def image_ahash_neardup(
+    documents: DataFrame, ham_max: int = 10
+) -> DataFrame:
+    """Image near-duplicate detection over BINARY payloads, end to end:
+    synthesize the deterministic PGM corpus (:func:`synth_pgm_corpus`),
+    decode pixels from the raw bytes (:func:`pgm_pixels` — the real
+    multimodal plumbing), then run the classic average-hash pipeline
+    ENTIRELY in DataFrame ops: 2×2 block means (integer floor), the
+    64-bit aHash by thresholding each block against the global block
+    sum (64·b > S avoids any division), 16-bit band decomposition, an
+    LSH-style band-equality join for candidates (never all-pairs), and
+    an exact XOR-popcount Hamming verify ≤ ``ham_max``. Finds the
+    planted +1-pixel near-dup pairs; unrelated md5 images collide on a
+    16-bit band with probability 2⁻¹⁶ and die at the verify.
+
+    Oracled end to end: the oracle re-derives the SAME pixels from md5
+    hex (the synth is deterministic by construction) and replays
+    block/bit/band/join/popcount — so the Spark run proves the binary
+    round-trip AND the math.
+
+    Scale: per-image work is constant (256 px); candidates are
+    band-bucketed (the minhash_lsh_pairs shape); raw pixels never
+    shuffle — only 4 band ints per image do.
+    """
+    px = pgm_pixels(synth_pgm_corpus(documents))
+    cell = (
+        px.select("doc_id", F.posexplode("pixels").alias("idx", "val"))
+        .select(
+            "doc_id",
+            F.expr("idx DIV 16 DIV 2").alias("i"),
+            F.expr("idx % 16 DIV 2").alias("j"),
+            "val",
+        )
+        .groupBy("doc_id", "i", "j")
+        .agg(F.expr("CAST(SUM(val) DIV 4 AS BIGINT)").alias("b"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    bits = cell.select(
+        "doc_id",
+        (F.col("i") * 8 + F.col("j")).alias("k"),
+        (
+            F.col("b") * 64 > F.sum("b").over(wdoc)
+        )
+        .cast("bigint")
+        .alias("bit"),
+    )
+    bands = bits.groupBy(
+        "doc_id", F.expr("k DIV 16").alias("band")
+    ).agg(
+        F.sum(F.expr("bit << (k % 16)")).cast("bigint").alias("bv")
+    ).persist()
+    # candidates join on (band, value) — band alone is a 4-key skew bomb
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bv").alias("v")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bv").alias("v")
+    )
+    cand = (
+        a.join(b, ["band", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        F.col("bv").alias("va"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        F.col("bv").alias("vb"),
+    )
+    ham = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.where(F.col("hamming") <= ham_max).select(
+        "doc_a", "doc_b", "hamming"
     )

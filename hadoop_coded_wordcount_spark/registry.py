@@ -15438,6 +15438,67 @@ def q_two_pass_exact_median(spark, sf_dir):
     return rel.two_pass_exact_median(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "image_ahash_neardup",
+    # re-derives the deterministic pixels from md5 hex and replays
+    # block/threshold/band/popcount — the Spark side additionally
+    # proves the PGM binary round-trip produced the same pixels
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                  ELSE doc_id END AS base,
+             doc_id % 10 = 1 AS pert
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT doc_id, pert, r,
+             md5(CAST(base AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+      FROM d, unnest(range(0, 16)) AS u(r)
+    ),
+    px AS (
+      SELECT doc_id, r, c,
+             CASE WHEN pert AND r = 0 AND c = 0
+                  THEN (CAST(('0x' || substr(h, 1, 2)) AS INT) + 1) % 256
+                  ELSE CAST(('0x' || substr(h, CAST(2 * c + 1 AS INT), 2))
+                            AS INT) END AS val
+      FROM rows_, unnest(range(0, 16)) AS v(c)
+    ),
+    cell AS (
+      SELECT doc_id, r // 2 AS i, c // 2 AS j,
+             CAST(SUM(val) // 4 AS BIGINT) AS b
+      FROM px GROUP BY 1, 2, 3
+    ),
+    s AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS sm
+          FROM cell GROUP BY 1),
+    bits AS (
+      SELECT cell.doc_id, i * 8 + j AS k,
+             CAST(b * 64 > sm AS BIGINT) AS bit
+      FROM cell JOIN s USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS band,
+             CAST(SUM(bit << CAST(k % 16 AS INT)) AS BIGINT) AS bv
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.doc_a
+    JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+    GROUP BY 1, 2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 10
+    """,
+)
+def q_image_ahash_neardup(spark, sf_dir):
+    return mm.image_ahash_neardup(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15623,6 +15684,7 @@ _VERIFY_FIRST = [
     "hurst_hourly",
     "ljung_box",
     "two_pass_exact_median",
+    "image_ahash_neardup",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1232,3 +1232,31 @@ class TestTwoPassExactMedian:
         r = rel.two_pass_exact_median(
             self._li(spark, [42] * 6)).collect()[0]
         assert r.median == 42.0
+
+
+class TestImageAhashNeardup:
+    def test_planted_pixel_perturbations_found(self, spark):
+        from hadoop_coded_wordcount_spark.operators import multimodal as mm
+
+        rows = [(i, "t", "en", "s", 1) for i in range(40)]
+        out = mm.image_ahash_neardup(_docs(spark, rows)).collect()
+        pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+        # every decade plants (10k, 10k+1) as a +1-pixel near-dup
+        for base in (0, 10, 20, 30):
+            assert (base, base + 1) in pairs, pairs
+            assert pairs[(base, base + 1)] <= 4
+        # unrelated md5 images must not pass the verify
+        assert all(a % 10 == 0 and b == a + 1 for a, b in pairs)
+
+    def test_binary_roundtrip_preserves_pixels(self, spark):
+        import hashlib
+
+        from hadoop_coded_wordcount_spark.operators import multimodal as mm
+
+        rows = [(7, "t", "en", "s", 1)]  # 7 % 10 not in (0 pair): base=7
+        px = mm.pgm_pixels(mm.synth_pgm_corpus(_docs(spark, rows))).collect()
+        got = px[0].pixels
+        want = []
+        for r in range(16):
+            want += list(hashlib.md5(f"7:{r}".encode()).digest())
+        assert got == want
