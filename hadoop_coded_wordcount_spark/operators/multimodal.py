@@ -543,3 +543,111 @@ def image_ahash_neardup(
     return ham.where(F.col("hamming") <= ham_max).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def synth_wav_corpus(documents: DataFrame, n_samples: int = 160) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV per document: a square wave
+    with half-period 4 + doc_id % 12 samples and amplitude
+    1000 + (doc_id % 100)·10 — real RIFF/WAVE files written by the
+    stdlib ``wave`` module in Arrow batches, so the decode path
+    exercises genuine container parsing."""
+    import struct as _s
+    import wave as _w
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                hp = 4 + d % 12
+                amp = 1000 + (d % 100) * 10
+                pcm = b"".join(
+                    _s.pack(
+                        "<h", amp if (n // hp) % 2 == 0 else -amp
+                    )
+                    for n in range(n_samples)
+                )
+                buf = io.BytesIO()
+                with _w.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def audio_features(documents: DataFrame) -> DataFrame:
+    """Audio feature extraction over BINARY WAV payloads, end to end:
+    synthesize the deterministic square-wave corpus
+    (:func:`synth_wav_corpus`), decode PCM through the stdlib ``wave``
+    reader (real container parsing), then compute the classic clip
+    statistics JVM-side over the exploded sample column — RMS energy,
+    zero-crossing rate (THE cheap pitch/noisiness discriminator), and
+    peak amplitude. Oracled end to end: the square wave is a closed
+    form, so the oracle re-derives every sample from the formula and
+    replays the aggregates — the Spark run additionally proves the
+    RIFF round-trip.
+
+    Scale: per-clip work is sample-count-bounded; the explode
+    aggregates immediately per doc; nothing crosses documents.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+        import wave as _w
+
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                try:
+                    with _w.open(io.BytesIO(bytes(b))) as w:
+                        raw = w.readframes(w.getnframes())
+                    out.append(
+                        list(_s.unpack(f"<{len(raw) // 2}h", raw))
+                    )
+                except (wave.Error, EOFError, _s.error):
+                    out.append(None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "samples": out}
+            )
+
+    sam = synth_wav_corpus(documents).mapInPandas(
+        decode, schema="doc_id long, samples array<int>"
+    )
+    s = sam.select(
+        "doc_id", F.posexplode("samples").alias("n", "v")
+    )
+    w = Window.partitionBy("doc_id").orderBy("n")
+    s = s.withColumn("prev", F.lag("v").over(w))
+    crossing = (
+        F.col("prev").isNotNull()
+        & (
+            (F.col("v") >= 0).cast("int")
+            != (F.col("prev") >= 0).cast("int")
+        )
+    ).cast("int")
+    g = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(F.col("v").cast("bigint") * F.col("v").cast("bigint"))
+        .cast("bigint")
+        .alias("ss"),
+        F.sum(crossing).cast("bigint").alias("nc"),
+        F.max(F.abs(F.col("v"))).cast("bigint").alias("peak"),
+    )
+    nd = F.col("n_samples").cast("double")
+    return g.select(
+        "doc_id",
+        "n_samples",
+        F.round(F.sqrt(F.col("ss").cast("double") / nd), 6).alias("rms"),
+        F.round(
+            F.col("nc").cast("double") / (nd - F.lit(1.0)), 6
+        ).alias("zcr"),
+        "peak",
+    )

@@ -15499,6 +15499,42 @@ def q_image_ahash_neardup(spark, sf_dir):
     return mm.image_ahash_neardup(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "audio_features",
+    # the square wave is closed-form: the oracle re-derives every PCM
+    # sample from (doc_id, n) and replays the aggregates; the Spark
+    # side additionally proves the RIFF/WAVE byte round-trip
+    """
+    WITH s AS (
+      SELECT doc_id, n,
+             CASE WHEN (n // (4 + doc_id % 12)) % 2 = 0
+                  THEN 1000 + (doc_id % 100) * 10
+                  ELSE -(1000 + (doc_id % 100) * 10) END AS v
+      FROM documents, unnest(range(0, 160)) AS u(n)
+    ),
+    lagged AS (
+      SELECT doc_id, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY n) AS prev
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(sqrt(CAST(SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT))
+                           AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)), 6) AS rms,
+           ROUND(CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (CAST(v >= 0 AS INT)
+                               <> CAST(prev >= 0 AS INT))
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) - 1.0), 6) AS zcr,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM lagged GROUP BY 1
+    """,
+)
+def q_audio_features(spark, sf_dir):
+    return mm.audio_features(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15685,6 +15721,7 @@ _VERIFY_FIRST = [
     "ljung_box",
     "two_pass_exact_median",
     "image_ahash_neardup",
+    "audio_features",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1260,3 +1260,23 @@ class TestImageAhashNeardup:
         for r in range(16):
             want += list(hashlib.md5(f"7:{r}".encode()).digest())
         assert got == want
+
+
+class TestAudioFeatures:
+    def test_square_wave_statistics_are_exact(self, spark):
+        from hadoop_coded_wordcount_spark.operators import multimodal as mm
+
+        rows = [(0, "t", "en", "s", 1), (5, "t", "en", "s", 1)]
+        out = {r.doc_id: r
+               for r in mm.audio_features(_docs(spark, rows)).collect()}
+        # doc 0: hp=4, amp=1000 -> constant |v| = 1000 -> RMS == peak
+        r0 = out[0]
+        assert r0.n_samples == 160 and r0.peak == 1000
+        assert r0.rms == 1000.0
+        # square wave flips sign every hp samples: 160/4 - 1 segments
+        assert r0.zcr == round((160 // 4 - 1) / 159, 6)
+        # doc 5: hp=9, amp=1050
+        r5 = out[5]
+        assert r5.peak == 1050 and r5.rms == 1050.0
+        # crossings happen at each half-period boundary within range
+        assert r5.zcr == round((160 // 9) / 159, 6)
