@@ -15535,6 +15535,27 @@ def q_audio_features(spark, sf_dir):
     return mm.audio_features(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "events_windowed_topk",
+    """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+                                       ORDER BY cnt DESC, event_type)
+                 AS rnk
+          FROM counts)
+    WHERE rnk <= 3
+    """,
+)
+def q_events_windowed_topk(spark, sf_dir):
+    return sw.windowed_topk(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15722,6 +15743,7 @@ _VERIFY_FIRST = [
     "two_pass_exact_median",
     "image_ahash_neardup",
     "audio_features",
+    "events_windowed_topk",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -25,7 +25,7 @@ cross-engine value hash is representation-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 __all__ = [
     "tumbling_counts",
@@ -307,3 +307,82 @@ def minute_deduped_events(
             .select("user_id", "event_type", "minute")
         )
     return keyed.select("user_id", "event_type", "minute").distinct()
+
+
+def windowed_topk(
+    events: DataFrame, width: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Top-``k`` event types per tumbling window by count (ties broken
+    on event_type) — the batch twin of :func:`windowed_topk_stream`,
+    and the leaderboard shape every metrics page renders per bucket.
+
+    Scale: one windowed partial-agg shuffle, then a rank window over
+    (window × |types|) rows — calendar × type bounded.
+    """
+    counts = events.groupBy(
+        F.window("ts", width).alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("cnt"))
+    wr = W.partitionBy("w").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select(
+            _win_str("w.start").alias("window_start"),
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def windowed_topk_stream(
+    stream: DataFrame,
+    sink_table: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    lateness: str = "10 minutes",
+    k: int = 3,
+):
+    """Streaming top-k per tumbling window: ranking windows aren't
+    allowed inside a streaming aggregation, so this runs the supported
+    decomposition — a watermarked windowed COUNT in update mode, with
+    the rank applied per micro-batch in ``foreachBatch`` over the
+    accumulated state (idempotent overwrite into a global temp view,
+    the foreachbatch-sink discipline). Returns the started query.
+    """
+    counts = (
+        _as_event_time(stream)
+        .withWatermark("ts", lateness)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    state: dict = {}
+
+    def emit(batch_df, batch_id):
+        for r in batch_df.collect():  # update-mode deltas: tiny
+            state[(str(r.w.start), r.event_type)] = r.cnt
+        spark = batch_df.sparkSession
+        if not state:
+            return
+        rows = [
+            (ws, et, int(c)) for (ws, et), c in state.items()
+        ]
+        snap = spark.createDataFrame(
+            rows, "window_start string, event_type string, cnt long"
+        )
+        wr = W.partitionBy("window_start").orderBy(
+            F.desc("cnt"), F.asc("event_type")
+        )
+        (
+            snap.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= k)
+            .createOrReplaceGlobalTempView(sink_table)
+        )
+
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -801,3 +801,34 @@ def test_minute_dedup_within_watermark_equals_batch(spark, tmp_path):
     # 5 users x (1 click-minute + 1 view-minute) = 10 keys from 25 rows
     assert want and len(want) == 10
     assert got == want
+
+
+def test_windowed_topk_stream_equals_batch(spark, tmp_path):
+    """The update-mode count + foreachBatch rank decomposition must land
+    on exactly the batch windowed top-k once the stream drains."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = sw.windowed_topk_stream(
+        stream,
+        sink_table="topk_snap",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.rnk)
+        for r in spark.sql(
+            "SELECT * FROM global_temp.topk_snap"
+        ).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.rnk)
+        for r in sw.windowed_topk(events).collect()
+    }
+    assert got == want
+    assert all(rnk <= 3 for _, rnk in got.values())
