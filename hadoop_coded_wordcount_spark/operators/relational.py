@@ -11600,3 +11600,30 @@ def two_pass_exact_median(lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("median"),
     )
+
+
+def km_rmst(orders: DataFrame, churn_gap_days: int = 90) -> DataFrame:
+    """Restricted mean survival time from the Kaplan–Meier curve: the
+    area under the step curve over the observed horizon,
+    RMST = 30·Σ_t S(t) days (one 30-day bucket per KM row) — "how many
+    retained days does the average customer contribute within the
+    window?", the scalar that turns the survival curve into a CLV
+    input. Completes KM (curve) / Nelson–Aalen (hazard) / log-rank
+    (comparison) / Cox (regression) with the standard summary number.
+
+    Exactness: the KM survival values are already 6dp decimals; their
+    decimal sum is exact and the ×30 rescale is one rounded IEEE op.
+    """
+    km = kaplan_meier_churn(orders, churn_gap_days=churn_gap_days)
+    s = km.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("survival").cast("decimal(18,6)")).alias("s_sum"),
+        F.min(F.col("survival")).alias("s_end"),
+    )
+    return s.select(
+        "n_buckets",
+        F.round(F.lit(30.0) * F.col("s_sum").cast("double"), 6).alias(
+            "rmst_days"
+        ),
+        F.col("s_end").alias("survival_at_horizon"),
+    )

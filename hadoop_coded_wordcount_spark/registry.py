@@ -15556,6 +15556,27 @@ def q_events_windowed_topk(spark, sf_dir):
     return sw.windowed_topk(load_table(spark, sf_dir, "events"))
 
 
+def _register_km_rmst() -> None:
+    """Embed the registered KM replay and integrate the step curve."""
+
+    @register(
+        "km_rmst",
+        f"""
+    WITH km AS ({ORACLES["kaplan_meier_churn"]})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(30.0 * CAST(SUM(CAST(survival AS DECIMAL(18,6)))
+                             AS DOUBLE), 6) AS rmst_days,
+           MIN(survival) AS survival_at_horizon
+    FROM km
+    """,
+    )
+    def q_km_rmst(spark, sf_dir):
+        return rel.km_rmst(load_table(spark, sf_dir, "orders"))
+
+
+_register_km_rmst()
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15744,6 +15765,7 @@ _VERIFY_FIRST = [
     "image_ahash_neardup",
     "audio_features",
     "events_windowed_topk",
+    "km_rmst",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1280,3 +1280,43 @@ class TestAudioFeatures:
         assert r5.peak == 1050 and r5.rms == 1050.0
         # crossings happen at each half-period boundary within range
         assert r5.zcr == round((160 // 9) / 159, 6)
+
+
+class TestKmRmst:
+    def test_all_retained_gives_full_horizon(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # every customer active through the window end -> S(t) = 1
+        rows, k = [], 0
+        for c in range(5):
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 12, 31))); k += 1
+        orders = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date"
+        )
+        r = rel.km_rmst(orders).collect()[0]
+        # single bucket at t=12, survival 1.0
+        assert r.survival_at_horizon == 1.0
+        assert r.rmst_days == 30.0 * r.n_buckets
+
+    def test_churn_shrinks_rmst(self, spark):
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        rows, k = [], 0
+        for c in range(4):  # churners: gone after January
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 1, 15))); k += 1
+        for c in range(10, 12):  # survivors
+            rows.append((k, c, date(2024, 1, 1))); k += 1
+            rows.append((k, c, date(2024, 12, 31))); k += 1
+        orders = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date"
+        )
+        r = rel.km_rmst(orders).collect()[0]
+        # S drops to 2/6 at t=0, stays there to the horizon
+        assert r.survival_at_horizon == round(2 / 6, 6)
+        assert r.rmst_days < 30.0 * r.n_buckets
