@@ -11627,3 +11627,48 @@ def km_rmst(orders: DataFrame, churn_gap_days: int = 90) -> DataFrame:
         ),
         F.col("s_end").alias("survival_at_horizon"),
     )
+
+
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Maximum drawdown of each event type's cumulative value series —
+    the worst peak-to-trough fall of the running total, ordered by
+    (ts, event_id). The risk metric finance runs on equity curves,
+    equally at home on any additive KPI ("how far below its best has
+    cumulative margin sunk?"). Also reports when the trough happened
+    and the final level.
+
+    Exactness: per-row values round to 6dp DECIMAL(28,6) once, and the
+    running sum / running max / drawdown all stay in decimal (exact,
+    order-fixed by the full (ts, event_id) sort) — no floating point
+    until the output cast.
+
+    Scale: one window pass per type partition; state is the running
+    pair. Types partition the work; nothing is global.
+    """
+    v = F.round(F.col("value").cast("double"), 6).cast("decimal(28,6)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = events.select(
+        "event_type", "ts", "event_id", v.alias("v")
+    ).withColumn("cum", F.sum("v").over(w))
+    cum = cum.withColumn("peak", F.max("cum").over(w)).withColumn(
+        "dd", F.col("peak") - F.col("cum")
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc("dd"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dd").cast("double").alias("max_drawdown"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "trough_ts"
+            ),
+            F.col("peak").cast("double").alias("peak_at_trough"),
+        )
+    )

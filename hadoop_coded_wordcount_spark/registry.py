@@ -15577,6 +15577,42 @@ def _register_km_rmst() -> None:
 _register_km_rmst()
 
 
+@register(
+    "max_drawdown",
+    """
+    WITH cum AS (
+      SELECT event_type, ts, event_id,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM events
+    ),
+    dd AS (
+      SELECT event_type, ts, event_id, cum,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM cum
+    ),
+    rk AS (
+      SELECT event_type, ts, peak, peak - cum AS d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY peak - cum DESC, ts, event_id)
+               AS rn
+      FROM dd
+    )
+    SELECT event_type,
+           CAST(d AS DOUBLE) AS max_drawdown,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS trough_ts,
+           CAST(peak AS DOUBLE) AS peak_at_trough
+    FROM rk WHERE rn = 1
+    """,
+)
+def q_max_drawdown(spark, sf_dir):
+    return rel.max_drawdown(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15766,6 +15802,7 @@ _VERIFY_FIRST = [
     "audio_features",
     "events_windowed_topk",
     "km_rmst",
+    "max_drawdown",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

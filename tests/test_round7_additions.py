@@ -1320,3 +1320,40 @@ class TestKmRmst:
         # S drops to 2/6 at t=0, stays there to the horizon
         assert r.survival_at_horizon == round(2 / 6, 6)
         assert r.rmst_days < 30.0 * r.n_buckets
+
+
+class TestMaxDrawdown:
+    def test_planted_trough(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        vals = [10, 10, -15, -10, 30, -5]  # peak 20 -> trough -5: dd 25
+        rows = [(i, t0 + timedelta(hours=i), 1, "e", float(v))
+                for i, v in enumerate(vals)]
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        r = rel.max_drawdown(ev).collect()[0]
+        assert r.max_drawdown == 25.0
+        assert r.peak_at_trough == 20.0
+        assert r.trough_ts == "2024-01-01 03:00:00"
+
+    def test_monotone_series_has_zero_drawdown(self, spark):
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(i, t0 + timedelta(hours=i), 1, "e", 1.5)
+                for i in range(10)]
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        r = rel.max_drawdown(ev).collect()[0]
+        assert r.max_drawdown == 0.0
+        # ties on dd=0 resolve to the earliest row
+        assert r.trough_ts == "2024-01-01 00:00:00"
