@@ -48,7 +48,15 @@ def test_topk_uses_take_ordered(spark):
 
 #: Queries whose POINT is the Python surface — everything else must stay
 #: fully JVM-side.
-_PYTHON_BY_DESIGN = {"multimodal_features", "similarity_topk_pandas"}
+_PYTHON_BY_DESIGN = {
+    "multimodal_features",
+    "similarity_topk_pandas",
+    # binary-payload pipelines: the synth/decode steps are Arrow
+    # batches by design; the analytical math stays JVM-side
+    "compression_ratio_quality",
+    "image_ahash_neardup",
+    "audio_features",
+}
 
 
 def test_no_python_in_builtin_query_paths(spark):
