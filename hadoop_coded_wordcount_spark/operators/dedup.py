@@ -1345,3 +1345,49 @@ def dedup_token_impact(documents: DataFrame) -> DataFrame:
             ).alias("near_removable_pct"),
         )
     )
+
+
+def dedup_capture_recapture(documents: DataFrame) -> DataFrame:
+    """Capture–recapture audit of near-dup coverage: treat the MinHash
+    LSH pair set and the SimHash pair set as two independent "surveys"
+    of the same duplicate population and apply the Chapman estimator
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (m = pairs both methods caught) — the
+    ecology trick that answers the unanswerable-by-one-method question
+    "how many near-dup pairs exist that NEITHER sweep sees?", plus
+    each method's implied coverage. The engine auditing its own
+    recall without ground truth.
+
+    Exactness: three integer counts and two rounded IEEE expressions.
+    Scale: composes two banded pipelines (never all-pairs); the
+    overlap join runs on the two pair sets, not the corpus.
+    """
+    a = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
+    b = simhash_pairs(documents).select("doc_a", "doc_b")
+    n1 = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_minhash"))
+    n2 = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
+    m = (
+        a.join(b, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    j = n1.crossJoin(n2).crossJoin(m)
+    n1d = F.col("n_minhash").cast("double")
+    n2d = F.col("n_simhash").cast("double")
+    md = F.col("n_overlap").cast("double")
+    chapman = F.round(
+        ((n1d + F.lit(1.0)) * (n2d + F.lit(1.0))) / (md + F.lit(1.0))
+        - F.lit(1.0),
+        6,
+    )
+    out = j.withColumn("chapman_total", chapman)
+    cov = lambda c: F.when(  # noqa: E731
+        F.col("chapman_total") > 0,
+        F.round(c / F.col("chapman_total"), 6),
+    )
+    return out.select(
+        "n_minhash",
+        "n_simhash",
+        "n_overlap",
+        "chapman_total",
+        cov(n1d).alias("coverage_minhash"),
+        cov(n2d).alias("coverage_simhash"),
+    )

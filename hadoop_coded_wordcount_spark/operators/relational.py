@@ -11672,3 +11672,108 @@ def max_drawdown(events: DataFrame) -> DataFrame:
             F.col("peak").cast("double").alias("peak_at_trough"),
         )
     )
+
+
+def theil_decomposition(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Theil-T inequality of customer spend, DECOMPOSED by market
+    segment — the property Gini famously lacks: T = T_between +
+    T_within exactly, so the readout says how much spend concentration
+    lives ACROSS segments vs inside them (the input a mixture/budget
+    re-balancer actually needs, vs gini_lorenz's single number).
+
+    Share-weighted forms avoid any 1/n mean (no division ties):
+    T = Σ_i (x_i/S)·ln(x_i·n/S); T_between = Σ_g (S_g/S)·ln((S_g·n)/(S·n_g));
+    T_within = Σ_g (S_g/S)·T_g. Each term is one ln() of exact ratios
+    rounded to 6dp into a DECIMAL sum. Zero-spend customers drop
+    (x·ln x → 0 convention), identically in both engines.
+
+    Scale: one per-customer aggregate + dimension join; groups and the
+    final sums are |segments|-sized.
+    """
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .where(F.col("x") > 0)
+        .persist()
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    xd = F.col("x").cast("double")
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    t_total = (
+        spend.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (xd / sd) * F.log((xd * nd) / sd), 6
+                ).cast("decimal(18,6)")
+            ).alias("tt")
+        )
+        .select(F.round(F.col("tt").cast("double"), 6).alias("theil_total"))
+    )
+    grp = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").alias("s_g"),
+    )
+    sgd = F.col("s_g").cast("double")
+    ngd = F.col("n_g").cast("double")
+    per_g = (
+        spend.join(
+            F.broadcast(grp.select("c_mktsegment", "n_g", "s_g")),
+            "c_mktsegment",
+        )
+        .groupBy("c_mktsegment", "n_g", "s_g")
+        .agg(
+            F.sum(
+                F.round(
+                    (xd / F.col("s_g").cast("double"))
+                    * F.log(
+                        (xd * F.col("n_g").cast("double"))
+                        / F.col("s_g").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("tg_dec")
+        )
+        .select(
+            "c_mktsegment",
+            "n_g",
+            "s_g",
+            F.round(F.col("tg_dec").cast("double"), 6).alias("t_g"),
+        )
+    )
+    parts = per_g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                (sgd / sd) * F.log((sgd * nd) / (sd * ngd)), 6
+            ).cast("decimal(18,6)")
+        ).alias("tb"),
+        F.sum(
+            F.round((sgd / sd) * F.col("t_g"), 6).cast("decimal(18,6)")
+        ).alias("tw"),
+        F.min("n").alias("n"),
+    )
+    out = parts.crossJoin(F.broadcast(t_total)).select(
+        F.col("n").alias("n_customers"),
+        "theil_total",
+        F.round(F.col("tb").cast("double"), 6).alias("theil_between"),
+        F.round(F.col("tw").cast("double"), 6).alias("theil_within"),
+        F.when(
+            F.col("theil_total") > 0,
+            F.round(
+                F.col("tb").cast("double") / F.col("theil_total"), 6
+            ),
+        ).alias("between_share"),
+    )
+    return out

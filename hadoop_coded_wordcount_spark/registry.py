@@ -15613,6 +15613,112 @@ def q_max_drawdown(spark, sf_dir):
     return rel.max_drawdown(load_table(spark, sf_dir, "events"))
 
 
+def _register_dedup_capture_recapture() -> None:
+    """Embed both registered pair-set replays (ann_recall_metrics
+    pattern) and apply the Chapman estimator on their counts."""
+
+    @register(
+        "dedup_capture_recapture",
+        f"""
+    WITH mh AS ({ORACLES["minhash_lsh_pairs"]}),
+    sh AS ({ORACLES["simhash_pairs"]}),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minhash FROM mh),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash FROM sh),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM mh JOIN sh ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+    ),
+    c AS (
+      SELECT n_minhash, n_simhash, n_overlap,
+             ROUND(((CAST(n_minhash AS DOUBLE) + 1.0)
+                    * (CAST(n_simhash AS DOUBLE) + 1.0))
+                   / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0, 6)
+               AS chapman_total
+      FROM n1, n2, m
+    )
+    SELECT n_minhash, n_simhash, n_overlap, chapman_total,
+           CASE WHEN chapman_total > 0 THEN
+             ROUND(CAST(n_minhash AS DOUBLE) / chapman_total, 6)
+           END AS coverage_minhash,
+           CASE WHEN chapman_total > 0 THEN
+             ROUND(CAST(n_simhash AS DOUBLE) / chapman_total, 6)
+           END AS coverage_simhash
+    FROM c
+    """,
+    )
+    def q_dedup_capture_recapture(spark, sf_dir):
+        return dd.dedup_capture_recapture(
+            load_table(spark, sf_dir, "documents")
+        )
+
+
+_register_dedup_capture_recapture()
+
+
+@register(
+    "theil_decomposition",
+    """
+    WITH spend AS (
+      SELECT o.o_custkey, c.c_mktsegment,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+      HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 0
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s FROM spend
+    ),
+    tt AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(
+               (CAST(x AS DOUBLE) / CAST(s AS DOUBLE))
+               * LN((CAST(x AS DOUBLE) * CAST(n AS DOUBLE))
+                    / CAST(s AS DOUBLE)), 6) AS DECIMAL(18,6)))
+             AS DOUBLE), 6) AS theil_total
+      FROM spend, tot
+    ),
+    grp AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(x) AS s_g
+      FROM spend GROUP BY 1
+    ),
+    per_g AS (
+      SELECT sp.c_mktsegment, g.n_g, g.s_g,
+             ROUND(CAST(SUM(CAST(ROUND(
+               (CAST(x AS DOUBLE) / CAST(s_g AS DOUBLE))
+               * LN((CAST(x AS DOUBLE) * CAST(n_g AS DOUBLE))
+                    / CAST(s_g AS DOUBLE)), 6) AS DECIMAL(18,6)))
+             AS DOUBLE), 6) AS t_g
+      FROM spend sp JOIN grp g USING (c_mktsegment)
+      GROUP BY 1, 2, 3
+    ),
+    parts AS (
+      SELECT SUM(CAST(ROUND(
+               (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+               * LN((CAST(s_g AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(s AS DOUBLE) * CAST(n_g AS DOUBLE))), 6)
+               AS DECIMAL(18,6))) AS tb,
+             SUM(CAST(ROUND(
+               (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)) * t_g, 6)
+               AS DECIMAL(18,6))) AS tw,
+             MIN(n) AS n
+      FROM per_g, tot
+    )
+    SELECT n AS n_customers, theil_total,
+           ROUND(CAST(tb AS DOUBLE), 6) AS theil_between,
+           ROUND(CAST(tw AS DOUBLE), 6) AS theil_within,
+           CASE WHEN theil_total > 0 THEN
+             ROUND(CAST(tb AS DOUBLE) / theil_total, 6)
+           END AS between_share
+    FROM parts, tt
+    """,
+)
+def q_theil_decomposition(spark, sf_dir):
+    return rel.theil_decomposition(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15803,6 +15909,8 @@ _VERIFY_FIRST = [
     "events_windowed_topk",
     "km_rmst",
     "max_drawdown",
+    "dedup_capture_recapture",
+    "theil_decomposition",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1357,3 +1357,56 @@ class TestMaxDrawdown:
         assert r.max_drawdown == 0.0
         # ties on dd=0 resolve to the earliest row
         assert r.trough_ts == "2024-01-01 00:00:00"
+
+
+class TestDedupCaptureRecapture:
+    def test_chapman_estimate_bounds_both_methods(self, spark):
+        from hadoop_coded_wordcount_spark.operators import dedup as dd
+        from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        r = dd.dedup_capture_recapture(docs).collect()[0]
+        assert r.n_minhash > 0 and r.n_simhash > 0
+        # the population estimate can never undercut either survey
+        assert r.chapman_total >= max(r.n_minhash, r.n_simhash) - 1
+        assert r.n_overlap <= min(r.n_minhash, r.n_simhash)
+        if r.chapman_total > 0:
+            assert 0 < r.coverage_minhash <= 1.001
+            assert 0 < r.coverage_simhash <= 1.001
+
+
+class TestTheilDecomposition:
+    def _frames(self, spark, spend_by_cust_seg):
+        from decimal import Decimal
+
+        cust = spark.createDataFrame(
+            [(c, seg) for c, (seg, _) in spend_by_cust_seg.items()],
+            "c_custkey bigint, c_mktsegment string",
+        )
+        orders = spark.createDataFrame(
+            [(c, c, Decimal(str(x)))
+             for c, (_, x) in spend_by_cust_seg.items()],
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice decimal(18,2)",
+        )
+        return cust, orders
+
+    def test_equal_spend_zero_inequality(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        data = {i: ("A" if i < 3 else "B", 100.0) for i in range(6)}
+        r = rel.theil_decomposition(*self._frames(spark, data)).collect()[0]
+        assert r.theil_total == 0.0
+        assert r.theil_between == 0.0 and r.theil_within == 0.0
+
+    def test_between_segment_gap_shows_in_decomposition(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # equal WITHIN segments, 9x gap BETWEEN them
+        data = {0: ("A", 100.0), 1: ("A", 100.0),
+                2: ("B", 900.0), 3: ("B", 900.0)}
+        r = rel.theil_decomposition(*self._frames(spark, data)).collect()[0]
+        assert r.theil_within == 0.0
+        assert r.theil_between > 0.2
+        assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 1e-4
+        assert r.between_share > 0.99
