@@ -2189,3 +2189,120 @@ def fellegi_sunter_em(customer: DataFrame, rounds: int = 3) -> DataFrame:
         "u2",
         "u3",
     )
+
+
+def bradley_terry_sources(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """Bradley–Terry strength fitting — the pairwise-preference model
+    under every RLHF reward baseline — over source-vs-source quality
+    contests: in each language, two sources "play" and the one with
+    the higher mean document quality wins (the comparison runs as
+    s_a·n_b > s_b·n_a on exact decimals — no division, no ties from
+    rounding). Three Zermelo/MM rounds then fit strengths
+    w_i ← W_i / Σ_j n_ij/(w_i+w_j), rebased each round to the
+    current MAXIMUM so magnitudes stay in (0, 1] for the 6dp rounding
+    (an arbitrary fixed reference would divide by zero whenever that
+    source never wins).
+
+    Exactness: contest outcomes are exact decimal-integer products;
+    every MM round is a fixed tree — round(n/(w_i+w_j), 6) into a
+    DECIMAL sum, one rounded division, one rounded rebase — unrolled
+    in the oracle round for round.
+
+    Scale: one (source, lang) aggregate bounds everything; the contest
+    matrix is |sources|²·|langs| control-plane rows, and each MM round
+    runs on the |sources|²-row frame with a checkpointed |sources|-row
+    state.
+    """
+    from .textstats import quality_col
+    from .dedup import tokens_col
+
+    cells = (
+        documents.select(
+            "source", "lang", quality_col().alias("q")
+        )
+        .where(F.size(tokens_col()) > 0)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("q").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    a = cells.select(
+        F.col("source").alias("sa"),
+        "lang",
+        F.col("n").alias("na"),
+        F.col("s").alias("qa"),
+    )
+    b = cells.select(
+        F.col("source").alias("sb"),
+        "lang",
+        F.col("n").alias("nb"),
+        F.col("s").alias("qb"),
+    )
+    duel = a.join(b, "lang").where(F.col("sa") != F.col("sb"))
+    win = (F.col("qa") * F.col("nb") > F.col("qb") * F.col("na")).cast(
+        "int"
+    )
+    game = (F.col("qa") * F.col("nb") != F.col("qb") * F.col("na")).cast(
+        "int"
+    )
+    mat = (
+        duel.groupBy("sa", "sb")
+        .agg(
+            F.sum(win).cast("bigint").alias("w_ij"),
+            F.sum(game).cast("bigint").alias("n_ij"),
+        )
+        .where(F.col("n_ij") > 0)
+        .localCheckpoint(eager=True)
+    )
+    tot = mat.groupBy("sa").agg(
+        F.sum("w_ij").cast("bigint").alias("wins"),
+        F.sum("n_ij").cast("bigint").alias("games"),
+    )
+    w = tot.select("sa", F.lit(1.0).alias("w"))
+    ref = F.min("sa")
+    for _ in range(rounds):
+        wi = w.select(F.col("sa"), F.col("w").alias("wi"))
+        wj = w.select(F.col("sa").alias("sb"), F.col("w").alias("wj"))
+        den = (
+            mat.join(F.broadcast(wi), "sa")
+            .join(F.broadcast(wj), "sb")
+            .groupBy("sa")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n_ij").cast("double")
+                        / (F.col("wi") + F.col("wj")),
+                        6,
+                    ).cast("decimal(18,6)")
+                ).alias("den")
+            )
+        )
+        raw = tot.join(den, "sa").select(
+            "sa",
+            F.round(
+                F.col("wins").cast("double")
+                / F.col("den").cast("double"),
+                6,
+            ).alias("w_raw"),
+        )
+        # rebase to the MAX strength: an arbitrary (alphabetical)
+        # reference divides by zero whenever that source never wins
+        refv = raw.agg(F.max(F.col("w_raw")).alias("w_ref"))
+        w = (
+            raw.crossJoin(F.broadcast(refv))
+            .select(
+                "sa",
+                F.round(F.col("w_raw") / F.col("w_ref"), 6).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = tot.join(w, "sa")
+    wr = Window.orderBy(F.desc("w"), F.asc("sa"))
+    return out.select(
+        F.col("sa").alias("source"),
+        "games",
+        "wins",
+        F.col("w").alias("bt_strength"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

@@ -15719,6 +15719,99 @@ def q_theil_decomposition(spark, sf_dir):
     )
 
 
+def _bt_round(prev: str, k: int) -> str:
+    """One Zermelo/MM round over the contest matrix, mirroring
+    mleval.bradley_terry_sources: rounded pairwise denominators into a
+    decimal sum, one rounded division, one rounded rebase to the
+    alphabetically-first source."""
+    return f""",
+    den{k} AS (
+      SELECT m.sa,
+             SUM(CAST(ROUND(CAST(m.n_ij AS DOUBLE) / (wi.w + wj.w), 6)
+                 AS DECIMAL(18,6))) AS den
+      FROM bt_mat m
+      JOIN {prev} wi ON wi.sa = m.sa
+      JOIN {prev} wj ON wj.sa = m.sb
+      GROUP BY m.sa
+    ),
+    raw{k} AS (
+      SELECT t.sa,
+             ROUND(CAST(t.wins AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+               AS w_raw
+      FROM bt_tot t JOIN den{k} d ON d.sa = t.sa
+    ),
+    ref{k} AS (SELECT MAX(w_raw) AS w_ref FROM raw{k}),
+    w{k} AS (
+      SELECT sa, ROUND(w_raw / w_ref, 6) AS w FROM raw{k}, ref{k}
+    )"""
+
+
+def _register_bradley_terry() -> None:
+    quality = (
+        f"""round({ts.QUALITY_WEIGHTS["len"]}
+            * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+            + {ts.QUALITY_WEIGHTS["distinct"]}
+              * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE))
+            + {ts.QUALITY_WEIGHTS["clean"]}
+              * (1.0 - CAST(length(regexp_replace(text,
+                       '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)), 6)"""
+    )
+    rounds_sql = "".join(_bt_round(f"w{r - 1}" if r > 1 else "w0", r)
+                         for r in range(1, 4))
+
+    @register(
+        "bradley_terry_sources",
+        f"""
+    WITH toked AS (
+      SELECT source, lang, text,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST({quality} AS DECIMAL(18,6))) AS s
+      FROM toked WHERE len(toks) > 0
+      GROUP BY 1, 2
+    ),
+    duel AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS win,
+             CASE WHEN a.s * b.n <> b.s * a.n THEN 1 ELSE 0 END AS game
+      FROM cells a JOIN cells b
+        ON a.lang = b.lang AND a.source <> b.source
+    ),
+    bt_mat AS (
+      SELECT sa, sb, CAST(SUM(win) AS BIGINT) AS w_ij,
+             CAST(SUM(game) AS BIGINT) AS n_ij
+      FROM duel GROUP BY 1, 2
+      HAVING SUM(game) > 0
+    ),
+    bt_tot AS (
+      SELECT sa, CAST(SUM(w_ij) AS BIGINT) AS wins,
+             CAST(SUM(n_ij) AS BIGINT) AS games
+      FROM bt_mat GROUP BY 1
+    ),
+    w0 AS (SELECT sa, 1.0 AS w FROM bt_tot)
+    {rounds_sql}
+    SELECT t.sa AS source, t.games, t.wins,
+           w3.w AS bt_strength,
+           CAST(ROW_NUMBER() OVER (ORDER BY w3.w DESC, t.sa)
+                AS INTEGER) AS rank
+    FROM bt_tot t JOIN w3 ON w3.sa = t.sa
+    """,
+    )
+    def q_bradley_terry_sources(spark, sf_dir):
+        return ml.bradley_terry_sources(
+            load_table(spark, sf_dir, "documents")
+        )
+
+
+_register_bradley_terry()
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -15911,6 +16004,7 @@ _VERIFY_FIRST = [
     "max_drawdown",
     "dedup_capture_recapture",
     "theil_decomposition",
+    "bradley_terry_sources",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1410,3 +1410,29 @@ class TestTheilDecomposition:
         assert r.theil_between > 0.2
         assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 1e-4
         assert r.between_share > 0.99
+
+
+class TestBradleyTerrySources:
+    def test_dominance_order_recovered(self, spark):
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # same length & distinct ratio everywhere; punctuation density
+        # is the ONLY quality lever, so the ordering is unambiguous
+        good = " ".join(f"w{i}" for i in range(60))
+        mid = " ".join(f"w{i}!!!" for i in range(60))
+        bad = " ".join(f"w{i}!!!!!!!!!!" for i in range(60))
+        rows = []
+        k = 0
+        for lang in ("en", "de", "fr"):
+            for _ in range(3):
+                rows.append((k, good, lang, "s_good", 100)); k += 1
+                rows.append((k, mid, lang, "s_mid", 100)); k += 1
+                rows.append((k, bad, lang, "s_bad", 100)); k += 1
+        out = {r.source: r
+               for r in ml.bradley_terry_sources(_docs(spark, rows)).collect()}
+        assert out["s_good"].rank == 1
+        assert out["s_good"].bt_strength > out["s_mid"].bt_strength
+        assert out["s_mid"].bt_strength > out["s_bad"].bt_strength
+        # every source played both rivals in all 3 langs
+        assert all(r.games == 6 for r in out.values())
+        assert out["s_good"].wins == 6 and out["s_bad"].wins == 0
