@@ -2306,3 +2306,99 @@ def bradley_terry_sources(documents: DataFrame, rounds: int = 3) -> DataFrame:
         F.col("w").alias("bt_strength"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+def ipf_raking(customer: DataFrame, rounds: int = 3) -> DataFrame:
+    """Iterative proportional fitting (raking) of survey-style weights:
+    adjust per-(segment × balance-band) cell weights so BOTH margins
+    match uniform targets — the post-stratification step every
+    weighted-metrics pipeline runs when its sample skews (here:
+    reweight customers as if segments and balance bands were balanced).
+    ``rounds`` alternating row/column scalings, Deming–Stephan 1940.
+
+    Exactness: cell counts are integers; every scaling factor is one
+    rounded division of decimal sums (row pass then column pass per
+    round, each margin aggregated from the 6dp-rounded weights), so the
+    whole fit is a fixed expression chain the oracle unrolls.
+
+    Scale: ONE fact aggregate to the |segments|×|bands| cell table;
+    every IPF round runs on that control-plane frame.
+    """
+    cells = customer.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=True
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.countDistinct("seg").cast("bigint").alias("n_seg"),
+        F.countDistinct("band").cast("bigint").alias("n_band"),
+    ).localCheckpoint(eager=True)
+    w = cells.select(
+        "seg", "band", "n", F.col("n").cast("double").alias("w")
+    )
+    for _ in range(rounds):
+        # row pass: scale each segment to the uniform segment target
+        rows_ = w.groupBy("seg").agg(
+            F.sum(F.round(F.col("w"), 6).cast("decimal(28,6)")).alias(
+                "m"
+            )
+        )
+        w = (
+            w.join(F.broadcast(rows_), "seg")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "seg",
+                "band",
+                "n",
+                F.round(
+                    F.col("w")
+                    * (
+                        (
+                            F.col("n_tot").cast("double")
+                            / F.col("n_seg").cast("double")
+                        )
+                        / F.col("m").cast("double")
+                    ),
+                    6,
+                ).alias("w"),
+            )
+        )
+        cols_ = w.groupBy("band").agg(
+            F.sum(F.round(F.col("w"), 6).cast("decimal(28,6)")).alias(
+                "m"
+            )
+        )
+        w = (
+            w.join(F.broadcast(cols_), "band")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "seg",
+                "band",
+                "n",
+                F.round(
+                    F.col("w")
+                    * (
+                        (
+                            F.col("n_tot").cast("double")
+                            / F.col("n_band").cast("double")
+                        )
+                        / F.col("m").cast("double")
+                    ),
+                    6,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "seg",
+        "band",
+        F.col("n").alias("n_raw"),
+        F.col("w").alias("w_fitted"),
+        F.round(F.col("w") / F.col("n").cast("double"), 6).alias(
+            "raking_factor"
+        ),
+    )

@@ -15812,6 +15812,61 @@ def _register_bradley_terry() -> None:
 _register_bradley_terry()
 
 
+def _ipf_pass(prev: str, k: int, axis: str, n_axis: str) -> str:
+    """One IPF margin scaling (row or column pass)."""
+    return f""",
+    m{k} AS (
+      SELECT {axis},
+             SUM(CAST(ROUND(w, 6) AS DECIMAL(28,6))) AS m
+      FROM {prev} GROUP BY 1
+    ),
+    p{k} AS (
+      SELECT t.seg, t.band, t.n,
+             ROUND(t.w * ((CAST(nt.n_tot AS DOUBLE)
+                           / CAST(nt.{n_axis} AS DOUBLE))
+                          / CAST(m{k}.m AS DOUBLE)), 6) AS w
+      FROM {prev} t
+      JOIN m{k} ON m{k}.{axis} = t.{axis}, ipf_tot nt
+    )"""
+
+
+def _register_ipf_raking(rounds: int = 3) -> None:
+    passes, prev, k = [], "w0", 0
+    for _ in range(rounds):
+        k += 1
+        passes.append(_ipf_pass(prev, k, "seg", "n_seg")); prev = f"p{k}"
+        k += 1
+        passes.append(_ipf_pass(prev, k, "band", "n_band")); prev = f"p{k}"
+
+    @register(
+        "ipf_raking",
+        f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    ipf_tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_seg,
+             CAST(COUNT(DISTINCT band) AS BIGINT) AS n_band
+      FROM cells
+    ),
+    w0 AS (SELECT seg, band, n, CAST(n AS DOUBLE) AS w FROM cells)
+    {"".join(passes)}
+    SELECT seg, band, n AS n_raw, w AS w_fitted,
+           ROUND(w / CAST(n AS DOUBLE), 6) AS raking_factor
+    FROM {prev}
+    """,
+    )
+    def q_ipf_raking(spark, sf_dir):
+        return ml.ipf_raking(load_table(spark, sf_dir, "customer"))
+
+
+_register_ipf_raking()
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -16005,6 +16060,7 @@ _VERIFY_FIRST = [
     "dedup_capture_recapture",
     "theil_decomposition",
     "bradley_terry_sources",
+    "ipf_raking",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

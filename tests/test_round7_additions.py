@@ -1436,3 +1436,35 @@ class TestBradleyTerrySources:
         # every source played both rivals in all 3 langs
         assert all(r.games == 6 for r in out.values())
         assert out["s_good"].wins == 6 and out["s_bad"].wins == 0
+
+
+class TestIpfRaking:
+    def test_margins_converge_to_uniform(self, spark):
+        from collections import defaultdict
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # skewed 2x2: segments and bands both unbalanced
+        rows, k = [], 0
+        for seg, bal, n in (("A", 500.0, 30), ("A", 1500.0, 10),
+                            ("B", 500.0, 5), ("B", 1500.0, 15)):
+            for _ in range(n):
+                rows.append((k, seg, bal)); k += 1
+        cust = spark.createDataFrame(
+            rows, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+        )
+        out = ml.ipf_raking(cust).collect()
+        assert len(out) == 4
+        seg_m, band_m = defaultdict(float), defaultdict(float)
+        for r in out:
+            seg_m[r.seg] += r.w_fitted
+            band_m[r.band] += r.w_fitted
+            assert r.raking_factor == round(r.w_fitted / r.n_raw, 6)
+        total = sum(seg_m.values())
+        # after 3 rounds both margins sit within 1% of uniform
+        for m in (*seg_m.values(), *band_m.values()):
+            assert abs(m - total / 2) < total * 0.01
+        # under-sampled cells get up-weighted, over-sampled down
+        by = {(r.seg, r.band): r for r in out}
+        assert by[("B", 0)].raking_factor > 1.0
+        assert by[("A", 0)].raking_factor < 1.0
