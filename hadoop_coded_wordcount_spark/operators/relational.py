@@ -11777,3 +11777,76 @@ def theil_decomposition(customer: DataFrame, orders: DataFrame) -> DataFrame:
         ).alias("between_share"),
     )
     return out
+
+
+def price_index_fisher(lineitem: DataFrame) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices between the first
+    and second halves of the shipping calendar: per part, the average
+    unit price and total quantity in each period; then
+    L = Σp₁q₀/Σp₀q₀ (base-period basket), P = Σp₁q₁/Σp₀q₁ (current
+    basket), Fisher = √(L·P) — the index-number trio behind every
+    "are prices actually up?" readout, computed only over parts traded
+    in BOTH periods (the matched-sample discipline).
+
+    Exactness: quantities and values are exact decimals; each
+    per-part unit price is one rounded division; each basket term
+    rounds to 6dp into a DECIMAL sum; the three indices are single
+    rounded expressions over those sums.
+
+    Scale: two partial-agg passes collapse the fact table to one row
+    per traded part per period; the join and sums are part-bounded.
+    """
+    bounds = lineitem.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max(F.to_date("l_shipdate")).alias("d1"),
+    )
+    li = lineitem.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.col("d0"))
+            * 2
+            <= F.datediff(F.col("d1"), F.col("d0"))
+        ).alias("is_base"),
+    )
+    per = li.groupBy("l_partkey", "is_base").agg(
+        F.sum("q").alias("q_tot"), F.sum("v").alias("v_tot")
+    )
+    price = F.round(
+        F.col("v_tot").cast("double") / F.col("q_tot").cast("double"), 6
+    )
+    base = per.where(F.col("is_base")).select(
+        "l_partkey",
+        F.col("q_tot").cast("double").alias("q0"),
+        price.alias("p0"),
+    )
+    cur = per.where(~F.col("is_base")).select(
+        "l_partkey",
+        F.col("q_tot").cast("double").alias("q1"),
+        price.alias("p1"),
+    )
+    j = base.join(cur, "l_partkey")
+    dec = lambda c: F.round(c, 6).cast("decimal(28,6)")  # noqa: E731
+    sums = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(dec(F.col("p1") * F.col("q0"))).alias("l_num"),
+        F.sum(dec(F.col("p0") * F.col("q0"))).alias("l_den"),
+        F.sum(dec(F.col("p1") * F.col("q1"))).alias("p_num"),
+        F.sum(dec(F.col("p0") * F.col("q1"))).alias("p_den"),
+    )
+    lasp = F.round(
+        F.col("l_num").cast("double") / F.col("l_den").cast("double"), 6
+    )
+    paas = F.round(
+        F.col("p_num").cast("double") / F.col("p_den").cast("double"), 6
+    )
+    out = sums.withColumn("laspeyres", lasp).withColumn("paasche", paas)
+    return out.select(
+        "n_parts",
+        "laspeyres",
+        "paasche",
+        F.round(
+            F.sqrt(F.col("laspeyres") * F.col("paasche")), 6
+        ).alias("fisher"),
+    )

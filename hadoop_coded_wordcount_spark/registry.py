@@ -15867,6 +15867,63 @@ def _register_ipf_raking(rounds: int = 3) -> None:
 _register_ipf_raking()
 
 
+@register(
+    "price_index_fisher",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS d0,
+             MAX(CAST(l_shipdate AS DATE)) AS d1
+      FROM lineitem
+    ),
+    li AS (
+      SELECT l_partkey,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             date_diff('day', d0, CAST(l_shipdate AS DATE)) * 2
+               <= date_diff('day', d0, d1) AS is_base
+      FROM lineitem, bounds
+    ),
+    per AS (
+      SELECT l_partkey, is_base, SUM(q) AS q_tot, SUM(v) AS v_tot
+      FROM li GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, CAST(q_tot AS DOUBLE) AS q0,
+             ROUND(CAST(v_tot AS DOUBLE) / CAST(q_tot AS DOUBLE), 6)
+               AS p0
+      FROM per WHERE is_base
+    ),
+    cur AS (
+      SELECT l_partkey, CAST(q_tot AS DOUBLE) AS q1,
+             ROUND(CAST(v_tot AS DOUBLE) / CAST(q_tot AS DOUBLE), 6)
+               AS p1
+      FROM per WHERE NOT is_base
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             SUM(CAST(ROUND(p1 * q0, 6) AS DECIMAL(28,6))) AS l_num,
+             SUM(CAST(ROUND(p0 * q0, 6) AS DECIMAL(28,6))) AS l_den,
+             SUM(CAST(ROUND(p1 * q1, 6) AS DECIMAL(28,6))) AS p_num,
+             SUM(CAST(ROUND(p0 * q1, 6) AS DECIMAL(28,6))) AS p_den
+      FROM base JOIN cur USING (l_partkey)
+    ),
+    idx AS (
+      SELECT n_parts,
+             ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+               AS laspeyres,
+             ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+               AS paasche
+      FROM sums
+    )
+    SELECT n_parts, laspeyres, paasche,
+           ROUND(sqrt(laspeyres * paasche), 6) AS fisher
+    FROM idx
+    """,
+)
+def q_price_index_fisher(spark, sf_dir):
+    return rel.price_index_fisher(load_table(spark, sf_dir, "lineitem"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -16061,6 +16118,7 @@ _VERIFY_FIRST = [
     "theil_decomposition",
     "bradley_terry_sources",
     "ipf_raking",
+    "price_index_fisher",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

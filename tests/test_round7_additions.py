@@ -1468,3 +1468,57 @@ class TestIpfRaking:
         by = {(r.seg, r.band): r for r in out}
         assert by[("B", 0)].raking_factor > 1.0
         assert by[("A", 0)].raking_factor < 1.0
+
+
+class TestPriceIndexFisher:
+    def test_uniform_price_rise_reads_exactly(self, spark):
+        from datetime import date
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # two parts, prices +20% in the second half, quantities shift
+        rows, k = [], 0
+        for pk, p0, p1, q0, q1 in ((1, 10.0, 12.0, 5, 8),
+                                   (2, 50.0, 60.0, 4, 2)):
+            for _ in range(2):
+                rows.append((k, pk, Decimal(str(q0 / 2)),
+                             Decimal(str(p0 * q0 / 2)),
+                             date(2024, 1, 15))); k += 1
+                rows.append((k, pk, Decimal(str(q1 / 2)),
+                             Decimal(str(p1 * q1 / 2)),
+                             date(2024, 12, 15))); k += 1
+        li = spark.createDataFrame(
+            rows, "l_orderkey bigint, l_partkey bigint, "
+            "l_quantity decimal(18,2), l_extendedprice decimal(18,2), "
+            "l_shipdate date"
+        )
+        r = rel.price_index_fisher(li).collect()[0]
+        assert r.n_parts == 2
+        # every price rose exactly 20% -> all three indices = 1.2
+        assert r.laspeyres == 1.2
+        assert r.paasche == 1.2
+        assert r.fisher == 1.2
+
+    def test_fisher_between_l_and_p(self, spark):
+        from datetime import date
+        from decimal import Decimal
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # heterogeneous price moves + quantity substitution -> L != P
+        rows, k = [], 0
+        for pk, p0, p1, q0, q1 in ((1, 10.0, 20.0, 10, 2),
+                                   (2, 50.0, 50.0, 2, 10)):
+            rows.append((k, pk, Decimal(q0), Decimal(str(p0 * q0)),
+                         date(2024, 1, 15))); k += 1
+            rows.append((k, pk, Decimal(q1), Decimal(str(p1 * q1)),
+                         date(2024, 12, 15))); k += 1
+        li = spark.createDataFrame(
+            rows, "l_orderkey bigint, l_partkey bigint, "
+            "l_quantity decimal(18,2), l_extendedprice decimal(18,2), "
+            "l_shipdate date"
+        )
+        r = rel.price_index_fisher(li).collect()[0]
+        assert r.laspeyres > r.paasche  # substitution bias, the classic
+        assert r.paasche <= r.fisher <= r.laspeyres
