@@ -2402,3 +2402,101 @@ def ipf_raking(customer: DataFrame, rounds: int = 3) -> DataFrame:
             "raking_factor"
         ),
     )
+
+
+def bass_diffusion(orders: DataFrame) -> DataFrame:
+    """Bass diffusion fit of customer adoption: monthly NEW customers
+    n_t regressed on cumulative adopters (n_t = a + b·N + c·N², the
+    discrete Bass form), solved by the shared 3×3 Cramer expressions
+    (``OLS_DET*``), then mapped to the model parameters — market size
+    M from the quadratic root, innovation p = a/M, imitation q = −c·M,
+    and the predicted adoption peak t* = ln(q/p)/(p+q) — the
+    product-growth model every launch forecast quotes.
+
+    Exactness: adopter counts are integers, so every Gram entry is an
+    exact DECIMAL sum (N⁴ terms overflow BIGINT, hence decimal);
+    coefficients and the p/q/M mapping are fixed rounded expressions.
+    Degenerate fits (c ≥ 0 or negative discriminant — no S-curve in
+    the data) emit NULL parameters rather than NaNs, in both engines.
+
+    Scale: one per-customer aggregate, then everything runs on the
+    |months|-row adoption series.
+    """
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc(
+            "month", F.min(F.to_date("o_orderdate"))
+        ).alias("m")
+    )
+    monthly = first.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    wcum = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    feats = monthly.select(
+        "y",
+        F.coalesce(F.sum("y").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("x1"),
+    ).withColumn("x2", F.col("x1") * F.col("x1"))
+    d0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(d0(F.col("x1"))).alias("ds1"),
+        F.sum(d0(F.col("x2"))).alias("ds2"),
+        F.sum(d0(F.col("x1")) * d0(F.col("x1"))).alias("ds11"),
+        F.sum(d0(F.col("x1")) * d0(F.col("x2"))).alias("ds12"),
+        F.sum(d0(F.col("x2")) * d0(F.col("x2"))).alias("ds22"),
+        F.sum(d0(F.col("y"))).alias("dsy"),
+        F.sum(d0(F.col("x1")) * d0(F.col("y"))).alias("ds1y"),
+        F.sum(d0(F.col("x2")) * d0(F.col("y"))).alias("ds2y"),
+    )
+    named = sums.select(
+        "n_months",
+        F.col("n_months").cast("double").alias("n1"),
+        F.col("ds1").cast("double").alias("s1"),
+        F.col("ds2").cast("double").alias("s2"),
+        F.col("ds11").cast("double").alias("s11"),
+        F.col("ds12").cast("double").alias("s12"),
+        F.col("ds22").cast("double").alias("s22"),
+        F.col("dsy").cast("double").alias("sy"),
+        F.col("ds1y").cast("double").alias("s1y"),
+        F.col("ds2y").cast("double").alias("s2y"),
+    )
+    coefs = named.select(
+        "n_months",
+        F.expr(f"ROUND({OLS_DET0} / {OLS_DET}, 6)").alias("a"),
+        F.expr(f"ROUND({OLS_DET1} / {OLS_DET}, 6)").alias("b"),
+        F.expr(f"ROUND({OLS_DET2} / {OLS_DET}, 6)").alias("c"),
+    )
+    disc = F.col("b") * F.col("b") - F.lit(4.0) * (
+        F.col("a") * F.col("c")
+    )
+    valid = (F.col("c") < 0) & (disc >= 0)
+    m_hat = F.when(
+        valid,
+        F.round(
+            (-F.col("b") - F.sqrt(disc)) / (F.lit(2.0) * F.col("c")), 6
+        ),
+    )
+    out = coefs.withColumn("m_hat", m_hat)
+    p_hat = F.when(
+        F.col("m_hat") > 0, F.round(F.col("a") / F.col("m_hat"), 6)
+    )
+    q_hat = F.when(
+        F.col("m_hat") > 0,
+        F.round(-(F.col("c") * F.col("m_hat")), 6),
+    )
+    out = out.withColumn("p_hat", p_hat).withColumn("q_hat", q_hat)
+    peak = F.when(
+        (F.col("p_hat") > 0) & (F.col("q_hat") > 0),
+        F.round(
+            F.log(F.col("q_hat") / F.col("p_hat"))
+            / (F.col("p_hat") + F.col("q_hat")),
+            6,
+        ),
+    )
+    return out.select(
+        "n_months", "a", "b", "c", "m_hat", "p_hat", "q_hat",
+        peak.alias("peak_t"),
+    )

@@ -11850,3 +11850,100 @@ def price_index_fisher(lineitem: DataFrame) -> DataFrame:
             F.sqrt(F.col("laspeyres") * F.col("paasche")), 6
         ).alias("fisher"),
     )
+
+
+def seasonal_strength(events: DataFrame) -> DataFrame:
+    """Hyndman's seasonal-strength statistic per event type:
+    F_s = max(0, 1 − Var(remainder)/Var(detrended)) on the dense hourly
+    grid, with a centered 24-hour rolling-mean trend and an
+    hour-of-day seasonal component — the single number that says
+    whether the daily cycle is signal or noise (F_s → 1: rhythm
+    dominates; → 0: the "seasonality" is residual variance). The
+    decision input for windowing/forecast choices that acf/periodogram
+    describe but don't summarize.
+
+    Exactness: grid counts are integers; the trend is one rounded
+    division of frame sums; detrended/seasonal/remainder values round
+    to 6dp at each step; variances come from DECIMAL(28,6) sums of
+    rounded squares with identical final expressions. Types with zero
+    detrended variance emit NULL.
+
+    Scale: calendar-bounded after the (type, hour) partial aggregate;
+    three windows and two tiny aggregates per type.
+    """
+    counted = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    grid = (
+        counted.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = grid.join(counted, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-12, 11)
+    )
+    trended = hourly.withColumn(
+        "trend",
+        F.round(
+            F.sum("x").over(wtr).cast("double")
+            / F.count(F.lit(1)).over(wtr).cast("double"),
+            6,
+        ),
+    ).withColumn(
+        "d", F.round(F.col("x").cast("double") - F.col("trend"), 6)
+    )
+    whod = Window.partitionBy("event_type", F.hour("hour"))
+    seasoned = trended.withColumn(
+        "s",
+        F.round(
+            F.sum(F.col("d").cast("decimal(28,6)")).over(whod)
+            .cast("double")
+            / F.count(F.lit(1)).over(whod).cast("double"),
+            6,
+        ),
+    ).withColumn("r", F.round(F.col("d") - F.col("s"), 6))
+    dec = lambda c: F.round(c, 6).cast("decimal(28,6)")  # noqa: E731
+    g = seasoned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(dec(F.col("d"))).alias("sd"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(dec(F.col("r"))).alias("sr"),
+        F.sum(dec(F.col("r") * F.col("r"))).alias("srr"),
+    )
+    nd = F.col("n_hours").cast("double")
+    var = lambda s, ss: (  # noqa: E731
+        F.col(ss).cast("double")
+        - (F.col(s).cast("double") * F.col(s).cast("double")) / nd
+    ) / nd
+    vd = F.round(var("sd", "sdd"), 6)
+    vr = F.round(var("sr", "srr"), 6)
+    g = g.withColumn("var_detrended", vd).withColumn("var_remainder", vr)
+    return g.select(
+        "event_type",
+        "n_hours",
+        "var_detrended",
+        "var_remainder",
+        F.when(
+            F.col("var_detrended") > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.col("var_remainder") / F.col("var_detrended"),
+                ),
+                6,
+            ),
+        ).alias("seasonal_strength"),
+    )

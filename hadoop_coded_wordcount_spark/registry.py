@@ -15924,6 +15924,160 @@ def q_price_index_fisher(spark, sf_dir):
     return rel.price_index_fisher(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "bass_diffusion",
+    f"""
+    WITH first_m AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS m
+      FROM orders GROUP BY 1
+    ),
+    monthly AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS y
+      FROM first_m GROUP BY 1
+    ),
+    feats AS (
+      SELECT y,
+             CAST(COALESCE(SUM(y) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS x1
+      FROM monthly
+    ),
+    f2 AS (SELECT y, x1, x1 * x1 AS x2 FROM feats),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+             SUM(CAST(x1 AS DECIMAL(38,0))) AS ds1,
+             SUM(CAST(x2 AS DECIMAL(38,0))) AS ds2,
+             SUM(CAST(x1 AS DECIMAL(38,0))
+                 * CAST(x1 AS DECIMAL(38,0))) AS ds11,
+             SUM(CAST(x1 AS DECIMAL(38,0))
+                 * CAST(x2 AS DECIMAL(38,0))) AS ds12,
+             SUM(CAST(x2 AS DECIMAL(38,0))
+                 * CAST(x2 AS DECIMAL(38,0))) AS ds22,
+             SUM(CAST(y AS DECIMAL(38,0))) AS dsy,
+             SUM(CAST(x1 AS DECIMAL(38,0))
+                 * CAST(y AS DECIMAL(38,0))) AS ds1y,
+             SUM(CAST(x2 AS DECIMAL(38,0))
+                 * CAST(y AS DECIMAL(38,0))) AS ds2y
+      FROM f2
+    ),
+    named AS (
+      SELECT n_months,
+             CAST(n_months AS DOUBLE) AS n1,
+             CAST(ds1 AS DOUBLE) AS s1, CAST(ds2 AS DOUBLE) AS s2,
+             CAST(ds11 AS DOUBLE) AS s11, CAST(ds12 AS DOUBLE) AS s12,
+             CAST(ds22 AS DOUBLE) AS s22, CAST(dsy AS DOUBLE) AS sy,
+             CAST(ds1y AS DOUBLE) AS s1y, CAST(ds2y AS DOUBLE) AS s2y
+      FROM sums
+    ),
+    coefs AS (
+      SELECT n_months,
+             ROUND({ml.OLS_DET0} / {ml.OLS_DET}, 6) AS a,
+             ROUND({ml.OLS_DET1} / {ml.OLS_DET}, 6) AS b,
+             ROUND({ml.OLS_DET2} / {ml.OLS_DET}, 6) AS c
+      FROM named
+    ),
+    mm AS (
+      SELECT *,
+             CASE WHEN c < 0 AND b * b - 4.0 * (a * c) >= 0 THEN
+               ROUND((-b - sqrt(b * b - 4.0 * (a * c))) / (2.0 * c), 6)
+             END AS m_hat
+      FROM coefs
+    ),
+    pq AS (
+      SELECT *,
+             CASE WHEN m_hat > 0 THEN ROUND(a / m_hat, 6) END AS p_hat,
+             CASE WHEN m_hat > 0 THEN ROUND(-(c * m_hat), 6) END
+               AS q_hat
+      FROM mm
+    )
+    SELECT n_months, a, b, c, m_hat, p_hat, q_hat,
+           CASE WHEN p_hat > 0 AND q_hat > 0 THEN
+             ROUND(LN(q_hat / p_hat) / (p_hat + q_hat), 6)
+           END AS peak_t
+    FROM pq
+    """,
+)
+def q_bass_diffusion(spark, sf_dir):
+    return ml.bass_diffusion(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "seasonal_strength",
+    """
+    WITH counted AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM counted GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    hourly AS (
+      SELECT g.event_type, g.hour,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counted c
+        ON c.event_type = g.event_type AND c.hour = g.hour
+    ),
+    trended AS (
+      SELECT event_type, hour, x,
+             ROUND(CAST(SUM(x) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    dd AS (
+      SELECT *, ROUND(CAST(x AS DOUBLE) - trend, 6) AS d
+      FROM trended
+    ),
+    seasoned AS (
+      SELECT *,
+             ROUND(CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(28,6)))
+                        OVER h AS DOUBLE)
+                   / CAST(COUNT(*) OVER h AS DOUBLE), 6) AS s
+      FROM dd
+      WINDOW h AS (PARTITION BY event_type, EXTRACT(hour FROM hour))
+    ),
+    rr AS (SELECT *, ROUND(d - s, 6) AS r FROM seasoned),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             SUM(CAST(ROUND(d, 6) AS DECIMAL(28,6))) AS sd,
+             SUM(CAST(ROUND(d * d, 6) AS DECIMAL(28,6))) AS sdd,
+             SUM(CAST(ROUND(r, 6) AS DECIMAL(28,6))) AS sr,
+             SUM(CAST(ROUND(r * r, 6) AS DECIMAL(28,6))) AS srr
+      FROM rr GROUP BY 1
+    ),
+    v AS (
+      SELECT event_type, n_hours,
+             ROUND((CAST(sdd AS DOUBLE)
+                    - (CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                      / CAST(n_hours AS DOUBLE))
+                   / CAST(n_hours AS DOUBLE), 6) AS var_detrended,
+             ROUND((CAST(srr AS DOUBLE)
+                    - (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                      / CAST(n_hours AS DOUBLE))
+                   / CAST(n_hours AS DOUBLE), 6) AS var_remainder
+      FROM g
+    )
+    SELECT event_type, n_hours, var_detrended, var_remainder,
+           CASE WHEN var_detrended > 0 THEN
+             ROUND(GREATEST(0.0, 1.0 - var_remainder / var_detrended),
+                   6)
+           END AS seasonal_strength
+    FROM v
+    """,
+)
+def q_seasonal_strength(spark, sf_dir):
+    return rel.seasonal_strength(load_table(spark, sf_dir, "events"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -16119,6 +16273,8 @@ _VERIFY_FIRST = [
     "bradley_terry_sources",
     "ipf_raking",
     "price_index_fisher",
+    "bass_diffusion",
+    "seasonal_strength",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1522,3 +1522,66 @@ class TestPriceIndexFisher:
         r = rel.price_index_fisher(li).collect()[0]
         assert r.laspeyres > r.paasche  # substitution bias, the classic
         assert r.paasche <= r.fisher <= r.laspeyres
+
+
+class TestBassDiffusion:
+    def test_planted_s_curve_recovers_market_size(self, spark):
+        import math
+        from datetime import date
+
+        from hadoop_coded_wordcount_spark.operators import mleval as ml
+
+        # simulate a Bass process: M=1000, p=0.03, q=0.4, monthly steps
+        M, p, q = 1000, 0.03, 0.4
+        N, rows, k, cid = 0, [], 0, 0
+        for t in range(24):
+            n_t = round((p + q * N / M) * (M - N))
+            for _ in range(n_t):
+                rows.append((k, cid, date(2022 + t // 12, t % 12 + 1, 5)))
+                k += 1; cid += 1
+            N += n_t
+        orders = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date"
+        )
+        r = ml.bass_diffusion(orders).collect()[0]
+        assert r.c < 0 < r.a
+        # market size recovered within 5%
+        assert abs(r.m_hat - M) / M < 0.05
+        assert abs(r.p_hat - p) < 0.01
+        assert abs(r.q_hat - q) < 0.05
+        want_peak = math.log(q / p) / (p + q)
+        assert abs(r.peak_t - want_peak) < 1.0
+
+
+class TestSeasonalStrength:
+    def test_diurnal_signal_scores_near_one(self, spark):
+        import hashlib
+        import math
+        from datetime import datetime, timedelta
+
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h in range(240):
+            # cyclic: clean cosine day-shape
+            n = 5 + round(4 * math.cos(2 * math.pi * h / 24))
+            for i in range(n):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "cyclic", 0.0)); eid += 1
+            # noisy: memoryless hash counts
+            n = int(hashlib.md5(str(h).encode()).hexdigest(), 16) % 9 + 1
+            for i in range(n):
+                rows.append((eid, t0 + timedelta(hours=h, seconds=i),
+                             1, "noisy", 0.0)); eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        out = {r.event_type: r
+               for r in rel.seasonal_strength(ev).collect()}
+        assert out["cyclic"].seasonal_strength > 0.9
+        assert out["noisy"].seasonal_strength < 0.5
+        assert all(0.0 <= r.seasonal_strength <= 1.0
+                   for r in out.values())
+        assert all(r.n_hours == 240 for r in out.values())
