@@ -11947,3 +11947,99 @@ def seasonal_strength(events: DataFrame) -> DataFrame:
             ),
         ).alias("seasonal_strength"),
     )
+
+
+def seasonal_mann_kendall(orders: DataFrame) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch–Slack) trend test on monthly order
+    counts: compare each calendar month only against the SAME month of
+    other years (S' = Σ_m S_m, Var' = Σ_m Var_m with per-season tie
+    correction), so a December spike can't masquerade as growth — the
+    seasonality-proof upgrade of :func:`mann_kendall_trend` for any
+    metric with an annual cycle. z = (S' ∓ 1)/√Var' and the A&S-tail
+    p-value.
+
+    Exactness: S, the tie terms, and both variance pieces stay exact
+    integers until the final division; the continuity-corrected z and
+    p round to 6dp over the shared literal polynomial.
+
+    Scale: calendar-bounded — one partial-agg shuffle to the monthly
+    series, then within-season pair joins over the years² × 12 frame.
+    """
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    monthly = monthly.withColumn("season", F.month("m"))
+    a = monthly.select(
+        F.col("season"), F.col("m").alias("ma"), F.col("x").alias("xa")
+    )
+    b = monthly.select(
+        F.col("season").alias("sb"),
+        F.col("m").alias("mb"),
+        F.col("x").alias("xb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("season") == F.col("sb")) & (F.col("ma") < F.col("mb")),
+        )
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("bigint"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    per_season = monthly.groupBy("season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m")
+    )
+    ties = (
+        monthly.groupBy("season", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("season")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_m")
+        )
+    )
+    var_parts = per_season.join(ties, "season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("n_m").cast("bigint").alias("n_months"),
+        F.sum(
+            F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+            - F.col("tie_m")
+        )
+        .cast("bigint")
+        .alias("var18"),
+    )
+    j = s.crossJoin(F.broadcast(var_parts))
+    var_s = F.col("var18").cast("double") / F.lit(18.0)
+    z = F.when(
+        F.col("var18") > 0,
+        F.round(
+            F.when(
+                F.col("s") > 0, (F.col("s") - 1).cast("double")
+            )
+            .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            / F.sqrt(var_s),
+            6,
+        ),
+    )
+    out = j.withColumn("z_score", z).withColumn(
+        "var_s", F.round(var_s, 6)
+    )
+    pv = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0) * _normal_upper_tail(F.abs(F.col("z_score"))),
+        ),
+        6,
+    )
+    return out.select(
+        "n_months",
+        "n_seasons",
+        "s",
+        "var_s",
+        "z_score",
+        F.when(F.col("z_score").isNotNull(), pv).alias("p_value"),
+    )

@@ -16078,6 +16078,69 @@ def q_seasonal_strength(spark, sf_dir):
     return rel.seasonal_strength(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "seasonal_mann_kendall",
+    f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    seasoned AS (
+      SELECT m, x, EXTRACT(month FROM m) AS season FROM monthly
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+      FROM seasoned a JOIN seasoned b
+        ON a.season = b.season AND a.m < b.m
+    ),
+    per AS (
+      SELECT season, CAST(COUNT(*) AS BIGINT) AS n_m
+      FROM seasoned GROUP BY 1
+    ),
+    ties AS (
+      SELECT season,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_m
+      FROM (SELECT season, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM seasoned GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    vp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+             CAST(SUM(n_m) AS BIGINT) AS n_months,
+             CAST(SUM(n_m * (n_m - 1) * (2 * n_m + 5) - tie_m)
+                  AS BIGINT) AS var18
+      FROM per JOIN ties USING (season)
+    ),
+    zc AS (
+      SELECT n_months, n_seasons, s,
+             ROUND(CAST(var18 AS DOUBLE) / 18.0, 6) AS var_s,
+             CASE WHEN var18 > 0 THEN
+               ROUND((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                           WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                           ELSE 0.0 END)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+             END AS z_score
+      FROM s, vp
+    ),
+    tt AS (
+      SELECT *, 1.0 / (1.0 + {rel.AS_NORMAL_P!r} * abs(z_score)) AS t
+      FROM zc
+    )
+    SELECT n_months, n_seasons, s, var_s, z_score,
+           CASE WHEN z_score IS NOT NULL THEN
+             ROUND(LEAST(1.0, 2.0 * ({rel.INV_SQRT_2PI!r}
+               * exp(-(abs(z_score) * abs(z_score)) / 2.0)
+               * (t * ({_BH_B1} + t * ({_BH_B2} + t * ({_BH_B3}
+                  + t * ({_BH_B4} + t * {_BH_B5}))))))), 6)
+           END AS p_value
+    FROM tt
+    """,
+)
+def q_seasonal_mann_kendall(spark, sf_dir):
+    return rel.seasonal_mann_kendall(load_table(spark, sf_dir, "orders"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -16275,6 +16338,7 @@ _VERIFY_FIRST = [
     "price_index_fisher",
     "bass_diffusion",
     "seasonal_strength",
+    "seasonal_mann_kendall",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

@@ -1585,3 +1585,39 @@ class TestSeasonalStrength:
         assert all(0.0 <= r.seasonal_strength <= 1.0
                    for r in out.values())
         assert all(r.n_hours == 240 for r in out.values())
+
+
+class TestSeasonalMannKendall:
+    def _orders(self, spark, monthly_counts):
+        from datetime import date
+
+        rows, k = [], 0
+        for (y, m), n in monthly_counts.items():
+            for _ in range(n):
+                rows.append((k, 1, date(y, m, 10))); k += 1
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date"
+        )
+
+    def test_seasonal_growth_detected(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # every month grows year over year: all within-season pairs +1
+        counts = {(y, m): 10 + 5 * (y - 2020)
+                  for y in (2020, 2021, 2022, 2023) for m in range(1, 13)}
+        r = rel.seasonal_mann_kendall(self._orders(spark, counts)).collect()[0]
+        assert r.n_months == 48 and r.n_seasons == 12
+        assert r.s == 12 * 6  # C(4,2) concordant pairs per season
+        assert r.z_score > 3 and r.p_value < 0.01
+
+    def test_pure_seasonality_is_not_trend(self, spark):
+        from hadoop_coded_wordcount_spark.operators import relational as rel
+
+        # December spike every year, otherwise flat: no within-season
+        # movement at all -> S = 0
+        counts = {(y, m): (50 if m == 12 else 10)
+                  for y in (2020, 2021, 2022, 2023) for m in range(1, 13)}
+        r = rel.seasonal_mann_kendall(self._orders(spark, counts)).collect()[0]
+        assert r.s == 0
+        # all-tied seasons zero the variance -> NULL z, no false trend
+        assert r.z_score is None or abs(r.z_score) < 1
