@@ -3247,3 +3247,73 @@ def wasserstein_source_lengths(documents: DataFrame) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("w1_tokens"),
     )
+
+
+def word_adaptation(documents: DataFrame, top: int = 30) -> DataFrame:
+    """Church–Gale adaptation ("burstiness") for the ``top`` highest-df
+    terms: P(k ≥ 2 | k ≥ 1) — once a word shows up in a document, how
+    likely is it to show up AGAIN? — against the Poisson expectation at
+    the same rate. Real text adapts (adaptation ≫ Poisson): content
+    words cluster in the documents that are "about" them, and the
+    ratio is the classic evidence that bag-of-words independence is
+    wrong — here a per-term topicality signal (high ratio = topical
+    content word; ≈1 = function word).
+
+    Exactness: df₁/df₂/cf/n_docs are exact integers; λ, the Poisson
+    term (one exp(), rounded), adaptation, and the ratio are single
+    rounded IEEE expressions.
+
+    Scale: one (doc, term) count aggregate (vocabulary-bounded out),
+    then |vocabulary|-row marginals and a top-k head.
+    """
+    from ..sources.catalog import ensure_parallelism
+    from .dedup import tokens_col
+
+    tf = (
+        ensure_parallelism(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    n_docs = documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df1"),
+        F.sum((F.col("k") >= 2).cast("int")).cast("bigint").alias("df2"),
+        F.sum("k").cast("bigint").alias("cf"),
+    )
+    headed = (
+        per_term.orderBy(F.desc("df1"), F.asc("term"))
+        .limit(top)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    lam = F.round(
+        F.col("cf").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    em = F.round(F.exp(-lam), 6)
+    # Poisson P(k>=2 | k>=1) = 1 - lam*e^-lam / (1 - e^-lam)
+    pois = F.round(
+        F.lit(1.0) - (lam * em) / (F.lit(1.0) - em), 6
+    )
+    adapt = F.round(
+        F.col("df2").cast("double") / F.col("df1").cast("double"), 6
+    )
+    out = (
+        headed.withColumn("lambda", lam)
+        .withColumn("adaptation", adapt)
+        .withColumn("poisson_expect", pois)
+    )
+    return out.select(
+        "term",
+        "df1",
+        "df2",
+        "cf",
+        "lambda",
+        "adaptation",
+        "poisson_expect",
+        F.when(
+            F.col("poisson_expect") > 0,
+            F.round(F.col("adaptation") / F.col("poisson_expect"), 6),
+        ).alias("adaptation_ratio"),
+    )

@@ -16141,6 +16141,54 @@ def q_seasonal_mann_kendall(spark, sf_dir):
     return rel.seasonal_mann_kendall(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "word_adaptation",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    per AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2,
+             CAST(SUM(k) AS BIGINT) AS cf
+      FROM tf GROUP BY 1
+    ),
+    headed AS (
+      SELECT * FROM per, nd ORDER BY df1 DESC, term LIMIT 30
+    ),
+    calc AS (
+      SELECT term, df1, df2, cf,
+             ROUND(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS lambda,
+             ROUND(CAST(df2 AS DOUBLE) / CAST(df1 AS DOUBLE), 6)
+               AS adaptation,
+             ROUND(1.0 - (ROUND(CAST(cf AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE), 6)
+                          * ROUND(exp(-ROUND(CAST(cf AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE), 6)), 6))
+                   / (1.0 - ROUND(exp(-ROUND(CAST(cf AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE), 6)), 6)), 6)
+               AS poisson_expect
+      FROM headed
+    )
+    SELECT term, df1, df2, cf, lambda, adaptation, poisson_expect,
+           CASE WHEN poisson_expect > 0 THEN
+             ROUND(adaptation / poisson_expect, 6)
+           END AS adaptation_ratio
+    FROM calc
+    """,
+)
+def q_word_adaptation(spark, sf_dir):
+    return ts.word_adaptation(load_table(spark, sf_dir, "documents"))
+
+
 _VERIFY_FIRST = [
     # Round-7 rotation: the round-6 gate window draws ~50 queries from the
     # head of the registry order, so the first 50 names of the round-6
@@ -16339,6 +16387,7 @@ _VERIFY_FIRST = [
     "bass_diffusion",
     "seasonal_strength",
     "seasonal_mann_kendall",
+    "word_adaptation",
     # Presumed checked by the round-6 gate window (head of the round-6
     # rotation); re-queued last so they only re-run once everything above
     # has been externally checked at least once.

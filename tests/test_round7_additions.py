@@ -1621,3 +1621,26 @@ class TestSeasonalMannKendall:
         assert r.s == 0
         # all-tied seasons zero the variance -> NULL z, no false trend
         assert r.z_score is None or abs(r.z_score) < 1
+
+
+class TestWordAdaptation:
+    def test_bursty_word_beats_poisson_function_word_does_not(self, spark):
+        from hadoop_coded_wordcount_spark.operators import textstats as ts
+
+        rows = []
+        # "the": once per doc, everywhere (function word, no adaptation)
+        # "zebra": rare across docs but repeated where present (bursty)
+        for i in range(20):
+            text = "the filler" + (" zebra zebra zebra zebra" if i < 3
+                                   else " other words here")
+            rows.append((i, text, "en", "s", len(text)))
+        out = {r.term: r
+               for r in ts.word_adaptation(_docs(spark, rows), top=30)
+               .collect()}
+        the, zebra = out["the"], out["zebra"]
+        assert the.df1 == 20 and the.df2 == 0 and the.adaptation == 0.0
+        assert zebra.df1 == 3 and zebra.df2 == 3
+        assert zebra.adaptation == 1.0
+        # bursty word adapts far above its Poisson expectation
+        assert zebra.adaptation_ratio > 2
+        assert zebra.poisson_expect < 0.5
