@@ -918,7 +918,13 @@ def embedding_covariance(embeddings: DataFrame, dims: int = 16) -> DataFrame:
     rows by exploding a literal-sized struct array. The d×d result is
     driver-sized; eigen-decomposition on it is a numpy afterthought
     (tested), not a cluster job. Rounded to 6 — float sums are
-    engine-order-dependent in the last ulps.
+    engine-order-dependent in the last ulps — then ``+ 0.0`` to
+    canonicalize the zero: a cell that rounds to exact zero keeps the
+    sign of the pre-round sum (IEEE), and Spark/DuckDB can disagree on
+    that sign ('0.0' vs '-0.0' stringify differently even though they
+    compare float-equal; this cost the r7 gate one cell). ``-0.0 + 0.0``
+    is ``+0.0`` by IEEE-754 round-to-nearest, so both legs emit the
+    same representation.
     """
     # scalar-indexed cast, NOT _as_double: the whole-array transform
     # would re-evaluate once per sibling aggregate (153x per row here);
@@ -937,13 +943,16 @@ def embedding_covariance(embeddings: DataFrame, dims: int = 16) -> DataFrame:
             F.struct(
                 F.lit(i + 1).alias("i"),
                 F.lit(j + 1).alias("j"),
-                F.round(
-                    (
-                        F.col(f"p{i}_{j}")
-                        - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n")
+                (
+                    F.round(
+                        (
+                            F.col(f"p{i}_{j}")
+                            - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n")
+                        )
+                        / F.col("n"),
+                        6,
                     )
-                    / F.col("n"),
-                    6,
+                    + F.lit(0.0)
                 ).alias("cov"),
             )
             for i, j in pairs

@@ -45,7 +45,12 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # repr-strict, not ==: the driver hashes STRINGIFIED frames, so
+        # float-equal values with different representations must fail here
+        # exactly as they fail there.  The concrete failure class this
+        # catches is the signed zero: 0.0 == -0.0 is True but
+        # '0.0' != '-0.0' cost embedding_covariance the r7 gate.
+        return repr(a) == repr(b)
     if isinstance(a, float) != isinstance(b, float):
         # int-vs-float REPRESENTATION drift (e.g. DuckDB HUGEINT sums
         # arriving as float64): Python says 99111 == 99111.0, but the
@@ -53,6 +58,12 @@ def _values_equal(a, b) -> bool:
         # mirror the stricter semantics or this harness green-lights
         # queries the driver will fail.
         return False
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        # element-wise so nested floats get the same repr-strict treatment
+        # ([-0.0] == [0.0] is True in Python but mismatches stringified)
+        return len(a) == len(b) and all(
+            _values_equal(x, y) for x, y in zip(a, b)
+        )
     return a == b
 
 

@@ -275,6 +275,37 @@ def test_embedding_covariance_matches_numpy_and_is_psd(spark):
     assert evals.min() > -1e-6
 
 
+def test_embedding_covariance_no_signed_zero(spark):
+    """Regression for the r7 gate failure: a cell that rounds to exact
+    zero must stringify as '0.0', never '-0.0' — the driver hashes the
+    STRINGIFIED frame, so float equality is not enough.  Assert
+    repr-level canonicalization on every emitted cell, and specifically
+    that a planted frame engineered to produce a tiny negative
+    covariance (rounding to zero at 6 decimals) emits '+0.0'."""
+    from pyspark.sql import Row
+
+    emb = load_table(spark, SF001, "embeddings")
+    for r in sim.embedding_covariance(emb).collect():
+        assert repr(r.cov) != "-0.0", (r.i, r.j)
+
+    # planted: dims 0 and 1 anticorrelate with covariance -2.5e-9,
+    # which rounds to zero at 6 decimals and would keep the negative
+    # sign without the + 0.0 canonicalization
+    eps = 1e-4
+    rows = [
+        Row(vec_id=1, embedding=[+eps, -eps] + [0.0] * 14),
+        Row(vec_id=2, embedding=[-eps, +eps] + [0.0] * 14),
+        Row(vec_id=3, embedding=[0.0] * 16),
+        Row(vec_id=4, embedding=[0.0] * 16),
+    ]
+    planted = spark.createDataFrame(rows)
+    out = {
+        (r.i, r.j): r.cov
+        for r in sim.embedding_covariance(planted).collect()
+    }
+    assert repr(out[(1, 2)]) == "0.0", out[(1, 2)]
+
+
 def test_hybrid_rrf_internal_consistency(spark):
     """RRF scores must recompute exactly from the emitted rank columns,
     ranks must order by score (tie-break neighbor_id), and the fusion
