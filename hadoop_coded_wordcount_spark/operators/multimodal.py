@@ -163,12 +163,20 @@ def _bmp_header(b: bytes) -> dict | None:
     bpp = struct.unpack("<H", b[28:30])[0]
     if width <= 0 or height == 0 or bpp == 0:
         return None
+    if bpp == 32:  # BGRA: 8-bit channels plus alpha
+        channels, bit_depth = 4, 8
+    elif bpp == 24:  # BGR: 8-bit channels
+        channels, bit_depth = 3, 8
+    elif bpp == 16:  # packed RGB555/565: 3 channels of 5(-6) bits
+        channels, bit_depth = 3, 5
+    else:  # 1/4/8 bpp: palette-indexed single channel
+        channels, bit_depth = 1, min(bpp, 8)
     return {
         "kind": "image/bmp",
         "width": width,
         "height": abs(height),  # negative height = top-down rows
-        "channels": 3 if bpp >= 24 else 1,
-        "bit_depth": min(bpp, 8) if bpp < 24 else bpp // 3,
+        "channels": channels,
+        "bit_depth": bit_depth,
     }
 
 
@@ -214,8 +222,18 @@ def _tiff_header(b: bytes) -> dict | None:
         elif tag == 258:
             if cnt == 1:
                 bits = v
-            elif typ == 3 and v + 2 <= len(b):
-                bits = struct.unpack(e + "H", b[v : v + 2])[0]
+            elif typ == 3 and cnt == 2:
+                # two SHORTs fit inline in the 4-byte value field; v was
+                # already unpacked from val[:2] = the first sample's bits
+                bits = v
+            elif typ == 3:
+                # cnt >= 3 SHORTs don't fit inline: the value field is a
+                # u32 OFFSET (all 4 bytes, in file byte order — reading
+                # val[:2] as a SHORT truncates on II and yields the high
+                # half, usually 0, on MM)
+                off = struct.unpack(e + "I", val)[0]
+                if off + 2 <= len(b):
+                    bits = struct.unpack(e + "H", b[off : off + 2])[0]
     if not width or not height:
         return None
     return {
@@ -478,8 +496,12 @@ def image_ahash_neardup(
 
     Scale: per-image work is constant (256 px); candidates are
     band-bucketed (the minhash_lsh_pairs shape); raw pixels never
-    shuffle — only 4 band ints per image do.
+    shuffle — only 4 band ints per image do. The verified-pair result
+    (duplicate-density-bounded) is materialized eagerly so the band
+    cache releases before return (finish_cached).
     """
+    from ..sources.catalog import finish_cached
+
     px = pgm_pixels(synth_pgm_corpus(documents))
     cell = (
         px.select("doc_id", F.posexplode("pixels").alias("idx", "val"))
@@ -540,8 +562,11 @@ def image_ahash_neardup(
             .alias("hamming")
         )
     )
-    return ham.where(F.col("hamming") <= ham_max).select(
-        "doc_a", "doc_b", "hamming"
+    return finish_cached(
+        ham.where(F.col("hamming") <= ham_max).select(
+            "doc_a", "doc_b", "hamming"
+        ),
+        bands,
     )
 
 

@@ -921,9 +921,11 @@ def dsir_selection(
     Scale: bigrams explode once into a (doc, bucket) partial aggregate
     — shuffle volume is docs×B, not tokens. The bucket model is B rows
     (broadcast), the totals 1 row; the per-source top-k window ranks
-    doc-count rows. Nothing quadratic, nothing driver-side.
+    doc-count rows. Nothing quadratic, nothing driver-side. The
+    k×|sources| result is materialized eagerly so the (doc, bucket)
+    cache releases before return (finish_cached).
     """
-    from ..sources.catalog import ensure_parallelism
+    from ..sources.catalog import ensure_parallelism, finish_cached
     from .dedup import tokens_col
 
     toked = ensure_parallelism(
@@ -994,7 +996,7 @@ def dsir_selection(
         )
     )
     rk = Window.partitionBy("source").orderBy(F.desc("w"), F.asc("doc_id"))
-    return (
+    return finish_cached(
         weights.withColumn("sel_rank", F.row_number().over(rk))
         .where(F.col("sel_rank") <= k_per_source)
         .select(
@@ -1003,7 +1005,8 @@ def dsir_selection(
             "n_bigrams",
             F.round(F.col("w").cast("double"), 6).alias("dsir_weight"),
             "sel_rank",
-        )
+        ),
+        per_doc,
     )
 
 

@@ -2093,8 +2093,12 @@ def matryoshka_recall(
     rescan (column slice, no extra shuffle of the vectors).
 
     Scale: identical to cosine_topk per leg — broadcast query set, one
-    corpus scan, per-query top-k windows on the score triples.
+    corpus scan, per-query top-k windows on the score triples. The
+    len(prefix_dims)-row result is materialized eagerly so the full-dim
+    truth cache can be released before return (finish_cached).
     """
+    from ..sources.catalog import finish_cached
+
     full = (
         cosine_topk(embeddings, query_mod=query_mod, k=k, dim=dim)
         .select("query_id", "neighbor_id")
@@ -2130,7 +2134,7 @@ def matryoshka_recall(
             )
         )
         out = rec if out is None else out.unionAll(rec)
-    return out
+    return finish_cached(out, full)
 
 
 def ann_map_at_k(embeddings: DataFrame, k: int = 10) -> DataFrame:

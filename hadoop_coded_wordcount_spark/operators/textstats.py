@@ -2519,9 +2519,10 @@ def source_loo_value(documents: DataFrame) -> DataFrame:
     single rounded doubles.
 
     Scale: shuffle is vocabulary-bounded (word key), never token-bound;
-    the final frame is |sources| rows.
+    the final frame is |sources| rows — materialized eagerly so the
+    (source, word) cache releases before return (finish_cached).
     """
-    from ..sources.catalog import ensure_parallelism
+    from ..sources.catalog import ensure_parallelism, finish_cached
     from .dedup import tokens_col
 
     ex = (
@@ -2559,23 +2560,26 @@ def source_loo_value(documents: DataFrame) -> DataFrame:
         F.coalesce("unique_tokens", F.lit(0)).alias("unique_tokens"),
         F.coalesce("corpus_hapax", F.lit(0)).alias("corpus_hapax"),
     )
-    return out.select(
-        "source",
-        "vocab",
-        "tokens",
-        "unique_vocab",
-        "unique_tokens",
-        "corpus_hapax",
-        F.round(
-            F.col("unique_vocab").cast("double")
-            / F.col("vocab").cast("double"),
-            6,
-        ).alias("unique_vocab_share"),
-        F.round(
-            F.col("unique_tokens").cast("double")
-            / F.col("tokens").cast("double"),
-            6,
-        ).alias("unique_token_share"),
+    return finish_cached(
+        out.select(
+            "source",
+            "vocab",
+            "tokens",
+            "unique_vocab",
+            "unique_tokens",
+            "corpus_hapax",
+            F.round(
+                F.col("unique_vocab").cast("double")
+                / F.col("vocab").cast("double"),
+                6,
+            ).alias("unique_vocab_share"),
+            F.round(
+                F.col("unique_tokens").cast("double")
+                / F.col("tokens").cast("double"),
+                6,
+            ).alias("unique_token_share"),
+        ),
+        ex,
     )
 
 
@@ -2596,8 +2600,11 @@ def bm25_prf_topk(
     Scoring expressions are IDENTICAL to bm25_topk's (same idf round,
     same length-norm tree, same decimal sum), applied to both passes
     via one shared closure over the persisted tf table — the corpus
-    tokenizes once, each pass is a broadcast-query-table join.
+    tokenizes once, each pass is a broadcast-query-table join. The
+    k-row result is materialized eagerly so the tf cache releases
+    before return (finish_cached).
     """
+    from ..sources.catalog import finish_cached
     from .dedup import tokens_col
 
     tf = (
@@ -2671,7 +2678,7 @@ def bm25_prf_topk(
         .select("term", "df")
     )
     qfull = q0.unionAll(exp)
-    return (
+    return finish_cached(
         score(qfull)
         .orderBy(F.desc("score_dec"), F.asc("doc_id"))
         .limit(k)
@@ -2679,7 +2686,8 @@ def bm25_prf_topk(
             "doc_id",
             "n_matched",
             F.col("score_dec").cast("double").alias("bm25"),
-        )
+        ),
+        tf,
     )
 
 
@@ -2698,8 +2706,10 @@ def keyness_terms(documents: DataFrame, top: int = 5) -> DataFrame:
 
     Scale: (source, word) and word-marginal aggregates are vocabulary-
     bounded; the final rank window is per source over its vocabulary.
+    The top×|sources| result is materialized eagerly so the (source,
+    word) cache releases before return (finish_cached).
     """
-    from ..sources.catalog import ensure_parallelism
+    from ..sources.catalog import ensure_parallelism, finish_cached
     from .dedup import tokens_col
 
     ex = (
@@ -2746,7 +2756,7 @@ def keyness_terms(documents: DataFrame, top: int = 5) -> DataFrame:
         (F.lit(2) * (term_a + term_b)).cast("double").alias("g2"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("word"))
-    return (
+    return finish_cached(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top)
         .select(
@@ -2756,7 +2766,8 @@ def keyness_terms(documents: DataFrame, top: int = 5) -> DataFrame:
             F.col("a").alias("cnt_in_source"),
             F.col("w_tot").alias("cnt_corpus"),
             F.round("g2", 6).alias("g2"),
-        )
+        ),
+        ex,
     )
 
 

@@ -106,6 +106,30 @@ def ensure_parallelism(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df
 
 
+def finish_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED result, then release its cached inputs.
+
+    The lazy-persist idiom leaks: an operator that persists a shared
+    intermediate and returns a lazy frame can never unpersist (the
+    caller's action comes later), so cached blocks accumulate in executor
+    storage across a long many-query session.  When the operator's output
+    is control-plane-sized (top-k, per-source rows, fixed-grid stats),
+    the fix is to pay the output's one job eagerly: ``localCheckpoint``
+    pins the small result (its blocks are lineage-free and reclaimed by
+    the ContextCleaner when the frame is garbage-collected — unlike
+    CacheManager entries, which hold strong references until an explicit
+    unpersist), after which every cached input can be dropped before the
+    operator returns.
+
+    Only use for outputs whose size is bounded by parameters (k, number
+    of sources, grid size), never by the data.
+    """
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -25,6 +25,8 @@ cross-engine value hash is representation-independent.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 __all__ = [
@@ -347,8 +349,18 @@ def windowed_topk_stream(
     allowed inside a streaming aggregation, so this runs the supported
     decomposition — a watermarked windowed COUNT in update mode, with
     the rank applied per micro-batch in ``foreachBatch`` over the
-    accumulated state (idempotent overwrite into a global temp view,
-    the foreachbatch-sink discipline). Returns the started query.
+    accumulated state. Returns the started query.
+
+    The accumulated (window, event_type, cnt) state lives in a DURABLE
+    parquet sink under the checkpoint directory, NOT a driver-side dict:
+    each micro-batch appends its update-mode deltas stamped with
+    batch_id, and the snapshot takes the latest cnt per key
+    (``max_by(cnt, batch_id)``). Appends are idempotent under batch
+    replay (a retried batch re-appends identical rows with the same
+    batch_id, which the latest-per-key read collapses), and a RESTART
+    from the checkpointLocation rebuilds the full view including
+    windows finalized before the restart — a dict-backed version
+    silently lost those.
     """
     counts = (
         _as_event_time(stream)
@@ -356,19 +368,24 @@ def windowed_topk_stream(
         .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("cnt"))
     )
-    state: dict = {}
+    state_path = os.path.join(checkpoint, "topk_state")
 
     def emit(batch_df, batch_id):
-        for r in batch_df.collect():  # update-mode deltas: tiny
-            state[(str(r.w.start), r.event_type)] = r.cnt
         spark = batch_df.sparkSession
-        if not state:
-            return
-        rows = [
-            (ws, et, int(c)) for (ws, et), c in state.items()
-        ]
-        snap = spark.createDataFrame(
-            rows, "window_start string, event_type string, cnt long"
+        (
+            batch_df.select(
+                _win_str("w.start").alias("window_start"),
+                "event_type",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(state_path)
+        )
+        snap = (
+            spark.read.parquet(state_path)
+            .groupBy("window_start", "event_type")
+            .agg(F.expr("max_by(cnt, batch_id)").alias("cnt"))
         )
         wr = W.partitionBy("window_start").orderBy(
             F.desc("cnt"), F.asc("event_type")

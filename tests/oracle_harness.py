@@ -67,6 +67,25 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _count_signed_zeros(v) -> int:
+    """Count float cells whose repr is '-0.0', recursing into containers.
+
+    A signed zero is a latent gate hazard even when BOTH engines emit it
+    today: the sign of a sum that rounds to zero is engine-order-dependent
+    in the last ulps, so agreement is luck, not a property.  Operators
+    should canonicalize (``+ 0.0`` after the round) instead.
+    """
+    if hasattr(v, "tolist"):  # numpy scalar or array -> python
+        v = v.tolist()
+    if isinstance(v, float):
+        return 1 if repr(v) == "-0.0" else 0
+    if isinstance(v, (list, tuple)):
+        return sum(_count_signed_zeros(x) for x in v)
+    if isinstance(v, dict):
+        return sum(_count_signed_zeros(x) for x in v.values())
+    return 0
+
+
 def compare(name: str, spark, sf_dir: str = SF001, verbose: bool = True) -> dict:
     """Returns {'rows': bool, 'schema': bool, 'exact': bool, 'close': bool}."""
     from hadoop_coded_wordcount_spark.registry import ORACLES, QUERIES
@@ -84,6 +103,13 @@ def compare(name: str, spark, sf_dir: str = SF001, verbose: bool = True) -> dict
             "exact": None,
             "close": None,
             "n": len(spark_pd),
+            "signed_zeros": int(
+                sum(
+                    _count_signed_zeros(v)
+                    for col in spark_pd.columns
+                    for v in spark_pd[col]
+                )
+            ),
         }
         if verbose:
             print(f"{name}: rows-only check, n={len(spark_pd)}")
@@ -95,6 +121,14 @@ def compare(name: str, spark, sf_dir: str = SF001, verbose: bool = True) -> dict
     res = {"rows": len(spark_pd) == len(duck_pd)}
     res["schema"] = sorted(spark_pd.columns) == sorted(map(str, duck_pd.columns))
     res["n"] = len(spark_pd)
+    res["signed_zeros"] = int(
+        sum(
+            _count_signed_zeros(v)
+            for frame in (spark_pd, duck_pd)
+            for col in frame.columns
+            for v in frame[col]
+        )
+    )
     exact = close = res["rows"] and res["schema"]
     if exact:
         a, b = _canon(spark_pd), _canon(duck_pd)

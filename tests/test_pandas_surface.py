@@ -311,6 +311,12 @@ def test_decode_media_bmp_header():
     # top-down BMP: negative height folds positive
     assert mm.decode_media(bmp(10, -20, 8))["height"] == 20
     assert mm.decode_media(bmp(10, -20, 8))["channels"] == 1
+    # 32-bpp BGRA: 4 channels of 8 bits (NOT bpp//3 == 10)
+    d = mm.decode_media(bmp(64, 64, 32))
+    assert (d["channels"], d["bit_depth"]) == (4, 8)
+    # 16-bpp packed RGB: 3 channels of 5 bits (NOT palette-indexed)
+    d = mm.decode_media(bmp(64, 64, 16))
+    assert (d["channels"], d["bit_depth"]) == (3, 5)
     # BITMAPCOREHEADER (size 12) rejected -> opaque
     assert mm.decode_media(bmp(10, 20, 8, hdr=12)) == {"kind": "opaque"}
 
@@ -341,20 +347,40 @@ def test_decode_media_tiff_header():
         d = mm.decode_media(tiff(endian, 1024, 768))
         assert (d["kind"], d["width"], d["height"], d["channels"],
                 d["bit_depth"]) == ("image/tiff", 1024, 768, 3, 8)
-    # per-channel BitsPerSample list read through its offset
-    e = "<"
-    entries = (
-        _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "H", 64) + b"\x00\x00"
-    )
-    entries += (
-        _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "H", 32) + b"\x00\x00"
-    )
-    off = 8 + 2 + 3 * 12 + 4  # right after the IFD block
-    entries += _s.pack(e + "HHI", 258, 3, 3) + _s.pack(e + "I", off)
-    body = (b"II*\x00" + _s.pack(e + "I", 8) + _s.pack(e + "H", 3)
-            + entries + b"\x00" * 4 + _s.pack(e + "HHH", 16, 16, 16))
-    d = mm.decode_media(body)
-    assert d["kind"] == "image/tiff" and d["bit_depth"] == 16
+    # per-channel BitsPerSample list (cnt>=3) read through its u32
+    # offset — on BOTH byte orders (the MM case regressed when the
+    # offset was misread as a 2-byte SHORT, yielding the high half)
+    for endian in ("II", "MM"):
+        e = "<" if endian == "II" else ">"
+        sig = b"II*\x00" if endian == "II" else b"MM\x00*"
+        entries = (
+            _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "H", 64) + b"\x00\x00"
+        )
+        entries += (
+            _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "H", 32) + b"\x00\x00"
+        )
+        off = 8 + 2 + 3 * 12 + 4  # right after the IFD block
+        entries += _s.pack(e + "HHI", 258, 3, 3) + _s.pack(e + "I", off)
+        body = (sig + _s.pack(e + "I", 8) + _s.pack(e + "H", 3)
+                + entries + b"\x00" * 4 + _s.pack(e + "HHH", 16, 16, 16))
+        d = mm.decode_media(body)
+        assert d["kind"] == "image/tiff" and d["bit_depth"] == 16, endian
+    # cnt==2 SHORT pair stored INLINE in the value field (not an offset):
+    # first sample's bits come straight from val[:2]
+    for endian in ("II", "MM"):
+        e = "<" if endian == "II" else ">"
+        sig = b"II*\x00" if endian == "II" else b"MM\x00*"
+        entries = (
+            _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "H", 64) + b"\x00\x00"
+        )
+        entries += (
+            _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "H", 32) + b"\x00\x00"
+        )
+        entries += _s.pack(e + "HHI", 258, 3, 2) + _s.pack(e + "HH", 12, 12)
+        body = (sig + _s.pack(e + "I", 8) + _s.pack(e + "H", 3)
+                + entries + b"\x00" * 4)
+        d = mm.decode_media(body)
+        assert d["kind"] == "image/tiff" and d["bit_depth"] == 12, endian
     # truncated IFD -> opaque
     assert mm.decode_media(b"II*\x00" + _s.pack("<I", 9999)) == {
         "kind": "opaque"

@@ -832,3 +832,54 @@ def test_windowed_topk_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert all(rnk <= 3 for _, rnk in got.values())
+
+
+def test_windowed_topk_stream_restart_keeps_finalized_windows(
+    spark, tmp_path
+):
+    """Restart from the checkpointLocation must NOT lose windows
+    finalized before the restart: the accumulated state is durable
+    (parquet under the checkpoint), so a second run over new-only input
+    rebuilds the full view — the regression the driver-side-dict
+    version had."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = events.orderBy("event_id").limit(400)
+    rest = events.join(first.select("event_id"), "event_id", "left_anti")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first.write.mode("append").parquet(src)
+
+    q = sw.windowed_topk_stream(
+        spark.readStream.schema(_SCHEMA).parquet(src),
+        sink_table="topk_snap_restart",
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    after_first = spark.sql(
+        "SELECT * FROM global_temp.topk_snap_restart"
+    ).count()
+    assert after_first > 0
+
+    # "restart": a brand-new query over the same source + checkpoint,
+    # with the remaining rows appended — only they are new input
+    rest.write.mode("append").parquet(src)
+    q2 = sw.windowed_topk_stream(
+        spark.readStream.schema(_SCHEMA).parquet(src),
+        sink_table="topk_snap_restart",
+        checkpoint=ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.rnk)
+        for r in spark.sql(
+            "SELECT * FROM global_temp.topk_snap_restart"
+        ).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.rnk)
+        for r in sw.windowed_topk(events).collect()
+    }
+    assert got == want
