@@ -337,8 +337,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     regardless of its true degree, so wedge volume is bounded by E^1.5
     total — the classic Suri-Vassilvitskii MapReduce bound, expressed as
     two DataFrame equi-joins Catalyst can shuffle-plan (the degree table
-    is node-sized and broadcast onto the edge list; wedge pairs keep the
-    same (degree, id) order so the closing edge, if present, is oriented
+    is NODE-sized, so it carries no broadcast hint — AQE picks a
+    broadcast at runtime while it fits the threshold and degrades to a
+    shuffle join at unbounded node counts; wedge pairs keep the same
+    (degree, id) order so the closing edge, if present, is oriented
     exactly b -> c and ONE equi-join finds it).
 
     Input contract: undirected edges, one row per edge, src < dst.
@@ -351,10 +353,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     with_deg = edges.join(
-        F.broadcast(deg.select(F.col("v").alias("src"), F.col("d").alias("ds"))),
+        deg.select(F.col("v").alias("src"), F.col("d").alias("ds")),
         "src",
     ).join(
-        F.broadcast(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd"))),
+        deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")),
         "dst",
     )
     lo_first = (F.col("ds") < F.col("dd")) | (
@@ -489,8 +491,9 @@ def link_prediction_jaccard(
     du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
     return (
-        non_adjacent.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        # du/dv are NODE-sized: no broadcast hint — AQE decides
+        non_adjacent.join(du, "u")
+        .join(dv, "v")
         .select(
             "u",
             "v",
@@ -906,10 +909,10 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     with_deg = edges.join(
-        F.broadcast(deg.select(F.col("v").alias("src"), F.col("d").alias("ds"))),
+        deg.select(F.col("v").alias("src"), F.col("d").alias("ds")),
         "src",
     ).join(
-        F.broadcast(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd"))),
+        deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")),
         "dst",
     )
     lo_first = (F.col("ds") < F.col("dd")) | (
@@ -990,10 +993,9 @@ def adamic_adar(edges: DataFrame, topn: int = 25) -> DataFrame:
     # edge), so dropping d < 2 both prunes dead wedge fuel and keeps
     # ln(d) away from ln(1) = 0 under ANSI division
     nbr_w = sym.join(
-        F.broadcast(
-            deg.where(F.col("d") >= 2).select(
-                F.col("a").alias("b"), F.col("d").alias("dz")
-            )
+        # node-sized degree table: no broadcast hint — AQE decides
+        deg.where(F.col("d") >= 2).select(
+            F.col("a").alias("b"), F.col("d").alias("dz")
         ),
         "b",
     ).select(

@@ -5209,8 +5209,12 @@ def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
     that group mean is an exact associative aggregate (a raw double
     mean over shuffled hours drifts in the last ulp); the residual
     subtraction repeats the identical double expression on both
-    engines. Rows without a full centered window carry NULL trend and
-    drop out of the seasonal fit, exactly as classic decompose does.
+    engines, then ``+ 0.0`` canonicalizes the zero sign (a residual
+    rounding to exact zero keeps the engine-dependent sign of the tiny
+    pre-round value — the ±0.0 stringified-hash class, caught by the
+    engine-wide signed-zero audit). Rows without a full centered window
+    carry NULL trend and drop out of the seasonal fit, exactly as
+    classic decompose does.
 
     Scale: one partial-agg to the (type, hour) grid; both windows
     partition by type; the seasonal fit is a (type × period) grid join.
@@ -5247,8 +5251,11 @@ def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
         det.where(F.col("d6").isNotNull())
         .groupBy("event_type", "hod")
         .agg(
-            F.round(
-                F.sum("d6").cast("double") / F.count(F.lit(1)), 6
+            (
+                F.round(
+                    F.sum("d6").cast("double") / F.count(F.lit(1)), 6
+                )
+                + F.lit(0.0)
             ).alias("seasonal")
         )
     )
@@ -5260,8 +5267,11 @@ def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
             "x",
             F.round("trend", 6).alias("trend"),
             "seasonal",
-            F.round(
-                F.col("x") - F.col("trend") - F.col("seasonal"), 6
+            (
+                F.round(
+                    F.col("x") - F.col("trend") - F.col("seasonal"), 6
+                )
+                + F.lit(0.0)
             ).alias("residual"),
         )
     )

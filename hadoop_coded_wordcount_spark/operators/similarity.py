@@ -50,6 +50,35 @@ __all__ = [
 ]
 
 
+#: Default FIXED query budget for the EXACT-truth ANN audits
+#: (ivf_pq_recall / ann_map_at_k / matryoshka_recall): the truth leg is
+#: brute-force over queries×corpus, so a query set that is a FRACTION of
+#: the corpus keeps the audit quadratic — only a fixed budget makes it
+#: linear in the corpus (VERDICT r7 item 5).  The budget exceeds the
+#: id-mod query count at the gate SF, so small-corpus audit values are
+#: unchanged; pass ``max_queries=None`` for the full-query audit.
+AUDIT_MAX_QUERIES: int = 16
+
+
+def audit_qids(ids: DataFrame, query_mod: int, max_queries: int) -> DataFrame:
+    """The deterministic bounded ANN audit query set: id-mod selection,
+    then the ``max_queries`` ids that sort FIRST by md5(str(id)) — an
+    order the DuckDB oracles replay verbatim
+    (``ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT n``).
+    TakeOrdered-planned (distributed partial top-N), never a global
+    single-partition window."""
+    return (
+        ids.where(F.col("vec_id") % query_mod == 0)
+        .select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(max_queries)
+        .select("vec_id")
+    )
+
+
 def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -90,7 +119,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_topk(
-    embeddings: DataFrame, query_mod: int = 100, k: int = 10, dim: int = 64
+    embeddings: DataFrame,
+    query_mod: int = 100,
+    k: int = 10,
+    dim: int = 64,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for a deterministic query subset.
 
@@ -116,7 +149,12 @@ def cosine_topk(
         .select("vec_id", _as_double("embedding").alias("emb"))
         .withColumn("nrm", norm)
     )
-    queries = vecs.where(F.col("vec_id") % query_mod == 0).select(
+    queries = vecs.where(F.col("vec_id") % query_mod == 0)
+    if max_queries is not None:
+        queries = queries.join(
+            F.broadcast(audit_qids(vecs, query_mod, max_queries)), "vec_id"
+        )
+    queries = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -144,6 +182,7 @@ def cosine_ivf_topk(
     k: int = 10,
     centroids: DataFrame | None = None,
     dim: int = 64,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cell pruning.
 
@@ -193,7 +232,12 @@ def cosine_ivf_topk(
         .select("vec_id", F.col("best.cell_id").alias("cell_id"))
     )
 
-    queries = vecs.where(F.col("vec_id") % query_mod == 0).select(
+    queries = vecs.where(F.col("vec_id") % query_mod == 0)
+    if max_queries is not None:
+        queries = queries.join(
+            F.broadcast(audit_qids(vecs, query_mod, max_queries)), "vec_id"
+        )
+    queries = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -1260,6 +1304,7 @@ def ivf_pq_topk(
     k: int = 10,
     train_iters: int = 3,
     svecs: DataFrame | None = None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ index — the architecture billion-scale
     vector stores actually deploy: IVF cell pruning bounds WHICH
@@ -1301,7 +1346,15 @@ def ivf_pq_topk(
         .agg(F.max(F.struct(ccos.alias("cos"), F.col("cell_id"))).alias("b"))
         .select("vec_id", F.col("b.cell_id").alias("cell_id"))
     )
-    queries = nvecs.where(F.col("vec_id") % query_mod == 0).select(
+    qids = (
+        audit_qids(nvecs, query_mod, max_queries)
+        if max_queries is not None
+        else None
+    )
+    queries = nvecs.where(F.col("vec_id") % query_mod == 0)
+    if qids is not None:
+        queries = queries.join(F.broadcast(qids), "vec_id")
+    queries = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -1331,7 +1384,10 @@ def ivf_pq_topk(
         .agg(F.min(F.struct(d.alias("d"), F.col("code_id"))).alias("b"))
         .select("vec_id", "j", F.col("b.code_id").alias("code_id"))
     )
-    qsv = svecs.where(F.col("vec_id") % query_mod == 0).select(
+    qsv = svecs.where(F.col("vec_id") % query_mod == 0)
+    if qids is not None:
+        qsv = qsv.join(F.broadcast(qids), "vec_id")
+    qsv = qsv.select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
     qd = _pq_sqdist(F.col("qv"), F.col("cv"), sub)
@@ -1994,6 +2050,7 @@ def l2_topk_exact(
     dim: int = 64,
     m: int = 8,
     svecs: DataFrame | None = None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Exact brute-force L2 top-k in integer micro-units — the truth
     ranking the PQ family approximates (PQ's ADC is L2², not cosine, so
@@ -2009,7 +2066,17 @@ def l2_topk_exact(
     sub = dim // m
     if svecs is None:
         svecs = _pq_subvecs(embeddings, m, dim)
-    q = svecs.where(F.col("vec_id") % query_mod == 0).select(
+    q = svecs.where(F.col("vec_id") % query_mod == 0)
+    if max_queries is not None:
+        q = q.join(
+            F.broadcast(
+                audit_qids(
+                    svecs.select("vec_id").distinct(), query_mod, max_queries
+                )
+            ),
+            "vec_id",
+        )
+    q = q.select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
     d = _pq_sqdist(F.col("qv"), F.col("sv"), sub)
@@ -2034,7 +2101,11 @@ def l2_topk_exact(
     )
 
 
-def ivf_pq_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
+def ivf_pq_recall(
+    embeddings: DataFrame,
+    k: int = 10,
+    max_queries: int | None = AUDIT_MAX_QUERIES,
+) -> DataFrame:
     """End-to-end quality of the composed IVF-PQ index against the
     EXACT integer-L2 truth (:func:`l2_topk_exact`): per query, hit
     count, recall@k and MRR — the number a vector-store deployment
@@ -2043,14 +2114,25 @@ def ivf_pq_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
     cosine truth). Both pipelines are deterministic, so the metrics
     are exact values the oracle replays stage for stage. The micro
     subvector frame builds ONCE and feeds both legs.
+
+    Scale (VERDICT r7 item 5): the truth leg is brute-force
+    queries×corpus — quadratic while the id-mod query set tracks corpus
+    size (a fractional sample only rescales the quadratic). The default
+    caps the audit at a FIXED ``AUDIT_MAX_QUERIES`` budget — the ids
+    that sort first by md5 (:func:`audit_qids`), deterministic and
+    oracle-replayable — making the audit linear in the corpus. The
+    budget exceeds the id-mod count at small SF, so small-corpus values
+    are unchanged; per-query rows are identical either way (each
+    query's ranking is independent). ``max_queries=None`` restores the
+    full-query audit.
     """
     svecs = _pq_subvecs(embeddings, 8, 64)
-    truth = l2_topk_exact(embeddings, k=k, svecs=svecs).select(
-        "query_id", "neighbor_id", F.lit(1).alias("is_true")
-    )
-    approx = ivf_pq_topk(embeddings, k=k, svecs=svecs).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    truth = l2_topk_exact(
+        embeddings, k=k, svecs=svecs, max_queries=max_queries
+    ).select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+    approx = ivf_pq_topk(
+        embeddings, k=k, svecs=svecs, max_queries=max_queries
+    ).select("query_id", "neighbor_id", "rank")
     per_q = (
         approx.join(truth, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -2079,6 +2161,7 @@ def matryoshka_recall(
     k: int = 10,
     query_mod: int = 100,
     dim: int = 64,
+    max_queries: int | None = AUDIT_MAX_QUERIES,
 ) -> DataFrame:
     """Matryoshka-embedding truncation audit (Kusupati et al., NeurIPS
     2022): how much retrieval quality survives when vectors are cut to
@@ -2093,14 +2176,22 @@ def matryoshka_recall(
     rescan (column slice, no extra shuffle of the vectors).
 
     Scale: identical to cosine_topk per leg — broadcast query set, one
-    corpus scan, per-query top-k windows on the score triples. The
-    len(prefix_dims)-row result is materialized eagerly so the full-dim
-    truth cache can be released before return (finish_cached).
+    corpus scan, per-query top-k windows on the score triples; the
+    default FIXED ``AUDIT_MAX_QUERIES`` md5-ordered query budget
+    (:func:`audit_qids`) keeps the brute-force truth leg linear in the
+    corpus (recall is a statistical property — a fixed deterministic
+    query set is the honest production audit; ``max_queries=None``
+    restores the full-query audit). The len(prefix_dims)-row result is
+    materialized eagerly so the full-dim truth cache can be released
+    before return (finish_cached).
     """
     from ..sources.catalog import finish_cached
 
     full = (
-        cosine_topk(embeddings, query_mod=query_mod, k=k, dim=dim)
+        cosine_topk(
+            embeddings, query_mod=query_mod, k=k, dim=dim,
+            max_queries=max_queries,
+        )
         .select("query_id", "neighbor_id")
         .persist()
     )
@@ -2110,9 +2201,9 @@ def matryoshka_recall(
         trunc = embeddings.select(
             "vec_id", F.slice("embedding", 1, d).alias("embedding")
         )
-        cand = cosine_topk(trunc, query_mod=query_mod, k=k, dim=d).select(
-            "query_id", "neighbor_id"
-        )
+        cand = cosine_topk(
+            trunc, query_mod=query_mod, k=k, dim=d, max_queries=max_queries
+        ).select("query_id", "neighbor_id")
         hits = (
             cand.join(full, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
@@ -2137,7 +2228,11 @@ def matryoshka_recall(
     return finish_cached(out, full)
 
 
-def ann_map_at_k(embeddings: DataFrame, k: int = 10) -> DataFrame:
+def ann_map_at_k(
+    embeddings: DataFrame,
+    k: int = 10,
+    max_queries: int | None = AUDIT_MAX_QUERIES,
+) -> DataFrame:
     """MAP@k for the ANN index — the order-sensitive companion of
     :func:`ann_recall_metrics`: average precision rewards putting the
     true neighbors EARLY in the approximate list, so two indexes with
@@ -2148,15 +2243,18 @@ def ann_map_at_k(embeddings: DataFrame, k: int = 10) -> DataFrame:
     Both rankings are deterministic pipelines, so AP is an exact value:
     each P@r rounds to 6dp into a DECIMAL(18,6) sum (order-free), and
     the oracle replays rankings, window, and sum identically. Scale:
-    two bounded top-k pipelines and one k-rows-per-query join — the
-    ann_recall_metrics shape plus one window over k-row partitions.
+    the exact-truth leg is queries×corpus, so the default caps the
+    query set at the FIXED ``AUDIT_MAX_QUERIES`` md5-ordered budget
+    (:func:`audit_qids`) — per-query AP values are unchanged, the
+    audit covers a bounded query set so its cost is linear in the
+    corpus; ``max_queries=None`` audits every id-mod query.
     """
-    exact = cosine_topk(embeddings, k=k).select(
+    exact = cosine_topk(embeddings, k=k, max_queries=max_queries).select(
         "query_id", "neighbor_id", F.lit(1).alias("is_true")
     )
-    approx = cosine_ivf_topk(embeddings, k=k).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    approx = cosine_ivf_topk(
+        embeddings, k=k, max_queries=max_queries
+    ).select("query_id", "neighbor_id", "rank")
     j = approx.join(exact, ["query_id", "neighbor_id"], "left").withColumn(
         "hit", F.coalesce("is_true", F.lit(0))
     )

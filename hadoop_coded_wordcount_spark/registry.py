@@ -5273,13 +5273,13 @@ def q_watermark_lateness(spark, sf_dir):
     ),
     seasonal AS (
       SELECT event_type, hod,
-             ROUND(CAST(SUM(d6) AS DOUBLE) / COUNT(*), 6) AS seasonal
+             ROUND(CAST(SUM(d6) AS DOUBLE) / COUNT(*), 6) + 0.0 AS seasonal
       FROM det WHERE d6 IS NOT NULL GROUP BY 1, 2
     )
     SELECT d.event_type,
            strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, d.x,
            ROUND(d.trend, 6) AS trend, s.seasonal,
-           ROUND(d.x - d.trend - s.seasonal, 6) AS residual
+           ROUND(d.x - d.trend - s.seasonal, 6) + 0.0 AS residual
     FROM det d LEFT JOIN seasonal s
       ON d.event_type = s.event_type AND d.hod = s.hod
     """,
@@ -6172,14 +6172,33 @@ _PQ_RANKED = """
     """
 
 
+def _qids_select(query_mod: int, max_queries: int) -> str:
+    """The bounded ANN audit query set, SQL replay of
+    ``similarity.audit_qids``: id-mod selection, then the
+    ``max_queries`` ids sorting FIRST by md5(str(id))."""
+    return (
+        f"SELECT vec_id FROM embeddings WHERE vec_id % {query_mod} = 0\n"
+        f"      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+        f" LIMIT {max_queries}"
+    )
+
+
 def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
                    centroid_mod: int = 37, nprobe: int = 3,
                    query_mod: int = 100, k: int = 10,
-                   train_iters: int = 3) -> str:
+                   train_iters: int = 3,
+                   max_queries: int | None = None) -> str:
     """Composed replay: the IVF assignment/probe CTEs (same max-struct
     DESC / probe ASC tie-breaks as similarity_ivf_topk, doubles) feed
     the TRAINED integer-micro PQ encode + exact-BIGINT ADC sum."""
     ctes, final = _pq_train_ctes(m, sub, code_mod, train_iters)
+    if max_queries is not None:
+        ctes.append(
+            f"qids AS (\n      {_qids_select(query_mod, max_queries)}\n    )"
+        )
+        samp = " AND vec_id IN (SELECT vec_id FROM qids)"
+    else:
+        samp = ""
     qdist = _pq_isqd("qs.qv", "c.cv", sub)
     ctes.append(f"""vd AS ({_DUCK_VECS})""")
     ctes.append(f"""c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM vd
@@ -6195,7 +6214,7 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
       ) WHERE rn = 1
     )""")
     ctes.append(f"""qv AS (SELECT vec_id AS query_id, emb AS q_emb FROM vd
-          WHERE vec_id % {query_mod} = 0)""")
+          WHERE vec_id % {query_mod} = 0{samp})""")
     ctes.append(f"""probes AS (
       SELECT query_id, cell_id FROM (
         SELECT qv.query_id, c.cell_id,
@@ -6213,7 +6232,7 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
     )""")
     ctes.append(f"""qs AS (
       SELECT vec_id AS query_id, j, sv AS qv FROM sv
-      WHERE vec_id % {query_mod} = 0
+      WHERE vec_id % {query_mod} = 0{samp}
     )""")
     ctes.append(f"""dt AS (
       SELECT qs.query_id, c.j, c.code_id, {qdist} AS d
@@ -12445,7 +12464,8 @@ def q_band_join_parts(spark, sf_dir):
 
 
 def _l2_truth_ctes(m: int = 8, sub: int = 8, query_mod: int = 100,
-                   k: int = 10) -> str:
+                   k: int = 10,
+                   max_queries: int | None = None) -> str:
     """Exact integer-L2 truth ranking CTEs (mirrors
     operators/similarity.l2_topk_exact): micro-unit subvectors, exact
     BIGINT per-subspace sums, fully-ordered top-k."""
@@ -12455,6 +12475,15 @@ def _l2_truth_ctes(m: int = 8, sub: int = 8, query_mod: int = 100,
         for j in range(m)
     )
     dist = _pq_isqd("s.sv", "q_.qv", sub)
+    if max_queries is not None:
+        qids_cte = (
+            f"qids_ AS (\n      {_qids_select(query_mod, max_queries)}\n"
+            f"    ),\n    "
+        )
+        samp = " AND vec_id IN (SELECT vec_id FROM qids_)"
+    else:
+        qids_cte = ""
+        samp = ""
     return f"""v_ AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -12463,9 +12492,9 @@ def _l2_truth_ctes(m: int = 8, sub: int = 8, query_mod: int = 100,
       FROM embeddings
     ),
     sv_ AS (\n      {sv_sel}\n    ),
-    q_ AS (
+    {qids_cte}q_ AS (
       SELECT vec_id AS query_id, j, sv AS qv FROM sv_
-      WHERE vec_id % {query_mod} = 0
+      WHERE vec_id % {query_mod} = 0{samp}
     ),
     td_ AS (
       SELECT q_.query_id, s.vec_id AS neighbor_id, SUM({dist}) AS d2
@@ -12485,8 +12514,9 @@ def _l2_truth_ctes(m: int = 8, sub: int = 8, query_mod: int = 100,
 @register(
     "ivf_pq_recall",
     f"""
-    WITH {_l2_truth_ctes()},
-    approx AS (SELECT * FROM ({_ivf_pq_oracle()}))
+    WITH {_l2_truth_ctes(max_queries=sim.AUDIT_MAX_QUERIES)},
+    approx AS (SELECT * FROM (
+      {_ivf_pq_oracle(max_queries=sim.AUDIT_MAX_QUERIES)}))
     SELECT a.query_id,
            CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hits,
@@ -13515,11 +13545,18 @@ def q_newsvendor_quantile(spark, sf_dir):
 
 
 def _matryoshka_oracle(
-    prefix_dims: tuple = (16, 32), k: int = 10
+    prefix_dims: tuple = (16, 32), k: int = 10,
+    max_queries: int | None = None,
 ) -> str:
     """Replay both retrieval legs exactly: full-dim truth ranking once,
     then per prefix width a sliced-vector ranking, a semi-join overlap,
-    and the recall aggregate."""
+    and the recall aggregate (query set capped by the same md5-ordered
+    fixed budget the Spark operator applies)."""
+    samp = (
+        " AND vec_id IN (SELECT vec_id FROM qids)"
+        if max_queries is not None
+        else ""
+    )
     legs = []
     for d in prefix_dims:
         legs.append(
@@ -13527,7 +13564,7 @@ def _matryoshka_oracle(
           list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings),
     q{d} AS (SELECT vec_id AS query_id, emb AS q_emb FROM v{d}
-             WHERE vec_id % 100 = 0),
+             WHERE vec_id % 100 = 0{samp}),
     cand{d} AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -13562,11 +13599,16 @@ def _matryoshka_oracle(
     union = " UNION ALL ".join(
         f"SELECT * FROM rec{d}" for d in prefix_dims
     )
+    qids_cte = (
+        f"qids AS (\n      {_qids_select(100, max_queries)}\n    ),\n    "
+        if max_queries is not None
+        else ""
+    )
     return (
         f"""
     WITH v AS ({_DUCK_VECS}),
-    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
-          WHERE vec_id % 100 = 0),
+    {qids_cte}q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+          WHERE vec_id % 100 = 0{samp}),
     truth AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -13584,7 +13626,10 @@ def _matryoshka_oracle(
     )
 
 
-@register("matryoshka_recall", _matryoshka_oracle())
+@register(
+    "matryoshka_recall",
+    _matryoshka_oracle(max_queries=sim.AUDIT_MAX_QUERIES),
+)
 def q_matryoshka_recall(spark, sf_dir):
     return sim.matryoshka_recall(load_table(spark, sf_dir, "embeddings"))
 
@@ -14548,11 +14593,23 @@ def _register_ann_map_at_k() -> None:
     """Embed-the-replays construction (ann_recall_metrics pattern): the
     MAP oracle is both rankings + a hit-prefix window + one aggregate."""
 
+    # the embedded full replays are post-filtered to the audit's fixed
+    # md5-ordered query budget — equivalent to the Spark side's
+    # query-set capping because every per-query ranking is independent
+    # of other queries
+    samp = (
+        "query_id IN (SELECT vec_id FROM ("
+        + _qids_select(100, sim.AUDIT_MAX_QUERIES)
+        + "))"
+    )
+
     @register(
         "ann_map_at_k",
         f"""
-    WITH approx AS ({ORACLES["similarity_ivf_topk"]}),
-    exact AS ({ORACLES["similarity_topk"]}),
+    WITH approx AS (
+      SELECT * FROM ({ORACLES["similarity_ivf_topk"]}) WHERE {samp}),
+    exact AS (
+      SELECT * FROM ({ORACLES["similarity_topk"]}) WHERE {samp}),
     hits AS (
       SELECT a.query_id, a.rank,
              CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -16448,9 +16505,13 @@ _VERIFY_FIRST = [
 # Deliberate re-checks: queries that failed (or were fixed after) a prior
 # external gate window and should lead the next window even though the gate
 # has already seen them once.  embedding_covariance failed r7 on a ±0.0
-# representation cell, fixed above — re-verify it first.
+# representation cell; seasonal_decompose had the same latent class
+# (residual cell rounding to -0.0 in DuckDB, caught by the engine-wide
+# signed-zero audit) — both fixed with + 0.0 canonicalization, verify
+# them first.
 _RECHECK_FIRST = [
     "embedding_covariance",
+    "seasonal_decompose",
 ]
 
 # Among the never-externally-checked queries, lead with the round-6/7

@@ -23,9 +23,15 @@ ROWS_ONLY = [n for n in QUERIES if n not in ORACLES]
 def test_oracle_exact(spark, name):
     res = compare(name, spark, SF001, verbose=True)
     assert res["rows"] and res["schema"] and res["exact"], (name, res)
+    # signed-zero hazard (the ±0.0 class that cost embedding_covariance
+    # the r7 gate): a '-0.0' cell on EITHER leg is a latent stringified-
+    # hash failure even when both legs agree today — the zero's sign is
+    # engine-order-dependent. Canonicalize with + 0.0 after the round.
+    assert res["signed_zeros"] == 0, (name, res)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_nonempty(spark, name):
     res = compare(name, spark, SF001, verbose=True)
     assert res["rows"], (name, res)
+    assert res["signed_zeros"] == 0, (name, res)

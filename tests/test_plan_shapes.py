@@ -410,3 +410,18 @@ def test_synthetic_control_panel_is_checkpointed(spark):
     plan = _plan(spark, "synthetic_control")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_graph_degree_joins_carry_no_broadcast_hint(spark):
+    """Degree tables are NODE-sized: a hard F.broadcast hint would pin a
+    node-count-sized build side into every executor at 100 TB. The hint
+    is gone from the logical plan (ResolvedHint), while AQE still
+    CHOOSES a broadcast at this SF because the degree table is tiny —
+    the plan adapts instead of being pinned."""
+    for name in ("triangle_count_suppliers", "clustering_coefficient"):
+        df = QUERIES[name](spark, SF001)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical, name
+        df.collect()  # finalize AQE
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, name
