@@ -61,13 +61,22 @@ def find_regressions(
     bench): a loaded box slows every query by a shared factor, so each
     query's now/old ratio is divided by the run's median ratio before
     the (1.5× AND +0.5 s) test — uniform slowdowns report ~nothing,
-    real per-query plan regressions still flag."""
+    real per-query plan regressions still flag.
+
+    The baseline leg prefers the stored per-query MEDIAN over the min
+    (VERDICT r7 item 9): an elementwise best-of-N baseline reads ~1.5×
+    low against any single fresh run — and non-uniformly so (high-
+    variance queries read lower), which the shared-factor normalization
+    cannot remove; r7 flagged 4 regressions that idle-box re-runs
+    adjudicated as exactly this artifact. A single run vs the median of
+    N is the like-for-like comparison."""
     if prior.get("sf") != sf:
         return {}
+    base = prior.get("queries_median") or prior.get("queries", {})
     ratios = sorted(
         now / old
         for name, now in timings.items()
-        for old in [prior.get("queries", {}).get(name)]
+        for old in [base.get(name)]
         if old
     )
     box = ratios[len(ratios) // 2] if ratios else 1.0
@@ -75,7 +84,7 @@ def find_regressions(
     return {
         name: [old, now]
         for name, now in timings.items()
-        for old in [prior.get("queries", {}).get(name)]
+        for old in [base.get(name)]
         if old is not None
         and now > 1.5 * box * old
         and now - box * old > 0.5
@@ -167,10 +176,11 @@ def main() -> int:
         queries = {n: QUERIES[n] for n in names if n in QUERIES}
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     comm: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     for name, fn in queries.items():
-        best = None
+        runs: list[float] = []
         for _ in range(repeat):
             t0 = time.perf_counter()
             try:
@@ -183,8 +193,7 @@ def main() -> int:
                     comm[name] = run_with_metrics(df)
                 else:
                     materialize(df)
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.perf_counter() - t0)
             except Exception as exc:  # keep benching the rest
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"{name}: ERROR {errors[name]}", file=sys.stderr)
@@ -194,8 +203,12 @@ def main() -> int:
                 # subsidize (or GC-tax) later queries — every timing is
                 # self-contained
                 spark.catalog.clearCache()
-        if best is not None and name not in errors:
-            timings[name] = round(best, 3)
+        if runs and name not in errors:
+            timings[name] = round(min(runs), 3)
+            # the median is the honest BASELINE leg for future regression
+            # checks (a single fresh run compares like-for-like against
+            # it, unlike the min); with repeat=1 they coincide
+            medians[name] = round(sorted(runs)[len(runs) // 2], 3)
             print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -227,6 +240,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }
     if errors:

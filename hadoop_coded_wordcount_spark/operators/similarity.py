@@ -1187,6 +1187,7 @@ def pq_topk(
     query_mod: int = 100,
     k: int = 10,
     train_iters: int = 3,
+    rerank_mult: int | None = 3,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011) — the
     compression leg of the IVF-PQ index every billion-scale vector
@@ -1201,12 +1202,26 @@ def pq_topk(
     ADC stage for stage (``train_iters=0`` recovers the untrained
     id-sample baseline; the recall test pins trained > untrained).
 
+    EXACT RE-RANKING (default, VERDICT r7 item 7): the ADC scan keeps a
+    ``rerank_mult·k`` shortlist per query, whose raw subvectors are then
+    scored by the exact integer L2² and re-ranked — the two-stage
+    retrieve-then-rerank every production PQ deployment runs, because
+    ADC error mostly PERMUTES the near-top rather than evicting it
+    (measured recall@10 0.36 → 0.50 at rerank_mult=3, pinned in the
+    unit test). ``rank`` reflects the exact re-ranking; ``pq_dist``
+    stays the ADC estimate that built the shortlist (the honest
+    index-side number). ``rerank_mult=None`` recovers the pure-ADC
+    ranking. Both stages stay oracle-replayable — the rerank is one
+    more deterministic window over exact BIGINTs.
+
     Scale: training + encoding are ``train_iters+1`` corpus passes
     against a broadcast codebook (m·k rows); the ADC table is
     queries × m × codes — broadcast-tiny; the candidate score is an
     order-free BIGINT sum of m per-subspace table lookups, so scoring
-    shuffles (query, vec, j) code ids, never raw vectors. At 100×,
-    memory per candidate is m codes, not dim floats — the point of PQ.
+    shuffles (query, vec, j) code ids, never raw vectors; the rerank
+    reads rerank_mult·k raw vectors per query — bounded, never the
+    corpus. At 100×, memory per candidate is m codes, not dim floats —
+    the point of PQ.
     """
     sub = dim // m
     svecs = _pq_subvecs(embeddings, m, dim)
@@ -1228,7 +1243,8 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("ad"), F.asc("neighbor_id")
     )
-    return (
+    shortlist_n = k if rerank_mult is None else rerank_mult * k
+    shortlist = (
         enc.join(F.broadcast(dtab), ["j", "code_id"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
@@ -1239,15 +1255,36 @@ def pq_topk(
             "ad",
         )
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round(F.col("ad").cast("double") / F.lit(1.0e12), 6).alias(
-                "pq_dist"
-            ),
+        .where(F.col("rank") <= shortlist_n)
+    )
+    if rerank_mult is None:
+        ranked = shortlist
+    else:
+        dx = _pq_sqdist(F.col("qv"), F.col("sv"), sub)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.asc("d2"), F.asc("neighbor_id")
         )
+        ranked = (
+            shortlist.select("query_id", "neighbor_id", "ad")
+            .join(
+                svecs.select(
+                    F.col("vec_id").alias("neighbor_id"), "j", "sv"
+                ),
+                "neighbor_id",
+            )
+            .join(qsv, ["query_id", "j"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(dx).alias("d2"), F.first("ad").alias("ad"))
+            .withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+        )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round(F.col("ad").cast("double") / F.lit(1.0e12), 6).alias(
+            "pq_dist"
+        ),
     )
 
 
@@ -1305,6 +1342,7 @@ def ivf_pq_topk(
     train_iters: int = 3,
     svecs: DataFrame | None = None,
     max_queries: int | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """The composed IVF-PQ index — the architecture billion-scale
     vector stores actually deploy: IVF cell pruning bounds WHICH
@@ -1316,6 +1354,19 @@ def ivf_pq_topk(
     integer micro-unit Lloyd's — VERDICT r5 item 2) with the same
     exact-BIGINT ADC sum as :func:`pq_topk`, so the composition stays
     oracle-exact end to end, training included.
+
+    RESIDUAL encoding (default, VERDICT r7 item 7 — the Jégou IVFADC
+    form): PQ trains on and encodes ``vector − assigned-cell centroid``
+    instead of the raw vector, and each query builds one ADC table PER
+    PROBED CELL from ``query − that cell's centroid``. Residuals have a
+    fraction of the raw vectors' variance, so the same code budget
+    quantizes far finer — measured recall@10 0.500 vs 0.267 non-residual
+    at the same (m, codes, train_iters), pinned in the unit test.
+    Exactness is unchanged: centroids are corpus vectors, so residual
+    subvectors are exact BIGINT differences of micro units, and every
+    downstream stage (Lloyd rounds, encode, ADC) is the same integer
+    discipline the oracle replays; ``residual=False`` recovers the
+    shared-codebook form whose scores equal :func:`pq_topk`'s.
 
     Ranking is by PQ distance (asc, neighbor tie-break) WITHIN the
     probed cells — recall vs brute force compounds both approximations,
@@ -1376,37 +1427,111 @@ def ivf_pq_topk(
     # --- PQ stage: trained codebook, integer encode + ADC tables ---
     if svecs is None:
         svecs = _pq_subvecs(embeddings, m, dim)
-    cb = _pq_train_codebook(svecs, code_mod, train_iters, sub)
-    d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
-    enc = (
-        svecs.join(F.broadcast(cb), "j")
-        .groupBy("vec_id", "j")
-        .agg(F.min(F.struct(d.alias("d"), F.col("code_id"))).alias("b"))
-        .select("vec_id", "j", F.col("b.code_id").alias("code_id"))
-    )
     qsv = svecs.where(F.col("vec_id") % query_mod == 0)
     if qids is not None:
         qsv = qsv.join(F.broadcast(qids), "vec_id")
     qsv = qsv.select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
+    d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
     qd = _pq_sqdist(F.col("qv"), F.col("cv"), sub)
-    dtab = qsv.join(F.broadcast(cb), "j").select(
-        "query_id", "j", "code_id", qd.alias("d")
-    )
+    if residual:
+        # residual ANCHOR per cell = the MEAN of the members' micro
+        # subvectors (half-away rounded to BIGINT — the Lloyd-update
+        # idiom, replayed exactly by the oracle), NOT the id-sampled
+        # centroid vector: an id-sample is a random corpus point, and
+        # ``x − random-point`` has ~2× the variance of ``x − mean``,
+        # which measurably DESTROYS the residual advantage
+        csv = (
+            svecs.join(assigned, "vec_id")
+            .groupBy("cell_id", "j")
+            .agg(
+                *[
+                    F.round(
+                        F.sum(F.col("sv")[i]).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias(f"a{i}")
+                    for i in range(sub)
+                ]
+            )
+            .select(
+                "cell_id",
+                "j",
+                F.array(*[F.col(f"a{i}") for i in range(sub)]).alias("csv"),
+            )
+        )
+        rsub = F.array(
+            *[F.col("sv")[i] - F.col("csv")[i] for i in range(sub)]
+        )
+        # checkpoint: the Lloyd rounds make train_iters passes and the
+        # encode one more — recomputing the assignment argmax per pass
+        # would multiply the corpus×centroid stage
+        rsvecs = (
+            svecs.join(assigned, "vec_id")
+            .join(F.broadcast(csv), ["cell_id", "j"])
+            .select("vec_id", "cell_id", "j", rsub.alias("sv"))
+            .localCheckpoint(eager=True)
+        )
+        cb = _pq_train_codebook(
+            rsvecs.select("vec_id", "j", "sv"), code_mod, train_iters, sub
+        )
+        enc = (
+            rsvecs.join(F.broadcast(cb), "j")
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct(d.alias("d"), F.col("code_id"))).alias("b"))
+            .select("vec_id", "j", F.col("b.code_id").alias("code_id"))
+        )
+        # one ADC table per (query, probed cell): the query's residual
+        # against THAT cell's centroid — nprobe·m·codes rows per query,
+        # still broadcast-tiny
+        qres = (
+            qsv.join(probes, "query_id")
+            .join(F.broadcast(csv), ["cell_id", "j"])
+            .select(
+                "query_id",
+                "cell_id",
+                "j",
+                F.array(
+                    *[F.col("qv")[i] - F.col("csv")[i] for i in range(sub)]
+                ).alias("qv"),
+            )
+        )
+        dtab = qres.join(F.broadcast(cb), "j").select(
+            "query_id", "cell_id", "j", "code_id", qd.alias("d")
+        )
+        dtab_keys = ["query_id", "cell_id", "j", "code_id"]
+        cand = (
+            probes.join(assigned, "cell_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "cell_id", "vec_id")
+        )
+    else:
+        cb = _pq_train_codebook(svecs, code_mod, train_iters, sub)
+        enc = (
+            svecs.join(F.broadcast(cb), "j")
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct(d.alias("d"), F.col("code_id"))).alias("b"))
+            .select("vec_id", "j", F.col("b.code_id").alias("code_id"))
+        )
+        dtab = qsv.join(F.broadcast(cb), "j").select(
+            "query_id", "j", "code_id", qd.alias("d")
+        )
+        dtab_keys = ["query_id", "j", "code_id"]
+        cand = (
+            probes.join(assigned, "cell_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
 
     # --- compose: candidates = probed cells; score = exact ADC sum ---
-    cand = (
-        probes.join(assigned, "cell_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("ad"), F.asc("neighbor_id")
     )
     return (
         cand.join(enc, "vec_id")
-        .join(F.broadcast(dtab), ["query_id", "j", "code_id"])
+        .join(F.broadcast(dtab), dtab_keys)
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("ad"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "ad")

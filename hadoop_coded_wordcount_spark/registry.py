@@ -6090,31 +6090,36 @@ def _pq_isqd(a: str, b: str, sub: int = 8) -> str:
 
 
 def _pq_train_ctes(m: int = 8, sub: int = 8, code_mod: int = 31,
-                   train_iters: int = 3) -> tuple:
+                   train_iters: int = 3, src: str = "sv",
+                   include_base: bool = True) -> tuple:
     """CTE list replaying operators/similarity._pq_train_codebook stage
     for stage: micro-unit quantization, per-subspace id-sample init,
     then train_iters unrolled Lloyd rounds (argmin = MIN(d) + MIN(code)
     join-back == Spark's min-struct; centroid update = CAST(SUM AS
     DOUBLE)/COUNT(*) rounded half-away to BIGINT — one correctly-rounded
     IEEE division on identical exact inputs), ending with the encode of
-    every (vec, j) against the final codebook. Returns (ctes,
+    every (vec, j) against the final codebook. ``src`` names the
+    (vec_id, j, sv) training-input CTE — "sv" for raw subvectors, a
+    residual CTE for the IVFADC form; ``include_base=False`` skips the
+    v/sv base CTEs when the caller builds them itself. Returns (ctes,
     final_codebook_name)."""
     parts = []
-    parts.append("""v AS (
+    if include_base:
+        parts.append("""v AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
                AS e
       FROM embeddings
     )""")
-    sv_sel = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {j} AS j, e[{j * sub + 1}:{(j + 1) * sub}] AS sv "
-        "FROM v"
-        for j in range(m)
-    )
-    parts.append(f"sv AS (\n      {sv_sel}\n    )")
+        sv_sel = "\n      UNION ALL ".join(
+            f"SELECT vec_id, {j} AS j, e[{j * sub + 1}:{(j + 1) * sub}] AS sv "
+            "FROM v"
+            for j in range(m)
+        )
+        parts.append(f"sv AS (\n      {sv_sel}\n    )")
     parts.append(f"""cb0 AS (
-      SELECT j, vec_id AS code_id, sv AS cv FROM sv
+      SELECT j, vec_id AS code_id, sv AS cv FROM {src}
       WHERE vec_id % {code_mod} = 0
     )""")
     dist = _pq_isqd("s.sv", "c.cv", sub)
@@ -6126,7 +6131,7 @@ def _pq_train_ctes(m: int = 8, sub: int = 8, code_mod: int = 31,
         )
         parts.append(f"""d{r} AS (
       SELECT s.vec_id, s.j, c.code_id, {dist} AS d
-      FROM sv s JOIN cb{r} c ON s.j = c.j
+      FROM {src} s JOIN cb{r} c ON s.j = c.j
     )""")
         parts.append(f"""m{r} AS (
       SELECT vec_id, j, MIN(d) AS md FROM d{r} GROUP BY 1, 2
@@ -6139,13 +6144,13 @@ def _pq_train_ctes(m: int = 8, sub: int = 8, code_mod: int = 31,
     )""")
         parts.append(f"""cb{r + 1} AS (
       SELECT a.j, a.code_id, [{mean_cols}] AS cv
-      FROM a{r} a JOIN sv s ON s.vec_id = a.vec_id AND s.j = a.j
+      FROM a{r} a JOIN {src} s ON s.vec_id = a.vec_id AND s.j = a.j
       GROUP BY 1, 2
     )""")
     final = f"cb{train_iters}"
     parts.append(f"""de AS (
       SELECT s.vec_id, s.j, c.code_id, {dist} AS d
-      FROM sv s JOIN {final} c ON s.j = c.j
+      FROM {src} s JOIN {final} c ON s.j = c.j
     )""")
     parts.append("""me AS (
       SELECT vec_id, j, MIN(d) AS md FROM de GROUP BY 1, 2
@@ -6187,11 +6192,18 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
                    centroid_mod: int = 37, nprobe: int = 3,
                    query_mod: int = 100, k: int = 10,
                    train_iters: int = 3,
-                   max_queries: int | None = None) -> str:
+                   max_queries: int | None = None,
+                   residual: bool = True) -> str:
     """Composed replay: the IVF assignment/probe CTEs (same max-struct
     DESC / probe ASC tie-breaks as similarity_ivf_topk, doubles) feed
-    the TRAINED integer-micro PQ encode + exact-BIGINT ADC sum."""
-    ctes, final = _pq_train_ctes(m, sub, code_mod, train_iters)
+    the TRAINED integer-micro PQ encode + exact-BIGINT ADC sum. In the
+    default RESIDUAL (IVFADC) form, training/encoding run on
+    ``subvector − cell-mean-anchor`` (the anchor is the half-away-
+    rounded mean of the cell members' micro subvectors — the Lloyd-
+    update idiom) and each query gets one ADC table per probed cell
+    from its residual against that cell's anchor."""
+    base, _ = _pq_train_ctes(m, sub, code_mod, 0)
+    ctes = base[:2]  # v + sv only; training CTEs come after the IVF ones
     if max_queries is not None:
         ctes.append(
             f"qids AS (\n      {_qids_select(query_mod, max_queries)}\n    )"
@@ -6199,7 +6211,6 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
         samp = " AND vec_id IN (SELECT vec_id FROM qids)"
     else:
         samp = ""
-    qdist = _pq_isqd("qs.qv", "c.cv", sub)
     ctes.append(f"""vd AS ({_DUCK_VECS})""")
     ctes.append(f"""c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM vd
           WHERE vec_id % {centroid_mod} = 0)""")
@@ -6225,20 +6236,76 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
         FROM qv CROSS JOIN c
       ) WHERE rn <= {nprobe}
     )""")
-    ctes.append("""cand AS (
-      SELECT p.query_id, a.vec_id
-      FROM probes p JOIN asg a ON p.cell_id = a.cell_id
-      WHERE a.vec_id <> p.query_id
-    )""")
     ctes.append(f"""qs AS (
       SELECT vec_id AS query_id, j, sv AS qv FROM sv
       WHERE vec_id % {query_mod} = 0{samp}
     )""")
-    ctes.append(f"""dt AS (
+    if residual:
+        anchor_cols = ", ".join(
+            f"CAST(ROUND(CAST(SUM(s.sv[{i}]) AS DOUBLE) / COUNT(*)) "
+            "AS BIGINT)"
+            for i in range(1, sub + 1)
+        )
+        rsub = ", ".join(f"s.sv[{i}] - c.csv[{i}]" for i in range(1, sub + 1))
+        qrsub = ", ".join(
+            f"q.qv[{i}] - c.csv[{i}]" for i in range(1, sub + 1)
+        )
+        ctes.append(f"""csv AS (
+      SELECT a.cell_id, s.j, [{anchor_cols}] AS csv
+      FROM asg a JOIN sv s ON s.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""rsv AS (
+      SELECT s.vec_id, a.cell_id, s.j, [{rsub}] AS sv
+      FROM sv s
+      JOIN asg a ON a.vec_id = s.vec_id
+      JOIN csv c ON c.cell_id = a.cell_id AND c.j = s.j
+    )""")
+        train, final = _pq_train_ctes(
+            m, sub, code_mod, train_iters, src="rsv", include_base=False
+        )
+        ctes.extend(train)
+        ctes.append(f"""qrs AS (
+      SELECT q.query_id, p.cell_id, q.j, [{qrsub}] AS qv
+      FROM qs q
+      JOIN probes p ON p.query_id = q.query_id
+      JOIN csv c ON c.cell_id = p.cell_id AND c.j = q.j
+    )""")
+        qdist = _pq_isqd("qrs.qv", "c.cv", sub)
+        ctes.append(f"""dt AS (
+      SELECT qrs.query_id, qrs.cell_id, c.j, c.code_id, {qdist} AS d
+      FROM qrs JOIN {final} c ON qrs.j = c.j
+    )""")
+        ctes.append("""cand AS (
+      SELECT p.query_id, a.cell_id, a.vec_id
+      FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+      WHERE a.vec_id <> p.query_id
+    )""")
+        ctes.append("""scored AS (
+      SELECT cand.query_id, cand.vec_id, SUM(dt.d) AS ad
+      FROM cand
+      JOIN enc e ON e.vec_id = cand.vec_id
+      JOIN dt ON dt.query_id = cand.query_id
+             AND dt.cell_id = cand.cell_id
+             AND dt.j = e.j AND dt.code_id = e.code_id
+      GROUP BY 1, 2
+    )""")
+    else:
+        train, final = _pq_train_ctes(
+            m, sub, code_mod, train_iters, include_base=False
+        )
+        ctes.extend(train)
+        qdist = _pq_isqd("qs.qv", "c.cv", sub)
+        ctes.append("""cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+      WHERE a.vec_id <> p.query_id
+    )""")
+        ctes.append(f"""dt AS (
       SELECT qs.query_id, c.j, c.code_id, {qdist} AS d
       FROM qs JOIN {final} c ON qs.j = c.j
     )""")
-    ctes.append("""scored AS (
+        ctes.append("""scored AS (
       SELECT cand.query_id, cand.vec_id, SUM(dt.d) AS ad
       FROM cand
       JOIN enc e ON e.vec_id = cand.vec_id
@@ -6755,10 +6822,13 @@ def q_interval_coverage(spark, sf_dir):
 
 def _pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
                query_mod: int = 100, k: int = 10,
-               train_iters: int = 3) -> str:
+               train_iters: int = 3,
+               rerank_mult: int | None = 3) -> str:
     """Stage-for-stage replay of the TRAINED PQ pipeline: micro-unit
     quantization, per-subspace Lloyd rounds, integer encode, exact
-    BIGINT ADC sum over the m per-subspace lookups."""
+    BIGINT ADC sum over the m per-subspace lookups, then the exact-L2
+    re-rank of the rerank_mult·k ADC shortlist (pq_dist stays the ADC
+    estimate; rank reflects the exact re-ranking)."""
     ctes, final = _pq_train_ctes(m, sub, code_mod, train_iters)
     qdist = _pq_isqd("q.qv", "c.cv", sub)
     ctes.append(f"""q AS (
@@ -6775,7 +6845,37 @@ def _pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
       WHERE e.vec_id <> dt.query_id
       GROUP BY 1, 2
     )""")
-    return "WITH " + ",\n    ".join(ctes) + _PQ_RANKED.format(k=k)
+    if rerank_mult is None:
+        return "WITH " + ",\n    ".join(ctes) + _PQ_RANKED.format(k=k)
+    xdist = _pq_isqd("q.qv", "v.sv", sub)
+    ctes.append(f"""shortlist AS (
+      SELECT query_id, vec_id, ad FROM (
+        SELECT query_id, vec_id, ad,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ad ASC, vec_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= {rerank_mult * k}
+    )""")
+    ctes.append(f"""rr AS (
+      SELECT s.query_id, s.vec_id, s.ad, SUM({xdist}) AS d2
+      FROM shortlist s
+      JOIN sv v ON v.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id AND q.j = v.j
+      GROUP BY 1, 2, 3
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, rank,
+           ROUND(CAST(ad AS DOUBLE) / 1000000000000.0, 6) AS pq_dist
+    FROM (
+      SELECT query_id, vec_id AS neighbor_id, ad,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d2 ASC, vec_id ASC)
+                  AS INT) AS rank
+      FROM rr
+    ) WHERE rank <= {k}
+    """
+    )
 
 
 @register("pq_topk", _pq_oracle())

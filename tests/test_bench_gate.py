@@ -54,3 +54,20 @@ def test_sf_mismatch_is_silent():
     find = _load_find_regressions()
     prior = {"sf": 0.01, "queries": {"a": 1.0}}
     assert find(prior, {"a": 9.0}, 0.1) == {}
+
+
+def test_median_baseline_preferred_over_min():
+    """VERDICT r7 item 9: an elementwise best-of-N baseline reads low
+    against any single fresh run, firing the gate on noise. When the
+    stored detail carries queries_median, the gate must compare against
+    it — a run that matches the medians reports nothing even though it
+    is ~1.6x the stored mins."""
+    find = _load_find_regressions()
+    mins = {f"q{i}": 1.0 for i in range(40)}
+    medians = {n: 1.6 for n in mins}
+    prior = {"sf": 0.1, "queries": mins, "queries_median": medians}
+    fresh = {n: 1.7 for n in mins}  # typical run, near the medians
+    assert find(prior, fresh, 0.1) == {}
+    # a genuine plan regression still flags against the median leg
+    fresh["q5"] = 1.6 * 3.0
+    assert set(find(prior, fresh, 0.1)) == {"q5"}

@@ -340,9 +340,11 @@ def test_pq_topk_planted_clusters_and_real_recall(spark):
     rank same-cluster members (pq_dist 0) above all others (Lloyd
     rounds on exact-copy members are a fixed point, so training keeps
     the prototypes); on the real corpus the TRAINED codebook must beat
-    the untrained id-sample init on recall@10 vs brute-force L2
-    (deterministic pipelines -> stable values; measured 0.36 trained
-    vs 0.28 untrained at 3 Lloyd rounds)."""
+    the untrained id-sample init on recall@10 vs brute-force L2, and
+    the default exact re-rank of the ADC shortlist must beat pure ADC
+    (VERDICT r7 item 7; deterministic pipelines -> stable values;
+    measured 0.28 ADC-untrained, 0.36 ADC-trained, 0.50 rerank-trained
+    at 3 Lloyd rounds, rerank_mult=3)."""
     import numpy as np
     from collections import defaultdict
 
@@ -392,10 +394,22 @@ def test_pq_topk_planted_clusters_and_real_recall(spark):
             recalls.append(len(neigh & set(order)) / 10)
         return sum(recalls) / len(recalls)
 
-    r_untrained = mean_recall(sim.pq_topk(real, train_iters=0))
-    r_trained = mean_recall(sim.pq_topk(real))
-    assert r_trained > r_untrained, (r_trained, r_untrained)
-    assert r_trained >= 0.3
+    r_adc_untrained = mean_recall(
+        sim.pq_topk(real, train_iters=0, rerank_mult=None)
+    )
+    r_adc_trained = mean_recall(sim.pq_topk(real, rerank_mult=None))
+    r_rerank_trained = mean_recall(sim.pq_topk(real))
+    assert r_adc_trained > r_adc_untrained, (
+        r_adc_trained,
+        r_adc_untrained,
+    )
+    # the r7 verdict's bar: strictly above the 0.36 ADC-trained level
+    assert r_rerank_trained > r_adc_trained, (
+        r_rerank_trained,
+        r_adc_trained,
+    )
+    assert r_rerank_trained > 0.36
+    assert r_rerank_trained >= 0.5
 
 
 def test_ann_recall_metrics_match_python_replay(spark):
@@ -419,16 +433,18 @@ def test_ann_recall_metrics_match_python_replay(spark):
 
 
 def test_ivf_pq_composition_consistency(spark):
-    """IVF-PQ scores must agree exactly with plain PQ on shared
-    (query, neighbor) pairs (same codebooks, same ADC tables), its
-    candidates must be a subset of the probed IVF cells' members, and
-    rank sequences must be contiguous."""
+    """In the SHARED-codebook form (residual=False), IVF-PQ scores must
+    agree exactly with plain pure-ADC PQ on shared (query, neighbor)
+    pairs (same codebooks, same ADC tables); rank sequences must be
+    contiguous and distance-sorted in both forms."""
     emb = load_table(spark, SF001, "embeddings")
     pq = {
         (r.query_id, r.neighbor_id): r.pq_dist
-        for r in sim.pq_topk(emb).collect()
+        for r in sim.pq_topk(emb, rerank_mult=None).collect()
     }
-    composed = sim.ivf_pq_topk(emb).collect()
+    composed = sim.ivf_pq_topk(
+        emb, residual=False, max_queries=None
+    ).collect()
     assert composed
     by_q = {}
     for r in composed:
@@ -440,6 +456,47 @@ def test_ivf_pq_composition_consistency(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         dists = [r.pq_dist for r in rows]
         assert dists == sorted(dists)
+    # residual (IVFADC) form: same contiguity/sort invariants hold
+    residual = sim.ivf_pq_topk(emb, max_queries=None).collect()
+    assert residual
+    by_q = {}
+    for r in residual:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.pq_dist for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_ivf_pq_residual_recovers_planted_clusters(spark):
+    """Residual IVFADC on PLANTED clusters: members of a cluster share
+    their cell, their residuals vs the cell-mean anchor are identical
+    for exact copies, so the encoded distance between a query and its
+    exact-copy members is 0 and they rank first — the geometry residual
+    encoding is designed to exploit."""
+    rows = []
+    # centroid_mod=37 samples vec_ids 0, 37, 74, 111 as IVF centroids —
+    # make them the prototypes, members exact copies on nearby ids
+    for c, base in enumerate([0, 37, 74, 111]):
+        v = [0.0] * 64
+        for d in range(c * 16, c * 16 + 16):
+            v[d] = 1.0 + c
+        rows.append((base, v))
+        rows.append((base + 1, list(v)))
+        rows.append((base + 2, list(v)))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = sim.ivf_pq_topk(
+        emb, query_mod=37, k=2, max_queries=None
+    ).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.pq_dist))
+    for base in (0, 37, 74, 111):
+        assert [n for n, _ in got[base]] == [base + 1, base + 2], got
+        assert all(d == 0.0 for _, d in got[base]), got
 
 
 def test_ann_ndcg_matches_python_replay(spark):
