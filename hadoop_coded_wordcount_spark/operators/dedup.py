@@ -1257,25 +1257,32 @@ def lsh_tuning_curve(
                 .alias("n_tp"),
             )
         )
+    from ..sources.catalog import finish_cached
+
     out = per_config[0]
     for c in per_config[1:]:
         out = out.unionAll(c)
-    return out.join(F.broadcast(n_truth)).select(
-        "bands",
-        "rows_per_band",
-        "n_candidates",
-        "n_tp",
-        "n_truth",
-        F.round(
-            F.col("n_tp").cast("double")
-            / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0)),
-            6,
-        ).alias("recall"),
-        F.round(
-            F.col("n_tp").cast("double")
-            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
-            6,
-        ).alias("precision"),
+    return finish_cached(
+        out.join(F.broadcast(n_truth)).select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_tp",
+            "n_truth",
+            F.round(
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("precision"),
+        ),
+        g,
+        sig,
+        truth,
     )
 
 

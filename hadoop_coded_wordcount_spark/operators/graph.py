@@ -393,8 +393,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     counts = oriented.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
-    return counts.crossJoin(tri).select(
-        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
+        counts.crossJoin(tri).select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles"
+        ),
+        oriented,
     )
 
 

@@ -555,7 +555,9 @@ def conformal_interval(lineitem: DataFrame, q_pct: float = 0.9) -> DataFrame:
             .alias("n_covered"),
         )
     )
-    return test.select(
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(test.select(
         "l_returnflag",
         "n_train",
         "slope",
@@ -567,7 +569,7 @@ def conformal_interval(lineitem: DataFrame, q_pct: float = 0.9) -> DataFrame:
             F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
             6,
         ).alias("coverage"),
-    )
+    ), base)
 
 
 def class_separability(embeddings: DataFrame) -> DataFrame:
@@ -815,23 +817,28 @@ def logistic_gd(orders: DataFrame, iters: int = 4) -> DataFrame:
         "w2",
         F.expr("w0*x0u + w1*x1u + w2*x2u").alias("z12"),
     )
-    return fit.groupBy("w0", "w1", "w2").agg(
-        F.round(
-            F.sum(
-                F.when(
-                    (F.col("z12") > 0) == (F.col("yu") == 1000000), 1
-                ).otherwise(0)
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("train_accuracy"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    ).select(
-        F.round(F.col("w0") / F.lit(1000000.0), 6).alias("w_intercept"),
-        F.round(F.col("w1") / F.lit(1000000.0), 6).alias("w_price"),
-        F.round(F.col("w2") / F.lit(1000000.0), 6).alias("w_priority"),
-        "train_accuracy",
-        "n",
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
+        fit.groupBy("w0", "w1", "w2").agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("z12") > 0) == (F.col("yu") == 1000000), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("train_accuracy"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        ).select(
+            F.round(F.col("w0") / F.lit(1000000.0), 6).alias("w_intercept"),
+            F.round(F.col("w1") / F.lit(1000000.0), 6).alias("w_price"),
+            F.round(F.col("w2") / F.lit(1000000.0), 6).alias("w_priority"),
+            "train_accuracy",
+            "n",
+        ),
+        feat,
     )
 
 
@@ -930,12 +937,19 @@ def ols_normal_equations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.round(resid * resid, 4).cast("decimal(28,4)").alias("se"),
         F.round(dev * dev, 4).cast("decimal(28,4)").alias("st"),
     )
-    return fit.groupBy("beta0", "beta_lines", "beta_qty", "n").agg(
-        F.expr(
-            "ROUND(1.0 - CAST(SUM(se) AS DOUBLE)"
-            " / CAST(SUM(st) AS DOUBLE), 6)"
-        ).alias("r2")
-    ).select("beta0", "beta_lines", "beta_qty", "r2", "n")
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
+        fit.groupBy("beta0", "beta_lines", "beta_qty", "n")
+        .agg(
+            F.expr(
+                "ROUND(1.0 - CAST(SUM(se) AS DOUBLE)"
+                " / CAST(SUM(st) AS DOUBLE), 6)"
+            ).alias("r2")
+        )
+        .select("beta0", "beta_lines", "beta_qty", "r2", "n"),
+        per_order,
+    )
 
 
 def _label_centroids(embeddings: DataFrame, dim: int):
@@ -1151,6 +1165,7 @@ def gbm_stumps(
         ).alias("fm")
     )
     po = base.crossJoin(F.broadcast(f0)).persist()
+    cached = [base, po]
     out = []
     for k in range(1, rounds + 1):
         melt = po.selectExpr(
@@ -1221,6 +1236,7 @@ def gbm_stumps(
             "addl",
             "addr",
         ).persist()
+        cached.append(po_next)
         err = po_next.groupBy("bf", "bt", "addl", "addr").agg(
             F.expr(
                 "ROUND(CAST(SUM(CAST(ROUND((y - fm) * (y - fm), 4)"
@@ -1239,10 +1255,12 @@ def gbm_stumps(
             )
         )
         po = po_next.select("x1", "x2", "y", "fm")
+    from ..sources.catalog import finish_cached
+
     res = out[0]
     for o in out[1:]:
         res = res.unionAll(o)
-    return res
+    return finish_cached(res, *cached)
 
 
 def isotonic_calibration(events: DataFrame) -> DataFrame:
@@ -1679,11 +1697,16 @@ def als_rank1(
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
         F.sum("r").cast("bigint").alias("n_ratings"),
     )
-    return v.join(stats, "p_brand").select(
-        "p_brand",
-        F.col("v").cast("double").alias("v_factor"),
-        "n_custs",
-        "n_ratings",
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
+        v.join(stats, "p_brand").select(
+            "p_brand",
+            F.col("v").cast("double").alias("v_factor"),
+            "n_custs",
+            "n_ratings",
+        ),
+        ratings,
     )
 
 
@@ -1923,10 +1946,12 @@ def huber_irls(lineitem: DataFrame, rounds: int = 3) -> DataFrame:
             )
         )
         p = fitted.select("a", "b")
+    from ..sources.catalog import finish_cached
+
     out = out_rows[0]
     for r in out_rows[1:]:
         out = out.unionAll(r)
-    return out
+    return finish_cached(out, feat)
 
 
 def synthetic_control(

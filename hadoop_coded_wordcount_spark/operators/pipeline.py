@@ -183,11 +183,16 @@ def contamination_check(documents: DataFrame, n: int = 3) -> DataFrame:
     val = sh.where(F.col("split") == "validation").select(
         "doc_id", F.explode("grams").alias("gram")
     )
+    from ..sources.catalog import finish_cached
+
     hits = val.join(train_grams, "gram", "left_semi")
-    return hits.agg(
-        F.count_distinct("doc_id").alias("n_contaminated_docs"),
-        F.count_distinct("gram").alias("n_colliding_grams"),
-        F.count(F.lit(1)).alias("n_gram_hits"),
+    return finish_cached(
+        hits.agg(
+            F.count_distinct("doc_id").alias("n_contaminated_docs"),
+            F.count_distinct("gram").alias("n_colliding_grams"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        ),
+        sh,
     )
 
 

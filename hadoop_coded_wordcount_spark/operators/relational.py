@@ -6150,17 +6150,22 @@ def permutation_test_price(orders: DataFrame, n_reps: int = 64) -> DataFrame:
         .cast("bigint")
         .alias("n_extreme"),
     )
-    return obs.crossJoin(extreme).select(
-        "n1",
-        "n2",
-        "obs_diff",
-        F.col("n_reps_done").alias("n_reps"),
-        "n_extreme",
-        F.round(
-            (F.col("n_extreme") + 1).cast("double")
-            / (F.col("n_reps_done") + 1).cast("double"),
-            6,
-        ).alias("p_value"),
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
+        obs.crossJoin(extreme).select(
+            "n1",
+            "n2",
+            "obs_diff",
+            F.col("n_reps_done").alias("n_reps"),
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1).cast("double")
+                / (F.col("n_reps_done") + 1).cast("double"),
+                6,
+            ).alias("p_value"),
+        ),
+        base,
     )
 
 
@@ -9648,7 +9653,9 @@ def matrix_profile_hourly(events: DataFrame, w: int = 24) -> DataFrame:
             F.round(F.sqrt("md"), 6).alias("discord_dist"),
         )
     )
-    return motif.join(discord, "event_type")
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(motif.join(discord, "event_type"), wins, pairs)
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -11786,7 +11793,9 @@ def theil_decomposition(customer: DataFrame, orders: DataFrame) -> DataFrame:
             ),
         ).alias("between_share"),
     )
-    return out
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(out, spend)
 
 
 def price_index_fisher(lineitem: DataFrame) -> DataFrame:

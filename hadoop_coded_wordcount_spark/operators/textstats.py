@@ -1491,7 +1491,9 @@ def bm25_topk(documents: DataFrame, n_query_terms: int = 5, k: int = 20) -> Data
         .cast("decimal(18,6)")
         .alias("ts"),
     )
-    return (
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
         per_term.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_matched"),
@@ -1503,7 +1505,8 @@ def bm25_topk(documents: DataFrame, n_query_terms: int = 5, k: int = 20) -> Data
             F.col("score_dec").cast("double").alias("bm25"),
         )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(k)
+        .limit(k),
+        tf,
     )
 
 
@@ -1610,9 +1613,12 @@ def naive_bayes_langid(documents: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
     )
-    return (
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
         pred.groupBy(F.col("true_lang").alias("lang"), "pred_lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")),
+        model,
     )
 
 
@@ -2125,7 +2131,7 @@ def boilerplate_ngrams(
     n_boiler = boiler.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_boiler_grams")
     )
-    return (
+    out = (
         shares.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2145,6 +2151,9 @@ def boilerplate_ngrams(
             "avg_boiler_share",
         )
     )
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(out, grams)
 
 
 def trigram_lm(documents: DataFrame) -> DataFrame:
@@ -2836,7 +2845,9 @@ def qlm_dirichlet_topk(
         ),
         6,
     ).cast("decimal(18,6)")
-    return (
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
         dense.groupBy("doc_id")
         .agg(
             F.sum((F.col("tf0") > 0).cast("int")).cast("bigint")
@@ -2849,7 +2860,8 @@ def qlm_dirichlet_topk(
             "doc_id",
             "n_matched",
             F.col("score_dec").cast("double").alias("qlm"),
-        )
+        ),
+        tf,
     )
 
 
@@ -3083,17 +3095,22 @@ def burrows_delta(documents: DataFrame, m: int = 20) -> DataFrame:
     # (observed: 22.783350/20 = 1.1391675), where engines break the
     # double-rounding differently — so the mean is taken in exact
     # integer micro-units with half-up integer division instead
-    return g.select(
-        "source_a",
-        "source_b",
-        "n_words",
-        (
-            F.expr(
-                "(CAST(sum_absz * 1000000 AS BIGINT) * 2 + n_words) "
-                "DIV (2 * n_words)"
-            ).cast("double")
-            / F.lit(1000000.0)
-        ).alias("delta"),
+    from ..sources.catalog import finish_cached
+
+    return finish_cached(
+        g.select(
+            "source_a",
+            "source_b",
+            "n_words",
+            (
+                F.expr(
+                    "(CAST(sum_absz * 1000000 AS BIGINT) * 2 + n_words) "
+                    "DIV (2 * n_words)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("delta"),
+        ),
+        ex,
     )
 
 
