@@ -1288,7 +1288,11 @@ def pq_topk(
     )
 
 
-def ann_recall_metrics(embeddings: DataFrame, k: int = 10) -> DataFrame:
+def ann_recall_metrics(
+    embeddings: DataFrame,
+    k: int = 10,
+    max_queries: int | None = AUDIT_MAX_QUERIES,
+) -> DataFrame:
     """Ranking-quality scoreboard for the ANN index: per query, compare
     the IVF approximate top-k (:func:`cosine_ivf_topk`) against the
     exact brute-force top-k (:func:`cosine_topk`) and report hit count,
@@ -1299,15 +1303,16 @@ def ann_recall_metrics(embeddings: DataFrame, k: int = 10) -> DataFrame:
 
     Both pipelines are deterministic, so the metrics are exact values,
     not estimates: the oracle replays BOTH rankings and the same
-    left-join/aggregate. Scale: two bounded top-k pipelines plus one
-    join on (query, neighbor) pairs — k rows per query per side.
+    left-join/aggregate. Scale: the exact-truth leg is queries×corpus,
+    so the query set caps at the fixed md5-ordered ``AUDIT_MAX_QUERIES``
+    budget (:func:`audit_qids`); per-query values are unchanged.
     """
-    exact = cosine_topk(embeddings, k=k).select(
+    exact = cosine_topk(embeddings, k=k, max_queries=max_queries).select(
         "query_id", "neighbor_id", F.lit(1).alias("is_true")
     )
-    approx = cosine_ivf_topk(embeddings, k=k).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    approx = cosine_ivf_topk(
+        embeddings, k=k, max_queries=max_queries
+    ).select("query_id", "neighbor_id", "rank")
     per_q = (
         approx.join(exact, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -1548,7 +1553,11 @@ def ivf_pq_topk(
     )
 
 
-def ann_ndcg(embeddings: DataFrame, k: int = 10) -> DataFrame:
+def ann_ndcg(
+    embeddings: DataFrame,
+    k: int = 10,
+    max_queries: int | None = AUDIT_MAX_QUERIES,
+) -> DataFrame:
     """NDCG@k of the IVF approximate ranking against brute-force truth —
     the graded companion to :func:`ann_recall_metrics`: recall says
     whether true neighbors showed up, NDCG says whether they showed up
@@ -1562,18 +1571,19 @@ def ann_ndcg(embeddings: DataFrame, k: int = 10) -> DataFrame:
     computed from the exact list the same way, so ndcg ≤ 1 with
     equality iff the approximate order matches truth.
 
-    Scale: two bounded top-k pipelines + one (query, neighbor) join —
-    k rows per query per side, same as the recall scoreboard.
+    Scale: the exact-truth leg caps at the fixed md5-ordered
+    ``AUDIT_MAX_QUERIES`` budget (:func:`audit_qids`), same as the
+    recall scoreboard; per-query values are unchanged.
     """
-    exact = cosine_topk(embeddings, k=k).select(
+    exact = cosine_topk(embeddings, k=k, max_queries=max_queries).select(
         "query_id",
         "neighbor_id",
         (k + 1 - F.col("rank")).alias("rel"),
         F.col("rank").alias("true_rank"),
     )
-    approx = cosine_ivf_topk(embeddings, k=k).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    approx = cosine_ivf_topk(
+        embeddings, k=k, max_queries=max_queries
+    ).select("query_id", "neighbor_id", "rank")
     dcg = (
         approx.join(exact, ["query_id", "neighbor_id"], "left")
         .select(

@@ -6475,13 +6475,23 @@ def q_topn_with_other(spark, sf_dir):
 def _register_ann_recall_metrics() -> None:
     """Registered via a helper so the oracle can embed the already-
     registered IVF and brute-force replays as subqueries — the metrics
-    oracle is literally 'both rankings + one left-join aggregate'."""
+    oracle is literally 'both rankings + one left-join aggregate'.
+    Both replays are post-filtered to the fixed md5-ordered audit
+    query budget (the ann_map_at_k construction — per-query rows are
+    independent, so the filter commutes with the rankings)."""
+    samp = (
+        "query_id IN (SELECT vec_id FROM ("
+        + _qids_select(100, sim.AUDIT_MAX_QUERIES)
+        + "))"
+    )
 
     @register(
         "ann_recall_metrics",
         f"""
-    WITH approx AS ({ORACLES["similarity_ivf_topk"]}),
-    exact AS ({ORACLES["similarity_topk"]}),
+    WITH approx AS (
+      SELECT * FROM ({ORACLES["similarity_ivf_topk"]}) WHERE {samp}),
+    exact AS (
+      SELECT * FROM ({ORACLES["similarity_topk"]}) WHERE {samp}),
     pq AS (
       SELECT a.query_id,
              CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
@@ -6509,13 +6519,21 @@ _register_ann_recall_metrics()
 def _register_ann_ndcg() -> None:
     """Same embed-the-replays construction as ann_recall_metrics: the
     NDCG oracle is both rankings + graded log-discounted terms (rounded
-    per term, decimal-summed — the transcendental-aggregate rule)."""
+    per term, decimal-summed — the transcendental-aggregate rule),
+    post-filtered to the fixed audit query budget."""
+    samp = (
+        "query_id IN (SELECT vec_id FROM ("
+        + _qids_select(100, sim.AUDIT_MAX_QUERIES)
+        + "))"
+    )
 
     @register(
         "ann_ndcg",
         f"""
-    WITH approx AS ({ORACLES["similarity_ivf_topk"]}),
-    exact AS ({ORACLES["similarity_topk"]}),
+    WITH approx AS (
+      SELECT * FROM ({ORACLES["similarity_ivf_topk"]}) WHERE {samp}),
+    exact AS (
+      SELECT * FROM ({ORACLES["similarity_topk"]}) WHERE {samp}),
     dcg AS (
       SELECT a.query_id,
              SUM(CAST(ROUND(CAST(COALESCE(11 - e.rank, 0) AS DOUBLE)
