@@ -326,7 +326,7 @@ def supplier_knn_graph(lineitem: DataFrame, k: int = 3) -> DataFrame:
     ).distinct()
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, eager: bool = True) -> DataFrame:
     """Exact triangle count by degree orientation — the shape that keeps
     triangle counting feasible on skewed graphs at 100 TB.
 
@@ -344,7 +344,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     exactly b -> c and ONE equi-join finds it).
 
     Input contract: undirected edges, one row per edge, src < dst.
-    Output: one row (n_nodes, n_edges, n_wedges, n_triangles).
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles), eagerly
+    materialized by default so the persisted oriented-edge cache
+    releases before return (``eager=False`` keeps the plan lazy — the
+    plan-shape test inspects the degree join through it).
     """
     deg = (
         edges.select(F.col("src").alias("v"))
@@ -395,12 +398,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     from ..sources.catalog import finish_cached
 
-    return finish_cached(
-        counts.crossJoin(tri).select(
-            "n_nodes", "n_edges", "n_wedges", "n_triangles"
-        ),
-        oriented,
+    out = counts.crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
     )
+    if not eager:
+        return out
+    return finish_cached(out, oriented)
 
 
 def k_core(edges: DataFrame, k: int = 2, max_rounds: int = 40) -> DataFrame:

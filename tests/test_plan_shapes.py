@@ -417,11 +417,28 @@ def test_graph_degree_joins_carry_no_broadcast_hint(spark):
     node-count-sized build side into every executor at 100 TB. The hint
     is gone from the logical plan (ResolvedHint), while AQE still
     CHOOSES a broadcast at this SF because the degree table is tiny —
-    the plan adapts instead of being pinned."""
-    for name in ("triangle_count_suppliers", "clustering_coefficient"):
-        df = QUERIES[name](spark, SF001)
-        logical = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "ResolvedHint" not in logical, name
-        df.collect()  # finalize AQE
-        final = df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in final, name
+    the plan adapts instead of being pinned. clustering_coefficient is
+    inspected through the registry (its plan stays lazy);
+    triangle_count is eager by default (cache release), so its degree
+    join is inspected through the eager=False form on the same shape.
+    """
+    from hadoop_coded_wordcount_spark.operators import graph as gr
+
+    df = QUERIES["clustering_coefficient"](spark, SF001)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    df.collect()  # finalize AQE
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(0, 40) for j in range(i + 1, 40)
+         if (i * 7 + j) % 5 == 0],
+        "src bigint, dst bigint",
+    )
+    tdf = gr.triangle_count(edges, eager=False)
+    logical = tdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    tdf.collect()
+    final = tdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
