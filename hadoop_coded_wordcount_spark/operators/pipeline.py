@@ -905,6 +905,7 @@ def dsir_selection(
     n_buckets: int = 128,
     k_per_source: int = 5,
     target_lang: str = "en",
+    eager: bool = True,
 ) -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al.,
     NeurIPS 2023) over hashed bigram features: score every document by
@@ -1001,7 +1002,7 @@ def dsir_selection(
         )
     )
     rk = Window.partitionBy("source").orderBy(F.desc("w"), F.asc("doc_id"))
-    return finish_cached(
+    out = (
         weights.withColumn("sel_rank", F.row_number().over(rk))
         .where(F.col("sel_rank") <= k_per_source)
         .select(
@@ -1010,9 +1011,11 @@ def dsir_selection(
             "n_bigrams",
             F.round(F.col("w").cast("double"), 6).alias("dsir_weight"),
             "sel_rank",
-        ),
-        per_doc,
+        )
     )
+    if not eager:  # lazy form for plan inspection
+        return out
+    return finish_cached(out, per_doc)
 
 
 def coverage_greedy_selection(

@@ -326,8 +326,17 @@ def test_label_propagation_state_is_checkpointed(spark):
 def test_dsir_model_join_broadcasts(spark):
     """The DSIR bucket model (≤ n_buckets rows) must broadcast to the
     per-doc weight join — a sort-merge there would shuffle the per-doc
-    bucket counts twice."""
-    plan = _plan(spark, "dsir_selection")
+    bucket counts twice. The registry form is eager (cache release), so
+    the plan is inspected through the lazy eager=False form."""
+    from hadoop_coded_wordcount_spark.operators import pipeline as pl
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    plan = (
+        pl.dsir_selection(load_table(spark, SF001, "documents"), eager=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
