@@ -59,14 +59,28 @@ __all__ = [
 #: unchanged; pass ``max_queries=None`` for the full-query audit.
 AUDIT_MAX_QUERIES: int = 16
 
+#: Fixed INDEX budgets (the nlist / codebook-size knobs every production
+#: vector store pins): id-mod sampling alone makes the centroid and code
+#: counts track corpus size, so IVF assignment (corpus×cells) and PQ
+#: training (corpus×codes per Lloyd round) grow QUADRATICALLY with the
+#: data — measured 6.4× at the 10× decade before the cap. Both budgets
+#: exceed the mod-sampled counts at the gate SFs (sf0.01: ~16 cells /
+#: ~17 codes; sf0.1: ~54 / ~194), so small-SF values are bit-identical;
+#: at larger SFs the caps hold index-build cost linear in the corpus.
+ANN_MAX_CELLS: int = 256
+ANN_MAX_CODES: int = 256
+
 
 def audit_qids(ids: DataFrame, query_mod: int, max_queries: int) -> DataFrame:
-    """The deterministic bounded ANN audit query set: id-mod selection,
-    then the ``max_queries`` ids that sort FIRST by md5(str(id)) — an
-    order the DuckDB oracles replay verbatim
+    """A deterministic FIXED id budget: id-mod selection, then the
+    ``max_queries`` ids that sort FIRST by md5(str(id)) — an order the
+    DuckDB oracles replay verbatim
     (``ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT n``).
     TakeOrdered-planned (distributed partial top-N), never a global
-    single-partition window."""
+    single-partition window. Used for the ANN audit query set AND the
+    IVF-cell / PQ-code index budgets (``ANN_MAX_CELLS`` /
+    ``ANN_MAX_CODES``) — anywhere a mod-sampled id set must stop
+    tracking corpus size."""
     return (
         ids.where(F.col("vec_id") % query_mod == 0)
         .select(
@@ -183,6 +197,7 @@ def cosine_ivf_topk(
     centroids: DataFrame | None = None,
     dim: int = 64,
     max_queries: int | None = None,
+    max_cells: int | None = ANN_MAX_CELLS,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cell pruning.
 
@@ -210,8 +225,16 @@ def cosine_ivf_topk(
         .select("vec_id", _as_double("embedding").alias("emb"))
         .withColumn("nrm", norm)
     )
-    if centroids is None:  # default: deterministic id-sample
-        centroids = vecs.where(F.col("vec_id") % centroid_mod == 0).select(
+    if centroids is None:  # default: deterministic id-sample, capped at
+        # the fixed ANN_MAX_CELLS budget so the corpus×cells assignment
+        # stays linear in the corpus (the nlist knob)
+        centroids = vecs.where(F.col("vec_id") % centroid_mod == 0)
+        if max_cells is not None:
+            centroids = centroids.join(
+                F.broadcast(audit_qids(vecs, centroid_mod, max_cells)),
+                "vec_id",
+            )
+        centroids = centroids.select(
             F.col("vec_id").alias("cell_id"),
             F.col("emb").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
@@ -1120,7 +1143,11 @@ def _pq_sqdist(a: Column, b: Column, sub: int) -> Column:
 
 
 def _pq_train_codebook(
-    svecs: DataFrame, code_mod: int, train_iters: int, sub: int
+    svecs: DataFrame,
+    code_mod: int,
+    train_iters: int,
+    sub: int,
+    max_codes: int | None = None,
 ) -> DataFrame:
     """Per-subspace Lloyd's k-means on the integer micro-unit subvectors
     (VERDICT r5 item 2: the trained codebook pq_topk lacked). Init is the
@@ -1139,10 +1166,24 @@ def _pq_train_codebook(
 
     Scale: each round is one corpus-long-format pass against a broadcast
     codebook (m·k rows); centroid state is m·k·sub integers — never
-    corpus-sized, never collected."""
+    corpus-sized, never collected. ``max_codes`` caps the id-sampled
+    init at a FIXED budget (md5-ordered, :func:`audit_qids`) so the
+    codebook stops tracking corpus size — without it each Lloyd round
+    is corpus×(corpus/code_mod) distance evals, quadratic in the data."""
+    init = svecs.where(F.col("vec_id") % code_mod == 0)
+    if max_codes is not None:
+        init = init.join(
+            F.broadcast(
+                audit_qids(
+                    svecs.select("vec_id").distinct(), code_mod, max_codes
+                )
+            ),
+            "vec_id",
+        )
     cb = (
-        svecs.where(F.col("vec_id") % code_mod == 0)
-        .select("j", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv"))
+        init.select(
+            "j", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
+        )
         .localCheckpoint(eager=True)
     )
     d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
@@ -1188,6 +1229,7 @@ def pq_topk(
     k: int = 10,
     train_iters: int = 3,
     rerank_mult: int | None = 3,
+    max_codes: int | None = ANN_MAX_CODES,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011) — the
     compression leg of the IVF-PQ index every billion-scale vector
@@ -1225,7 +1267,9 @@ def pq_topk(
     """
     sub = dim // m
     svecs = _pq_subvecs(embeddings, m, dim)
-    cb = _pq_train_codebook(svecs, code_mod, train_iters, sub)
+    cb = _pq_train_codebook(
+        svecs, code_mod, train_iters, sub, max_codes=max_codes
+    )
     d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
     enc = (
         svecs.join(F.broadcast(cb), "j")
@@ -1348,6 +1392,8 @@ def ivf_pq_topk(
     svecs: DataFrame | None = None,
     max_queries: int | None = None,
     residual: bool = True,
+    max_cells: int | None = ANN_MAX_CELLS,
+    max_codes: int | None = ANN_MAX_CODES,
 ) -> DataFrame:
     """The composed IVF-PQ index — the architecture billion-scale
     vector stores actually deploy: IVF cell pruning bounds WHICH
@@ -1388,7 +1434,13 @@ def ivf_pq_topk(
     # --- IVF stage: cell assignment + query probes (cosine geometry) ---
     norm = F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x)))
     nvecs = vecs.withColumn("nrm", norm)
-    cents = nvecs.where(F.col("vec_id") % centroid_mod == 0).select(
+    cents = nvecs.where(F.col("vec_id") % centroid_mod == 0)
+    if max_cells is not None:  # fixed nlist budget — see ANN_MAX_CELLS
+        cents = cents.join(
+            F.broadcast(audit_qids(nvecs, centroid_mod, max_cells)),
+            "vec_id",
+        )
+    cents = cents.select(
         F.col("vec_id").alias("cell_id"),
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
@@ -1480,7 +1532,11 @@ def ivf_pq_topk(
             .localCheckpoint(eager=True)
         )
         cb = _pq_train_codebook(
-            rsvecs.select("vec_id", "j", "sv"), code_mod, train_iters, sub
+            rsvecs.select("vec_id", "j", "sv"),
+            code_mod,
+            train_iters,
+            sub,
+            max_codes=max_codes,
         )
         enc = (
             rsvecs.join(F.broadcast(cb), "j")
@@ -1513,7 +1569,9 @@ def ivf_pq_topk(
             .select("query_id", "cell_id", "vec_id")
         )
     else:
-        cb = _pq_train_codebook(svecs, code_mod, train_iters, sub)
+        cb = _pq_train_codebook(
+            svecs, code_mod, train_iters, sub, max_codes=max_codes
+        )
         enc = (
             svecs.join(F.broadcast(cb), "j")
             .groupBy("vec_id", "j")

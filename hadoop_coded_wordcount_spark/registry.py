@@ -1934,7 +1934,10 @@ def q_similarity_topk_pandas(spark, sf_dir):
     f"""
     WITH v0 AS ({_DUCK_VECS}),
     v AS (SELECT vec_id, emb FROM v0),
-    c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM v WHERE vec_id % 37 = 0),
+    c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM v WHERE vec_id % 37 = 0
+          AND vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 37 = 0
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                         LIMIT {sim.ANN_MAX_CELLS})),
     asg AS (
       SELECT vec_id, cell_id FROM (
         SELECT v.vec_id, c.cell_id,
@@ -6091,7 +6094,8 @@ def _pq_isqd(a: str, b: str, sub: int = 8) -> str:
 
 def _pq_train_ctes(m: int = 8, sub: int = 8, code_mod: int = 31,
                    train_iters: int = 3, src: str = "sv",
-                   include_base: bool = True) -> tuple:
+                   include_base: bool = True,
+                   max_codes: int | None = None) -> tuple:
     """CTE list replaying operators/similarity._pq_train_codebook stage
     for stage: micro-unit quantization, per-subspace id-sample init,
     then train_iters unrolled Lloyd rounds (argmin = MIN(d) + MIN(code)
@@ -6118,9 +6122,15 @@ def _pq_train_ctes(m: int = 8, sub: int = 8, code_mod: int = 31,
             for j in range(m)
         )
         parts.append(f"sv AS (\n      {sv_sel}\n    )")
+    code_cap = (
+        f"\n        AND vec_id IN (SELECT vec_id FROM ("
+        f"{_qids_select(code_mod, max_codes)}))"
+        if max_codes is not None
+        else ""
+    )
     parts.append(f"""cb0 AS (
       SELECT j, vec_id AS code_id, sv AS cv FROM {src}
-      WHERE vec_id % {code_mod} = 0
+      WHERE vec_id % {code_mod} = 0{code_cap}
     )""")
     dist = _pq_isqd("s.sv", "c.cv", sub)
     for r in range(train_iters):
@@ -6193,7 +6203,9 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
                    query_mod: int = 100, k: int = 10,
                    train_iters: int = 3,
                    max_queries: int | None = None,
-                   residual: bool = True) -> str:
+                   residual: bool = True,
+                   max_cells: int | None = None,
+                   max_codes: int | None = None) -> str:
     """Composed replay: the IVF assignment/probe CTEs (same max-struct
     DESC / probe ASC tie-breaks as similarity_ivf_topk, doubles) feed
     the TRAINED integer-micro PQ encode + exact-BIGINT ADC sum. In the
@@ -6211,9 +6223,15 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
         samp = " AND vec_id IN (SELECT vec_id FROM qids)"
     else:
         samp = ""
+    cell_cap = (
+        f"\n        AND vec_id IN (SELECT vec_id FROM ("
+        f"{_qids_select(centroid_mod, max_cells)}))"
+        if max_cells is not None
+        else ""
+    )
     ctes.append(f"""vd AS ({_DUCK_VECS})""")
     ctes.append(f"""c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM vd
-          WHERE vec_id % {centroid_mod} = 0)""")
+          WHERE vec_id % {centroid_mod} = 0{cell_cap})""")
     ctes.append(f"""asg AS (
       SELECT vec_id, cell_id FROM (
         SELECT vd.vec_id, c.cell_id,
@@ -6262,7 +6280,8 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
       JOIN csv c ON c.cell_id = a.cell_id AND c.j = s.j
     )""")
         train, final = _pq_train_ctes(
-            m, sub, code_mod, train_iters, src="rsv", include_base=False
+            m, sub, code_mod, train_iters, src="rsv", include_base=False,
+            max_codes=max_codes,
         )
         ctes.extend(train)
         ctes.append(f"""qrs AS (
@@ -6292,7 +6311,8 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
     )""")
     else:
         train, final = _pq_train_ctes(
-            m, sub, code_mod, train_iters, include_base=False
+            m, sub, code_mod, train_iters, include_base=False,
+            max_codes=max_codes,
         )
         ctes.extend(train)
         qdist = _pq_isqd("qs.qv", "c.cv", sub)
@@ -6316,7 +6336,12 @@ def _ivf_pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
     return "WITH " + ",\n    ".join(ctes) + _PQ_RANKED.format(k=k)
 
 
-@register("ivf_pq_topk", _ivf_pq_oracle())
+@register(
+    "ivf_pq_topk",
+    _ivf_pq_oracle(
+        max_cells=sim.ANN_MAX_CELLS, max_codes=sim.ANN_MAX_CODES
+    ),
+)
 def q_ivf_pq_topk(spark, sf_dir):
     return sim.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -6841,13 +6866,16 @@ def q_interval_coverage(spark, sf_dir):
 def _pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
                query_mod: int = 100, k: int = 10,
                train_iters: int = 3,
-               rerank_mult: int | None = 3) -> str:
+               rerank_mult: int | None = 3,
+               max_codes: int | None = None) -> str:
     """Stage-for-stage replay of the TRAINED PQ pipeline: micro-unit
     quantization, per-subspace Lloyd rounds, integer encode, exact
     BIGINT ADC sum over the m per-subspace lookups, then the exact-L2
     re-rank of the rerank_mult·k ADC shortlist (pq_dist stays the ADC
     estimate; rank reflects the exact re-ranking)."""
-    ctes, final = _pq_train_ctes(m, sub, code_mod, train_iters)
+    ctes, final = _pq_train_ctes(
+        m, sub, code_mod, train_iters, max_codes=max_codes
+    )
     qdist = _pq_isqd("q.qv", "c.cv", sub)
     ctes.append(f"""q AS (
       SELECT vec_id AS query_id, j, sv AS qv FROM sv
@@ -6896,7 +6924,7 @@ def _pq_oracle(m: int = 8, sub: int = 8, code_mod: int = 31,
     )
 
 
-@register("pq_topk", _pq_oracle())
+@register("pq_topk", _pq_oracle(max_codes=sim.ANN_MAX_CODES))
 def q_pq_topk(spark, sf_dir):
     return sim.pq_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -12634,7 +12662,9 @@ def _l2_truth_ctes(m: int = 8, sub: int = 8, query_mod: int = 100,
     f"""
     WITH {_l2_truth_ctes(max_queries=sim.AUDIT_MAX_QUERIES)},
     approx AS (SELECT * FROM (
-      {_ivf_pq_oracle(max_queries=sim.AUDIT_MAX_QUERIES)}))
+      {_ivf_pq_oracle(max_queries=sim.AUDIT_MAX_QUERIES,
+                      max_cells=sim.ANN_MAX_CELLS,
+                      max_codes=sim.ANN_MAX_CODES)}))
     SELECT a.query_id,
            CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hits,
