@@ -68,8 +68,10 @@ def find_regressions(
     low against any single fresh run — and non-uniformly so (high-
     variance queries read lower), which the shared-factor normalization
     cannot remove; r7 flagged 4 regressions that idle-box re-runs
-    adjudicated as exactly this artifact. A single run vs the median of
-    N is the like-for-like comparison."""
+    adjudicated as exactly this artifact. The FRESH leg must be the
+    run's median too (with repeat=1 min and median coincide): gating
+    the fresh min against the stored median is biased low on the fresh
+    side and can mask real regressions when repeat>1."""
     if prior.get("sf") != sf:
         return {}
     base = prior.get("queries_median") or prior.get("queries", {})
@@ -230,7 +232,10 @@ def main() -> int:
     try:
         with open(detail_path) as fh:
             prior = json.load(fh)
-        regressions = find_regressions(prior, timings, sf)
+        # median-vs-median: the stored baseline leg is the per-query
+        # median, so the fresh leg must be too (min-vs-median reads
+        # ~uniformly low and can hide a real regression at repeat>1)
+        regressions = find_regressions(prior, medians, sf)
     except (OSError, ValueError):
         pass
     for name, (old, now) in sorted(regressions.items()):

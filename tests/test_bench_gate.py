@@ -71,3 +71,24 @@ def test_median_baseline_preferred_over_min():
     # a genuine plan regression still flags against the median leg
     fresh["q5"] = 1.6 * 3.0
     assert set(find(prior, fresh, 0.1)) == {"q5"}
+
+
+def test_caller_gates_fresh_median_not_min():
+    """ADVICE r8: the stored baseline leg is the per-query median, so the
+    fresh leg must be the run's median too — min-vs-median is biased low
+    on the fresh side at repeat>1 and can mask a real regression. Pin
+    the call site: find_regressions receives the medians dict."""
+    import ast
+
+    src = open(spec.origin).read()
+    calls = [
+        n
+        for n in ast.walk(ast.parse(src))
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Name)
+        and n.func.id == "find_regressions"
+    ]
+    assert calls, "find_regressions is never called in bench.py"
+    for call in calls:
+        fresh_arg = call.args[1]
+        assert isinstance(fresh_arg, ast.Name) and fresh_arg.id == "medians"
