@@ -16395,288 +16395,17 @@ def q_word_adaptation(spark, sf_dir):
     return ts.word_adaptation(load_table(spark, sf_dir, "documents"))
 
 
-_VERIFY_FIRST = [
-    # Round-7 rotation: the round-6 gate window draws ~50 queries from the
-    # head of the registry order, so the first 50 names of the round-6
-    # rotation (shapley_attribution .. position_attribution) are presumed
-    # externally checked by CORRECTNESS_r06 and re-queued at the BACK of
-    # this list.  The head below is the remainder of the never-externally-
-    # checked set (positions 51-177 of the round-6 rotation, still never
-    # seen by the gate), followed by the round-7 additions.
-    "overdispersion_index",
-    "residual_anomaly",
-    "embedding_drift",
-    "top_session_paths",
-    "langid_confusion",
-    "chunk_documents",
-    "duplicate_spans",
-    "bfs_trade",
-    "degree_distribution",
-    "debounce_events",
-    "hll_manual_users",
-    "cms_manual_counts",
-    "triangle_count_suppliers",
-    "ewma_values",
-    "perplexity_buckets",
-    "char_entropy",
-    "embedding_rp",
-    "embedding_covariance",
-    "click_attribution",
-    "dedup_keep_best",
-    "rolling_median",
-    "hll_sliding_users",
-    "collocations_pmi",
-    "join_asof_nearest",
-    "pareto_front",
-    "concurrency_profile",
-    "funnel_sequence",
-    "markov_transitions",
-    "keyset_page",
-    "abandoned_views",
-    "sketch_join_cardinality",
-    "dwell_time_stats",
-    "cohort_matrix",
-    "acf_hourly",
-    "sprt_conversion",
-    "clustering_coefficient",
-    "adamic_adar",
-    "bm25_topk",
-    "naive_bayes_langid",
-    "gap_fill_interp",
-    "quantile_normalize",
-    "dq_rule_battery",
-    "feature_hashing",
-    "permutation_test",
-    "theil_sen_trend",
-    "stump_split",
-    "cv_fold_metrics",
-    "conformal_interval",
-    "pca_power_iteration",
-    "diff_in_diff",
-    "item_item_cosine",
-    "jarque_bera",
-    "ipw_ate",
-    "markov_eval",
-    "forecast_eval_mase",
-    "hit_rate_at_k",
-    "funnel_significance",
-    "mde_power",
-    "market_concentration",
-    "retention_decay",
-    "burstiness",
-    "xcorr_types",
-    "k_truss",
-    "time_to_convert",
-    "price_elasticity",
-    "npv_clv",
-    "spearman_corr",
-    "regression_discontinuity",
-    "cramers_v",
-    "growth_accounting",
-    "dau_mau_stickiness",
-    "rank_movers",
-    "ab_srm_check",
-    "quantile_shift",
-    "session_depth_hist",
-    "rolling_7d_actives",
-    "p_chart_errors",
-    "joint_histogram",
-    "anova_hour_of_day",
-    "open_order_age",
-    "kl_js_sources",
-    "wilson_ci_types",
-    "lift_gain_deciles",
-    "order_lines_hist",
-    "user_type_entropy",
-    "ngram_novelty",
-    "ttr_by_lang",
-    "token_coverage_topk",
-    "dup_rate_by_source",
-    "weekday_seasonality",
-    "abc_classification",
-    "single_source_risk",
-    "k_anonymity",
-    "ship_delay_percentiles",
-    "repeat_purchase",
-    "mg_heavy_hitters",
-    "token_budget_waterfill",
-    "decile_migration",
-    "embedding_quantization",
-    "ucb_allocation",
-    "hapax_rate",
-    "class_separability",
-    "int8_recall",
-    "hll_set_ops",
-    "return_rate_by_brand",
-    "segment_spend_outliers",
-    "discount_curve",
-    "sla_trend",
-    "duplicate_orders",
-    "session_type_lift",
-    "token_drift_movers",
-    "triplet_margin",
-    "chisq_uniform_props",
-    "minute_dedup_events",
-    "silhouette_by_label",
-    "davies_bouldin",
-    "eb_shrunk_return_rates",
-    "correlation_matrix",
-    "mann_kendall_trend",
-    # Round-6 additions — never gate-checked; queue directly behind the
-    # rotated never-checked set.
-    "gopher_quality_flags",
-    "vocab_overlap_sources",
-    "corpus_datasheet",
-    "cohens_kappa",
-    "band_join_parts",
-    "ivf_pq_recall",
-    "negative_sampling",
-    "preference_pairs",
-    "label_propagation_suppliers",
-    "dedup_token_impact",
-    # --- round-7 additions are inserted here as they land ---
-    "dsir_selection",
-    "coverage_greedy_selection",
-    "bh_fdr",
-    "nelson_aalen",
-    "yule_walker_ar2",
-    "doremi_weights",
-    "psm_caliper_match",
-    "cox_ph_binary",
-    "kruskal_wallis",
-    "als_rank1",
-    "l_diversity",
-    "ccnet_pipeline",
-    "source_loo_value",
-    "hot_key_audit",
-    "spectral_bisection_suppliers",
-    "pacf_hourly",
-    "negbin_fit",
-    "matryoshka_recall",
-    "gumbel_extremes",
-    "newsvendor_quantile",
-    "qte_deciles",
-    "bm25_prf_topk",
-    "ecod_outliers",
-    "keyness_terms",
-    "logrank_segments",
-    "qlm_dirichlet_topk",
-    "periodogram_hourly",
-    "huber_irls",
-    "pairwise_welch_bonferroni",
-    "ann_map_at_k",
-    "encoding_anomaly",
-    "kneser_ney_bigram",
-    "burrows_delta",
-    "t_closeness",
-    "levene_bf",
-    "synthetic_control",
-    "fellegi_sunter_em",
-    "text_tiling_cohesion",
-    "cmh_test",
-    "wasserstein_source_lengths",
-    "compression_ratio_quality",
-    "sax_hourly",
-    "hurst_hourly",
-    "ljung_box",
-    "two_pass_exact_median",
-    "image_ahash_neardup",
-    "audio_features",
-    "events_windowed_topk",
-    "km_rmst",
-    "max_drawdown",
-    "dedup_capture_recapture",
-    "theil_decomposition",
-    "bradley_terry_sources",
-    "ipf_raking",
-    "price_index_fisher",
-    "bass_diffusion",
-    "seasonal_strength",
-    "seasonal_mann_kendall",
-    "word_adaptation",
-    # Presumed checked by the round-6 gate window (head of the round-6
-    # rotation); re-queued last so they only re-run once everything above
-    # has been externally checked at least once.
-    "shapley_attribution",
-    "logistic_gd",
-    "gbm_stumps",
-    "ols_normal_equations",
-    "isotonic_calibration",
-    "markov_removal_attribution",
-    "dbscan_embeddings",
-    "landmark_bfs",
-    "croston_intermittent",
-    "matrix_profile_hourly",
-    "trigram_lm",
-    "boilerplate_ngrams",
-    "lsh_tuning_curve",
-    "ivf_pq_topk",
-    "pq_topk",
-    "embedding_neardup_pairs",
-    "ks_test",
-    "mann_whitney",
-    "holt_winters",
-    "auc_roc",
-    "ann_recall_metrics",
-    "topn_with_other",
-    "gini_lorenz",
-    "source_diversity",
-    "revenue_bridge",
-    "degree_assortativity",
-    "source_overlap",
-    "calibration_bins",
-    "mutual_information",
-    "subsample_ci",
-    "target_encoding",
-    "scd2_compressed",
-    "merge_apply_changes",
-    "hits_ranking",
-    "modularity_nations",
-    "ann_ndcg",
-    "association_rules",
-    "tokenizer_fertility",
-    "mmr_topk",
-    "lateral_topn",
-    "running_distinct_types",
-    "session_bounce_rate",
-    "readability_scores",
-    "bigram_heldout_xent",
-    "vocab_growth_curve",
-    "watermark_lateness",
-    "seasonal_decompose",
-    "clamped_running_balance",
-    "zipf_fit",
-    "position_attribution",
-]
-
-
-# Deliberate re-checks: queries that failed (or were fixed after) a prior
-# external gate window and should lead the next window even though the gate
-# has already seen them once.  embedding_covariance failed r7 on a ±0.0
-# representation cell; seasonal_decompose had the same latent class
-# (residual cell rounding to -0.0 in DuckDB, caught by the engine-wide
-# signed-zero audit) — both fixed with + 0.0 canonicalization, verify
-# them first.
-_RECHECK_FIRST = [
-    "embedding_covariance",
-    "seasonal_decompose",
-]
-
-# Among the never-externally-checked queries, lead with the round-6/7
-# additions the r7 verdict called out by name (highest information value:
-# each exercises a distinct new operator family).
-_NEVER_CHECKED_PRIORITY = [
-    "dsir_selection",
-    "doremi_weights",
-    "coverage_greedy_selection",
-    "cox_ph_binary",
-    "als_rank1",
-    "image_ahash_neardup",
-    "audio_features",
-    "fellegi_sunter_em",
-    "two_pass_exact_median",
-    "kneser_ney_bigram",
-]
+# The legacy hand-rotated _VERIFY_FIRST head (238 names) is gone: it went
+# stale twice (rounds 5 and 7) and the order is now derived entirely from
+# the driver's CORRECTNESS_r*.json files by _gate_checked_rounds() below.
+#
+# _RECHECK_FIRST: deliberate re-checks that should LEAD the next gate
+# window even though the gate has already seen them — use it only for a
+# query that failed (or was fixed after) a prior external window, and
+# CLEAR the entry as soon as the re-check lands green (otherwise it
+# permanently occupies window slots: embedding_covariance and
+# seasonal_decompose passed in r8 and were removed here).
+_RECHECK_FIRST: list = []
 
 
 def _gate_checked_rounds() -> dict:
@@ -16715,18 +16444,14 @@ def _gate_checked_rounds() -> dict:
 def _reorder_registry() -> None:
     checked = _gate_checked_rounds()
     recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
-    prio = {n: i for i, n in enumerate(_NEVER_CHECKED_PRIORITY)}
-    vf = {n: i for i, n in enumerate(_VERIFY_FIRST)}
-    big = len(vf) + len(QUERIES)
 
     def key(item):
         idx, n = item
         if n in recheck:
             return (-(10**6), recheck[n], 0)
         # primary: least-recently-gate-checked first (never-checked = -1);
-        # tiebreak: the explicit priority list, then the legacy
-        # _VERIFY_FIRST order, then registration order (stable).
-        return (checked.get(n, -1), prio.get(n, len(prio) + vf.get(n, big)), idx)
+        # tiebreak: registration order (stable).
+        return (checked.get(n, -1), idx)
 
     order = [n for _, n in sorted(enumerate(QUERIES), key=key)]
     for d in (QUERIES, ORACLES):

@@ -30,12 +30,20 @@ def _externally_checked() -> set:
     return names
 
 
-def test_window_head_is_never_checked_except_rechecks():
+def test_window_head_fills_with_never_checked_first():
+    """Never-checked names must fill the window head before any checked
+    name appears (ADVICE r8: a blanket 'no checked names in the first 50'
+    would start failing — on a correctly working rotation — once fewer
+    than 50 never-checked queries remain)."""
     checked = _externally_checked()
-    head = list(QUERIES)[:50]
-    stale = [n for n in head if n in checked and n not in _RECHECK_FIRST]
+    head = [n for n in list(QUERIES)[:50] if n not in _RECHECK_FIRST]
+    first_checked = next(
+        (i for i, n in enumerate(head) if n in checked), len(head)
+    )
+    stale = [n for n in head[first_checked:] if n not in checked]
     assert not stale, (
-        "gate window would re-check already-green queries: %s" % stale
+        "never-checked queries sorted after checked ones in the gate "
+        "window: %s" % stale
     )
 
 
