@@ -344,6 +344,7 @@ def windowed_topk_stream(
     width: str = "1 hour",
     lateness: str = "10 minutes",
     k: int = 3,
+    compact_every: int = 8,
 ):
     """Streaming top-k per tumbling window: ranking windows aren't
     allowed inside a streaming aggregation, so this runs the supported
@@ -353,14 +354,26 @@ def windowed_topk_stream(
 
     The accumulated (window, event_type, cnt) state lives in a DURABLE
     parquet sink under the checkpoint directory, NOT a driver-side dict:
-    each micro-batch appends its update-mode deltas stamped with
-    batch_id, and the snapshot takes the latest cnt per key
-    (``max_by(cnt, batch_id)``). Appends are idempotent under batch
-    replay (a retried batch re-appends identical rows with the same
-    batch_id, which the latest-per-key read collapses), and a RESTART
-    from the checkpointLocation rebuilds the full view including
-    windows finalized before the restart — a dict-backed version
-    silently lost those.
+    each micro-batch OVERWRITES its own ``delta/bid=<batch_id>``
+    subdirectory (so a replayed batch rewrites rather than duplicates),
+    and the snapshot takes the latest cnt per key
+    (``max_by(cnt, batch_id)``). A RESTART from the checkpointLocation
+    rebuilds the full view including windows finalized before the
+    restart — a dict-backed version silently lost those.
+
+    State is COMPACTED every ``compact_every`` batches: the
+    latest-per-key snapshot (carrying each key's max batch_id, so later
+    deltas still win the ``max_by``) is rewritten into a fresh
+    ``compact/gen=<batch_id>`` generation, and consumed delta dirs plus
+    older generations are garbage-collected. Per-batch read work is
+    thus one bounded snapshot + at most ``compact_every`` delta dirs —
+    NOT the full append history, which grew O(batches^2) cumulative
+    read and unbounded small files on a long-running stream. Windows
+    the watermark finalized stop producing deltas entirely, so after
+    their last compaction they cost one snapshot row, nothing more.
+    GC is correctness-free: if a crash leaves an old generation or a
+    consumed delta behind, the max_by collapse over (all generations +
+    all deltas) still yields the same snapshot.
     """
     counts = (
         _as_event_time(stream)
@@ -369,6 +382,24 @@ def windowed_topk_stream(
         .agg(F.count("*").alias("cnt"))
     )
     state_path = os.path.join(checkpoint, "topk_state")
+    delta_root = os.path.join(state_path, "delta")
+    compact_root = os.path.join(state_path, "compact")
+
+    def _fs(spark, p):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+    def _subdirs(spark, root):
+        fs, jvm = _fs(spark, root)
+        jroot = jvm.org.apache.hadoop.fs.Path(root)
+        if not fs.exists(jroot):
+            return []
+        return sorted(
+            st.getPath().toString()
+            for st in fs.listStatus(jroot)
+            if st.isDirectory()
+        )
 
     def emit(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -379,20 +410,42 @@ def windowed_topk_stream(
                 F.col("cnt").cast("bigint").alias("cnt"),
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
             )
-            .write.mode("append")
-            .parquet(state_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(delta_root, "bid=%d" % batch_id))
         )
+        dirs = _subdirs(spark, compact_root) + _subdirs(spark, delta_root)
         snap = (
-            spark.read.parquet(state_path)
+            spark.read.parquet(*dirs)
             .groupBy("window_start", "event_type")
-            .agg(F.expr("max_by(cnt, batch_id)").alias("cnt"))
+            .agg(
+                F.expr("max_by(cnt, batch_id)").alias("cnt"),
+                F.max("batch_id").alias("batch_id"),
+            )
         )
+        if batch_id % compact_every == compact_every - 1:
+            gen = os.path.join(compact_root, "gen=%d" % batch_id)
+            snap.write.mode("overwrite").parquet(gen)
+            fs, jvm = _fs(spark, state_path)
+            gen_base = os.path.basename(gen)
+            for d in _subdirs(spark, compact_root):
+                if os.path.basename(d.rstrip("/")) != gen_base:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            for d in _subdirs(spark, delta_root):
+                base = os.path.basename(d.rstrip("/"))
+                try:
+                    bid = int(base.split("=", 1)[1])
+                except (IndexError, ValueError):
+                    continue
+                if bid <= batch_id:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            snap = spark.read.parquet(gen)
         wr = W.partitionBy("window_start").orderBy(
             F.desc("cnt"), F.asc("event_type")
         )
         (
             snap.withColumn("rnk", F.row_number().over(wr))
             .where(F.col("rnk") <= k)
+            .select("window_start", "event_type", "cnt", "rnk")
             .createOrReplaceGlobalTempView(sink_table)
         )
 

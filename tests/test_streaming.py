@@ -834,6 +834,64 @@ def test_windowed_topk_stream_equals_batch(spark, tmp_path):
     assert all(rnk <= 3 for _, rnk in got.values())
 
 
+def test_windowed_topk_stream_compacts_state(spark, tmp_path):
+    """ADVICE r8: the durable state must not accumulate one delta dir
+    per micro-batch forever (O(batches^2) cumulative re-read, small-file
+    proliferation). With compact_every=2 over 6 micro-batches, the state
+    dir must end with one compacted generation and at most
+    compact_every-1 live delta dirs — and the view must still equal the
+    batch twin exactly."""
+    import os
+
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(6).write.parquet(src)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = sw.windowed_topk_stream(
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        sink_table="topk_snap_compact",
+        checkpoint=ckpt,
+        # files arrive in arbitrary time order (repartition shuffles rows
+        # across them), so disarm watermark late-drops — this test is
+        # about state compaction, not lateness semantics
+        lateness="365 days",
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+
+    state = os.path.join(ckpt, "topk_state")
+    delta_dir = os.path.join(state, "delta")
+    deltas = (
+        [d for d in os.listdir(delta_dir) if d.startswith("bid=")]
+        if os.path.isdir(delta_dir)
+        else []
+    )
+    gens = [
+        d
+        for d in os.listdir(os.path.join(state, "compact"))
+        if d.startswith("gen=")
+    ]
+    assert len(gens) == 1, gens
+    assert len(deltas) <= 1, deltas  # compact_every - 1
+
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.rnk)
+        for r in spark.sql(
+            "SELECT * FROM global_temp.topk_snap_compact"
+        ).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.rnk)
+        for r in sw.windowed_topk(events).collect()
+    }
+    assert got == want
+
+
 def test_windowed_topk_stream_restart_keeps_finalized_windows(
     spark, tmp_path
 ):
