@@ -5212,9 +5212,12 @@ def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
     engines, then ``+ 0.0`` canonicalizes the zero sign (a residual
     rounding to exact zero keeps the engine-dependent sign of the tiny
     pre-round value — the ±0.0 stringified-hash class, caught by the
-    engine-wide signed-zero audit). Rows without a full centered window
-    carry NULL trend and drop out of the seasonal fit, exactly as
-    classic decompose does.
+    engine-wide signed-zero audit). The trend column gets the same
+    ``+ 0.0`` on both engines — counts keep it non-negative today, but
+    the canonicalization costs nothing and removes the latent class
+    outright (ADVICE r8). Rows without a full centered window carry
+    NULL trend and drop out of the seasonal fit, exactly as classic
+    decompose does.
 
     Scale: one partial-agg to the (type, hour) grid; both windows
     partition by type; the seasonal fit is a (type × period) grid join.
@@ -5265,7 +5268,7 @@ def seasonal_decompose(events: DataFrame, period: int = 24) -> DataFrame:
             "event_type",
             F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
             "x",
-            F.round("trend", 6).alias("trend"),
+            (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
             "seasonal",
             (
                 F.round(

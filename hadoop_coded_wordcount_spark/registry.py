@@ -5281,7 +5281,7 @@ def q_watermark_lateness(spark, sf_dir):
     )
     SELECT d.event_type,
            strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, d.x,
-           ROUND(d.trend, 6) AS trend, s.seasonal,
+           ROUND(d.trend, 6) + 0.0 AS trend, s.seasonal,
            ROUND(d.x - d.trend - s.seasonal, 6) + 0.0 AS residual
     FROM det d LEFT JOIN seasonal s
       ON d.event_type = s.event_type AND d.hod = s.hod
