@@ -1394,6 +1394,7 @@ def ivf_pq_topk(
     residual: bool = True,
     max_cells: int | None = ANN_MAX_CELLS,
     max_codes: int | None = ANN_MAX_CODES,
+    qids: DataFrame | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ index — the architecture billion-scale
     vector stores actually deploy: IVF cell pruning bounds WHICH
@@ -1448,17 +1449,23 @@ def ivf_pq_topk(
     ccos = dot_unrolled(F.col("c_emb"), F.col("emb"), dim) / (
         F.col("c_nrm") * F.col("nrm")
     )
+    # checkpoint: the assignment feeds THREE consumers (residual anchors,
+    # residual subvectors, candidate compose) — without it each one
+    # re-scans the corpus and re-runs the corpus×cells argmax. The frame
+    # is 2 ints per vector, far cheaper to materialize than to recompute.
     assigned = (
         nvecs.join(F.broadcast(cents))
         .groupBy("vec_id")
         .agg(F.max(F.struct(ccos.alias("cos"), F.col("cell_id"))).alias("b"))
         .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+        .localCheckpoint(eager=True)
     )
-    qids = (
-        audit_qids(nvecs, query_mod, max_queries)
-        if max_queries is not None
-        else None
-    )
+    if qids is None:
+        qids = (
+            audit_qids(nvecs, query_mod, max_queries)
+            if max_queries is not None
+            else None
+        )
     queries = nvecs.where(F.col("vec_id") % query_mod == 0)
     if qids is not None:
         queries = queries.join(F.broadcast(qids), "vec_id")
@@ -1499,9 +1506,13 @@ def ivf_pq_topk(
         # centroid vector: an id-sample is a random corpus point, and
         # ``x − random-point`` has ~2× the variance of ``x − mean``,
         # which measurably DESTROYS the residual advantage
+        # materialize subvector+cell ONCE: both the anchor aggregate and
+        # the residual subtraction consume the same join, and computing
+        # it twice was two corpus shuffles (VERDICT r8 item 4 — the
+        # minhash_lsh_pairs one-projection lesson applied here)
+        sa = svecs.join(assigned, "vec_id").localCheckpoint(eager=True)
         csv = (
-            svecs.join(assigned, "vec_id")
-            .groupBy("cell_id", "j")
+            sa.groupBy("cell_id", "j")
             .agg(
                 *[
                     F.round(
@@ -1526,8 +1537,7 @@ def ivf_pq_topk(
         # encode one more — recomputing the assignment argmax per pass
         # would multiply the corpus×centroid stage
         rsvecs = (
-            svecs.join(assigned, "vec_id")
-            .join(F.broadcast(csv), ["cell_id", "j"])
+            sa.join(F.broadcast(csv), ["cell_id", "j"])
             .select("vec_id", "cell_id", "j", rsub.alias("sv"))
             .localCheckpoint(eager=True)
         )
@@ -2244,6 +2254,7 @@ def l2_topk_exact(
     m: int = 8,
     svecs: DataFrame | None = None,
     max_queries: int | None = None,
+    qids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact brute-force L2 top-k in integer micro-units — the truth
     ranking the PQ family approximates (PQ's ADC is L2², not cosine, so
@@ -2261,14 +2272,14 @@ def l2_topk_exact(
         svecs = _pq_subvecs(embeddings, m, dim)
     q = svecs.where(F.col("vec_id") % query_mod == 0)
     if max_queries is not None:
-        q = q.join(
-            F.broadcast(
-                audit_qids(
-                    svecs.select("vec_id").distinct(), query_mod, max_queries
-                )
-            ),
-            "vec_id",
-        )
+        if qids is None:
+            # derive the budgeted id set from the long frame — callers
+            # that already hold one (ivf_pq_recall shares the index
+            # leg's) pass it in and skip this corpus-wide distinct
+            qids = audit_qids(
+                svecs.select("vec_id").distinct(), query_mod, max_queries
+            )
+        q = q.join(F.broadcast(qids), "vec_id")
     q = q.select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
@@ -2320,11 +2331,20 @@ def ivf_pq_recall(
     full-query audit.
     """
     svecs = _pq_subvecs(embeddings, 8, 64)
+    # one budgeted query-id set feeds BOTH legs (same query_mod, same
+    # md5 order): computing it per leg cost an extra corpus-wide
+    # distinct + takeOrdered on the truth side (VERDICT r8 item 4)
+    qids = (
+        audit_qids(embeddings.select("vec_id"), 100, max_queries)
+        .localCheckpoint(eager=True)
+        if max_queries is not None
+        else None
+    )
     truth = l2_topk_exact(
-        embeddings, k=k, svecs=svecs, max_queries=max_queries
+        embeddings, k=k, svecs=svecs, max_queries=max_queries, qids=qids
     ).select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
     approx = ivf_pq_topk(
-        embeddings, k=k, svecs=svecs, max_queries=max_queries
+        embeddings, k=k, svecs=svecs, max_queries=max_queries, qids=qids
     ).select("query_id", "neighbor_id", "rank")
     per_q = (
         approx.join(truth, ["query_id", "neighbor_id"], "left")
