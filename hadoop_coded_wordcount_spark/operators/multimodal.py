@@ -112,15 +112,23 @@ def _png_header(b: bytes) -> dict | None:
     """Parse a PNG IHDR (pure stdlib; reference formats per the PNG
     spec, RFC 2083): the 8-byte signature must be followed by the IHDR
     chunk, whose payload carries width/height (big-endian u32), bit
-    depth, and color type — no codec needed for dimensions."""
+    depth, color type, compression/filter methods, and the interlace
+    flag — no codec needed for dimensions. Interlace (byte 28) is 0 for
+    sequential or 1 for Adam7 and is reported as ``interlace``; any
+    other value — like a nonzero compression or filter method — marks a
+    corrupt header and routes to opaque (VERDICT r8 item 6: these were
+    previously unread, so corrupt headers classified as clean PNGs)."""
     sig = b"\x89PNG\r\n\x1a\n"
     if len(b) < 33 or b[:8] != sig or b[12:16] != b"IHDR":
         return None
     width, height = struct.unpack(">II", b[16:24])
     bit_depth = b[24]
     color_type = b[25]
+    compression, filter_method, interlace = b[26], b[27], b[28]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or width == 0 or height == 0:
+        return None
+    if compression != 0 or filter_method != 0 or interlace not in (0, 1):
         return None
     return {
         "kind": "image/png",
@@ -128,6 +136,7 @@ def _png_header(b: bytes) -> dict | None:
         "height": height,
         "channels": channels,
         "bit_depth": bit_depth,
+        "interlace": interlace,
     }
 
 
@@ -248,15 +257,61 @@ def _tiff_header(b: bytes) -> dict | None:
 #: JPEG frame markers carrying dimensions (SOF0-SOF15 minus DHT/JPG/DAC).
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
+#: Progressive-DCT frame markers (ITU T.81 table B.1: SOF2/6/10/14).
+_JPEG_SOF_PROGRESSIVE = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
+
+
+def _exif_orientation(seg: bytes) -> int | None:
+    """Orientation (tag 0x0112) from an APP1 EXIF payload — a TIFF
+    structure after the 'Exif\\0\\0' preamble: byte-order mark, magic
+    42, then the IFD0 entry walk (EXIF 2.3 §4.6.4). Returns 1-8 or
+    None when the segment isn't EXIF / carries no orientation."""
+    if len(seg) < 14 or seg[:6] != b"Exif\x00\x00":
+        return None
+    t = seg[6:]
+    if t[:4] == b"II*\x00":
+        e = "<"
+    elif t[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    ifd = struct.unpack(e + "I", t[4:8])[0]
+    if ifd + 2 > len(t):
+        return None
+    n_entries = struct.unpack(e + "H", t[ifd : ifd + 2])[0]
+    for k in range(n_entries):
+        o = ifd + 2 + 12 * k
+        if o + 10 > len(t):
+            return None
+        tag, typ = struct.unpack(e + "HH", t[o : o + 4])
+        if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+            v = struct.unpack(e + "H", t[o + 8 : o + 10])[0]
+            return v if 1 <= v <= 8 else None
+    return None
+
 
 def _jpeg_header(b: bytes) -> dict | None:
     """Walk JPEG segments to the first SOFn and read precision, height,
     width, component count — the standard dimensions-without-decoding
-    scan (ITU T.81 B.2.2); stops at SOS/EOI or a malformed segment."""
+    scan (ITU T.81 B.2.2); stops at SOS/EOI or a malformed segment.
+
+    Two previously-unparsed fields (VERDICT r8 item 6):
+
+    * ``progressive`` — True when the frame marker is a progressive-DCT
+      SOF (SOF2/6/10/14); baseline and sequential forms report False.
+      Dimensions live at the same offsets either way.
+    * ``orientation`` — the EXIF Orientation tag (1-8) from an APP1
+      segment encountered before the SOF, defaulting to 1. For the
+      rotated orientations 5-8 the reported width/height are SWAPPED to
+      the display dimensions — the camera stored the sensor's landscape
+      frame and told the viewer to rotate, so the encoded dims alone
+      misstate what the image shows.
+    """
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     i = 2
     n = len(b)
+    orientation = None
     while i + 4 <= n:
         if b[i] != 0xFF:
             return None
@@ -272,6 +327,8 @@ def _jpeg_header(b: bytes) -> dict | None:
         seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
         if seglen < 2 or i + 2 + seglen > n:
             return None
+        if marker == 0xE1 and orientation is None:  # APP1: EXIF metadata
+            orientation = _exif_orientation(b[i + 4 : i + 2 + seglen])
         if marker in _JPEG_SOF:
             if seglen < 8:
                 return None
@@ -280,12 +337,17 @@ def _jpeg_header(b: bytes) -> dict | None:
             channels = b[i + 9]
             if width == 0 or height == 0:
                 return None
+            orientation = orientation or 1
+            if orientation >= 5:  # 5-8 transpose the display frame
+                width, height = height, width
             return {
                 "kind": "image/jpeg",
                 "width": width,
                 "height": height,
                 "channels": channels,
                 "bit_depth": precision,
+                "progressive": marker in _JPEG_SOF_PROGRESSIVE,
+                "orientation": orientation,
             }
         i += 2 + seglen
     return None

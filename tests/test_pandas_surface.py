@@ -131,25 +131,40 @@ def test_decode_media_netpbm():
     assert mm.decode_media(b"P2\n#c\n3 2 15\n0 1 2 3 4 5")["maxval"] == 15
 
 
-def _png_bytes(width=320, height=200, bit_depth=8, color_type=6) -> bytes:
+def _png_bytes(width=320, height=200, bit_depth=8, color_type=6,
+               compression=0, filter_method=0, interlace=0) -> bytes:
     import struct
     import zlib
 
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
-                       0, 0, 0)
+                       compression, filter_method, interlace)
     chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
     chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     return b"\x89PNG\r\n\x1a\n" + chunk + b"\x00" * 8
 
 
-def _jpeg_bytes(width=640, height=480, channels=3, precision=8) -> bytes:
+def _jpeg_bytes(width=640, height=480, channels=3, precision=8,
+                sof_marker=0xC0, exif_orientation=None,
+                exif_endian="II") -> bytes:
     import struct
 
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
-    sof0 = b"\xff\xc0" + struct.pack(
+    app1 = b""
+    if exif_orientation is not None:
+        e = "<" if exif_endian == "II" else ">"
+        bom = b"II*\x00" if exif_endian == "II" else b"MM\x00*"
+        # TIFF: BOM+magic, IFD0 at offset 8, one entry (Orientation,
+        # SHORT, count 1, value inline), next-IFD pointer 0
+        tiff = (bom + struct.pack(e + "I", 8) + struct.pack(e + "H", 1)
+                + struct.pack(e + "HHI", 0x0112, 3, 1)
+                + struct.pack(e + "H", exif_orientation) + b"\x00\x00"
+                + struct.pack(e + "I", 0))
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    sof = bytes([0xFF, sof_marker]) + struct.pack(
         ">HBHHB", 8 + 3 * channels, precision, height, width, channels
     ) + bytes(3 * channels)
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + app1 + sof + b"\xff\xd9"
 
 
 def test_decode_media_png_header():
@@ -160,6 +175,7 @@ def test_decode_media_png_header():
         "height": 200,
         "channels": 4,
         "bit_depth": 8,
+        "interlace": 0,
     }
     # grayscale 16-bit
     d = mm.decode_media(_png_bytes(width=7, height=9, bit_depth=16,
@@ -167,6 +183,20 @@ def test_decode_media_png_header():
     assert (d["channels"], d["bit_depth"]) == (1, 16)
     # bad color type routes to opaque
     assert mm.decode_media(_png_bytes(color_type=5)) == {"kind": "opaque"}
+
+
+def test_decode_media_png_interlace_and_method_fields():
+    """VERDICT r8 item 6: the IHDR interlace flag must be parsed (Adam7
+    = 1) and out-of-spec compression/filter/interlace values must route
+    to opaque instead of classifying as clean PNGs."""
+    adam7 = mm.decode_media(_png_bytes(width=12, height=8, interlace=1))
+    assert adam7["kind"] == "image/png" and adam7["interlace"] == 1
+    assert (adam7["width"], adam7["height"]) == (12, 8)  # dims unchanged
+    # invalid interlace method (spec allows only 0/1)
+    assert mm.decode_media(_png_bytes(interlace=7)) == {"kind": "opaque"}
+    # nonzero compression / filter methods are corrupt headers
+    assert mm.decode_media(_png_bytes(compression=1)) == {"kind": "opaque"}
+    assert mm.decode_media(_png_bytes(filter_method=2)) == {"kind": "opaque"}
 
 
 def test_decode_media_jpeg_header():
@@ -177,6 +207,8 @@ def test_decode_media_jpeg_header():
         "height": 480,
         "channels": 3,
         "bit_depth": 8,
+        "progressive": False,
+        "orientation": 1,
     }
     # grayscale, 12-bit precision, SOF behind an extra APPn segment
     d = mm.decode_media(_jpeg_bytes(width=31, height=17, channels=1,
@@ -187,6 +219,46 @@ def test_decode_media_jpeg_header():
     # SOS before any SOF (no dimensions recoverable) routes to opaque
     trunc = b"\xff\xd8\xff\xda\x00\x04\x00\x00"
     assert mm.decode_media(trunc) == {"kind": "opaque"}
+
+
+def test_decode_media_jpeg_progressive_sof2():
+    """VERDICT r8 item 6: progressive-DCT frames (SOF2 family) carry
+    dimensions at the same offsets — they must decode, flagged
+    progressive, not fall through to opaque."""
+    d = mm.decode_media(_jpeg_bytes(width=800, height=600, sof_marker=0xC2))
+    assert d["kind"] == "image/jpeg" and d["progressive"] is True
+    assert (d["width"], d["height"]) == (800, 600)
+    # SOF10: progressive arithmetic-coded variant
+    d = mm.decode_media(_jpeg_bytes(width=4, height=2, sof_marker=0xCA))
+    assert d["progressive"] is True and (d["width"], d["height"]) == (4, 2)
+    # baseline stays non-progressive
+    assert mm.decode_media(_jpeg_bytes())["progressive"] is False
+
+
+def test_decode_media_jpeg_exif_rotation():
+    """VERDICT r8 item 6: EXIF Orientation 5-8 transposes the display
+    frame — the reported dimensions must be the display ones, both TIFF
+    byte orders; 1-4 leave dimensions untouched."""
+    d = mm.decode_media(
+        _jpeg_bytes(width=640, height=480, exif_orientation=6)
+    )
+    assert (d["width"], d["height"], d["orientation"]) == (480, 640, 6)
+    # big-endian (MM) EXIF body parses identically
+    d = mm.decode_media(
+        _jpeg_bytes(width=640, height=480, exif_orientation=8,
+                    exif_endian="MM")
+    )
+    assert (d["width"], d["height"], d["orientation"]) == (480, 640, 8)
+    # orientations 1-4: no transpose (3 = 180-degree rotation)
+    d = mm.decode_media(
+        _jpeg_bytes(width=640, height=480, exif_orientation=3)
+    )
+    assert (d["width"], d["height"], d["orientation"]) == (640, 480, 3)
+    # malformed EXIF (bad BOM) is ignored, not fatal
+    bad = _jpeg_bytes(width=64, height=32, exif_orientation=6)
+    bad = bad.replace(b"II*\x00", b"XX*\x00")
+    d = mm.decode_media(bad)
+    assert (d["width"], d["height"], d["orientation"]) == (64, 32, 1)
 
 
 def test_decode_media_unknown_is_opaque():
