@@ -765,3 +765,21 @@ def test_l2_topk_exact_matches_numpy_and_ivf_pq_recall_bounds(spark):
     assert mets and all(0 <= r.recall_at_k <= 1 and 0 <= r.mrr <= 1
                         for r in mets)
     assert sum(r.n_hits for r in mets) > 0
+
+
+def test_shared_qids_equal_derived_qids(spark):
+    """The r9 one-projection refactor threads ONE budgeted query-id set
+    (ivf_pq_recall's) into both the truth and index legs via the new
+    ``qids`` parameter. Passing the set explicitly must be value-
+    identical to each leg deriving its own — same md5 order, same
+    budget — at a budget SMALLER than the id-mod count, so the cap
+    actually binds (at the default mod there are too few sf0.01 ids to
+    exercise it)."""
+    real = load_table(spark, SF001, "embeddings")
+    qids = sim.audit_qids(real.select("vec_id"), 10, 5)
+    assert qids.count() == 5
+    for fn in (sim.l2_topk_exact, sim.ivf_pq_topk):
+        derived = fn(real, query_mod=10, max_queries=5).collect()
+        shared = fn(real, query_mod=10, max_queries=5, qids=qids).collect()
+        assert sorted(map(tuple, derived)) == sorted(map(tuple, shared)), fn
+        assert len({r.query_id for r in derived}) == 5, fn
