@@ -1097,14 +1097,20 @@ def hybrid_rrf_topk(
 
 
 def _pq_subvecs(
-    embeddings: DataFrame, m: int, dim: int
+    embeddings: DataFrame, m: int, dim: int, checkpoint: bool = True
 ) -> DataFrame:
     """Long-format PQ working set: one row per (vec_id, subspace j) with
     the subvector quantized to integer micro-units (round(x*1e6) as
     BIGINT). Everything downstream — k-means training, encoding, ADC —
     runs on these integers, so every distance and every Lloyd update is
     an EXACT, aggregation-order-free value the SQL oracle replays
-    bit-for-bit (the pca_power_iteration fixed-point discipline)."""
+    bit-for-bit (the pca_power_iteration fixed-point discipline).
+
+    ``checkpoint=False`` returns the lazy frame for callers that
+    immediately join-and-materialize it themselves (ivf_pq_topk's
+    residual path folds the cell assignment into the SAME corpus-sized
+    materialization — checkpointing here too would write the corpus
+    twice)."""
     from ..sources.catalog import ensure_parallelism
 
     sub = dim // m
@@ -1124,11 +1130,10 @@ def _pq_subvecs(
             for j in range(m)
         ]
     )
-    return (
-        vecs.select("vec_id", F.explode(subs).alias("s"))
-        .select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
-        .localCheckpoint(eager=True)
+    out = vecs.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
     )
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def _pq_sqdist(a: Column, b: Column, sub: int) -> Column:
@@ -1489,8 +1494,30 @@ def ivf_pq_topk(
     )
 
     # --- PQ stage: trained codebook, integer encode + ADC tables ---
-    if svecs is None:
-        svecs = _pq_subvecs(embeddings, m, dim)
+    own_svecs = svecs is None
+    if own_svecs:
+        # residual path: skip the subvector checkpoint — the corpus
+        # materializes ONCE below with the cell assignment folded in
+        # (``sa``), and every raw-subvector read downstream comes from
+        # that same checkpoint. Writing the corpus twice (svecs ckpt +
+        # sa ckpt) was one full redundant corpus pass.
+        svecs = _pq_subvecs(embeddings, m, dim, checkpoint=not residual)
+    if residual:
+        # residual ANCHOR per cell = the MEAN of the members' micro
+        # subvectors (half-away rounded to BIGINT — the Lloyd-update
+        # idiom, replayed exactly by the oracle), NOT the id-sampled
+        # centroid vector: an id-sample is a random corpus point, and
+        # ``x − random-point`` has ~2× the variance of ``x − mean``,
+        # which measurably DESTROYS the residual advantage
+        # materialize subvector+cell ONCE: the anchor aggregate, the
+        # residual subtraction, and (when the frame is our own) the
+        # query-subvector read all consume the same join (VERDICT r8
+        # item 4 — the minhash_lsh_pairs one-projection lesson)
+        sa = svecs.join(assigned, "vec_id").localCheckpoint(eager=True)
+        if own_svecs:
+            # every vector carries a cell (argmax over the broadcast
+            # centroid set), so this projection has svecs' exact rows
+            svecs = sa.select("vec_id", "j", "sv")
     qsv = svecs.where(F.col("vec_id") % query_mod == 0)
     if qids is not None:
         qsv = qsv.join(F.broadcast(qids), "vec_id")
@@ -1500,17 +1527,6 @@ def ivf_pq_topk(
     d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
     qd = _pq_sqdist(F.col("qv"), F.col("cv"), sub)
     if residual:
-        # residual ANCHOR per cell = the MEAN of the members' micro
-        # subvectors (half-away rounded to BIGINT — the Lloyd-update
-        # idiom, replayed exactly by the oracle), NOT the id-sampled
-        # centroid vector: an id-sample is a random corpus point, and
-        # ``x − random-point`` has ~2× the variance of ``x − mean``,
-        # which measurably DESTROYS the residual advantage
-        # materialize subvector+cell ONCE: both the anchor aggregate and
-        # the residual subtraction consume the same join, and computing
-        # it twice was two corpus shuffles (VERDICT r8 item 4 — the
-        # minhash_lsh_pairs one-projection lesson applied here)
-        sa = svecs.join(assigned, "vec_id").localCheckpoint(eager=True)
         csv = (
             sa.groupBy("cell_id", "j")
             .agg(
