@@ -337,6 +337,48 @@ def windowed_topk(
     )
 
 
+def _fs(spark, p):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _subdirs(spark, root):
+    fs, jvm = _fs(spark, root)
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jroot):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jroot)
+        if st.isDirectory()
+    )
+
+
+def _topk_state_snapshot(spark, state_path: str) -> DataFrame:
+    """Collapse the durable top-k state layout — every compact
+    generation plus every live delta dir — to the latest cnt per
+    (window_start, event_type), carrying each key's max batch_id so
+    later deltas keep winning after a compaction rewrite.
+
+    GC-failure-proof by construction: a leftover older generation or an
+    already-consumed delta only contributes rows at-or-below the key's
+    max batch_id carrying the SAME cnt that batch produced, so reading
+    extra dirs never changes the collapse (pinned against planted
+    crash-leftover layouts in tests/test_streaming.py)."""
+    dirs = _subdirs(spark, os.path.join(state_path, "compact")) + _subdirs(
+        spark, os.path.join(state_path, "delta")
+    )
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.expr("max_by(cnt, batch_id)").alias("cnt"),
+            F.max("batch_id").alias("batch_id"),
+        )
+    )
+
+
 def windowed_topk_stream(
     stream: DataFrame,
     sink_table: str,
@@ -385,22 +427,6 @@ def windowed_topk_stream(
     delta_root = os.path.join(state_path, "delta")
     compact_root = os.path.join(state_path, "compact")
 
-    def _fs(spark, p):
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
-
-    def _subdirs(spark, root):
-        fs, jvm = _fs(spark, root)
-        jroot = jvm.org.apache.hadoop.fs.Path(root)
-        if not fs.exists(jroot):
-            return []
-        return sorted(
-            st.getPath().toString()
-            for st in fs.listStatus(jroot)
-            if st.isDirectory()
-        )
-
     def emit(batch_df, batch_id):
         spark = batch_df.sparkSession
         (
@@ -413,15 +439,7 @@ def windowed_topk_stream(
             .write.mode("overwrite")
             .parquet(os.path.join(delta_root, "bid=%d" % batch_id))
         )
-        dirs = _subdirs(spark, compact_root) + _subdirs(spark, delta_root)
-        snap = (
-            spark.read.parquet(*dirs)
-            .groupBy("window_start", "event_type")
-            .agg(
-                F.expr("max_by(cnt, batch_id)").alias("cnt"),
-                F.max("batch_id").alias("batch_id"),
-            )
-        )
+        snap = _topk_state_snapshot(spark, state_path)
         if batch_id % compact_every == compact_every - 1:
             gen = os.path.join(compact_root, "gen=%d" % batch_id)
             snap.write.mode("overwrite").parquet(gen)

@@ -996,3 +996,77 @@ def test_windowed_topk_stream_restart_keeps_finalized_windows(
         for r in sw.windowed_topk(events).collect()
     }
     assert got == want
+
+
+def test_topk_state_collapse_immune_to_gc_leftovers(spark, tmp_path):
+    """The compaction commit claims GC failures cannot corrupt the
+    durable top-k view: the max_by collapse over (all generations + all
+    deltas) equals the collapse over the clean layout. Plant exactly
+    that crash: a compacted generation written but NO delta deleted,
+    plus a stale older generation — the snapshot must equal the
+    all-deltas truth row for row."""
+    import os
+
+    from hadoop_coded_wordcount_spark.streaming.windows import (
+        _topk_state_snapshot,
+    )
+
+    def write_delta(root, bid, rows):
+        df = spark.createDataFrame(
+            [(w, e, c, bid) for (w, e, c) in rows],
+            "window_start string, event_type string, cnt long, "
+            "batch_id long",
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(root, "delta", "bid=%d" % bid)
+        )
+
+    # six batches; keys re-counted across batches (cnt grows), one key
+    # appears late, one stops updating early (a finalized window)
+    history = {
+        0: [("w1", "click", 3), ("w1", "view", 5)],
+        1: [("w1", "click", 7), ("w2", "click", 2)],
+        2: [("w1", "view", 9), ("w2", "click", 4)],
+        3: [("w2", "view", 1)],
+        4: [("w1", "click", 11), ("w2", "view", 6)],
+        5: [("w3", "buy", 8)],
+    }
+
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    for root in (clean, crashed):
+        for bid, rows in history.items():
+            write_delta(root, bid, rows)
+
+    truth = {
+        (r.window_start, r.event_type): (r.cnt, r.batch_id)
+        for r in _topk_state_snapshot(spark, clean).collect()
+    }
+    assert truth[("w1", "click")] == (11, 4)
+    assert truth[("w1", "view")] == (9, 2)
+    assert truth[("w3", "buy")] == (8, 5)
+
+    # crash layout: gen=3 written (collapse of bids 0..3) but deltas
+    # 0..3 NOT deleted, plus a stale gen=1 from an earlier compaction
+    for gen_bid in (1, 3):
+        upto = {
+            k: v
+            for b in range(gen_bid + 1)
+            for k, v in [
+                ((w, e), (c, b)) for (w, e, c) in history[b]
+            ]
+        }
+        df = spark.createDataFrame(
+            [(w, e, c, b) for (w, e), (c, b) in upto.items()],
+            "window_start string, event_type string, cnt long, "
+            "batch_id long",
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(crashed, "compact", "gen=%d" % gen_bid)
+        )
+
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.batch_id)
+        for r in _topk_state_snapshot(spark, crashed).collect()
+    }
+    assert got == truth
