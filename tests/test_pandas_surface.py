@@ -457,3 +457,36 @@ def test_decode_media_tiff_header():
     assert mm.decode_media(b"II*\x00" + _s.pack("<I", 9999)) == {
         "kind": "opaque"
     }
+
+
+def test_decode_media_jpeg_exif_corrupt_variants_default_to_1():
+    """Corrupt-but-walkable EXIF bodies must degrade to orientation 1
+    (no transpose), never crash or flip dimensions: out-of-range
+    orientation value, IFD offset past the segment, zero-entry IFD,
+    and a non-SHORT orientation entry type."""
+    import struct
+
+    # orientation value 9 is outside the EXIF 1-8 domain
+    d = mm.decode_media(_jpeg_bytes(width=64, height=32, exif_orientation=9))
+    assert (d["width"], d["height"], d["orientation"]) == (64, 32, 1)
+
+    base = _jpeg_bytes(width=64, height=32, exif_orientation=6)
+    i = base.find(b"II*\x00")
+    assert i > 0
+
+    # IFD0 offset pointing past the APP1 payload
+    past = base[: i + 4] + struct.pack("<I", 0xF0) + base[i + 8 :]
+    d = mm.decode_media(past)
+    assert (d["width"], d["height"], d["orientation"]) == (64, 32, 1)
+
+    # zero-entry IFD: the walk finds no orientation tag
+    empty = base[: i + 8] + struct.pack("<H", 0) + base[i + 10 :]
+    d = mm.decode_media(empty)
+    assert (d["width"], d["height"], d["orientation"]) == (64, 32, 1)
+
+    # orientation entry typed LONG (4) instead of SHORT (3) is skipped
+    wrong_type = base.replace(
+        struct.pack("<HH", 0x0112, 3), struct.pack("<HH", 0x0112, 4)
+    )
+    d = mm.decode_media(wrong_type)
+    assert (d["width"], d["height"], d["orientation"]) == (64, 32, 1)
