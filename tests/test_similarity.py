@@ -783,3 +783,19 @@ def test_shared_qids_equal_derived_qids(spark):
         shared = fn(real, query_mod=10, max_queries=5, qids=qids).collect()
         assert sorted(map(tuple, derived)) == sorted(map(tuple, shared)), fn
         assert len({r.query_id for r in derived}) == 5, fn
+
+
+def test_ivf_pq_empty_centroid_set_returns_empty_not_crash(spark):
+    """A corpus with NO id hitting the centroid mod (small tenants,
+    filtered shards) must yield an empty result with the full output
+    schema — exercised on both residual and shared-codebook paths,
+    which route every downstream frame (assignment, anchors, codebook)
+    through the empty centroid set."""
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25] * 16, 0) for i in range(1, 30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    for residual in (True, False):
+        out = sim.ivf_pq_topk(
+            emb, centroid_mod=1009, query_mod=5, residual=residual
+        )
+        assert out.columns == ["query_id", "neighbor_id", "rank", "pq_dist"]
+        assert out.count() == 0, residual
