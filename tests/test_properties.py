@@ -414,3 +414,57 @@ def test_bpe_train_matches_reference_model(spark, words, reps):
         for r in ts.bpe_train(docs, n_merges=4).collect()
     ]
     assert got == _reference_bpe(dict(freq), 4)
+
+
+# ---------------------------------------------------------------------------
+# Media header decoders: total functions over arbitrary bytes
+# ---------------------------------------------------------------------------
+
+_MAGIC_PREFIXES = [
+    b"",
+    b"\xff\xd8",              # JPEG SOI
+    b"\x89PNG\r\n\x1a\n",     # PNG signature
+    b"BM",                    # BMP
+    b"II*\x00", b"MM\x00*",   # TIFF both orders
+    b"RIFF", b"GIF89a", b"P5 ", b"P6 ",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    prefix=st.sampled_from(_MAGIC_PREFIXES),
+    body=st.binary(min_size=0, max_size=200),
+    media_type=st.sampled_from(
+        [None, "image/jpeg", "image/png", "audio/wav", "video/mp4"]
+    ),
+)
+def test_decode_media_is_total_over_arbitrary_bytes(prefix, body, media_type):
+    """100 TB ingest robustness: decode_media walks untrusted binary
+    headers (EXIF IFDs, PNG chunks, RIFF sizes) with pure byte math and
+    must be TOTAL — any bytes, including truncated or corrupted magic
+    prefixes, give a dict with a kind, never an exception. Dimensions,
+    when reported, are positive."""
+    from hadoop_coded_wordcount_spark.operators.multimodal import decode_media
+
+    d = decode_media(prefix + body, media_type)
+    assert isinstance(d, dict) and "kind" in d
+    if d.get("width") is not None:
+        assert d["width"] > 0 and d["height"] > 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_decode_media_survives_single_byte_corruption_of_valid_jpeg(data):
+    """Flip one byte anywhere in a valid EXIF-bearing JPEG: the walk
+    must still return a dict (opaque or a decoded header), never
+    raise — the exact shape of bit-rot a petabyte-scale crawl feeds
+    the ingest pipeline."""
+    from test_pandas_surface import _jpeg_bytes
+    from hadoop_coded_wordcount_spark.operators.multimodal import decode_media
+
+    base = bytearray(_jpeg_bytes(width=64, height=32, exif_orientation=6))
+    i = data.draw(st.integers(0, len(base) - 1))
+    b = data.draw(st.integers(0, 255))
+    base[i] = b
+    d = decode_media(bytes(base))
+    assert isinstance(d, dict) and "kind" in d
