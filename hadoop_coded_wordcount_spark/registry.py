@@ -16441,8 +16441,11 @@ def _gate_checked_rounds() -> dict:
     return rounds
 
 
-def _reorder_registry() -> None:
-    checked = _gate_checked_rounds()
+def _derived_order(names, checked: dict) -> list:
+    """The self-rotating registry order for a given name sequence and
+    name->latest-checked-round mapping — exposed separately so tests can
+    SIMULATE future rounds (feed ``checked`` as if round N's gate file
+    already existed and assert round N+1's window rotates onward)."""
     recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
 
     def key(item):
@@ -16453,7 +16456,11 @@ def _reorder_registry() -> None:
         # tiebreak: registration order (stable).
         return (checked.get(n, -1), idx)
 
-    order = [n for _, n in sorted(enumerate(QUERIES), key=key)]
+    return [n for _, n in sorted(enumerate(names), key=key)]
+
+
+def _reorder_registry() -> None:
+    order = _derived_order(list(QUERIES), _gate_checked_rounds())
     for d in (QUERIES, ORACLES):
         reordered = {n: d[n] for n in order if n in d}
         d.clear()

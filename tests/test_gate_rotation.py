@@ -80,3 +80,41 @@ def test_never_checked_names_all_precede_checked_names():
 def test_oracle_dict_order_mirrors_queries():
     qnames = [n for n in QUERIES if n in ORACLES]
     assert qnames == list(ORACLES)
+
+
+def test_simulated_future_rounds_drain_the_backlog():
+    """Forward simulation of the defect class that stalled rounds 5 and
+    7: pretend each coming round's gate file lands (head-50 of the
+    derived order, all green) and assert the NEXT derived order presents
+    50 fresh never-checked names until the backlog is empty — then keeps
+    rotating least-recently-checked-first without repeats inside a
+    window."""
+    from hadoop_coded_wordcount_spark.registry import _derived_order
+
+    checked = dict(_gate_checked_rounds_snapshot())
+    names = list(QUERIES)
+    never = [n for n in names if n not in checked]
+    rnd = max(checked.values(), default=0)
+    while never:
+        rnd += 1
+        window = _derived_order(names, checked)[:50]
+        fresh = [n for n in window if n not in checked]
+        # never-checked names must fill the window up to availability
+        assert len(fresh) == min(50, len(never)), (rnd, len(fresh))
+        for n in window:
+            checked[n] = rnd
+        never = [n for n in names if n not in checked]
+    # steady state: the next window re-checks the LEAST recently checked
+    # (cohorts may be smaller than a window, so the window can span
+    # several oldest rounds — but no name outside the window may be
+    # older than any name inside it)
+    window = _derived_order(names, checked)[:50]
+    in_max = max(checked[n] for n in window)
+    out_min = min(checked[n] for n in names if n not in window)
+    assert in_max <= out_min
+
+
+def _gate_checked_rounds_snapshot():
+    from hadoop_coded_wordcount_spark.registry import _gate_checked_rounds
+
+    return _gate_checked_rounds()
