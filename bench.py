@@ -54,6 +54,33 @@ def _sf_from_dir(path: str) -> float:
     return -1.0
 
 
+def _box_factor(base: dict, timings: dict) -> float:
+    """Shared slowdown factor of this run vs the stored baseline: the
+    median per-query ratio. A loaded box slows everything uniformly;
+    dividing it out leaves only per-query plan changes. Floored at 1.0 —
+    a faster box never excuses a slowdown."""
+    ratios = sorted(
+        now / old
+        for name, now in timings.items()
+        for old in [base.get(name)]
+        if old
+    )
+    box = ratios[len(ratios) // 2] if ratios else 1.0
+    return max(box, 1.0)
+
+
+def _regresses(old: float, now: float, box: float) -> bool:
+    """True when `now` is both 1.5× slower box-adjusted AND slower by an
+    absolute floor — 0.5 s normally, 1.0 s when the baseline is under
+    0.4 s (VERDICT r9 item 3: sub-0.4 s medians are scheduler jitter, so
+    a 1.5× ratio is one unlucky task away; a genuinely broken tiny query
+    — say one that starts scanning an unpruned table — blows through 1 s
+    absolute and still flags)."""
+    return now > 1.5 * box * old and now - box * old > (
+        1.0 if old < 0.4 else 0.5
+    )
+
+
 def find_regressions(
     prior: dict, timings: dict, sf: float
 ) -> dict[str, list[float]]:
@@ -75,22 +102,53 @@ def find_regressions(
     if prior.get("sf") != sf:
         return {}
     base = prior.get("queries_median") or prior.get("queries", {})
-    ratios = sorted(
-        now / old
-        for name, now in timings.items()
-        for old in [base.get(name)]
-        if old
-    )
-    box = ratios[len(ratios) // 2] if ratios else 1.0
-    box = max(box, 1.0)  # a faster box never excuses a slowdown
+    box = _box_factor(base, timings)
     return {
         name: [old, now]
         for name, now in timings.items()
         for old in [base.get(name)]
-        if old is not None
-        and now > 1.5 * box * old
-        and now - box * old > 0.5
+        if old is not None and _regresses(old, now, box)
     }
+
+
+def adjudicate_regressions(
+    regressions: dict,
+    base: dict,
+    box: float,
+    medians: dict,
+    rerun,
+) -> tuple[dict, dict]:
+    """Self-adjudicating retest (VERDICT r9 item 3): host CPU-steal bursts
+    hit a few RANDOM queries per sweep (measured on the r10 box: ~16 CPUs'
+    worth stolen in 5 s bursts), and every one of r9's 16 flags cleared on
+    the judge's min-of-3 re-runs. Build that adjudication in: re-run each
+    candidate up to twice and keep the flag only if the BEST time still
+    regresses under the original run's box factor. A real plan regression
+    reproduces on every run; a steal burst doesn't.
+
+    ``rerun(name)`` executes the query once and returns elapsed seconds
+    (or None on error, which keeps the flag — an erroring retest never
+    clears one). Returns ``(confirmed_regressions, retests)``; recorded
+    timings stay the first-run values, only the flag decision changes.
+    """
+    retests: dict[str, float] = {}
+    for name in sorted(regressions):
+        old = base[name]
+        best = medians[name]
+        for _ in range(2):
+            if not _regresses(old, best, box):
+                break
+            took = rerun(name)
+            if took is None:
+                break
+            best = min(best, round(took, 3))
+        retests[name] = best
+    confirmed = {
+        name: [base[name], retests[name]]
+        for name in regressions
+        if _regresses(base[name], retests[name], box)
+    }
+    return confirmed, retests
 
 
 def materialize(df) -> None:
@@ -163,6 +221,22 @@ def main() -> int:
         .select("r_name", F.row_number().over(Window.orderBy("c")).alias("rn"))
         .count()
     )
+    # Unrolled-dot-kernel codegen warmup (VERDICT r9 item 4): the ANN
+    # family's 64-dim `dot_unrolled` expressions compile into ~64 KB
+    # whole-stage-codegen methods, and the FIRST such compile in a session
+    # costs ~3.3 s of Janino + compiler-JIT warmup that is session
+    # overhead, not data work (stage near-flat sf0.1→sf1; SURVEY §14).
+    # Compiling one same-shaped kernel over 2 rows here moves that
+    # constant out of whichever ANN query the sweep times first.
+    from hadoop_coded_wordcount_spark.operators.similarity import dot_unrolled
+
+    two = spark.range(0, 2, 1, 1).select(
+        F.array(*[(F.col("id") + F.lit(float(i))) for i in range(64)]).alias("a"),
+        F.array(*[(F.col("id") * F.lit(float(i))) for i in range(64)]).alias("b"),
+    )
+    two.join(F.broadcast(two.selectExpr("a as qa"))).select(
+        dot_unrolled(F.col("qa"), F.col("b"), 64).alias("d")
+    ).groupBy().min("d").collect()
 
     # SPARK_GRAFT_BENCH_REPEAT > 1 records min-of-N per query — local
     # noise control on a shared box; the driver default (1) is untouched
@@ -237,7 +311,30 @@ def main() -> int:
         # ~uniformly low and can hide a real regression at repeat>1)
         regressions = find_regressions(prior, medians, sf)
     except (OSError, ValueError):
-        pass
+        prior = {}
+    retests: dict[str, float] = {}
+    if regressions:
+        base = prior.get("queries_median") or prior.get("queries", {})
+
+        def _rerun(name: str) -> float | None:
+            t0 = time.perf_counter()
+            try:
+                materialize(queries[name](spark, SF_DIR))
+            except Exception:
+                return None
+            spark.catalog.clearCache()
+            return time.perf_counter() - t0
+
+        regressions, retests = adjudicate_regressions(
+            regressions, base, _box_factor(base, medians), medians, _rerun
+        )
+        for name, best in sorted(retests.items()):
+            if name not in regressions:
+                print(
+                    f"RETEST {name}: cleared at {best:.3f}s "
+                    f"(first run {medians[name]:.3f}s)",
+                    file=sys.stderr,
+                )
     for name, (old, now) in sorted(regressions.items()):
         print(f"REGRESSION {name}: {old:.3f}s -> {now:.3f}s", file=sys.stderr)
     detail = {
@@ -252,6 +349,8 @@ def main() -> int:
         detail["errors"] = errors
     if comm:
         detail["communication"] = comm
+    if retests:
+        detail["retests"] = retests
     if regressions:
         detail["regressions"] = regressions
     try:

@@ -10,19 +10,26 @@ spec = importlib.util.spec_from_file_location(
 )
 
 
-def _load_find_regressions():
+def _load_gate(*names: str):
+    """Extract the pure gate functions from bench.py without importing it
+    (import would pull in the registry + a SparkSession)."""
     import ast
 
     src = open(spec.origin).read()
     tree = ast.parse(src)
-    fn = next(
+    wanted = set(names) | {"_box_factor", "_regresses"}
+    fns = [
         n for n in tree.body
-        if isinstance(n, ast.FunctionDef) and n.name == "find_regressions"
-    )
-    mod = ast.Module(body=[fn], type_ignores=[])
+        if isinstance(n, ast.FunctionDef) and n.name in wanted
+    ]
+    mod = ast.Module(body=fns, type_ignores=[])
     ns: dict = {}
     exec(compile(mod, spec.origin, "exec"), ns)  # noqa: S102
-    return ns["find_regressions"]
+    return tuple(ns[n] for n in names) if len(names) > 1 else ns[names[0]]
+
+
+def _load_find_regressions():
+    return _load_gate("find_regressions")
 
 
 def test_uniform_box_load_reports_nothing():
@@ -71,6 +78,61 @@ def test_median_baseline_preferred_over_min():
     # a genuine plan regression still flags against the median leg
     fresh["q5"] = 1.6 * 3.0
     assert set(find(prior, fresh, 0.1)) == {"q5"}
+
+
+def test_tiny_baseline_needs_a_bigger_absolute_delta():
+    """VERDICT r9 item 3: sub-0.4 s medians are scheduler jitter — a 1.5×
+    ratio there is one unlucky task away (string_funcs 0.17 s flagged at
+    7× in r9, adjudicated noise). Such queries flag only past +1.0 s
+    absolute; a genuinely broken tiny query still blows through it."""
+    find = _load_find_regressions()
+    stable = {f"q{i}": 2.0 for i in range(40)}
+    prior = {"sf": 0.1, "queries": {**stable, "tiny": 0.17, "small": 0.5}}
+    fresh = {**stable, "tiny": 0.9, "small": 1.2}
+    # tiny: 5.3× but +0.73 s — jitter, silent; small: 2.4× and +0.7 s
+    # over a ≥0.4 s baseline — flags under the ordinary 0.5 s floor
+    assert set(find(prior, fresh, 0.1)) == {"small"}
+    fresh["tiny"] = 1.5  # 8.8× AND +1.33 s — genuinely broken, flags
+    assert set(find(prior, fresh, 0.1)) == {"tiny", "small"}
+
+
+def test_retest_clears_steal_burst_but_not_real_regression():
+    """VERDICT r9 item 3 (the other half): all 16 r9 flags cleared on the
+    judge's manual re-runs — host-steal bursts hit random queries and
+    don't reproduce. adjudicate_regressions builds that in: a flagged
+    query whose re-run lands at baseline is dropped; one that stays slow
+    on every re-run is confirmed."""
+    find, adjudicate = _load_gate("find_regressions", "adjudicate_regressions")
+    base = {f"q{i}": 2.0 for i in range(40)}
+    prior = {"sf": 0.1, "queries": base}
+    fresh = dict(base)
+    fresh["q3"] = 7.0  # steal burst: re-runs land back at baseline
+    fresh["q4"] = 7.0  # real regression: reproduces on every re-run
+    flagged = find(prior, fresh, 0.1)
+    assert set(flagged) == {"q3", "q4"}
+    reruns = {"q3": iter([6.5, 2.1]), "q4": iter([7.2, 6.9])}
+    calls: list[str] = []
+
+    def rerun(name):
+        calls.append(name)
+        return next(reruns[name])
+
+    confirmed, retests = adjudicate(flagged, base, 1.0, fresh, rerun)
+    assert set(confirmed) == {"q4"}
+    assert confirmed["q4"] == [2.0, 6.9]
+    assert retests == {"q3": 2.1, "q4": 6.9}
+    # q3 stopped retesting the moment it cleared; q4 used both re-runs
+    assert calls == ["q3", "q3", "q4", "q4"]
+
+
+def test_retest_error_never_clears_a_flag():
+    adjudicate = _load_gate("adjudicate_regressions")
+    flagged = {"q0": [2.0, 9.0]}
+    confirmed, retests = adjudicate(
+        flagged, {"q0": 2.0}, 1.0, {"q0": 9.0}, lambda name: None
+    )
+    assert set(confirmed) == {"q0"}
+    assert retests == {"q0": 9.0}
 
 
 def test_caller_gates_fresh_median_not_min():
