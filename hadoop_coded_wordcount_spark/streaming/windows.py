@@ -355,6 +355,27 @@ def _subdirs(spark, root):
     )
 
 
+_TOPK_STATE_SCHEMA = (
+    "window_start string, event_type string, cnt bigint, batch_id bigint"
+)
+
+
+def _committed_subdirs(spark, root):
+    """Subdirs whose write COMMITTED — i.e. carry the _SUCCESS marker the
+    FileOutputCommitter drops at job commit. A crash mid-``snap.write``
+    leaves a torn dir (no marker, possibly a _temporary/ remnant) whose
+    partial part-files could undercount a key at that batch_id; the
+    marker is the commit point, so filtering on it makes torn dirs
+    invisible to the collapse while complete leftovers still contribute
+    (harmlessly — see _topk_state_snapshot)."""
+    fs, jvm = _fs(spark, root)
+    return [
+        d
+        for d in _subdirs(spark, root)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(d + "/_SUCCESS"))
+    ]
+
+
 def _topk_state_snapshot(spark, state_path: str) -> DataFrame:
     """Collapse the durable top-k state layout — every compact
     generation plus every live delta dir — to the latest cnt per
@@ -365,10 +386,20 @@ def _topk_state_snapshot(spark, state_path: str) -> DataFrame:
     already-consumed delta only contributes rows at-or-below the key's
     max batch_id carrying the SAME cnt that batch produced, so reading
     extra dirs never changes the collapse (pinned against planted
-    crash-leftover layouts in tests/test_streaming.py)."""
-    dirs = _subdirs(spark, os.path.join(state_path, "compact")) + _subdirs(
-        spark, os.path.join(state_path, "delta")
-    )
+    crash-leftover layouts in tests/test_streaming.py). That guarantee
+    holds for COMMITTED dirs only, so torn mid-write dirs (crash during
+    a write, before the _SUCCESS commit marker) are excluded — their
+    partial part-files could undercount a key (ADVICE r9).
+
+    Before the first committed delta (fresh checkpoint, or an external
+    caller at restart time) the state is legitimately EMPTY: returns an
+    empty frame with the state schema rather than raising (ADVICE r9).
+    """
+    dirs = _committed_subdirs(
+        spark, os.path.join(state_path, "compact")
+    ) + _committed_subdirs(spark, os.path.join(state_path, "delta"))
+    if not dirs:
+        return spark.createDataFrame([], _TOPK_STATE_SCHEMA)
     return (
         spark.read.parquet(*dirs)
         .groupBy("window_start", "event_type")

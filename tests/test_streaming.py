@@ -1070,3 +1070,59 @@ def test_topk_state_collapse_immune_to_gc_leftovers(spark, tmp_path):
         for r in _topk_state_snapshot(spark, crashed).collect()
     }
     assert got == truth
+
+
+def test_topk_state_snapshot_empty_before_first_batch(spark, tmp_path):
+    """ADVICE r9: before the first committed delta (fresh checkpoint, or
+    a restart-time caller) the snapshot must be an EMPTY state frame,
+    not a spark.read.parquet() crash on zero paths."""
+    from hadoop_coded_wordcount_spark.streaming.windows import (
+        _topk_state_snapshot,
+    )
+
+    snap = _topk_state_snapshot(spark, str(tmp_path / "nonexistent"))
+    assert snap.collect() == []
+    assert [f.name for f in snap.schema.fields] == [
+        "window_start",
+        "event_type",
+        "cnt",
+        "batch_id",
+    ]
+
+
+def test_topk_state_snapshot_ignores_torn_uncommitted_writes(
+    spark, tmp_path
+):
+    """ADVICE r9: a crash DURING a delta/generation write (before the
+    _SUCCESS commit marker lands) leaves partial part-files that could
+    undercount a key at that batch_id. The collapse must treat the torn
+    dir as if it were never written."""
+    import os
+
+    from hadoop_coded_wordcount_spark.streaming.windows import (
+        _topk_state_snapshot,
+    )
+
+    root = str(tmp_path / "state")
+    good = spark.createDataFrame(
+        [("w1", "click", 3, 0), ("w1", "view", 5, 0)],
+        "window_start string, event_type string, cnt long, batch_id long",
+    )
+    good.write.mode("overwrite").parquet(
+        os.path.join(root, "delta", "bid=0")
+    )
+    # torn bid=1: one part-file landed (undercounting w1/click at 1
+    # instead of its true 9) but the job never committed — no _SUCCESS
+    torn = spark.createDataFrame(
+        [("w1", "click", 1, 1)],
+        "window_start string, event_type string, cnt long, batch_id long",
+    )
+    torn_dir = os.path.join(root, "delta", "bid=1")
+    torn.coalesce(1).write.mode("overwrite").parquet(torn_dir)
+    os.remove(os.path.join(torn_dir, "_SUCCESS"))
+
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.batch_id)
+        for r in _topk_state_snapshot(spark, root).collect()
+    }
+    assert got == {("w1", "click"): (3, 0), ("w1", "view"): (5, 0)}
