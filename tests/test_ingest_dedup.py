@@ -1,0 +1,368 @@
+"""Streaming MinHash-LSH ingest dedup (SURVEY §13): stream==batch pair
+sets, bucket-cap honesty, restart recovery, and the pure state machine.
+
+The operator's three planned tests (§13) plus the state-machine unit
+layer the JVM-backed GroupState can't host outside a running query.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from hadoop_coded_wordcount_spark.sources.catalog import load_table
+from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+    _make_update,
+    exact_resend_filter,
+    ingest_features,
+    ingest_neardup_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+_DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+# ---------------------------------------------------------------------------
+# state machine (pure python — driven with a fake GroupState)
+# ---------------------------------------------------------------------------
+
+
+class FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _pdf(rows):
+    return pd.DataFrame(
+        [(d, s) for d, s in rows], columns=["doc_id", "signature"]
+    )
+
+
+def _drive(update, rows, state):
+    return list(update((0, 7), iter([_pdf(rows)]), state))
+
+
+def test_update_caps_representatives_and_counts_overflow():
+    update = _make_update(k=4, threshold=0.5, cap=2, timeout_ms=None)
+    state = FakeState()
+    sig = [1, 2, 3, 4]
+    out = _drive(update, [(i, sig) for i in range(5)], state)
+    doc_ids, flat, overflow = state.get
+    assert doc_ids == [0, 1] and overflow == 3
+    assert flat == sig + sig
+    got = pd.concat(out)
+    # every doc after the first still flags (vs rep 0: est 1.0, min-id tie)
+    assert list(got.doc_id) == [1, 2, 3, 4]
+    assert set(got.matched_doc_id) == {0}
+    assert set(got.est_jaccard) == {1.0}
+    # overflow column reports the count BEFORE each arrival's append
+    assert list(got.bucket_overflow) == [0, 0, 1, 2]
+
+
+def test_update_best_match_prefers_highest_estimate_then_lowest_id():
+    update = _make_update(k=4, threshold=0.5, cap=32, timeout_ms=None)
+    state = FakeState(
+        ([10, 11, 12], [1, 2, 3, 4, 1, 2, 3, 9, 1, 2, 3, 4], 0)
+    )
+    (out,) = _drive(update, [(20, [1, 2, 3, 4])], state)
+    # reps 10 and 12 tie at est 1.0; rep 11 is 0.75 — lowest id of the max
+    assert out.iloc[0].matched_doc_id == 10
+    assert out.iloc[0].est_jaccard == 1.0
+
+
+def test_update_below_threshold_emits_nothing_but_appends():
+    update = _make_update(k=4, threshold=0.9, cap=32, timeout_ms=None)
+    state = FakeState(([10], [1, 2, 3, 4], 0))
+    out = _drive(update, [(20, [1, 2, 9, 9])], state)  # est 0.5 < 0.9
+    assert out == []
+    doc_ids, _, overflow = state.get
+    assert doc_ids == [10, 20] and overflow == 0
+
+
+def test_update_resend_matches_but_never_reappends():
+    update = _make_update(k=4, threshold=0.5, cap=32, timeout_ms=None)
+    state = FakeState(([10, 20], [1, 2, 3, 4, 1, 2, 3, 4], 0))
+    (out,) = _drive(update, [(20, [1, 2, 3, 4])], state)
+    # a doc never matches itself; it matches the OTHER identical rep
+    assert out.iloc[0].matched_doc_id == 10
+    doc_ids, flat, overflow = state.get
+    assert doc_ids == [10, 20] and len(flat) == 8 and overflow == 0
+
+
+def test_update_timeout_removes_state():
+    update = _make_update(k=4, threshold=0.5, cap=32, timeout_ms=1000)
+    state = FakeState(([10], [1, 2, 3, 4], 0), timed_out=True)
+    assert _drive(update, [], state) == []
+    assert state.removed
+    # live path arms the processing-time timeout
+    state2 = FakeState()
+    _drive(update, [(1, [1, 2, 3, 4])], state2)
+    assert state2.timeout_ms == 1000
+
+
+def test_update_orders_same_batch_arrivals_by_doc_id():
+    update = _make_update(k=4, threshold=0.5, cap=32, timeout_ms=None)
+    state = FakeState()
+    sig = [5, 6, 7, 8]
+    (out,) = _drive(update, [(30, sig), (10, sig), (20, sig)], state)
+    # 10 arrives first (no match), 20 matches 10, 30 matches 10 (min id)
+    assert list(out.doc_id) == [20, 30]
+    assert list(out.matched_doc_id) == [10, 10]
+    doc_ids, _, _ = state.get
+    assert doc_ids == [10, 20, 30]
+
+
+# ---------------------------------------------------------------------------
+# streaming end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _write_half(docs, pred, path):
+    docs.where(pred).write.parquet(path)
+
+
+def _run_stream(spark, src, ckpt, name, **kw):
+    stream = spark.readStream.schema(_DOC_SCHEMA).parquet(src + "/*")
+    return (
+        ingest_neardup_stream(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def test_stream_equals_batch_estimator_pair_set(spark, tmp_path):
+    """§13 test (a): replay the sf0.001 documents as two micro-batches
+    (existing half then new half, cap=inf, no timeout) and assert the
+    emitted cross-pair set equals a BATCH replay of the identical
+    estimator — same signatures, same buckets, est-Jaccard >= threshold —
+    and covers every dedup_incremental pair (all exact j >= 0.9 here,
+    far above the estimator margin)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    existing = F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10
+    src = str(tmp_path / "src")
+    _write_half(docs, existing, src + "/b1")
+
+    q = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        "t_ingest_eq",
+        threshold=0.5,
+        cap=10**9,
+    )
+    try:
+        q.processAllAvailable()
+        _write_half(docs, ~existing, src + "/b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ex_ids = {r.doc_id for r in docs.where(existing).select("doc_id").collect()}
+    emitted = spark.sql("SELECT * FROM t_ingest_eq").collect()
+    got = {
+        (r.doc_id, r.matched_doc_id)
+        for r in emitted
+        if r.doc_id not in ex_ids and r.matched_doc_id in ex_ids
+    }
+
+    # batch twin of the same estimator over the SAME feature expressions
+    # on the static frame, replaying the stream's per-bucket state walk:
+    # reps = everything that arrived earlier (all of batch 1, plus
+    # same-batch docs with a lower doc_id), emit = BEST rep at est >=
+    # threshold (max estimate, ties to the lowest id)
+    feats = ingest_features(docs).collect()
+    sigs = {}
+    buckets = {}
+    for r in feats:
+        sigs[r.doc_id] = list(r.signature)
+        buckets.setdefault((r.band, r.bucket), set()).add(r.doc_id)
+    want = set()
+    for members in buckets.values():
+        order = sorted(m for m in members if m in ex_ids) + sorted(
+            m for m in members if m not in ex_ids
+        )
+        for pos, nd in enumerate(order):
+            if nd in ex_ids:
+                continue
+            over = [
+                (
+                    sum(a == b for a, b in zip(sigs[nd], sigs[od])) / 32,
+                    od,
+                )
+                for od in order[:pos]
+            ]
+            over = [(e, od) for e, od in over if e >= 0.5]
+            if over:
+                _, best = max(over, key=lambda t: (t[0], -t[1]))
+                if best in ex_ids:
+                    want.add((nd, best))
+    assert got == want and want
+
+    # every nightly-batch pair is covered: its new doc was flagged as a
+    # near-dup of SOMETHING at ingest time (the matched id may be a
+    # same-batch near-dup when that estimate ties or wins)
+    from hadoop_coded_wordcount_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    flagged_new = {r.doc_id for r in emitted if r.doc_id not in ex_ids}
+    for r in dedup_incremental(docs).collect():
+        assert r.new_doc_id in flagged_new
+
+
+def test_bucket_cap_honesty_across_batches(spark, tmp_path):
+    """§13 test (b): >cap near-identical docs in one bucket — overflow is
+    counted, and every arrival after the first still flags against the
+    retained representatives."""
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, text, "en", "src0", len(text)) for i in range(13)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows[:6], _DOC_SCHEMA).write.parquet(src + "/b1")
+
+    q = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        "t_ingest_cap",
+        k=8,
+        bands=4,
+        threshold=0.5,
+        cap=4,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[6:], _DOC_SCHEMA).write.parquet(
+            src + "/b2"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT * FROM t_ingest_cap").collect()
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r.band, []).append(r)
+    assert set(by_band) == {0, 1, 2, 3}  # identical docs share all bands
+    for band_rows in by_band.values():
+        # docs 1..12 all flag, every one against doc 0 (est 1.0, min id)
+        assert sorted(r.doc_id for r in band_rows) == list(range(1, 13))
+        assert {r.matched_doc_id for r in band_rows} == {0}
+        assert {r.est_jaccard for r in band_rows} == {1.0}
+        # 13 arrivals, cap 4 -> 9 dropped appends, visible in the last row
+        last = max(band_rows, key=lambda r: r.doc_id)
+        assert last.bucket_size == 4 and last.bucket_overflow == 8
+    # state is capped: overflow counts appends dropped BEFORE this
+    # arrival, so the 13th doc sees 8 and the count ends at 9
+
+
+def test_restart_rebuilds_state_from_checkpoint(spark, tmp_path):
+    """§13 test (c): stop between batches, start a NEW query on the same
+    checkpoint — a batch-2 arrival must still match the batch-1 doc, so
+    bucket state survived the restart."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"  # near-dup of t1
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, t1, "en", "src0", len(t1))], _DOC_SCHEMA
+    ).write.parquet(src + "/b1")
+
+    # memory sink cannot recover from a checkpoint; foreachBatch can, and
+    # runs on the driver, so a plain list collects the emissions
+    emissions: list = []
+
+    def _start():
+        stream = spark.readStream.schema(_DOC_SCHEMA).parquet(src + "/*")
+        return (
+            ingest_neardup_stream(stream, k=8, bands=4, threshold=0.4)
+            .writeStream.foreachBatch(
+                lambda df, bid: emissions.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q1 = _start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert emissions == []
+
+    spark.createDataFrame(
+        [(2, t2, "en", "src0", len(t2))], _DOC_SCHEMA
+    ).write.parquet(src + "/b2")
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert emissions, "state lost across restart: batch-2 doc matched nothing"
+    assert {r.doc_id for r in emissions} == {2}
+    assert {r.matched_doc_id for r in emissions} == {1}
+
+
+def test_exact_resend_filter_drops_identical_text(spark, tmp_path):
+    schema = "doc_id bigint, text string, ts timestamp"
+    rows = [
+        (1, "same text here", "2024-01-01 09:00:00"),
+        (2, "same text here", "2024-01-01 09:01:00"),  # exact re-send
+        (3, "different text here", "2024-01-01 09:02:00"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, ts string"
+    ).selectExpr(
+        "doc_id", "text", "cast(ts as timestamp) ts"
+    ).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        exact_resend_filter(stream)
+        .writeStream.format("memory")
+        .queryName("t_resend")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM t_resend").collect()
+    assert sorted(r.doc_id for r in out) in ([1, 3], [2, 3])
+    assert [f.name for f in spark.table("t_resend").schema.fields] == [
+        "doc_id",
+        "text",
+        "ts",
+    ]
