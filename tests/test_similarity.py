@@ -799,3 +799,94 @@ def test_ivf_pq_empty_centroid_set_returns_empty_not_crash(spark):
         )
         assert out.columns == ["query_id", "neighbor_id", "rank", "pq_dist"]
         assert out.count() == 0, residual
+
+
+# ---------------------------------------------------------------------------
+# sample-based PQ codebook training (VERDICT r9 item 5 / SURVEY §14)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_train_sample_bounded_deterministic_md5_order(spark):
+    """The training set is the md5-first-N vector owners (the audit_qids
+    order a DuckDB oracle replays), all m subvectors each, twice the
+    same — the frame whose size, not the corpus's, prices every Lloyd
+    round."""
+    import hashlib
+
+    emb = load_table(spark, SF001, "embeddings")
+    svecs = sim._pq_subvecs(emb, 8, 64)
+    s1 = sim._pq_train_sample(svecs, 32).collect()
+    ids = {r.vec_id for r in s1}
+    assert len(s1) == 32 * 8 and len(ids) == 32
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want = set(
+        sorted(
+            all_ids,
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:32]
+    )
+    assert ids == want
+    s2 = sim._pq_train_sample(svecs, 32).collect()
+    key = lambda r: (r.vec_id, r.j, tuple(r.sv))  # noqa: E731
+    assert sorted(map(key, s1)) == sorted(map(key, s2))
+
+
+def test_pq_covering_sample_reproduces_full_codebook(spark):
+    """A sample budget >= the corpus must train the EXACT full-corpus
+    codebook — the property that makes the ANN_TRAIN_SAMPLE default safe
+    under the oracle freeze (every gate corpus is smaller than the
+    budget)."""
+    emb = load_table(spark, SF001, "embeddings")
+    svecs = sim._pq_subvecs(emb, 8, 64)
+    full = sim._pq_train_codebook(svecs, 31, 3, 8)
+    cover = sim._pq_train_codebook(svecs, 31, 3, 8, train_sample=10**6)
+    key = lambda r: (r.j, r.code_id, tuple(r.cv))  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(
+        map(key, cover.collect())
+    )
+
+
+def test_default_sampled_training_keeps_gate_values(spark):
+    """ivf_pq_topk under the ANN_TRAIN_SAMPLE default must equal the
+    unsampled form row for row at gate SF — the registry freeze pin for
+    flipping the default."""
+    emb = load_table(spark, SF001, "embeddings")
+    a = sorted(map(tuple, sim.ivf_pq_topk(emb).collect()))
+    b = sorted(map(tuple, sim.ivf_pq_topk(emb, train_sample=None).collect()))
+    assert a == b and a
+
+
+def test_pq_binding_sample_keeps_recall(spark):
+    """With a BINDING budget (128 of 500 vectors) the sampled codebook
+    must still search: recall@10 vs brute-force L2 stays in the
+    full-trained neighborhood (production PQ trains on a fixed sample
+    for exactly this reason). Deterministic pipeline -> stable values."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    emb = load_table(spark, SF001, "embeddings")
+    emb_rows = emb.collect()
+    ids = np.array([r.vec_id for r in emb_rows])
+    X = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+
+    def mean_recall(df):
+        res = defaultdict(set)
+        for r in df.collect():
+            res[r.query_id].add(r.neighbor_id)
+        recalls = []
+        for q, neigh in res.items():
+            qi = int(np.where(ids == q)[0][0])
+            d = ((X - X[qi]) ** 2).sum(axis=1)
+            order = [
+                int(ids[i])
+                for i in np.argsort(d, kind="stable")
+                if ids[i] != q
+            ][:10]
+            recalls.append(len(neigh & set(order)) / 10)
+        return sum(recalls) / len(recalls)
+
+    r_full = mean_recall(sim.ivf_pq_topk(emb, train_sample=None))
+    r_bind = mean_recall(sim.ivf_pq_topk(emb, train_sample=128))
+    assert r_bind >= 0.2, (r_bind, r_full)
+    assert r_bind >= r_full - 0.1, (r_bind, r_full)
