@@ -12,12 +12,13 @@ runs in front of its corpus store.
 Three stages, only the last stateful:
 
 1. :func:`ingest_features` — stateless, JVM-side, per micro-batch:
-   shingle → MinHash signature → per-band bucket hash, built from the
-   SAME expression builders as the batch LSH scan
-   (``operators/dedup.py``: ``tokens_col``/``_signature_col`` and the
-   ``minhash_lsh_pairs`` band construction), so stream signatures and
-   buckets are bit-identical to the batch leg — the stream==batch
-   pinning strategy every ``streaming/`` twin uses. One row per
+   shingle → MinHash signature → per-band bucket hash. The signature is
+   the md5 Carter–Wegman family of the ORACLED batch signature table
+   (``operators/dedup.py:minhash_wide`` — bit-identity pinned in tests)
+   and the buckets fold md5 of each band's minhashes, so every stage is
+   DuckDB-replayable and the batch twin (:func:`ingest_neardup_screen`)
+   value-oracles end to end — the stream==batch pinning strategy every
+   ``streaming/`` twin uses, upgraded to the external gate. One row per
    (doc, band) leaves this stage; the text column does NOT (signatures
    shuffle, text never does — the same principle that makes the batch
    LSH scale).
@@ -77,16 +78,17 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.dedup import _signature_col, tokens_col
+from ..operators.dedup import _MINHASH_P, minhash_params, tokens_col
 
 __all__ = [
     "ingest_features",
     "exact_resend_filter",
     "ingest_neardup_stream",
+    "ingest_neardup_screen",
 ]
 
 MATCH_SCHEMA = (
@@ -99,25 +101,64 @@ MATCH_SCHEMA = (
 _STATE_SCHEMA = "doc_ids array<bigint>, sigs array<bigint>, overflow bigint"
 
 
+def _cw_signature_col(k: int) -> Column:
+    """Per-row md5 Carter–Wegman MinHash signature over an ``hx`` column
+    (gram hashes, see :func:`ingest_features`): ``m_i = min over grams of
+    (a_i·x + b_i) mod p`` — the EXACT values of the ORACLED batch
+    signature table (``operators/dedup.py:minhash_wide``, which computes
+    the same family via explode + groupBy-min; a per-row ``array_min``
+    over the same set is the stream-legal form of the same minimum).
+    Using the DuckDB-replayable basis here is what lets the r11 registry
+    twin of this operator be value-oracled end to end — the
+    ``xxhash64``-based ``_signature_col`` has no SQL replay."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hx",
+                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P),
+                )
+            )
+            for a, b in minhash_params(k)
+        ]
+    )
+
+
+def _band_bucket(b: int, r: int) -> Column:
+    """Bucket id of band ``b``: md5 over the pipe-joined r minhash values
+    folded to a 56-bit BIGINT — the same md5→``conv``→long idiom the
+    oracles already replay (``CAST('0x' || substr(md5(..),1,14) AS
+    BIGINT)``), unlike ``minhash_lsh_pairs``'s xxhash64 banding."""
+    parts = F.concat_ws(
+        "|",
+        *[
+            F.element_at("signature", b * r + j + 1).cast("string")
+            for j in range(r)
+        ],
+    )
+    return F.conv(F.substring(F.md5(parts), 1, 14), 16, 10).cast("long")
+
+
 def ingest_features(
-    stream: DataFrame, n: int = 3, k: int = 32, bands: int = 16
+    df: DataFrame, n: int = 3, k: int = 32, bands: int = 16
 ) -> DataFrame:
     """Stateless per-document LSH features: (doc_id, signature, band,
-    bucket), one row per (doc, band).
+    bucket), one row per (doc, band). Works on a stream or a static
+    frame — every expression is a per-row projection.
 
-    Expression-identical to the batch leg: grams replicate
-    ``operators/dedup.py:shingled`` (distinct word n-grams, docs with
-    fewer than n tokens dropped, the total-expression ``when`` guard
-    against predicate reordering) minus its ``ensure_parallelism``
-    repartition — ``df.rdd`` is illegal on a stream, and a stream source
-    arrives already split across tasks; the signature is
-    ``_signature_col`` and the band buckets are ``xxhash64`` over r=k/bands
-    consecutive signature entries, both exactly as ``minhash_lsh_pairs``
-    builds them, so stream buckets equal batch buckets bit-for-bit.
+    Value discipline: grams replicate ``operators/dedup.py:shingled``
+    (distinct word n-grams, docs with fewer than n tokens dropped, the
+    total-expression ``when`` guard against predicate reordering) minus
+    its ``ensure_parallelism`` repartition — ``df.rdd`` is illegal on a
+    stream, and a stream source arrives already split across tasks. The
+    signature is the md5 Carter–Wegman family of the ORACLED
+    ``minhash_wide`` (bit-identity pinned in tests), and band buckets
+    fold md5 of the band's minhashes — every stage DuckDB-replayable,
+    so the batch twin (:func:`ingest_neardup_screen`) oracles exactly.
     """
     r = k // bands
     toks = tokens_col()
-    with_toks = stream.select("doc_id", toks.alias("toks")).where(
+    with_toks = df.select("doc_id", toks.alias("toks")).where(
         F.size("toks") >= n
     )
     grams = F.when(
@@ -131,19 +172,20 @@ def ingest_features(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sig = with_toks.select("doc_id", grams.alias("grams")).select(
-        "doc_id", _signature_col(k).alias("signature")
+    hx = F.transform(
+        "grams",
+        lambda g: F.conv(F.substring(F.md5(g), 1, 14), 16, 10).cast("long")
+        % F.lit(_MINHASH_P),
+    )
+    sig = (
+        with_toks.select("doc_id", grams.alias("grams"))
+        .select("doc_id", hx.alias("hx"))
+        .select("doc_id", _cw_signature_col(k).alias("signature"))
     )
     band_structs = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("signature", b * r + j + 1)
-                        for j in range(r)
-                    ]
-                ).alias("bucket"),
+                F.lit(b).alias("band"), _band_bucket(b, r).alias("bucket")
             )
             for b in range(bands)
         ]
@@ -287,4 +329,86 @@ def ingest_neardup_stream(
             outputMode="update",
             timeoutConf=timeout,
         )
+    )
+
+
+def ingest_neardup_screen(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """BATCH replay of the ingest stream at cap=∞ / no timeout — the
+    registry twin that a DuckDB oracle can value-check end to end
+    (md5-CW signatures, md5-fold buckets, integer match counts; the
+    oracle lands with the r11 registry unfreeze).
+
+    Arrival order is ``dedup_incremental``'s split replayed as a stream
+    would see it: the existing half (src0-9) ingests first, then the new
+    half, each in doc_id order. Per (arriving doc, band, bucket) the
+    screen emits the BEST earlier-arrival match at signature-estimated
+    Jaccard >= threshold (max estimate, ties to the lowest doc_id) —
+    exactly the stream's emission rule, minus the cap diagnostics
+    (bucket_size / bucket_overflow are meaningless at cap=∞). The
+    stream==batch test pins row-set equality against the live
+    ``applyInPandasWithState`` query.
+
+    Scale shape: the self-join is an equi-join on (band, bucket) — the
+    banded-LSH discipline, candidates only inside buckets, signatures
+    (k longs) shuffle, text never does. The per-pair estimate is one
+    ``zip_with`` + fold over k=32 longs on the candidate set only.
+    """
+    feats = ingest_features(documents, n=n, k=k, bands=bands)
+    half = documents.select(
+        "doc_id",
+        F.when(
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("wave"),
+    )
+    feats = feats.join(half, "doc_id")
+    a = feats.select(
+        F.col("doc_id").alias("rep_id"),
+        F.col("signature").alias("rep_sig"),
+        F.col("wave").alias("rep_wave"),
+        "band",
+        "bucket",
+    )
+    b = feats.select(
+        "doc_id", "signature", "wave", "band", "bucket"
+    )
+    earlier = (F.col("rep_wave") < F.col("wave")) | (
+        (F.col("rep_wave") == F.col("wave"))
+        & (F.col("rep_id") < F.col("doc_id"))
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "signature",
+            "rep_sig",
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches.cast("double") / F.lit(float(k))
+    w = Window.partitionBy("doc_id", "band", "bucket").orderBy(
+        F.desc("est_jaccard"), F.asc("matched_doc_id")
+    )
+    return (
+        b.join(a, ["band", "bucket"])
+        .where(earlier)
+        .select(
+            "doc_id",
+            F.col("rep_id").alias("matched_doc_id"),
+            F.round(est, 6).alias("est_jaccard"),
+            "band",
+            "bucket",
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -366,3 +366,66 @@ def test_exact_resend_filter_drops_identical_text(spark, tmp_path):
         "text",
         "ts",
     ]
+
+
+def test_ingest_signature_bit_identical_to_oracled_minhash_wide(spark):
+    """The stream's per-row signature must equal the ORACLED batch
+    signature table (minhash_wide) value for value — the bit-identity
+    that makes the r11 registry twin DuckDB-checkable."""
+    from hadoop_coded_wordcount_spark.operators.dedup import minhash_wide
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wide = {
+        r.doc_id: [r[f"m{i}"] for i in range(32)]
+        for r in minhash_wide(docs).collect()
+    }
+    sig = {
+        r.doc_id: list(r.signature)
+        for r in ingest_features(docs)
+        .select("doc_id", "signature")
+        .distinct()
+        .collect()
+    }
+    assert sig == wide and len(sig) >= 400
+
+
+def test_stream_equals_batch_screen_operator(spark, tmp_path):
+    """Row-set equality between the LIVE applyInPandasWithState query
+    (cap=inf, no timeout, existing half then new half) and the batch
+    ingest_neardup_screen — the operator pair the r11 registry entry
+    ships: batch twin oracled by DuckDB, stream pinned to the twin
+    here."""
+    from pyspark.sql import functions as F
+
+    from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+        ingest_neardup_screen,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    existing = F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10
+    src = str(tmp_path / "src")
+    _write_half(docs, existing, src + "/b1")
+    q = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        "t_ingest_screen",
+        threshold=0.5,
+        cap=10**9,
+    )
+    try:
+        q.processAllAvailable()
+        _write_half(docs, ~existing, src + "/b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_id, r.matched_doc_id, r.est_jaccard, r.band, r.bucket)
+        for r in spark.sql("SELECT * FROM t_ingest_screen").collect()
+    }
+    want = {
+        tuple(r)
+        for r in ingest_neardup_screen(docs, threshold=0.5).collect()
+    }
+    assert got == want and want
