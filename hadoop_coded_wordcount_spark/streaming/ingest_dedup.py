@@ -89,6 +89,7 @@ __all__ = [
     "exact_resend_filter",
     "ingest_neardup_stream",
     "ingest_neardup_screen",
+    "ingest_neardup_screen_oracle_sql",
 ]
 
 MATCH_SCHEMA = (
@@ -412,3 +413,83 @@ def ingest_neardup_screen(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def ingest_neardup_screen_oracle_sql(
+    threshold: float = 0.5, k: int = 32, bands: int = 16
+) -> str:
+    """The DuckDB replay of :func:`ingest_neardup_screen` — every stage
+    value-exact: the md5 Carter–Wegman minima (the minhash_signatures
+    oracle's family), the md5→BIGINT band fold, integer match counts
+    over the k minima, and the best-per-(doc, band, bucket) window.
+    Registry wiring lands with the r11 unfreeze; until then the twin
+    test drives operator vs oracle directly."""
+    r = k // bands
+    mins = ",\n             ".join(
+        f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, wave, %d AS band, "
+        "CAST(('0x' || substr(md5(%s), 1, 14)) AS BIGINT) AS bucket FROM s"
+        % (
+            b,
+            " || '|' || ".join(
+                f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 14)) AS BIGINT) % {_MINHASH_P} AS x
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    ),
+    s0 AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) < 10
+                  THEN 0 ELSE 1 END AS wave
+      FROM documents
+    ),
+    s AS (SELECT s0.*, w.wave FROM s0 JOIN w USING (doc_id)),
+    f AS (
+      {band_rows}
+    ),
+    p AS (
+      SELECT fb.doc_id,
+             fa.doc_id AS matched_doc_id,
+             round(({matches}) / {float(k)}, 6) AS est_jaccard,
+             fb.band, fb.bucket
+      FROM f fb
+      JOIN f fa ON fa.band = fb.band AND fa.bucket = fb.bucket
+       AND ((fa.wave < fb.wave) OR (fa.wave = fb.wave AND fa.doc_id < fb.doc_id))
+      JOIN s a ON a.doc_id = fa.doc_id
+      JOIN s b ON b.doc_id = fb.doc_id
+    ),
+    q AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id, band, bucket
+               ORDER BY est_jaccard DESC, matched_doc_id ASC) AS rn
+      FROM p WHERE est_jaccard >= {threshold}
+    )
+    SELECT doc_id, matched_doc_id, est_jaccard, band, bucket
+    FROM q WHERE rn = 1
+    """

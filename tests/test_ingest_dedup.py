@@ -429,3 +429,31 @@ def test_stream_equals_batch_screen_operator(spark, tmp_path):
         for r in ingest_neardup_screen(docs, threshold=0.5).collect()
     }
     assert got == want and want
+
+
+def test_ingest_screen_matches_duckdb_oracle(spark):
+    """The r11 registry pair, driven now: ingest_neardup_screen vs its
+    DuckDB oracle SQL, value-exact at sf0.001 and sf0.01."""
+    import duckdb
+
+    from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+        ingest_neardup_screen,
+        ingest_neardup_screen_oracle_sql,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        got = sorted(
+            map(tuple, ingest_neardup_screen(docs).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(
+                ingest_neardup_screen_oracle_sql()
+            ).fetchall())
+        )
+        assert got == want and got, sf_dir
