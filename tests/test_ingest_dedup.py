@@ -457,3 +457,94 @@ def test_ingest_screen_matches_duckdb_oracle(spark):
             ).fetchall())
         )
         assert got == want and got, sf_dir
+
+
+# ---------------------------------------------------------------------------
+# property layer (hypothesis, pure python)
+# ---------------------------------------------------------------------------
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _K = 4
+    _sig = st.lists(
+        st.integers(min_value=0, max_value=3), min_size=_K, max_size=_K
+    )
+    _arrivals = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), _sig),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(
+        arrivals=_arrivals,
+        cap=st.integers(min_value=1, max_value=8),
+        threshold=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_update_invariants_total(arrivals, cap, threshold):
+        """Over arbitrary arrival sequences the state machine never
+        raises and keeps its contract: unique capped representatives,
+        flat signature store in lockstep, non-negative overflow, and
+        every emission references a representative that arrived
+        STRICTLY earlier with an estimate in [threshold, 1]."""
+        update = _make_update(
+            k=_K, threshold=threshold, cap=cap, timeout_ms=None
+        )
+        state = FakeState()
+        out = _drive(update, arrivals, state)
+        doc_ids, flat, overflow = state.get
+        assert len(doc_ids) == len(set(doc_ids)) <= cap
+        assert len(flat) == len(doc_ids) * _K
+        assert overflow >= 0
+        rows = (
+            pd.concat(out).to_dict("records") if out else []
+        )
+        order = sorted({d for d, _ in arrivals})
+        for r in rows:
+            assert r["matched_doc_id"] != r["doc_id"]
+            # doc_id-sorted processing means a match always references a
+            # strictly-earlier id, re-sends included
+            assert order.index(r["matched_doc_id"]) < order.index(
+                r["doc_id"]
+            )
+            assert threshold <= r["est_jaccard"] <= 1.0
+
+    @given(
+        arrivals=_arrivals,
+        cap=st.integers(min_value=1, max_value=8),
+        split=st.integers(min_value=0, max_value=40),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_update_batch_split_is_state_transparent(arrivals, cap, split):
+        """For a doc_id-ascending arrival sequence, processing it as ONE
+        batch or as any consecutive two-batch split yields identical
+        emissions and identical final state — the determinism that makes
+        the live stream's micro-batch boundaries irrelevant to output."""
+        arrivals = sorted(arrivals, key=lambda a: a[0])
+        split = min(split, len(arrivals))
+        update = _make_update(
+            k=_K, threshold=0.5, cap=cap, timeout_ms=None
+        )
+
+        one = FakeState()
+        out_one = _drive(update, arrivals, one)
+
+        two = FakeState()
+        out_two = _drive(update, arrivals[:split], two)
+        out_two += _drive(update, arrivals[split:], two)
+
+        def flat_rows(outs):
+            return (
+                pd.concat(outs).to_dict("records") if outs else []
+            )
+
+        assert flat_rows(out_one) == flat_rows(out_two)
+        assert one.get == two.get
