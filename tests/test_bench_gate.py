@@ -154,3 +154,25 @@ def test_caller_gates_fresh_median_not_min():
     for call in calls:
         fresh_arg = call.args[1]
         assert isinstance(fresh_arg, ast.Name) and fresh_arg.id == "medians"
+
+
+def test_default_run_never_writes_the_committed_baseline():
+    """VERDICT r9 hygiene item 1 (second offence): the driver's default
+    bench run overwrote the committed idle-box baseline in r8 AND r9.
+    Pin the read/write split in bench.py's source: the baseline path is
+    opened for READ by the gate, while the default write path is the
+    gitignored bench_detail_last.json; writing the baseline requires the
+    explicit SPARK_GRAFT_BENCH_RECORD opt-in."""
+    src = open(spec.origin).read()
+    assert "bench_detail_last.json" in src
+    assert "SPARK_GRAFT_BENCH_RECORD" in src
+    # the baseline name appears only as the read/record path, never as
+    # a default write target
+    import re
+
+    defaults = re.findall(r'os\.path\.join\(here?, "bench_detail\.json"\)', src)
+    assert len(defaults) == 1  # exactly the baseline_path definition
+    ignored = open(
+        os.path.join(os.path.dirname(spec.origin), ".gitignore")
+    ).read()
+    assert "bench_detail_last.json" in ignored
