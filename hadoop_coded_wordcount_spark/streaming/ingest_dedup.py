@@ -423,7 +423,15 @@ def ingest_neardup_screen_oracle_sql(
     oracle's family), the md5→BIGINT band fold, integer match counts
     over the k minima, and the best-per-(doc, band, bucket) window.
     Registry wiring lands with the r11 unfreeze; until then the twin
-    test drives operator vs oracle directly."""
+    test drives operator vs oracle directly.
+
+    Tokenizer dialect note: Java's ``\\s`` (Spark ``split``) includes
+    vertical tab ``\\x0b``; RE2's (DuckDB ``string_split_regex``) does
+    not — so the oracle splits on ``[\\s\\x0b]+`` to match Spark
+    byte-for-byte on adversarial text (pinned in tests; no gate corpus
+    contains \\x0b, so the registry's plain-``\\s+`` text oracles are
+    unaffected there — divergence recorded in SURVEY §15 for the r11
+    sweep)."""
     r = k // bands
     mins = ",\n             ".join(
         f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}"
@@ -449,7 +457,7 @@ def ingest_neardup_screen_oracle_sql(
              list_distinct(list_transform(range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
       FROM (SELECT doc_id,
-                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                   list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
             FROM documents)
       WHERE len(toks) >= 3
     ),

@@ -548,3 +548,56 @@ if _HYP:
 
         assert flat_rows(out_one) == flat_rows(out_two)
         assert one.get == two.get
+
+
+def test_ingest_screen_oracle_survives_adversarial_text(spark, tmp_path):
+    """Cross-engine tokenizer hardening: unicode, emoji, CJK, regex
+    metacharacters, control whitespace. The battery includes the
+    Java-vs-RE2 \\s divergence (vertical tab \\x0b — Java splits on it,
+    RE2 alone does not; the oracle compensates with [\\s\\x0b]+), plus
+    sub-n-token and empty docs dropped identically on both sides."""
+    import duckdb
+
+    import pandas as pd
+
+    from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+        ingest_neardup_screen,
+        ingest_neardup_screen_oracle_sql,
+    )
+
+    rows = [
+        (1, "plain three token doc", "src1"),
+        (2, "  leading and trailing spaces doc  ", "src2"),
+        (3, "tab\tsep\nnewline\rcr tokens here", "src3"),
+        (4, "one two", "src4"),  # < 3 tokens: dropped both sides
+        (5, "", "src5"),
+        (6, "emoji \U0001F600 test token \U0001F600 again", "src6"),
+        (7, "cjk 中文 分词 测试 词元", "src7"),
+        (8, "punct, a. b! c? d; e:", "src8"),
+        (9, "a b c a b c a b c", "src9"),  # repeated grams: distinct'd
+        # the \x0b suspect, duplicated across the wave split so its
+        # tokenization actually reaches the emitted pairs
+        (10, "x\x0by vertical tab doc here", "src2"),
+        (30, "x\x0by vertical tab doc here", "src15"),
+        (12, "quote ' double \" backslash \\ pipe | token", "src4"),
+        (20, "the same shared near dup text body", "src2"),
+        (21, "the same shared near dup text body", "src15"),
+        (22, "the same shared near dup text tail", "src16"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    p = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(p)
+    got = sorted(
+        map(tuple, ingest_neardup_screen(spark.createDataFrame(pdf)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    want = sorted(
+        map(tuple, con.execute(ingest_neardup_screen_oracle_sql()).fetchall())
+    )
+    assert got == want
+    # the \x0b twins must flag against each other (est 1.0) — i.e. the
+    # oracle tokenized the vertical tab exactly like Spark did
+    assert any(d == 30 and m == 10 and e == 1.0 for d, m, e, _, _ in got)
