@@ -583,6 +583,8 @@ def test_ingest_screen_oracle_survives_adversarial_text(spark, tmp_path):
         (20, "the same shared near dup text body", "src2"),
         (21, "the same shared near dup text body", "src15"),
         (22, "the same shared near dup text tail", "src16"),
+        (31, None, "src1"),  # NULL text: dropped identically
+        (32, "null source still tokenizes fine", None),  # wave falls to 1
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
     p = str(tmp_path / "documents.parquet")
