@@ -73,7 +73,7 @@ QUALITY_WEIGHTS = {"len": 0.4, "distinct": 0.4, "clean": 0.2}
 
 #: GPT-ish pre-tokenizer: letter runs | digit runs | single non-alnum glyph.
 #: Pure RE2/Java-regex common subset so Spark and DuckDB agree.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]"
 
 
 def text_stats(documents: DataFrame) -> DataFrame:

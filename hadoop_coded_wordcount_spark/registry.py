@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 _TOKENS_SQL = (
-    "SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents"
+    "SELECT unnest(string_split_regex(text, '[\\s\\x0b]+')) AS word FROM documents"
 )
 
 
@@ -77,7 +77,7 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source, word, COUNT(*) AS cnt
     FROM (
-      SELECT source, unnest(string_split_regex(text, '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(text, '[\\s\\x0b]+')) AS word
       FROM documents
     )
     WHERE word <> ''
@@ -94,7 +94,7 @@ def q_wordcount_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
       SELECT source, word, COUNT(*) AS cnt
       FROM (
-        SELECT source, unnest(string_split_regex(text, '\\s+')) AS word
+        SELECT source, unnest(string_split_regex(text, '[\\s\\x0b]+')) AS word
         FROM documents
       )
       WHERE word <> ''
@@ -1438,7 +1438,7 @@ _DUCK_SHINGLES = """
          list_distinct(list_transform(range(1, len(toks) - 1),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
   FROM (SELECT doc_id, lang,
-               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
         FROM documents)
   WHERE len(toks) >= 3
 """
@@ -1461,7 +1461,7 @@ def q_dedup_exact(spark, sf_dir):
 @register(
     "dedup_fingerprint",
     """
-    SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT sha256(regexp_replace(lower(trim(text)), '[\\s\\x0b]+', ' ', 'g')) AS fingerprint,
            COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
     FROM documents
     GROUP BY fingerprint
@@ -1741,11 +1741,11 @@ def q_dedup_clusters_star(spark, sf_dir):
                  + {ts.QUALITY_WEIGHTS["distinct"]}
                    * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
                  + {ts.QUALITY_WEIGHTS["clean"]}
-                   * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)
                           / CAST(length(text) AS DOUBLE)), 6) AS quality
       FROM (
         SELECT doc_id, text,
-               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
         FROM documents
       ) WHERE len(toks) > 0
     ),
@@ -1821,7 +1821,7 @@ _DUCK_SIMHASH = f"""
                  CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo,
                  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi
           FROM (SELECT doc_id, lang,
-                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                       unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                           x -> x <> '')) AS tok
                 FROM documents)
         )
@@ -2137,7 +2137,7 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 _DUCK_TOKS = (
     "SELECT doc_id, text,"
-    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks"
+    " list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks"
     " FROM documents"
 )
 
@@ -2148,12 +2148,12 @@ _DUCK_TOKS = (
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(length(text) AS INTEGER) AS text_chars,
-           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS nonspace_chars,
+           CAST(length(regexp_replace(text, '[\\s\\x0b]', '', 'g')) AS INTEGER) AS nonspace_chars,
            CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max') AS INTEGER)
              AS max_token_len,
-           round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+           round(CAST(length(regexp_replace(text, '[\\s\\x0b]', '', 'g')) AS DOUBLE)
                  / len(toks), 6) AS avg_token_len,
-           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)
                  / length(text), 6) AS punct_ratio
     FROM ({_DUCK_TOKS}) WHERE len(toks) > 0
     """,
@@ -2178,7 +2178,7 @@ def _lang_score_sql() -> str:
     f"""
     WITH words AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+             list_distinct(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                        x -> x <> '')) AS w
       FROM documents
     ), scores AS ({_lang_score_sql()})
@@ -2202,7 +2202,7 @@ def q_lang_id(spark, sf_dir):
                + {ts.QUALITY_WEIGHTS["distinct"]}
                  * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
                + {ts.QUALITY_WEIGHTS["clean"]}
-                 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)
                         / CAST(length(text) AS DOUBLE)), 6) AS quality
     FROM ({_DUCK_TOKS}) WHERE len(toks) > 0
     """,
@@ -2215,7 +2215,7 @@ def q_quality_score(spark, sf_dir):
     "token_count",
     f"""
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           CAST(len(list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> ''))
                 AS INTEGER) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{ts.BPE_ISH_PATTERN}')) AS INTEGER)
              AS n_bpe_tokens,
@@ -2260,7 +2260,7 @@ def q_multimodal_integrity(spark, sf_dir):
 _DUCK_CHUNKS = """
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
       FROM documents
     )
     SELECT doc_id, CAST(i AS INT) AS chunk_idx,
@@ -2296,7 +2296,7 @@ def q_token_frequency_sketch(spark, sf_dir):
     "cms_manual_counts",
     """
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      SELECT unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')) AS tok
       FROM documents
     ),
     counters AS (
@@ -2352,10 +2352,10 @@ def q_deterministic_split(spark, sf_dir):
                  + {ts.QUALITY_WEIGHTS["distinct"]}
                    * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
                  + {ts.QUALITY_WEIGHTS["clean"]}
-                   * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)
                           / CAST(length(text) AS DOUBLE)), 6) AS quality
       FROM (SELECT doc_id, lang, n_chars, text,
-                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                   list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
             FROM documents)
       WHERE len(toks) > 0
     ),
@@ -2491,7 +2491,7 @@ def q_weighted_sample_orders(spark, sf_dir):
     """
     WITH d AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                   x -> x <> '')) AS INTEGER) AS n_tokens
       FROM documents
     ),
@@ -2592,7 +2592,7 @@ def q_pii_redact(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS tk
       FROM documents
     ),
     base AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 4),
@@ -2626,7 +2626,7 @@ def q_passage_dedup(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
       FROM documents
     ),
     wi AS (
@@ -2665,7 +2665,7 @@ def q_duplicate_spans(spark, sf_dir):
     "gopher_repetition",
     """
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      SELECT doc_id, list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
       FROM documents
     ),
     tt AS (SELECT * FROM toks WHERE len(toks) >= 2),
@@ -2706,7 +2706,7 @@ def q_gopher_repetition(spark, sf_dir):
              array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 10), ',')
                AS postings_head
       FROM (SELECT doc_id,
-                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+                   unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')) AS tok
             FROM documents)
       GROUP BY tok
     ) WHERE df >= 5
@@ -2722,7 +2722,7 @@ def q_inverted_index(spark, sf_dir):
     WITH tf AS (
       SELECT doc_id, tok AS term, COUNT(*) AS tf
       FROM (SELECT doc_id,
-                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+                   unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')) AS tok
             FROM documents)
       GROUP BY doc_id, tok
     ),
@@ -2754,7 +2754,7 @@ def q_tfidf_topk(spark, sf_dir):
 @register(
     "udf_normalize_text",
     """
-    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS normalized
+    SELECT doc_id, regexp_replace(lower(trim(text)), '[\\s\\x0b]+', ' ', 'g') AS normalized
     FROM documents
     """,
 )
@@ -2767,7 +2767,7 @@ def q_udf_normalize_text(spark, sf_dir):
     """
     SELECT source, word, COUNT(*) AS cnt
     FROM (
-      SELECT source, unnest(string_split_regex(text, '\\s+')) AS word
+      SELECT source, unnest(string_split_regex(text, '[\\s\\x0b]+')) AS word
       FROM documents
     )
     WHERE word <> ''
@@ -2927,7 +2927,7 @@ def q_click_attribution(spark, sf_dir):
     """
     WITH ex AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(text, '\\s+'),
+             unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                 x -> x <> '')) AS word
       FROM documents
     ),
@@ -2955,7 +2955,7 @@ def q_unigram_surprisal(spark, sf_dir):
     "bigram_lm",
     """
     WITH t AS (
-      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+      SELECT list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -2983,7 +2983,7 @@ def q_bigram_lm(spark, sf_dir):
     """
     WITH toked AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
       FROM documents
     ),
     t2 AS (SELECT doc_id, toks FROM toked WHERE len(toks) >= 2),
@@ -3024,7 +3024,7 @@ def q_perplexity_buckets(spark, sf_dir):
     "collocations_pmi",
     """
     WITH toked AS (
-      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      SELECT list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
       FROM documents
     ),
     bg AS (
@@ -3752,7 +3752,7 @@ def q_incremental_agg_update(spark, sf_dir):
     """
     WITH per_src AS (
       SELECT source,
-             CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+             CAST(SUM(len(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                       x -> x <> ''))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
@@ -5025,8 +5025,10 @@ def q_link_prediction_jaccard(spark, sf_dir):
 
 def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
     """Replay BPE merge training in DuckDB: vocab state is a
-    '|'-delimited symbol string (document text is alphanumeric — no
-    delimiter collision, asserted in tests), the per-round rewrite is a
+    '|'-delimited symbol string (PRECONDITION: document text contains no
+    '|' — true of every driver corpus, asserted in
+    tests/test_oracle_dialect.py; the Spark side is array-native and
+    total), the per-round rewrite is a
     ``list_reduce`` left fold with the same no-flag semantics as the
     Spark ``aggregate`` (a merged symbol is strictly longer than the
     pair's left element), and each round's argmax breaks ties
@@ -5036,7 +5038,7 @@ def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
         r"""
     WITH w AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-        SELECT unnest(string_split_regex(text, '\s+')) AS word
+        SELECT unnest(string_split_regex(text, '[\s\x0b]+')) AS word
         FROM documents
       ) WHERE word <> '' GROUP BY word
     ),
@@ -5095,7 +5097,7 @@ def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
     r"""
     WITH counted AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS BIGINT) AS n_words,
              CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
                   AS BIGINT) AS n_sentences,
@@ -5123,7 +5125,7 @@ def q_readability_scores(spark, sf_dir):
     r"""
     WITH toked AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -5190,7 +5192,7 @@ def q_bigram_heldout_xent(spark, sf_dir):
     ),
     toks AS (
       SELECT CAST((doc_id * 10) // n_docs_total AS BIGINT) AS slice_id,
-             unnest(list_filter(string_split_regex(text, '\s+'),
+             unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                 x -> x <> '')) AS tok
       FROM documents CROSS JOIN b
     ),
@@ -5339,7 +5341,7 @@ def q_clamped_running_balance(spark, sf_dir):
     WITH counts AS (
       SELECT w, c FROM (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
-          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+          SELECT unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                     x -> x <> '')) AS w
           FROM documents
         ) GROUP BY w
@@ -5643,7 +5645,7 @@ def q_top_session_paths(spark, sf_dir):
     f"""
     WITH words AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(text, '\\s+'),
+             list_distinct(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                        x -> x <> '')) AS w
       FROM documents
     ), scores AS ({{lang_scores}}),
@@ -5682,7 +5684,7 @@ _FERTILITY_FINAL = r"""
                  / SUM(occ * n_toks), 6) AS chars_per_token
     FROM (
       SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS occ FROM (
-        SELECT lang, unnest(string_split_regex(text, '\s+')) AS word
+        SELECT lang, unnest(string_split_regex(text, '[\s\x0b]+')) AS word
         FROM documents
       ) WHERE word <> '' GROUP BY 1, 2
     ) lw
@@ -5799,7 +5801,7 @@ _GRAMS_CTE = r"""
              list_distinct(list_transform(range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
       FROM (SELECT doc_id, lang,
-                   list_filter(string_split_regex(text, '\s+'),
+                   list_filter(string_split_regex(text, '[\s\x0b]+'),
                                x -> x <> '') AS toks
             FROM documents)
       WHERE len(toks) >= 3
@@ -5849,7 +5851,7 @@ def q_dedup_incremental(spark, sf_dir):
     WITH tf AS (
       SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS term
         FROM documents
       ) GROUP BY doc_id, term
@@ -6016,7 +6018,7 @@ def q_k_core_suppliers(spark, sf_dir):
     """
     WITH st AS (
       SELECT DISTINCT source,
-             unnest(list_filter(string_split_regex(text, '\\s+'),
+             unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                 x -> x <> '')) AS term
       FROM documents
     ),
@@ -6987,7 +6989,7 @@ def _textrank_round(prev: str, out: str) -> str:
     "textrank_keywords",
     f"""
     WITH t AS (
-      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+      SELECT list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -7206,7 +7208,7 @@ def q_entity_resolution(spark, sf_dir):
     tf AS (
       SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\\s+'),
+               unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                   x -> x <> '')) AS term
         FROM documents
       ) GROUP BY doc_id, term
@@ -9845,7 +9847,7 @@ def q_dq_rule_battery(spark, sf_dir):
     r"""
     WITH vocab AS (
       SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        SELECT unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM documents
       ) GROUP BY 1
@@ -9882,7 +9884,7 @@ def q_feature_hashing(spark, sf_dir):
     WITH tf AS MATERIALIZED (
       SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM documents
       ) GROUP BY 1, 2
@@ -9928,7 +9930,7 @@ def q_bm25_topk(spark, sf_dir):
     model AS MATERIALIZED (
       SELECT lang, w AS term, CAST(COUNT(*) AS BIGINT) AS c FROM (
         SELECT lang,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM train
       ) GROUP BY 1, 2
@@ -9946,7 +9948,7 @@ def q_bm25_topk(spark, sf_dir):
     ttf AS MATERIALIZED (
       SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM test
       ) GROUP BY 1, 2
@@ -10176,7 +10178,7 @@ def q_sprt_conversion(spark, sf_dir):
     r"""
     WITH ex AS (
       SELECT (doc_id % 2 = 0) AS is_a,
-             unnest(list_filter(string_split_regex(text, '\s+'),
+             unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                 x -> x <> '')) AS word
       FROM documents
     ),
@@ -10418,7 +10420,7 @@ def q_ngram_novelty(spark, sf_dir):
     r"""
     WITH ex AS (
       SELECT lang,
-             unnest(list_filter(string_split_regex(text, '\s+'),
+             unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                 x -> x <> '')) AS word
       FROM documents
     ),
@@ -10448,7 +10450,7 @@ def q_ttr_by_lang(spark, sf_dir):
     r"""
     WITH vocab AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
-        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        SELECT unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS word
         FROM documents
       ) GROUP BY 1
@@ -10696,7 +10698,7 @@ def q_repeat_purchase(spark, sf_dir):
     "mg_heavy_hitters",
     r"""
     WITH toks AS MATERIALIZED (
-      SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+      SELECT unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                 x -> x <> '')) AS word
       FROM documents
     ),
@@ -10720,7 +10722,7 @@ def q_mg_heavy_hitters(spark, sf_dir):
       SELECT source, CAST(COUNT(*) AS BIGINT) AS avail_tokens
       FROM (
         SELECT source,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM documents
       ) GROUP BY 1
@@ -10866,7 +10868,7 @@ def q_ucb_allocation(spark, sf_dir):
       SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
       FROM (
         SELECT source,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS word
         FROM documents
       ) GROUP BY 1, 2
@@ -11268,7 +11270,7 @@ def q_session_type_lift(spark, sf_dir):
     r"""
     WITH ex AS (
       SELECT doc_id % 2 = 0 AS is_ref,
-             unnest(list_filter(string_split_regex(text, '\s+'),
+             unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                 x -> x <> '')) AS word
       FROM documents
     ),
@@ -11590,7 +11592,7 @@ def q_ols_normal_equations(spark, sf_dir):
     r"""
     WITH tk AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -11756,7 +11758,7 @@ def q_davies_bouldin(spark, sf_dir):
     "trigram_lm",
     r"""
     WITH tk AS (
-      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+      SELECT list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -12412,7 +12414,7 @@ QUAL = ("round({w_len} * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)"
         " + {w_dis} * (CAST(len(list_distinct(toks)) AS DOUBLE)"
         " / CAST(len(toks) AS DOUBLE))"
         " + {w_cln} * (1.0 - CAST(length(regexp_replace(text,"
-        " '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)"
         " / CAST(length(text) AS DOUBLE)), 6)")
 
 @register(
@@ -12473,7 +12475,7 @@ def q_gopher_quality_flags(spark, sf_dir):
     WITH v AS (
       SELECT DISTINCT source, word FROM (
         SELECT source, unnest(list_filter(
-                 string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+                 string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')) AS word
         FROM documents)
     ),
     sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM v GROUP BY 1),
@@ -12887,11 +12889,11 @@ def q_label_propagation_suppliers(spark, sf_dir):
                       / CAST(len(toks) AS DOUBLE))
                  + {ts.QUALITY_WEIGHTS["clean"]}
                    * (1.0 - CAST(length(regexp_replace(text,
-                        '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)
                           / CAST(length(text) AS DOUBLE)), 6) AS quality
       FROM (
         SELECT doc_id, text,
-               list_filter(string_split_regex(text, '\\s+'),
+               list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                            x -> x <> '') AS toks
         FROM documents
       ) WHERE len(toks) > 0
@@ -12910,7 +12912,7 @@ def q_label_propagation_suppliers(spark, sf_dir):
     ),
     base AS (
       SELECT doc_id, source,
-             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                   x -> x <> '')) AS BIGINT) AS n_tok,
              md5(text) AS h
       FROM documents
@@ -12952,7 +12954,7 @@ def q_dedup_token_impact(spark, sf_dir):
     """
     WITH toked AS (
       SELECT doc_id, source, (lang = 'en') AS is_t,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -13271,7 +13273,7 @@ def _doremi_oracle(
         """ex AS MATERIALIZED (
       SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT source,
-                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                   unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                       x -> x <> '')) AS word
             FROM documents)
       GROUP BY source, word
@@ -13949,7 +13951,7 @@ def q_hot_key_audit(spark, sf_dir):
     WITH ex AS (
       SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT source,
-                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                   unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                       x -> x <> '')) AS word
             FROM documents)
       GROUP BY source, word
@@ -13993,7 +13995,7 @@ def q_source_loo_value(spark, sf_dir):
     """
     WITH toked AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -14027,7 +14029,7 @@ def q_source_loo_value(spark, sf_dir):
     ),
     base AS (
       SELECT d.doc_id, d.lang,
-             len(list_filter(string_split_regex(d.text, '\\s+'),
+             len(list_filter(string_split_regex(d.text, '[\\s\\x0b]+'),
                              x -> x <> '')) AS n_tok,
              CASE WHEN MIN(d.doc_id) OVER (PARTITION BY d.text) < d.doc_id
                   THEN 1 ELSE 0 END AS is_dup
@@ -14093,7 +14095,7 @@ def q_l_diversity(spark, sf_dir):
     WITH ex AS MATERIALIZED (
       SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
       FROM (SELECT source,
-                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                   unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                       x -> x <> '')) AS word
             FROM documents)
       GROUP BY source, word
@@ -14174,7 +14176,7 @@ def q_ecod_outliers(spark, sf_dir):
     WITH tf AS MATERIALIZED (
       SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM documents
       ) GROUP BY 1, 2
@@ -14457,7 +14459,7 @@ def q_logrank_segments(spark, sf_dir):
     WITH tf AS MATERIALIZED (
       SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\s+'),
+               unnest(list_filter(string_split_regex(text, '[\s\x0b]+'),
                                   x -> x <> '')) AS w
         FROM documents
       ) GROUP BY 1, 2
@@ -14829,7 +14831,7 @@ def q_encoding_anomaly(spark, sf_dir):
     "kneser_ney_bigram",
     """
     WITH t AS (
-      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+      SELECT list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -14870,7 +14872,7 @@ def q_kneser_ney_bigram(spark, sf_dir):
     WITH ex AS MATERIALIZED (
       SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT source,
-                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                   unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                       x -> x <> '')) AS word
             FROM documents)
       GROUP BY 1, 2
@@ -15201,7 +15203,7 @@ def q_fellegi_sunter_em(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '')
                AS toks
       FROM documents
     ),
@@ -15361,7 +15363,7 @@ def q_cmh_test(spark, sf_dir):
     """
     WITH lens AS (
       SELECT source,
-             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                   x -> x <> '')) AS BIGINT) AS n_tok
       FROM documents
     ),
@@ -15961,7 +15963,7 @@ def _register_bradley_terry() -> None:
                  / CAST(len(toks) AS DOUBLE))
             + {ts.QUALITY_WEIGHTS["clean"]}
               * (1.0 - CAST(length(regexp_replace(text,
-                       '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE)
                      / CAST(length(text) AS DOUBLE)), 6)"""
     )
     rounds_sql = "".join(_bt_round(f"w{r - 1}" if r > 1 else "w0", r)
@@ -15972,7 +15974,7 @@ def _register_bradley_terry() -> None:
         f"""
     WITH toked AS (
       SELECT source, lang, text,
-             list_filter(string_split_regex(text, '\\s+'),
+             list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
@@ -16353,7 +16355,7 @@ def q_seasonal_mann_kendall(spark, sf_dir):
     WITH tf AS (
       SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS k FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(text, '\\s+'),
+               unnest(list_filter(string_split_regex(text, '[\\s\\x0b]+'),
                                   x -> x <> '')) AS w
         FROM documents
       ) GROUP BY 1, 2
