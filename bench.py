@@ -122,26 +122,43 @@ def adjudicate_regressions(
     box: float,
     medians: dict,
     rerun,
+    sentinel: tuple | None = None,
 ) -> tuple[dict, dict]:
     """Self-adjudicating retest (VERDICT r9 item 3): host CPU-steal bursts
     hit a few RANDOM queries per sweep (measured on the r10 box: ~16 CPUs'
     worth stolen in 5 s bursts), and every one of r9's 16 flags cleared on
     the judge's min-of-3 re-runs. Build that adjudication in: re-run each
     candidate up to twice and keep the flag only if the BEST time still
-    regresses under the original run's box factor. A real plan regression
-    reproduces on every run; a steal burst doesn't.
+    regresses. A real plan regression reproduces on every run; a steal
+    burst doesn't.
 
     ``rerun(name)`` executes the query once and returns elapsed seconds
     (or None on error, which keeps the flag — an erroring retest never
     clears one). Returns ``(confirmed_regressions, retests)``; recorded
     timings stay the first-run values, only the flag decision changes.
+
+    ``sentinel`` (ADVICE r10): the original sweep's box factor can be
+    ≫1 on a loaded box, and judging an IDLE retest against it would
+    clear a genuine regression of up to 1.5×box. Pass an unflagged
+    ``(name, baseline_median)`` pair and the retest phase re-times it
+    once to estimate the RETEST-time box factor; flags are then judged
+    at ``min(box, retest_box)`` — idle retests get the honest 1.0,
+    while a still-loaded retest keeps the original normalization (the
+    adjudicator only ever CLEARS flags, so erring toward the larger
+    factor errs toward noise flags, never toward masking).
     """
+    retest_box = box
+    if sentinel is not None and regressions:
+        s_name, s_old = sentinel
+        took = rerun(s_name)
+        if took is not None and s_old:
+            retest_box = min(box, max(1.0, took / s_old))
     retests: dict[str, float] = {}
     for name in sorted(regressions):
         old = base[name]
         best = medians[name]
         for _ in range(2):
-            if not _regresses(old, best, box):
+            if not _regresses(old, best, retest_box):
                 break
             took = rerun(name)
             if took is None:
@@ -151,7 +168,7 @@ def adjudicate_regressions(
     confirmed = {
         name: [base[name], retests[name]]
         for name in regressions
-        if _regresses(base[name], retests[name], box)
+        if _regresses(base[name], retests[name], retest_box)
     }
     return confirmed, retests
 
@@ -339,16 +356,42 @@ def main() -> int:
         base = prior.get("queries_median") or prior.get("queries", {})
 
         def _rerun(name: str) -> float | None:
+            # elapsed captured immediately after materialize(); the cache
+            # clear is hygiene BETWEEN timings, not part of one (ADVICE
+            # r10: timing it biased retests high, and skipping it on the
+            # exception path let a failed retest's persisted intermediates
+            # tax the next one)
             t0 = time.perf_counter()
             try:
                 materialize(queries[name](spark, SF_DIR))
+                return time.perf_counter() - t0
             except Exception:
                 return None
-            spark.catalog.clearCache()
-            return time.perf_counter() - t0
+            finally:
+                spark.catalog.clearCache()
 
+        # retest-time box-factor sentinel (ADVICE r10): the unflagged
+        # mid-weight query closest to the baseline's median median —
+        # stable, representative, and cheap to re-time once
+        cands = sorted(
+            (name, old)
+            for name, old in base.items()
+            if name in queries
+            and name in medians
+            and name not in regressions
+            and old >= 0.4
+        )
+        sentinel = None
+        if cands:
+            mid = sorted(old for _, old in cands)[len(cands) // 2]
+            sentinel = min(cands, key=lambda kv: (abs(kv[1] - mid), kv[0]))
         regressions, retests = adjudicate_regressions(
-            regressions, base, _box_factor(base, medians), medians, _rerun
+            regressions,
+            base,
+            _box_factor(base, medians),
+            medians,
+            _rerun,
+            sentinel=sentinel,
         )
         for name, best in sorted(retests.items()):
             if name not in regressions:

@@ -90,6 +90,7 @@ __all__ = [
     "ingest_neardup_stream",
     "ingest_neardup_screen",
     "ingest_neardup_screen_oracle_sql",
+    "ingest_neardup_live",
 ]
 
 MATCH_SCHEMA = (
@@ -204,9 +205,23 @@ def exact_resend_filter(
     large) text is compared via a 32-byte digest. Spark manages the
     bounded key state and expires it past the watermark — the same
     at-least-once cleanup shape as ``streaming/joins.py``'s content-key
-    dedup, applied to the document ingest."""
+    dedup, applied to the document ingest.
+
+    NULL text never collapses (ADVICE r10): ``sha2(NULL)`` is NULL and
+    ``dropDuplicatesWithinWatermark`` groups NULL keys as equal, which
+    would silently fold every distinct NULL-text document inside the
+    horizon into one. The key therefore falls back to the document id
+    (distinct NULL-text docs keep distinct keys), and past that to a
+    per-row ``uuid()`` so a NULL-text NULL-id row is never dropped
+    (at-least-once on checkpoint replay for that degenerate slice —
+    the safe failure direction for a LOSSY filter)."""
+    key = F.coalesce(
+        F.sha2(F.col("text"), 256),
+        F.concat(F.lit("id:"), F.col("doc_id").cast("string")),
+        F.expr("uuid()"),
+    )
     return (
-        stream.withColumn("text_sha", F.sha2(F.col("text"), 256))
+        stream.withColumn("text_sha", key)
         .withWatermark(ts_col, lateness)
         .dropDuplicatesWithinWatermark(["text_sha"])
         .drop("text_sha")
@@ -416,14 +431,15 @@ def ingest_neardup_screen(
 
 
 def ingest_neardup_screen_oracle_sql(
-    threshold: float = 0.5, k: int = 32, bands: int = 16
+    threshold: float = 0.5, k: int = 32, bands: int = 16, n: int = 3
 ) -> str:
     """The DuckDB replay of :func:`ingest_neardup_screen` — every stage
     value-exact: the md5 Carter–Wegman minima (the minhash_signatures
     oracle's family), the md5→BIGINT band fold, integer match counts
     over the k minima, and the best-per-(doc, band, bucket) window.
-    Registry wiring lands with the r11 unfreeze; until then the twin
-    test drives operator vs oracle directly.
+    Every screen parameter (threshold, k, bands, shingle width ``n``)
+    is mirrored here so a non-default call cannot silently diverge
+    from its oracle (ADVICE r10 — the first cut hardcoded trigrams).
 
     Tokenizer dialect note: Java's ``\\s`` (Spark ``split``) includes
     vertical tab ``\\x0b``; RE2's (DuckDB ``string_split_regex``) does
@@ -451,15 +467,18 @@ def ingest_neardup_screen_oracle_sql(
     matches = " + ".join(
         f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n)).replace(
+        "toks[i+0]", "toks[i]"
+    )
     return f"""
     WITH g AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+             list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+               i -> {gram})) AS grams
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS toks
             FROM documents)
-      WHERE len(toks) >= 3
+      WHERE len(toks) >= {n}
     ),
     h AS (
       SELECT doc_id,
@@ -501,3 +520,70 @@ def ingest_neardup_screen_oracle_sql(
     SELECT doc_id, matched_doc_id, est_jaccard, band, bucket
     FROM q WHERE rn = 1
     """
+
+
+def ingest_neardup_live(
+    spark,
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    cap: int = 64,
+) -> DataFrame:
+    """Rows-only registry twin that EXECUTES the live
+    ``applyInPandasWithState`` query (not the batch replay): the
+    documents are replayed as the two ingest waves
+    ``dedup_incremental`` models (sources 0-9 land first, then the
+    rest), each wave a file-source micro-batch, through a real
+    started streaming query into a memory sink whose table is the
+    returned DataFrame.
+
+    Non-SQL-expressible by nature (stateful streaming execution — the
+    driver records the weaker rows-only check); the VALUE semantics
+    are already externally oracled through the cap=∞ batch twin
+    (:func:`ingest_neardup_screen`) plus the stream==batch row-set
+    test. What this entry adds to the gate is the execution path
+    itself: state round-trips through the state store, micro-batch
+    boundaries, and the production bucket cap (overflow counted in
+    the output, never silently absorbed).
+
+    Scale: identical posture to :func:`ingest_neardup_stream` —
+    capped per-(band,bucket) state, signatures not text in state; the
+    memory sink holds only the emitted match rows (bounded by the
+    true near-dup pair count, the same order as the oracled screen's
+    output).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"hcw_ingest_live_{tag}_")
+    name = f"ingest_neardup_live_{tag}"
+    src = os.path.join(tmp, "src")
+    wave1 = F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10
+    docs = documents.select("doc_id", "text", "source")
+    docs.where(wave1).write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(docs.schema).parquet(src + "/*")
+    query = (
+        ingest_neardup_stream(
+            stream, n=n, k=k, bands=bands, threshold=threshold, cap=cap
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        docs.where(~wave1).write.parquet(os.path.join(src, "b2"))
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # the memory sink owns the rows now; the spool dir can go
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)

@@ -367,11 +367,37 @@ def _committed_subdirs(spark, root):
     partial part-files could undercount a key at that batch_id; the
     marker is the commit point, so filtering on it makes torn dirs
     invisible to the collapse while complete leftovers still contribute
-    (harmlessly — see _topk_state_snapshot)."""
+    (harmlessly — see _topk_state_snapshot).
+
+    If the session's Hadoop conf DISABLES the marker
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``), no dir
+    will ever carry one and filtering on it would silently make ALL
+    accumulated state invisible (ADVICE r10) — the failure the marker
+    filter exists to prevent, inverted. In that configuration every
+    subdir is returned with a logged warning instead: torn-dir
+    protection is lost (there is nothing to tell a torn dir by), but
+    committed state keeps counting."""
     fs, jvm = _fs(spark, root)
+    dirs = _subdirs(spark, root)
+    marks = spark._jsc.hadoopConfiguration().get(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+    )
+    if str(marks).lower() == "false":
+        if dirs:
+            import warnings
+
+            warnings.warn(
+                "topk state: _SUCCESS markers are disabled "
+                "(mapreduce.fileoutputcommitter.marksuccessfuljobs="
+                "false) — reading all %d state dirs under %s without "
+                "torn-write protection" % (len(dirs), root),
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return dirs
     return [
         d
-        for d in _subdirs(spark, root)
+        for d in dirs
         if fs.exists(jvm.org.apache.hadoop.fs.Path(d + "/_SUCCESS"))
     ]
 

@@ -176,3 +176,62 @@ def test_default_run_never_writes_the_committed_baseline():
         os.path.join(os.path.dirname(spec.origin), ".gitignore")
     ).read()
     assert "bench_detail_last.json" in ignored
+
+
+def test_sentinel_restores_honest_box_factor_on_idle_retest():
+    """ADVICE r10: a sweep on a loaded box carries box >> 1; if the
+    retest runs idle, judging it under the original factor clears a
+    GENUINE regression of up to 1.5*box. With a sentinel pair, the
+    retest phase re-times one stable query and judges at
+    min(box, retest_box): an idle retest (sentinel back at baseline)
+    judges at 1.0 and the real regression stays flagged."""
+    adjudicate = _load_gate("adjudicate_regressions")
+    base = {"q_real": 2.0, "q_sent": 3.0}
+    # sweep ran at box=3: q_real at 8.0 is a true 4x regression that a
+    # box-3 judgment would need >9.0 to keep
+    flagged = {"q_real": [2.0, 8.0]}
+    reruns = {"q_real": iter([8.1, 7.9]), "q_sent": iter([3.05])}
+
+    def rerun(name):
+        return next(reruns[name])
+
+    confirmed, retests = adjudicate(
+        flagged, base, 3.0, {"q_real": 8.0}, rerun, sentinel=("q_sent", 3.0)
+    )
+    assert set(confirmed) == {"q_real"}
+    assert retests["q_real"] == 7.9
+
+
+def test_sentinel_on_still_loaded_retest_keeps_original_box():
+    """The other direction: if the retest box is WORSE than the sweep's
+    (sentinel reruns slow), min(box, retest_box) keeps the original —
+    the adjudicator only ever clears flags, never manufactures a
+    stricter judgment out of fresh load."""
+    adjudicate = _load_gate("adjudicate_regressions")
+    base = {"q_noise": 2.0, "q_sent": 3.0}
+    flagged = {"q_noise": [2.0, 7.0]}  # steal burst under box=1.0 sweep
+    reruns = {"q_noise": iter([2.1]), "q_sent": iter([9.0])}
+
+    def rerun(name):
+        return next(reruns[name])
+
+    confirmed, retests = adjudicate(
+        flagged, base, 1.0, {"q_noise": 7.0}, rerun, sentinel=("q_sent", 3.0)
+    )
+    # retest box est 3.0 but min(1.0, 3.0) = 1.0; the 2.1 s rerun still
+    # clears the flag honestly
+    assert confirmed == {}
+    assert retests["q_noise"] == 2.1
+
+
+def test_sentinel_rerun_error_keeps_original_box():
+    adjudicate = _load_gate("adjudicate_regressions")
+    base = {"q": 2.0, "s": 3.0}
+    flagged = {"q": [2.0, 9.0]}
+    seq = {"q": iter([8.8, 8.9]), "s": iter([None])}
+    confirmed, _ = adjudicate(
+        flagged, base, 3.0, {"q": 9.0}, lambda n: next(seq[n]),
+        sentinel=("s", 3.0),
+    )
+    # sentinel errored -> judged under the original box=3: 8.8 < 1.5*3*2
+    assert confirmed == {}

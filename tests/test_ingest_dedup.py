@@ -603,3 +603,109 @@ def test_ingest_screen_oracle_survives_adversarial_text(spark, tmp_path):
     # the \x0b twins must flag against each other (est 1.0) — i.e. the
     # oracle tokenized the vertical tab exactly like Spark did
     assert any(d == 30 and m == 10 and e == 1.0 for d, m, e, _, _ in got)
+
+
+def test_exact_resend_filter_never_collapses_null_text(spark, tmp_path):
+    """ADVICE r10: sha2(NULL) is NULL and dropDuplicatesWithinWatermark
+    groups NULL keys as equal — without the doc_id fallback key, two
+    DISTINCT documents with NULL text inside the watermark silently
+    collapse to one (data loss in a lossy filter). Pin: distinct
+    NULL-text docs both survive; an exact NULL-text re-send of the SAME
+    doc_id still dedups."""
+    schema = "doc_id bigint, text string, ts timestamp"
+    rows = [
+        (1, None, "2024-01-01 09:00:00"),
+        (2, None, "2024-01-01 09:01:00"),  # distinct doc, NULL text
+        (1, None, "2024-01-01 09:02:00"),  # same-doc NULL re-send
+        (3, "real text", "2024-01-01 09:03:00"),
+        (4, "real text", "2024-01-01 09:04:00"),  # exact re-send
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, ts string"
+    ).selectExpr(
+        "doc_id", "text", "cast(ts as timestamp) ts"
+    ).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        exact_resend_filter(stream)
+        .writeStream.format("memory")
+        .queryName("t_resend_null")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM t_resend_null").collect()
+    null_docs = sorted(r.doc_id for r in out if r.text is None)
+    text_docs = sorted(r.doc_id for r in out if r.text is not None)
+    assert null_docs == [1, 2]  # both distinct NULL-text docs survive
+    assert text_docs in ([3], [4])  # exact text re-send still dedups
+
+
+def test_screen_oracle_generalizes_shingle_width(spark, tmp_path):
+    """ADVICE r10: the first oracle cut hardcoded trigrams while the
+    operator exposes n — a non-default call silently diverged. Pin
+    operator == oracle at n=2 AND n=4 on the adversarial battery."""
+    import duckdb
+    import pandas as pd
+
+    from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+        ingest_neardup_screen,
+        ingest_neardup_screen_oracle_sql,
+    )
+
+    rows = [
+        (1, "a b c d e f g", "src0"),
+        (2, "a b c d e f h", "src1"),
+        (3, "a b c d e f g", "src12"),  # second-wave exact copy of 1
+        (4, "one two", "src13"),  # 2 tokens: alive at n=2, dropped n>=3
+        (5, "unrelated words entirely here", "src14"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    p = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    for n in (2, 4):
+        got = sorted(
+            map(
+                tuple,
+                ingest_neardup_screen(
+                    spark.createDataFrame(pdf), n=n
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(ingest_neardup_screen_oracle_sql(n=n)).fetchall(),
+            )
+        )
+        assert got == want, n
+        assert got, n  # the exact copy pair must flag at every width
+
+
+def test_live_registry_twin_matches_screen_at_sf0001(spark):
+    """The r11 rows-only registry entry: the LIVE applyInPandasWithState
+    execution over the two-wave replay must emit exactly the oracled
+    batch screen's match set (projected to the shared columns; sf0.001
+    buckets sit far under the production cap, so cap semantics don't
+    bite here — the >cap case is pinned separately)."""
+    from hadoop_coded_wordcount_spark.registry import QUERIES
+    from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+        ingest_neardup_screen,
+    )
+
+    live = QUERIES["ingest_neardup_live"](spark, SF_DIR)
+    got = {
+        (r.doc_id, r.matched_doc_id, r.est_jaccard, r.band, r.bucket)
+        for r in live.collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {tuple(r) for r in ingest_neardup_screen(docs).collect()}
+    assert got == want and want

@@ -890,3 +890,72 @@ def test_pq_binding_sample_keeps_recall(spark):
     r_bind = mean_recall(sim.ivf_pq_topk(emb, train_sample=128))
     assert r_bind >= 0.2, (r_bind, r_full)
     assert r_bind >= r_full - 0.1, (r_bind, r_full)
+
+
+def test_density_probe_estimates_planted_degree(vectors):
+    """Probe math on the planted fixture: per 4-vector... per-label
+    blocks of 3/3/2, sample covers every row, so est_avg_degree is the
+    EXACT average degree (hits = within-block pairs at cos >= eps)."""
+    out = {r.blk: r for r in sim.dbscan_density_probe(
+        vectors, eps_sim=0.2, dim=4
+    ).collect()}
+    # label 0: pairs (0,1)=1, (0,2)~.994, (1,2)~.994 -> hits=3, ns=3
+    r0 = out[0]
+    assert (r0.blkn, r0.ns, r0.hits) == (3, 3, 3)
+    assert r0.est_avg_degree == 2.0  # 2*3/(3*2) * (3-1)
+    # label 2: single pair at cos ~0.9938 -> hits=1, est = 1.0
+    r2 = out[2]
+    assert (r2.blkn, r2.ns, r2.hits) == (2, 2, 1)
+    assert r2.est_avg_degree == 1.0
+
+
+def test_dbscan_unrouted_default_on_planted(vectors):
+    """Blocks of 2-3 rows sit far under probe_min: the default never
+    probes, never routes, and approx is False everywhere."""
+    out = {r.vec_id: r for r in sim.dbscan_embeddings(
+        vectors, dim=4, min_neighbors=2
+    ).collect()}
+    assert not any(r.approx for r in out.values())
+    # the axis clusters are cores of their own components
+    assert out[0].role == "core" and out[0].cluster_id == 0
+    assert out[1].cluster_id == 0 and out[10].cluster_id == 10
+
+
+def test_dbscan_forced_routing_matches_full_oracle_replay(spark):
+    """The ROUTED branch value-pinned end to end on real data: with
+    route_degree=0 / probe_min=0 every block with any qualifying sample
+    pair takes the sign-LSH path, and the output (roles, cluster ids,
+    approx flags) must equal the DuckDB replay of the SAME parameters —
+    probe, BIGINT routing inequality, LSH sketch/banding, closure. The
+    gate corpora never route (est degree <= 13 vs budget 32), so this
+    test is the live value-check of the branch the gate can't reach."""
+    import duckdb
+
+    from hadoop_coded_wordcount_spark.registry import _dbscan_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    got = sorted(
+        map(
+            tuple,
+            sim.dbscan_embeddings(
+                emb, route_degree=0, probe_min=0
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                _dbscan_oracle_sql(route_degree=0, probe_min=0)
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+    # and the routing actually fired: every row flagged approximate
+    assert all(r[3] for r in got)

@@ -1126,3 +1126,39 @@ def test_topk_state_snapshot_ignores_torn_uncommitted_writes(
         for r in _topk_state_snapshot(spark, root).collect()
     }
     assert got == {("w1", "click"): (3, 0), ("w1", "view"): (5, 0)}
+
+
+def test_topk_state_survives_disabled_success_markers(spark, tmp_path):
+    """ADVICE r10: with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    =false no dir ever carries _SUCCESS, and filtering on the marker
+    would silently make ALL accumulated state invisible — inverted data
+    loss. Pin: under that conf the snapshot reads every state dir (with
+    a warning); torn-write protection is explicitly forfeited."""
+    import warnings
+
+    from hadoop_coded_wordcount_spark.streaming.windows import (
+        _topk_state_snapshot,
+    )
+
+    root = str(tmp_path / "state")
+    delta = f"{root}/delta/bid=0"
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 7, 0)],
+        "window_start string, event_type string, cnt bigint, batch_id bigint",
+    ).write.parquet(delta)
+    # simulate the marker-less committer: writes land with no _SUCCESS
+    import os
+
+    os.remove(os.path.join(delta, "_SUCCESS"))
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            rows = _topk_state_snapshot(spark, root).collect()
+        assert [(r.event_type, r.cnt) for r in rows] == [("click", 7)]
+        assert any("marksuccessfuljobs" in str(w.message) for w in caught)
+    finally:
+        conf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+    # markers back on: the marker-less dir is now (correctly) invisible
+    assert _topk_state_snapshot(spark, root).collect() == []
