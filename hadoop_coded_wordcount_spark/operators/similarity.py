@@ -2374,6 +2374,7 @@ def dbscan_embeddings(
     route_degree: int = 32,
     probe_sample: int = 256,
     probe_min: int = 1024,
+    route_bands: int = 2,
 ) -> DataFrame:
     """DBSCAN density clustering over the embedding corpus, composed
     from the engine's own primitives: the ε-neighborhood graph comes
@@ -2406,10 +2407,23 @@ def dbscan_embeddings(
     the sf0.1 query whose every block is a few hundred rows); only
     the block-count collect runs unconditionally, and only when some
     block exceeds the floor does the probe job exist at all. DBSCAN's
-    decisions only need degree ≥ ``min_neighbors`` and connectivity,
-    both of which survive a recall-lossy candidate generator on a
-    dense block (every point has degree ≫ min_neighbors there by the
-    routing premise); the approximation is surfaced, not hidden — the
+    decisions split in two: PER-POINT decisions (degree ≥
+    ``min_neighbors`` → role) survive a recall-lossy candidate
+    generator on a dense block (every point has degree ≫ min_neighbors
+    there by the routing premise — measured role agreement 1.0 vs exact
+    on the sf1 fixture), while MACRO-CONNECTIVITY often rides sparse
+    borderline bridges that any banding misses (measured: 10 exact
+    clusters fragmented into ~2000). The routed branch therefore runs
+    narrow ``route_bands=2`` candidates (16-bit bands — candidate
+    volume quadratically smaller, near-identical members still collide
+    with p ≈ 1) and REPAIRS connectivity with representative
+    stitching: exact cosine among each routed block's per-cluster
+    representatives (md5-capped), merging clusters whose reps qualify.
+    Rep-rep ≥ ε between cores is an exact-DBSCAN merge by definition,
+    so stitching is a SUBSET of exact merges — the routed output is a
+    pure refinement of the exact clustering (may split what exact
+    joins, never joins what exact splits), at Θ(reps²)-per-block
+    bounded cost. The approximation is surfaced, not hidden — the
     ``approx`` output column marks every vector of a routed block.
     ``route_degree=None`` (or a huge budget) restores the always-exact
     operator.
@@ -2462,15 +2476,10 @@ def dbscan_embeddings(
         lab = embeddings.select(
             "vec_id", blk_col.alias("_bl")
         )
-        # bands=2 (16-bit bands): a routed block is dense BY MEASUREMENT,
-        # so the candidate generator only needs recall on high-cosine
-        # neighborhoods (near-identical members collide per band with
-        # p ≈ 1 at any width) — wider bands cut candidate volume
-        # quadratically in bucket size (measured sf1: 4.2M → ~1M
-        # candidates, 33 s → 11 s) at the price of borderline-pair
-        # recall, which the `approx` flag already discloses
         lsh = (
-            embedding_lsh_pairs(dense, bands=2, threshold=eps_sim, dim=dim)
+            embedding_lsh_pairs(
+                dense, bands=route_bands, threshold=eps_sim, dim=dim
+            )
             .join(
                 lab.select(
                     F.col("vec_id").alias("vec_a"),
@@ -2517,6 +2526,61 @@ def dbscan_embeddings(
         "v",
         F.coalesce(F.col("cluster_id"), F.col("v")).alias("cluster_id"),
     )
+    if routed:
+        # Representative stitching: LSH candidates recover the dense
+        # neighborhoods (roles agree 1.0 with exact on the sf1 fixture)
+        # but miss the SPARSE borderline bridges that chain macro-
+        # components (measured: 10 exact clusters fragmented into ~2000
+        # copy-group clusters). Repair: one rep per routed-block cluster
+        # — its cluster_id, which IS its min member — exact cosine among
+        # the md5-first ``repair_cap`` reps within each block, and a
+        # second star contraction merges clusters whose reps qualify.
+        # Sound by construction: two CORE reps within ε are neighbors,
+        # so exact DBSCAN puts them in one cluster — rep edges are a
+        # SUBSET of exact merges, hence the routed output is a pure
+        # REFINEMENT of the exact clustering (it may split what exact
+        # joins, never join what exact splits). Cost is Θ(reps²) per
+        # block, bounded by cluster count (≪ rows on dense data) and
+        # hard-capped; wholly skipped when nothing routed.
+        repair_cap = 4096
+        wrep = Window.partitionBy("blk").orderBy(
+            F.md5(F.col("cluster_id").cast("string").cast("binary")),
+            "cluster_id",
+        )
+        reps = (
+            core_lab.select("cluster_id")
+            .distinct()
+            .join(nv, F.col("cluster_id") == F.col("vec_id"))
+            .where(F.col("blk").isin(routed))
+            .select("cluster_id", "blk", "ne")
+            .withColumn("rrk", F.row_number().over(wrep))
+            .where(F.col("rrk") <= repair_cap)
+            .drop("rrk")
+        )
+        rcos = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+        rep_edges = (
+            reps.alias("a")
+            .join(
+                reps.alias("b"),
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.cluster_id") < F.col("b.cluster_id")),
+            )
+            .where(rcos >= eps_sim)
+            .select(
+                F.col("a.cluster_id").alias("doc_a"),
+                F.col("b.cluster_id").alias("doc_b"),
+            )
+        )
+        merged = dd.connected_components_star(rep_edges).select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("super_id"),
+        )
+        core_lab = core_lab.join(merged, "cluster_id", "left").select(
+            "v",
+            F.coalesce(F.col("super_id"), F.col("cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
     border_lab = (
         sym.join(
             core_lab.select(

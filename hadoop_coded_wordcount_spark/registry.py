@@ -12342,6 +12342,7 @@ def _dbscan_oracle_sql(
     route_degree: int = 32,
     probe_sample: int = 256,
     probe_min: int = 1024,
+    repair_cap: int = 4096,
     bits: int = 32,
     bands: int = 2,
     dim: int = 64,
@@ -12385,17 +12386,17 @@ def _dbscan_oracle_sql(
     )
     return f"""
     WITH RECURSIVE v AS ({_DUCK_VECS}),
-    withnorm AS (
+    withnorm AS MATERIALIZED (
       SELECT vec_id, label, emb,
              sqrt(list_reduce(list_transform(emb, y -> y * y),
                               (acc, x) -> acc + x)) AS nrm
       FROM v
     ),
-    nv AS (
+    nv AS MATERIALIZED (
       SELECT vec_id, label, list_transform(emb, x -> x / nrm) AS ne
       FROM withnorm
     ),
-    samp AS (
+    samp AS MATERIALIZED (
       SELECT vec_id, label, ne FROM (
         SELECT vec_id, label, ne,
                row_number() OVER (PARTITION BY label
@@ -12403,7 +12404,7 @@ def _dbscan_oracle_sql(
         FROM nv)
       WHERE rk <= {probe_sample}
     ),
-    probe AS (
+    probe AS MATERIALIZED (
       SELECT a.label AS label,
              CAST(COUNT(*) FILTER (
                {dot.format(a='a.ne', b='b.ne')} >= {eps}) AS BIGINT)
@@ -12412,13 +12413,13 @@ def _dbscan_oracle_sql(
         ON a.label = b.label AND a.vec_id < b.vec_id
       GROUP BY 1
     ),
-    sampn AS (
+    sampn AS MATERIALIZED (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS ns FROM samp GROUP BY 1
     ),
-    blkn AS (
+    blkn AS MATERIALIZED (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS bn FROM nv GROUP BY 1
     ),
-    routed AS (
+    routed AS MATERIALIZED (
       -- BIGINT routing inequality: 2*hits*(bn-1) > budget*ns*(ns-1) —
       -- integer-exact, so Spark and this replay can never split on a
       -- float boundary; blocks at or below probe_min rows are exact
@@ -12431,7 +12432,7 @@ def _dbscan_oracle_sql(
         AND 2 * COALESCE(p.hits, 0) * (b.bn - 1)
             > {route_degree} * s.ns * (s.ns - 1)
     ),
-    p_exact AS (
+    p_exact AS MATERIALIZED (
       -- normalize-first cosine: the SAME expression tree as the Spark
       -- operator (unit vectors, then one dot) — dot/(na*nb) differs in
       -- the last ulp and flips boundary pairs, cascading into clusters
@@ -12440,21 +12441,21 @@ def _dbscan_oracle_sql(
       WHERE a.label NOT IN (SELECT label FROM routed)
         AND {dot.format(a='a.ne', b='b.ne')} >= {eps}
     ),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT vec_id, label, j, ne[j] AS e
       FROM nv, unnest(range(1, {dim + 1})) AS t(j)
       WHERE label IN (SELECT label FROM routed)
     ),
-    sums AS (
+    sums AS MATERIALIZED (
       SELECT vec_id, label, {', '.join(sum_cols)}
       FROM comp GROUP BY vec_id, label
     ),
-    buckets AS ({' UNION ALL '.join(band_rows)}),
-    bk AS (
+    buckets AS MATERIALIZED ({' UNION ALL '.join(band_rows)}),
+    bk AS MATERIALIZED (
       SELECT b.vec_id, b.label, b.band, b.bucket, nv.ne
       FROM buckets b JOIN nv USING (vec_id, label)
     ),
-    p_lsh AS (
+    p_lsh AS MATERIALIZED (
       SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       FROM bk x JOIN bk y
         ON x.band = y.band AND x.bucket = y.bucket
@@ -12462,17 +12463,17 @@ def _dbscan_oracle_sql(
       WHERE x.label = y.label
         AND {dot.format(a='x.ne', b='y.ne')} >= {eps}
     ),
-    p AS (
+    p AS MATERIALIZED (
       SELECT va, vb FROM p_exact UNION ALL SELECT va, vb FROM p_lsh
     ),
-    sym AS (SELECT va AS v, vb AS n FROM p UNION ALL SELECT vb, va FROM p),
-    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nn FROM sym GROUP BY 1),
-    cores AS (SELECT v FROM deg WHERE nn >= {min_neighbors}),
-    ce AS (
+    sym AS MATERIALIZED (SELECT va AS v, vb AS n FROM p UNION ALL SELECT vb, va FROM p),
+    deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS nn FROM sym GROUP BY 1),
+    cores AS MATERIALIZED (SELECT v FROM deg WHERE nn >= {min_neighbors}),
+    ce AS MATERIALIZED (
       SELECT va, vb FROM p
       JOIN cores c1 ON p.va = c1.v JOIN cores c2 ON p.vb = c2.v
     ),
-    ces AS (
+    ces AS MATERIALIZED (
       SELECT va AS a, vb AS b FROM ce UNION ALL SELECT vb AS a, va AS b
       FROM ce
     ),
@@ -12481,12 +12482,53 @@ def _dbscan_oracle_sql(
       UNION
       SELECT c.v, e.b FROM closure c JOIN ces e ON e.a = c.u
     ),
-    lab AS (
+    lab AS MATERIALIZED (
       SELECT v, CAST(MIN(u) AS BIGINT) AS cluster_id FROM closure GROUP BY 1
     ),
-    border AS (
+    -- representative stitching (routed blocks only): one rep per
+    -- cluster (its min member = the cluster_id), md5-first {repair_cap}
+    -- per block, exact cosine among reps, second closure merges
+    -- clusters whose reps qualify — a SUBSET of exact DBSCAN's merges,
+    -- so the routed result refines the exact clustering, never
+    -- over-merges; a no-op whenever nothing routed
+    reps AS MATERIALIZED (
+      SELECT cluster_id, label, ne FROM (
+        SELECT r.cluster_id, v.label, v.ne,
+               row_number() OVER (PARTITION BY v.label
+                 ORDER BY md5(CAST(r.cluster_id AS VARCHAR)),
+                          r.cluster_id) AS rrk
+        FROM (SELECT DISTINCT l.cluster_id
+              FROM lab l JOIN nv vv ON l.v = vv.vec_id
+              WHERE vv.label IN (SELECT label FROM routed)) r
+        JOIN nv v ON v.vec_id = r.cluster_id)
+      WHERE rrk <= {repair_cap}
+    ),
+    rep_edges AS MATERIALIZED (
+      SELECT a.cluster_id AS ea, b.cluster_id AS eb
+      FROM reps a JOIN reps b
+        ON a.label = b.label AND a.cluster_id < b.cluster_id
+      WHERE {dot.format(a='a.ne', b='b.ne')} >= {eps}
+    ),
+    rep_sym AS MATERIALIZED (
+      SELECT ea AS a, eb AS b FROM rep_edges
+      UNION ALL SELECT eb, ea FROM rep_edges
+    ),
+    closure2(c, u) AS (
+      SELECT cluster_id, cluster_id FROM reps
+      UNION
+      SELECT c.c, e.b FROM closure2 c JOIN rep_sym e ON e.a = c.u
+    ),
+    merge_map AS MATERIALIZED (
+      SELECT c AS cluster_id, CAST(MIN(u) AS BIGINT) AS super_id
+      FROM closure2 GROUP BY 1
+    ),
+    lab2 AS MATERIALIZED (
+      SELECT l.v, COALESCE(m.super_id, l.cluster_id) AS cluster_id
+      FROM lab l LEFT JOIN merge_map m USING (cluster_id)
+    ),
+    border AS MATERIALIZED (
       SELECT s.v, MIN(l.cluster_id) AS cluster_id
-      FROM sym s JOIN lab l ON s.n = l.v
+      FROM sym s JOIN lab2 l ON s.n = l.v
       WHERE s.v NOT IN (SELECT v FROM cores)
       GROUP BY 1
     )
@@ -12497,7 +12539,7 @@ def _dbscan_oracle_sql(
            COALESCE(l.cluster_id, b.cluster_id) AS cluster_id,
            e.label IN (SELECT label FROM routed) AS approx
     FROM embeddings e
-    LEFT JOIN lab l ON e.vec_id = l.v
+    LEFT JOIN lab2 l ON e.vec_id = l.v
     LEFT JOIN border b ON e.vec_id = b.v
     """
 
