@@ -63,6 +63,8 @@ __all__ = [
     "theta_intersection_estimate",
     "misra_gries_heavy_hitters",
     "hll_set_ops",
+    "mass_sample_quantiles",
+    "mass_sample_merge",
     "DEFAULT_K",
 ]
 
@@ -780,3 +782,109 @@ def hll_set_ops(
             ).alias("rel_err_intersect"),
         )
     )
+
+
+def _mass_kept(
+    df: DataFrame, group_col: str, value_col: str, key_col: str, t: int
+) -> DataFrame:
+    """The sketch state: rows whose md5-uniform key hash falls under
+    2^-t. A pure function of the KEY SET (partition-, order- and
+    merge-independent, the KMV discipline), so any two engines — and any
+    two shards — retain exactly the same rows."""
+    rate = F.lit(2.0 ** -t)
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.col(key_col).alias("k"),
+    ).where(_uniform_hash_col(F.col(key_col)) < rate)
+
+
+def _uniform_hash_col(col: Column) -> Column:
+    """:func:`_uniform_hash` over an arbitrary Column expression."""
+    h = F.md5(col.cast("string").cast("binary"))
+    x = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    return x.cast("double") / F.lit(float(2**52))
+
+
+def mass_sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    t: int = 4,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable QUANTILE sketch — the member the sketch family was
+    missing (KMV/HLL/theta answer "how many distinct", CMS "how often",
+    Misra-Gries "which heavy"; this answers "what value sits at rank
+    q"). Exact percentiles need the whole column through a sort or a
+    bounded-state two-pass; at 100 TB the mergeable-sketch shape is a
+    deterministic HASH-MASS SAMPLE: keep exactly the rows whose
+    md5-uniform key hash < 2^-t (a 2^-t Bernoulli sample that is a pure
+    function of the key set), estimate quantile q as the kept sample's
+    q-quantile (value at rank ceil(q·m) of the m kept rows, ties broken
+    by key — fully deterministic, error ~ sqrt(q(1-q)/m)).
+
+    Why this basis and not GK/KLL compactors: the kept set is
+    partition-, order- and merge-independent, so per-shard states union
+    losslessly (:func:`mass_sample_merge`), estimates are bit-identical
+    at any parallelism, and DuckDB replays the whole pipeline — the
+    same reasons the KMV/HLL family runs on open md5 registers rather
+    than engine-private sketch blobs. A KLL compactor's state depends
+    on arrival order; its estimates could only be rows-only checked.
+
+    Scale: the filter is map-side (no UDF, no shuffle); only n·2^-t
+    sampled rows reach the per-group sort window; ``t`` rises with
+    corpus size to hold the state budget (re-thresholding existing
+    states to a larger t is the lossless merge-time downgrade).
+
+    Output per group: ``sample_n``, ``sample_rate``, and one
+    ``est_p<q>`` column per requested quantile.
+    """
+    kept = _mass_kept(df, group_col, value_col, key_col, t)
+    w = Window.partitionBy("grp").orderBy("v", "k")
+    wm = Window.partitionBy("grp")
+    ranked = kept.select(
+        "grp",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    aggs = [
+        F.max("m").cast("bigint").alias("sample_n"),
+        F.lit(2.0 ** -t).alias("sample_rate"),
+    ]
+    for q in qs:
+        target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("m")))
+        aggs.append(
+            F.min(F.when(F.col("rn") == target, F.col("v"))).alias(
+                "est_p" + str(q).replace("0.", "").ljust(2, "0")
+            )
+        )
+    out = ranked.groupBy("grp").agg(*aggs)
+    return out.select(
+        F.col("grp").alias(group_col),
+        *[c for c in out.columns if c != "grp"],
+    )
+
+
+def mass_sample_merge(
+    states: list, t_out: int | None = None
+) -> DataFrame:
+    """Sketch algebra: union per-shard kept sets, RE-THRESHOLD to the
+    coarsest rate among them (keys kept at rate 2^-t1 and re-filtered
+    at t2 > t1 are exactly the keys a direct 2^-t2 sample keeps — the
+    hash is shared, so a row survives iff u < 2^-t2), and the merged
+    state is bit-identical to sampling the concatenated input directly.
+    ``states`` are (grp, v, k, t) frames from :func:`_mass_kept`
+    callers; pass ``t_out`` to downgrade further at merge time."""
+    ts = [t for _, t in states]
+    t_max = max(ts) if t_out is None else t_out
+    out = None
+    for df, t in states:
+        if t_max > t:
+            df = df.where(_uniform_hash_col(F.col("k")) < F.lit(2.0 ** -t_max))
+        elif t_max < t:
+            raise ValueError("cannot up-sample a mass sketch: t_out < t")
+        out = df if out is None else out.unionAll(df)
+    return out

@@ -16623,6 +16623,45 @@ def q_ingest_neardup_live(spark, sf_dir):
     )
 
 
+@register(
+    "quantile_mass_sample",
+    # the sketch family's quantile member: a deterministic 2^-4
+    # hash-mass sample (pure function of the key set), sample quantile
+    # at rank ceil(q*m) with key tie-break — every stage replayed
+    """
+    WITH kept AS MATERIALIZED (
+      SELECT o_orderpriority AS grp, o_totalprice AS v, o_orderkey AS k
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                 AS BIGINT) / 4503599627370496.0 < 0.0625
+    ),
+    ranked AS MATERIALIZED (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS m
+      FROM kept
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MAX(m) AS BIGINT) AS sample_n,
+           CAST(0.0625 AS DOUBLE) AS sample_rate,
+           MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * m) AS BIGINT))
+                    THEN v END) AS est_p50,
+           MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * m) AS BIGINT))
+                    THEN v END) AS est_p90,
+           MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * m) AS BIGINT))
+                    THEN v END) AS est_p99
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_quantile_mass_sample(spark, sf_dir):
+    return sk.mass_sample_quantiles(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+
 # The legacy hand-rotated _VERIFY_FIRST head (238 names) is gone: it went
 # stale twice (rounds 5 and 7) and the order is now derived entirely from
 # the driver's CORRECTNESS_r*.json files by _gate_checked_rounds() below.

@@ -283,3 +283,88 @@ def test_bloom_prefilter_no_false_negatives_and_sane_fp(spark):
     # 4096 bits / 3 hashes sized for ~hundreds of members: the realized
     # FP rate should stay far below a coin flip
     assert row.fp_rate < 0.25
+
+
+def test_mass_sample_t0_equals_exact_sample_quantiles(spark):
+    """t=0 keeps every row (u < 1 always), so the 'estimate' must be the
+    EXACT rank-ceil(q*n) population quantile with (value, key)
+    tie-break — the estimator degenerates to truth when the sample is
+    the population."""
+    rows = [("g", float(v), v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, val double, k bigint")
+    out = sk.mass_sample_quantiles(df, "grp", "val", "k", t=0).collect()[0]
+    assert out.sample_n == 100 and out.sample_rate == 1.0
+    assert (out.est_p50, out.est_p90, out.est_p99) == (50.0, 90.0, 99.0)
+
+
+def test_mass_sample_state_is_partition_independent(spark):
+    """The kept set is a pure function of the key set: repartitioning
+    the input must not move a single estimate (the KMV discipline)."""
+    orders = load_table(spark, SF001, "orders")
+    a = sorted(map(tuple, sk.mass_sample_quantiles(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()))
+    b = sorted(map(tuple, sk.mass_sample_quantiles(
+        orders.repartition(7, "o_custkey"),
+        "o_orderpriority", "o_totalprice", "o_orderkey",
+    ).collect()))
+    assert a == b and a
+
+
+def test_mass_sample_merge_equals_direct_sample(spark):
+    """Sketch algebra: shard states at MIXED rates (t=2 and t=4)
+    re-threshold + union into exactly the state a direct t=4 sample of
+    the concatenated input keeps — bit-identical, not approximately."""
+    from hadoop_coded_wordcount_spark.operators.sketches import (
+        _mass_kept,
+        mass_sample_merge,
+    )
+
+    orders = load_table(spark, SF001, "orders")
+    half_a = orders.where(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.where(F.col("o_orderkey") % 2 == 1)
+    merged = mass_sample_merge(
+        [
+            (_mass_kept(half_a, "o_orderpriority", "o_totalprice",
+                        "o_orderkey", 2), 2),
+            (_mass_kept(half_b, "o_orderpriority", "o_totalprice",
+                        "o_orderkey", 4), 4),
+        ]
+    )
+    direct = _mass_kept(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", 4
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_mass_sample_merge_refuses_upsampling():
+    import pytest
+
+    from hadoop_coded_wordcount_spark.operators.sketches import (
+        mass_sample_merge,
+    )
+
+    with pytest.raises(ValueError):
+        mass_sample_merge([(None, 4)], t_out=2)
+
+
+def test_mass_sample_estimates_track_exact_quantiles(spark):
+    """Statistical sanity at the registry's t=4 on real data: every
+    estimated quantile must sit within the value range and be ordered
+    p50 <= p90 <= p99; p50 within 15% relative of the exact median
+    (m ~ 190 per group -> sigma_rank ~ 3.6%)."""
+    orders = load_table(spark, SF001, "orders")
+    est = {r.o_orderpriority: r for r in sk.mass_sample_quantiles(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()}
+    exact = {
+        r.o_orderpriority: r.p50
+        for r in orders.groupBy("o_orderpriority").agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50")
+        ).collect()
+    }
+    for g, r in est.items():
+        assert r.est_p50 <= r.est_p90 <= r.est_p99
+        assert abs(r.est_p50 - exact[g]) / exact[g] < 0.15, g
