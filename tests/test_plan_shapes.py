@@ -451,3 +451,22 @@ def test_graph_degree_joins_carry_no_broadcast_hint(spark):
     tdf.collect()
     final = tdf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final
+
+
+def test_dbscan_routed_branch_plan_hygiene(spark):
+    """The registry-wide sweep only sees dbscan's DEFAULT (exact) path —
+    no gate corpus is dense enough to route. Force the routed branch
+    (sign-LSH candidates + representative stitching) and hold it to the
+    same bar: no cartesian product, no row-at-a-time Python UDF, and
+    the LSH candidate join stays an equi-join (SortMergeJoin or
+    broadcast hash, never nested-loop)."""
+    from hadoop_coded_wordcount_spark.operators import similarity as sim
+    from hadoop_coded_wordcount_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = sim.dbscan_embeddings(emb, route_degree=0, probe_min=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
