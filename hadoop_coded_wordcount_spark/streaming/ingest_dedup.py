@@ -562,28 +562,32 @@ def ingest_neardup_live(
     tag = uuid.uuid4().hex[:12]
     tmp = tempfile.mkdtemp(prefix=f"hcw_ingest_live_{tag}_")
     name = f"ingest_neardup_live_{tag}"
-    src = os.path.join(tmp, "src")
-    wave1 = F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10
-    docs = documents.select("doc_id", "text", "source")
-    docs.where(wave1).write.parquet(os.path.join(src, "b1"))
-    stream = spark.readStream.schema(docs.schema).parquet(src + "/*")
-    query = (
-        ingest_neardup_stream(
-            stream, n=n, k=k, bands=bands, threshold=threshold, cap=cap
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
     try:
-        query.processAllAvailable()
-        docs.where(~wave1).write.parquet(os.path.join(src, "b2"))
-        query.processAllAvailable()
+        src = os.path.join(tmp, "src")
+        wave1 = F.regexp_extract("source", r"(\d+)$", 1).cast("int") < 10
+        docs = documents.select("doc_id", "text", "source")
+        docs.where(wave1).write.parquet(os.path.join(src, "b1"))
+        stream = spark.readStream.schema(docs.schema).parquet(src + "/*")
+        query = (
+            ingest_neardup_stream(
+                stream, n=n, k=k, bands=bands, threshold=threshold, cap=cap
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            docs.where(~wave1).write.parquet(os.path.join(src, "b2"))
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
-    # the memory sink owns the rows now; the spool dir can go
-    shutil.rmtree(tmp, ignore_errors=True)
+        # the memory sink owns the rows once the query stops; the spool
+        # dir goes on BOTH the success and failure paths (a failed run
+        # must not leak its temp parquet + checkpoint)
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)

@@ -368,3 +368,16 @@ def test_mass_sample_estimates_track_exact_quantiles(spark):
     for g, r in est.items():
         assert r.est_p50 <= r.est_p90 <= r.est_p99
         assert abs(r.est_p50 - exact[g]) / exact[g] < 0.15, g
+
+
+def test_mass_sample_empty_sample_yields_no_row(spark):
+    """A group whose keys all hash above the rate contributes NO output
+    row (there is nothing to estimate from) — pinned so the contract is
+    deliberate, and identical to the oracle's (the SQL kept-CTE is
+    empty for that group too). t=40 puts the keep rate at ~9e-13: with
+    ~15k orders the kept set is empty with near certainty."""
+    orders = load_table(spark, SF001, "orders")
+    out = sk.mass_sample_quantiles(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", t=40
+    ).collect()
+    assert out == []
