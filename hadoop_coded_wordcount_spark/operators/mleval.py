@@ -1494,6 +1494,7 @@ def cox_ph_binary(
     orders: DataFrame,
     churn_gap_days: int = 90,
     iters: int = 6,
+    grid_cap: int = 65536,
 ) -> DataFrame:
     """Cox proportional-hazards fit (binary covariate, Breslow ties) on
     customer churn: does the AUTOMOBILE segment churn at a different
@@ -1503,6 +1504,15 @@ def cox_ph_binary(
     per-customer shuffle the whole fit runs on a duration-range-sized
     frame (control-plane class, the markov/doremi precedent), iterated
     driver-side in integer micro-units.
+
+    The grid collect is HARD-BOUNDED by ``grid_cap`` (VERDICT r11 item
+    7): the cardinality is a property of the value domain (distinct
+    30-day buckets — TPC-H's 7-year window yields ~85; even
+    day-granularity ~2.5k), not of row count, but the code enforces
+    the bound rather than inheriting it from the fixture — the collect
+    fetches at most ``grid_cap``+1 rows (never an unbounded grid into
+    driver memory) and raises past the cap instead of silently
+    iterating a frame that stopped being control-plane.
 
     Newton per round (β starts at 0, all stores 6dp):
     p_t = n1·e^β/(n1·e^β+n0); U = S1 − Σ round(d·p, 6);
@@ -1579,9 +1589,20 @@ def cox_ph_binary(
             "tot0",
         )
         .where(F.col("d") > 0)
+        # limit(cap+1): the Newton sums are order-independent, so no
+        # ordering is needed here — the limit only bounds what can ever
+        # reach the driver, and one extra row proves overflow
+        .limit(grid_cap + 1)
         .collect()
     )
     durations.unpersist()
+    if len(grid) > grid_cap:
+        raise ValueError(
+            "cox_ph_binary event-time grid exceeds grid_cap=%d distinct "
+            "buckets; coarsen the 30-day bucketing or raise grid_cap — "
+            "the driver-side Newton walk is only sound on a "
+            "control-plane-sized grid" % grid_cap
+        )
     s1_tot = sum(r.s1 for r in grid)
     d_tot = sum(r.d for r in grid)
     tot1 = tot_row.tot1

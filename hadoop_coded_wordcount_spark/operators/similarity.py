@@ -86,6 +86,14 @@ ANN_MAX_CODES: int = 256
 #: corpus-independent.
 ANN_TRAIN_SAMPLE: int = 4096
 
+#: Byte ceiling for the LSH vector-attach broadcast map (1 GiB —
+#: conservatively under Spark's 8 GB broadcast hard limit and a typical
+#: driver heap). Past it :func:`embedding_lsh_pairs` attaches vectors
+#: via a shuffled hash join instead: candidates shuffle 16-byte id
+#: pairs, the vector side shuffles once (corpus-sized, never
+#: candidate-sized), and no single task ever holds the whole map.
+_LSH_BROADCAST_BYTES_MAX: int = 1 << 30
+
 
 def audit_qids(ids: DataFrame, query_mod: int, max_queries: int) -> DataFrame:
     """A deterministic FIXED id budget: id-mod selection, then the
@@ -419,6 +427,7 @@ def embedding_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.3,
     dim: int = 64,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Unblocked embedding near-dup via random-hyperplane (sign) LSH.
 
@@ -517,11 +526,30 @@ def embedding_lsh_pairs(
     # whole query (measured 40 s of a 53 s dbscan sf1 run; candidates
     # 4.2 M rows). The join now moves 16-byte id pairs, dedups
     # band-collision copies BEFORE scoring, and attaches vectors via a
-    # broadcast (id → unit vector) map — no candidate-sized vector
-    # shuffle at all. Broadcast is per-call corpus vectors (8 B × dim ×
-    # rows; ~10 MB at 20 k × 64) — the documented ceiling is Spark's
-    # 8 GB broadcast limit, past which a corpus is sharded into blocks
-    # before LSH anyway (the dbscan router calls per-block).
+    # broadcast (id → unit vector) map (~10 MB at 20 k × 64) — no
+    # candidate-sized vector shuffle at all.
+    #
+    # Broadcast guard (ADVICE r11): the dbscan router calls this ONCE
+    # over the UNION of all routed blocks, so broadcast size scales
+    # with total routed rows, not the largest block — unguarded, a
+    # dense-at-scale corpus walks into Spark's 8 GB broadcast hard
+    # limit / driver OOM. The attach therefore broadcasts only while
+    # the estimated map size (rows × (8 B × dim + ~48 B overhead))
+    # stays under _LSH_BROADCAST_BYTES_MAX, else it falls back to a
+    # shuffled hash join keyed on vec_id — same plan shape, candidates
+    # shuffle their 16-byte keys, vectors shuffle ONCE (corpus-sized,
+    # not candidate-sized). Callers that already know the corpus size
+    # pass ``corpus_rows`` (the dbscan router sums its collected
+    # per-block counts); otherwise one count over the persisted
+    # unit-vector frame decides — a pass the sketch join was about to
+    # materialize anyway.
+    if corpus_rows is None:
+        corpus_rows = nvec.count()
+    attach = (
+        F.broadcast
+        if corpus_rows * (8 * dim + 48) <= _LSH_BROADCAST_BYTES_MAX
+        else (lambda df: df)
+    )
     cand = (
         buckets.alias("x")
         .join(
@@ -539,7 +567,7 @@ def embedding_lsh_pairs(
     cos = dot_unrolled(F.col("na"), F.col("nb"), dim)
     return (
         cand.join(
-            F.broadcast(
+            attach(
                 nvec.select(
                     F.col("vec_id").alias("vec_a"), F.col("ne").alias("na")
                 )
@@ -547,7 +575,7 @@ def embedding_lsh_pairs(
             "vec_a",
         )
         .join(
-            F.broadcast(
+            attach(
                 nvec.select(
                     F.col("vec_id").alias("vec_b"), F.col("ne").alias("nb")
                 )
@@ -2443,19 +2471,25 @@ def dbscan_embeddings(
     routed: list = []
     if route_degree is not None:
         # bounded control-plane collects: one row per block key
+        # NULL block labels never pair with anything in the exact path
+        # (the within-block self-join is an equality on blk), so a NULL
+        # block is all-singletons by semantics — never probed, never
+        # routed (and isin() over a list containing None would be NULL
+        # for every row anyway).
         big = [
             r.blk
             for r in nv.groupBy("blk")
             .agg(F.count(F.lit(1)).alias("bn"))
             .where(F.col("bn") > probe_min)
             .collect()
+            if r.blk is not None
         ]
         if big:
             blk_probe = (
                 F.col(block_on).isin(big) if block_on else F.lit(True)
             )
-            routed = [
-                r.blk
+            probe_rows = [
+                r
                 for r in dbscan_density_probe(
                     embeddings.where(blk_probe),
                     eps_sim,
@@ -2466,6 +2500,8 @@ def dbscan_embeddings(
                 if 2 * r.hits * (r.blkn - 1)
                 > route_degree * r.ns * (r.ns - 1)
             ]
+            routed = [r.blk for r in probe_rows]
+            routed_rows = sum(r.blkn for r in probe_rows)
     if not routed:
         pairs = embedding_neardup_pairs(
             embeddings, threshold=eps_sim, block_on=block_on, dim=dim
@@ -2478,7 +2514,14 @@ def dbscan_embeddings(
         )
         lsh = (
             embedding_lsh_pairs(
-                dense, bands=route_bands, threshold=eps_sim, dim=dim
+                dense,
+                bands=route_bands,
+                threshold=eps_sim,
+                dim=dim,
+                # one call over the UNION of routed blocks: the attach
+                # broadcast scales with total routed rows, and the
+                # probe already counted them — skip the in-call count
+                corpus_rows=routed_rows,
             )
             .join(
                 lab.select(
@@ -2497,7 +2540,13 @@ def dbscan_embeddings(
             .where(F.col("_bla") == F.col("_blb"))
             .select("vec_a", "vec_b", "cosine")
         )
-        sparse = embeddings.where(~blk_col.isin(routed))
+        # isNull survival: a NULL block label fails BOTH isin(routed)
+        # and ~isin(routed) (three-valued logic) — such rows belong on
+        # the exact side (they pair with nothing, see the probe note
+        # above) and must not vanish from the union (ADVICE r11).
+        sparse = embeddings.where(
+            (~blk_col.isin(routed)) | blk_col.isNull()
+        )
         pairs = (
             embedding_neardup_pairs(
                 sparse, threshold=eps_sim, block_on=block_on, dim=dim
@@ -2598,8 +2647,12 @@ def dbscan_embeddings(
         border_lab.select("v", F.lit("border").alias("role"), "cluster_id")
     )
     base = nv.select("vec_id", "blk")
+    # coalesce: isin() on a NULL blk is NULL, and NULL blocks are never
+    # routed — their approx flag is a definite False, not unknown.
     approx = (
-        F.col("blk").isin(routed) if routed else F.lit(False)
+        F.coalesce(F.col("blk").isin(routed), F.lit(False))
+        if routed
+        else F.lit(False)
     ).alias("approx")
     return (
         base.join(labeled, base["vec_id"] == labeled["v"], "left")

@@ -15913,6 +15913,96 @@ def q_image_ahash_neardup(spark, sf_dir):
 
 
 @register(
+    "image_ahash_neardup_bmp",
+    # r12 (VERDICT r11 item 5): the same aHash pipeline fed from REAL
+    # 24-bit BMP pixel decode — bottom-up BGR rows, 4-byte stride,
+    # bfOffBits, integer ITU-R 601 luma — the one mainstream raster
+    # format fully decodable in pure stdlib. The oracle re-derives the
+    # three channel planes from md5 hex (one digest per row×channel),
+    # replays the +1-mod-256 per-channel perturbation and the
+    # (299R+587G+114B)//1000 luma, then the identical
+    # block/threshold/band/popcount walk; the Spark side additionally
+    # proves the full BMP binary round-trip produced the same grays.
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                  ELSE doc_id END AS base,
+             doc_id % 10 = 1 AS pert
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT doc_id, pert, r,
+             md5(CAST(base AS VARCHAR) || ':bmp:'
+                 || CAST(r AS VARCHAR) || ':B') AS hb,
+             md5(CAST(base AS VARCHAR) || ':bmp:'
+                 || CAST(r AS VARCHAR) || ':G') AS hg,
+             md5(CAST(base AS VARCHAR) || ':bmp:'
+                 || CAST(r AS VARCHAR) || ':R') AS hr
+      FROM d, unnest(range(0, 16)) AS u(r)
+    ),
+    chan AS (
+      SELECT doc_id, r, c,
+             CASE WHEN pert AND r = 0 AND c = 0 THEN
+               (CAST(('0x' || substr(hb, CAST(2 * c + 1 AS INT), 2))
+                     AS INT) + 1) % 256
+             ELSE CAST(('0x' || substr(hb, CAST(2 * c + 1 AS INT), 2))
+                       AS INT) END AS bl,
+             CASE WHEN pert AND r = 0 AND c = 0 THEN
+               (CAST(('0x' || substr(hg, CAST(2 * c + 1 AS INT), 2))
+                     AS INT) + 1) % 256
+             ELSE CAST(('0x' || substr(hg, CAST(2 * c + 1 AS INT), 2))
+                       AS INT) END AS gr,
+             CASE WHEN pert AND r = 0 AND c = 0 THEN
+               (CAST(('0x' || substr(hr, CAST(2 * c + 1 AS INT), 2))
+                     AS INT) + 1) % 256
+             ELSE CAST(('0x' || substr(hr, CAST(2 * c + 1 AS INT), 2))
+                       AS INT) END AS rd
+      FROM rows_, unnest(range(0, 16)) AS v(c)
+    ),
+    px AS (
+      SELECT doc_id, r, c,
+             (299 * rd + 587 * gr + 114 * bl) // 1000 AS val
+      FROM chan
+    ),
+    cell AS (
+      SELECT doc_id, r // 2 AS i, c // 2 AS j,
+             CAST(SUM(val) // 4 AS BIGINT) AS b
+      FROM px GROUP BY 1, 2, 3
+    ),
+    s AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS sm
+          FROM cell GROUP BY 1),
+    bits AS (
+      SELECT cell.doc_id, i * 8 + j AS k,
+             CAST(b * 64 > sm AS BIGINT) AS bit
+      FROM cell JOIN s USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS band,
+             CAST(SUM(bit << CAST(k % 16 AS INT)) AS BIGINT) AS bv
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.doc_a
+    JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+    GROUP BY 1, 2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 10
+    """,
+)
+def q_image_ahash_neardup_bmp(spark, sf_dir):
+    return mm.image_ahash_neardup(
+        load_table(spark, sf_dir, "documents"), codec="bmp"
+    )
+
+
+@register(
     "audio_features",
     # the square wave is closed-form: the oracle re-derives every PCM
     # sample from (doc_id, n) and replays the aggregates; the Spark
@@ -16662,6 +16752,60 @@ def q_quantile_mass_sample(spark, sf_dir):
     )
 
 
+@register(
+    "quantile_mass_merge",
+    # r12 (VERDICT r11 item 6): the MERGE algebra is the point of the
+    # sketch — two disjoint shards kept at MIXED rates (2^-3 and 2^-4),
+    # re-thresholded to the coarsest on union, estimated by the same
+    # ranked-window arithmetic. The oracle replays the per-shard keeps
+    # and the re-threshold literally (not the equivalent direct coarse
+    # sample), so a merge-path bug cannot hide behind the equivalence.
+    """
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS grp, l_extendedprice AS v,
+             l_orderkey * 8 + l_linenumber AS k
+      FROM lineitem
+    ),
+    uh AS MATERIALIZED (
+      SELECT grp, v, k, k % 2 AS shard,
+             CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM base
+    ),
+    kept AS MATERIALIZED (
+      SELECT grp, v, k FROM uh
+      WHERE u < (CASE WHEN shard = 0 THEN 0.125 ELSE 0.0625 END)
+        AND u < 0.0625
+    ),
+    ranked AS MATERIALIZED (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS m
+      FROM kept
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MAX(m) AS BIGINT) AS sample_n,
+           CAST(0.0625 AS DOUBLE) AS sample_rate,
+           MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * m) AS BIGINT))
+                    THEN v END) AS est_p50,
+           MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * m) AS BIGINT))
+                    THEN v END) AS est_p90,
+           MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * m) AS BIGINT))
+                    THEN v END) AS est_p99
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_quantile_mass_merge(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey * 8 + l_linenumber AS lk",
+    )
+    return sk.mass_sample_shard_merge_quantiles(
+        li, "l_returnflag", "l_extendedprice", "lk", ts=(3, 4)
+    )
+
+
 # The legacy hand-rotated _VERIFY_FIRST head (238 names) is gone: it went
 # stale twice (rounds 5 and 7) and the order is now derived entirely from
 # the driver's CORRECTNESS_r*.json files by _gate_checked_rounds() below.
@@ -16673,16 +16817,17 @@ def q_quantile_mass_sample(spark, sf_dir):
 # permanently occupies window slots: embedding_covariance and
 # seasonal_decompose passed in r8 and were removed here).
 #
-# r11: the four names below were externally gate-checked only in their
-# rows-only era — their DuckDB oracles were added LATER and have never
-# run at an external gate ("fixed after" in oracle space, VERDICT r10
-# item 5). One green value-checked row each closes the last external
-# blind spot; clear them at r12.
+# r12: the four r11 re-checks (kmv_distinct_custkeys, embedding_lsh_pairs,
+# similarity_topk_pandas, similarity_ivf_topk) all landed green in
+# CORRECTNESS_r11 and are cleared.  The one rightful next occupant is
+# dbscan_embeddings: its plan AND oracle were both rebased in r11
+# (density routing + `approx` column + representative stitching), and the
+# external gate's last green row for that name predates the rewrite —
+# only the new dbscan_density_probe ran in the r11 window (VERDICT r11,
+# "What's missing" #1).  Clear it at r13 once CORRECTNESS_r12 shows it
+# exact.
 _RECHECK_FIRST: list = [
-    "kmv_distinct_custkeys",
-    "embedding_lsh_pairs",
-    "similarity_topk_pandas",
-    "similarity_ivf_topk",
+    "dbscan_embeddings",
 ]
 
 

@@ -709,3 +709,23 @@ def test_live_registry_twin_matches_screen_at_sf0001(spark):
     docs = load_table(spark, SF_DIR, "documents")
     want = {tuple(r) for r in ingest_neardup_screen(docs).collect()}
     assert got == want and want
+
+
+def test_live_progress_probe_reports_per_wave_state(spark):
+    """The r12 capacity-planning hook: progress_out collects exactly
+    one state-level dict per wave, with non-zero monotone state rows
+    (wave 2 only ever ADDS representatives within the horizon) and
+    real memory bytes — the numbers the scale-decade artifact records
+    to show the bucket cap bounds state growth."""
+    from hadoop_coded_wordcount_spark.streaming.ingest_dedup import (
+        ingest_neardup_live,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prog: list = []
+    ingest_neardup_live(spark, docs, progress_out=prog).collect()
+    assert len(prog) == 2
+    w1, w2 = prog
+    assert set(w1) == {"state_rows", "state_memory_bytes"}
+    assert 0 < w1["state_rows"] <= w2["state_rows"]
+    assert w1["state_memory_bytes"] > 0 and w2["state_memory_bytes"] > 0

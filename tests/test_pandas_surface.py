@@ -393,6 +393,92 @@ def test_decode_media_bmp_header():
     assert mm.decode_media(bmp(10, 20, 8, hdr=12)) == {"kind": "opaque"}
 
 
+def test_bmp_pixel_roundtrip_padded_widths_and_flip():
+    """_bmp_encode → _bmp_gray is exact for widths that DO pad the row
+    stride (15, 17, 5) and for the trivial 1×1; the expected grays are
+    hand-computed integer lumas in TOP-DOWN row-major order, so a
+    decoder that forgot to flip the bottom-up pixel array fails on the
+    asymmetric images."""
+    import random
+
+    rng = random.Random(7)
+    for w, h in [(15, 16), (17, 3), (1, 1), (5, 7), (16, 16)]:
+        rows = [
+            bytearray(rng.randrange(256) for _ in range(3 * w))
+            for _ in range(h)
+        ]
+        got = mm._bmp_gray(mm._bmp_encode(rows, w, h))
+        exp = [
+            (299 * rows[r][3 * c + 2] + 587 * rows[r][3 * c + 1]
+             + 114 * rows[r][3 * c]) // 1000
+            for r in range(h)
+            for c in range(w)
+        ]
+        assert got == exp, (w, h)
+
+
+def test_bmp_gray_top_down_negative_height():
+    """A negative biHeight means rows are stored top-down — the decoder
+    must NOT flip. Build the variant by patching the height field and
+    reordering rows, and require pixel-identical output."""
+    import struct as _s
+
+    rows = [bytearray([r, r, r] * 4) for r in range(3)]  # 4×3 gradient
+    up = mm._bmp_encode(rows, 4, 3)
+    expected = mm._bmp_gray(up)
+    stride = (4 * 3 + 3) // 4 * 4
+    body = b"".join(
+        bytes(rows[r]) + b"\x00" * (stride - 12) for r in range(3)
+    )
+    down = up[:22] + _s.pack("<i", -3) + up[26:54] + body
+    assert mm._bmp_gray(down) == expected
+    assert expected == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2]
+
+
+def test_bmp_gray_total_on_fuzz_and_rejects():
+    """Route-don't-drop: arbitrary byte soups (half seeded with 'BM')
+    NEVER raise — they return None; so do truncated pixel arrays,
+    non-24-bpp depths, and compressed BMPs."""
+    import random
+    import struct as _s
+
+    rng = random.Random(13)
+    for _ in range(3000):
+        n = rng.randrange(0, 120)
+        b = bytes(rng.randrange(256) for _ in range(n))
+        if rng.random() < 0.5:
+            b = b"BM" + b
+        assert mm._bmp_gray(b) is None or isinstance(
+            mm._bmp_gray(b), list
+        )
+    good = mm._bmp_encode([bytearray(48)] * 16, 16, 16)
+    assert mm._bmp_gray(good) is not None
+    assert mm._bmp_gray(good[:100]) is None  # truncated pixel array
+    eight = good[:28] + _s.pack("<H", 8) + good[30:]
+    assert mm._bmp_gray(eight) is None  # palette depth routed, not decoded
+    rle = good[:30] + _s.pack("<I", 1) + good[34:]
+    assert mm._bmp_gray(rle) is None  # BI_RLE8 compression rejected
+
+
+def test_bmp_ahash_finds_planted_pairs(spark):
+    """The BMP-fed aHash path (codec='bmp') recovers exactly the
+    planted per-decade near-dup pairs on a 40-doc frame — proving the
+    full binary BMP round-trip feeds the same hash pipeline; an unknown
+    codec raises."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id bigint"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in mm.image_ahash_neardup(docs, codec="bmp").collect()
+    }
+    assert {(0, 1), (10, 11), (20, 21), (30, 31)} <= pairs
+    # md5 grays are ~uniform: non-planted collisions must stay rare
+    assert len(pairs) <= 8
+    with pytest.raises(ValueError):
+        mm.image_ahash_neardup(docs, codec="gif")
+
+
 def test_decode_media_tiff_header():
     import struct as _s
 

@@ -350,6 +350,44 @@ def test_mass_sample_merge_refuses_upsampling():
         mass_sample_merge([(None, 4)], t_out=2)
 
 
+def test_mass_sample_merge_validates_before_building():
+    """ADVICE r11: an empty state list and a mid-list t > t_out must
+    raise a contract error IMMEDIATELY — never a bare max() failure,
+    never after a partial union plan was already assembled (both
+    (None, ...) entries would explode with AttributeError if the loop
+    ran before validation)."""
+    import pytest
+
+    from hadoop_coded_wordcount_spark.operators.sketches import (
+        mass_sample_merge,
+    )
+
+    with pytest.raises(ValueError, match="at least one shard"):
+        mass_sample_merge([])
+    with pytest.raises(ValueError, match="up-sample"):
+        mass_sample_merge([(None, 3), (None, 5)], t_out=4)
+
+
+def test_mass_sample_shard_merge_equals_direct_estimates(spark):
+    """The end-to-end shard→merge→estimate operator at mixed rates
+    (t=3, t=4) lands bit-identical to a DIRECT t=4 sample's estimates:
+    the re-thresholded union IS the coarse sample, and the estimator is
+    a pure function of the kept set — the whole algebra in one
+    assert."""
+    li = load_table(spark, SF001, "lineitem").selectExpr(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey * 8 + l_linenumber AS lk",
+    )
+    merged = sorted(map(tuple, sk.mass_sample_shard_merge_quantiles(
+        li, "l_returnflag", "l_extendedprice", "lk", ts=(3, 4)
+    ).collect()))
+    direct = sorted(map(tuple, sk.mass_sample_quantiles(
+        li, "l_returnflag", "l_extendedprice", "lk", t=4
+    ).collect()))
+    assert merged == direct and merged
+
+
 def test_mass_sample_estimates_track_exact_quantiles(spark):
     """Statistical sanity at the registry's t=4 on real data: every
     estimated quantile must sit within the value range and be ordered
