@@ -938,7 +938,14 @@ def mass_sample_merge_quantiles(
     Because the kept set after merge equals the kept set of a direct
     sample over the concatenated input, every estimate is bit-identical
     to single-pass sampling — the property the DuckDB oracle replays
-    shard by shard."""
+    shard by shard.
+
+    NULL keys: md5(NULL) is NULL, and ``NULL < rate`` is never true, so
+    a NULL-keyed row is excluded from every shard state, every
+    re-threshold, AND the direct sample — all three paths agree (the
+    merge==direct equality survives NULL keys; pinned in tests). A
+    row without a key has no sample identity, so exclusion is the
+    contract, not a dropout."""
     ts = [t for _, t in states] or [0]
     t_eff = max(ts) if t_out is None else t_out
     return mass_quantiles_from_state(

@@ -114,6 +114,27 @@ def test_embedding_lsh_finds_planted_copies(vectors):
     assert all(c >= 0.9 for c in pairs.values())
 
 
+def test_embedding_lsh_shuffled_attach_matches_broadcast(spark):
+    """The r12 broadcast guard: forcing the vector-attach past
+    _LSH_BROADCAST_BYTES_MAX (corpus_rows huge) must switch to the
+    shuffled hash join and return the EXACT same pair set and cosines
+    as the broadcast path — the fallback is a physical-plan choice,
+    never a semantic one."""
+    emb = load_table(spark, SF001, "embeddings")
+    bcast = sorted(
+        map(tuple, sim.embedding_lsh_pairs(emb, threshold=0.3).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            sim.embedding_lsh_pairs(
+                emb, threshold=0.3, corpus_rows=10**12
+            ).collect(),
+        )
+    )
+    assert bcast == shuffled and bcast
+
+
 def test_embedding_lsh_subset_of_blocked_exact(spark):
     """Every LSH-verified pair on the driver table must carry the same
     cosine the blocked exact query computes (identical arithmetic), and be

@@ -368,6 +368,26 @@ def test_mass_sample_merge_validates_before_building():
         mass_sample_merge([(None, 3), (None, 5)], t_out=4)
 
 
+def test_mass_sample_null_keys_excluded_consistently(spark):
+    """NULL keys have no sample identity: md5(NULL)=NULL fails every
+    keep predicate, and NULL % n fails every shard predicate — so a
+    NULL-keyed row must be excluded from the direct sample, every
+    shard state, and the merged union ALIKE, leaving merge==direct
+    bit-exact even with NULLs present (the three-valued-logic trap
+    class, pinned deliberately)."""
+    rows = [("g", float(v), v if v % 3 else None) for v in range(1, 400)]
+    df = spark.createDataFrame(rows, "grp string, val double, k bigint")
+    merged = sorted(map(tuple, sk.mass_sample_shard_merge_quantiles(
+        df, "grp", "val", "k", ts=(1, 2)
+    ).collect()))
+    direct = sorted(map(tuple, sk.mass_sample_quantiles(
+        df, "grp", "val", "k", t=2
+    ).collect()))
+    assert merged == direct and merged
+    # and the kept count can only come from non-NULL-keyed rows
+    assert merged[0][1] <= sum(1 for _, _, k in rows if k is not None)
+
+
 def test_mass_sample_shard_merge_equals_direct_estimates(spark):
     """The end-to-end shard→merge→estimate operator at mixed rates
     (t=3, t=4) lands bit-identical to a DIRECT t=4 sample's estimates:
