@@ -68,6 +68,9 @@ __all__ = [
     "mass_sample_merge_quantiles",
     "mass_sample_shard_merge_quantiles",
     "mass_quantiles_from_state",
+    "ams_registers",
+    "ams_f2",
+    "ams_join_size",
     "DEFAULT_K",
 ]
 
@@ -987,3 +990,156 @@ def mass_sample_shard_merge_quantiles(
         for i, t in enumerate(ts)
     ]
     return mass_sample_merge_quantiles(states, t_out, qs, group_col)
+
+
+def ams_registers(
+    df: DataFrame, key_col: str, m: int = 64, prefix: str = "x"
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) tug-of-war registers over a key column
+    — the moment estimator the sketch family was missing (KMV/HLL count
+    DISTINCT keys; AMS measures the frequency vector itself, which is
+    what join-size and skew prediction need at plan time). Register j
+    is the signed row count ``X_j = Σ_rows s_j(key)`` where
+    ``s_j(k) ∈ {±1}`` is bit j of md5(k) (MSB-first within each hex
+    nibble) — one md5 per row, all ``m ≤ 64`` signs read from it, the
+    open-register discipline that keeps every estimate
+    DuckDB-replayable bit for bit (engine-private sketch blobs are not).
+
+    The registers are plain SUMs, so they are LINEAR: shard registers
+    ADD into the corpus registers exactly (pinned in tests) — the
+    cheapest merge algebra any sketch here has. Shuffle after the
+    map-side partial is ``m`` longs per partition, independent of data
+    size. NULL keys are excluded up front (md5(NULL) is NULL; letting
+    three-valued logic default them to sign −1 would silently bias
+    every register — the r12 NULL-trap discipline).
+
+    Output: ONE row with columns ``{prefix}0..{prefix}{m-1}`` (bigint).
+    """
+    if not 1 <= m <= 64:
+        raise ValueError("ams_registers needs 1 <= m <= 64 (one md5)")
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    digits = df.where(F.col(key_col).isNotNull()).select(
+        *[
+            F.conv(F.substring(h, i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"_d{i}")
+            for i in range((m + 3) // 4)
+        ]
+    )
+    aggs = []
+    for j in range(m):
+        i, b = divmod(j, 4)
+        bit = F.shiftright(F.col(f"_d{i}"), 3 - b).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"{prefix}{j}")
+        )
+    return digits.agg(*aggs)
+
+
+def ams_f2(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
+    """Second frequency moment F2 = Σ_k f(k)² — the SELF-JOIN SIZE of
+    the key column, estimated as mean(X_j²) over the AMS registers.
+    E[X_j²] = F2 exactly (cross terms cancel in expectation under the
+    ±1 signs); with m=64 the estimator's relative σ is ≈ √(2/m) ≈ 18%.
+    This is the number a cost-based planner wants BEFORE shuffling a
+    self-join or groupBy on a possibly-skewed key: F2 ≫ n signals the
+    skew that AQE would otherwise discover only at runtime.
+
+    Output also carries the EXACT F2 (one groupBy — affordable at eval
+    scale; the estimator column is the product at 100 TB) and the
+    relative error, the ``theta_intersection_estimate`` reporting
+    shape. All arithmetic is integer until the single final division,
+    so DuckDB replays the whole row bit for bit.
+    """
+    regs = ams_registers(df, key_col, m)
+    sum_x2 = sum(
+        (F.col(f"x{j}") * F.col(f"x{j}") for j in range(m)), F.lit(0)
+    ).cast("bigint")
+    exact = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("exact_f2"))
+    )
+    est = F.round(F.col("sum_x2").cast("double") / F.lit(float(m)), 6)
+    return (
+        regs.select(sum_x2.alias("sum_x2"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "sum_x2",
+            F.lit(m).alias("m"),
+            est.alias("est_f2"),
+            "exact_f2",
+            F.round(
+                (est - F.col("exact_f2").cast("double"))
+                / F.col("exact_f2").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def ams_join_size(
+    dfa: DataFrame,
+    key_a: str,
+    dfb: DataFrame,
+    key_b: str,
+    m: int = 64,
+) -> DataFrame:
+    """Equi-join OUTPUT size |A ⋈ B| = Σ_k fa(k)·fb(k), estimated as
+    mean(Xa_j · Xb_j) over AMS registers built with the SAME md5 sign
+    family on both sides (AGMS inner product: E[Xa_j·Xb_j] = Σ fa·fb
+    exactly). The planner question this answers — "how many rows will
+    this join emit?" — is what decides broadcast vs shuffle vs
+    skew-split before any exchange happens; each side costs one scan
+    and ships ``m`` longs, and either side's registers can be computed
+    incrementally (linearity) as data arrives.
+
+    The estimate can be negative on adversarially small inputs (a
+    signed estimator's tail, not a bug); the exact join size and
+    relative error ride along, the ``ams_f2`` reporting shape.
+    """
+    ra = ams_registers(dfa, key_a, m, prefix="a")
+    rb = ams_registers(dfb, key_b, m, prefix="b")
+    sum_xy = sum(
+        (F.col(f"a{j}") * F.col(f"b{j}") for j in range(m)), F.lit(0)
+    ).cast("bigint")
+    fa = (
+        dfa.where(F.col(key_a).isNotNull())
+        .groupBy(F.col(key_a).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fa"))
+    )
+    fb = (
+        dfb.where(F.col(key_b).isNotNull())
+        .groupBy(F.col(key_b).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fb"))
+    )
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_join_size")
+    )
+    est = F.round(F.col("sum_xy").cast("double") / F.lit(float(m)), 6)
+    return (
+        ra.crossJoin(F.broadcast(rb))
+        .select(sum_xy.alias("sum_xy"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "sum_xy",
+            F.lit(m).alias("m"),
+            est.alias("est_join_size"),
+            "exact_join_size",
+            F.when(
+                F.col("exact_join_size") > 0,
+                F.round(
+                    (est - F.col("exact_join_size").cast("double"))
+                    / F.col("exact_join_size").cast("double"),
+                    6,
+                ),
+            ).alias("rel_err"),
+        )
+    )

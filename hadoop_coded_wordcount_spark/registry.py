@@ -16806,6 +16806,100 @@ def q_quantile_mass_merge(spark, sf_dir):
     )
 
 
+# --- r12: AMS tug-of-war moments (sketches.ams_registers family). The
+# oracle rebuilds all 64 signed registers from md5 hex nibbles (sign j =
+# bit 3-(j%4) of hex digit j//4 — the exact Spark convention), so the
+# register vector, the integer moment numerator, and the one final
+# division are replayed bit for bit.
+
+
+def _ams_x_terms_sql(key: str, m: int, prefix: str) -> str:
+    """The m register SUMs for one table side, as SQL select-list text."""
+    terms = []
+    for j in range(m):
+        i, b = divmod(j, 4)
+        d = (
+            f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), "
+            f"{i + 1}, 1)) AS BIGINT)"
+        )
+        terms.append(
+            f"CAST(SUM(CASE WHEN (({d} >> {3 - b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS BIGINT) AS {prefix}{j}"
+        )
+    return ",\n             ".join(terms)
+
+
+def _ams_f2_oracle(m: int = 64) -> str:
+    dot = " + ".join(f"x{j} * x{j}" for j in range(m))
+    return f"""
+    WITH regs AS MATERIALIZED (
+      SELECT {_ams_x_terms_sql("o_custkey", m, "x")}
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    sx AS (SELECT CAST(({dot}) AS BIGINT) AS sum_x2 FROM regs),
+    ex AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS f
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+    )
+    SELECT sum_x2, {m} AS m,
+           ROUND(CAST(sum_x2 AS DOUBLE) / {float(m)}, 6) AS est_f2,
+           exact_f2,
+           ROUND((ROUND(CAST(sum_x2 AS DOUBLE) / {float(m)}, 6)
+                  - CAST(exact_f2 AS DOUBLE))
+                 / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+    FROM sx, ex
+    """
+
+
+def _ams_join_oracle(m: int = 64) -> str:
+    dot = " + ".join(f"a{j} * b{j}" for j in range(m))
+    return f"""
+    WITH ra AS MATERIALIZED (
+      SELECT {_ams_x_terms_sql("o_custkey", m, "a")}
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    rb AS MATERIALIZED (
+      SELECT {_ams_x_terms_sql("c_custkey", m, "b")}
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    sx AS (SELECT CAST(({dot}) AS BIGINT) AS sum_xy FROM ra, rb),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(fa.f * fb.f), 0) AS BIGINT)
+               AS exact_join_size
+      FROM (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) fa
+      JOIN (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+            FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1) fb
+        USING (k)
+    )
+    SELECT sum_xy, {m} AS m,
+           ROUND(CAST(sum_xy AS DOUBLE) / {float(m)}, 6) AS est_join_size,
+           exact_join_size,
+           CASE WHEN exact_join_size > 0 THEN
+             ROUND((ROUND(CAST(sum_xy AS DOUBLE) / {float(m)}, 6)
+                    - CAST(exact_join_size AS DOUBLE))
+                   / CAST(exact_join_size AS DOUBLE), 6)
+           END AS rel_err
+    FROM sx, ex
+    """
+
+
+@register("ams_f2_custkeys", _ams_f2_oracle())
+def q_ams_f2_custkeys(spark, sf_dir):
+    return sk.ams_f2(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+@register("ams_join_size_orders_customer", _ams_join_oracle())
+def q_ams_join_size_orders_customer(spark, sf_dir):
+    return sk.ams_join_size(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
 # The legacy hand-rotated _VERIFY_FIRST head (238 names) is gone: it went
 # stale twice (rounds 5 and 7) and the order is now derived entirely from
 # the driver's CORRECTNESS_r*.json files by _gate_checked_rounds() below.

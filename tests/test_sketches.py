@@ -408,6 +408,73 @@ def test_mass_sample_shard_merge_equals_direct_estimates(spark):
     assert merged == direct and merged
 
 
+def test_ams_registers_are_linear_and_partition_invariant(spark):
+    """The AMS registers are plain SUMs, so (a) shard registers ADD
+    into the corpus registers bit-exactly — the cheapest merge algebra
+    in the sketch family, what per-file-batch incremental maintenance
+    relies on at 100 TB — and (b) repartitioning moves nothing."""
+    orders = load_table(spark, SF001, "orders")
+    whole = sk.ams_registers(orders, "o_custkey").collect()[0]
+    a = sk.ams_registers(
+        orders.where(F.col("o_orderkey") % 2 == 0), "o_custkey"
+    ).collect()[0]
+    b = sk.ams_registers(
+        orders.where(F.col("o_orderkey") % 2 == 1), "o_custkey"
+    ).collect()[0]
+    assert [a[i] + b[i] for i in range(64)] == list(whole)
+    rep = sk.ams_registers(
+        orders.repartition(7, "o_orderdate"), "o_custkey"
+    ).collect()[0]
+    assert list(rep) == list(whole)
+
+
+def test_ams_f2_and_join_size_track_exact(spark):
+    """Deterministic accuracy pin on the real fixtures: the md5 sign
+    family is fixed, so the estimates are reproducible values — both
+    moments must sit within the ~2σ band (σ ≈ √(2/64) ≈ 18%) of their
+    exact counterparts, and the exact columns must equal first-
+    principles recomputation."""
+    orders = load_table(spark, SF001, "orders")
+    customer = load_table(spark, SF001, "customer")
+    f2 = sk.ams_f2(orders, "o_custkey").collect()[0]
+    truth = (
+        orders.groupBy("o_custkey").count()
+        .agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    )
+    assert f2.exact_f2 == truth
+    assert abs(f2.rel_err) < 0.36
+    js = sk.ams_join_size(
+        orders, "o_custkey", customer, "c_custkey"
+    ).collect()[0]
+    assert js.exact_join_size == orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).count()
+    assert abs(js.rel_err) < 0.36
+
+
+def test_ams_null_keys_excluded_and_m_validated(spark):
+    """NULL keys have no sign (md5(NULL) is NULL) — they must be
+    EXCLUDED, not silently defaulted to −1 in every register by
+    three-valued logic; and m outside [1, 64] is a contract error
+    (one md5 yields 64 sign bits)."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "k bigint"
+    )
+    with_nulls = base.unionAll(
+        spark.createDataFrame([(None,)] * 17, "k bigint")
+    )
+    assert (
+        sk.ams_registers(with_nulls, "k").collect()[0]
+        == sk.ams_registers(base, "k").collect()[0]
+    )
+    with pytest.raises(ValueError):
+        sk.ams_registers(base, "k", m=65)
+    with pytest.raises(ValueError):
+        sk.ams_registers(base, "k", m=0)
+
+
 def test_mass_sample_estimates_track_exact_quantiles(spark):
     """Statistical sanity at the registry's t=4 on real data: every
     estimated quantile must sit within the value range and be ordered
