@@ -35,6 +35,8 @@ __all__ = [
     "media_integrity",
     "synth_bmp_corpus",
     "bmp_pixels",
+    "synth_ppm_corpus",
+    "ppm_pixels",
     "image_ahash_neardup",
 ]
 
@@ -75,6 +77,28 @@ def to_multimodal(documents: DataFrame) -> DataFrame:
             F.col("n_chars").alias("n_chars"), F.col("lang").alias("lang")
         ).alias("meta"),
     )
+
+
+def _netpbm_raster_offset(b: bytes) -> int:
+    """Byte offset of a binary netpbm (P5/P6) raster: walk the three
+    header ints (comments allowed between tokens), then skip the ONE
+    whitespace byte that terminates maxval — the spec's exact rule; a
+    second whitespace byte would already be pixel data."""
+    vals, i, n = 0, 2, len(b)
+    while i < n and vals < 3:
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < n and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            while i < n and b[i : i + 1].isdigit():
+                i += 1
+            vals += 1
+        else:
+            break
+    return i + 1
 
 
 def _netpbm_header(b: bytes) -> dict | None:
@@ -517,24 +541,96 @@ def pgm_pixels(images: DataFrame) -> DataFrame:
                 if not hdr or hdr["kind"] != "image/pgm":
                     out_px.append(None)
                     continue
-                # walk past the 3 header ints to the raw pixel block
-                vals, i, n = 0, 2, len(b)
-                while i < n and vals < 3:
-                    c = b[i : i + 1]
-                    if c == b"#":
-                        while i < n and b[i : i + 1] not in (b"\n", b"\r"):
-                            i += 1
-                    elif c.isspace():
-                        i += 1
-                    elif c.isdigit():
-                        while i < n and b[i : i + 1].isdigit():
-                            i += 1
-                        vals += 1
-                    else:
-                        break
-                i += 1  # single whitespace after maxval
+                i = _netpbm_raster_offset(b)
                 w, h = hdr["width"], hdr["height"]
                 out_px.append(list(b[i : i + w * h]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pixels": out_px}
+            )
+
+    return images.mapInPandas(
+        decode, schema="doc_id long, pixels array<int>"
+    )
+
+
+def synth_ppm_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic 16×16 binary PPM (P6) per document — the color
+    netpbm sibling of :func:`synth_pgm_corpus`, completing the
+    stdlib-decodable raster set (P5 gray, P6 color, 24-bit BMP). Same
+    digest scheme as the BMP corpus — channel plane p of row r is
+    md5(f"{base}:ppm:{r}:{p}") for p ∈ R,G,B — but samples interleave
+    RGB in raster order per the P6 spec (no stride, no flip: the
+    layout differences between P6 and BMP are exactly what the two
+    decoders must each get right to agree with the shared oracle
+    pipeline). Near-dup plant: doc_id % 10 == 1 folds onto its
+    predecessor with all three channels of pixel (0, 0) bumped +1 mod
+    256 (+1 integer luma, the BMP convention)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d - 1 if d % 10 == 1 else d
+                px = bytearray()
+                for r in range(16):
+                    ch = {
+                        p: hashlib.md5(
+                            f"{base}:ppm:{r}:{p}".encode()
+                        ).digest()
+                        for p in ("R", "G", "B")
+                    }
+                    for c in range(16):
+                        px += bytes(
+                            (ch["R"][c], ch["G"][c], ch["B"][c])
+                        )
+                if d % 10 == 1:
+                    for ch_i in range(3):
+                        px[ch_i] = (px[ch_i] + 1) % 256
+                payloads.append(b"P6\n16 16\n255\n" + bytes(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def ppm_pixels(images: DataFrame) -> DataFrame:
+    """Decode binary PPM (P6, maxval ≤ 255) payloads to a row-major
+    GRAYSCALE pixel array: header walk, interleaved RGB samples,
+    integer ITU-R 601 luma ``(299·R + 587·G + 114·B) // 1000`` — the
+    same luma the BMP decoder computes, so both color codecs feed one
+    oracle pipeline. ASCII P3, 16-bit samples (maxval > 255 means
+    2-byte big-endian samples — a different raster layout), truncated
+    rasters, and non-PPM bytes all yield NULL — route-don't-drop."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                hdr = _netpbm_header(b)
+                if (
+                    not hdr
+                    or hdr["kind"] != "image/ppm"
+                    or b[:2] != b"P6"
+                    or hdr["maxval"] > 255
+                ):
+                    out_px.append(None)
+                    continue
+                i = _netpbm_raster_offset(b)
+                w, h = hdr["width"], hdr["height"]
+                if i + 3 * w * h > len(b):
+                    out_px.append(None)
+                    continue
+                px = []
+                for o in range(i, i + 3 * w * h, 3):
+                    rr, g, bb = b[o], b[o + 1], b[o + 2]
+                    px.append((299 * rr + 587 * g + 114 * bb) // 1000)
+                out_px.append(px)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "pixels": out_px}
             )
@@ -693,10 +789,12 @@ def image_ahash_neardup(
     cache releases before return (finish_cached).
 
     ``codec`` picks the pixel basis: ``"pgm"`` (P5 grayscale, the
-    original path) or ``"bmp"`` (24-bit BMP via :func:`bmp_pixels` —
-    bottom-up BGR rows through the integer luma transform, r12). The
-    hash pipeline downstream is byte-for-byte identical; both planted
-    corpora put the +1 perturbation at pixel (0, 0).
+    original path), ``"bmp"`` (24-bit BMP via :func:`bmp_pixels` —
+    bottom-up BGR rows through the integer luma transform, r12), or
+    ``"ppm"`` (binary P6 color via :func:`ppm_pixels` — interleaved
+    RGB, same luma, r12). The hash pipeline downstream is
+    byte-for-byte identical; every planted corpus puts the +1
+    perturbation at pixel (0, 0).
     """
     from ..sources.catalog import finish_cached
 
@@ -704,6 +802,8 @@ def image_ahash_neardup(
         px = pgm_pixels(synth_pgm_corpus(documents))
     elif codec == "bmp":
         px = bmp_pixels(synth_bmp_corpus(documents))
+    elif codec == "ppm":
+        px = ppm_pixels(synth_ppm_corpus(documents))
     else:
         raise ValueError(f"unknown image codec for aHash: {codec!r}")
     cell = (

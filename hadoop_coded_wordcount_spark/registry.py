@@ -15912,18 +15912,18 @@ def q_image_ahash_neardup(spark, sf_dir):
     return mm.image_ahash_neardup(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "image_ahash_neardup_bmp",
-    # r12 (VERDICT r11 item 5): the same aHash pipeline fed from REAL
-    # 24-bit BMP pixel decode — bottom-up BGR rows, 4-byte stride,
-    # bfOffBits, integer ITU-R 601 luma — the one mainstream raster
-    # format fully decodable in pure stdlib. The oracle re-derives the
-    # three channel planes from md5 hex (one digest per row×channel),
-    # replays the +1-mod-256 per-channel perturbation and the
-    # (299R+587G+114B)//1000 luma, then the identical
-    # block/threshold/band/popcount walk; the Spark side additionally
-    # proves the full BMP binary round-trip produced the same grays.
-    """
+def _ahash_color_oracle(tag: str) -> str:
+    """Oracle for the color aHash paths (BMP r12, PPM r12): re-derive
+    the three channel planes from md5 hex (one digest per row×channel,
+    tagged ``:bmp:`` / ``:ppm:`` so the corpora differ), replay the
+    +1-mod-256 per-channel perturbation and the integer ITU-R 601
+    (299R+587G+114B)//1000 luma, then the identical block/threshold/
+    band/popcount walk of the PGM oracle. The two codecs share every
+    line here on purpose: what DIFFERS between them — BMP's bottom-up
+    BGR rows, stride padding and bfOffBits vs P6's interleaved RGB
+    raster — lives only in the Spark-side binary decoders, so an exact
+    match proves each decoder independently."""
+    return f"""
     WITH d AS (
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
@@ -15933,11 +15933,11 @@ def q_image_ahash_neardup(spark, sf_dir):
     ),
     rows_ AS (
       SELECT doc_id, pert, r,
-             md5(CAST(base AS VARCHAR) || ':bmp:'
+             md5(CAST(base AS VARCHAR) || '{tag}'
                  || CAST(r AS VARCHAR) || ':B') AS hb,
-             md5(CAST(base AS VARCHAR) || ':bmp:'
+             md5(CAST(base AS VARCHAR) || '{tag}'
                  || CAST(r AS VARCHAR) || ':G') AS hg,
-             md5(CAST(base AS VARCHAR) || ':bmp:'
+             md5(CAST(base AS VARCHAR) || '{tag}'
                  || CAST(r AS VARCHAR) || ':R') AS hr
       FROM d, unnest(range(0, 16)) AS u(r)
     ),
@@ -15994,11 +15994,20 @@ def q_image_ahash_neardup(spark, sf_dir):
     JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
     GROUP BY 1, 2
     HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 10
-    """,
-)
+    """
+
+
+@register("image_ahash_neardup_bmp", _ahash_color_oracle(":bmp:"))
 def q_image_ahash_neardup_bmp(spark, sf_dir):
     return mm.image_ahash_neardup(
         load_table(spark, sf_dir, "documents"), codec="bmp"
+    )
+
+
+@register("image_ahash_neardup_ppm", _ahash_color_oracle(":ppm:"))
+def q_image_ahash_neardup_ppm(spark, sf_dir):
+    return mm.image_ahash_neardup(
+        load_table(spark, sf_dir, "documents"), codec="ppm"
     )
 
 

@@ -460,6 +460,49 @@ def test_bmp_gray_total_on_fuzz_and_rejects():
     assert mm._bmp_gray(rle) is None  # BI_RLE8 compression rejected
 
 
+def test_ppm_pixels_roundtrip_luma_and_rejects(spark):
+    """P6 decode: hand-built interleaved-RGB payloads come back as the
+    hand-computed integer lumas (with a header comment in the walk);
+    ASCII P3, 16-bit maxval, and truncated rasters all route to NULL
+    instead of raising."""
+    rgb = bytes(
+        [10, 20, 30, 200, 100, 50, 0, 0, 255, 255, 255, 255]
+    )  # 2×2
+    good = b"P6\n# c\n2 2\n255\n" + rgb
+    p3 = b"P3\n2 2\n255\n" + b"10 20 30 " * 4
+    deep = b"P6\n2 2\n65535\n" + rgb * 2
+    short = b"P6\n2 2\n255\n" + rgb[:7]
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(p3)),
+         (2, bytearray(deep)), (3, bytearray(short)),
+         (4, bytearray(b"not an image"))],
+        "doc_id bigint, payload binary",
+    )
+    out = {r.doc_id: r.pixels for r in mm.ppm_pixels(df).collect()}
+    exp = [
+        (299 * rgb[o] + 587 * rgb[o + 1] + 114 * rgb[o + 2]) // 1000
+        for o in range(0, 12, 3)
+    ]
+    assert out[0] == exp
+    assert out[1] is None and out[2] is None
+    assert out[3] is None and out[4] is None
+
+
+def test_ppm_ahash_finds_planted_pairs(spark):
+    """The P6-fed aHash path recovers the planted per-decade pairs —
+    the full binary color round-trip through the shared hash
+    pipeline."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id bigint"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in mm.image_ahash_neardup(docs, codec="ppm").collect()
+    }
+    assert {(0, 1), (10, 11), (20, 21), (30, 31)} <= pairs
+    assert len(pairs) <= 8
+
+
 def test_bmp_ahash_finds_planted_pairs(spark):
     """The BMP-fed aHash path (codec='bmp') recovers exactly the
     planted per-decade near-dup pairs on a 40-doc frame — proving the
