@@ -564,7 +564,8 @@ def synth_ppm_corpus(documents: DataFrame) -> DataFrame:
     decoders must each get right to agree with the shared oracle
     pipeline). Near-dup plant: doc_id % 10 == 1 folds onto its
     predecessor with all three channels of pixel (0, 0) bumped +1 mod
-    256 (+1 integer luma, the BMP convention)."""
+    256 (+1 integer luma away from the 255 wrap; see the BMP synth's
+    wrap note — identical here, oracle-replayed either way)."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -651,8 +652,13 @@ def synth_bmp_corpus(documents: DataFrame) -> DataFrame:
     its predecessor and bumps ALL THREE channel bytes of pixel (0, 0)
     by +1 mod 256 — the planted near-dup pair per decade (the PGM
     convention; three channels because 299+587+114 = 1000 makes the
-    integer luma move by exactly +1, where a single-channel bump can
-    vanish under the //1000 floor).
+    integer luma move by exactly +1 when no channel sits at 255, where
+    a single-channel bump can vanish under the //1000 floor). In the
+    rare decade where a channel byte IS 255 the bump wraps to 0 — a
+    larger single-pixel delta that the oracle replays identically and
+    that still sits far inside the band-join + ham_max slack (one
+    pixel moves one cell mean plus a handful of borderline threshold
+    bits, nowhere near 10 band bits).
     Payloads are complete BMP files: BITMAPFILEHEADER +
     BITMAPINFOHEADER(40), positive height (bottom-up rows, the
     standard layout — the decoder must flip), BGR byte order, rows
@@ -743,10 +749,16 @@ def _bmp_gray(b: bytes) -> list | None:
     if hdr is None or len(b) < 54:
         return None
     off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
     bpp = struct.unpack("<H", b[28:30])[0]
     compression = struct.unpack("<I", b[30:34])[0]
     raw_h = struct.unpack("<i", b[22:26])[0]
     if bpp != 24 or compression != 0:
+        return None
+    # bfOffBits must land past the file+info headers — an off of 0
+    # would otherwise "decode" header bytes as pixels instead of
+    # routing the malformed payload to NULL
+    if off < 14 + hdr_size:
         return None
     w, h = hdr["width"], hdr["height"]
     stride = (w * 3 + 3) // 4 * 4

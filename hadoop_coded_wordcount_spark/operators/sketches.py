@@ -976,10 +976,13 @@ def mass_sample_shard_merge_quantiles(
     literally and still land bit-exact. ``key_col`` must be numeric and
     unique (it is the sample's identity AND the rank tie-break)."""
     n = len(ts)
+    # pmod, not %: Spark's % keeps the dividend's sign, so negative
+    # keys would match NO shard and silently vanish from the union
+    # (breaking merge==direct); pmod partitions every integer key.
     states = [
         (
             _mass_kept(
-                df.where(F.col(key_col) % n == i),
+                df.where(F.pmod(F.col(key_col), F.lit(n)) == i),
                 group_col,
                 value_col,
                 key_col,
@@ -1063,7 +1066,11 @@ def ams_f2(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
         df.where(F.col(key_col).isNotNull())
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-        .agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("exact_f2"))
+        .agg(
+            F.coalesce(F.sum(F.col("f") * F.col("f")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_f2")
+        )
     )
     est = F.round(F.col("sum_x2").cast("double") / F.lit(float(m)), 6)
     return (
@@ -1074,10 +1081,15 @@ def ams_f2(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
             F.lit(m).alias("m"),
             est.alias("est_f2"),
             "exact_f2",
-            F.round(
-                (est - F.col("exact_f2").cast("double"))
-                / F.col("exact_f2").cast("double"),
-                6,
+            # empty-input shape matches ams_join_size: exact coalesces
+            # to 0 and rel_err guards the division (NULL, not NaN/raise)
+            F.when(
+                F.col("exact_f2") > 0,
+                F.round(
+                    (est - F.col("exact_f2").cast("double"))
+                    / F.col("exact_f2").cast("double"),
+                    6,
+                ),
             ).alias("rel_err"),
         )
     )

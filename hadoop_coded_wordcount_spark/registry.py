@@ -16847,16 +16847,18 @@ def _ams_f2_oracle(m: int = 64) -> str:
     ),
     sx AS (SELECT CAST(({dot}) AS BIGINT) AS sum_x2 FROM regs),
     ex AS (
-      SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM (
+      SELECT CAST(COALESCE(SUM(f * f), 0) AS BIGINT) AS exact_f2 FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS f
         FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
     )
     SELECT sum_x2, {m} AS m,
            ROUND(CAST(sum_x2 AS DOUBLE) / {float(m)}, 6) AS est_f2,
            exact_f2,
-           ROUND((ROUND(CAST(sum_x2 AS DOUBLE) / {float(m)}, 6)
-                  - CAST(exact_f2 AS DOUBLE))
-                 / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+           CASE WHEN exact_f2 > 0 THEN
+             ROUND((ROUND(CAST(sum_x2 AS DOUBLE) / {float(m)}, 6)
+                    - CAST(exact_f2 AS DOUBLE))
+                   / CAST(exact_f2 AS DOUBLE), 6)
+           END AS rel_err
     FROM sx, ex
     """
 

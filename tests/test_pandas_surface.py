@@ -458,6 +458,10 @@ def test_bmp_gray_total_on_fuzz_and_rejects():
     assert mm._bmp_gray(eight) is None  # palette depth routed, not decoded
     rle = good[:30] + _s.pack("<I", 1) + good[34:]
     assert mm._bmp_gray(rle) is None  # BI_RLE8 compression rejected
+    # bfOffBits pointing INTO the headers must route to NULL, not
+    # decode header bytes as pixels
+    bad_off = good[:10] + _s.pack("<I", 0) + good[14:]
+    assert mm._bmp_gray(bad_off) is None
 
 
 def test_ppm_pixels_roundtrip_luma_and_rejects(spark):

@@ -388,6 +388,32 @@ def test_mass_sample_null_keys_excluded_consistently(spark):
     assert merged[0][1] <= sum(1 for _, _, k in rows if k is not None)
 
 
+def test_mass_sample_shard_merge_handles_negative_keys(spark):
+    """Spark's % keeps the dividend's sign, so a %-based shard split
+    would drop every negative key from all shards; the pmod split must
+    keep merge==direct bit-exact on signed keys."""
+    rows = [("g", float(v), v * (-1 if v % 3 == 0 else 1))
+            for v in range(1, 400)]
+    df = spark.createDataFrame(rows, "grp string, val double, k bigint")
+    merged = sorted(map(tuple, sk.mass_sample_shard_merge_quantiles(
+        df, "grp", "val", "k", ts=(1, 2)
+    ).collect()))
+    direct = sorted(map(tuple, sk.mass_sample_quantiles(
+        df, "grp", "val", "k", t=2
+    ).collect()))
+    assert merged == direct and merged
+
+
+def test_ams_f2_empty_input_shape(spark):
+    """The pinned empty-sample contract, F2 member: an empty (or
+    all-NULL-key) frame yields exact_f2 = 0 (not NULL) and rel_err
+    NULL — the ams_join_size shape."""
+    empty = spark.createDataFrame([], "k bigint")
+    row = sk.ams_f2(empty, "k").collect()[0]
+    assert row.sum_x2 == 0 and row.exact_f2 == 0
+    assert row.est_f2 == 0.0 and row.rel_err is None
+
+
 def test_mass_sample_shard_merge_equals_direct_estimates(spark):
     """The end-to-end shard→merge→estimate operator at mixed rates
     (t=3, t=4) lands bit-identical to a DIRECT t=4 sample's estimates:
