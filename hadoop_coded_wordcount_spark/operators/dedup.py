@@ -233,14 +233,17 @@ def _signature_col(k: int) -> Column:
     permutation surrogates with one pass over the shingle array
     (``array_min`` of a ``transform``; no explode, no shuffle)."""
 
-    def seeded_hash(seed: int):
-        # NB: the returned lambda must be single-arg — F.transform treats a
-        # two-arg callable as (element, index) and would silently replace
-        # the seed with the array index.
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    return F.array(
-        *[F.array_min(F.transform("grams", seeded_hash(i))) for i in range(k)]
+    # ONE JVM-parsed expr string (optimization r12): the Column-object
+    # loop (k array_min(transform(...)) builders) cost ~6·k py4j round
+    # trips per plan construction; the parsed tree is identical — the
+    # int literal seed, the single-arg lambda, the same array_min fold.
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(grams, s -> xxhash64({i}, s)))"
+            for i in range(k)
+        )
+        + ")"
     )
 
 
@@ -299,11 +302,12 @@ def minhash_wide(
             ).alias("x"),
         )
     )
+    # k JVM-parsed aggregate exprs (optimization r12): same trees as the
+    # Column loop — int literals a, b < 2^31 and the Mersenne modulus
+    # parse to the same types the F.lit calls produced.
     return ex.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
-                f"m{i}"
-            )
+            F.expr(f"MIN(({a} * x + {b}) % {_MINHASH_P}) AS m{i}")
             for i, (a, b) in enumerate(minhash_params(k))
         ]
     )
@@ -335,13 +339,12 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32) -> DataFra
     single-file scan and pre-aligns the groupBy (no second exchange).
     """
     sig = minhash_wide(documents, n, k)
-    perms = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("perm"), F.col(f"m{i}").alias("minhash")
-            )
-            for i in range(k)
-        ]
+    perms = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('perm', {i}, 'minhash', m{i})" for i in range(k)
+        )
+        + ")"
     )
     return sig.select("doc_id", F.explode(perms).alias("p")).select(
         "doc_id", "p.perm", "p.minhash"
@@ -392,16 +395,17 @@ def minhash_lsh_pairs(
         F.transform("grams", lambda s: F.xxhash64(s)).alias("hgrams"),
     ).persist()
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("signature", b * r + j + 1) for j in range(r)]
-                ).alias("bucket"),
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {b}, 'bucket', xxhash64("
+            + ", ".join(
+                f"element_at(signature, {b * r + j + 1})" for j in range(r)
             )
+            + "))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     buckets = sig_table.select(
         "doc_id", F.explode(band_structs).alias("bb")
@@ -560,8 +564,6 @@ def simhash64(documents: DataFrame) -> DataFrame:
     (aggregate over zip_with over transform), which falls out of codegen
     into interpreted expression evaluation per token×bit.
     """
-    import functools
-
     from ..sources.catalog import ensure_parallelism
 
     src = ensure_parallelism(documents.select("doc_id", "lang", "text"))
@@ -574,26 +576,24 @@ def simhash64(documents: DataFrame) -> DataFrame:
         F.conv(F.substring(hh, 9, 8), 16, 10).cast("long").alias("lo"),
         F.conv(F.substring(hh, 1, 8), 16, 10).cast("long").alias("hi"),
     )
+    # JVM-parsed expr strings (optimization r12): same trees as the
+    # Column loops (~450 py4j round trips saved per plan construction).
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright("lo" if i < 32 else "hi", i % 32)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            "SUM(CASE WHEN (SHIFTRIGHT("
+            f"{'lo' if i < 32 else 'hi'}, {i % 32}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+        )
         for i in range(64)
     ]
     grouped = toks.groupBy("doc_id", "lang").agg(*bit_sums)
-    bits = [
-        F.when(
-            F.col(f"b{i}") > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), i),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for i in range(64)
-    ]
-    simhash = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+    simhash = F.expr(
+        " | ".join(
+            f"(CASE WHEN b{i} > 0 THEN SHIFTLEFT(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(64)
+        )
+    )
     return grouped.select("doc_id", "lang", simhash.alias("simhash"))
 
 
@@ -613,16 +613,14 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     — in production this table would be *written* once and scanned twice.
     """
     s = simhash64(documents).persist()
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("val"),
-            )
+    chunks = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('chunk', {c}, 'val', "
+            f"SHIFTRIGHT(simhash, {c * 16}) & {0xFFFF})"
             for c in range(4)
-        ]
+        )
+        + ")"
     )
     b = s.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
         "doc_id", "simhash", "cc.chunk", "cc.val"
@@ -1213,22 +1211,17 @@ def lsh_tuning_curve(
     per_config = []
     for bands, r in configs:
         assert bands * r <= k
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col(f"m{i * r + j}").cast("string")
-                                for j in range(r)
-                            ],
-                        ).cast("binary")
-                    ).alias("bucket"),
+        band_structs = F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('band', {i}, 'bucket', md5(CAST(concat_ws(':'"
+                + "".join(
+                    f", CAST(m{i * r + j} AS STRING)" for j in range(r)
                 )
+                + ") AS BINARY)))"
                 for i in range(bands)
-            ]
+            )
+            + ")"
         )
         buckets = sig.select(
             "doc_id", F.explode(band_structs).alias("bb")

@@ -308,13 +308,24 @@ def supplier_knn_graph(lineitem: DataFrame, k: int = 3) -> DataFrame:
     LEAST/GREATEST dedup back to one row per undirected edge.
     """
     pairs = _shared_order_pairs(lineitem)
+    # explode-not-union symmetrization (r12): the union form evaluated
+    # the full shared-order-pairs subtree (a lineitem shuffle) twice
     sym = pairs.select(
-        F.col("s").alias("node"), F.col("d").alias("partner"), "c"
-    ).unionAll(
-        pairs.select(
-            F.col("d").alias("node"), F.col("s").alias("partner"), "c"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("node"),
+                    F.col("d").alias("partner"),
+                    F.col("c"),
+                ),
+                F.struct(
+                    F.col("d").alias("node"),
+                    F.col("s").alias("partner"),
+                    F.col("c"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.node", "p.partner", "p.c")
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("partner"))
     kept = (
         sym.withColumn("rn", F.row_number().over(w))
@@ -349,9 +360,12 @@ def triangle_count(edges: DataFrame, eager: bool = True) -> DataFrame:
     releases before return (``eager=False`` keeps the plan lazy — the
     plan-shape test inspects the degree join through it).
     """
+    # explode-not-union (r12): one evaluation of the edge subtree for
+    # the degree table instead of two (see local_clustering_coefficient)
     deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -479,9 +493,16 @@ def link_prediction_jaccard(
     integers (engine-stable); output is bounded TakeOrdered on the
     (score desc, pair) total order.
     """
+    # explode-not-union symmetrization (r12): one evaluation of the
+    # unpinned edge subtree instead of two per sym reference
     sym = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     # wedges: u -(n)- v with u < v
     w1 = sym.select(F.col("b").alias("n"), F.col("a").alias("u"))
@@ -831,8 +852,9 @@ def modularity_by_nation(
         .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
     )
     deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
@@ -910,9 +932,14 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     Input contract: undirected edges, one row per edge, src < dst.
     Output: (node, degree, triangles, cc), node-sized.
     """
+    # explode-not-union symmetrization (optimization r12): a union of
+    # two projections evaluates the UNPERSISTED edge subtree twice (the
+    # kNN-graph build here is a full lineitem shuffle); exploding a
+    # 2-element array emits the identical rows from ONE evaluation.
     deg = (
-        edges.select(F.col("src").alias("v"))
-        .unionAll(edges.select(F.col("dst").alias("v")))
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -951,10 +978,14 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
         F.col("lo").alias("b"), F.col("hi").alias("c")
     )
     triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    # one triangle enumeration, not three: the former 3-way unionAll of
+    # per-corner projections re-ran the WEDGE JOIN per corner (r12)
     per_node = (
-        triangles.select(F.col("a").alias("v"))
-        .unionAll(triangles.select(F.col("b").alias("v")))
-        .unionAll(triangles.select(F.col("c").alias("v")))
+        triangles.select(
+            F.explode(
+                F.array(F.col("a"), F.col("b"), F.col("c"))
+            ).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )
@@ -993,9 +1024,16 @@ def adamic_adar(edges: DataFrame, topn: int = 25) -> DataFrame:
     pairs; degrees broadcast; output is TakeOrdered on the
     (score desc, pair) total order.
     """
+    # explode-not-union symmetrization (r12): one evaluation of the
+    # unpinned edge subtree instead of two per sym reference
     sym = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     # a degree-1 node can never be a SHARED neighbor (it has only one
     # edge), so dropping d < 2 both prunes dead wedge fuel and keeps
@@ -1182,13 +1220,19 @@ def landmark_bfs(
         )
         if nf.limit(1).count() == 0:
             break
+        # NOT checkpointed (optimization r12): visited only accumulates
+        # and is read once, by the final pivot. Each union leg projects
+        # an already-checkpointed ``nf``, so the lazy union is a shallow
+        # tree of leaf RDDs — the former per-round eager checkpoint
+        # re-materialized the whole visited set every hop (O(V·hops)
+        # writes) for no recompute benefit.
         visited = visited.union(
             nf.select(
                 "node",
                 F.explode(new_bits).alias("lm"),
                 F.lit(hop).cast("int").alias("dist"),
             )
-        ).localCheckpoint(eager=True)
+        )
         masks = (
             masks.join(nf.select("node", F.col("mask").alias("nm")), "node", "outer")
             .select(

@@ -686,7 +686,7 @@ def triplet_margin(
     pairs = corpus.join(F.broadcast(anchors), "salt").where(
         F.col("a") != F.col("c")
     )
-    cos = dot_unrolled_cols(F.col("na"), F.col("nc"), dim)
+    cos = dot_unrolled_cols("na", "nc", dim)
     terms = pairs.select(
         "a",
         "la",
@@ -959,27 +959,39 @@ def _label_centroids(embeddings: DataFrame, dim: int):
     deterministic-mean discipline shared by the cluster-quality ops."""
     emb = F.transform("embedding", lambda x: x.cast("double"))
     base = embeddings.select("vec_id", "label", emb.alias("emb"))
+    # JVM-parsed aggregate exprs (optimization r12): identical trees to
+    # the Column loops at a fraction of the py4j round trips.
     cents = base.groupBy("label").agg(
         *[
-            (
-                F.sum(
-                    F.round(F.col("emb")[d], 9).cast("decimal(28,9)")
-                ).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias(f"c{d}")
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(emb[{d}], 9) AS DECIMAL(28,9)))"
+                f" AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS c{d}"
+            )
             for d in range(dim)
         ]
     )
     centl = cents.select(
         F.col("label").alias("clabel"),
-        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("cl"),
+        F.expr(
+            "array(" + ", ".join(f"c{d}" for d in range(dim)) + ")"
+        ).alias("cl"),
     )
     return base, centl
 
 
 def _unrolled_sqdist(a, b, dim: int):
     """Left-to-right unrolled Σ(aᵢ−bᵢ)² from a 0.0 seed — the
-    dot_unrolled fold shape, bit-equal to the oracle's list_reduce."""
+    dot_unrolled fold shape, bit-equal to the oracle's list_reduce.
+    String operands take the one-round-trip ``F.expr`` path (identical
+    analyzed tree — the similarity.dot_unrolled r12 discipline)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "0.0D + "
+            + " + ".join(
+                f"({a}[{d}] - {b}[{d}]) * ({a}[{d}] - {b}[{d}])"
+                for d in range(dim)
+            )
+        )
     sq = F.lit(0.0)
     for d in range(dim):
         diff = a[d] - b[d]
@@ -1010,7 +1022,7 @@ def silhouette_by_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         "vec_id",
         F.col("label").alias("vlabel"),
         "clabel",
-        F.sqrt(_unrolled_sqdist(F.col("emb"), F.col("cl"), dim)).alias(
+        F.sqrt(_unrolled_sqdist("emb", "cl", dim)).alias(
             "dist"
         ),
     )
@@ -1062,7 +1074,7 @@ def davies_bouldin(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     ).select(
         "label",
         F.round(
-            F.sqrt(_unrolled_sqdist(F.col("emb"), F.col("cl"), dim)), 6
+            F.sqrt(_unrolled_sqdist("emb", "cl", dim)), 6
         )
         .cast("decimal(18,6)")
         .alias("d"),
@@ -1096,7 +1108,7 @@ def davies_bouldin(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             "s_i",
             F.round(
                 (F.col("s_i") + F.col("s_j"))
-                / F.sqrt(_unrolled_sqdist(F.col("ci"), F.col("cj"), dim)),
+                / F.sqrt(_unrolled_sqdist("ci", "cj", dim)),
                 6,
             ).alias("r"),
         )

@@ -1048,7 +1048,9 @@ def coverage_greedy_selection(
         return int(f) + (1 if x - f >= 0.5 else 0)
 
     spark = documents.sparkSession
-    sh = shingled(documents, n=n).select("doc_id", "grams").persist()
+    # not persisted (r12): with the winner's grams riding the argmax row
+    # the shingle frame is read exactly once, to build ``ex`` below
+    sh = shingled(documents, n=n).select("doc_id", "grams")
     # the per-round scan is scheduling-latency-bound at small SF: a
     # handful of fat partitions beats 32 slivers for 8 tiny argmax jobs
     # (the partition count scales back up with the data via shuffle conf).
@@ -1069,9 +1071,19 @@ def coverage_greedy_selection(
                 [(x,) for x in sorted(covered)], "gram string"
             )
             g = g.join(F.broadcast(cov_df), "gram", "left_anti")
+        # ONE job per round (optimization r12, guide §1.2): the winner's
+        # yet-uncovered gram set rides the same TakeOrdered(1) row as its
+        # gain — the former second job (a full scan of the persisted
+        # corpus-wide shingle frame just to re-read the winner's grams)
+        # is gone. covered ∪ uncovered(winner) == covered ∪ grams(winner),
+        # so the covered set is unchanged; shingled() grams are distinct
+        # per doc, so count(1) == |collect_set| and the gain is unchanged.
         top = (
             g.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("gain"),
+                F.collect_set("gram").alias("new_grams"),
+            )
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
             .collect()
@@ -1079,8 +1091,7 @@ def coverage_greedy_selection(
         if not top:
             break
         w = top[0]
-        winner_grams = sh.where(F.col("doc_id") == w.doc_id).collect()
-        covered.update(winner_grams[0].grams)
+        covered.update(w.new_grams)
         selected.append(w.doc_id)
         out_rows.append(
             (
@@ -1091,7 +1102,6 @@ def coverage_greedy_selection(
                 _cround(len(covered) * 1000000.0 / total) / 1e6,
             )
         )
-    sh.unpersist()
     ex.unpersist()
     return spark.createDataFrame(
         out_rows,

@@ -9596,10 +9596,17 @@ def matrix_profile_hourly(events: DataFrame, w: int = 24) -> DataFrame:
         F.col("i").alias("bi"),
         F.col("arr").alias("ba"),
     )
-    d2 = F.aggregate(
-        F.zip_with("aa", "ba", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # unrolled codegen fold (optimization r12): the nested HOF
+    # (aggregate over zip_with) evaluates INTERPRETED once per candidate
+    # pair — the exact hot-path shape similarity.dot_unrolled exists to
+    # avoid (measured ~50× there). Same left-to-right fold from the 0.0
+    # seed, so every distance is bit-identical to the HOF form and to
+    # the oracle's list_reduce.
+    d2 = F.expr(
+        "0.0D + "
+        + " + ".join(
+            f"(aa[{i}] - ba[{i}]) * (aa[{i}] - ba[{i}])" for i in range(w)
+        )
     )
     pairs = (
         a.join(

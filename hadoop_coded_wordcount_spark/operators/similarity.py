@@ -125,7 +125,7 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Pairwise dot product as an unrolled sum of literal-index products.
 
     ``aggregate(zip_with(...))`` is a *nested* higher-order function, which
@@ -141,7 +141,20 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     are bit-identical to the HOF form and to the DuckDB oracle's list
     fold. Exactness is load-bearing: near-dup thresholds compare these
     values against an exact-SQL oracle with no tolerance.
+
+    Driver-latency form (optimization r12, guide §5/§7.3): when both
+    operands are plain SQL column references passed as *strings*, the
+    whole unrolled chain is built as ONE ``F.expr`` string parsed
+    JVM-side — the Column-object loop costs ~3·dim py4j round-trips
+    (~0.5 s at dim=64 per call site, paid at every plan construction),
+    while the string parse is one round-trip. The analyzed expression
+    tree is identical either way (pinned in tests), so results cannot
+    differ.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "0.0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+        )
     out = F.lit(0.0)
     for i in range(dim):
         out = out + a[i] * b[i]
@@ -197,7 +210,7 @@ def cosine_topk(
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled(F.col("q_emb"), F.col("emb"), dim) / (
+    cos = dot_unrolled("q_emb", "emb", dim) / (
         F.col("q_nrm") * F.col("nrm")
     )
     scored = (
@@ -269,7 +282,7 @@ def cosine_ivf_topk(
 
     # per-pair scoring is the hot path (corpus × centroids); unrolled
     # codegen dot + hoisted per-row norms, value-identical to cosine()
-    ccos = dot_unrolled(F.col("c_emb"), F.col("emb"), dim) / (
+    ccos = dot_unrolled("c_emb", "emb", dim) / (
         F.col("c_nrm") * F.col("nrm")
     )
     assigned = (
@@ -289,7 +302,7 @@ def cosine_ivf_topk(
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    qcos = dot_unrolled(F.col("c_emb"), F.col("q_emb"), dim) / (
+    qcos = dot_unrolled("c_emb", "q_emb", dim) / (
         F.col("c_nrm") * F.col("q_nrm")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcell_cos"), F.asc("cell_id"))
@@ -306,7 +319,7 @@ def cosine_ivf_topk(
         .where(F.col("vec_id") != F.col("query_id"))
         .join(vecs, "vec_id")
     )
-    cos = dot_unrolled(F.col("q_emb"), F.col("emb"), dim) / (
+    cos = dot_unrolled("q_emb", "emb", dim) / (
         F.col("q_nrm") * F.col("nrm")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -564,7 +577,7 @@ def embedding_lsh_pairs(
         )
         .distinct()
     )
-    cos = dot_unrolled(F.col("na"), F.col("nb"), dim)
+    cos = dot_unrolled("na", "nb", dim)
     return (
         cand.join(
             attach(
@@ -688,7 +701,7 @@ def _neardup_quadratic(
         .repartition(64, "blk", "salt")
         .alias("b")
     )
-    cos = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+    cos = dot_unrolled("a.ne", "b.ne", dim)
     return (
         a.join(
             b,
@@ -739,7 +752,7 @@ def _neardup_cells(
         .where(F.col("cell_id") <= cells)
         .select("blk", "cell_id", F.col("p").alias("cp"))
     )
-    pd2 = _pq_sqdist(F.col("p"), F.col("cp"), proj_dim)
+    pd2 = _pq_sqdist("p", "cp", proj_dim)
     for _ in range(cell_iters):
         asg = (
             pvecs.join(F.broadcast(cents), "blk")
@@ -796,7 +809,7 @@ def _neardup_cells(
 
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+    cos = dot_unrolled("a.ne", "b.ne", dim)
     return (
         a.join(
             F.broadcast(cellpairs),
@@ -869,7 +882,7 @@ def kmeans_centroids(
 
     # hot path: corpus × centroids per round — unrolled codegen dot
     # (vectors are pre-normalized, so the dot IS the cosine)
-    dot = dot_unrolled(F.col("ne"), F.col("c_emb"), dim)
+    dot = dot_unrolled("ne", "c_emb", dim)
     for _ in range(iters):
         assigned = (
             vecs.join(F.broadcast(cents))
@@ -963,7 +976,7 @@ def semdedup(
         .withColumn("nrm", norm)
         .select("vec_id", F.transform("emb", lambda x: x / F.col("nrm")).alias("ne"))
     )
-    cdot = dot_unrolled(F.col("ne"), F.col("c_emb"), dim)
+    cdot = dot_unrolled("ne", "c_emb", dim)
     assigned = (
         vecs.join(F.broadcast(cents))
         .groupBy("vec_id")
@@ -974,7 +987,7 @@ def semdedup(
         .select("vec_id", F.col("b.cell_id").alias("cell_id"), "ne")
         .persist()
     )
-    pdot = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+    pdot = dot_unrolled("a.ne", "b.ne", dim)
     evict = (
         assigned.alias("a")
         .join(
@@ -1063,35 +1076,32 @@ def embedding_covariance(embeddings: DataFrame, dims: int = 16) -> DataFrame:
     """
     # scalar-indexed cast, NOT _as_double: the whole-array transform
     # would re-evaluate once per sibling aggregate (153x per row here);
-    # float->double on the extracted element is the same value
-    def e(i: int):
-        return F.col("embedding")[i].cast("double")
+    # float->double on the extracted element is the same value.
+    #
+    # Optimization r12 (guide §5/§7.3 — driver latency): the 153 sibling
+    # aggregates and the 136-struct reshape array are built as SQL
+    # strings parsed JVM-side in TWO py4j calls; the Column-object loops
+    # cost ~1500 py4j round-trips (~6 s of plan construction at sf0.1,
+    # ~90% of the query's wall time). Expression trees are unchanged —
+    # ``embedding[i]`` is the same GetArrayItem, ``0.0D`` the same
+    # double literal — so values are bit-identical (oracle re-verified).
+    def e(i: int) -> str:
+        return f"CAST(embedding[{i}] AS DOUBLE)"
 
     pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
-    sums = embeddings.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(e(i)).alias(f"s{i}") for i in range(dims)],
-        *[F.sum(e(i) * e(j)).alias(f"p{i}_{j}") for i, j in pairs],
+    sums = embeddings.selectExpr(
+        "COUNT(1) AS n",
+        *[f"SUM({e(i)}) AS s{i}" for i in range(dims)],
+        *[f"SUM({e(i)} * {e(j)}) AS p{i}_{j}" for i, j in pairs],
     )
-    out = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("i"),
-                F.lit(j + 1).alias("j"),
-                (
-                    F.round(
-                        (
-                            F.col(f"p{i}_{j}")
-                            - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n")
-                        )
-                        / F.col("n"),
-                        6,
-                    )
-                    + F.lit(0.0)
-                ).alias("cov"),
-            )
+    out = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('i', {i + 1}, 'j', {j + 1}, 'cov', "
+            f"ROUND((p{i}_{j} - s{i} * s{j} / n) / n, 6) + 0.0D)"
             for i, j in pairs
-        ]
+        )
+        + ")"
     )
     return sums.select(F.explode_outer(out).alias("x")).select("x.*")
 
@@ -1204,9 +1214,18 @@ def _pq_subvecs(
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
-def _pq_sqdist(a: Column, b: Column, sub: int) -> Column:
+def _pq_sqdist(a: Column | str, b: Column | str, sub: int) -> Column:
     """Unrolled integer L2² over a sub-dim pair of micro-unit arrays —
-    exact BIGINT, so comparisons and sums are order-free."""
+    exact BIGINT, so comparisons and sums are order-free. String operands
+    take the one-round-trip ``F.expr`` path (same tree — see
+    :func:`dot_unrolled`)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+                for i in range(sub)
+            )
+        )
     out = None
     for i in range(sub):
         diff = a[i] - b[i]
@@ -1286,7 +1305,7 @@ def _pq_train_codebook(
     train = svecs
     if train_sample is not None and train_iters > 0:
         train = _pq_train_sample(svecs, train_sample)
-    d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
+    d = _pq_sqdist("sv", "cv", sub)
     for _ in range(train_iters):
         asg = (
             train.join(F.broadcast(cb), "j")
@@ -1376,7 +1395,7 @@ def pq_topk(
         max_codes=max_codes,
         train_sample=train_sample,
     )
-    d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
+    d = _pq_sqdist("sv", "cv", sub)
     enc = (
         svecs.join(F.broadcast(cb), "j")
         .groupBy("vec_id", "j")
@@ -1386,7 +1405,7 @@ def pq_topk(
     qsv = svecs.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
-    qd = _pq_sqdist(F.col("qv"), F.col("cv"), sub)
+    qd = _pq_sqdist("qv", "cv", sub)
     dtab = qsv.join(F.broadcast(cb), "j").select(
         "query_id", "j", "code_id", qd.alias("d")
     )
@@ -1410,7 +1429,7 @@ def pq_topk(
     if rerank_mult is None:
         ranked = shortlist
     else:
-        dx = _pq_sqdist(F.col("qv"), F.col("sv"), sub)
+        dx = _pq_sqdist("qv", "sv", sub)
         wr = Window.partitionBy("query_id").orderBy(
             F.asc("d2"), F.asc("neighbor_id")
         )
@@ -1553,7 +1572,7 @@ def ivf_pq_topk(
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    ccos = dot_unrolled(F.col("c_emb"), F.col("emb"), dim) / (
+    ccos = dot_unrolled("c_emb", "emb", dim) / (
         F.col("c_nrm") * F.col("nrm")
     )
     # checkpoint: the assignment feeds THREE consumers (residual anchors,
@@ -1581,7 +1600,7 @@ def ivf_pq_topk(
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    qcos = dot_unrolled(F.col("c_emb"), F.col("q_emb"), dim) / (
+    qcos = dot_unrolled("c_emb", "q_emb", dim) / (
         F.col("c_nrm") * F.col("q_nrm")
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -1626,8 +1645,8 @@ def ivf_pq_topk(
     qsv = qsv.select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
-    d = _pq_sqdist(F.col("sv"), F.col("cv"), sub)
-    qd = _pq_sqdist(F.col("qv"), F.col("cv"), sub)
+    d = _pq_sqdist("sv", "cv", sub)
+    qd = _pq_sqdist("qv", "cv", sub)
     if residual:
         csv = (
             sa.groupBy("cell_id", "j")
@@ -1880,7 +1899,7 @@ def mmr_topk(
         )
     )
     sim = F.round(
-        dot_unrolled(F.col("ea"), F.col("eb"), dim)
+        dot_unrolled("ea", "eb", dim)
         / (F.col("na") * F.col("nb")),
         6,
     )
@@ -1973,45 +1992,41 @@ def embedding_drift(embeddings: DataFrame, dim: int = 64) -> DataFrame:
 
     Scale: one scan, two partial-agg rows of 64 sums each.
     """
-    half = (F.col("vec_id") % 2).alias("half")
-    comps = embeddings.select(
-        half,
+    # JVM-parsed expr strings (optimization r12): identical trees to the
+    # Column loops — ~1300 py4j round trips of plan construction saved.
+    comps = embeddings.selectExpr(
+        "vec_id % 2 AS half",
         *[
-            F.round(F.col("embedding")[i].cast("double"), 6)
-            .cast("decimal(18,6)")
-            .alias(f"c{i}")
+            f"CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 6)"
+            f" AS DECIMAL(18,6)) AS c{i}"
             for i in range(dim)
         ],
     )
     agg = comps.groupBy("half").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(dim)],
+        *[F.expr(f"SUM(c{i}) AS s{i}") for i in range(dim)],
     )
-    a = agg.where(F.col("half") == 0).select(
-        F.col("n").alias("n_a"),
-        *[
-            (F.col(f"s{i}").cast("double") / F.col("n")).alias(f"a{i}")
-            for i in range(dim)
-        ],
+    a = agg.where(F.col("half") == 0).selectExpr(
+        "n AS n_a",
+        *[f"CAST(s{i} AS DOUBLE) / n AS a{i}" for i in range(dim)],
     )
-    b = agg.where(F.col("half") == 1).select(
-        F.col("n").alias("n_b"),
-        *[
-            (F.col(f"s{i}").cast("double") / F.col("n")).alias(f"b{i}")
-            for i in range(dim)
-        ],
+    b = agg.where(F.col("half") == 1).selectExpr(
+        "n AS n_b",
+        *[f"CAST(s{i} AS DOUBLE) / n AS b{i}" for i in range(dim)],
     )
-    dot = F.lit(0.0)
-    na = F.lit(0.0)
-    nb = F.lit(0.0)
-    l2 = F.lit(0.0)
-    for i in range(dim):
-        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
-        na = na + F.col(f"a{i}") * F.col(f"a{i}")
-        nb = nb + F.col(f"b{i}") * F.col(f"b{i}")
-        l2 = l2 + (F.col(f"a{i}") - F.col(f"b{i}")) * (
-            F.col(f"a{i}") - F.col(f"b{i}")
-        )
+    dot = F.expr(
+        "0.0D + " + " + ".join(f"a{i} * b{i}" for i in range(dim))
+    )
+    na = F.expr(
+        "0.0D + " + " + ".join(f"a{i} * a{i}" for i in range(dim))
+    )
+    nb = F.expr(
+        "0.0D + " + " + ".join(f"b{i} * b{i}" for i in range(dim))
+    )
+    l2 = F.expr(
+        "0.0D + "
+        + " + ".join(f"(a{i} - b{i}) * (a{i} - b{i})" for i in range(dim))
+    )
     return a.join(b).select(
         "n_a",
         "n_b",
@@ -2257,10 +2272,10 @@ def int8_recall(
         "q",
         "c",
         (
-            dot_unrolled(F.col("xq"), F.col("xc"), dim) / F.col("nf")
+            dot_unrolled("xq", "xc", dim) / F.col("nf")
         ).alias("sf"),
         (
-            dot_unrolled(F.col("xq"), F.col("qc"), dim) / F.col("n8")
+            dot_unrolled("xq", "qc", dim) / F.col("n8")
         ).alias("s8"),
     )
     wf = Window.partitionBy("q").orderBy(F.col("sf").desc(), F.col("c"))
@@ -2328,7 +2343,7 @@ def dbscan_density_probe(
         .where(F.col("rk") <= probe_sample)
         .select("vec_id", "blk", "ne")
     )
-    cos = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+    cos = dot_unrolled("a.ne", "b.ne", dim)
     hits = (
         samp.alias("a")
         .join(
@@ -2606,7 +2621,7 @@ def dbscan_embeddings(
             .where(F.col("rrk") <= repair_cap)
             .drop("rrk")
         )
-        rcos = dot_unrolled(F.col("a.ne"), F.col("b.ne"), dim)
+        rcos = dot_unrolled("a.ne", "b.ne", dim)
         rep_edges = (
             reps.alias("a")
             .join(
@@ -2702,7 +2717,7 @@ def l2_topk_exact(
     q = q.select(
         F.col("vec_id").alias("query_id"), "j", F.col("sv").alias("qv")
     )
-    d = _pq_sqdist(F.col("qv"), F.col("sv"), sub)
+    d = _pq_sqdist("qv", "sv", sub)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("neighbor_id")
     )

@@ -32,10 +32,16 @@ def as_double_unit(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def dot_unrolled_cols(a: Column, b: Column, dim: int) -> Column:
+def dot_unrolled_cols(a: Column | str, b: Column | str, dim: int) -> Column:
     """Left-to-right unrolled dot from a 0.0 seed — codegen arithmetic,
     bit-identical to a DuckDB list_reduce fold (see
-    similarity.dot_unrolled for the full rationale)."""
+    similarity.dot_unrolled for the full rationale). String operands
+    build the chain as ONE JVM-parsed ``F.expr`` — identical analyzed
+    tree, ~3·dim fewer py4j round-trips per plan construction."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "0.0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+        )
     out = F.lit(0.0)
     for i in range(dim):
         out = out + a[i] * b[i]

@@ -1020,25 +1020,24 @@ def ams_registers(
     """
     if not 1 <= m <= 64:
         raise ValueError("ams_registers needs 1 <= m <= 64 (one md5)")
-    h = F.md5(F.col(key_col).cast("string").cast("binary"))
-    digits = df.where(F.col(key_col).isNotNull()).select(
+    # JVM-parsed expr strings (optimization r12): identical trees to the
+    # Column-object loops at a fraction of the py4j round trips.
+    h = f"md5(CAST(CAST({key_col} AS STRING) AS BINARY))"
+    digits = df.where(F.col(key_col).isNotNull()).selectExpr(
         *[
-            F.conv(F.substring(h, i + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"_d{i}")
+            f"CAST(CONV(SUBSTRING({h}, {i + 1}, 1), 16, 10) AS INT) AS _d{i}"
             for i in range((m + 3) // 4)
         ]
     )
     aggs = []
     for j in range(m):
         i, b = divmod(j, 4)
-        bit = F.shiftright(F.col(f"_d{i}"), 3 - b).bitwiseAND(F.lit(1))
         aggs.append(
-            F.coalesce(
-                F.sum(F.when(bit == 1, 1).otherwise(-1)), F.lit(0)
+            F.expr(
+                f"CAST(COALESCE(SUM(CASE WHEN (SHIFTRIGHT(_d{i}, {3 - b})"
+                f" & 1) = 1 THEN 1 ELSE -1 END), 0) AS BIGINT)"
+                f" AS {prefix}{j}"
             )
-            .cast("bigint")
-            .alias(f"{prefix}{j}")
         )
     return digits.agg(*aggs)
 
@@ -1059,8 +1058,8 @@ def ams_f2(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
     so DuckDB replays the whole row bit for bit.
     """
     regs = ams_registers(df, key_col, m)
-    sum_x2 = sum(
-        (F.col(f"x{j}") * F.col(f"x{j}") for j in range(m)), F.lit(0)
+    sum_x2 = F.expr(
+        "0 + " + " + ".join(f"x{j} * x{j}" for j in range(m))
     ).cast("bigint")
     exact = (
         df.where(F.col(key_col).isNotNull())
@@ -1117,8 +1116,8 @@ def ams_join_size(
     """
     ra = ams_registers(dfa, key_a, m, prefix="a")
     rb = ams_registers(dfb, key_b, m, prefix="b")
-    sum_xy = sum(
-        (F.col(f"a{j}") * F.col(f"b{j}") for j in range(m)), F.lit(0)
+    sum_xy = F.expr(
+        "0 + " + " + ".join(f"a{j} * b{j}" for j in range(m))
     ).cast("bigint")
     fa = (
         dfa.where(F.col(key_a).isNotNull())

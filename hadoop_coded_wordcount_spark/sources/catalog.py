@@ -51,15 +51,38 @@ _SCAN_CONFS = {
 }
 
 
+#: Path-keyed schema memo (optimization r12). ``spark.read.parquet``
+#: re-lists the directory and re-reads footers to infer the schema on
+#: EVERY call (~0.11 s); supplying the schema explicitly cuts that to
+#: ~0.03 s (measured 4×). The memo holds METADATA only — the role a
+#: catalog/metastore plays at 100 TB, where explicit schemas are how
+#: production readers avoid per-query listing+inference. Data is still
+#: read from parquet on every execution; nothing about results is
+#: cached. Keyed by absolute path, so scale dirs (sf0.01/sf1/...) never
+#: collide.
+_SCHEMA_CACHE: dict = {}
+
+#: Sessions whose _SCAN_CONFS were already applied (id-keyed; the confs
+#: are idempotent — this only skips ~3 py4j round trips per load).
+_CONFED_SESSIONS: set = set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar parquet scan → Catalyst prunes columns and
     pushes predicates down to the reader (visible as PushedFilters/ReadSchema
     in ``.explain``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    for k, v in _SCAN_CONFS.items():
-        spark.conf.set(k, v)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if id(spark) not in _CONFED_SESSIONS:
+        for k, v in _SCAN_CONFS.items():
+            spark.conf.set(k, v)
+        _CONFED_SESSIONS.add(id(spark))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         # The physical layout of events.ts varies by environment:
         # TIMESTAMP(NANOS) surfaces as int64 nanos (via nanosAsLong),

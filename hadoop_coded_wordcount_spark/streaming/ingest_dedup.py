@@ -113,16 +113,15 @@ def _cw_signature_col(k: int) -> Column:
     Using the DuckDB-replayable basis here is what lets the r11 registry
     twin of this operator be value-oracled end to end — the
     ``xxhash64``-based ``_signature_col`` has no SQL replay."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "hx",
-                    lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P),
-                )
-            )
+    # ONE JVM-parsed expr (optimization r12): identical tree to the
+    # Column-object loop — int literals, same lambda, same array_min.
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(hx, x -> ({a} * x + {b}) % {_MINHASH_P}))"
             for a, b in minhash_params(k)
-        ]
+        )
+        + ")"
     )
 
 
@@ -131,14 +130,13 @@ def _band_bucket(b: int, r: int) -> Column:
     folded to a 56-bit BIGINT — the same md5→``conv``→long idiom the
     oracles already replay (``CAST('0x' || substr(md5(..),1,14) AS
     BIGINT)``), unlike ``minhash_lsh_pairs``'s xxhash64 banding."""
-    parts = F.concat_ws(
-        "|",
-        *[
-            F.element_at("signature", b * r + j + 1).cast("string")
-            for j in range(r)
-        ],
+    parts = "concat_ws('|'" + "".join(
+        f", CAST(element_at(signature, {b * r + j + 1}) AS STRING)"
+        for j in range(r)
+    ) + ")"
+    return F.expr(
+        f"CAST(CONV(SUBSTRING(md5({parts}), 1, 14), 16, 10) AS BIGINT)"
     )
-    return F.conv(F.substring(F.md5(parts), 1, 14), 16, 10).cast("long")
 
 
 def ingest_features(
@@ -373,7 +371,7 @@ def ingest_neardup_screen(
     Scale shape: the self-join is an equi-join on (band, bucket) — the
     banded-LSH discipline, candidates only inside buckets, signatures
     (k longs) shuffle, text never does. The per-pair estimate is one
-    ``zip_with`` + fold over k=32 longs on the candidate set only.
+    unrolled codegen CASE-sum over k=32 longs on the candidate set only.
     """
     feats = ingest_features(documents, n=n, k=k, bands=bands)
     half = documents.select(
@@ -400,14 +398,17 @@ def ingest_neardup_screen(
         (F.col("rep_wave") == F.col("wave"))
         & (F.col("rep_id") < F.col("doc_id"))
     )
-    matches = F.aggregate(
-        F.zip_with(
-            "signature",
-            "rep_sig",
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # unrolled codegen fold (optimization r12): the nested HOF evaluated
+    # INTERPRETED once per candidate pair on the bucket join hot path;
+    # the unrolled CASE chain is the same left-to-right fold from the 0
+    # seed — bit-identical match counts (signature length is fixed k).
+    matches = F.expr(
+        "0 + "
+        + " + ".join(
+            f"(CASE WHEN signature[{i}] = rep_sig[{i}]"
+            " THEN 1 ELSE 0 END)"
+            for i in range(k)
+        )
     )
     est = matches.cast("double") / F.lit(float(k))
     w = Window.partitionBy("doc_id", "band", "bucket").orderBy(
