@@ -1048,9 +1048,7 @@ def coverage_greedy_selection(
         return int(f) + (1 if x - f >= 0.5 else 0)
 
     spark = documents.sparkSession
-    # not persisted (r12): with the winner's grams riding the argmax row
-    # the shingle frame is read exactly once, to build ``ex`` below
-    sh = shingled(documents, n=n).select("doc_id", "grams")
+    sh = shingled(documents, n=n).select("doc_id", "grams").persist()
     # the per-round scan is scheduling-latency-bound at small SF: a
     # handful of fat partitions beats 32 slivers for 8 tiny argmax jobs
     # (the partition count scales back up with the data via shuffle conf).
@@ -1071,19 +1069,16 @@ def coverage_greedy_selection(
                 [(x,) for x in sorted(covered)], "gram string"
             )
             g = g.join(F.broadcast(cov_df), "gram", "left_anti")
-        # ONE job per round (optimization r12, guide §1.2): the winner's
-        # yet-uncovered gram set rides the same TakeOrdered(1) row as its
-        # gain — the former second job (a full scan of the persisted
-        # corpus-wide shingle frame just to re-read the winner's grams)
-        # is gone. covered ∪ uncovered(winner) == covered ∪ grams(winner),
-        # so the covered set is unchanged; shingled() grams are distinct
-        # per doc, so count(1) == |collect_set| and the gain is unchanged.
+        # count-only partial aggregation: the per-round shuffle carries
+        # one (doc_id, count) pair per doc, never gram payloads. The
+        # winner's grams come from ONE targeted second job against the
+        # persisted compact frame — r12's collect_set-in-the-argmax
+        # variant shipped every doc's full uncovered gram set through
+        # the shuffle each round and measured 2.6x slower (guide §2.3
+        # "aggregate before you shuffle"; §5 agg-buffer memory).
         top = (
             g.groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("gain"),
-                F.collect_set("gram").alias("new_grams"),
-            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
             .collect()
@@ -1091,7 +1086,8 @@ def coverage_greedy_selection(
         if not top:
             break
         w = top[0]
-        covered.update(w.new_grams)
+        winner_grams = sh.where(F.col("doc_id") == w.doc_id).collect()
+        covered.update(winner_grams[0].grams)
         selected.append(w.doc_id)
         out_rows.append(
             (
@@ -1102,6 +1098,7 @@ def coverage_greedy_selection(
                 _cround(len(covered) * 1000000.0 / total) / 1e6,
             )
         )
+    sh.unpersist()
     ex.unpersist()
     return spark.createDataFrame(
         out_rows,
