@@ -992,6 +992,10 @@ def _unrolled_sqdist(a, b, dim: int):
                 for d in range(dim)
             )
         )
+    if isinstance(a, str) or isinstance(b, str):  # mixed call (ADVICE r12)
+        a, b = F.col(a) if isinstance(a, str) else a, (
+            F.col(b) if isinstance(b, str) else b
+        )
     sq = F.lit(0.0)
     for d in range(dim):
         diff = a[d] - b[d]

@@ -155,6 +155,13 @@ def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
         return F.expr(
             "0.0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
         )
+    if isinstance(a, str) or isinstance(b, str):
+        # A mixed (str, Column) call would fall into the Column loop where
+        # `a[i]` is PYTHON STRING INDEXING and `lit(char) * col` silently
+        # nulls via string→double cast (ADVICE r12). Normalize instead.
+        a, b = F.col(a) if isinstance(a, str) else a, (
+            F.col(b) if isinstance(b, str) else b
+        )
     out = F.lit(0.0)
     for i in range(dim):
         out = out + a[i] * b[i]
@@ -1225,6 +1232,10 @@ def _pq_sqdist(a: Column | str, b: Column | str, sub: int) -> Column:
                 f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
                 for i in range(sub)
             )
+        )
+    if isinstance(a, str) or isinstance(b, str):  # mixed call (ADVICE r12)
+        a, b = F.col(a) if isinstance(a, str) else a, (
+            F.col(b) if isinstance(b, str) else b
         )
     out = None
     for i in range(sub):

@@ -42,6 +42,10 @@ def dot_unrolled_cols(a: Column | str, b: Column | str, dim: int) -> Column:
         return F.expr(
             "0.0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
         )
+    if isinstance(a, str) or isinstance(b, str):  # mixed call (ADVICE r12)
+        a, b = F.col(a) if isinstance(a, str) else a, (
+            F.col(b) if isinstance(b, str) else b
+        )
     out = F.lit(0.0)
     for i in range(dim):
         out = out + a[i] * b[i]

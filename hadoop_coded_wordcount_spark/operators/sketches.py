@@ -1020,6 +1020,17 @@ def ams_registers(
     """
     if not 1 <= m <= 64:
         raise ValueError("ams_registers needs 1 <= m <= 64 (one md5)")
+    # Interpolated identifiers must parse as plain references — a name
+    # needing backticks (space, hyphen, reserved word) would parse
+    # differently than the old F.col path or fail outright (ADVICE r12).
+    import re
+
+    for ident in (key_col, prefix):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
+            raise ValueError(
+                f"ams_registers: identifier {ident!r} is not a plain "
+                "SQL name; rename the column or pass a safe prefix"
+            )
     # JVM-parsed expr strings (optimization r12): identical trees to the
     # Column-object loops at a fraction of the py4j round trips.
     h = f"md5(CAST(CAST({key_col} AS STRING) AS BINARY))"

@@ -71,6 +71,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # Env-parameterized conf overrides (optimization r13): scale-dependent
+    # settings stay tunable per deployment without code edits —
+    # SPARK_GRAFT_CONF="spark.a=b;spark.c=d". Applied before extra_conf so
+    # an explicit caller still wins.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for item in env_conf.split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

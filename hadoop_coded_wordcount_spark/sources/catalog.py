@@ -12,6 +12,7 @@ layout; the loader API is unchanged — only the path changes.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -58,13 +59,18 @@ _SCAN_CONFS = {
 #: catalog/metastore plays at 100 TB, where explicit schemas are how
 #: production readers avoid per-query listing+inference. Data is still
 #: read from parquet on every execution; nothing about results is
-#: cached. Keyed by absolute path, so scale dirs (sf0.01/sf1/...) never
-#: collide.
+#: cached. Keyed by (absolute path, directory mtime) — the mtime token
+#: invalidates the entry when a fixture dir is rewritten with a new
+#: schema inside one process (ADVICE r12); distinct scale dirs
+#: (sf0.01/sf1/...) never collide.
 _SCHEMA_CACHE: dict = {}
 
-#: Sessions whose _SCAN_CONFS were already applied (id-keyed; the confs
-#: are idempotent — this only skips ~3 py4j round trips per load).
-_CONFED_SESSIONS: set = set()
+#: Sessions whose _SCAN_CONFS were already applied. A WeakSet of the
+#: session objects themselves, NOT id()s: an id can be reused by a new
+#: session after the old one is garbage-collected, which would silently
+#: skip applying the scan confs (ADVICE r12). The confs are idempotent —
+#: the memo only skips ~3 py4j round trips per load.
+_CONFED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,15 +79,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     in ``.explain``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if id(spark) not in _CONFED_SESSIONS:
+    if spark not in _CONFED_SESSIONS:
         for k, v in _SCAN_CONFS.items():
             spark.conf.set(k, v)
-        _CONFED_SESSIONS.add(id(spark))
+        _CONFED_SESSIONS.add(spark)
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
-    schema = _SCHEMA_CACHE.get(path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # let spark.read raise the real error below
+    key = (path, mtime)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     if name == "events":
         # The physical layout of events.ts varies by environment:
