@@ -46,20 +46,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce to the ADVISORY partition size (64 MB default), not to
-        # "one tiny task per core" (optimization r13, guide §2.2 "fewer,
-        # larger reduce partitions"): parallelismFirst=true floors
-        # partitions at 1 MB to maximize slot usage, which at 100 TB
-        # yields quadratic tiny-block shuffles and at small SF pure
-        # scheduling overhead (measured at sf0.1: gbm_stumps 6.18→4.94 s,
-        # bm25_prf_topk 6.12→4.42 s, pq_topk 5.65→4.29 s,
-        # similarity_ivf_kmeans_topk 4.15→3.39 s; dbscan/ivf_pq_recall
-        # neutral within noise). Compute-dense low-byte stages that NEED
-        # fan-out (the salted quadratic pair cells) pin their parallelism
-        # with explicit repartition(n, keys), which AQE never coalesces.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
-        )
+        # parallelismFirst stays at its DEFAULT (true). Tested r13 with
+        # interleaved min-of-2 A/B over a 16-query set (the 7 heaviest +
+        # the 9 the first trial flagged): advisory-size coalescing
+        # (parallelismFirst=false) read 72.4-78.2 s vs 55.6-56.6 s at the
+        # default — the graph/recommender families (triangle_count,
+        # hit_rate_at_k, adamic_adar, sssp_weighted, ...) shuffle few
+        # BYTES but are compute-dense downstream, so coalescing their
+        # 1-3 MB exchanges to one 64 MB-target task serializes real work
+        # (1.8x). The default's 1 MB-floor fan-out is the right call for
+        # this engine's mix; per-stage parallelism for the known
+        # compute-dense quadratics is pinned with explicit
+        # repartition(n, keys) at the operator level instead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Start with many small shuffle partitions so AQE can only coalesce
         # downward, never starve a stage; on a real cluster this number
