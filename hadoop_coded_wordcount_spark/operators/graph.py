@@ -1233,6 +1233,11 @@ def landmark_bfs(
                 F.lit(hop).cast("int").alias("dist"),
             )
         )
+        # LAZY checkpoint (optimization r13, the star-CC discipline): the
+        # next hop's nf job materializes it, so each hop costs one fewer
+        # driver barrier; eager=False still cuts lineage on first use.
+        # If the frontier empties first, the final mask join was never
+        # needed and is never computed.
         masks = (
             masks.join(nf.select("node", F.col("mask").alias("nm")), "node", "outer")
             .select(
@@ -1242,7 +1247,7 @@ def landmark_bfs(
                     " | coalesce(nm, CAST(0 AS BIGINT))"
                 ).alias("mask"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = nf
     pivoted = visited.groupBy("node").agg(
