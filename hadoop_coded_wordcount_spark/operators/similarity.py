@@ -918,6 +918,10 @@ def kmeans_centroids(
             )
         )
         mnorm = F.sqrt(_fold_sum(F.transform("mean_emb", lambda x: x * x)))
+        # LAZY checkpoint (optimization r13, the star-CC/landmark-BFS
+        # discipline): the next round's broadcast-build job materializes
+        # it — one fewer driver barrier per Lloyd round, same data,
+        # lineage still resets on first use.
         cents = (
             mean.withColumn("mn", mnorm)
             .where(F.col("mn") > 0)
@@ -927,7 +931,7 @@ def kmeans_centroids(
                     "c_emb"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -1327,6 +1331,9 @@ def _pq_train_codebook(
             )
             .select("j", F.col("b.code_id").alias("code_id"), "sv")
         )
+        # LAZY checkpoint (optimization r13): the next Lloyd round's
+        # broadcast-build job — or the caller's encode pass after the
+        # last round — materializes it; one fewer barrier per round.
         cb = (
             asg.groupBy("j", "code_id")
             .agg(
@@ -1345,7 +1352,7 @@ def _pq_train_codebook(
                 "code_id",
                 F.array(*[F.col(f"m{i}") for i in range(sub)]).alias("cv"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cb
 
