@@ -182,20 +182,27 @@ def bfs_depths(
     ).localCheckpoint(eager=True)
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # LAZY checkpoint fused with the early-stop count (optimization
+        # r13): the full count() materializes the checkpoint in the one
+        # job the eager flag used to spend separately. (A limit(1) probe
+        # would materialize only one partition of a lazy checkpoint and
+        # leave lineage uncut — the full count is the correct fusion.)
         nxt = (
             edges.join(frontier, edges["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # one driver scalar per round — the standard early-stop (star-CC
-        # convergence discipline); BFS on a connected graph runs
-        # diameter rounds, not max_hops
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # NOT checkpointed (r13, the landmark_bfs r12 precedent): each
+        # union leg is an already-checkpointed nxt, so the accumulating
+        # union stays a shallow tree of cached leaf RDDs — the eager
+        # re-checkpoint re-materialized the whole visited set every hop
+        # (O(V·hops) writes) for no recompute benefit.
+        visited = visited.union(nxt)
         frontier = nxt
     return visited.select(
         "node",
@@ -452,12 +459,16 @@ def k_core(edges: DataFrame, k: int = 2, max_rounds: int = 40) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         alive = deg.where(F.col("d") >= k)
+        # LAZY checkpoint fused with the convergence count (optimization
+        # r13): count() fully materializes the checkpoint in the SAME
+        # job the eager flag used to spend separately — one barrier per
+        # peel round instead of two.
         nxt = (
             cur.join(
                 alive.select(F.col("v").alias("src")), "src", "left_semi"
             )
             .join(alive.select(F.col("v").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         converged = n == prev_edges
@@ -1121,10 +1132,12 @@ def k_truss(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
                 "src", "dst", F.coalesce("cn", F.lit(0)).alias("support")
             )
         )
+        # LAZY checkpoint fused with the convergence count (r13, see
+        # k_core): one barrier per truss round instead of two.
         nxt = (
             support.where(F.col("support") >= k - 2)
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         converged = n == prev_edges
@@ -1309,6 +1322,10 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         counts = nb.groupBy(F.col("a").alias("node"), "label").agg(
             F.count(F.lit(1)).alias("c")
         )
+        # Stays EAGER (r13 audit): unlike the trainer loops, LPA has no
+        # per-round materializing job (no broadcast build, no count), so
+        # a lazy checkpoint would never be pinned mid-loop and the plan
+        # would nest `rounds` deep — the eager job IS the depth cap.
         labels = (
             counts.groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))

@@ -2230,7 +2230,10 @@ def fellegi_sunter_em(customer: DataFrame, rounds: int = 3) -> DataFrame:
                     F.col(f"sug{i}").cast("double") / (ndt - swd), 6
                 ).alias(f"u{i}")
             )
-        params = m.select(*sel).localCheckpoint(eager=True)
+        # LAZY checkpoint (r13): the next EM round's broadcast build —
+        # or the final scoring join — materializes it; one fewer
+        # barrier per round.
+        params = m.select(*sel).localCheckpoint(eager=False)
 
     j = pat.crossJoin(F.broadcast(params))
     num = F.col("pi") * lik("m")
@@ -2351,13 +2354,14 @@ def bradley_terry_sources(documents: DataFrame, rounds: int = 3) -> DataFrame:
         # rebase to the MAX strength: an arbitrary (alphabetical)
         # reference divides by zero whenever that source never wins
         refv = raw.agg(F.max(F.col("w_raw")).alias("w_ref"))
+        # LAZY checkpoint (r13): next MM round / final join materializes
         w = (
             raw.crossJoin(F.broadcast(refv))
             .select(
                 "sa",
                 F.round(F.col("w_raw") / F.col("w_ref"), 6).alias("w"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     out = tot.join(w, "sa")
     wr = Window.orderBy(F.desc("w"), F.asc("sa"))
@@ -2453,7 +2457,8 @@ def ipf_raking(customer: DataFrame, rounds: int = 3) -> DataFrame:
                     6,
                 ).alias("w"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY (r13): next raking round / final select materializes
+            .localCheckpoint(eager=False)
         )
     return w.select(
         "seg",
